@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session + testdata helpers shared by Verify / Bench / tests.
+  *
+  * Scale posture: every knob here is chosen so the same code runs unchanged
+  * on a real cluster — AQE on (runtime re-planning, skew-join splitting),
+  * shuffle partitions sized for local[32] via config (a cluster submit
+  * overrides them), broadcast threshold left at default so Catalyst promotes
+  * dimension tables (region/nation/...) automatically.
+  */
+object Engine {
+
+  def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // driver testdata events.parquet stores timestamp[ns]; read as long
+      // (nanos since epoch) — tsCol() converts where wall-clock is needed
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Load one driver-generated parquet table from a scale-factor dir. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

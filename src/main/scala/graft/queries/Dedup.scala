@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — the LLM-training-
+  * pipeline extensions (north star; SURVEY §7.6).
+  *
+  * Scale design:
+  *   - exact dedup groups on md5(text), so the shuffle carries a 32-byte
+  *     key + count, never the document bodies;
+  *   - the shingle-Jaccard self-join is the *verification* path, bounded to
+  *     a candidate subset; the discovery path at 100 TB is MinHash+LSH
+  *     banding (x_dedup_minhash), whose shuffle is O(docs × bands) tiny
+  *     band-hash rows — the classic Broder scheme;
+  *   - SimHash near-dup is O(docs) signature computation + bounded pair
+  *     verification (prefix-bucketing is the scale path, noted below);
+  *   - all operators are pure DataFrame/Column expressions (codegen'd),
+  *     no UDFs, no driver-side loops.
+  *
+  * DuckDB-oracle notes: Jaccard = intersect/(|A|+|B|-intersect) is an exact
+  * int division performed in double — bit-identical across engines. MinHash
+  * and SimHash rely on xxhash64 (Spark-only) → rows-only driver check +
+  * ScalaTest invariants (DedupSpec).
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents → (doc_id, ws: array<string>) */
+  private def toks(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+
+  /** (doc_id, s) distinct word-3-gram shingles. */
+  private def shingles(s: SparkSession, d: String, limit: Column): DataFrame =
+    toks(s, d).filter(limit)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(size(ws)-2, 0)), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+      ))).as("s"))
+
+  val queries: Map[String, Q] = Map(
+    // -- exact dedup: hash-groupBy; duplicate groups + the kept representative
+    "x_dedup_exact" -> ((s, d) =>
+      table(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
+        .filter(col("n") > 1)
+        .orderBy("h")),
+
+    // -- n-gram (3-shingle) Jaccard near-dup pairs, exact, bounded subset
+    "x_dedup_ngram_jaccard" -> ((s, d) => {
+      val sh = shingles(s, d, col("doc_id") < 60)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da"), col("db"),
+          (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("j"))
+        .filter(col("j") >= 0.2)
+        .orderBy(col("j").desc, col("da"), col("db"))
+    }),
+
+    // -- MinHash + LSH banding: 32 permutations, 8 bands × 4 rows.
+    //    Signature shuffle is (doc, band, hash) — never the text.
+    "x_dedup_minhash" -> ((s, d) => {
+      val nPerm = 32
+      val rowsPerBand = 4
+      val sh = shingles(s, d, lit(true))
+      val sig = sh
+        .select(col("doc_id"), col("s"), explode(lit((0 until nPerm).toArray)).as("p"))
+        .select(col("doc_id"), col("p"), xxhash64(col("p"), col("s")).as("h"))
+        .groupBy("doc_id", "p").agg(min("h").as("mh"))
+        .groupBy("doc_id")
+        .agg(expr("transform(array_sort(collect_list(struct(p, mh))), x -> x.mh)").as("sig"))
+      val bands = sig.select(col("doc_id"), col("sig"),
+          explode(expr(s"transform(sequence(0, ${nPerm / rowsPerBand - 1}), " +
+            s"b -> struct(b AS band, xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bh))")).as("bk"))
+        .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bh"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.sig").as("siga"), col("b.sig").as("sigb"))
+        .distinct()
+      cand
+        .select(col("da"), col("db"),
+          (expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))").cast("double") / nPerm).as("est_j"))
+        .filter(col("est_j") >= 0.5)
+        .orderBy(col("est_j").desc, col("da"), col("db"))
+    }),
+
+    // -- SimHash: 64-bit signature from token hashes; pairs at hamming ≤ 6
+    //    among a bounded subset (scale path: bucket by signature prefix).
+    "x_dedup_simhash" -> ((s, d) => {
+      val bits = toks(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, 63), b -> CASE WHEN shiftright(xxhash64(w), b) % 2 != 0 THEN 1L ELSE -1L END)").as("v"))
+        .groupBy("doc_id")
+        .agg(expr("aggregate(collect_list(v), array_repeat(0L, 64), (acc, x) -> zip_with(acc, x, (p, q) -> p + q))").as("sums"))
+        .select(col("doc_id"), expr("transform(sums, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)").as("sh"))
+      bits.as("a")
+        .join(bits.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          expr("size(filter(zip_with(a.sh, b.sh, (x, y) -> x != y), v -> v))").cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy(col("hamming"), col("da"), col("db"))
+    }),
+
+    // -- embedding-cosine near-dup: exact double arithmetic (index-ordered
+    //    sums) so DuckDB reproduces bit-for-bit
+    "x_dedup_embcos" -> ((s, d) => {
+      val e = table(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+        expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("nrm"))
+      val q = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("qa"), col("embedding").as("ea"), col("nrm").as("na"))
+      q.join(e.filter(col("vec_id") >= 100), lit(true))
+        .select(col("qa"), col("vec_id").as("qb"),
+          (expr("aggregate(zip_with(ea, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)")
+            / (col("na") * col("nrm"))).as("cos"))
+        .filter(col("cos") >= 0.95)
+        .orderBy(col("qa"), col("qb"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
+
+    "x_dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 60),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(ws) - 2, 0)),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) s FROM t),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+        |          JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) j
+        |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+        |ORDER BY j DESC, da, db""".stripMargin,
+
+    "x_dedup_embcos" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+        |       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id qa, b.vec_id qb,
+        |  list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (a.nrm * b.nrm) AS cos
+        |FROM e a, e b WHERE a.vec_id < 100 AND b.vec_id >= 100
+        |  AND list_sum(list_transform(generate_series(1, len(a.embedding)),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (a.nrm * b.nrm) >= 0.95
+        |ORDER BY qa, qb""".stripMargin
+    // x_dedup_minhash / x_dedup_simhash: xxhash64-based → rows-only check;
+    // invariants pinned in DedupSpec instead.
+  )
+}

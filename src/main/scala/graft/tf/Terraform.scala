@@ -1,0 +1,170 @@
+package graft.tf
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-facing surface: file discovery → distributed parse → the seven
+  * published Terraform tables as DataFrames / temp views.
+  *
+  * Scale design (north star: 100 TB corpora on a 1000-executor cluster):
+  *   - discovery uses Spark's `binaryFile` source, so listing AND reading
+  *     are distributed and partitioned by Spark's file-splitting machinery
+  *     (maxPartitionBytes); nothing file-sized ever sits on the driver;
+  *   - the parse is one `mapPartitions`-style flatMap over file contents
+  *     emitting the superset TfRow — one pass serves all seven tables
+  *     (the reference parses each file once per table, single-threaded);
+  *   - each table is filter + projection over the cached rows Dataset, so
+  *     Catalyst pushes column pruning and predicates (`path = '…'`
+  *     pruning falls out of the lazy plan — A2 for free);
+  *   - everything downstream of the parse stays in whole-stage codegen.
+  */
+object Terraform {
+
+  /** Connection config analog (reference connection_config.go:7-12). */
+  final case class Paths(
+      configurationFilePaths: Seq[String] = Seq.empty,
+      planFilePaths: Seq[String] = Seq.empty,
+      stateFilePaths: Seq[String] = Seq.empty)
+
+  /** Discover + parse all configured files into the superset row Dataset.
+    * Kind routing follows utils.go:38-169: configured kind wins, a
+    * `.tfstate` suffix forces state, plan content-sniff happens per-file
+    * in Builders.rowsForFile. */
+  def rows(spark: SparkSession, paths: Paths): Dataset[TfRow] = {
+    import spark.implicits._
+
+    def read(globs: Seq[String], kind: String): Dataset[TfRow] =
+      if (globs.isEmpty) spark.emptyDataset[TfRow]
+      else
+        spark.read.format("binaryFile").load(globs: _*)
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (path, bytes) =>
+            val p = stripScheme(path)
+            val k = if (path.endsWith(".tfstate")) FileKind.State else kind
+            Builders.rowsForFile(p, k, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          }
+
+    read(paths.configurationFilePaths, FileKind.Config)
+      .unionAll(read(paths.planFilePaths, FileKind.Plan))
+      .unionAll(read(paths.stateFilePaths, FileKind.State))
+  }
+
+  private def stripScheme(path: String): String =
+    if (path.startsWith("file:")) path.stripPrefix("file:") else path
+
+  // ---- the seven published tables (column order = reference declaration)
+
+  def resource(rows: Dataset[TfRow]): DataFrame =
+    rows.filter(col("table") === "resource").select(
+      col("name"), col("tfType").as("type"), col("mode"), col("address"),
+      col("arguments"), col("attributes"), col("attributesStd").as("attributes_std"),
+      col("count"), col("countSrc").as("count_src"), col("forEach").as("for_each"),
+      col("dependsOn").as("depends_on"), col("lifecycle"), col("provider"),
+      col("startLine").as("start_line"), col("endLine").as("end_line"),
+      col("source"), col("path"))
+
+  def dataSource(rows: Dataset[TfRow]): DataFrame =
+    rows.filter(col("table") === "data_source").select(
+      col("name"), col("tfType").as("type"), col("arguments"),
+      col("count"), col("countSrc").as("count_src"), col("forEach").as("for_each"),
+      col("dependsOn").as("depends_on"), col("provider"),
+      col("startLine").as("start_line"), col("endLine").as("end_line"),
+      col("source"), col("path"))
+
+  def local(rows: Dataset[TfRow]): DataFrame =
+    rows.filter(col("table") === "local").select(
+      col("name"), col("value"),
+      col("startLine").as("start_line"), col("endLine").as("end_line"),
+      col("source"), col("path"))
+
+  def module(rows: Dataset[TfRow]): DataFrame =
+    rows.filter(col("table") === "module").select(
+      col("name"), col("moduleSource").as("module_source"), col("version"),
+      col("arguments"), col("count"), col("countSrc").as("count_src"),
+      col("forEach").as("for_each"), col("dependsOn").as("depends_on"),
+      col("provider"),
+      col("startLine").as("start_line"), col("endLine").as("end_line"),
+      col("source"), col("path"))
+
+  def output(rows: Dataset[TfRow]): DataFrame =
+    rows.filter(col("table") === "output").select(
+      col("name"), col("value"), col("description"), col("sensitive"),
+      col("dependsOn").as("depends_on"),
+      col("startLine").as("start_line"), col("endLine").as("end_line"),
+      col("source"), col("path"))
+
+  def provider(rows: Dataset[TfRow]): DataFrame =
+    rows.filter(col("table") === "provider").select(
+      col("name"), col("arguments"), col("alias"), col("version"),
+      col("startLine").as("start_line"), col("endLine").as("end_line"),
+      col("source"), col("path"))
+
+  def variable(rows: Dataset[TfRow]): DataFrame =
+    rows.filter(col("table") === "variable").select(
+      col("name"), col("tfType").as("type"), col("defaultValue").as("default_value"),
+      col("description"), col("sensitive"),
+      col("startLine").as("start_line"), col("validation"),
+      col("endLine").as("end_line"), col("source"), col("path"))
+
+  /** Register all seven tables as temp views (+ the function shims).
+    * The parsed rows Dataset is cached — the analog of the reference SDK's
+    * query cache: every view and repeated query reuses one parse. */
+  def register(spark: SparkSession, paths: Paths): Dataset[TfRow] = {
+    val r = rows(spark, paths).cache()
+    resource(r).createOrReplaceTempView("terraform_resource")
+    dataSource(r).createOrReplaceTempView("terraform_data_source")
+    local(r).createOrReplaceTempView("terraform_local")
+    module(r).createOrReplaceTempView("terraform_module")
+    output(r).createOrReplaceTempView("terraform_output")
+    provider(r).createOrReplaceTempView("terraform_provider")
+    variable(r).createOrReplaceTempView("terraform_variable")
+    registerFunctions(spark)
+    r
+  }
+
+  /** Postgres/SQLite-compat shims used by the reference's documented
+    * queries (SURVEY §2B): jsonb_pretty, json_get/json_get_str (the ->/->>
+    * operators), json_extract (sqlite dialect). All other capabilities are
+    * native Spark SQL. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    spark.udf.register("jsonb_pretty", (s: String) =>
+      if (s == null) null
+      else Json.parseOpt(s).map(pretty(_, 0)).getOrElse(s))
+    // -> : JSON field access returning JSON text
+    spark.udf.register("json_get", (s: String, key: String) =>
+      if (s == null || key == null) null
+      else Json.parseOpt(s).flatMap {
+        case o: JObj => o.get(key).map(_.render)
+        case JArr(items) =>
+          try Some(items(key.toInt).render) catch { case _: Exception => None }
+        case _ => None
+      }.orNull)
+    // ->> : JSON field access returning text (strings unquoted)
+    spark.udf.register("json_get_str", (s: String, key: String) =>
+      if (s == null || key == null) null
+      else Json.parseOpt(s).flatMap {
+        case o: JObj => o.get(key).map { case JStr(v) => v; case v => v.render }
+        case JArr(items) =>
+          try Some(items(key.toInt) match { case JStr(v) => v; case v => v.render })
+          catch { case _: Exception => None }
+        case _ => None
+      }.orNull)
+  }
+
+  /** jsonb_pretty-style 4-space indented rendering (display parity only). */
+  private def pretty(v: JValue, indent: Int): String = {
+    val pad = "    " * indent
+    val padIn = "    " * (indent + 1)
+    v match {
+      case o: JObj if o.fields.nonEmpty =>
+        o.fields.sortBy(_._1).map { case (k, v2) =>
+          val sb = new StringBuilder; Json.writeString(k, sb)
+          s"$padIn${sb.toString}: ${pretty(v2, indent + 1)}"
+        }.mkString("{\n", ",\n", s"\n$pad}")
+      case JArr(items) if items.nonEmpty =>
+        items.map(i => s"$padIn${pretty(i, indent + 1)}").mkString("[\n", ",\n", s"\n$pad]")
+      case other => other.render
+    }
+  }
+}

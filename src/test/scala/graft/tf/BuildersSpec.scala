@@ -1,0 +1,211 @@
+package graft.tf
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Fixture-pinned semantics tests for the per-file row builders — every
+  * branch from SURVEY §2A exercised against fixtures/. */
+class BuildersSpec extends AnyFunSuite {
+
+  private def read(p: String): String =
+    new String(Files.readAllBytes(Paths.get(p)), java.nio.charset.StandardCharsets.UTF_8)
+
+  private lazy val configRows =
+    Builders.rowsForFile("/fx/main.tf", FileKind.Config, read("fixtures/main.tf"))
+  private lazy val planRows =
+    Builders.rowsForFile("/fx/tfplan.json", FileKind.Plan, read("fixtures/tfplan.json"))
+  private lazy val planRows1L =
+    Builders.rowsForFile("/fx/tfplan_oneline.json", FileKind.Plan, read("fixtures/tfplan_oneline.json"))
+  private lazy val stateRows =
+    Builders.rowsForFile("/fx/terraform.tfstate", FileKind.State, read("fixtures/terraform.tfstate"))
+
+  private def of(rows: Seq[TfRow], table: String) = rows.filter(_.table == table)
+
+  // ------------------------------------------------------------ HCL config
+
+  test("resource rows: meta-arg extraction (A10)") {
+    val rs = of(configRows, "resource").sortBy(_.name)
+    assert(rs.map(_.name) == Seq(Some("app_server"), Some("trail"), Some("worker")))
+
+    val app = rs.head
+    assert(app.tfType == Some("aws_instance"))
+    assert(app.address == Some("aws_instance.app_server"))
+    assert(app.count == Some(2L))
+    assert(app.countSrc == Some("2"))
+    assert(app.provider == Some("${aws.west}"))
+    assert(app.dependsOn == Some("""["${aws_s3_bucket.b}"]"""))
+    assert(app.lifecycle == Some("""{"create_before_destroy":true}"""))
+    assert(app.arguments == Some(
+      """{"ami":"ami-830c94e3","instance_type":"${var.instance_type}","tags":{"Name":"ExampleAppServerInstance"}}"""))
+    assert(app.attributesStd == app.arguments)
+    assert(app.attributes.isEmpty)
+    assert(app.mode.isEmpty) // reference never assigns mode for config files
+    assert(app.source.exists(_.startsWith("resource \"aws_instance\" \"app_server\"")))
+    assert(app.startLine.exists(_ > 0) && app.endLine.exists(e => e > app.startLine.get))
+
+    val worker = rs(2)
+    assert(worker.count.isEmpty) // non-literal count → NULL
+    assert(worker.countSrc == Some("\"${var.replicas}\""))
+
+    val trail = rs(1)
+    assert(trail.arguments.isEmpty) // NullIfEmptyMap
+    assert(trail.address == Some("aws_cloudtrail.trail"))
+  }
+
+  test("data source row with nested repeated-able block (A7)") {
+    val ds = of(configRows, "data_source")
+    assert(ds.size == 1)
+    val d = ds.head
+    assert(d.tfType == Some("aws_ami") && d.name == Some("ubuntu"))
+    assert(d.arguments == Some(
+      """{"filter":{"name":"name","values":["ubuntu/images/*"]},"most_recent":true}"""))
+  }
+
+  test("locals: all rows report the FIRST locals block span (A13 quirk)") {
+    val ls = of(configRows, "local").sortBy(_.name)
+    assert(ls.map(_.name.get) == Seq("count_expr", "owner", "region"))
+    assert(ls.map(_.value.get).sorted == Seq(
+      "\"${length(var.instance_type)}\"", "\"team-a\"", "\"us-east-1\"").sorted)
+    // quirk: 'region' lives in the second locals block but reports the first's span
+    assert(ls.map(_.startLine).distinct.size == 1)
+    assert(ls.map(_.source).distinct.size == 1)
+    assert(ls.head.source.exists(_.contains("owner")))
+  }
+
+  test("module: source renamed, lifecycle dropped, residual args") {
+    val ms = of(configRows, "module")
+    assert(ms.size == 1)
+    val m = ms.head
+    assert(m.name == Some("vpc"))
+    assert(m.moduleSource == Some("terraform-aws-modules/vpc/aws"))
+    assert(m.version == Some("5.0.0"))
+    assert(m.arguments == Some("""{"cidr":"10.0.0.0/16"}"""))
+  }
+
+  test("output: value canonicalization + sensitive + depends_on") {
+    val os = of(configRows, "output")
+    assert(os.size == 1)
+    val o = os.head
+    assert(o.name == Some("instance_ip"))
+    assert(o.value == Some("\"${aws_instance.app_server[0].public_ip}\""))
+    assert(o.description == Some("IP"))
+    assert(o.sensitive == Some(true))
+    assert(o.dependsOn == Some("""["${aws_instance.app_server}"]"""))
+  }
+
+  test("provider duplicate-name fan-out (A18), span = first matching block") {
+    val ps = of(configRows, "provider")
+    assert(ps.size == 2)
+    assert(ps.forall(_.name == Some("aws")))
+    val aliased = ps.find(_.alias.isDefined).get
+    assert(aliased.alias == Some("west"))
+    assert(aliased.version == Some("~> 4.0"))
+    assert(aliased.arguments == Some("""{"region":"us-west-2"}"""))
+    val plain = ps.find(_.alias.isEmpty).get
+    assert(plain.arguments == Some("""{"region":"us-east-1"}"""))
+    // both report the first provider block's span
+    assert(ps.map(_.startLine).distinct.size == 1)
+  }
+
+  test("variable: ${type} unwrap (A20), quoted default, validation (A19), sensitive fix") {
+    val vs = of(configRows, "variable")
+    assert(vs.size == 1)
+    val v = vs.head
+    assert(v.name == Some("instance_type"))
+    assert(v.tfType == Some("string"))
+    assert(v.defaultValue == Some("\"t2.micro\""))
+    assert(v.description == Some("EC2 instance type"))
+    assert(v.sensitive == Some(true)) // documented divergence: reference bug leaves this NULL
+    assert(v.validation.exists(_.startsWith("validation {")))
+    assert(v.validation.exists(_.contains("condition")))
+  }
+
+  // ------------------------------------------------------------- plan file
+
+  test("plan resources: projection + spans (A5/A9/A14)") {
+    assert(planRows.forall(_.table == "resource")) // only resource serves plans
+    assert(planRows.size == 3)
+    val r0 = planRows.head
+    assert(r0.address == Some("aws_instance.app_server[0]"))
+    assert(r0.mode == Some("managed"))
+    assert(r0.arguments == Some(
+      """{"ami":"ami-830c94e3","instance_type":"t2.micro","tags":{"Name":"ExampleAppServerInstance"}}"""))
+    assert(r0.attributesStd == r0.arguments)
+    assert(r0.attributes.isEmpty)
+    assert(r0.startLine.exists(_ > 1))
+    assert(r0.source.exists(_.contains("aws_instance.app_server[0]")))
+    val s3 = planRows.find(_.tfType == Some("aws_s3_bucket")).get
+    assert(s3.arguments == Some("""{"bucket":"example-logs","force_destroy":false}"""))
+  }
+
+  test("plan sniff: .tf-configured path with plan content routes to plan branch (A3)") {
+    val sniffed = Builders.rowsForFile("/fx/x.tf", FileKind.Config, read("fixtures/tfplan.json"))
+    assert(sniffed.size == 3 && sniffed.forall(_.table == "resource"))
+    assert(sniffed.head.address == Some("aws_instance.app_server[0]"))
+  }
+
+  test("single-line plan: span fallback (A14)") {
+    assert(planRows1L.size == 3)
+    assert(planRows1L.head.startLine == Some(1L))
+  }
+
+  // ------------------------------------------------------------ state file
+
+  test("state instance fan-out + index_key addressing (A8)") {
+    val rs = of(stateRows, "resource")
+    assert(rs.size == 3)
+    val apps = rs.filter(_.name == Some("app_server"))
+    assert(apps.map(_.address) == Seq(Some("aws_instance.app_server[0]"), Some("aws_instance.app_server[1]")))
+    val a0 = apps.head
+    assert(a0.mode == Some("managed"))
+    assert(a0.provider == Some("provider[\"registry.terraform.io/hashicorp/aws\"]"))
+    // arguments = envelope keys minus handled ones; 'type' kept (reference quirk)
+    assert(a0.arguments == Some("""{"type":"aws_instance"}"""))
+    assert(a0.attributes == Some(
+      """{"ami":"ami-830c94e3","id":"i-0abc","instance_type":"t2.micro"}"""))
+    assert(a0.attributesStd == a0.attributes)
+    val logs = rs.find(_.name == Some("logs")).get
+    assert(logs.address == Some("aws_s3_bucket.logs")) // no index_key → default address
+  }
+
+  test("state outputs (+ sensitive NullIfZero)") {
+    val os = of(stateRows, "output").sortBy(_.name)
+    assert(os.map(_.name.get) == Seq("bucket_name", "instance_ip"))
+    val ip = os(1)
+    assert(ip.value == Some("\"10.0.0.5\""))
+    assert(ip.sensitive == Some(true))
+    assert(os.head.sensitive.isEmpty) // false/absent → NULL (NullIfZero)
+    assert(ip.startLine.exists(_ > 0))
+  }
+
+  // ---------------------------------------------------------------- parser
+
+  test("hcl: heredocs, escapes, templates") {
+    val doc = Hcl.parse(
+      """locals {
+        |  text = <<EOT
+        |line1
+        |line2
+        |EOT
+        |  tpl  = "a-${var.x}-b"
+        |  esc  = "a\"b$${lit}"
+        |  n    = 1.5
+        |  none = null
+        |}
+        |""".stripMargin)
+    val locals = doc.doc.get("locals").get.asInstanceOf[JObj]
+    assert(locals.get("text") == Some(JStr("line1\nline2\n")))
+    assert(locals.get("tpl") == Some(JStr("a-${var.x}-b")))
+    assert(locals.get("esc") == Some(JStr("a\"b${lit}")))
+    assert(locals.get("n") == Some(JNum("1.5")))
+    assert(locals.get("none") == Some(JNull))
+  }
+
+  test("json canonical render matches Go json.Marshal conventions") {
+    val v = JObj(Vector(
+      "b" -> JStr("x<y&z>"),
+      "a" -> JArr(Vector(JNum("1"), JBool(true), JNull))))
+    // keys sorted, compact, HTML chars escaped like Go's json.Marshal
+    assert(v.render == "{\"a\":[1,true,null],\"b\":\"x\\u003cy\\u0026z\\u003e\"}")
+  }
+}
