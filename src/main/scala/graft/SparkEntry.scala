@@ -15,8 +15,14 @@ object SparkEntry {
     queries("b_join_multiway")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.TerraformQ.queries
+    graft.queries.Relational.queries ++ graft.queries.TerraformQ.queries ++
+      graft.queries.Dedup.queries ++ graft.queries.Similarity.queries ++
+      graft.queries.TextAnalysis.queries ++ graft.queries.Events.queries ++
+      graft.queries.Multimodal.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle ++ graft.queries.TerraformQ.oracle
+    graft.queries.Relational.oracle ++ graft.queries.TerraformQ.oracle ++
+      graft.queries.Dedup.oracle ++ graft.queries.Similarity.oracle ++
+      graft.queries.TextAnalysis.oracle ++ graft.queries.Events.oracle ++
+      graft.queries.Multimodal.oracle
 }

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Windowed / sessionized analytics over `events`.
+  *
+  * `events.ts` is read as nanoseconds-since-epoch (LongType, via
+  * spark.sql.legacy.parquet.nanosAsLong) — window arithmetic below is
+  * exact integer math on microseconds, so the DuckDB oracle (epoch_us on
+  * its native TIMESTAMP_NS) agrees bit-for-bit.
+  *
+  * The same logic runs under Structured Streaming (graft.streaming.* uses
+  * window()/session_window() + watermarks); these batch twins are the
+  * oracle-checkable surface. Scale: tumbling windows aggregate with
+  * map-side partials on (window, type); sessionization shuffles once on
+  * user_id — the standard keyed-state layout a cluster run would use.
+  */
+object Events {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events").withColumn("us", (col("ts") / 1000).cast("long"))
+
+  val queries: Map[String, Q] = Map(
+    // -- tumbling 1-hour windows per event type
+    "x_events_tumbling" -> ((s, d) =>
+      ev(s, d)
+        .withColumn("w", (col("us") - pmod(col("us"), lit(3600L * 1000000))).cast("long"))
+        .groupBy("w", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(25,2)")).cast("double").as("sum_value"))
+        .orderBy("w", "event_type")),
+
+    // -- sliding 30-min windows (1h width) per type: explode into the two
+    //    covering windows, then aggregate — the batch twin of
+    //    window(ts, '1 hour', '30 minutes')
+    "x_events_sliding" -> ((s, d) => {
+      val slide = 1800L * 1000000
+      ev(s, d)
+        .select(col("event_type"), col("us"),
+          explode(array(
+            (col("us") - pmod(col("us"), lit(slide))).cast("long"),
+            (col("us") - pmod(col("us"), lit(slide)) - lit(slide)).cast("long"))).as("w"))
+        .groupBy("w", "event_type").agg(count(lit(1)).as("n"))
+        .orderBy("w", "event_type")
+    }),
+
+    // -- gap-based sessionization (30-min inactivity): one shuffle on
+    //    user_id; session bounds via lag + running sum of gap flags
+    "x_events_sessions" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      ev(s, d)
+        .withColumn("gap", when(
+          col("us") - lag("us", 1).over(byUser) > 1800L * 1000000, 1L).otherwise(0L))
+        .withColumn("session_id", sum("gap").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          // integer division on both sides (DuckDB CAST rounds, Spark truncates)
+          expr("(max(us) - min(us)) div 1000000").as("duration_secs"))
+        .orderBy("user_id", "session_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_events_tumbling" ->
+      """SELECT (epoch_us(ts) - epoch_us(ts) % CAST(3600000000 AS BIGINT)) AS w, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
+
+    "x_events_sliding" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) us FROM events),
+        |x AS (
+        |  SELECT event_type, us, (us - us % 1800000000) AS w FROM e
+        |  UNION ALL
+        |  SELECT event_type, us, (us - us % 1800000000 - 1800000000) AS w FROM e)
+        |SELECT w, event_type, count(*) AS n FROM x
+        |GROUP BY w, event_type ORDER BY w, event_type""".stripMargin,
+
+    "x_events_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) us FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |        CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |                  > 1800 * 1000000 THEN 1 ELSE 0 END AS gap
+        |      FROM e),
+        |s AS (SELECT user_id, us,
+        |        CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |      FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_secs
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+  )
+}

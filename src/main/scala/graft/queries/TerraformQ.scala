@@ -95,6 +95,7 @@ object TerraformQ {
     "tf_output_all" ->
       """SELECT * FROM (VALUES
         | ('main.tf', 'instance_ip', '"${aws_instance.app_server[0].public_ip}"', 'IP', true, '["${aws_instance.app_server}"]'),
+        | ('second.tf', 'bucket_arn', '"${aws_s3_bucket.logs.arn}"', CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)),
         | ('terraform.tfstate', 'bucket_name', '"example-logs"', CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR)),
         | ('terraform.tfstate', 'instance_ip', '"10.0.0.5"', CAST(NULL AS VARCHAR), true, CAST(NULL AS VARCHAR))
         |) AS t(file, name, value, description, sensitive, depends_on) ORDER BY file, name""".stripMargin,
@@ -114,11 +115,14 @@ object TerraformQ {
 
     "tf_module_row" ->
       """SELECT * FROM (VALUES
+        | ('net', 'git::https://gitlab.com/acme/net?ref=2abc', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        | ('s3_bucket', 'git::https://gitlab.com/acme/s3?ref=v1.2.0', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
         | ('vpc', 'terraform-aws-modules/vpc/aws', '5.0.0', '{"cidr":"10.0.0.0/16"}')
         |) AS t(name, module_source, version, arguments) ORDER BY name""".stripMargin,
 
     "tf_data_filter" ->
       """SELECT * FROM (VALUES
+        | ('amzn', '[{"name":"name","values":["amzn2-ami-hvm-*"]},{"name":"architecture","values":["x86_64"]}]', 'false'),
         | ('ubuntu', '{"name":"name","values":["ubuntu/images/*"]}', 'true')
         |) AS t(name, filter, most_recent) ORDER BY name""".stripMargin,
 

@@ -140,6 +140,16 @@ object Terraform {
           try Some(items(key.toInt).render) catch { case _: Exception => None }
         case _ => None
       }.orNull)
+    // jsonb_array_elements: JSON array → rows (lenient: a single object
+    // becomes a 1-element array, matching kics's single-vs-repeated block
+    // shape so documented queries work on both)
+    spark.udf.register("json_array_elements", (s: String) =>
+      if (s == null) Array.empty[String]
+      else Json.parseOpt(s) match {
+        case Some(JArr(items)) => items.map(_.render).toArray
+        case Some(o: JObj)     => Array(o.render)
+        case _                 => Array.empty[String]
+      })
     // ->> : JSON field access returning text (strings unquoted)
     spark.udf.register("json_get_str", (s: String, key: String) =>
       if (s == null || key == null) null

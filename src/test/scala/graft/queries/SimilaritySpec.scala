@@ -1,0 +1,29 @@
+package graft.queries
+
+import graft.SparkSpecBase
+
+class SimilaritySpec extends SparkSpecBase {
+
+  test("brute-force top-k: 5 ranked neighbors per query, cosine descending") {
+    val rows = Similarity.queries("x_sim_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val cos = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"not sorted: ${cos.toSeq}")
+      assert(cos.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("LSH ANN recalls a useful share of the true top-5") {
+    val truth = Similarity.queries("x_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.queries("x_sim_lsh")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    // 64 buckets over ~500 clustered vectors; same-bucket candidates
+    // should recover a fair share of true neighbors
+    assert(recall >= 0.3, s"recall $recall too low (|truth∩approx|=${(truth & approx).size})")
+  }
+}

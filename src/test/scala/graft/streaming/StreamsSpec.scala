@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpecBase {
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600_000L * 24 + min * 60_000L)
+
+  type Ev = (Timestamp, Long, String, Double)
+
+  private def runToMemory(name: String, df: org.apache.spark.sql.DataFrame,
+      mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("session_window merges events within the gap, splits beyond it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streams.sessions(events).writeStream.format("memory")
+      .queryName("sessions_out").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: events at t0, t0+10min (same session), t0+50min (new session)
+      in.addData((ts(0), 1L, "click", 1.0), (ts(10), 1L, "click", 1.0), (ts(50), 1L, "view", 1.0))
+      q.processAllAvailable()
+      // advance the watermark past both sessions (append emits on close)
+      in.addData((ts(600), 2L, "click", 1.0))
+      q.processAllAvailable()
+      in.addData((ts(1200), 2L, "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sessions_out")
+      .filter(col("user_id") === 1L).orderBy("s_start").collect()
+    assert(rows.length == 2, spark.table("sessions_out").collect().mkString(","))
+    assert(rows(0).getAs[Long]("n_events") == 2) // t0 + t0+10 merged
+    assert(rows(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("tumbling windows aggregate by event-time hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    in.addData((ts(0), 1L, "click", 2.0), (ts(30), 2L, "click", 3.0), (ts(70), 1L, "view", 4.0))
+    runToMemory("tumbling_out", Streams.tumblingCounts(events), OutputMode.Update())
+    val rows = spark.table("tumbling_out").orderBy("w_start", "event_type").collect()
+    assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(2L, 1L))
+    assert(rows.head.getAs[Double]("sum_value") == 5.0)
+  }
+
+  test("streaming dedup drops repeats of the same key+ts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    in.addData((ts(0), 1L, "click", 1.0), (ts(0), 1L, "click", 1.0), (ts(1), 1L, "click", 1.0))
+    runToMemory("dedup_out", Streams.dedupe(events, Seq("user_id", "event_type")), OutputMode.Append())
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("mapGroupsWithState accumulates per-user running totals") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData((ts(0), 1L, "c", 1.5), (ts(1), 1L, "c", 2.5), (ts(2), 2L, "c", 1.0))
+    val out = Streams.runningTotals(in.toDS())
+    val q = out.writeStream.format("memory").queryName("running_out")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable() finally q.stop()
+    val m = spark.table("running_out").collect()
+      .map(r => r.getAs[Long]("user_id") -> (r.getAs[Long]("n"), r.getAs[Double]("total"))).toMap
+    assert(m(1L) == (2L, 4.0))
+    assert(m(2L) == (1L, 1.0))
+  }
+}
