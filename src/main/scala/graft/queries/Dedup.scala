@@ -71,13 +71,13 @@ object Dedup {
     "x_dedup_minhash" -> ((s, d) => {
       val nPerm = 32
       val rowsPerBand = 4
-      val sh = shingles(s, d, lit(true))
-      val sig = sh
-        .select(col("doc_id"), col("s"), explode(lit((0 until nPerm).toArray)).as("p"))
-        .select(col("doc_id"), col("p"), xxhash64(col("p"), col("s")).as("h"))
-        .groupBy("doc_id", "p").agg(min("h").as("mh"))
-        .groupBy("doc_id")
-        .agg(expr("transform(array_sort(collect_list(struct(p, mh))), x -> x.mh)").as("sig"))
+      // signature in ONE pass: collect the (small) per-doc shingle set,
+      // then a codegen'd transform computes all permutations — no
+      // perm-explode (32x row blowup) and no (doc, perm) shuffle
+      val sig = shingles(s, d, lit(true))
+        .groupBy("doc_id").agg(collect_set("s").as("shs"))
+        .select(col("doc_id"), expr(
+          s"transform(sequence(0, ${nPerm - 1}), p -> array_min(transform(shs, t -> xxhash64(p, t))))").as("sig"))
       val bands = sig.select(col("doc_id"), col("sig"),
           explode(expr(s"transform(sequence(0, ${nPerm / rowsPerBand - 1}), " +
             s"b -> struct(b AS band, xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bh))")).as("bk"))
