@@ -196,7 +196,12 @@ object Relational {
 
     // --- window functions ---------------------------------------------------
     "b_window_lead_rank" -> ((s, d) => {
-      val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").asc)
+      // ordering must be total up to output-identical rows: l_linenumber
+      // alone is NOT unique in the synthetic data, so break ties with
+      // l_quantity (remaining ties produce identical output rows — the
+      // hash compare is over row multisets, so engine-internal order of
+      // exact ties is irrelevant)
+      val w = Window.partitionBy("l_orderkey").orderBy(col("l_linenumber").asc, col("l_quantity").asc)
       table(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
           lead("l_linenumber", 1).over(w).cast("long").as("next_line"),
@@ -338,7 +343,7 @@ object Relational {
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "b_window_lead_rank" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-        |  CAST(lead(l_linenumber, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC) AS BIGINT) AS next_line,
+        |  CAST(lead(l_linenumber, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber ASC, l_quantity ASC) AS BIGINT) AS next_line,
         |  CAST(rank() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC, l_linenumber ASC) AS BIGINT) AS qty_rank
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "b_window_topk" ->

@@ -53,6 +53,59 @@ object Terraform {
   private def stripScheme(path: String): String =
     if (path.startsWith("file:")) path.stripPrefix("file:") else path
 
+  /** Streaming twin of [[rows]] — the real analog of the reference's
+    * file-watch re-query (`steampipe:"watch"` tags, connection_config.go:
+    * 8-11 / SURVEY A21): new or updated files under the watched globs are
+    * parsed incrementally as they appear. Same row schema as batch, so
+    * downstream table projections apply unchanged. */
+  def streamRows(spark: SparkSession, paths: Paths): Dataset[TfRow] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val binSchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+
+    def read(globs: Seq[String], kind: String): Option[Dataset[TfRow]] =
+      if (globs.isEmpty) None
+      else Some(
+        spark.readStream.format("binaryFile").schema(binSchema).load(globs.head)
+          .select(col("path"), col("content"))
+          .as[(String, Array[Byte])]
+          .flatMap { case (path, bytes) =>
+            val p = stripScheme(path)
+            val k = if (path.endsWith(".tfstate")) FileKind.State else kind
+            Builders.rowsForFile(p, k, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          })
+
+    val streams = Seq(
+      read(paths.configurationFilePaths, FileKind.Config),
+      read(paths.planFilePaths, FileKind.Plan),
+      read(paths.stateFilePaths, FileKind.State)).flatten
+    streams.reduceOption(_ unionAll _)
+      .getOrElse(throw new IllegalArgumentException("no watch paths configured"))
+  }
+
+  /** Spark 4 Variant helper views (SURVEY §1.2): each table re-published as
+    * `<name>_v` with JSON-typed columns parsed to VARIANT, so users query
+    * `variant_get(arguments, '$.ami', 'string')` instead of string ops. */
+  def registerVariantViews(spark: SparkSession): Unit = {
+    val jsonCols = Map(
+      "terraform_resource" -> Seq("arguments", "attributes", "attributes_std", "count_src", "for_each", "depends_on", "lifecycle"),
+      "terraform_data_source" -> Seq("arguments", "count_src", "for_each", "depends_on"),
+      "terraform_local" -> Seq("value"),
+      "terraform_module" -> Seq("arguments", "count_src", "for_each", "depends_on"),
+      "terraform_output" -> Seq("value", "depends_on"),
+      "terraform_provider" -> Seq("arguments"),
+      "terraform_variable" -> Seq("default_value"))
+    jsonCols.foreach { case (view, cols) =>
+      val df = spark.table(view)
+      val projected = df.columns.map { c =>
+        if (cols.contains(c)) expr(s"try_parse_json($c)").as(c) else col(c)
+      }
+      df.select(projected.toIndexedSeq: _*).createOrReplaceTempView(s"${view}_v")
+    }
+  }
+
   // ---- the seven published tables (column order = reference declaration)
 
   def resource(rows: Dataset[TfRow]): DataFrame =

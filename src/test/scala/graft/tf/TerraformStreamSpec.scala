@@ -1,0 +1,52 @@
+package graft.tf
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths => JPaths, StandardCopyOption}
+
+class TerraformStreamSpec extends SparkSpecBase {
+
+  test("file-watch stream (A21): new .tf files are parsed incrementally") {
+    val watchDir = Files.createTempDirectory("tfwatch").toFile
+    watchDir.deleteOnExit()
+    val stream = Terraform.streamRows(spark,
+      Terraform.Paths(configurationFilePaths = Seq(watchDir.getAbsolutePath)))
+    val q = stream.toDF().writeStream.format("memory")
+      .queryName("tf_watch").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tf_watch").count() == 0)
+
+      Files.copy(JPaths.get("fixtures/main.tf"),
+        JPaths.get(watchDir.getAbsolutePath, "main.tf"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val n1 = spark.table("tf_watch").filter(col("table") === "resource").count()
+      assert(n1 == 3, s"expected 3 config resources, got $n1")
+
+      Files.copy(JPaths.get("fixtures/second.tf"),
+        JPaths.get(watchDir.getAbsolutePath, "second.tf"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val mods = spark.table("tf_watch").filter(col("table") === "module").count()
+      assert(mods == 3, s"expected 3 modules after second file, got $mods") // vpc + s3_bucket + net
+    } finally q.stop()
+  }
+
+  test("variant helper views: variant_get over parsed JSON columns") {
+    val dir = new java.io.File("fixtures").getAbsolutePath
+    Terraform.register(spark, Terraform.Paths(
+      configurationFilePaths = Seq(s"$dir/*.tf"),
+      planFilePaths = Seq(s"$dir/tfplan.json"),
+      stateFilePaths = Seq(s"$dir/terraform.tfstate")))
+    Terraform.registerVariantViews(spark)
+    val amis = spark.sql(
+      """select variant_get(attributes_std, '$.ami', 'string') as ami
+        |from terraform_resource_v where type = 'aws_instance'""".stripMargin)
+      .collect().map(_.getString(0)).filter(_ != null)
+    assert(amis.nonEmpty && amis.forall(_ == "ami-830c94e3"))
+    val tag = spark.sql(
+      """select variant_get(arguments, '$.tags.Name', 'string') as t
+        |from terraform_resource_v where name = 'app_server' and path like '%main.tf'""".stripMargin)
+      .collect().head.getString(0)
+    assert(tag == "ExampleAppServerInstance")
+  }
+}
