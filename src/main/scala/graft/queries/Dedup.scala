@@ -117,14 +117,14 @@ object Dedup {
     // -- embedding-cosine near-dup: exact double arithmetic (index-ordered
     //    sums) so DuckDB reproduces bit-for-bit
     "x_dedup_embcos" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
       val e = table(s, d, "embeddings").select(col("vec_id"), col("embedding"),
-        expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("nrm"))
+        sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
       val q = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("qa"), col("embedding").as("ea"), col("nrm").as("na"))
-      q.join(e.filter(col("vec_id") >= 100), lit(true))
+      broadcast(q).join(e.filter(col("vec_id") >= 100), lit(true))
         .select(col("qa"), col("vec_id").as("qb"),
-          (expr("aggregate(zip_with(ea, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)")
-            / (col("na") * col("nrm"))).as("cos"))
+          (expr("float_dot(ea, embedding)") / (col("na") * col("nrm"))).as("cos"))
         .filter(col("cos") >= 0.95)
         .orderBy(col("qa"), col("qb"))
     })

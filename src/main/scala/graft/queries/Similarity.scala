@@ -27,12 +27,15 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def withNorm(s: SparkSession, d: String): DataFrame =
+  /** Norms via the native float_dot expression (graft.functions) — a fused
+    * codegen loop; bit-identical to the composed aggregate/zip_with form. */
+  private def withNorm(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
     table(s, d, "embeddings").select(col("vec_id"), col("embedding"),
-      expr("sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))").as("nrm"))
+      sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+  }
 
-  private val dot =
-    expr("aggregate(zip_with(qe, embedding, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, v) -> a + v)")
+  private val dot = expr("float_dot(qe, embedding)")
 
   val queries: Map[String, Q] = Map(
     // -- brute-force cosine top-5 for 10 query vectors
