@@ -49,6 +49,17 @@ object Dedup {
         .filter(col("n") > 1)
         .orderBy("h")),
 
+    // -- exact dedup, corpus output form: keep the lowest doc_id per
+    //    content hash (what a pipeline actually materializes)
+    "x_dedup_keep" -> ((s, d) => {
+      val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      table(s, d, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // -- n-gram (3-shingle) Jaccard near-dup pairs, exact, bounded subset
     "x_dedup_ngram_jaccard" -> ((s, d) => {
       val sh = shingles(s, d, col("doc_id") < 60)
@@ -134,6 +145,12 @@ object Dedup {
     "x_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
+
+    "x_dedup_keep" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "x_dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 60),

@@ -1,0 +1,96 @@
+package graft.tf
+
+import graft.SparkSpecBase
+
+/** The reference's documented queries run VERBATIM (Postgres dialect)
+  * through PgDialect — the "switch without rewriting your queries" check. */
+class PgDialectSpec extends SparkSpecBase {
+
+  private lazy val fx: Unit = {
+    val dir = new java.io.File("fixtures").getAbsolutePath
+    Terraform.register(spark, Terraform.Paths(
+      configurationFilePaths = Seq(s"$dir/*.tf"),
+      planFilePaths = Seq(s"$dir/tfplan.json"),
+      stateFilePaths = Seq(s"$dir/terraform.tfstate")))
+    ()
+  }
+
+  private def pg(q: String) = { fx; PgDialect.sql(spark, q) }
+
+  test("rewrite unit: operators") {
+    assert(PgDialect.rewrite("a -> 'k'") == "json_get(a, 'k')")
+    assert(PgDialect.rewrite("a ->> 'k'") == "json_get_str(a, 'k')")
+    assert(PgDialect.rewrite("(a ->> 'k')::jsonb -> 'S'") ==
+      "json_get((json_get_str(a, 'k')), 'S')")
+    assert(PgDialect.rewrite("x::boolean") == "CAST(x AS BOOLEAN)")
+    assert(PgDialect.rewrite("value::text like '%x%'") == "value like '%x%'")
+    assert(PgDialect.rewrite("not m ~ '^[0-9]'") == "not m  rlike  '^[0-9]'")
+    assert(PgDialect.rewrite("'lit->net'") == "'lit->net'") // strings untouched
+    assert(PgDialect.rewrite("jsonb_array_elements(a -> 'f') as x") ==
+      "explode(json_array_elements(json_get(a, 'f'))) as x")
+  }
+
+  test("verbatim: iam_role statement extraction shape") {
+    val df = pg(
+      """select path, name, address,
+        |  (attributes_std ->> 'assume_role_policy')::jsonb -> 'Statement' as statement
+        |from terraform_resource where type = 'aws_iam_role'""".stripMargin)
+    assert(df.count() == 0) // no iam_role in fixtures; shape must analyze
+  }
+
+  test("verbatim: instance ami projection") {
+    val rows = pg(
+      """select address, name, attributes_std ->> 'ami' as ami, path
+        |from terraform_resource where type = 'aws_instance'""".stripMargin).collect()
+    assert(rows.length == 6)
+    assert(rows.flatMap(r => Option(r.getString(2))).forall(_ == "ami-830c94e3"))
+  }
+
+  test("verbatim: cloudtrail kms_key_id is null") {
+    val rows = pg(
+      """select address, name, path from terraform_resource
+        |where type = 'aws_cloudtrail' and attributes_std -> 'kms_key_id' is null""".stripMargin).collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("trail"))
+  }
+
+  test("verbatim: not (...)::boolean filter") {
+    val rows = pg(
+      """select address, name from terraform_resource
+        |where type = 'aws_s3_bucket' and not (attributes_std -> 'force_destroy')::boolean""".stripMargin).collect()
+    assert(rows.nonEmpty)
+  }
+
+  test("verbatim: data source lateral filter CTE") {
+    val rows = pg(
+      """with filters as (
+        |select name, type, jsonb_array_elements(arguments -> 'filter') as filter, path
+        |from terraform_data_source where type = 'aws_ami'
+        |)
+        |select name, type, filter -> 'name' as fname, filter -> 'values' as fvalues, path
+        |from filters""".stripMargin).collect()
+    assert(rows.length == 3)
+  }
+
+  test("verbatim: local ilike + output sensitive + output value::text like") {
+    assert(pg("select name, value, path from terraform_local where name ilike 'owner'").count() == 1)
+    assert(pg("select name, description, path from terraform_output where sensitive").count() == 2)
+    assert(pg(
+      "select name from terraform_output where value::text like '%aws_s3_bucket.%.arn%'").count() == 1)
+  }
+
+  test("verbatim: module version regex ~") {
+    val rows = pg(
+      """select name, split_part(module_source,'=',-1) as ref from terraform_module
+        |where module_source like '%gitlab.com%'
+        |  and not split_part(module_source,'=',-1) ~ '^[0-9]'""".stripMargin).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("s3_bucket"))
+  }
+
+  test("verbatim: provider ->> region + variable docs") {
+    assert(pg(
+      """select name, alias, arguments ->> 'region' as region, path
+        |from terraform_provider where name = 'aws'""".stripMargin).count() == 2)
+    assert(pg("select name, validation, type from terraform_variable where validation is not null").count() == 1)
+    assert(pg("select name, description, sensitive from terraform_variable where sensitive").count() == 1)
+  }
+}
