@@ -110,6 +110,16 @@ object Relational {
         .filter(col("n_rows") > 10)
         .orderBy("l_returnflag")),
 
+    // HLL sketch count — rows-only check (sketch implementations differ
+    // across engines by design); exact n_exact column anchors the rows
+    "b_agg_approx" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("n_approx"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+        .orderBy("l_returnflag")),
+
     "b_agg_rollup" -> ((s, d) =>
       table(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")

@@ -15,8 +15,10 @@ object TerraformQ {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val fixDir: String =
-    sys.env.getOrElse("GRAFT_FIXTURES", new java.io.File("fixtures").getAbsolutePath)
+  private val fixDir: String = sys.env.get("GRAFT_FIXTURES").getOrElse {
+    val rel = new java.io.File("fixtures")
+    if (rel.exists()) rel.getAbsolutePath else "/root/repo/fixtures"
+  }
 
   private val registered = new ConcurrentHashMap[SparkSession, Dataset[TfRow]]()
 
