@@ -33,7 +33,19 @@ object Terraform {
   def rows(spark: SparkSession, paths: Paths): Dataset[TfRow] = {
     import spark.implicits._
 
-    def read(globs: Seq[String], kind: String): Dataset[TfRow] =
+    def read(globs0: Seq[String], kind: String): Dataset[TfRow] = {
+      // reference parity (utils.go:87-90,116-119,148-151): bare directory
+      // entries are skipped, and sources matching nothing yield an empty
+      // result instead of an error
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      val globs = globs0
+        .filterNot { p =>
+          !p.exists("*?[{".contains(_)) && new java.io.File(p).isDirectory
+        }
+        .filter { g =>
+          val st = fs.globStatus(new org.apache.hadoop.fs.Path(g))
+          st != null && st.nonEmpty
+        }
       if (globs.isEmpty) spark.emptyDataset[TfRow]
       else
         spark.read.format("binaryFile").load(globs: _*)
@@ -44,6 +56,7 @@ object Terraform {
             val k = if (path.endsWith(".tfstate")) FileKind.State else kind
             Builders.rowsForFile(p, k, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
           }
+    }
 
     read(paths.configurationFilePaths, FileKind.Config)
       .unionAll(read(paths.planFilePaths, FileKind.Plan))

@@ -31,6 +31,13 @@ class TerraformStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("discovery tolerates missing sources and skips bare directories (A1)") {
+    val r = Terraform.rows(spark, Terraform.Paths(
+      configurationFilePaths = Seq("/nonexistent/*.tf", "/tmp"), // missing glob + bare dir
+      planFilePaths = Seq("/also/missing.json")))
+    assert(r.count() == 0)
+  }
+
   test("variant helper views: variant_get over parsed JSON columns") {
     val dir = new java.io.File("fixtures").getAbsolutePath
     Terraform.register(spark, Terraform.Paths(
