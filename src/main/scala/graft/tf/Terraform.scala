@@ -29,9 +29,23 @@ object Terraform {
   /** Discover + parse all configured files into the superset row Dataset.
     * Kind routing follows utils.go:38-169: configured kind wins, a
     * `.tfstate` suffix forces state, plan content-sniff happens per-file
-    * in Builders.rowsForFile. */
+    * in Builders.rowsForFile.
+    *
+    * Shape matters for pushdown (A2): the parse is an `explode(udf(...))`
+    * generator over the scan's pass-through `path` column — NOT an opaque
+    * typed flatMap — so a `path = '…'` predicate pushes below the
+    * Generate all the way into the binaryFile scan (which supports path
+    * filters): non-matching files are neither read nor parsed, the exact
+    * analog of the reference's qual short-circuit (utils.go:45-58). */
   def rows(spark: SparkSession, paths: Paths): Dataset[TfRow] = {
     import spark.implicits._
+
+    val parse = udf { (path: String, kind: String, bytes: Array[Byte]) =>
+      Builders.rowsForFile(stripScheme(path), kind,
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        // path is re-attached from the scan column (keeps it pushable)
+        .map(_.copy(path = ""))
+    }
 
     def read(globs0: Seq[String], kind: String): Dataset[TfRow] = {
       // reference parity (utils.go:87-90,116-119,148-151): bare directory
@@ -47,15 +61,18 @@ object Terraform {
           st != null && st.nonEmpty
         }
       if (globs.isEmpty) spark.emptyDataset[TfRow]
-      else
-        spark.read.format("binaryFile").load(globs: _*)
-          .select(col("path"), col("content"))
-          .as[(String, Array[Byte])]
-          .flatMap { case (path, bytes) =>
-            val p = stripScheme(path)
-            val k = if (path.endsWith(".tfstate")) FileKind.State else kind
-            Builders.rowsForFile(p, k, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-          }
+      else {
+        val scan = spark.read.format("binaryFile").load(globs: _*)
+          .withColumn("kind",
+            when(col("path").endsWith(".tfstate"), FileKind.State).otherwise(kind))
+        val exploded = scan
+          .select(col("path"), explode(parse(col("path"), col("kind"), col("content"))).as("r"))
+        val fields = exploded.select(col("r.*")).columns.filter(_ != "path")
+        exploded
+          .select(Seq(expr("regexp_replace(path, '^file:', '')").as("path")) ++
+            fields.map(f => col(s"r.$f")): _*)
+          .as[TfRow]
+      }
     }
 
     read(paths.configurationFilePaths, FileKind.Config)
