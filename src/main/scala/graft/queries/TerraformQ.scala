@@ -70,6 +70,10 @@ object TerraformQ {
       """SELECT address, json_get_str(attributes, 'id') AS id
         |FROM terraform_resource WHERE path LIKE '%.tfstate' ORDER BY address""".stripMargin),
 
+    "tf_pretty" -> q(
+      """SELECT name, jsonb_pretty(arguments) AS args FROM terraform_resource
+        |WHERE path LIKE '%main.tf' ORDER BY name""".stripMargin),
+
     "tf_plan_pushdown" -> q(
       s"""SELECT name, type, address FROM terraform_resource
          |WHERE path = '$fixDir/tfplan.json' ORDER BY address""".stripMargin)
@@ -134,6 +138,19 @@ object TerraformQ {
         | ('aws_instance.app_server[1]', 'i-0def'),
         | ('aws_s3_bucket.logs', 'example-logs')
         |) AS t(address, id) ORDER BY address""".stripMargin,
+
+    "tf_pretty" ->
+      ("""SELECT * FROM (VALUES
+        | ('app_server', '{' || chr(10) ||
+        |   '    "ami": "ami-830c94e3",' || chr(10) ||
+        |   '    "tags": {' || chr(10) ||
+        |   '        "Name": "ExampleAppServerInstance"' || chr(10) ||
+        |   '    },' || chr(10) ||
+        |   '    "instance_type": "$' || '{var.instance_type}"' || chr(10) ||
+        |   '}'),
+        | ('trail', CAST(NULL AS VARCHAR)),
+        | ('worker', '{' || chr(10) || '    "ami": "ami-830c94e3"' || chr(10) || '}')
+        |) AS t(name, args) ORDER BY name""").stripMargin,
 
     "tf_plan_pushdown" ->
       """SELECT * FROM (VALUES

@@ -245,13 +245,16 @@ object Terraform {
       }.orNull)
   }
 
-  /** jsonb_pretty-style 4-space indented rendering (display parity only). */
+  /** jsonb_pretty 4-space indented rendering. Key order is Postgres
+    * jsonb's: length first, then lexicographic — so the documented example
+    * output (docs/index.md:73-99: ami, tags, instance_type) reproduces
+    * byte-for-byte. */
   private def pretty(v: JValue, indent: Int): String = {
     val pad = "    " * indent
     val padIn = "    " * (indent + 1)
     v match {
       case o: JObj if o.fields.nonEmpty =>
-        o.fields.sortBy(_._1).map { case (k, v2) =>
+        o.fields.sortBy { case (k, _) => (k.length, k) }.map { case (k, v2) =>
           val sb = new StringBuilder; Json.writeString(k, sb)
           s"$padIn${sb.toString}: ${pretty(v2, indent + 1)}"
         }.mkString("{\n", ",\n", s"\n$pad}")

@@ -37,7 +37,16 @@ class DocQueriesSpec extends SparkSpecBase {
     assert(rows.length == 9) // 3 config + 3 plan + 3 state
     val app = rows.find(r => r.getString(0) == "app_server" && r.getString(2) != null
       && r.getString(2).contains("ami")).get
-    assert(app.getString(2).contains("    \"ami\": \"ami-830c94e3\""))
+    // byte-for-byte the docs/index.md example shape: jsonb key order
+    // (length, then lex) → ami, tags, instance_type
+    assert(app.getString(2) ==
+      """{
+        |    "ami": "ami-830c94e3",
+        |    "tags": {
+        |        "Name": "ExampleAppServerInstance"
+        |    },
+        |    "instance_type": "${var.instance_type}"
+        |}""".stripMargin)
   }
 
   // ---- terraform_resource.md (8 examples)
