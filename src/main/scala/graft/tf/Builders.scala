@@ -101,10 +101,18 @@ object Builders {
 
   // ------------------------------------------------------------- HCL branch
 
+  /** Unparseable input emits a single `_error` row (path + message)
+    * surfaced via the terraform_diagnostics view — the reference instead
+    * fails the entire table scan; we keep the query running and make the
+    * failure queryable. */
+  private def errorRow(path: String, stage: String, e: Exception): Seq[TfRow] =
+    Seq(TfRow.empty.copy(table = "_error", path = path,
+      description = Some(s"$stage: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")))
+
   private def hclRows(path: String, content: String): Seq[TfRow] = {
     val doc =
       try Hcl.parse(content)
-      catch { case _: Exception => return Seq.empty } // unparseable → no rows
+      catch { case e: Exception => return errorRow(path, "hcl", e) }
     val base = TfRow.empty.copy(path = path)
 
     def span(blockType: String, labels: Seq[String]): (Option[Long], Option[Long], Option[String]) =
@@ -311,7 +319,7 @@ object Builders {
   private def planRows(path: String, content: String): Seq[TfRow] = {
     val (tree, spans) =
       try Json.parseWithSpans(content)
-      catch { case _: Exception => return Seq.empty }
+      catch { case e: Exception => return errorRow(path, "plan-json", e) }
     val resources = tree match {
       case o: JObj =>
         o.get("planned_values").collect { case pv: JObj => pv }
@@ -348,7 +356,7 @@ object Builders {
   private def stateRows(path: String, content: String): Seq[TfRow] = {
     val (tree, spans) =
       try Json.parseWithSpans(content)
-      catch { case _: Exception => return Seq.empty }
+      catch { case e: Exception => return errorRow(path, "state-json", e) }
     val doc = tree match {
       case o: JObj => o
       case _       => return Seq.empty

@@ -190,6 +190,12 @@ object Terraform {
       col("startLine").as("start_line"), col("validation"),
       col("endLine").as("end_line"), col("source"), col("path"))
 
+  /** Parse-failure channel: one row per unreadable file (the reference
+    * aborts the whole scan on parse errors; we surface them queryably). */
+  def diagnostics(rows: Dataset[TfRow]): DataFrame =
+    rows.filter(col("table") === "_error")
+      .select(col("path"), col("description").as("error"))
+
   /** Register all seven tables as temp views (+ the function shims).
     * The parsed rows Dataset is cached — the analog of the reference SDK's
     * query cache: every view and repeated query reuses one parse. */
@@ -202,6 +208,7 @@ object Terraform {
     output(r).createOrReplaceTempView("terraform_output")
     provider(r).createOrReplaceTempView("terraform_provider")
     variable(r).createOrReplaceTempView("terraform_variable")
+    diagnostics(r).createOrReplaceTempView("terraform_diagnostics")
     registerFunctions(spark)
     r
   }

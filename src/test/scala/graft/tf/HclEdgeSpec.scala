@@ -110,9 +110,13 @@ class HclEdgeSpec extends AnyFunSuite {
     assert(b.get("a") == Some(JNum("1")) && b.get("b") == Some(JNum("2")))
   }
 
-  test("unparseable content yields zero rows, not an exception") {
-    assert(Builders.rowsForFile("/f.tf", FileKind.Config, "resource \"a\" {{{").isEmpty)
-    assert(Builders.rowsForFile("/f.json", FileKind.Plan, "not json").isEmpty)
+  test("unparseable content yields a diagnostics row, not an exception") {
+    val bad = Builders.rowsForFile("/f.tf", FileKind.Config, "resource \"a\" {{{")
+    assert(bad.size == 1 && bad.head.table == "_error")
+    assert(bad.head.description.exists(_.startsWith("hcl:")))
+    val badJson = Builders.rowsForFile("/f.json", FileKind.Plan, "not json")
+    assert(badJson.size == 1 && badJson.head.table == "_error")
+    // structurally-unexpected but valid JSON → zero rows (no error)
     assert(Builders.rowsForFile("/f.tfstate", FileKind.State, "{\"resources\": 42}").isEmpty)
   }
 
