@@ -185,6 +185,20 @@ object Relational {
         .orderBy("n_name")
     }),
 
+    // salted equi-join (graft.operators.SkewJoin): row-identical to the
+    // plain join; the salt spreads hot keys over the shuffle
+    "b_join_salted" -> ((s, d) => {
+      val large = table(s, d, "lineitem")
+        .select(col("l_suppkey").as("k"), col("l_quantity"))
+      val small = table(s, d, "supplier")
+        .select(col("s_suppkey").as("k"), col("s_nationkey"))
+      graft.operators.SkewJoin.saltedJoin(large, small, "k", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(col("s_nationkey").cast("long").as("s_nationkey"), col("n"), col("qty"))
+        .orderBy("s_nationkey")
+    }),
+
     "b_join_full_outer" -> ((s, d) => {
       // orders per customer including unmatched on BOTH sides (full outer)
       val bal = table(s, d, "customer").filter(col("c_acctbal") > 9000)
@@ -341,6 +355,11 @@ object Relational {
       "SELECT c_custkey, c_acctbal FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
     "b_join_multiway" ->
       "SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    "b_join_salted" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "b_join_full_outer" ->
       """SELECT coalesce(c_custkey, o_custkey) AS k, c_acctbal, n_big
         |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000) c
