@@ -102,32 +102,46 @@ object CosineSimilarity {
   }
 }
 
-/** Plain float-array dot product (codegen'd fused loop). Used with
-  * precomputed norms where cosine_sim's per-pair norm recompute would
-  * triple the arithmetic (brute-force top-k scores every pair against the
-  * same target set). Accumulation order matches the composed
-  * `aggregate(zip_with(...))` fold exactly. */
+/** Array dot product (codegen'd fused loop); each side may be
+  * `array<float>` or `array<double>`, accumulation always in double.
+  * Used with precomputed norms where cosine_sim's per-pair norm recompute
+  * would triple the arithmetic (brute-force top-k scores every pair
+  * against the same target set), and against literal double hyperplanes
+  * for sign-LSH bucketing. Accumulation order matches the composed
+  * `aggregate(zip_with(...))` fold exactly (float elements widened to
+  * double per-element, like `CAST(embedding[i] AS DOUBLE)`). */
 case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _                       => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"float_dot requires array<float> inputs, got (${left.dataType.sql}, ${right.dataType.sql})")
+  private def elemOk(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _                                                  => false
   }
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(elemOk)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"float_dot requires array<float|double> inputs, got (${left.dataType.sql}, ${right.dataType.sql})")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left)
+    val rf = isFloat(right)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0d
     var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi
+      i += 1
+    }
     dot
   }
 
@@ -136,11 +150,13 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      def get(v: String, fl: Boolean) =
+        if (fl) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0d;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |  $dot += ${get(x, isFloat(left))} * ${get(y, isFloat(right))};
          |}
          |${ev.value} = $dot;
        """.stripMargin

@@ -24,6 +24,14 @@ object SkewJoin {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // Only inner/left are row-identical to the plain join: for right/full
+    // outer, unmatched small-side rows are replicated across all salts and
+    // would survive null-extended `salts` times; semi/anti shapes break
+    // after the column drops. Salting those shapes needs a re-dedupe pass
+    // this operator deliberately does not hide.
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "left" || jt == "leftouter",
+      s"saltedJoin supports inner/left joins only, got '$joinType'")
     val saltCol = "__graft_salt"
     val largeSalted = large.withColumn(
       saltCol, pmod(xxhash64(large.columns.map(col).toIndexedSeq: _*), lit(salts.toLong)))

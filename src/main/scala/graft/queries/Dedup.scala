@@ -33,12 +33,20 @@ object Dedup {
   private def toks(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
 
-  /** (doc_id, s) distinct word-3-gram shingles. */
-  private def shingles(s: SparkSession, d: String, limit: Column): DataFrame =
-    toks(s, d).filter(limit)
+  /** (doc_id, s) distinct word-3-gram shingles. Documents shorter than 3
+    * tokens produce NO shingles (guarded: Spark's sequence(1, 0) would
+    * yield the descending [1, 0], emitting spurious partial grams, while
+    * the DuckDB oracle's generate_series(1, 0) is empty). */
+  private[queries] def shinglesOf(tokenized: DataFrame): DataFrame =
+    tokenized
       .select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, greatest(size(ws)-2, 0)), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+        """CASE WHEN size(ws) >= 3
+          |  THEN transform(sequence(1, size(ws)-2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))
+          |  ELSE CAST(array() AS array<string>) END""".stripMargin
       ))).as("s"))
+
+  private def shingles(s: SparkSession, d: String, limit: Column): DataFrame =
+    shinglesOf(toks(s, d).filter(limit))
 
   val queries: Map[String, Q] = Map(
     // -- exact dedup: hash-groupBy; duplicate groups + the kept representative
@@ -80,15 +88,16 @@ object Dedup {
     // -- MinHash + LSH banding: 32 permutations, 8 bands × 4 rows.
     //    Signature shuffle is (doc, band, hash) — never the text.
     "x_dedup_minhash" -> ((s, d) => {
+      graft.functions.MinHashSignature.register(s)
       val nPerm = 32
       val rowsPerBand = 4
       // signature in ONE pass: collect the (small) per-doc shingle set,
-      // then a codegen'd transform computes all permutations — no
-      // perm-explode (32x row blowup) and no (doc, perm) shuffle
+      // then the native minhash_sig expression computes all permutations
+      // in one fused codegen loop — no perm-explode (32x row blowup), no
+      // (doc, perm) shuffle, no interpreted lambdas
       val sig = shingles(s, d, lit(true))
         .groupBy("doc_id").agg(collect_set("s").as("shs"))
-        .select(col("doc_id"), expr(
-          s"transform(sequence(0, ${nPerm - 1}), p -> array_min(transform(shs, t -> xxhash64(p, t))))").as("sig"))
+        .select(col("doc_id"), expr(s"minhash_sig(shs, $nPerm)").as("sig"))
       val bands = sig.select(col("doc_id"), col("sig"),
           explode(expr(s"transform(sequence(0, ${nPerm / rowsPerBand - 1}), " +
             s"b -> struct(b AS band, xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bh))")).as("bk"))

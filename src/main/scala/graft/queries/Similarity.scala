@@ -37,6 +37,18 @@ object Similarity {
 
   private val dot = expr("float_dot(qe, embedding)")
 
+  /** Deterministic hyperplane weight for sign-LSH, identical to round 1's
+    * in-query formulation `(xxhash64(p * 997 + i) % 1000) / 1000.0`:
+    * evaluated once driver-side via the same Catalyst XxHash64 (seed 42),
+    * then inlined as literal double arrays so the per-row bucket
+    * computation is a codegen'd float_dot instead of nested interpreted
+    * lambdas (~26 ms/row → µs/row at sf0.1). */
+  private def planeWeight(p: Int, i: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(p * 997 + i)), 42L).eval(null).asInstanceOf[Long]
+    (h % 1000).toDouble / 1000.0
+  }
+
   val queries: Map[String, Q] = Map(
     // -- brute-force cosine top-5 for 10 query vectors
     "x_sim_topk" -> ((s, d) => {
@@ -62,13 +74,17 @@ object Similarity {
     //    (xxhash64(p * 997 + i) % 1000) / 1000.0.
     "x_sim_lsh" -> ((s, d) => {
       val planes = 4
+      val dims = 64 // embeddings table dimension (TESTDATA.md)
       val e = withNorm(s, d)
-      val sig = e.withColumn("bucket", expr(
-        s"""aggregate(sequence(0, ${planes - 1}), 0L, (acc, p) ->
-           |  acc * 2 + CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0D,
-           |    (a, i) -> a + CAST(embedding[i] AS DOUBLE) *
-           |              (CAST(xxhash64(p * 997 + i) % 1000 AS DOUBLE) / 1000.0)) > 0
-           |  THEN 1 ELSE 0 END)""".stripMargin))
+      // bucket = the `planes` sign bits of dot products against literal
+      // double hyperplanes; float_dot keeps the index-ordered double fold
+      // of the round-1 lambda form, so bucket values (and spec recall)
+      // are unchanged — just fused into whole-stage codegen
+      val bucketCol = (0 until planes).foldLeft(lit(0L)) { (acc, p) =>
+        val arr = (0 until dims).map(i => s"${planeWeight(p, i)}D").mkString("array(", ",", ")")
+        acc * 2 + when(expr(s"float_dot(embedding, $arr)") > 0, lit(1L)).otherwise(lit(0L))
+      }
+      val sig = e.withColumn("bucket", bucketCol)
       val q = sig.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
           col("nrm").as("qn"),

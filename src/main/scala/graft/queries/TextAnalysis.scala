@@ -117,8 +117,8 @@ object TextAnalysis {
 
     "x_text_tokens" ->
       """SELECT lang,
-        |  sum(CAST(len(string_split(text, ' ')) AS BIGINT)) ws_tokens,
-        |  sum(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)) re_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) re_tokens,
         |  count(*) docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 

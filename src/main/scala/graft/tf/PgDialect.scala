@@ -186,7 +186,7 @@ object PgDialect {
       // choose the rightmost arrow; ->> wins at same position
       val (at, len, fn) =
         if (at2 >= 0 && at2 >= at1r) (at2, 3, "json_get_str")
-        else if (at1r >= 0 && (at1r + 1 >= s.length || s.charAt(at1r + 2) != '>')) (at1r, 2, "json_get")
+        else if (at1r >= 0 && (at1r + 2 >= s.length || s.charAt(at1r + 2) != '>')) (at1r, 2, "json_get")
         else if (at1r >= 0) (at1r, 3, "json_get_str")
         else (-1, 0, "")
       if (at >= 0) {
@@ -225,11 +225,16 @@ object PgDialect {
     s
   }
 
-  /** `a ~ 'pattern'` → `a rlike 'pattern'` (code regions only). */
+  /** `a ~ 'pattern'` → `a rlike 'pattern'`, `a !~ 'pattern'` →
+    * `a NOT rlike 'pattern'` (code regions only). The `~` must be a
+    * standalone operator token — `~*` / `!~*` (Postgres case-insensitive
+    * variants, unused in the reference docs) pass through untouched. */
   private def rewriteRegexMatch(sql0: String): String = {
     val toks = tokenize(sql0)
     toks.map {
-      case Tok(Code, t) => Tok(Code, t.replace("~", " rlike "))
+      case Tok(Code, t) => Tok(Code,
+        t.replaceAll("!~(?![~*])", " NOT rlike ")
+         .replaceAll("(?<![!~])~(?![~*])", " rlike "))
       case other        => other
     }.map(_.text).mkString("")
   }

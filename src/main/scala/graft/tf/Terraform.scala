@@ -95,17 +95,20 @@ object Terraform {
       StructField("path", StringType), StructField("modificationTime", TimestampType),
       StructField("length", LongType), StructField("content", BinaryType)))
 
+    // one stream per glob, unioned — readStream.load takes a single path,
+    // so multi-glob configs mirror the batch read() via unionAll (the
+    // reference watches every configured path; see connection_config.go:8-11)
     def read(globs: Seq[String], kind: String): Option[Dataset[TfRow]] =
-      if (globs.isEmpty) None
-      else Some(
-        spark.readStream.format("binaryFile").schema(binSchema).load(globs.head)
+      globs.map { g =>
+        spark.readStream.format("binaryFile").schema(binSchema).load(g)
           .select(col("path"), col("content"))
           .as[(String, Array[Byte])]
           .flatMap { case (path, bytes) =>
             val p = stripScheme(path)
             val k = if (path.endsWith(".tfstate")) FileKind.State else kind
             Builders.rowsForFile(p, k, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-          })
+          }
+      }.reduceOption(_ unionAll _)
 
     val streams = Seq(
       read(paths.configurationFilePaths, FileKind.Config),

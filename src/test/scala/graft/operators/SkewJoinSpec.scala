@@ -26,6 +26,14 @@ class SkewJoinSpec extends SparkSpecBase {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("outer/semi/anti join types are rejected (not row-identical when salted)") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "va")
+    val b = Seq((1L, "y")).toDF("k", "vb")
+    for (jt <- Seq("full_outer", "right", "left_semi", "left_anti"))
+      assertThrows[IllegalArgumentException](SkewJoin.saltedJoin(a, b, "k", 4, jt))
+  }
+
   test("left join keeps unmatched large-side rows") {
     import spark.implicits._
     val large = Seq((1L, "a"), (1L, "b"), (99L, "z")).toDF("k", "v")

@@ -33,6 +33,17 @@ class DedupSpec extends SparkSpecBase {
     assert(got.contains((8L, 12L)) && got.contains((0L, 50L)), s"got $got")
   }
 
+  test("documents shorter than 3 tokens produce no shingles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    val docs = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "one two three"),
+      (5L, "a b c d")).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val got = Dedup.shinglesOf(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((4L, "one two three"), (5L, "a b c"), (5L, "b c d")))
+  }
+
   test("dedup operators are deterministic across runs") {
     val a = Dedup.queries("x_dedup_minhash")(spark, sf).collect().toSeq
     val b = Dedup.queries("x_dedup_minhash")(spark, sf).collect().toSeq

@@ -30,6 +30,16 @@ class PgDialectSpec extends SparkSpecBase {
       "explode(json_array_elements(json_get(a, 'f'))) as x")
   }
 
+  test("rewrite unit: regex-match token boundaries and trailing arrow") {
+    // !~ must become NOT rlike, not a mangled ' rlike' with a stray '!'
+    assert(PgDialect.rewrite("m !~ '^[0-9]'") == "m  NOT rlike  '^[0-9]'")
+    // ~* / !~* (unsupported case-insensitive variants) pass through
+    assert(PgDialect.rewrite("m ~* 'x'") == "m ~* 'x'")
+    assert(PgDialect.rewrite("m !~* 'x'") == "m !~* 'x'")
+    // an arrow at the very end of the text must not throw
+    assert(PgDialect.rewrite("a ->") == "json_get(a, )")
+  }
+
   test("verbatim: iam_role statement extraction shape") {
     val df = pg(
       """select path, name, address,

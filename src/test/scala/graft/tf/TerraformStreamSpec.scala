@@ -31,6 +31,28 @@ class TerraformStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("file-watch stream unions ALL configured globs, not just the first") {
+    val dirA = Files.createTempDirectory("tfwatchA").toFile
+    val dirB = Files.createTempDirectory("tfwatchB").toFile
+    dirA.deleteOnExit(); dirB.deleteOnExit()
+    val stream = Terraform.streamRows(spark, Terraform.Paths(
+      configurationFilePaths = Seq(dirA.getAbsolutePath, dirB.getAbsolutePath)))
+    val q = stream.toDF().writeStream.format("memory")
+      .queryName("tf_watch_multi").outputMode("append").start()
+    try {
+      Files.copy(JPaths.get("fixtures/main.tf"),
+        JPaths.get(dirA.getAbsolutePath, "main.tf"), StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(JPaths.get("fixtures/second.tf"),
+        JPaths.get(dirB.getAbsolutePath, "second.tf"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val t = spark.table("tf_watch_multi")
+      // main.tf (dirA) carries resources; second.tf (dirB) carries modules —
+      // both must appear, proving the second glob is watched too
+      assert(t.filter(col("table") === "resource").count() >= 3, "dirA rows missing")
+      assert(t.filter(col("table") === "module").count() >= 1, "dirB rows missing")
+    } finally q.stop()
+  }
+
   test("discovery tolerates missing sources and skips bare directories (A1)") {
     val r = Terraform.rows(spark, Terraform.Paths(
       configurationFilePaths = Seq("/nonexistent/*.tf", "/tmp"), // missing glob + bare dir
