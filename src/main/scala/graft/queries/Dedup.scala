@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   *     a candidate subset; the discovery path at 100 TB is MinHash+LSH
   *     banding (x_dedup_minhash), whose shuffle is O(docs × bands) tiny
   *     band-hash rows — the classic Broder scheme;
-  *   - SimHash near-dup is O(docs) signature computation + bounded pair
-  *     verification (prefix-bucketing is the scale path, noted below);
+  *   - SimHash near-dup is O(docs) signature computation (native
+  *     simhash64, a pure map — no shuffle); the scale path
+  *     (x_dedup_simhash_lsh) finds candidate pairs via 8-bit block
+  *     banding (pigeonhole-complete for hamming ≤ 6) as a key-equi join;
   *   - all operators are pure DataFrame/Column expressions (codegen'd),
   *     no UDFs, no driver-side loops.
   *
@@ -116,20 +118,45 @@ object Dedup {
         .orderBy(col("est_j").desc, col("da"), col("db"))
     }),
 
-    // -- SimHash: 64-bit signature from token hashes; pairs at hamming ≤ 6
-    //    among a bounded subset (scale path: bucket by signature prefix).
+    // -- SimHash: 64-bit signature via the native simhash64 expression (a
+    //    pure map over the scan — no explode, no signature shuffle); exact
+    //    all-pairs verification among a bounded subset. The unbounded scale
+    //    path is x_dedup_simhash_lsh below.
     "x_dedup_simhash" -> ((s, d) => {
+      graft.functions.SimHash64.register(s)
       val bits = toks(s, d).filter(col("doc_id") < 200)
-        .select(col("doc_id"), explode(col("ws")).as("w"))
-        .select(col("doc_id"), expr(
-          "transform(sequence(0, 63), b -> CASE WHEN shiftright(xxhash64(w), b) % 2 != 0 THEN 1L ELSE -1L END)").as("v"))
-        .groupBy("doc_id")
-        .agg(expr("aggregate(collect_list(v), array_repeat(0L, 64), (acc, x) -> zip_with(acc, x, (p, q) -> p + q))").as("sums"))
-        .select(col("doc_id"), expr("transform(sums, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)").as("sh"))
+        .select(col("doc_id"), expr("simhash64(ws)").as("sh"))
       bits.as("a")
         .join(bits.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          expr("size(filter(zip_with(a.sh, b.sh, (x, y) -> x != y), v -> v))").cast("long").as("hamming"))
+          expr("bit_count(a.sh ^ b.sh)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy(col("hamming"), col("da"), col("db"))
+    }),
+
+    // -- SimHash at scale: 8-bit block banding. A pair within hamming ≤ 6
+    //    differs in at most 6 of the 8 blocks, so by pigeonhole it shares
+    //    at least one block EXACTLY — candidates come from a key-equi join
+    //    on (block index, block value), never an all-pairs product; exact
+    //    bit_count re-verification prunes false positives. Output contract
+    //    matches x_dedup_simhash (DedupSpec asserts set equality on the
+    //    bounded subset) but this form runs over the whole corpus.
+    "x_dedup_simhash_lsh" -> ((s, d) => {
+      graft.functions.SimHash64.register(s)
+      val bits = toks(s, d).select(col("doc_id"), expr("simhash64(ws)").as("sh"))
+      val blocks = bits.select(col("doc_id"), col("sh"),
+        explode(expr(
+          "transform(sequence(0, 7), b -> struct(b AS blk, shiftright(sh, b * 8) & 255 AS bv))")).as("k"))
+        .select(col("doc_id"), col("sh"), col("k.blk"), col("k.bv"))
+      val cand = blocks.as("a")
+        .join(blocks.as("b"),
+          col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.sh").as("sa"), col("b.sh").as("sb"))
+        .distinct()
+      cand.select(col("da"), col("db"),
+          expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
         .filter(col("hamming") <= 6)
         .orderBy(col("hamming"), col("da"), col("db"))
     }),
@@ -188,7 +215,7 @@ object Dedup {
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
         |    / (a.nrm * b.nrm) >= 0.95
         |ORDER BY qa, qb""".stripMargin
-    // x_dedup_minhash / x_dedup_simhash: xxhash64-based → rows-only check;
-    // invariants pinned in DedupSpec instead.
+    // x_dedup_minhash / x_dedup_simhash / x_dedup_simhash_lsh:
+    // xxhash64-based → rows-only check; invariants pinned in DedupSpec.
   )
 }

@@ -81,7 +81,21 @@ object Multimodal {
         .groupBy("mime")
         .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
           max("frames").cast("long").as("max_frames"))
-        .orderBy("mime"))
+        .orderBy("mime")),
+
+    // -- frame sampling: every 5th frame of each video asset, fanned out
+    //    one row per sampled frame (the shape a frame-level feature
+    //    extractor consumes). Frame count comes from the deterministic
+    //    decode stub, so the fan-out itself is oracle-exact; at scale this
+    //    is a generator over the decode output — no shuffle.
+    "x_mm_frames" -> ((s, d) =>
+      decodeStub(assets(s, d)).toDF()
+        .filter(col("mime") === "video/mp4" && col("asset_id") < 200)
+        .select(col("asset_id"), col("frames").cast("long").as("frames"),
+          explode(expr("sequence(0L, CAST(frames AS LONG) - 1L, 5L)")).as("frame_no"))
+        .select(col("asset_id"), col("frames"), col("frame_no"),
+          expr("frame_no div 5").as("sample_idx"))
+        .orderBy("asset_id", "frame_no"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -91,7 +105,21 @@ object Multimodal {
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin
+        |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin,
     // x_mm_features: stub-decode output → rows-only check + MultimodalSpec.
+
+    // frames = (octet_length % 30) + 1 for video assets — the stub is
+    // deterministic arithmetic, so the frame fan-out has an exact oracle
+    "x_mm_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS asset_id,
+        |         CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS frames
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 200),
+        |f AS (
+        |  SELECT asset_id, frames,
+        |         unnest(generate_series(0, frames - 1, 5)) AS frame_no
+        |  FROM v)
+        |SELECT asset_id, frames, frame_no, frame_no // 5 AS sample_idx
+        |FROM f ORDER BY asset_id, frame_no""".stripMargin
   )
 }

@@ -126,6 +126,20 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // PIVOT: wide conditional aggregation (one shuffle; Catalyst compiles
+    // the pivot to grouped CASE aggregates — the same plan the oracle SQL
+    // states explicitly). Counts only, so cross-engine exact.
+    "b_agg_pivot" -> ((s, d) =>
+      table(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(count(lit(1)))
+        .select(col("l_linestatus"),
+          coalesce(col("A"), lit(0L)).as("n_a"),
+          coalesce(col("N"), lit(0L)).as("n_n"),
+          coalesce(col("R"), lit(0L)).as("n_r"))
+        .orderBy("l_linestatus")),
+
     // --- joins ---------------------------------------------------------------
     "b_join_broadcast_agg" -> ((s, d) => {
       val customer = table(s, d, "customer")
@@ -345,6 +359,12 @@ object Relational {
       "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag HAVING count(*) > 10 ORDER BY l_returnflag",
     "b_agg_rollup" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST",
+    "b_agg_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "b_join_broadcast_agg" ->
       "SELECT n_name, count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name",
     "b_join_left_agg" ->

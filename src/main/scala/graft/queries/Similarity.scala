@@ -98,6 +98,50 @@ object Similarity {
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
         .orderBy("qid", "rank")
+    }),
+
+    // -- IVF (inverted-file) ANN: corpus is partitioned into Voronoi cells
+    //    around deterministic centroids (every 31st vector); queries probe
+    //    the nprobe=4 nearest cells and re-rank exactly inside them.
+    //    Scale shape: cell assignment is a broadcast of centroids + a
+    //    partial-aggregatable max(struct) argmax — one scan, one reduce,
+    //    no window over the corpus; the candidate join is key-equi on
+    //    cell id. At 100 TB centroids come from a sampled k-means fit;
+    //    the query-side plan is unchanged.
+    "x_sim_ivf" -> ((s, d) => {
+      val nprobe = 4
+      val e = withNorm(s, d)
+      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+      val ccos = (expr("float_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("ccos")
+      // nearest-centroid assignment: argmax via max(struct(cos, -cid)) —
+      // deterministic tie-break, map-side-combinable (unlike a row_number
+      // window, which would shuffle the whole corpus × centroid product)
+      val assigned = e.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          struct(ccos, (lit(0L) - col("cid")).as("negcid")).as("sc"))
+        .groupBy("vec_id")
+        .agg(max("sc").as("m"), first("embedding").as("embedding"), first("nrm").as("nrm"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          (lit(0L) - col("m.negcid")).as("cid"))
+      // query side: tiny (10 rows) — probe the nprobe nearest cells
+      val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+        .join(broadcast(cents), lit(true))
+        .select(col("qid"), col("qe"), col("qn"), col("cid"),
+          (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))
+        .withColumn("rnk", row_number().over(wp))
+        .filter(col("rnk") <= nprobe)
+        .select(col("qid"), col("qe"), col("qn"), col("cid"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(probes)
+        .join(assigned, probes("cid") === assigned("cid") && col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+        .orderBy("qid", "rank")
     })
   )
 
@@ -121,5 +165,7 @@ object Similarity {
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     // x_sim_lsh: xxhash64-derived hyperplanes → rows-only check; recall
     // floor vs brute force pinned in SimilaritySpec.
+    // x_sim_ivf: recall depends on centroid draw → rows-only check; recall
+    // floor + determinism pinned in SimilaritySpec.
   )
 }

@@ -74,6 +74,28 @@ object TextAnalysis {
         .agg(sum("n_ws").as("ws_tokens"), sum("n_re").as("re_tokens"), count(lit(1)).as("docs"))
         .orderBy("lang")),
 
+    // -- exact per-language token-count percentiles (p50/p90) via rank
+    //    arithmetic: integer inputs + integer index selection, so the
+    //    DuckDB oracle matches bit-for-bit (no interpolated quantiles).
+    //    One shuffle (the per-language window); the 100 TB path swaps in
+    //    approx_percentile (a partial-aggregatable sketch) — this exact
+    //    form is the ground truth it's validated against.
+    "x_text_percentiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = table(s, d, "documents")
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"))
+      val w = Window.partitionBy("lang").orderBy(col("n_ws"), col("doc_id"))
+      t.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+        .groupBy("lang")
+        .agg(
+          max(when(col("rn") === expr("1L + (cnt - 1L) div 2L"), col("n_ws"))).as("p50_tokens"),
+          max(when(col("rn") === expr("1L + ((cnt - 1L) * 9L) div 10L"), col("n_ws"))).as("p90_tokens"),
+          max("cnt").as("docs"))
+        .orderBy("lang")
+    }),
+
     // -- document fingerprint: md5 over whitespace-normalized lowercase text
     "x_text_fingerprint" -> ((s, d) =>
       table(s, d, "documents").filter(col("doc_id") < 50)
@@ -124,6 +146,22 @@ object TextAnalysis {
 
     "x_text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) fp
-        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "x_text_percentiles" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) n_ws
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, n_ws,
+        |         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_ws, doc_id) AS BIGINT) rn,
+        |         count(*) OVER (PARTITION BY lang) cnt
+        |  FROM t)
+        |SELECT lang,
+        |  max(CASE WHEN rn = 1 + (cnt - 1) // 2 THEN n_ws END) AS p50_tokens,
+        |  max(CASE WHEN rn = 1 + ((cnt - 1) * 9) // 10 THEN n_ws END) AS p90_tokens,
+        |  max(cnt) AS docs
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan regression tests: the properties that make queries hold
+  * at 100 TB (scan-level pushdown, broadcast joins where a side is small,
+  * no accidental cartesian products, whole-stage codegen coverage) are
+  * asserted here so a refactor that silently loses one fails CI, not the
+  * cluster.
+  */
+class PlanQualitySpec extends SparkSpecBase {
+
+  private def plan(name: String): SparkPlan = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan
+  }
+  private def planStr(name: String): String = plan(name).toString
+
+  /** Plan string AFTER execution — AQE (AdaptiveSparkPlan) only reveals
+    * the final plan, including WholeStageCodegen spans, once it has run. */
+  private def finalPlanStr(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters are pushed to the parquet scan") {
+    val p = planStr("b_filter_eq")
+    assert(p.contains("PushedFilters: ["), s"no pushdown section:\n$p")
+    assert(p.contains("IsNotNull") || p.contains("EqualTo"), s"filter not pushed:\n$p")
+  }
+
+  test("projection prunes the parquet read schema") {
+    // b_scan_project selects 2 columns of lineitem's 16 — the scan's
+    // ReadSchema must not contain unprojected columns
+    val p = planStr("b_scan_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"), s"unpruned scan: $readSchema")
+  }
+
+  test("dimension joins broadcast the small side") {
+    val p = planStr("b_join_broadcast_agg")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("LSH/banded candidate joins are equi-joins, never cartesian") {
+    for (q <- Seq("x_sim_lsh", "x_dedup_minhash", "x_dedup_simhash_lsh", "x_sim_ivf")) {
+      val p = planStr(q)
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian product:\n$p")
+    }
+  }
+
+  test("hot single-table queries run inside whole-stage codegen") {
+    // "*(n)" is plan-toString's WholeStageCodegen stage marker
+    for (q <- Seq("b_agg_q1", "x_text_tokens")) {
+      val p = finalPlanStr(q)
+      assert(p.contains("*("), s"$q fell out of codegen:\n$p")
+    }
+  }
+
+  test("native expressions do not break codegen in the signature pass") {
+    // simhash64 / minhash_sig implement doGenCode — the projection that
+    // computes them must sit inside a WholeStageCodegen span
+    graft.functions.SimHash64.register(spark)
+    import org.apache.spark.sql.functions._
+    val df: DataFrame = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), expr("simhash64(split(text, ' '))").as("sh"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the Project computing simhash64 must carry the "*(n)" codegen marker
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("simhash64") && l.contains("*(")),
+      s"simhash64 projection not codegen'd:\n$p")
+  }
+}

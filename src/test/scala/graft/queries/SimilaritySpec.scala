@@ -16,6 +16,23 @@ class SimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("IVF ANN: 5 exact-ranked neighbors per query from probed cells, useful recall") {
+    val rows = Similarity.queries("x_sim_ivf")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach(rs => assert(rs.length == 5))
+    val truth = Similarity.queries("x_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    // nprobe=4 of ~16 cells over near-orthogonal noise vectors: a fair
+    // share of true neighbors must come from the probed cells
+    assert(recall >= 0.2, s"recall $recall too low")
+    // deterministic across runs (argmax tie-breaks are pinned)
+    val again = Similarity.queries("x_sim_ivf")(spark, sf).collect().toSeq
+    assert(again == rows.toSeq)
+  }
+
   test("LSH ANN recalls a useful share of the true top-5") {
     val truth = Similarity.queries("x_sim_topk")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
