@@ -96,6 +96,20 @@ object TextAnalysis {
         .orderBy("lang")
     }),
 
+    // -- the 100 TB percentile path: approx_percentile's KLL-style sketch
+    //    is partial-aggregatable (map-side combine, one tiny shuffle) —
+    //    rows-only driver check (sketches are engine-specific); accuracy
+    //    is pinned against x_text_percentiles in TextAnalysisSpec
+    "x_text_percentiles_approx" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_ws"))
+        .groupBy("lang")
+        .agg(expr("approx_percentile(n_ws, array(0.5D, 0.9D), 1000)").as("pcts"),
+          count(lit(1)).as("docs"))
+        .select(col("lang"), col("pcts").getItem(0).as("p50_approx"),
+          col("pcts").getItem(1).as("p90_approx"), col("docs"))
+        .orderBy("lang")),
+
     // -- document fingerprint: md5 over whitespace-normalized lowercase text
     "x_text_fingerprint" -> ((s, d) =>
       table(s, d, "documents").filter(col("doc_id") < 50)

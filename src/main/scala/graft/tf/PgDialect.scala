@@ -225,12 +225,36 @@ object PgDialect {
     s
   }
 
-  /** `a ~ 'pattern'` → `a rlike 'pattern'`, `a !~ 'pattern'` →
-    * `a NOT rlike 'pattern'` (code regions only). The `~` must be a
-    * standalone operator token — `~*` / `!~*` (Postgres case-insensitive
-    * variants, unused in the reference docs) pass through untouched. */
+  /** Postgres regex-match operators → Spark `rlike` (code regions only):
+    *   `a ~ 'p'` → `a rlike 'p'`        `a !~ 'p'` → `a NOT rlike 'p'`
+    *   `a ~* 'p'` → `a rlike '(?i)p'`   `a !~* 'p'` → `a NOT rlike '(?i)p'`
+    * The case-insensitive forms require a string-literal pattern (true of
+    * all practical usage) so `(?i)` can be folded into it; a non-literal
+    * pattern passes through untouched. Each `~` must be a standalone
+    * operator token. */
   private def rewriteRegexMatch(sql0: String): String = {
-    val toks = tokenize(sql0)
+    // pass 1: case-insensitive variants, rightmost-first so earlier
+    // occurrences stay at stable offsets
+    var s = sql0
+    var changed = true
+    while (changed) {
+      changed = false
+      val atStar = findCodeLast(s, "~*")
+      if (atStar >= 0) {
+        val bang = atStar > 0 && s.charAt(atStar - 1) == '!'
+        var j = atStar + 2
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j < s.length && s.charAt(j) == '\'') {
+          changed = true
+          val op = if (bang) " NOT rlike " else " rlike "
+          val start = if (bang) atStar - 1 else atStar
+          s = s.substring(0, start) + op + s.substring(j, j + 1) + "(?i)" + s.substring(j + 1)
+        }
+      }
+    }
+    // pass 2: plain ~ / !~ (any remaining ~* — non-literal pattern — is
+    // skipped by the (?![~*]) guards)
+    val toks = tokenize(s)
     toks.map {
       case Tok(Code, t) => Tok(Code,
         t.replaceAll("!~(?![~*])", " NOT rlike ")

@@ -1,0 +1,133 @@
+package graft.tf
+
+import java.nio.file.{Files, Paths => JPaths}
+import java.security.MessageDigest
+
+/** Source-path resolution for the reference's go-getter-style path surface
+  * (docs/index.md:103-236): local globs, remote Git repositories
+  * (`github.com/org/repo//glob`, `git::ssh://…//glob`, `?ref=` pins) and
+  * S3 URLs (`s3::https://bucket.s3.region.amazonaws.com/prefix//glob`).
+  *
+  * Spark-native resolution strategy:
+  *   - **Local** paths pass through (with `~` expansion), staying lazy
+  *     Hadoop globs — listing and reading are distributed.
+  *   - **S3** URLs rewrite to `s3a://bucket/prefix/glob` Hadoop URIs: on a
+  *     cluster the object store is read directly and in parallel by the
+  *     binaryFile scan — strictly better than the reference's
+  *     download-then-scan staging (credentials flow through the standard
+  *     Hadoop s3a provider chain, the analog of the reference's
+  *     AWS_PROFILE handling).
+  *   - **Git** repositories are materialized once per (url, ref) into a
+  *     local cache directory by a pluggable fetcher (driver-side clone —
+  *     inherently centralized, as in the reference), then globbed like
+  *     any local source; everything downstream stays distributed.
+  */
+object Sources {
+
+  sealed trait Source
+  /** Plain local/Hadoop glob (passes through unchanged apart from `~`). */
+  final case class LocalGlob(glob: String) extends Source
+  /** S3 source rewritten to a Hadoop s3a:// glob. */
+  final case class S3Glob(s3aGlob: String) extends Source
+  /** Git repository + optional ref + glob relative to the checkout root. */
+  final case class GitGlob(repoUrl: String, ref: Option[String], glob: String) extends Source
+
+  /** Fetches (clones) a git repo, returning the local checkout dir. */
+  type GitFetcher = (String, Option[String]) => java.io.File
+
+  private val gitHosts = Seq("github.com/", "gitlab.com/", "bitbucket.org/")
+
+  /** Classify one configured path (reference forms, docs/index.md):
+    *   `git::<url>[//sub]//glob[?ref=…]`  explicit git
+    *   `github.com/org/repo//glob`        well-known git hosts, https
+    *   `s3::https://bucket.s3[.region].amazonaws.com[/prefix]//glob[?…]`
+    *   anything else                      local glob (`~` expanded)
+    */
+  def parse(path: String): Source =
+    if (path.startsWith("git::")) parseGit(path.stripPrefix("git::"))
+    else if (gitHosts.exists(path.startsWith)) parseGit("https://" + path)
+    else if (path.startsWith("s3::")) parseS3(path.stripPrefix("s3::"))
+    else LocalGlob(
+      if (path.startsWith("~" + java.io.File.separator) || path == "~")
+        sys.props.getOrElse("user.home", "~") + path.drop(1)
+      else path)
+
+  private def splitQuery(s: String): (String, Map[String, String]) = {
+    val q = s.indexOf('?')
+    if (q < 0) (s, Map.empty)
+    else (s.substring(0, q),
+      s.substring(q + 1).split('&').toSeq.filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => k -> v
+          case Array(k)    => k -> ""
+        }
+      }.toMap)
+  }
+
+  /** Split `base//rest` at the first `//` that is NOT the scheme's `://`.
+    * Later `//` inside `rest` are plain path separators (the reference's
+    * `repo//subdir//<glob>` form). */
+  private def splitDoubleSlash(s: String): (String, Option[String]) = {
+    val schemeEnd = s.indexOf("://") match { case -1 => 0; case i => i + 3 }
+    val at = s.indexOf("//", schemeEnd)
+    if (at < 0) (s, None)
+    else (s.substring(0, at), Some(s.substring(at + 2).replace("//", "/")))
+  }
+
+  private def parseGit(urlAndGlob: String): Source = {
+    val (noQuery, params) = splitQuery(urlAndGlob)
+    val (repo, globOpt) = splitDoubleSlash(noQuery)
+    GitGlob(repo, params.get("ref").filter(_.nonEmpty), globOpt.getOrElse("**"))
+  }
+
+  /** `https://<bucket>.s3[.<region>].amazonaws.com[/prefix]//glob` →
+    * `s3a://bucket/prefix/glob`. Unrecognized hosts keep the raw URL as a
+    * Hadoop glob (custom endpoints are the s3a provider's concern). */
+  private def parseS3(url: String): Source = {
+    val (noQuery, _) = splitQuery(url) // aws_profile/region → s3a provider chain
+    val (base, globOpt) = splitDoubleSlash(noQuery)
+    val hostStart = base.indexOf("://") + 3
+    val slash = base.indexOf('/', hostStart)
+    val (host, prefix) =
+      if (slash < 0) (base.substring(hostStart), "")
+      else (base.substring(hostStart, slash), base.substring(slash + 1))
+    val bucket = host.indexOf(".s3") match {
+      case -1 => host
+      case i  => host.substring(0, i)
+    }
+    val parts = Seq(prefix, globOpt.getOrElse("**")).filter(_.nonEmpty)
+    S3Glob(s"s3a://$bucket/${parts.mkString("/")}")
+  }
+
+  /** Resolve configured paths to concrete globs Spark can scan. Git
+    * sources are cloned via `fetch`; local and s3a globs pass through. */
+  def resolve(paths: Seq[String], fetch: GitFetcher = systemGitFetcher): Seq[String] =
+    paths.map(parse).map {
+      case LocalGlob(g)  => g
+      case S3Glob(g)     => g
+      case GitGlob(url, ref, glob) =>
+        new java.io.File(fetch(url, ref), glob).getPath
+    }
+
+  /** Default fetcher: `git clone --depth 1 [--branch ref]` into a content-
+    * addressed cache dir (one clone per (url, ref) per machine; repeat
+    * resolves reuse it — the analog of go-getter's download cache). */
+  def systemGitFetcher: GitFetcher = (url, ref) => {
+    val key = MessageDigest.getInstance("SHA-1")
+      .digest((url + "@" + ref.getOrElse("")).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val dir = JPaths.get(sys.props("java.io.tmpdir"), "graft-git-cache", key).toFile
+    if (!dir.isDirectory) {
+      Files.createDirectories(dir.getParentFile.toPath)
+      val cmd = Seq("git", "clone", "--quiet", "--depth", "1") ++
+        ref.toSeq.flatMap(r => Seq("--branch", r)) ++ Seq(url, dir.getPath)
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+      if (p.waitFor() != 0) {
+        org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
+        throw new IllegalArgumentException(s"git clone failed for $url: $out")
+      }
+    }
+    dir
+  }
+}

@@ -47,7 +47,10 @@ object Terraform {
         .map(_.copy(path = ""))
     }
 
-    def read(globs0: Seq[String], kind: String): Dataset[TfRow] = {
+    def read(globsCfg: Seq[String], kind: String): Dataset[TfRow] = {
+      // remote-source surface (docs/index.md:103-236): git::/github.com/
+      // s3:: paths resolve to local checkouts / s3a:// globs first
+      val globs0 = Sources.resolve(globsCfg)
       // reference parity (utils.go:87-90,116-119,148-151): bare directory
       // entries are skipped, and sources matching nothing yield an empty
       // result instead of an error
@@ -99,7 +102,7 @@ object Terraform {
     // so multi-glob configs mirror the batch read() via unionAll (the
     // reference watches every configured path; see connection_config.go:8-11)
     def read(globs: Seq[String], kind: String): Option[Dataset[TfRow]] =
-      globs.map { g =>
+      Sources.resolve(globs).map { g =>
         spark.readStream.format("binaryFile").schema(binSchema).load(g)
           .select(col("path"), col("content"))
           .as[(String, Array[Byte])]

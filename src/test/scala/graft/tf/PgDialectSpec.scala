@@ -33,9 +33,11 @@ class PgDialectSpec extends SparkSpecBase {
   test("rewrite unit: regex-match token boundaries and trailing arrow") {
     // !~ must become NOT rlike, not a mangled ' rlike' with a stray '!'
     assert(PgDialect.rewrite("m !~ '^[0-9]'") == "m  NOT rlike  '^[0-9]'")
-    // ~* / !~* (unsupported case-insensitive variants) pass through
-    assert(PgDialect.rewrite("m ~* 'x'") == "m ~* 'x'")
-    assert(PgDialect.rewrite("m !~* 'x'") == "m !~* 'x'")
+    // ~* / !~* case-insensitive variants fold (?i) into the pattern
+    assert(PgDialect.rewrite("m ~* 'x'") == "m  rlike '(?i)x'")
+    assert(PgDialect.rewrite("m !~* 'x'") == "m  NOT rlike '(?i)x'")
+    // non-literal pattern: pass through untouched
+    assert(PgDialect.rewrite("m ~* other_col") == "m ~* other_col")
     // an arrow at the very end of the text must not throw
     assert(PgDialect.rewrite("a ->") == "json_get(a, )")
   }

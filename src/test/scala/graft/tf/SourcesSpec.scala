@@ -1,0 +1,84 @@
+package graft.tf
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths => JPaths, StandardCopyOption}
+
+/** go-getter-style source resolution (reference docs/index.md:103-236). */
+class SourcesSpec extends SparkSpecBase {
+
+  import Sources._
+
+  test("parse: local paths pass through, ~ expands") {
+    assert(parse("*.tf") == LocalGlob("*.tf"))
+    assert(parse("/path/to/dir/main.tf") == LocalGlob("/path/to/dir/main.tf"))
+    val home = sys.props("user.home")
+    assert(parse("~/x/*.tf") == LocalGlob(s"$home/x/*.tf"))
+  }
+
+  test("parse: well-known git hosts imply https git sources") {
+    assert(parse("github.com/turbot/steampipe-plugin-aws//*.tf") ==
+      GitGlob("https://github.com/turbot/steampipe-plugin-aws", None, "*.tf"))
+    assert(parse("github.com/turbot/steampipe-plugin-aws//**/*.tf?ref=fix_7677") ==
+      GitGlob("https://github.com/turbot/steampipe-plugin-aws", Some("fix_7677"), "**/*.tf"))
+    // subdirectory form: repo//subdir//glob — later // are path separators
+    assert(parse("github.com/turbot/steampipe-plugin-aws//aws-test/tests/aws_acm_certificate//*.tf") ==
+      GitGlob("https://github.com/turbot/steampipe-plugin-aws", None,
+        "aws-test/tests/aws_acm_certificate/*.tf"))
+    assert(parse("bitbucket.org/benturrell/terraform-arcgis-portal//modules/shared//*.tf") ==
+      GitGlob("https://bitbucket.org/benturrell/terraform-arcgis-portal", None,
+        "modules/shared/*.tf"))
+    assert(parse("gitlab.com/gitlab-org/configure/examples/gitlab-terraform-aws//*.tf") ==
+      GitGlob("https://gitlab.com/gitlab-org/configure/examples/gitlab-terraform-aws", None, "*.tf"))
+  }
+
+  test("parse: explicit git:: prefix with ssh scheme (:// is not the repo/glob split)") {
+    assert(parse("git::ssh://git@github.com/test_org/test_repo//*.tf") ==
+      GitGlob("ssh://git@github.com/test_org/test_repo", None, "*.tf"))
+  }
+
+  test("parse: s3:: URLs rewrite to s3a:// Hadoop globs") {
+    assert(parse("s3::https://bucket-2.s3.us-east-1.amazonaws.com//*.tf?aws_profile=p") ==
+      S3Glob("s3a://bucket-2/*.tf"))
+    assert(parse("s3::https://bucket-2.s3.us-east-1.amazonaws.com/test_folder//*.tf") ==
+      S3Glob("s3a://bucket-2/test_folder/*.tf"))
+    assert(parse("s3::https://bucket.s3.amazonaws.com//**/*.tfstate") ==
+      S3Glob("s3a://bucket/**/*.tfstate"))
+  }
+
+  test("resolve: git source clones once into the cache and globs the checkout") {
+    // an offline "remote": a local git repo served over file://
+    val repoDir = Files.createTempDirectory("gitsrc").toFile
+    Files.copy(JPaths.get("fixtures/main.tf"),
+      JPaths.get(repoDir.getPath, "main.tf"), StandardCopyOption.REPLACE_EXISTING)
+    def git(args: String*): Unit = {
+      val p = new ProcessBuilder(
+        (Seq("git", "-C", repoDir.getPath, "-c", "user.email=t@t", "-c", "user.name=t") ++ args): _*)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+      assert(p.waitFor() == 0, s"git ${args.head} failed: $out")
+    }
+    git("init", "--quiet")
+    git("add", ".")
+    git("commit", "--quiet", "-m", "init")
+
+    val url = s"git::file://${repoDir.getPath}//*.tf"
+    val resolved = Sources.resolve(Seq(url))
+    assert(resolved.size == 1 && resolved.head.endsWith("/*.tf"), resolved.toString)
+
+    // end-to-end: the configured git URL parses like any local source
+    val rows = Terraform.rows(spark,
+      Terraform.Paths(configurationFilePaths = Seq(url)))
+    assert(rows.filter(col("table") === "resource").count() == 3)
+
+    // second resolve must reuse the cached checkout (same dir, no re-clone)
+    assert(Sources.resolve(Seq(url)) == resolved)
+  }
+
+  test("resolve: failed git fetch reports the source, local globs unaffected") {
+    val e = intercept[IllegalArgumentException](
+      Sources.resolve(Seq("git::file:///nonexistent-repo-xyz//*.tf")))
+    assert(e.getMessage.contains("nonexistent-repo-xyz"))
+    assert(Sources.resolve(Seq("fixtures/*.tf")) == Seq("fixtures/*.tf"))
+  }
+}
