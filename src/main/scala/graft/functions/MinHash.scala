@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
 /** Native MinHash signature: `minhash_sig(shingles, numPerms)` over an
-  * `array<string>` shingle set returns the `array<long>` of per-permutation
-  * minimum hashes.
+  * `array<string>` shingle set — or an `array<long>` of pre-hashed
+  * shingles — returns the `array<long>` of per-permutation minimum hashes.
   *
   * Why a custom Expression (SURVEY §7.5 promotion rule): the composable
   * formulation
@@ -22,11 +22,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   * expression computes the whole signature in one fused primitive loop
   * inside whole-stage codegen.
   *
-  * Bit-parity: permutation p's hash of shingle t equals Spark's
+  * The `array<long>` form is the scale path: shingles are hashed to 8-byte
+  * keys map-side (`collect_set(xxhash64(s))`) BEFORE the per-document
+  * shuffle, so the signature groupBy never carries shingle text — its
+  * shuffle width drops ~5× versus collecting strings, and set-dedup
+  * happens on longs.
+  *
+  * Bit-parity: permutation p's hash of element t equals Spark's
   * `xxhash64(p, t)` exactly — seed 42, the int arg hashed first
-  * (XXH64.hashInt), the resulting value seeding the string hash
-  * (XXH64.hashUTF8String) — so signatures match the round-1 lambda
-  * formulation value-for-value (pinned in MinHashSpec).
+  * (XXH64.hashInt), the resulting value seeding the element hash
+  * (hashUTF8String for strings, hashLong for longs) — pinned against the
+  * lambda formulation in MinHashSpec for both element types.
   *
   * Empty input arrays yield Long.MaxValue per slot (the SQL form's
   * array_min(empty) is NULL); callers feed shingle sets built by
@@ -35,10 +41,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
 case class MinHashSignature(child: Expression, numPerms: Int)
     extends UnaryExpression {
 
+  private def stringElems: Boolean = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _                        => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if numPerms > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) if numPerms > 0 =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sig requires (array<string>, positive literal int), got ${other.sql}")
+      s"minhash_sig requires (array<string|long>, positive literal int), got ${other.sql}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
@@ -46,6 +58,7 @@ case class MinHashSignature(child: Expression, numPerms: Int)
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    val strs = stringElems
     val out = new Array[Long](numPerms)
     var p = 0
     while (p < numPerms) {
@@ -53,7 +66,9 @@ case class MinHashSignature(child: Expression, numPerms: Int)
       var mn = Long.MaxValue
       var i = 0
       while (i < n) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(i), seeded)
+        val h =
+          if (strs) XXH64.hashUTF8String(arr.getUTF8String(i), seeded)
+          else XXH64.hashLong(arr.getLong(i), seeded)
         if (h < mn) mn = h
         i += 1
       }
@@ -73,6 +88,9 @@ case class MinHashSignature(child: Expression, numPerms: Int)
       val i = ctx.freshName("i")
       val h = ctx.freshName("h")
       val xxh = classOf[XXH64].getName
+      val elemHash =
+        if (stringElems) s"$xxh.hashUTF8String($x.getUTF8String($i), $sd)"
+        else s"$xxh.hashLong($x.getLong($i), $sd)"
       s"""
          |int $n = $x.numElements();
          |long[] $out = new long[$numPerms];
@@ -80,7 +98,7 @@ case class MinHashSignature(child: Expression, numPerms: Int)
          |  long $sd = $xxh.hashInt($p, 42L);
          |  long $mn = Long.MAX_VALUE;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $h = $xxh.hashUTF8String($x.getUTF8String($i), $sd);
+         |    long $h = $elemHash;
          |    if ($h < $mn) $mn = $h;
          |  }
          |  $out[$p] = $mn;
@@ -102,6 +120,6 @@ object MinHashSignature {
       (exprs: Seq[Expression]) => exprs match {
         case Seq(arr, Literal(np: Int, IntegerType)) => MinHashSignature(arr, np)
         case _ => throw new IllegalArgumentException(
-          "minhash_sig expects (array<string>, literal int)")
+          "minhash_sig expects (array<string|long>, literal int)")
       })
 }

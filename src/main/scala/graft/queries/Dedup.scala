@@ -93,12 +93,13 @@ object Dedup {
       graft.functions.MinHashSignature.register(s)
       val nPerm = 32
       val rowsPerBand = 4
-      // signature in ONE pass: collect the (small) per-doc shingle set,
+      // signature in ONE pass: hash each shingle to 8 bytes MAP-SIDE, so
+      // the per-document shuffle carries long sets (never shingle text),
       // then the native minhash_sig expression computes all permutations
       // in one fused codegen loop — no perm-explode (32x row blowup), no
       // (doc, perm) shuffle, no interpreted lambdas
       val sig = shingles(s, d, lit(true))
-        .groupBy("doc_id").agg(collect_set("s").as("shs"))
+        .groupBy("doc_id").agg(collect_set(xxhash64(col("s"))).as("shs"))
         .select(col("doc_id"), expr(s"minhash_sig(shs, $nPerm)").as("sig"))
       val bands = sig.select(col("doc_id"), col("sig"),
           explode(expr(s"transform(sequence(0, ${nPerm / rowsPerBand - 1}), " +

@@ -21,6 +21,19 @@ class MinHashSpec extends SparkSpecBase {
     assert(diff == 0)
   }
 
+  test("minhash_sig over pre-hashed long shingles matches the xxhash64 lambda form") {
+    MinHashSignature.register(spark)
+    val shs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id").agg(collect_set(xxhash64(col("w"))).as("shs"))
+    val diff = shs
+      .select(expr("minhash_sig(shs, 32)").as("fast"),
+        expr("transform(sequence(0, 31), p -> array_min(transform(shs, t -> xxhash64(p, t))))").as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("null input and signature length") {
     MinHashSignature.register(spark)
     val r = spark.sql(

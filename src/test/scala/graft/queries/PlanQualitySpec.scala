@@ -52,6 +52,16 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("self-joins reuse the signature exchange instead of recomputing it") {
+    // bands.as(a) join bands.as(b): the shingle+signature pipeline must be
+    // computed once and its shuffle output read twice (ReusedExchange) —
+    // at 100 TB recomputing the signature pass would double the dominant cost
+    val p = finalPlanStr("x_dedup_minhash")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("TableCacheQueryStage"),
+      s"signature pipeline computed twice:\n$p")
+  }
+
   test("hot single-table queries run inside whole-stage codegen") {
     // "*(n)" is plan-toString's WholeStageCodegen stage marker
     for (q <- Seq("b_agg_q1", "x_text_tokens")) {
