@@ -90,17 +90,17 @@ object Dedup {
     // -- MinHash + LSH banding: 32 permutations, 8 bands × 4 rows.
     //    Signature shuffle is (doc, band, hash) — never the text.
     "x_dedup_minhash" -> ((s, d) => {
-      graft.functions.MinHashSignature.register(s)
       val nPerm = 32
       val rowsPerBand = 4
-      // signature in ONE pass: hash each shingle to 8 bytes MAP-SIDE, so
-      // the per-document shuffle carries long sets (never shingle text),
-      // then the native minhash_sig expression computes all permutations
-      // in one fused codegen loop — no perm-explode (32x row blowup), no
-      // (doc, perm) shuffle, no interpreted lambdas
+      graft.functions.MinHashAgg.register(s, nPerm)
+      // signature as a TRUE partial aggregate: each shingle hashes to 8
+      // bytes map-side and folds straight into the fixed nPerm-long minima
+      // buffer (MinHashAgg), so map-side combine reduces every partition's
+      // contribution to ONE buffer per doc before the shuffle — state and
+      // shuffle are O(docs × nPerm), independent of document length
       val sig = shingles(s, d, lit(true))
-        .groupBy("doc_id").agg(collect_set(xxhash64(col("s"))).as("shs"))
-        .select(col("doc_id"), expr(s"minhash_sig(shs, $nPerm)").as("sig"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        .groupBy("doc_id").agg(expr("minhash_agg(h)").as("sig"))
       val bands = sig.select(col("doc_id"), col("sig"),
           explode(expr(s"transform(sequence(0, ${nPerm / rowsPerBand - 1}), " +
             s"b -> struct(b AS band, xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bh))")).as("bk"))
