@@ -34,6 +34,7 @@ object Builders {
     val isPlan = kind == FileKind.Plan || isTerraformPlan(content)
     if (isPlan) planRows(path, content)
     else if (kind == FileKind.State) stateRows(path, content)
+    else if (path.endsWith(".tf.json")) jsonConfigRows(path, content)
     else hclRows(path, content)
   }
 
@@ -113,6 +114,58 @@ object Builders {
     val doc =
       try Hcl.parse(content)
       catch { case e: Exception => return errorRow(path, "hcl", e) }
+    docRows(path, doc)
+  }
+
+  /** JSON-syntax configuration (`*.tf.json`): Terraform's alternate config
+    * format has the same document tree shape the HCL parser produces
+    * (the reference's kics parser reads both through one model), so the
+    * seven table builders apply unchanged; block spans come from the JSON
+    * parser's token locations. */
+  private[tf] def jsonConfigRows(path: String, content: String): Seq[TfRow] = {
+    val doc =
+      try jsonTfDoc(content)
+      catch { case e: Exception => return errorRow(path, "tf.json", e) }
+    docRows(path, doc)
+  }
+
+  private def jsonTfDoc(content: String): HclDoc = {
+    val (v, spans) = Json.parseWithSpans(content)
+    val root = v match {
+      case o: JObj => o
+      case _       => throw new IllegalArgumentException("tf.json root must be a JSON object")
+    }
+    val lines = content.split("\n", -1)
+    def objs(v2: JValue): Vector[JObj] = v2 match {
+      case o: JObj     => Vector(o)
+      case JArr(items) => items.collect { case o: JObj => o }
+      case _           => Vector.empty
+    }
+    def blockOf(tpe: String, labels: Vector[String], body: JObj): HclBlock = {
+      val (sl, el) = Option(spans.get(body)).getOrElse((1, lines.length))
+      HclBlock(tpe, labels, body, sl, el, lines.slice(sl - 1, el).mkString("\n"))
+    }
+    val blocks = Vector.newBuilder[HclBlock]
+    root.fields.foreach {
+      case (bt @ ("resource" | "data"), sections) =>
+        objs(sections).foreach(_.fields.foreach { case (t, byName) =>
+          objs(byName).foreach(_.fields.foreach { case (n, body) =>
+            objs(body).foreach(b => blocks += blockOf(bt, Vector(t, n), b))
+          })
+        })
+      case (bt @ ("module" | "output" | "provider" | "variable"), byName) =>
+        objs(byName).foreach(_.fields.foreach { case (n, body) =>
+          objs(body).foreach(b => blocks += blockOf(bt, Vector(n), b))
+        })
+      case ("locals", lv) =>
+        objs(lv).foreach(b => blocks += blockOf("locals", Vector.empty, b))
+      case _ => ()
+    }
+    HclDoc(root, blocks.result())
+  }
+
+  /** Config-table rows from a parsed document tree (HCL or tf.json). */
+  private def docRows(path: String, doc: HclDoc): Seq[TfRow] = {
     val base = TfRow.empty.copy(path = path)
 
     def span(blockType: String, labels: Seq[String]): (Option[Long], Option[Long], Option[String]) =

@@ -201,6 +201,33 @@ class BuildersSpec extends AnyFunSuite {
     assert(locals.get("none") == Some(JNull))
   }
 
+  test("tf.json config: same tables/meta-args as HCL, spans from JSON locations") {
+    val rows = Builders.rowsForFile("/fx/config.tf.json", FileKind.Config,
+      read("fixtures/config.tf.json"))
+    assert(rows.filter(_.table == "_error").isEmpty, rows.filter(_.table == "_error").toString)
+
+    val r = of(rows, "resource").head
+    assert(r.tfType == Some("aws_instance") && r.name == Some("web"))
+    assert(r.count == Some(2L), "count meta-arg extracted")
+    assert(r.provider == Some("aws.west"))
+    assert(r.address == Some("aws_instance.web"))
+    assert(r.dependsOn == Some("""["aws_s3_bucket.logs"]"""))
+    assert(r.arguments.exists(_.contains("ami-123456")))
+    assert(r.attributesStd == r.arguments, "A9: attributes_std = arguments for config")
+    assert(r.startLine.exists(_ > 1) && r.endLine.exists(_ >= r.startLine.get), "JSON spans")
+    assert(r.source.exists(_.contains("ami-123456")), "source slice covers the block")
+
+    assert(of(rows, "data_source").map(_.name) == Seq(Some("ubuntu")))
+    assert(of(rows, "variable").head.defaultValue == Some("\"us-east-1\""))
+    assert(of(rows, "output").head.sensitive == Some(true))
+    // duplicate provider names fan out one row each (A18), alias extracted
+    val provs = of(rows, "provider")
+    assert(provs.size == 2 && provs.flatMap(_.alias) == Seq("west"))
+    assert(of(rows, "local").map(_.name).toSet == Set(Some("owner"), Some("env")))
+    val m = of(rows, "module").head
+    assert(m.moduleSource == Some("terraform-aws-modules/vpc/aws") && m.version == Some("3.0.0"))
+  }
+
   test("json canonical render matches Go json.Marshal conventions") {
     val v = JObj(Vector(
       "b" -> JStr("x<y&z>"),
