@@ -27,12 +27,7 @@ object PgDialect {
 
   def rewrite(sql: String): String = {
     // pass 1: jsonb_array_elements(e) → explode(json_array_elements(e))
-    val expanded = tokenize(sql).map {
-      case Tok(Code, t) =>
-        Tok(Code, t.replaceAll("(?i)\\bjsonb_array_elements\\b", "explode(json_array_elements"))
-      case other => other
-    }
-    var v = fixExplodeParens(expanded)
+    var v = tokenize(expandJsonbArrayElements(sql))
     // pass 2: :: casts
     v = rewriteCasts(v)
     // pass 3: -> / ->> then ~
@@ -79,36 +74,44 @@ object PgDialect {
     out.result()
   }
 
-  /** After replacing `jsonb_array_elements(` with
-    * `explode(json_array_elements(`, add the matching extra `)`. */
-  private def fixExplodeParens(toks: Vector[Tok]): Vector[Tok] = {
-    val s = toks.map(_.text).mkString("")
-    val marker = "explode(json_array_elements"
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val at = s.indexOf(marker, i)
-      if (at < 0) { sb.append(s.substring(i)); i = s.length }
-      else {
-        sb.append(s.substring(i, at)).append(marker)
-        var j = at + marker.length
-        // find the '(' that starts the argument list
-        while (j < s.length && s.charAt(j) != '(') { sb.append(s.charAt(j)); j += 1 }
-        if (j < s.length) {
+  /** `jsonb_array_elements(e)` → `explode(json_array_elements(e))`: one
+    * balanced-paren splice per occurrence (code regions only, word-bounded,
+    * case-insensitive). Expanded output contains no `jsonb_`-prefixed name,
+    * so a second rewrite pass is a no-op (idempotent — PgDialectPropSpec). */
+  private def expandJsonbArrayElements(sql0: String): String = {
+    val needle = "jsonb_array_elements"
+    var s = sql0
+    var changed = true
+    while (changed) {
+      changed = false
+      val at = findCodeImpl(s.toLowerCase, needle, last = false)
+      val bounded = at >= 0 &&
+        (at == 0 || { val c = s.charAt(at - 1); !c.isLetterOrDigit && c != '_' }) &&
+        (at + needle.length >= s.length || {
+          val c = s.charAt(at + needle.length); !c.isLetterOrDigit && c != '_'
+        })
+      if (bounded) {
+        var j = at + needle.length
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j < s.length && s.charAt(j) == '(') {
           var depth = 0
+          var k = j
           var done = false
-          while (j < s.length && !done) {
-            val c = s.charAt(j)
-            sb.append(c)
+          while (k < s.length && !done) {
+            val c = s.charAt(k)
             if (c == '(') depth += 1
-            else if (c == ')') { depth -= 1; if (depth == 0) { sb.append(')'); done = true } }
-            j += 1
+            else if (c == ')') { depth -= 1; if (depth == 0) done = true }
+            k += 1
+          }
+          if (done) {
+            changed = true
+            s = s.substring(0, at) + "explode(json_array_elements" +
+              s.substring(j, k) + ")" + s.substring(k)
           }
         }
-        i = j
       }
     }
-    tokenize(sb.toString)
+    s
   }
 
   /** `expr::type` — operand is the token run back to the previous
@@ -274,6 +277,11 @@ object PgDialect {
       val c = s.charAt(i)
       if (c == '\'') { i += 1; while (i < s.length && s.charAt(i) != '\'') i += 1; i += 1 }
       else if (c == '"') { i += 1; while (i < s.length && s.charAt(i) != '"') i += 1; i += 1 }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-' &&
+               !(i + 2 < s.length && s.charAt(i + 2) == '>')) {
+        // line comment (same `-->` carve-out as tokenize): skip to newline
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      }
       else if (s.startsWith(needle, i)) {
         if (!last) return i
         found = i; i += needle.length

@@ -1,0 +1,61 @@
+package graft.tf
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the PgDialect pre-parser rewrite: whatever the code
+  * regions look like, SINGLE-QUOTED LITERALS and line COMMENTS must pass
+  * through byte-identical — a rewriter that edits inside strings corrupts
+  * query data silently. (Fixed-seed sampling; the scalatestplus bridge
+  * isn't available offline.) */
+class PgDialectPropSpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] = {
+    var seed = Seed(7L)
+    (1 to n).flatMap { _ =>
+      seed = seed.next
+      try Some(g.pureApply(Gen.Parameters.default, seed, 100)) catch { case _: Throwable => None }
+    }
+  }
+
+  // literal payloads full of operator look-alikes the rewriter must not touch
+  private val genPayload: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.oneOf("a -> b", "x ->> y", "c::jsonb", "m ~ n", "p !~* q", "--dash", "%like%", "$.path[0]"),
+    Gen.listOfN(3, Gen.oneOf("->", "::", "~", "~*", " ", "id")).map(_.mkString))
+
+  private val genCode: Gen[String] = Gen.oneOf(
+    "select x from t where ", "and y = 1 ", "or attributes ", " name ilike ", " , ")
+
+  test("single-quoted literals survive every rewrite byte-for-byte") {
+    val gen = for {
+      c1 <- genCode; p <- genPayload; c2 <- genCode
+    } yield (s"$c1'$p'$c2", p)
+    samples(gen).foreach { case (sql, payload) =>
+      val out = PgDialect.rewrite(sql)
+      assert(out.contains(s"'$payload'"),
+        s"literal corrupted:\n in: $sql\nout: $out")
+    }
+  }
+
+  test("line comments survive untouched") {
+    val gen = for { p <- genPayload; c <- genCode } yield (s"$c -- note: $p\n$c", s"-- note: $p")
+    samples(gen).foreach { case (sql, comment) =>
+      val out = PgDialect.rewrite(sql)
+      assert(out.contains(comment), s"comment corrupted:\n in: $sql\nout: $out")
+    }
+  }
+
+  test("rewrite is idempotent on its own output for the documented corpus") {
+    val examples = Seq(
+      "select attributes_std ->> 'acl' from terraform_resource",
+      "select (attributes_std ->> 'policy')::jsonb -> 'Statement' from t",
+      "select * from t where version ~ '^[0-9]' and name !~* 'prod'",
+      "select jsonb_array_elements(arguments -> 'filter') as f from t")
+    examples.foreach { sql =>
+      val once = PgDialect.rewrite(sql)
+      assert(PgDialect.rewrite(once) == once, s"not idempotent: $sql -> $once")
+    }
+  }
+}
