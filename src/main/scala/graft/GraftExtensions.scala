@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSimilarity, FloatDot, MinHashSignature, SimHash64}
+
+/** Cluster-facing packaging of the graft native functions:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *
+  * injects `cosine_sim`, `float_dot`, `minhash_sig`, `simhash64` into
+  * every session built from that config — the idiomatic deployment for a
+  * library of Catalyst expressions (no driver-side register calls, works
+  * from pure SQL, survives session cloning). The per-query `register`
+  * helpers remain for embedded/test use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (es: Seq[Expression]) => FloatDot(es.head, es(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (es: Seq[Expression]) => es match {
+        case Seq(arr, Literal(np: Int, IntegerType)) => MinHashSignature(arr, np)
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig expects (array<string|long>, literal int)")
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+  }
+}
+
+object GraftExtensions {
+  /** Embedded/test path: one call registering every graft function (the
+    * UDAF needs a permutation count, fixed here at the pipeline's 32). */
+  def registerAll(spark: SparkSession, minhashPerms: Int = 32): Unit = {
+    CosineSimilarity.register(spark)
+    MinHashSignature.register(spark)
+    SimHash64.register(spark)
+    graft.functions.MinHashAgg.register(spark, minhashPerms)
+  }
+}

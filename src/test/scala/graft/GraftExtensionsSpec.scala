@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The spark.sql.extensions deployment path: a session built with
+  * GraftExtensions must expose every native function to pure SQL with no
+  * register calls. */
+class GraftExtensionsSpec extends SparkSpecBase {
+
+  test("extension-built session resolves all graft functions from SQL") {
+    val base = spark // ensure the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions exercises the same injection as
+      // --conf spark.sql.extensions=graft.GraftExtensions (the conf form
+      // is read at SparkContext creation, which this suite shares)
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c,
+          |       float_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d,
+          |       size(minhash_sig(array('a', 'b'), 8)) AS m,
+          |       simhash64(array('x', 'y')) AS sh""".stripMargin).collect().head
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getDouble(1) == 6.0)
+      assert(r.getInt(2) == 8)
+      // parity with the register()-path expression on the same input
+      graft.functions.SimHash64.register(base)
+      val want = base.sql("SELECT simhash64(array('x', 'y'))").collect().head.getLong(0)
+      assert(r.getLong(3) == want)
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+}
