@@ -162,6 +162,48 @@ object Dedup {
         .orderBy(col("hamming"), col("da"), col("db"))
     }),
 
+    // -- duplicate-cluster assignment: what a pipeline materializes AFTER
+    //    pair discovery — every document labeled with its connected
+    //    component (min doc_id reachable over near-dup edges), singletons
+    //    labeling themselves. Min-label propagation to fixpoint: each
+    //    iteration is one key-equi join + groupBy (the Pregel shape);
+    //    lineage is truncated per step with localCheckpoint. Converges in
+    //    O(component diameter) rounds — near-dup components are shallow.
+    //    Oracle: DuckDB recursive CTE computing the same transitive
+    //    closure (exact integers → hash-exact).
+    "x_dedup_clusters" -> ((s, d) => {
+      val docs = table(s, d, "documents").filter(col("doc_id") < 60).select(col("doc_id"))
+      val sh = shingles(s, d, col("doc_id") < 60)
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("i"))
+        .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+        .filter(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")) >= 0.2)
+        .select(col("da"), col("db"))
+      val edges = pairs.select(col("da").as("ea"), col("db").as("eb"))
+        .unionAll(pairs.select(col("db").as("ea"), col("da").as("eb")))
+        .localCheckpoint()
+      var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
+      var converged = false
+      while (!converged) {
+        val nbrMin = edges.join(labels, edges("eb") === labels("doc_id"))
+          .groupBy(col("ea")).agg(min("cluster").as("nmin"))
+        val next = labels.as("l")
+          .join(nbrMin, col("l.doc_id") === nbrMin("ea"), "left")
+          .select(col("l.doc_id").as("doc_id"),
+            least(col("l.cluster"), coalesce(col("nmin"), col("l.cluster"))).as("cluster"))
+          .localCheckpoint()
+        val changed = next.as("x").join(labels.as("y"), Seq("doc_id"))
+          .filter(col("x.cluster") =!= col("y.cluster")).count()
+        labels = next
+        converged = changed == 0
+      }
+      labels.orderBy("doc_id")
+    }),
+
     // -- embedding-cosine near-dup: exact double arithmetic (index-ordered
     //    sums) so DuckDB reproduces bit-for-bit
     "x_dedup_embcos" -> ((s, d) => {
@@ -201,6 +243,26 @@ object Dedup {
         |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
         |ORDER BY j DESC, da, db""".stripMargin,
+
+    "x_dedup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 60),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(ws) - 2, 0)),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) s FROM t),
+        |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id da, b.doc_id db, count(*) i FROM sh a
+        |          JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT da, db FROM inter
+        |      JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2),
+        |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM t
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea)
+        |SELECT src AS doc_id, min(dst) AS cluster
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "x_dedup_embcos" ->
       """WITH e AS (SELECT vec_id, embedding,

@@ -83,6 +83,21 @@ object Multimodal {
           max("frames").cast("long").as("max_frames"))
         .orderBy("mime")),
 
+    // -- resize planning: fit each image into a 64×64 box preserving
+    //    aspect ratio — pure integer arithmetic on the typed metadata, so
+    //    oracle-exact; the actual pixel work is the decode stub's job
+    //    (same mapPartitions shape as decodeStub at scale)
+    "x_mm_resize" -> ((s, d) =>
+      assets(s, d).toDF()
+        .filter(col("mime") === "image/png" && col("asset_id") < 300)
+        .select(col("asset_id"),
+          greatest(col("width"), lit(1)).cast("long").as("w"),
+          greatest(col("height"), lit(1)).cast("long").as("h"))
+        .select(col("asset_id"), col("w"), col("h"),
+          when(col("w") >= col("h"), lit(64L)).otherwise(expr("(w * 64) div h")).as("new_w"),
+          when(col("w") >= col("h"), expr("(h * 64) div w")).otherwise(lit(64L)).as("new_h"))
+        .orderBy("asset_id")),
+
     // -- frame sampling: every 5th frame of each video asset, fanned out
     //    one row per sampled frame (the shape a frame-level feature
     //    extractor consumes). Frame count comes from the deterministic
@@ -107,6 +122,19 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin,
     // x_mm_features: stub-decode output → rows-only check + MultimodalSpec.
+
+    // width/height are synthesized from n_chars (assets()); the resize
+    // plan is integer arithmetic — exact oracle
+    "x_mm_resize" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id,
+        |    greatest(CAST(n_chars % 640 AS BIGINT), 1) AS w,
+        |    greatest(CAST(n_chars % 480 AS BIGINT), 1) AS h
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300)
+        |SELECT asset_id, w, h,
+        |  CASE WHEN w >= h THEN 64 ELSE (w * 64) // h END AS new_w,
+        |  CASE WHEN w >= h THEN (h * 64) // w ELSE 64 END AS new_h
+        |FROM a ORDER BY asset_id""".stripMargin,
 
     // frames = (octet_length % 30) + 1 for video assets — the stub is
     // deterministic arithmetic, so the frame fan-out has an exact oracle
