@@ -26,8 +26,12 @@ object PgDialect {
     spark.sql(rewrite(pgSql))
 
   def rewrite(sql: String): String = {
-    // pass 1: jsonb_array_elements(e) → explode(json_array_elements(e))
-    var v = tokenize(expandJsonbArrayElements(sql))
+    // pass 1: table-valued JSON iteration (both dialects' spellings):
+    //   jsonb_array_elements(e) → explode(json_array_elements(e))
+    //   json_each(e, p)         → explode(json_each_values(e, p))   (sqlite)
+    var v = tokenize(expandCalls(
+      expandCalls(sql, "jsonb_array_elements", "json_array_elements"),
+      "json_each", "json_each_values"))
     // pass 2: :: casts
     v = rewriteCasts(v)
     // pass 3: -> / ->> then ~
@@ -74,41 +78,50 @@ object PgDialect {
     out.result()
   }
 
-  /** `jsonb_array_elements(e)` → `explode(json_array_elements(e))`: one
-    * balanced-paren splice per occurrence (code regions only, word-bounded,
-    * case-insensitive). Expanded output contains no `jsonb_`-prefixed name,
-    * so a second rewrite pass is a no-op (idempotent — PgDialectPropSpec). */
-  private def expandJsonbArrayElements(sql0: String): String = {
-    val needle = "jsonb_array_elements"
+  /** `needle(args)` → `explode(fnName(args))`: one balanced-paren splice per
+    * occurrence (code regions only, word-bounded, case-insensitive). A
+    * non-qualifying occurrence (embedded in a longer identifier, or not
+    * followed by `(`) advances the search offset and scanning CONTINUES —
+    * later genuine calls in the same query are still expanded. The offset
+    * is also advanced past each inserted `explode(fnName` head, so a
+    * replacement that contains the needle (`json_each` → `json_each_values`)
+    * never rematches: the rewrite is idempotent (PgDialectPropSpec). */
+  private[tf] def expandCalls(sql0: String, needle: String, fnName: String): String = {
     var s = sql0
-    var changed = true
-    while (changed) {
-      changed = false
-      val at = findCodeImpl(s.toLowerCase, needle, last = false)
-      val bounded = at >= 0 &&
-        (at == 0 || { val c = s.charAt(at - 1); !c.isLetterOrDigit && c != '_' }) &&
-        (at + needle.length >= s.length || {
-          val c = s.charAt(at + needle.length); !c.isLetterOrDigit && c != '_'
-        })
-      if (bounded) {
-        var j = at + needle.length
-        while (j < s.length && s.charAt(j).isWhitespace) j += 1
-        if (j < s.length && s.charAt(j) == '(') {
-          var depth = 0
-          var k = j
-          var done = false
-          while (k < s.length && !done) {
-            val c = s.charAt(k)
-            if (c == '(') depth += 1
-            else if (c == ')') { depth -= 1; if (depth == 0) done = true }
-            k += 1
-          }
-          if (done) {
-            changed = true
-            s = s.substring(0, at) + "explode(json_array_elements" +
-              s.substring(j, k) + ")" + s.substring(k)
+    var from = 0
+    var searching = true
+    while (searching) {
+      val at = findCodeImpl(s.toLowerCase, needle, last = false, minPos = from)
+      if (at < 0) searching = false
+      else {
+        val bounded =
+          (at == 0 || { val c = s.charAt(at - 1); !c.isLetterOrDigit && c != '_' }) &&
+          (at + needle.length >= s.length || {
+            val c = s.charAt(at + needle.length); !c.isLetterOrDigit && c != '_'
+          })
+        var advanced = false
+        if (bounded) {
+          var j = at + needle.length
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          if (j < s.length && s.charAt(j) == '(') {
+            var depth = 0
+            var k = j
+            var done = false
+            while (k < s.length && !done) {
+              val c = s.charAt(k)
+              if (c == '(') depth += 1
+              else if (c == ')') { depth -= 1; if (depth == 0) done = true }
+              k += 1
+            }
+            if (done) {
+              s = s.substring(0, at) + "explode(" + fnName +
+                s.substring(j, k) + ")" + s.substring(k)
+              from = at + "explode(".length + fnName.length
+              advanced = true
+            }
           }
         }
+        if (!advanced) from = at + needle.length
       }
     }
     s
@@ -236,23 +249,28 @@ object PgDialect {
     * pattern passes through untouched. Each `~` must be a standalone
     * operator token. */
   private def rewriteRegexMatch(sql0: String): String = {
-    // pass 1: case-insensitive variants, rightmost-first so earlier
-    // occurrences stay at stable offsets
+    // pass 1: case-insensitive variants, rightmost-first with a SHRINKING
+    // right bound: a `~*` whose pattern is not a string literal is skipped
+    // (left for pass 2's guards) and scanning continues leftward, so
+    // `a ~* 'x' AND b ~* col` still rewrites the earlier literal match.
+    // Text left of each handled occurrence is unchanged, so offsets below
+    // the bound stay stable.
     var s = sql0
-    var changed = true
-    while (changed) {
-      changed = false
-      val atStar = findCodeLast(s, "~*")
-      if (atStar >= 0) {
+    var bound = Int.MaxValue
+    var scanning = true
+    while (scanning) {
+      val atStar = findCodeImpl(s, "~*", last = true, maxPos = bound)
+      if (atStar < 0) scanning = false
+      else {
         val bang = atStar > 0 && s.charAt(atStar - 1) == '!'
         var j = atStar + 2
         while (j < s.length && s.charAt(j).isWhitespace) j += 1
         if (j < s.length && s.charAt(j) == '\'') {
-          changed = true
           val op = if (bang) " NOT rlike " else " rlike "
           val start = if (bang) atStar - 1 else atStar
           s = s.substring(0, start) + op + s.substring(j, j + 1) + "(?i)" + s.substring(j + 1)
         }
+        bound = if (bang) atStar - 1 else atStar
       }
     }
     // pass 2: plain ~ / !~ (any remaining ~* — non-literal pattern — is
@@ -270,7 +288,10 @@ object PgDialect {
   private def findCode(s: String, needle: String): Int = findCodeImpl(s, needle, last = false)
   private def findCodeLast(s: String, needle: String): Int = findCodeImpl(s, needle, last = true)
 
-  private def findCodeImpl(s: String, needle: String, last: Boolean): Int = {
+  /** Lexing always starts at 0 (so quote state is correct); `minPos`/`maxPos`
+    * bound which match POSITIONS qualify. */
+  private[tf] def findCodeImpl(s: String, needle: String, last: Boolean,
+      minPos: Int = 0, maxPos: Int = Int.MaxValue): Int = {
     var i = 0
     var found = -1
     while (i < s.length) {
@@ -282,7 +303,7 @@ object PgDialect {
         // line comment (same `-->` carve-out as tokenize): skip to newline
         while (i < s.length && s.charAt(i) != '\n') i += 1
       }
-      else if (s.startsWith(needle, i)) {
+      else if (s.startsWith(needle, i) && i >= minPos && i < maxPos) {
         if (!last) return i
         found = i; i += needle.length
       } else i += 1

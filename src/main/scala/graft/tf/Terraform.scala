@@ -53,14 +53,18 @@ object Terraform {
       val globs0 = Sources.resolve(globsCfg)
       // reference parity (utils.go:87-90,116-119,148-151): bare directory
       // entries are skipped, and sources matching nothing yield an empty
-      // result instead of an error
-      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      // result instead of an error. The FileSystem is resolved PER GLOB:
+      // a scheme-qualified glob (s3a://…, hdfs://…) must use its own FS —
+      // the session default is file:/// and globStatus throws
+      // "Wrong FS" for any other scheme (reference S3 branch: utils.go:143)
       val globs = globs0
         .filterNot { p =>
           !p.exists("*?[{".contains(_)) && new java.io.File(p).isDirectory
         }
         .filter { g =>
-          val st = fs.globStatus(new org.apache.hadoop.fs.Path(g))
+          val hp = new org.apache.hadoop.fs.Path(g)
+          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val st = fs.globStatus(hp)
           st != null && st.nonEmpty
         }
       if (globs.isEmpty) spark.emptyDataset[TfRow]
@@ -207,6 +211,7 @@ object Terraform {
     * query cache: every view and repeated query reuses one parse. */
   def register(spark: SparkSession, paths: Paths): Dataset[TfRow] = {
     val r = rows(spark, paths).cache()
+    registrations.put(spark, (paths, r))
     resource(r).createOrReplaceTempView("terraform_resource")
     dataSource(r).createOrReplaceTempView("terraform_data_source")
     local(r).createOrReplaceTempView("terraform_local")
@@ -217,6 +222,23 @@ object Terraform {
     diagnostics(r).createOrReplaceTempView("terraform_diagnostics")
     registerFunctions(spark)
     r
+  }
+
+  private val registrations =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Paths, Dataset[TfRow])]()
+
+  /** Watch-path refresh for the batch views — the analog of the reference's
+    * file-watch cache invalidation (`steampipe:"watch"` connection tags,
+    * connection_config.go:8-11: the SDK drops its query cache when a watched
+    * file changes and the next query re-parses). Drops the cached rows for
+    * this session's registered paths and re-registers all seven views, so
+    * edits/creates/deletes under the configured globs become visible.
+    * (The continuous analog is [[streamRows]].) */
+  def refresh(spark: SparkSession): Dataset[TfRow] = {
+    val prev = registrations.get(spark)
+    require(prev != null, "Terraform.refresh: no prior Terraform.register for this session")
+    prev._2.unpersist(blocking = true)
+    register(spark, prev._1)
   }
 
   /** Postgres/SQLite-compat shims used by the reference's documented
@@ -256,6 +278,75 @@ object Terraform {
           catch { case _: Exception => None }
         case _ => None
       }.orNull)
+    // sqlite-dialect json_extract (every `sql+sqlite` doc example, e.g.
+    // docs/tables/terraform_resource.md:93,120): navigates a `$.a.b[0]`
+    // path; strings come back unquoted (sqlite SQL-value semantics),
+    // objects/arrays as JSON text, missing path → NULL
+    spark.udf.register("json_extract", (s: String, path: String) =>
+      if (s == null || path == null) null
+      else Json.parseOpt(s).flatMap(jsonPath(_, path)).map {
+        case JStr(v) => v
+        case v       => v.render
+      }.orNull)
+    // sqlite json_each value stream (docs/tables/terraform_data_source.md:97):
+    // PgDialect rewrites `json_each(x, p) as f` to
+    // `explode(json_each_values(x, p)) as f`, each row a struct with a
+    // `value` field so the documented `f.value` projections work. Same
+    // single-object leniency as json_array_elements (one HCL block renders
+    // as an object, repeated blocks as an array — both must iterate).
+    spark.udf.register("json_each_values", (s: String, path: String) =>
+      if (s == null || path == null) Array.empty[JsonEachRow]
+      else Json.parseOpt(s).flatMap(jsonPath(_, path)).map {
+        case JArr(items) => items.map(i => JsonEachRow(i.render)).toArray
+        case v           => Array(JsonEachRow(v.render))
+      }.getOrElse(Array.empty[JsonEachRow]))
+    // sqlite dynamic truthiness for predicate-position json_extract (see
+    // SqliteDialect): sqlite's json_extract returns 1/0 for JSON booleans
+    // and WHERE coerces text via numeric-prefix parse (non-numeric → 0)
+    spark.udf.register("sqlite_truthy", (s: String) =>
+      if (s == null) null
+      else s.trim match {
+        case "true"  => java.lang.Boolean.TRUE
+        case "false" => java.lang.Boolean.FALSE
+        case v =>
+          val m = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?".r.findPrefixOf(v)
+          java.lang.Boolean.valueOf(m.exists(_.toDouble != 0.0))
+      })
+  }
+
+  /** One `json_each` output row (only the `value` member of sqlite's
+    * 8-column schema is used by the documented queries). */
+  final case class JsonEachRow(value: String)
+
+  /** sqlite JSON path subset: `$`, `.key`, `[idx]` — covers every path in
+    * the reference's doc corpus. Unsupported syntax → None (NULL). */
+  private[tf] def jsonPath(v: JValue, path: String): Option[JValue] = {
+    if (!path.startsWith("$")) return None
+    var cur: Option[JValue] = Some(v)
+    var i = 1
+    while (i < path.length && cur.isDefined) {
+      path.charAt(i) match {
+        case '.' =>
+          var j = i + 1
+          while (j < path.length && path.charAt(j) != '.' && path.charAt(j) != '[') j += 1
+          val key = path.substring(i + 1, j)
+          cur = cur.flatMap { case o: JObj => o.get(key); case _ => None }
+          i = j
+        case '[' =>
+          val close = path.indexOf(']', i)
+          if (close < 0) return None
+          val idx =
+            try path.substring(i + 1, close).trim.toInt
+            catch { case _: NumberFormatException => return None }
+          cur = cur.flatMap {
+            case JArr(items) if idx >= 0 && idx < items.length => Some(items(idx))
+            case _ => None
+          }
+          i = close + 1
+        case _ => return None
+      }
+    }
+    cur
   }
 
   /** jsonb_pretty 4-space indented rendering. Key order is Postgres

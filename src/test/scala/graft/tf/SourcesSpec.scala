@@ -81,4 +81,26 @@ class SourcesSpec extends SparkSpecBase {
     assert(e.getMessage.contains("nonexistent-repo-xyz"))
     assert(Sources.resolve(Seq("fixtures/*.tf")) == Seq("fixtures/*.tf"))
   }
+
+  test("e2e: s3:: source reaches the binaryFile scan (mocked object store)") {
+    // reference S3 branch: utils.go:143 (tfStateList) — the full path:
+    // s3:: URL → s3a:// glob → PER-GLOB FileSystem resolution (the session
+    // default FS is file:///; resolving against it threw Wrong FS) → scan
+    val dir = Files.createTempDirectory("graft-s3-e2e").toFile
+    Files.writeString(JPaths.get(dir.getPath, "main.tf"),
+      """resource "aws_instance" "from_s3" {
+        |  ami = "ami-00000001"
+        |}
+        |""".stripMargin)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3a.impl", classOf[MockS3FileSystem].getName)
+    val rows = Terraform.rows(spark, Terraform.Paths(configurationFilePaths = Seq(
+      s"s3::https://bucket.s3.us-east-1.amazonaws.com${dir.getAbsolutePath}//*.tf")))
+    val res = rows.filter(col("table") === "resource").collect()
+    assert(res.length == 1 && res.head.name.contains("from_s3"))
+    assert(res.head.path.startsWith("s3a://bucket/"))
+    // a non-matching s3 glob is an empty result, not an error (utils.go:148-151)
+    assert(Terraform.rows(spark, Terraform.Paths(configurationFilePaths = Seq(
+      s"s3::https://bucket.s3.us-east-1.amazonaws.com${dir.getAbsolutePath}//*.nomatch"))).isEmpty)
+  }
 }

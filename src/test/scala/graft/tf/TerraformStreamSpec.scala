@@ -78,4 +78,28 @@ class TerraformStreamSpec extends SparkSpecBase {
       .collect().head.getString(0)
     assert(tag == "ExampleAppServerInstance")
   }
+
+  test("batch watch-path refresh: edits become visible after Terraform.refresh") {
+    // reference: `steampipe:"watch"` tags (connection_config.go:8-11) — the
+    // SDK invalidates its cache on file change; refresh is the batch analog
+    val dir = Files.createTempDirectory("tfrefresh").toFile
+    dir.deleteOnExit()
+    Files.copy(JPaths.get("fixtures/main.tf"),
+      JPaths.get(dir.getAbsolutePath, "main.tf"), StandardCopyOption.REPLACE_EXISTING)
+    Terraform.register(spark, Terraform.Paths(
+      configurationFilePaths = Seq(s"${dir.getAbsolutePath}/*.tf")))
+    assert(spark.table("terraform_resource").count() == 3)
+
+    // an edit: new resource appended to the watched file
+    val f = JPaths.get(dir.getAbsolutePath, "main.tf")
+    Files.writeString(f, Files.readString(f) +
+      "\nresource \"aws_sqs_queue\" \"edited_in\" {\n  name = \"q\"\n}\n")
+    // stale until refreshed (the cached parse is the SDK-cache analog) …
+    assert(spark.table("terraform_resource").count() == 3)
+    Terraform.refresh(spark)
+    // … then the edit is visible through the SAME view names
+    assert(spark.table("terraform_resource").count() == 4)
+    assert(spark.table("terraform_resource")
+      .filter(col("name") === "edited_in").count() == 1)
+  }
 }
