@@ -66,8 +66,11 @@ case class MinHashSignature(child: Expression, numPerms: Int)
       var mn = Long.MaxValue
       var i = 0
       while (i < n) {
+        // null element: the seed passes through unchanged, exactly SQL
+        // xxhash64's null semantics (HashExpression skips null children)
         val h =
-          if (strs) XXH64.hashUTF8String(arr.getUTF8String(i), seeded)
+          if (arr.isNullAt(i)) seeded
+          else if (strs) XXH64.hashUTF8String(arr.getUTF8String(i), seeded)
           else XXH64.hashLong(arr.getLong(i), seeded)
         if (h < mn) mn = h
         i += 1
@@ -98,7 +101,7 @@ case class MinHashSignature(child: Expression, numPerms: Int)
          |  long $sd = $xxh.hashInt($p, 42L);
          |  long $mn = Long.MAX_VALUE;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $h = $elemHash;
+         |    long $h = $x.isNullAt($i) ? $sd : $elemHash;
          |    if ($h < $mn) $mn = $h;
          |  }
          |  $out[$p] = $mn;

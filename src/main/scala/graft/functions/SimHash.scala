@@ -45,7 +45,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      // null token: seed passes through, matching SQL xxhash64 semantics
+      val h = if (arr.isNullAt(i)) 42L else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
       var b = 0
       while (b < 64) {
         if (((h >> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
@@ -72,7 +73,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int $n = $x.numElements();
          |int[] $counts = new int[64];
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = $xxh.hashUTF8String($x.getUTF8String($i), 42L);
+         |  long $h = $x.isNullAt($i) ? 42L : $xxh.hashUTF8String($x.getUTF8String($i), 42L);
          |  for (int $b = 0; $b < 64; $b++) {
          |    if ((($h >> $b) & 1L) != 0L) $counts[$b]++; else $counts[$b]--;
          |  }

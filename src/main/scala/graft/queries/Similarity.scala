@@ -74,7 +74,13 @@ object Similarity {
     //    (xxhash64(p * 997 + i) % 1000) / 1000.0.
     "x_sim_lsh" -> ((s, d) => {
       val planes = 4
-      val dims = 64 // embeddings table dimension (TESTDATA.md)
+      // hyperplane literals must match the corpus dimension exactly —
+      // derived from the data (one-row probe), not hardcoded: a shorter
+      // assumed dims would silently truncate float_dot and skew buckets
+      val dims = table(s, d, "embeddings").select(size(col("embedding"))).take(1) match {
+        case Array(r) => r.getInt(0)
+        case _        => 1 // empty corpus: bucket values are irrelevant
+      }
       val e = withNorm(s, d)
       // bucket = the `planes` sign bits of dot products against literal
       // double hyperplanes; float_dot keeps the index-ordered double fold

@@ -111,7 +111,14 @@ object Sources {
 
   /** Default fetcher: `git clone --depth 1 [--branch ref]` into a content-
     * addressed cache dir (one clone per (url, ref) per machine; repeat
-    * resolves reuse it — the analog of go-getter's download cache). */
+    * resolves reuse it — the analog of go-getter's download cache).
+    *
+    * Crash-safe: the clone lands in a fresh temp sibling and is renamed
+    * into the cache key only on success (atomic on one filesystem), so a
+    * JVM crash mid-clone never leaves a partial directory that later
+    * resolves silently reuse, and two concurrent resolves can't observe
+    * each other's half-written checkout — whoever renames second just
+    * discards its copy. */
   def systemGitFetcher: GitFetcher = (url, ref) => {
     val key = MessageDigest.getInstance("SHA-1")
       .digest((url + "@" + ref.getOrElse("")).getBytes("UTF-8"))
@@ -119,13 +126,22 @@ object Sources {
     val dir = JPaths.get(sys.props("java.io.tmpdir"), "graft-git-cache", key).toFile
     if (!dir.isDirectory) {
       Files.createDirectories(dir.getParentFile.toPath)
+      val tmp = Files.createTempDirectory(dir.getParentFile.toPath, s".$key-").toFile
       val cmd = Seq("git", "clone", "--quiet", "--depth", "1") ++
-        ref.toSeq.flatMap(r => Seq("--branch", r)) ++ Seq(url, dir.getPath)
+        ref.toSeq.flatMap(r => Seq("--branch", r)) ++ Seq(url, tmp.getPath)
       val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
       val out = new String(p.getInputStream.readAllBytes, "UTF-8")
       if (p.waitFor() != 0) {
-        org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
+        org.apache.hadoop.fs.FileUtil.fullyDelete(tmp)
         throw new IllegalArgumentException(s"git clone failed for $url: $out")
+      }
+      try Files.move(tmp.toPath, dir.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException =>
+          // a concurrent resolve won the rename; its checkout is complete
+          org.apache.hadoop.fs.FileUtil.fullyDelete(tmp)
       }
     }
     dir

@@ -58,6 +58,25 @@ class MinHashSpec extends SparkSpecBase {
     assert(r.getInt(1) == 16)
   }
 
+  test("null ELEMENTS match the xxhash64 lambda form (seed pass-through)") {
+    MinHashSignature.register(spark)
+    // SQL xxhash64(p, NULL) = hash of p alone — the lambda form therefore
+    // folds the seeded value in; the native expression must agree, and
+    // must not NPE (both eval and codegen paths)
+    val r = spark.sql(
+      """SELECT minhash_sig(array('a', CAST(NULL AS STRING), 'b'), 16) AS fast,
+        |       transform(sequence(0, 15),
+        |         p -> array_min(transform(array('a', CAST(NULL AS STRING), 'b'),
+        |                                  t -> xxhash64(p, t)))) AS slow,
+        |       minhash_sig(array(CAST(NULL AS BIGINT), 7L), 16) AS fastl,
+        |       transform(sequence(0, 15),
+        |         p -> array_min(transform(array(CAST(NULL AS BIGINT), 7L),
+        |                                  t -> xxhash64(p, t)))) AS slowl""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    assert(r.getSeq[Long](2) == r.getSeq[Long](3))
+  }
+
   test("signatures of identical sets are identical, supersets dominate elementwise") {
     MinHashSignature.register(spark)
     val r = spark.sql(

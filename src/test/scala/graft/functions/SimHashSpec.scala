@@ -42,6 +42,17 @@ class SimHashSpec extends SparkSpecBase {
     assert(r.getInt(1) == 0)
   }
 
+  test("null ELEMENTS hash as the xxhash64 seed (no NPE, parity with SQL)") {
+    SimHash64.register(spark)
+    // a null token contributes xxhash64's seed pass-through (42), exactly
+    // what the round-1 lambda form would fold in via xxhash64(w)
+    val r = spark.sql(
+      """SELECT simhash64(array('a', CAST(NULL AS STRING), 'b')) AS withNull,
+        |       simhash64(array('a', 'b')) AS without""".stripMargin).collect().head
+    assert(!r.isNullAt(0)) // computes, doesn't NPE
+    assert(r.getLong(0) != r.getLong(1)) // and the null element weighs in
+  }
+
   test("banded simhash LSH finds exactly the all-pairs result on the bounded subset") {
     import graft.queries.Dedup
     val exact = Dedup.queries("x_dedup_simhash")(spark, sf).collect()
