@@ -50,6 +50,38 @@ object Dedup {
   private def shingles(s: SparkSession, d: String, limit: Column): DataFrame =
     shinglesOf(toks(s, d).filter(limit))
 
+  /** SimHash LSH band keys as an explode-able array expression over `sh`.
+    * Single 8-bit blocks: 8 keys/doc, only 256 distinct values per key.
+    * Pair-of-blocks: C(8,2) = 28 keys/doc, 16-bit values — complete for
+    * hamming ≤ 6 (≤ 6 differing blocks leave ≥ 2 intact, i.e. ≥ 1 intact
+    * pair) with 256× fewer collisions per key. */
+  private[queries] def simhashBandKeys(pairBlocks: Boolean): String =
+    if (!pairBlocks)
+      "transform(sequence(0, 7), b -> struct(CAST(b AS BIGINT) AS blk, shiftright(sh, b * 8) & 255 AS bv))"
+    else
+      (for { i <- 0 until 8; j <- (i + 1) until 8 } yield
+        s"struct(${i * 8 + j}L AS blk, (shiftright(sh, ${i * 8}) & 255) * 256 + (shiftright(sh, ${j * 8}) & 255) AS bv)")
+        .mkString("array(", ", ", ")")
+
+  /** Distinct candidate pairs (da < db, with both signatures) from a
+    * key-equi join on SimHash band keys — the shape whose volume the
+    * banding scheme controls (DedupSpec pins pair-of-blocks ≤ single). */
+  private[queries] def simhashCandidates(s: SparkSession, d: String,
+      pairBlocks: Boolean): DataFrame = {
+    graft.functions.SimHash64.register(s)
+    val bits = toks(s, d).select(col("doc_id"), expr("simhash64(ws)").as("sh"))
+    val blocks = bits.select(col("doc_id"), col("sh"),
+        explode(expr(simhashBandKeys(pairBlocks))).as("k"))
+      .select(col("doc_id"), col("sh"), col("k.blk"), col("k.bv"))
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     // -- exact dedup: hash-groupBy; duplicate groups + the kept representative
     "x_dedup_exact" -> ((s, d) =>
@@ -119,6 +151,46 @@ object Dedup {
         .orderBy(col("est_j").desc, col("da"), col("db"))
     }),
 
+    // -- MinHash + LSH with an ENGINE-PORTABLE hash family: permutation p
+    //    ranks shingles by md5(p || ':' || shingle), lexicographic on the
+    //    hex text — reproducible in any engine with md5, so this pipeline
+    //    is DuckDB-oracle hash-gated END-TO-END (bands, candidates and
+    //    estimates), unlike the xxhash64 fast path above (Spark-only hash
+    //    → rows-only check). 16 perms, 4 bands × 4 rows; the plan shape
+    //    is identical: signature is a map-side-combinable min-aggregate
+    //    per permutation, candidates a key-equi join on band hashes.
+    "x_dedup_minhash_md5" -> ((s, d) => {
+      val nPerm = 16
+      val nBands = 4
+      val rows = nPerm / nBands
+      val sh = shingles(s, d, lit(true))
+      val mins = (0 until nPerm).map(p =>
+        min(md5(concat(lit(s"$p:"), col("s")))).as(s"m$p"))
+      val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val keys = sig.select(col("doc_id"),
+          explode(expr((0 until nBands)
+            .map(b => s"struct($b AS band, md5(${
+              (0 until rows).map(r => s"m${b * rows + r}").mkString("concat_ws('|', ", ", ", ")")
+            }) AS bh)")
+            .mkString("array(", ", ", ")"))).as("k"))
+        .select(col("doc_id"), col("k.band"), col("k.bh"))
+      val cand = keys.as("a")
+        .join(keys.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      val est = (0 until nPerm)
+        .map(p => when(col(s"sa.m$p") === col(s"sb.m$p"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / nPerm
+      cand
+        .join(sig.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("db") === col("sb.doc_id"))
+        .select(col("da"), col("db"), est.as("est_j"))
+        .filter(col("est_j") >= 0.5)
+        .orderBy(col("est_j").desc, col("da"), col("db"))
+    }),
+
     // -- SimHash: 64-bit signature via the native simhash64 expression (a
     //    pure map over the scan — no explode, no signature shuffle); exact
     //    all-pairs verification among a bounded subset. The unbounded scale
@@ -135,73 +207,33 @@ object Dedup {
         .orderBy(col("hamming"), col("da"), col("db"))
     }),
 
-    // -- SimHash at scale: 8-bit block banding. A pair within hamming ≤ 6
-    //    differs in at most 6 of the 8 blocks, so by pigeonhole it shares
-    //    at least one block EXACTLY — candidates come from a key-equi join
-    //    on (block index, block value), never an all-pairs product; exact
-    //    bit_count re-verification prunes false positives. Output contract
-    //    matches x_dedup_simhash (DedupSpec asserts set equality on the
-    //    bounded subset) but this form runs over the whole corpus.
-    "x_dedup_simhash_lsh" -> ((s, d) => {
-      graft.functions.SimHash64.register(s)
-      val bits = toks(s, d).select(col("doc_id"), expr("simhash64(ws)").as("sh"))
-      val blocks = bits.select(col("doc_id"), col("sh"),
-        explode(expr(
-          "transform(sequence(0, 7), b -> struct(b AS blk, shiftright(sh, b * 8) & 255 AS bv))")).as("k"))
-        .select(col("doc_id"), col("sh"), col("k.blk"), col("k.bv"))
-      val cand = blocks.as("a")
-        .join(blocks.as("b"),
-          col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          col("a.sh").as("sa"), col("b.sh").as("sb"))
-        .distinct()
-      cand.select(col("da"), col("db"),
+    // -- SimHash at scale: PAIR-of-blocks banding. Split the 64-bit
+    //    signature into 8 bytes; a pair within hamming ≤ 6 has ≥ 2 intact
+    //    blocks, hence at least one intact PAIR of blocks — so keying on
+    //    all C(8,2) = 28 (pair id, 16-bit value) combinations stays
+    //    pigeonhole-complete for the hamming ≤ 6 budget while candidate
+    //    collisions drop from ~n²/256 per key (single 8-bit blocks — the
+    //    round-2 shape, which explodes at 10⁹ docs) to ~n²/65536: the
+    //    100× scale path. Exact bit_count re-verification prunes false
+    //    positives; output contract matches x_dedup_simhash (SimHashSpec
+    //    asserts set equality on the bounded subset).
+    "x_dedup_simhash_lsh" -> ((s, d) =>
+      simhashCandidates(s, d, pairBlocks = true)
+        .select(col("da"), col("db"),
           expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
         .filter(col("hamming") <= 6)
-        .orderBy(col("hamming"), col("da"), col("db"))
-    }),
+        .orderBy(col("hamming"), col("da"), col("db"))),
 
     // -- duplicate-cluster assignment: what a pipeline materializes AFTER
     //    pair discovery — every document labeled with its connected
     //    component (min doc_id reachable over near-dup edges), singletons
-    //    labeling themselves. Min-label propagation to fixpoint: each
-    //    iteration is one key-equi join + groupBy (the Pregel shape);
-    //    lineage is truncated per step with localCheckpoint. Converges in
-    //    O(component diameter) rounds — near-dup components are shallow.
-    //    Oracle: DuckDB recursive CTE computing the same transitive
-    //    closure (exact integers → hash-exact).
+    //    labeling themselves. Alternating large-star/small-star (see
+    //    starClusters below): O(log² n) rounds instead of the O(diameter)
+    //    of plain min-label propagation. Oracle: DuckDB recursive CTE
+    //    computing the same transitive closure (exact ints → hash-exact).
     "x_dedup_clusters" -> ((s, d) => {
       val docs = table(s, d, "documents").filter(col("doc_id") < 60).select(col("doc_id"))
-      val sh = shingles(s, d, col("doc_id") < 60)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("i"))
-        .join(sz.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("db") === col("sb.doc_id"))
-        .filter(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")) >= 0.2)
-        .select(col("da"), col("db"))
-      val edges = pairs.select(col("da").as("ea"), col("db").as("eb"))
-        .unionAll(pairs.select(col("db").as("ea"), col("da").as("eb")))
-        .localCheckpoint()
-      var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
-      var converged = false
-      while (!converged) {
-        val nbrMin = edges.join(labels, edges("eb") === labels("doc_id"))
-          .groupBy(col("ea")).agg(min("cluster").as("nmin"))
-        val next = labels.as("l")
-          .join(nbrMin, col("l.doc_id") === nbrMin("ea"), "left")
-          .select(col("l.doc_id").as("doc_id"),
-            least(col("l.cluster"), coalesce(col("nmin"), col("l.cluster"))).as("cluster"))
-          .localCheckpoint()
-        val changed = next.as("x").join(labels.as("y"), Seq("doc_id"))
-          .filter(col("x.cluster") =!= col("y.cluster")).count()
-        labels = next
-        converged = changed == 0
-      }
-      labels.orderBy("doc_id")
+      starClusters(docs, jaccardPairs(s, d, col("doc_id") < 60))._1
     }),
 
     // -- embedding-cosine near-dup: exact double arithmetic (index-ordered
@@ -219,6 +251,103 @@ object Dedup {
         .orderBy(col("qa"), col("qb"))
     })
   )
+
+  /** Near-dup edge discovery shared by the clustering operators:
+    * 3-shingle Jaccard ≥ 0.2 pairs (da < db). */
+  private[queries] def jaccardPairs(s: SparkSession, d: String, limit: Column): DataFrame = {
+    val sh = shingles(s, d, limit)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("db") === col("sb.doc_id"))
+      .filter(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")) >= 0.2)
+      .select(col("da"), col("db"))
+  }
+
+  /** Connected components by min-label propagation to fixpoint: one
+    * key-equi join + groupBy per round (the Pregel shape), lineage
+    * truncated per step. O(component diameter) rounds — kept as the
+    * reference algorithm for the round-count comparison in DedupSpec.
+    * Returns (labels, rounds). */
+  private[queries] def propagateClusters(docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
+    val edges = pairs.select(col("da").as("ea"), col("db").as("eb"))
+      .unionAll(pairs.select(col("db").as("ea"), col("da").as("eb")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      val nbrMin = edges.join(labels, edges("eb") === labels("doc_id"))
+        .groupBy(col("ea")).agg(min("cluster").as("nmin"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === nbrMin("ea"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster"), coalesce(col("nmin"), col("l.cluster"))).as("cluster"))
+        .localCheckpoint()
+      val changed = next.as("x").join(labels.as("y"), Seq("doc_id"))
+        .filter(col("x.cluster") =!= col("y.cluster")).count()
+      labels = next
+      converged = changed == 0
+    }
+    (labels.orderBy("doc_id"), rounds)
+  }
+
+  /** Connected components by alternating large-star/small-star (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * each round is two groupBy+join passes over the edge list, and the
+    * edge set converges to per-component stars rooted at the minimum
+    * node in O(log² n) rounds — on a length-L duplicate chain this is
+    * ~log L rounds where propagation needs L. Same output contract:
+    * every doc labeled with the min doc_id reachable over near-dup
+    * edges, singletons labeling themselves. Returns (labels, rounds). */
+  private[queries] def starClusters(docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
+    // edges kept oriented hi > lo (pairs arrive as da < db)
+    var edges = pairs.select(col("db").as("hi"), col("da").as("lo"))
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      rounds += 1
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // fixpoint: both sides are distinct sets, so equal counts + empty
+      // one-sided difference ⇒ set equality
+      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+    }
+    val lbl = docs.join(edges.withColumnRenamed("hi", "doc_id"), Seq("doc_id"), "left")
+      .groupBy("doc_id").agg(min("lo").as("mn"))
+      .select(col("doc_id"), coalesce(col("mn"), col("doc_id")).as("cluster"))
+    (lbl.orderBy("doc_id"), rounds)
+  }
+
+  /** Large-star: every node u connects its LARGER neighbors to the
+    * minimum of its neighborhood (incl. itself) — long chains halve. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
+      .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+    val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    nbrs.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("hi"), col("m").as("lo"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its SMALLER neighbors (and itself)
+    * to the minimum among them — stars flatten onto their root. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("hi").agg(min("lo").as("m"))
+    e.join(mins, "hi")
+      .select(col("lo").as("u"), col("m"))
+      .unionAll(mins.select(col("hi").as("u"), col("m")))
+      .filter(col("u") =!= col("m"))
+      .select(greatest(col("u"), col("m")).as("hi"), least(col("u"), col("m")).as("lo"))
+      .distinct()
+  }
 
   val oracle: Map[String, String] = Map(
     "x_dedup_exact" ->
@@ -243,6 +372,30 @@ object Dedup {
         |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
         |ORDER BY j DESC, da, db""".stripMargin,
+
+    "x_dedup_minhash_md5" -> {
+      val mins = (0 until 16).map(p => s"min(md5('$p:' || s)) AS m$p").mkString(",\n        |         ")
+      val bands = (0 until 4).map { b =>
+        val cs = (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, md5($cs) AS bh FROM sig"
+      }.mkString("\n        |       UNION ALL ")
+      val eq = (0 until 16).map(p => s"(CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(ws) - 2, 0)),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) s FROM t),
+        |sig AS (SELECT doc_id,
+        |         $mins
+        |       FROM sh GROUP BY doc_id),
+        |keys AS ($bands),
+        |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM keys a
+        |         JOIN keys b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |est AS (SELECT da, db, CAST($eq AS DOUBLE) / 16 AS est_j
+        |        FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db)
+        |SELECT da, db, est_j FROM est WHERE est_j >= 0.5
+        |ORDER BY est_j DESC, da, db""".stripMargin
+    },
 
     "x_dedup_clusters" ->
       """WITH RECURSIVE

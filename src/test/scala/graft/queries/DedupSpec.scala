@@ -49,4 +49,41 @@ class DedupSpec extends SparkSpecBase {
     val b = Dedup.queries("x_dedup_minhash")(spark, sf).collect().toSeq
     assert(a == b)
   }
+
+  test("md5-family minhash finds the planted pairs (oracle-portable path)") {
+    val got = Dedup.queries("x_dedup_minhash_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((8L, 12L)) && got.contains((0L, 50L)), s"got $got")
+  }
+
+  test("pair-of-blocks simhash banding shrinks the candidate join") {
+    val single = Dedup.simhashCandidates(spark, sf, pairBlocks = false).count()
+    val pair = Dedup.simhashCandidates(spark, sf, pairBlocks = true).count()
+    // completeness for hamming <= 6 is pinned by SimHashSpec (banded ==
+    // all-pairs); here we pin the SCALE property — 16-bit keys collide
+    // far less than 8-bit ones on the same corpus
+    assert(pair < single, s"pair-of-blocks candidates $pair !< single-block $single")
+  }
+
+  test("large-star/small-star needs far fewer rounds than propagation on a chain") {
+    import spark.implicits._
+    // a planted 33-node duplicate chain 0-1-2-…-32: min-label propagation
+    // moves the 0 label one hop per round (O(diameter)); the star
+    // algorithm collapses the chain in O(log n) rounds
+    val docs = (0L to 32L).toDF("doc_id")
+    val chain = (0L until 32L).map(i => (i, i + 1)).toDF("da", "db")
+    val (pl, pRounds) = Dedup.propagateClusters(docs, chain)
+    val (sl, sRounds) = Dedup.starClusters(docs, chain)
+    val pLabels = pl.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sLabels = sl.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pLabels == (0L to 32L).map((_, 0L)).toSet)
+    assert(sLabels == pLabels, "same component labels from both algorithms")
+    assert(sRounds < pRounds,
+      s"star rounds $sRounds !< propagation rounds $pRounds on a 33-chain")
+    // singleton docs label themselves even with no edges at all
+    val (lone, _) = Dedup.starClusters(Seq(7L, 9L).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("da", "db"))
+    assert(lone.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((7L, 7L), (9L, 9L)))
+  }
 }
