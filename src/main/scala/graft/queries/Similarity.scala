@@ -107,29 +107,16 @@ object Similarity {
     }),
 
     // -- IVF (inverted-file) ANN: corpus is partitioned into Voronoi cells
-    //    around deterministic centroids (every 31st vector); queries probe
-    //    the nprobe=4 nearest cells and re-rank exactly inside them.
-    //    Scale shape: cell assignment is a broadcast of centroids + a
-    //    partial-aggregatable max(struct) argmax — one scan, one reduce,
-    //    no window over the corpus; the candidate join is key-equi on
-    //    cell id. At 100 TB centroids come from a sampled k-means fit;
-    //    the query-side plan is unchanged.
+    //    around k-means-fitted centroids; queries probe the nprobe=4
+    //    nearest cells and re-rank exactly inside them. Scale shape: cell
+    //    assignment is a broadcast of centroids + a partial-aggregatable
+    //    max(struct) argmax — one scan, one reduce, no window over the
+    //    corpus; the candidate join is key-equi on cell id.
     "x_sim_ivf" -> ((s, d) => {
       val nprobe = 4
       val e = withNorm(s, d)
-      val cents = e.filter(pmod(col("vec_id"), lit(31)) === 0)
-        .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
-      val ccos = (expr("float_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("ccos")
-      // nearest-centroid assignment: argmax via max(struct(cos, -cid)) —
-      // deterministic tie-break, map-side-combinable (unlike a row_number
-      // window, which would shuffle the whole corpus × centroid product)
-      val assigned = e.join(broadcast(cents), lit(true))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          struct(ccos, (lit(0L) - col("cid")).as("negcid")).as("sc"))
-        .groupBy("vec_id")
-        .agg(max("sc").as("m"), first("embedding").as("embedding"), first("nrm").as("nrm"))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          (lit(0L) - col("m.negcid")).as("cid"))
+      val cents = kmeansCentroids(e, k = 16, iters = 2).localCheckpoint()
+      val assigned = assignCells(e, cents)
       // query side: tiny (10 rows) — probe the nprobe nearest cells
       val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
       val probes = e.filter(col("vec_id") < 10)
@@ -150,6 +137,46 @@ object Similarity {
         .orderBy("qid", "rank")
     })
   )
+
+  /** Nearest-centroid cell assignment: argmax via max(struct(cos, -cid))
+    * — deterministic tie-break, map-side-combinable (unlike a row_number
+    * window, which would shuffle the whole corpus × centroid product).
+    * `cents`: (cid, ce: array<float>, cn). */
+  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val ccos = (expr("float_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("ccos")
+    e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        struct(ccos, (lit(0L) - col("cid")).as("negcid")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max("sc").as("m"), first("embedding").as("embedding"), first("nrm").as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (lit(0L) - col("m.negcid")).as("cid"))
+  }
+
+  /** k-means centroid fit for the IVF cells (Lloyd, fixed iteration
+    * count), replacing round-2's every-31st-vector scaffolding.
+    * Deterministic: seeds are the k corpus vectors with the smallest
+    * xxhash64(vec_id) — a fixed pseudo-random draw — and every iteration
+    * is the same broadcast-argmax assignment the IVF query itself uses,
+    * followed by a per-(cell, dim) MEAN computed as a partial aggregate.
+    * Nothing corpus-sized ever reaches the driver: the fit shuffles
+    * O(corpus × dims) skinny (cid, pos, x) rows per iteration with
+    * map-side combine, and the result is k rows. Empty cells simply
+    * drop (k shrinks), keeping the query side total-recall-safe. */
+  private[queries] def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = e.orderBy(xxhash64(col("vec_id"))).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    for (_ <- 0 until iters) {
+      cents = assignCells(e, cents)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> CAST(p.m AS FLOAT))").as("ce"))
+        .withColumn("cn", sqrt(expr("float_dot(ce, ce)")))
+        .select(col("cid"), col("ce"), col("cn"))
+    }
+    cents
+  }
 
   val oracle: Map[String, String] = Map(
     "x_sim_topk" ->

@@ -21,9 +21,9 @@ import scala.util.matching.Regex
   *   2. Type-mismatch meta-arguments (e.g. a non-list `depends_on`) make the
   *      reference abort the whole table scan with an error; we skip the
   *      offending field and keep the row (lenient, query still runs).
-  *   3. Span recovery for single-line (unformatted) plan/state files returns
-  *      line 1..1 with the whole line as source (the reference returns
-  *      1..totalLines with a regex-sliced source, utils.go:495-547).
+  *   (Former divergence 3 — single-line plan/state span recovery — is
+  *   retired: unformatted files now reproduce the reference's fallback,
+  *   utils.go:495-547. See unformattedSpan/fallbackPlanSource.)
   */
 object Builders {
 
@@ -369,10 +369,52 @@ object Builders {
 
   /** parse_tfplan.go — typed walk of planned_values.root_module.resources;
     * only the resource table serves plan files (A16). */
+  // -------------------------------------- unformatted-JSON span fallback
+
+  /** The reference's span scanner (findBlockLinesFromJSON, utils.go:
+    * 374-404) only ever ENTERS a block at a line whose trimmed text is
+    * exactly `"<block>": {` or `"<block>": [` — so a file without such a
+    * line (compact/unformatted JSON, "all the content remains in line 1")
+    * fails the scan entirely and every row takes the fallback below. */
+  private def hasBlockLine(content: String, blockName: String): Boolean =
+    content.linesIterator.exists { l =>
+      val t = l.trim
+      t == s""""$blockName": {""" || t == s""""$blockName": ["""
+    }
+
+  /** Fallback span (utils.go:495-500): line 1 through the file's total
+    * line count (bufio.Scanner semantics: a trailing newline does not
+    * open a final empty line). */
+  private def unformattedSpan(content: String): (Int, Int) =
+    (1, math.max(content.linesIterator.length, 1))
+
+  /** utils.go:510 — Go regexp, `.` not matching newlines, greedy capture
+    * backtracking to the LAST `}},"resource_changes"`. */
+  private val PlanResourcesRe =
+    """"planned_values":\{.*"root_module":\{"resources":(.*)\}\},"resource_changes"""".r
+
+  /** Fallback source (utils.go:502-547): extract the planned_values
+    * resources list by regex, keep the LAST entry whose printed form
+    * contains both match keys, and re-marshal it canonically (Go
+    * json.Marshal key order — our Json.write). Non-plan content (the
+    * regex can't match a state file) yields no source, as in the
+    * reference. */
+  private def fallbackPlanSource(content: String, key1: String, key2: String): Option[String] =
+    PlanResourcesRe.findFirstMatchIn(content).flatMap { m =>
+      Json.parseOpt(m.group(1)) match {
+        case Some(JArr(items)) =>
+          items.collect { case o: JObj => o }
+            .filter { o => val s = o.render; s.contains(key1) && s.contains(key2) }
+            .lastOption.map(_.render)
+        case _ => None
+      }
+    }
+
   private def planRows(path: String, content: String): Seq[TfRow] = {
     val (tree, spans) =
       try Json.parseWithSpans(content)
       catch { case e: Exception => return errorRow(path, "plan-json", e) }
+    val formatted = hasBlockLine(content, "resources")
     val resources = tree match {
       case o: JObj =>
         o.get("planned_values").collect { case pv: JObj => pv }
@@ -388,8 +430,13 @@ object Builders {
       val mode = r.get("mode").collect { case JStr(s) => s }.getOrElse("")
       val address = r.get("address").collect { case JStr(s) => s }.getOrElse("")
       val args = r.get("values").collect { case o: JObj => o }
-      val (sl, el) = Option(spans.get(r)).getOrElse((0, 0))
-      val src = sourceSlice(content, sl, el)
+      // plan matching keys are (address, type) — parse_tfplan.go:49
+      val (sl, el) =
+        if (formatted) Option(spans.get(r)).getOrElse((0, 0))
+        else unformattedSpan(content)
+      val src =
+        if (formatted) sourceSlice(content, sl, el)
+        else fallbackPlanSource(content, address, rtype)
       var row = base.copy(table = "resource", name = nz(name), tfType = nz(rtype),
         mode = nz(mode), address = nz(address),
         arguments = args.map(_.render), // plan arguments NOT NullIfEmptyMap'd pre-serialization quirk: empty map renders "{}" → NullIfEmptyMap applies at column level
@@ -418,11 +465,17 @@ object Builders {
     val out = Seq.newBuilder[TfRow]
 
     doc.get("resources").collect { case JArr(items) => items }.foreach { items =>
+      val formatted = hasBlockLine(content, "resources")
       items.collect { case envelope: JObj =>
         val rtype = envelope.get("type").collect { case JStr(s) => s }.getOrElse("")
         val rname = envelope.get("name").collect { case JStr(s) => s }.getOrElse("")
-        val (sl, el) = Option(spans.get(envelope)).getOrElse((0, 0))
-        val src = sourceSlice(content, sl, el)
+        // state matching keys are (type, name) — table_terraform_resource.go:295
+        val (sl, el) =
+          if (formatted) Option(spans.get(envelope)).getOrElse((0, 0))
+          else unformattedSpan(content)
+        val src =
+          if (formatted) sourceSlice(content, sl, el)
+          else fallbackPlanSource(content, rtype, rname)
         val instances = envelope.get("instances").collect { case JArr(is) => is }.getOrElse(Vector.empty)
         instances.collect { case inst: JObj =>
           var row = base.copy(table = "resource", tfType = nz(rtype), name = nz(rname),
@@ -444,20 +497,28 @@ object Builders {
     }
 
     doc.get("outputs").collect { case outputs: JObj => outputs }.foreach { outputs =>
+      val formatted = hasBlockLine(content, "outputs")
       outputs.fields.foreach {
         case (oname, body: JObj) =>
-          val (sl, el) = Option(spans.get(body)).getOrElse((0, 0))
-          val src = sourceSlice(content, sl, el)
+          // unformatted outputs: span 1..total, no source (the reference's
+          // fallback regex is plan-shaped and cannot match state content)
+          val (sl, el) =
+            if (formatted) Option(spans.get(body)).getOrElse((0, 0))
+            else unformattedSpan(content)
+          val src = if (formatted) sourceSlice(content, sl, el) else None
           out += buildOutput(base, oname, body, nzL(sl.toLong), nzL(el.toLong), src)
         case _ =>
       }
     }
 
     doc.get("variables").collect { case vars: JObj => vars }.foreach { vars =>
+      val formatted = hasBlockLine(content, "variables")
       vars.fields.foreach {
         case (vname, body: JObj) =>
-          val (sl, el) = Option(spans.get(body)).getOrElse((0, 0))
-          val src = sourceSlice(content, sl, el)
+          val (sl, el) =
+            if (formatted) Option(spans.get(body)).getOrElse((0, 0))
+            else unformattedSpan(content)
+          val src = if (formatted) sourceSlice(content, sl, el) else None
           var row = base.copy(table = "variable", name = nz(vname),
             startLine = nzL(sl.toLong), endLine = nzL(el.toLong), source = src)
           body.fields.foreach {

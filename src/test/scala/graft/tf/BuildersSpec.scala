@@ -144,9 +144,33 @@ class BuildersSpec extends AnyFunSuite {
     assert(sniffed.head.address == Some("aws_instance.app_server[0]"))
   }
 
-  test("single-line plan: span fallback (A14)") {
+  test("single-line plan: reference span fallback — 1..totalLines + regex-sliced source (A14)") {
+    // utils.go:495-547: the formatted-scan fails (no `"resources": [` line),
+    // so every row reports line 1..total (1 for this file) and source = the
+    // json.Marshal (sorted keys) of the LAST planned_values resource whose
+    // printed form contains both the address and the type
     assert(planRows1L.size == 3)
-    assert(planRows1L.head.startLine == Some(1L))
+    assert(planRows1L.forall(r => r.startLine == Some(1L) && r.endLine == Some(1L)))
+    val a0 = planRows1L.find(_.address == Some("aws_instance.app_server[0]")).get
+    assert(a0.source == Some(
+      """{"address":"aws_instance.app_server[0]","mode":"managed","name":"app_server","provider_name":"registry.terraform.io/hashicorp/aws","type":"aws_instance","values":{"ami":"ami-830c94e3","instance_type":"t2.micro","tags":{"Name":"ExampleAppServerInstance"}}}"""))
+    val logs = planRows1L.find(_.address == Some("aws_s3_bucket.logs")).get
+    assert(logs.source == Some(
+      """{"address":"aws_s3_bucket.logs","mode":"managed","name":"logs","provider_name":"registry.terraform.io/hashicorp/aws","type":"aws_s3_bucket","values":{"bucket":"example-logs","force_destroy":false}}"""))
+  }
+
+  test("unformatted state: span fallback 1..totalLines, no source") {
+    // compact the pretty fixture onto one line: the reference's scanner
+    // finds no `"resources": [` line and its plan-shaped fallback regex
+    // cannot match state content → spans 1..1, source NULL
+    val compact = read("fixtures/terraform.tfstate")
+      .replace("\n", "").replaceAll("\\s{2,}", "")
+    val rows = Builders.rowsForFile("/fx/one.tfstate", FileKind.State, compact)
+    val rs = of(rows, "resource")
+    assert(rs.size == 3)
+    assert(rs.forall(r => r.startLine == Some(1L) && r.endLine == Some(1L) && r.source.isEmpty))
+    val outs = of(rows, "output")
+    assert(outs.nonEmpty && outs.forall(r => r.startLine == Some(1L) && r.source.isEmpty))
   }
 
   // ------------------------------------------------------------ state file
