@@ -23,7 +23,11 @@ object Events {
   type Q = (SparkSession, String) => DataFrame
 
   private def ev(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events").withColumn("us", (col("ts") / 1000).cast("long"))
+    // INTEGER division: ns epochs (~1.7e18) exceed double's 53-bit
+    // mantissa, so `ts / 1000` (double) drifts by ±1 µs on some rows —
+    // `div` keeps the whole pipeline in exact long arithmetic, matching
+    // DuckDB's epoch_us truncation bit-for-bit
+    table(s, d, "events").withColumn("us", expr("ts div 1000"))
 
   val queries: Map[String, Q] = Map(
     // -- tumbling 1-hour windows per event type
@@ -63,6 +67,39 @@ object Events {
           // integer division on both sides (DuckDB CAST rounds, Spark truncates)
           expr("(max(us) - min(us)) div 1000000").as("duration_secs"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // -- AS-OF JOIN (an operator Spark lacks natively): each purchase is
+    //    matched to the latest view by the same user at or before it.
+    //    Composable single-shuffle implementation — tag both streams,
+    //    union, sort within user by (time, tag) with views first at equal
+    //    time, and carry the last view forward with last(ignoreNulls) —
+    //    O(n log n) per key, ONE shuffle, no range-explosion and no
+    //    per-row probe join; exactly the layout a 1000-executor run
+    //    wants (each user's timeline lands in one partition stream).
+    //    Oracle: DuckDB's native ASOF LEFT JOIN. Views are pre-deduped
+    //    per (user, us) to the max event_id so the as-of tie is
+    //    deterministic in both engines.
+    "x_events_asof" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("us")).agg(max("event_id").as("view_id"))
+      val tagged = views.select(col("user_id"), col("us"), lit(0).as("tag"),
+          lit(null).cast("long").as("purchase_id"), col("view_id"))
+        .unionAll(purchases.select(col("user_id"), col("us"), lit(1).as("tag"),
+          col("event_id").as("purchase_id"), lit(null).cast("long").as("view_id")))
+      val w = Window.partitionBy("user_id").orderBy("us", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("vid", last("view_id", ignoreNulls = true).over(w))
+        .withColumn("vus", last(when(col("tag") === 0, col("us")), ignoreNulls = true).over(w))
+        .filter(col("tag") === 1)
+        .select(col("purchase_id"), col("user_id"), col("us").as("p_us"),
+          col("vid").as("view_id"), col("vus").as("v_us"),
+          (col("us") - col("vus")).as("gap_us"))
+        .orderBy("purchase_id")
     })
   )
 
@@ -94,6 +131,18 @@ object Events {
         |      FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_secs
-        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+        |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "x_events_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) us, event_type FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS p_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, us AS v_us, max(event_id) AS view_id FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id, us)
+        |SELECT p.purchase_id, p.user_id, p.p_us, v.view_id, v.v_us,
+        |       p.p_us - v.v_us AS gap_us
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.p_us >= v.v_us
+        |ORDER BY purchase_id""".stripMargin
   )
 }

@@ -135,8 +135,28 @@ object Similarity {
         .filter(col("rank") <= 5)
         .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
         .orderBy("qid", "rank")
-    })
+    }),
+
+    "x_sim_quantize" -> ((s, d) => quantizeQuery(s, d).filter(col("vec_id") < 100))
   )
+
+  /** Symmetric int8 quantization of the embedding column — the standard
+    * 4× storage/bandwidth shrink before ANN serving. Per-vector scale =
+    * 127 / max|x|; quantized value = floor(x·scale + 0.5) (explicit
+    * floor(+0.5) instead of round(): identical IEEE double semantics in
+    * every engine, so the oracle is hash-exact). Output is exploded
+    * (vec_id, pos, q, qscale) rows — a pure narrow map over the scan. */
+  private def quantizeQuery(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("mx", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("qscale", when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+      .select(col("vec_id"), col("qscale"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        floor(col("x").cast("double") * col("qscale") + 0.5).cast("long").as("q"),
+        col("qscale"))
+      .orderBy("vec_id", "pos")
 
   /** Nearest-centroid cell assignment: argmax via max(struct(cos, -cid))
     * — deterministic tie-break, map-side-combinable (unlike a row_number
@@ -217,7 +237,22 @@ object Similarity {
         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
         |  FROM scored)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
-        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "x_sim_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+        |  FROM embeddings WHERE vec_id < 100),
+        |sc AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS qscale
+        |  FROM m)
+        |SELECT vec_id,
+        |  CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS pos,
+        |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * qscale + 0.5) AS BIGINT) AS q,
+        |  qscale
+        |FROM sc ORDER BY vec_id, pos""".stripMargin
     // x_sim_lsh: xxhash64-derived hyperplanes → rows-only check; recall
     // floor vs brute force pinned in SimilaritySpec.
     // x_sim_ivf: recall depends on centroid draw → rows-only check; recall

@@ -115,7 +115,44 @@ object TextAnalysis {
       table(s, d, "documents").filter(col("doc_id") < 50)
         .select(col("doc_id"),
           md5(lower(regexp_replace(col("text"), " +", " "))).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // -- corpus vocabulary: term + document frequency, top 100 by tf —
+    //    the tokenizer-building statistic. One explode + one groupBy with
+    //    map-side partial counts; top-k is a TakeOrdered, never a full
+    //    sort of the vocabulary
+    "x_text_vocab" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("w"))
+        .limit(100)),
+
+    // -- training-corpus funnel: the composed cleaning pipeline a real
+    //    ingest runs — quality gate (length + alpha ratio), language gate,
+    //    exact-dedup keep — reported as per-stage survivor counts. Each
+    //    stage is a filter over ONE scan; the dedup stage groups on
+    //    md5(text), so nothing heavier than a 16-byte key ever shuffles
+    "x_text_funnel" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val alpha = (length(regexp_replace(col("text"), "[^A-Za-z ]", "")).cast("double") /
+        length(col("text"))).as("alpha_ratio")
+      val staged = docs
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"), alpha)
+        .withColumn("q_ok", col("n_chars") >= 50 && col("alpha_ratio") >= 0.8)
+        .withColumn("l_ok", col("q_ok") && col("lang").isin("en", "fr", "de", "es"))
+      val kept = staged.filter(col("l_ok"))
+        .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keeper"))
+      staged.agg(count(lit(1)).as("n")).select(lit("0_ingested").as("stage"), col("n"))
+        .unionAll(staged.filter(col("q_ok")).agg(count(lit(1)).as("n"))
+          .select(lit("1_quality").as("stage"), col("n")))
+        .unionAll(staged.filter(col("l_ok")).agg(count(lit(1)).as("n"))
+          .select(lit("2_language").as("stage"), col("n")))
+        .unionAll(kept.agg(count(lit(1)).as("n"))
+          .select(lit("3_deduped").as("stage"), col("n")))
+        .orderBy("stage")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -176,6 +213,31 @@ object TextAnalysis {
         |  max(CASE WHEN rn = 1 + (cnt - 1) // 2 THEN n_ws END) AS p50_tokens,
         |  max(CASE WHEN rn = 1 + ((cnt - 1) * 9) // 10 THEN n_ws END) AS p90_tokens,
         |  max(cnt) AS docs
-        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x_text_vocab" ->
+      """SELECT w, CAST(count(*) AS BIGINT) AS tf,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY tf DESC, w LIMIT 100""".stripMargin,
+
+    "x_text_funnel" ->
+      """WITH staged AS (
+        |  SELECT doc_id, text, lang, n_chars,
+        |    CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+        |      / len(text) AS alpha_ratio
+        |  FROM documents),
+        |flags AS (
+        |  SELECT *, (n_chars >= 50 AND alpha_ratio >= 0.8) AS q_ok,
+        |    (n_chars >= 50 AND alpha_ratio >= 0.8
+        |      AND lang IN ('en', 'fr', 'de', 'es')) AS l_ok
+        |  FROM staged),
+        |kept AS (
+        |  SELECT md5(text) h, min(doc_id) keeper FROM flags WHERE l_ok GROUP BY 1)
+        |SELECT '0_ingested' AS stage, count(*) AS n FROM flags
+        |UNION ALL SELECT '1_quality', count(*) FROM flags WHERE q_ok
+        |UNION ALL SELECT '2_language', count(*) FROM flags WHERE l_ok
+        |UNION ALL SELECT '3_deduped', count(*) FROM kept
+        |ORDER BY stage""".stripMargin
   )
 }

@@ -43,4 +43,20 @@ class SimilaritySpec extends SparkSpecBase {
     // should recover a fair share of true neighbors
     assert(recall >= 0.3, s"recall $recall too low (|truth∩approx|=${(truth & approx).size})")
   }
+
+  test("int8 quantization: range bound and reconstruction error") {
+    import org.apache.spark.sql.functions._
+    val q = Similarity.queries("x_sim_quantize")(spark, sf)
+    assert(q.filter(abs(col("q")) > 127).count() == 0, "values within int8 range")
+    // dequantized value within half a quantization step of the original
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("x").cast("double").as("x"))
+    val bad = q.join(raw, Seq("vec_id", "pos"))
+      .filter(col("qscale") > 0 &&
+        abs(col("q") / col("qscale") - col("x")) > lit(0.5) / col("qscale") + lit(1e-12))
+      .count()
+    assert(bad == 0, s"$bad dequantized values off by more than half a step")
+  }
 }

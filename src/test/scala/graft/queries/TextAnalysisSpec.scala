@@ -6,6 +6,24 @@ import graft.SparkSpecBase
   * pins the sketch-based scale path against its exact ground truth. */
 class TextAnalysisSpec extends SparkSpecBase {
 
+  test("vocabulary: tf >= df, descending tf, bounded size") {
+    val rows = TextAnalysis.queries("x_text_vocab")(spark, sf).collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) >= r.getLong(2)), "tf >= df per term")
+    val tfs = rows.map(_.getLong(1)).toSeq
+    assert(tfs == tfs.sorted.reverse, "ordered by tf descending")
+  }
+
+  test("cleaning funnel: monotone survivor counts") {
+    val rows = TextAnalysis.queries("x_text_funnel")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_._1).toSeq ==
+      Seq("0_ingested", "1_quality", "2_language", "3_deduped"))
+    val ns = rows.map(_._2).toSeq
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, s"not monotone: $ns")
+    assert(ns.head > 0 && ns.last > 0)
+  }
+
   test("approx_percentile sketch tracks the exact rank-arithmetic percentiles") {
     val exact = TextAnalysis.queries("x_text_percentiles")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
