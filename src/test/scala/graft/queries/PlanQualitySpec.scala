@@ -46,10 +46,51 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("LSH/banded candidate joins are equi-joins, never cartesian") {
-    for (q <- Seq("x_sim_lsh", "x_dedup_minhash", "x_dedup_simhash_lsh", "x_sim_ivf")) {
+    for (q <- Seq("x_sim_lsh", "x_dedup_minhash", "x_dedup_simhash_lsh", "x_sim_ivf",
+        "x_dedup_minhash_md5")) {
       val p = planStr(q)
       assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian product:\n$p")
     }
+  }
+
+  test("as-of join is ONE shuffle over the union, not a range join") {
+    // the tagged-union formulation must plan as window-over-one-Exchange;
+    // any join operator here means it degenerated into a per-row probe
+    // (range joins explode at 100 TB; the single-shuffle shape doesn't)
+    val p = planStr("x_events_asof")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of degenerated to a product:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"as-of should be window-over-union, found a join:\n$p")
+    assert(p.contains("Window"), s"missing window carry-forward:\n$p")
+  }
+
+  test("md5-minhash signature aggregates partially (map-side combine)") {
+    // the 16 per-permutation mins must fold map-side: the plan carries a
+    // partial_min before the doc_id exchange, so the shuffle is O(docs)
+    // buffers, never O(shingles)
+    val p = planStr("x_dedup_minhash_md5")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"signature mins not partially aggregated:\n$p")
+  }
+
+  test("quantization is a narrow map: no shuffle at all") {
+    val p = planStr("x_sim_quantize")
+    assert(!p.contains("Exchange") ||
+      // a single final sort for the ORDER BY is acceptable; no other
+      // exchange (the quantizer itself must not repartition)
+      p.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1,
+      s"quantizer shuffles more than the output sort:\n$p")
+  }
+
+  test("cleaning funnel never shuffles document bodies") {
+    // the dedup stage groups on md5(text): the exchange carries the
+    // 32-hex key (and min doc_id), not text — check no Exchange row
+    // schema contains the text column
+    val p = planStr("x_text_funnel")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(!_.contains("text#")),
+      s"funnel shuffles raw text:\n${exchanges.mkString("\n")}")
   }
 
   test("self-joins reuse the signature exchange instead of recomputing it") {
