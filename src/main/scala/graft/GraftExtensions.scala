@@ -41,11 +41,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   /** Embedded/test path: one call registering every graft function (the
-    * UDAF needs a permutation count, fixed here at the pipeline's 32). */
+    * UDAF needs a permutation count, fixed here at the pipeline's 32),
+    * plus the Postgres/SQLite compat shims the documented reference
+    * queries use (jsonb_pretty, json_get/json_get_str,
+    * json_array_elements, json_extract, json_each_values,
+    * sqlite_truthy) — UDF-backed, so they register per-session rather
+    * than through the extension injector. */
   def registerAll(spark: SparkSession, minhashPerms: Int = 32): Unit = {
     CosineSimilarity.register(spark)
     MinHashSignature.register(spark)
     SimHash64.register(spark)
     graft.functions.MinHashAgg.register(spark, minhashPerms)
+    graft.tf.Terraform.registerFunctions(spark)
   }
 }

@@ -63,16 +63,32 @@ object Dedup {
         s"struct(${i * 8 + j}L AS blk, (shiftright(sh, ${i * 8}) & 255) * 256 + (shiftright(sh, ${j * 8}) & 255) AS bv)")
         .mkString("array(", ", ", ")")
 
+  /** Degenerate-bucket guard for LSH band self-joins: drop buckets with
+    * more than `max` members BEFORE the join. A bucket that big means a
+    * degenerate signature (empty/boilerplate documents) whose pairs
+    * belong to exact dedup, not near-dup discovery — and without the cap
+    * ONE hot bucket costs O(bucket²) pairs at 100 TB. The count groups on
+    * the SAME keys the join shuffles on, so the exchange is reused, not
+    * doubled. Default caps are far above anything a healthy corpus
+    * produces (DedupSpec pins that nothing is dropped at test scale and
+    * that a planted hot bucket IS dropped). */
+  private[queries] def capBuckets(blocks: DataFrame, max: Long, keys: String*): DataFrame = {
+    val counts = blocks.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
+    blocks.join(counts.filter(col("bn") <= max).select(keys.map(col): _*), keys.toSeq)
+  }
+
   /** Distinct candidate pairs (da < db, with both signatures) from a
     * key-equi join on SimHash band keys — the shape whose volume the
     * banding scheme controls (DedupSpec pins pair-of-blocks ≤ single). */
   private[queries] def simhashCandidates(s: SparkSession, d: String,
-      pairBlocks: Boolean): DataFrame = {
+      pairBlocks: Boolean, maxBucket: Long = 100000L): DataFrame = {
     graft.functions.SimHash64.register(s)
     val bits = toks(s, d).select(col("doc_id"), expr("simhash64(ws)").as("sh"))
-    val blocks = bits.select(col("doc_id"), col("sh"),
-        explode(expr(simhashBandKeys(pairBlocks))).as("k"))
-      .select(col("doc_id"), col("sh"), col("k.blk"), col("k.bv"))
+    val blocks = capBuckets(
+      bits.select(col("doc_id"), col("sh"),
+          explode(expr(simhashBandKeys(pairBlocks))).as("k"))
+        .select(col("doc_id"), col("sh"), col("k.blk"), col("k.bv")),
+      maxBucket, "blk", "bv")
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
@@ -133,10 +149,12 @@ object Dedup {
       val sig = shingles(s, d, lit(true))
         .select(col("doc_id"), xxhash64(col("s")).as("h"))
         .groupBy("doc_id").agg(expr("minhash_agg(h)").as("sig"))
-      val bands = sig.select(col("doc_id"), col("sig"),
-          explode(expr(s"transform(sequence(0, ${nPerm / rowsPerBand - 1}), " +
-            s"b -> struct(b AS band, xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bh))")).as("bk"))
-        .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bh"))
+      val bands = capBuckets(
+        sig.select(col("doc_id"), col("sig"),
+            explode(expr(s"transform(sequence(0, ${nPerm / rowsPerBand - 1}), " +
+              s"b -> struct(b AS band, xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bh))")).as("bk"))
+          .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bh")),
+        100000L, "band", "bh")
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -50,6 +50,40 @@ object Streams {
 
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
+  final case class AsOfMatch(purchase_id: Long, user_id: Long, p_us: Long,
+      view_id: Option[Long], v_us: Option[Long])
+
+  /** Streaming as-of join — the continuous twin of the batch
+    * `x_events_asof`: per-user keyed state holds the latest view seen so
+    * far; each purchase emits its match against that state. Events must
+    * arrive per-batch; within a batch they are ordered by (time, type)
+    * with views first at equal timestamps, mirroring the batch
+    * tie-break. State is one (view_id, v_us) pair per user — bounded,
+    * partitioned by the group key across executors.
+    * Input tuples: (event_id, user_id, us, event_type). */
+  def asofMatches(events: Dataset[(Long, Long, Long, String)]): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, Long), AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Long)]) =>
+          val out = Seq.newBuilder[AsOfMatch]
+          // views sort before purchases at equal us (same order as the
+          // batch tagged-union), latest view wins by (us, event_id)
+          val ordered = rows.toSeq.sortBy(r => (r._3, if (r._4 == "view") 0 else 1, r._1))
+          ordered.foreach {
+            case (vid, _, vus, "view") =>
+              if (state.getOption.forall { case (_, prev) => prev <= vus })
+                state.update((vid, vus))
+            case (pid, _, pus, "purchase") =>
+              val m = state.getOption
+              out += AsOfMatch(pid, uid, pus, m.map(_._1), m.map(_._2))
+            case _ => ()
+          }
+          out.result().iterator
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user totals
     * (the pattern for bespoke state the built-in aggs can't express). */
   def runningTotals(events: Dataset[(java.sql.Timestamp, Long, String, Double)]): Dataset[UserRunning] = {

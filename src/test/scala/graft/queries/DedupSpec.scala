@@ -65,6 +65,20 @@ class DedupSpec extends SparkSpecBase {
     assert(pair < single, s"pair-of-blocks candidates $pair !< single-block $single")
   }
 
+  test("degenerate-bucket cap drops only the hot bucket") {
+    import spark.implicits._
+    // 5 docs share a degenerate bucket key, 2 docs sit in healthy ones
+    val blocks = (Seq.tabulate(5)(i => (i.toLong, 99L)) ++
+      Seq((10L, 1L), (11L, 2L))).toDF("doc_id", "bv")
+    val capped = Dedup.capBuckets(blocks, 3, "bv")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped == Set(10L, 11L), s"hot bucket not dropped: $capped")
+    // generous default: nothing is dropped at corpus scale
+    val all = Dedup.simhashCandidates(spark, sf, pairBlocks = true)
+    val uncapped = Dedup.simhashCandidates(spark, sf, pairBlocks = true, maxBucket = Long.MaxValue)
+    assert(all.count() == uncapped.count(), "default cap must not drop healthy buckets")
+  }
+
   test("large-star/small-star needs far fewer rounds than propagation on a chain") {
     import spark.implicits._
     // a planted 33-node duplicate chain 0-1-2-…-32: min-label propagation

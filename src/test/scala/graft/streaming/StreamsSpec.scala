@@ -78,4 +78,28 @@ class StreamsSpec extends SparkSpecBase {
     assert(m(1L) == (2L, 4.0))
     assert(m(2L) == (1L, 1.0))
   }
+
+  test("streaming as-of join: purchases match the latest view, state survives batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.asofMatches(in.toDS()).writeStream.format("memory")
+      .queryName("asof_out").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 views at 10 then buys at 20; equal-ts view (20)
+      // arrives with the purchase and must be visible to it
+      in.addData((100L, 1L, 10L, "view"), (101L, 1L, 20L, "view"), (102L, 1L, 20L, "purchase"))
+      q.processAllAvailable()
+      // batch 2: a later purchase matches state carried across batches;
+      // user 2 buys with no view ever -> null match
+      in.addData((103L, 1L, 30L, "purchase"), (104L, 2L, 30L, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("asof_out").collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (Option(r.getAs[Any]("view_id")), Option(r.getAs[Any]("v_us")))).toMap
+    assert(rows(102L) == (Some(101L), Some(20L)), s"equal-ts view visible: $rows")
+    assert(rows(103L) == (Some(101L), Some(20L)), s"state across batches: $rows")
+    assert(rows(104L) == (None, None), s"no view -> null: $rows")
+  }
 }

@@ -58,4 +58,38 @@ class PgDialectPropSpec extends AnyFunSuite {
       assert(PgDialect.rewrite(once) == once, s"not idempotent: $sql -> $once")
     }
   }
+
+  test("sqlite dialect: literals survive and rewrite is idempotent") {
+    val gen = for { c1 <- genCode; p <- genPayload; c2 <- genCode } yield (s"$c1'$p'$c2", p)
+    samples(gen).foreach { case (sql, payload) =>
+      val out = SqliteDialect.rewrite(sql)
+      assert(out.contains(s"'$payload'"), s"literal corrupted:\n in: $sql\nout: $out")
+    }
+    val examples = Seq(
+      "select json_extract(attributes_std, '$.ami') from terraform_resource",
+      "select * from terraform_output where sensitive = 1",
+      "select * from t where json_extract(x, '$.a') is null and json_extract(x, '$.b')",
+      "select json_each(arguments, '$.filter') as f from t",
+      "select * from t where not json_extract(x, '$.on')")
+    examples.foreach { sql =>
+      val once = SqliteDialect.rewrite(sql)
+      assert(SqliteDialect.rewrite(once) == once, s"not idempotent: $sql -> $once")
+    }
+  }
+
+  test("regex-match rewrite handles mixed literal/non-literal ~* chains") {
+    // the earlier literal ~* must still rewrite when a later ~* has a
+    // non-literal pattern (round-2 advice: pass 1 used to stop early)
+    assert(PgDialect.rewrite("a ~* 'x' and b ~* col") ==
+      "a  rlike '(?i)x' and b ~* col")
+    assert(PgDialect.rewrite("a !~* 'x' and b ~* col and c ~* 'y'") ==
+      "a  NOT rlike '(?i)x' and b ~* col and c  rlike '(?i)y'")
+  }
+
+  test("call expansion continues past identifiers containing the needle") {
+    // round-2 advice: an identifier containing jsonb_array_elements used
+    // to stop the scan before later genuine calls
+    assert(PgDialect.rewrite("select my_jsonb_array_elements_col, jsonb_array_elements(x) from t") ==
+      "select my_jsonb_array_elements_col, explode(json_array_elements(x)) from t")
+  }
 }
