@@ -232,6 +232,35 @@ object Dedup {
         .orderBy(col("hamming"), col("da"), col("db"))
     }),
 
+    // -- SimHash with an ENGINE-PORTABLE hash family: token hash = the
+    //    md5 digest's top 60 bits, signature bit b = sign of the ±1 sum
+    //    over that bit across the token multiset — the same Charikar
+    //    construction as simhash64 but reproducible in DuckDB, so the
+    //    signature AND the hamming pairs are hash-gated (the xxhash64
+    //    native expression stays the fast path). Bounded all-pairs
+    //    verification mirrors x_dedup_simhash; the banding scale path is
+    //    proven on the fast path and applies unchanged.
+    "x_dedup_simhash_md5" -> ((s, d) => {
+      val nBits = 60
+      val hashed = toks(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .select(col("doc_id"),
+          expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      val bitSums = (0 until nBits).map(b =>
+        sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"c$b"))
+      val sig = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until nBits).map(b =>
+            when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _).as("sh"))
+      sig.as("a")
+        .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          expr("bit_count(a.sh ^ b.sh)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy(col("hamming"), col("da"), col("db"))
+    }),
+
     // -- SimHash at scale: PAIR-of-blocks banding. Split the 64-bit
     //    signature into 8 bytes; a pair within hamming ≤ 6 has ≥ 2 intact
     //    blocks, hence at least one intact PAIR of blocks — so keying on
@@ -424,6 +453,30 @@ object Dedup {
         |        FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db)
         |SELECT da, db, est_j FROM est WHERE est_j >= 0.5
         |ORDER BY est_j DESC, da, db""".stripMargin
+    },
+
+    "x_dedup_simhash_md5" -> {
+      val sums = (0 until 60).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b")
+        .mkString(",\n        |         ")
+      val sig = (0 until 60).map(b =>
+        s"(CASE WHEN c$b > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString("\n        |       + ")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w
+        |          FROM documents WHERE doc_id < 200),
+        |hh AS (SELECT doc_id,
+        |         ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM t),
+        |cs AS (SELECT doc_id,
+        |         $sums
+        |       FROM hh GROUP BY doc_id),
+        |sig AS (SELECT doc_id,
+        |         $sig AS sh
+        |       FROM cs)
+        |SELECT a.doc_id da, b.doc_id db,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+        |ORDER BY hamming, da, db""".stripMargin
     },
 
     "x_dedup_clusters" ->

@@ -239,6 +239,43 @@ object Similarity {
         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // The LSH hyperplanes are LITERAL doubles (planeWeight is evaluated
+    // driver-side), so DuckDB can reproduce the buckets bit-for-bit with
+    // the same index-ordered double arithmetic as float_dot — making the
+    // whole multi-probe pipeline hash-gated, not rows-only. Dims pinned
+    // at the testdata contract's 64 (TESTDATA.md).
+    "x_sim_lsh" -> {
+      def w(p: Int) = (0 until 64).map(i => planeWeight(p, i)).mkString("[", ", ", "]")
+      def dot(p: Int) =
+        s"list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * (${w(p)})[i]))"
+      val bucket = (0 until 4)
+        .map(p => s"(CASE WHEN ${dot(p)} > 0 THEN ${1L << (3 - p)} ELSE 0 END)")
+        .mkString("\n        |     + ")
+      s"""WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+        |       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) nrm
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, embedding, nrm,
+        |       $bucket AS bucket
+        |  FROM e),
+        |q AS (SELECT vec_id qid, embedding qe, nrm qn,
+        |        unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+        |                xor(bucket, 4), xor(bucket, 8)]) AS qbucket
+        |      FROM b WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, t.vec_id,
+        |    list_sum(list_transform(generate_series(1, len(q.qe)),
+        |      i -> CAST(q.qe[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+        |      / (q.qn * t.nrm) AS cos
+        |  FROM q JOIN b t ON q.qbucket = t.bucket AND q.qid != t.vec_id),
+        |ranked AS (
+        |  SELECT qid, vec_id, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
+        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
     "x_sim_quantize" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,
@@ -253,9 +290,8 @@ object Similarity {
         |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * qscale + 0.5) AS BIGINT) AS q,
         |  qscale
         |FROM sc ORDER BY vec_id, pos""".stripMargin
-    // x_sim_lsh: xxhash64-derived hyperplanes → rows-only check; recall
-    // floor vs brute force pinned in SimilaritySpec.
-    // x_sim_ivf: recall depends on centroid draw → rows-only check; recall
-    // floor + determinism pinned in SimilaritySpec.
+    // x_sim_ivf: centroids come from a distributed k-means fit (mean of
+    // doubles in partition order — not engine-reproducible) → rows-only
+    // check; recall floor + determinism pinned in SimilaritySpec.
   )
 }

@@ -56,6 +56,11 @@ class DedupSpec extends SparkSpecBase {
     assert(got.contains((8L, 12L)) && got.contains((0L, 50L)), s"got $got")
   }
 
+  test("md5-family simhash puts planted near-duplicates within the budget") {
+    val got = pairs("x_dedup_simhash_md5")
+    assert(got.contains((8L, 12L)) && got.contains((0L, 50L)), s"got $got")
+  }
+
   test("pair-of-blocks simhash banding shrinks the candidate join") {
     val single = Dedup.simhashCandidates(spark, sf, pairBlocks = false).count()
     val pair = Dedup.simhashCandidates(spark, sf, pairBlocks = true).count()
