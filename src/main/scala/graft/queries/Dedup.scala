@@ -181,39 +181,18 @@ object Dedup {
     //    and each permutation is an affine map mod the prime 1e9+7 —
     //    (2p+1)·h + p²+7 — so the 16 per-perm mins aggregate 8-byte longs,
     //    not 32-char digests (2.7 s → sub-second at sf0.1).
-    "x_dedup_minhash_md5" -> ((s, d) => {
-      val nPerm = 16
-      val nBands = 4
-      val rows = nPerm / nBands
-      val P = 1000000007L
-      val sh = shingles(s, d, lit(true))
-        .select(col("doc_id"),
-          (expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)") % P).as("h"))
-      val mins = (0 until nPerm).map(p =>
-        min((col("h") * (2 * p + 1) + (p * p + 7)) % P).as(s"m$p"))
-      val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      val keys = sig.select(col("doc_id"),
-          explode(expr((0 until nBands)
-            .map(b => s"struct($b AS band, md5(${
-              (0 until rows).map(r => s"m${b * rows + r}").mkString("concat_ws('|', ", ", ", ")")
-            }) AS bh)")
-            .mkString("array(", ", ", ")"))).as("k"))
-        .select(col("doc_id"), col("k.band"), col("k.bh"))
-      val cand = keys.as("a")
-        .join(keys.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      val est = (0 until nPerm)
-        .map(p => when(col(s"sa.m$p") === col(s"sb.m$p"), 1).otherwise(0))
-        .reduce(_ + _).cast("double") / nPerm
-      cand
-        .join(sig.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sig.as("sb"), col("db") === col("sb.doc_id"))
-        .select(col("da"), col("db"), est.as("est_j"))
-        .filter(col("est_j") >= 0.5)
-        .orderBy(col("est_j").desc, col("da"), col("db"))
+    "x_dedup_minhash_md5" -> ((s, d) =>
+      md5MinhashPairs(s, d).orderBy(col("est_j").desc, col("da"), col("db"))),
+
+    // -- the composed full-corpus dedup pipeline a 100 TB ingest runs:
+    //    md5-family MinHash+LSH pair discovery feeding large-star/
+    //    small-star clustering over EVERY document (singletons label
+    //    themselves). Both stages are engine-portable, so the entire
+    //    discovery → clustering pipeline is DuckDB hash-gated — the
+    //    full-scale twin of the bounded x_dedup_clusters.
+    "x_dedup_clusters_full" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id"))
+      starClusters(docs, md5MinhashPairs(s, d).select(col("da"), col("db")))._1
     }),
 
     // -- SimHash: 64-bit signature via the native simhash64 expression (a
@@ -306,6 +285,45 @@ object Dedup {
     })
   )
 
+  /** md5-family MinHash+LSH near-dup pairs with est_j ≥ 0.5 (da < db) —
+    * see the x_dedup_minhash_md5 entry for the scheme. Shared by the
+    * pair query and the full-corpus clustering pipeline. */
+  private def md5MinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val nPerm = 16
+    val nBands = 4
+    val rows = nPerm / nBands
+    val P = 1000000007L
+    val sh = shingles(s, d, lit(true))
+      .select(col("doc_id"),
+        (expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)") % P).as("h"))
+    val mins = (0 until nPerm).map(p =>
+      min((col("h") * (2 * p + 1) + (p * p + 7)) % P).as(s"m$p"))
+    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val keys = capBuckets(
+      sig.select(col("doc_id"),
+          explode(expr((0 until nBands)
+            .map(b => s"struct($b AS band, md5(${
+              (0 until rows).map(r => s"m${b * rows + r}").mkString("concat_ws('|', ", ", ", ")")
+            }) AS bh)")
+            .mkString("array(", ", ", ")"))).as("k"))
+        .select(col("doc_id"), col("k.band"), col("k.bh")),
+      100000L, "band", "bh")
+    val cand = keys.as("a")
+      .join(keys.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val est = (0 until nPerm)
+      .map(p => when(col(s"sa.m$p") === col(s"sb.m$p"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / nPerm
+    cand
+      .join(sig.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), est.as("est_j"))
+      .filter(col("est_j") >= 0.5)
+  }
+
   /** Near-dup edge discovery shared by the clustering operators:
     * 3-shingle Jaccard ≥ 0.2 pairs (da < db). */
   private[queries] def jaccardPairs(s: SparkSession, d: String, limit: Column): DataFrame = {
@@ -362,14 +380,25 @@ object Dedup {
     // edges kept oriented hi > lo (pairs arrive as da < db)
     var edges = pairs.select(col("db").as("hi"), col("da").as("lo"))
       .distinct().localCheckpoint()
+    // fixpoint detection: both sides are DISTINCT edge sets, so equal
+    // (count, xor-of-per-edge-hash) fingerprints mean set equality up to
+    // a 2^-64-scale hash collision — ONE cheap aggregate per round
+    // instead of a count plus an anti-join, which at bench scale halves
+    // the per-round job count (the oracle hash-gate would catch a
+    // collision-induced early stop; bit_xor cannot overflow under ANSI)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(hi, lo))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var fp = fingerprint(edges)
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = fp._1 == 0L
     while (!converged) {
       rounds += 1
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      // fixpoint: both sides are distinct sets, so equal counts + empty
-      // one-sided difference ⇒ set equality
-      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      fp = nfp
       edges = next
     }
     val lbl = docs.join(edges.withColumnRenamed("hi", "doc_id"), Seq("doc_id"), "left")
@@ -403,6 +432,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Shared DuckDB WITH-body: the md5-family MinHash pipeline through the
+    * per-candidate similarity estimate (`est(da, db, est_j)`). */
+  private def md5MinhashCte: String = {
+    val mins = (0 until 16).map(p =>
+      s"min((h * ${2 * p + 1} + ${p * p + 7}) % 1000000007) AS m$p")
+      .mkString(",\n        |         ")
+    val bands = (0 until 4).map { b =>
+      val cs = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cs)) AS bh FROM sig"
+    }.mkString("\n        |       UNION ALL ")
+    val eq = (0 until 16).map(p => s"(CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         generate_series(1, greatest(len(ws) - 2, 0)),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) s FROM t),
+      |sh AS (SELECT doc_id,
+      |         (('0x' || substr(md5(s), 1, 15))::BIGINT % 1000000007) AS h FROM sh0),
+      |sig AS (SELECT doc_id,
+      |         $mins
+      |       FROM sh GROUP BY doc_id),
+      |keys AS ($bands),
+      |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM keys a
+      |         JOIN keys b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+      |est AS (SELECT da, db, CAST($eq AS DOUBLE) / 16 AS est_j
+      |        FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
@@ -427,33 +484,21 @@ object Dedup {
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
         |ORDER BY j DESC, da, db""".stripMargin,
 
-    "x_dedup_minhash_md5" -> {
-      val mins = (0 until 16).map(p =>
-        s"min((h * ${2 * p + 1} + ${p * p + 7}) % 1000000007) AS m$p")
-        .mkString(",\n        |         ")
-      val bands = (0 until 4).map { b =>
-        val cs = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws('|', $cs)) AS bh FROM sig"
-      }.mkString("\n        |       UNION ALL ")
-      val eq = (0 until 16).map(p => s"(CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         generate_series(1, greatest(len(ws) - 2, 0)),
-        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) s FROM t),
-        |sh AS (SELECT doc_id,
-        |         (('0x' || substr(md5(s), 1, 15))::BIGINT % 1000000007) AS h FROM sh0),
-        |sig AS (SELECT doc_id,
-        |         $mins
-        |       FROM sh GROUP BY doc_id),
-        |keys AS ($bands),
-        |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM keys a
-        |         JOIN keys b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |est AS (SELECT da, db, CAST($eq AS DOUBLE) / 16 AS est_j
-        |        FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db)
+    "x_dedup_minhash_md5" ->
+      s"""WITH $md5MinhashCte
         |SELECT da, db, est_j FROM est WHERE est_j >= 0.5
-        |ORDER BY est_j DESC, da, db""".stripMargin
-    },
+        |ORDER BY est_j DESC, da, db""".stripMargin,
+
+    "x_dedup_clusters_full" ->
+      s"""WITH RECURSIVE $md5MinhashCte,
+        |p AS (SELECT da, db FROM est WHERE est_j >= 0.5),
+        |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea)
+        |SELECT src AS doc_id, min(dst) AS cluster
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "x_dedup_simhash_md5" -> {
       val sums = (0 until 60).map(b =>

@@ -61,6 +61,15 @@ class DedupSpec extends SparkSpecBase {
     assert(got.contains((8L, 12L)) && got.contains((0L, 50L)), s"got $got")
   }
 
+  test("full-corpus cluster pipeline labels every doc; planted dups co-cluster") {
+    val labels = Dedup.queries("x_dedup_clusters_full")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(labels.size == total, "every document labeled")
+    assert(labels.forall { case (doc, c) => c <= doc }, "cluster is a min label")
+    assert(labels(12L) == labels(8L) && labels(50L) == labels(0L), s"planted pairs split: $labels")
+  }
+
   test("pair-of-blocks simhash banding shrinks the candidate join") {
     val single = Dedup.simhashCandidates(spark, sf, pairBlocks = false).count()
     val pair = Dedup.simhashCandidates(spark, sf, pairBlocks = true).count()
