@@ -131,26 +131,25 @@ object TextAnalysis {
 
     // -- training-corpus funnel: the composed cleaning pipeline a real
     //    ingest runs — quality gate (length + alpha ratio), language gate,
-    //    exact-dedup keep — reported as per-stage survivor counts. Each
-    //    stage is a filter over ONE scan; the dedup stage groups on
-    //    md5(text), so nothing heavier than a 16-byte key ever shuffles
+    //    exact-dedup keep — reported as per-stage survivor counts. ALL
+    //    FOUR stages aggregate in ONE scan (conditional counts + a
+    //    count(distinct md5) over the survivors), then unpivot via
+    //    stack(); the only shuffled key is the 16-byte content hash
     "x_text_funnel" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val alpha = (length(regexp_replace(col("text"), "[^A-Za-z ]", "")).cast("double") /
         length(col("text"))).as("alpha_ratio")
-      val staged = docs
+      docs
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"), alpha)
         .withColumn("q_ok", col("n_chars") >= 50 && col("alpha_ratio") >= 0.8)
         .withColumn("l_ok", col("q_ok") && col("lang").isin("en", "fr", "de", "es"))
-      val kept = staged.filter(col("l_ok"))
-        .groupBy(md5(col("text")).as("h")).agg(min("doc_id").as("keeper"))
-      staged.agg(count(lit(1)).as("n")).select(lit("0_ingested").as("stage"), col("n"))
-        .unionAll(staged.filter(col("q_ok")).agg(count(lit(1)).as("n"))
-          .select(lit("1_quality").as("stage"), col("n")))
-        .unionAll(staged.filter(col("l_ok")).agg(count(lit(1)).as("n"))
-          .select(lit("2_language").as("stage"), col("n")))
-        .unionAll(kept.agg(count(lit(1)).as("n"))
-          .select(lit("3_deduped").as("stage"), col("n")))
+        .agg(
+          count(lit(1)).as("n0"),
+          count(when(col("q_ok"), 1)).as("n1"),
+          count(when(col("l_ok"), 1)).as("n2"),
+          count_distinct(when(col("l_ok"), md5(col("text")))).as("n3"))
+        .selectExpr("""stack(4, '0_ingested', n0, '1_quality', n1,
+                      |         '2_language', n2, '3_deduped', n3) AS (stage, n)""".stripMargin)
         .orderBy("stage")
     })
   )
