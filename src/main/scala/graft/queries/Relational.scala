@@ -126,6 +126,15 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // explicit GROUPING SETS (beyond the rollup/cube shorthands): the
+    // two named sets only — no grand total — so the result proves the
+    // set list is honored, not just expanded to a cube
+    "b_agg_grouping_sets" -> ((s, d) =>
+      s.sql(s"""SELECT l_returnflag, l_linestatus, count(*) AS n
+               |FROM parquet.`$d/lineitem.parquet`
+               |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+               |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
     // PIVOT: wide conditional aggregation (one shuffle; Catalyst compiles
     // the pivot to grouped CASE aggregates — the same plan the oracle SQL
     // states explicitly). Counts only, so cross-engine exact.
@@ -359,6 +368,8 @@ object Relational {
       "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag HAVING count(*) > 10 ORDER BY l_returnflag",
     "b_agg_rollup" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST",
+    "b_agg_grouping_sets" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus)) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST",
     "b_agg_pivot" ->
       """SELECT l_linestatus,
         |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
