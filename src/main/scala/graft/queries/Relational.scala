@@ -266,6 +266,20 @@ object Relational {
         .orderBy("o_custkey", "rn")
     }),
 
+    // RANGE frame (value-based, peers included — distinct from the ROWS
+    // frames above): per customer, the count and exact decimal sum of
+    // orders within 500.0 of the current order's price
+    "b_window_range" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+        .rangeBetween(-500L, 0L)
+      table(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_in_range"),
+          sum(col("o_totalprice").cast("decimal(25,2)")).over(w)
+            .cast("double").as("sum_in_range"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "b_window_running" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
       table(s, d, "events")
@@ -408,6 +422,8 @@ object Relational {
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "b_window_topk" ->
       "SELECT o_custkey, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn",
+    "b_window_range" ->
+      "SELECT o_custkey, o_orderkey, o_totalprice, CAST(count(*) OVER w AS BIGINT) AS n_in_range, CAST(sum(CAST(o_totalprice AS DECIMAL(25,2))) OVER w AS DOUBLE) AS sum_in_range FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) ORDER BY o_custkey, o_orderkey",
     "b_window_running" ->
       "SELECT user_id, event_id, lag(event_id, 1) OVER w AS prev_event, CAST(sum(CAST(value AS DECIMAL(25,2))) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id) ORDER BY user_id, event_id",
     "b_sort_limit" ->
