@@ -69,6 +69,29 @@ object Events {
         .orderBy("user_id", "session_id")
     }),
 
+    // -- RANGE JOIN (non-equi |Δt| ≤ 5 min), bucketed: a naive time-range
+    //    join plans as a nested-loop product in Spark; binning both sides
+    //    to 5-minute buckets and exploding the probe side into its three
+    //    covering buckets turns it into a pure equi-join on (user, bin)
+    //    with an exact |Δ| refine — complete by construction (a match
+    //    within ±B shares one of bin-1/bin/bin+1) and each pair joins
+    //    exactly once (the build side keeps its single bin).
+    "x_events_range_join" -> ((s, d) => {
+      val B = 300L * 1000000 // 5 min in µs
+      val e = ev(s, d)
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("us").as("e_us"),
+          explode(expr(s"array(us div $B - 1, us div $B, us div $B + 1)")).as("bin"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("us").as("c_us"),
+          expr(s"us div $B").as("bin"))
+      errors.join(clicks, Seq("user_id", "bin"))
+        .filter(abs(col("e_us") - col("c_us")) <= B)
+        .select(col("err_id"), col("click_id"), col("user_id"),
+          (col("c_us") - col("e_us")).as("delta_us"))
+        .orderBy("err_id", "click_id")
+    }),
+
     // -- AS-OF JOIN (an operator Spark lacks natively): each purchase is
     //    matched to the latest view by the same user at or before it.
     //    Composable single-shuffle implementation — tag both streams,
@@ -132,6 +155,16 @@ object Events {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_secs
         |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "x_events_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) us, event_type FROM events)
+        |SELECT a.event_id AS err_id, c.event_id AS click_id, a.user_id,
+        |       c.us - a.us AS delta_us
+        |FROM e a JOIN e c
+        |  ON a.user_id = c.user_id
+        | AND a.event_type = 'error' AND c.event_type = 'click'
+        | AND abs(a.us - c.us) <= 300000000
+        |ORDER BY err_id, click_id""".stripMargin,
 
     "x_events_asof" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) us, event_type FROM events),

@@ -53,6 +53,12 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed range join is an equi-join, never a nested loop") {
+    val p = planStr("x_events_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a product:\n$p")
+  }
+
   test("as-of join is ONE shuffle over the union, not a range join") {
     // the tagged-union formulation must plan as window-over-one-Exchange;
     // any join operator here means it degenerated into a per-row probe
