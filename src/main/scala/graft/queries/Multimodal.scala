@@ -4,21 +4,29 @@ import graft.Engine.table
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 /** Multimodal-column plumbing: opaque `binary` media payloads with typed
   * metadata, processed batch-wise per partition.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (see [[decodeStub]]); everything
-  * Spark-side — schema, partitioning, batch iteration shape, feature
-  * schema — is real and tested (MultimodalSpec). On a real cluster the
-  * stub body is replaced by the codec call; the mapPartitions batch shape
-  * (reuse per-partition decoder state, stream batches of rows) is exactly
-  * what a JNI/FFI decoder needs.
+  * Media generation and decode use REAL JDK codecs where one exists:
+  * PNG via `javax.imageio.ImageIO` (encode + decode round trip) and WAV
+  * via `javax.sound.sampled.AudioSystem`. Pixel / sample content is a
+  * deterministic arithmetic function of the asset id, so the decoded
+  * features (width, height, pixel sum, sample sum) have an exact
+  * closed-form oracle — the CORRECTNESS gate exercises the full
+  * encode→binary-column→decode path, not a stub. Only `video/mp4` keeps a
+  * clearly-marked deterministic fake (the JDK ships no MP4 codec; see
+  * [[decode]] — the `???`-marked branch).
   *
-  * Scale: media bytes never hit the driver; per-partition iteration keeps
-  * one decoder instance per task; metadata-only queries prune the binary
-  * column at the parquet scan (columnar pruning — verified via explain in
-  * the spec).
+  * Scale: media bytes never hit the driver; [[decode]] is `mapPartitions`
+  * so a per-partition decoder instance amortizes across the batch (the
+  * shape a JNI/FFI codec needs); metadata-only queries never touch the
+  * binary payload. Reference analog: the plugin's transforms do real
+  * conversion, not placeholders (`/root/reference/terraform/utils.go:210-251`).
   */
 object Multimodal {
 
@@ -26,70 +34,141 @@ object Multimodal {
 
   /** Typed asset row: what a media table looks like at ingest. */
   final case class Asset(asset_id: Long, mime: String, media: Array[Byte], width: Int, height: Int)
-  /** Extracted features (decode output). */
-  final case class AssetFeatures(asset_id: Long, mime: String, n_bytes: Long,
-      checksum: Long, head_hex: String, frames: Int)
 
-  /** Synthesize an assets table from `documents` (deterministic: media =
-    * UTF-8 bytes of text; real pipelines read image/audio/video files via
-    * binaryFile). */
-  def assets(s: SparkSession, d: String): Dataset[Asset] = {
+  /** Decode output. `width`/`height`/`feat_sum` are None where the mime has
+    * no such feature (audio has no dims; the mp4 fake has no pixel sum). */
+  final case class MediaFeatures(asset_id: Long, mime: String, n_bytes: Long,
+      width: Option[Long], height: Option[Long], n_units: Long, feat_sum: Option[Long])
+
+  /** PNG dimensions for asset `id` — small on purpose (encode cost is per-row). */
+  def pngDims(id: Long): (Int, Int) = (((id % 24) + 8).toInt, ((id % 16) + 8).toInt)
+
+  /** Deterministic grayscale pixel value at (x, y) for asset `id`. */
+  def pngPixel(id: Long, x: Int, y: Int): Int = ((id * 31 + 7L * x + 13L * y) % 256).toInt
+
+  /** A real PNG: 8-bit grayscale, pixels from [[pngPixel]], encoded by ImageIO. */
+  def pngBytes(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pngPixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Number of PCM samples in asset `id`'s WAV. */
+  def wavSamples(id: Long): Int = ((id % 100) + 50).toInt
+
+  /** Deterministic 8-bit unsigned PCM sample `i` for asset `id`. */
+  def wavSample(id: Long, i: Int): Int = ((id * 17 + 5L * i) % 256).toInt
+
+  /** A real RIFF/WAV: 8-bit unsigned mono PCM at 8 kHz via AudioSystem. */
+  def wavBytes(id: Long): Array[Byte] = {
+    val n = wavSamples(id)
+    val pcm = new Array[Byte](n)
+    var i = 0
+    while (i < n) { pcm(i) = wavSample(id, i).toByte; i += 1 }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Synthesize an assets table from `documents`. PNG and WAV payloads are
+    * real encoded media (deterministic content, see [[pngBytes]] /
+    * [[wavBytes]]); mp4 payloads are the document's UTF-8 bytes (no JDK
+    * MP4 encoder). `maxId` prunes documents BEFORE the (CPU-bearing)
+    * encode map — callers that only need a prefix of the corpus must pass
+    * it so encode cost scales with rows consumed, not corpus size. */
+  def assets(s: SparkSession, d: String, maxId: Long = Long.MaxValue): Dataset[Asset] = {
     import s.implicits._
     table(s, d, "documents")
       .select(col("doc_id"), col("text"), col("n_chars"))
+      .filter(col("doc_id") < maxId)
       .as[(Long, String, Long)]
       .map { case (id, text, n) =>
-        Asset(id, if (id % 3 == 0) "image/png" else if (id % 3 == 1) "audio/wav" else "video/mp4",
-          text.getBytes(java.nio.charset.StandardCharsets.UTF_8), (n % 640).toInt, (n % 480).toInt)
+        val mime = if (id % 3 == 0) "image/png" else if (id % 3 == 1) "audio/wav" else "video/mp4"
+        val media = mime match {
+          case "image/png" => pngBytes(id)
+          case "audio/wav" => wavBytes(id)
+          case _           => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
+        Asset(id, mime, media, (n % 640).toInt, (n % 480).toInt)
       }
   }
 
-  /** STUB decode: a deterministic fake standing in for the real codec.
-    * Real implementation decodes `media` (PNG/WAV/MP4) and emits true
-    * features; the fake derives them from the bytes so tests are stable.
-    * The per-partition shape (one "decoder" per partition, batch loop) is
-    * the real contract. */
-  def decodeStub(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+  /** Decode the binary media column with real JDK codecs (PNG: ImageIO;
+    * WAV: AudioSystem). Per-partition batch loop: decoder state (ImageIO
+    * reader caches etc.) amortizes across the partition — the contract a
+    * native codec binding needs at 100 TB. */
+  def decode(assets: Dataset[Asset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      // real code: val decoder = Codec.open(...) — once per partition
       it.map { a =>
-        // ??? <- real decode goes here; deterministic fake below
-        var h = 1125899906842597L
-        var i = 0
-        while (i < a.media.length) { h = 31 * h + (a.media(i) & 0xff); i += 1 }
-        val head = a.media.take(8).map(b => f"${b & 0xff}%02x").mkString
-        AssetFeatures(a.asset_id, a.mime, a.media.length.toLong, h, head,
-          frames = if (a.mime.startsWith("video")) (a.media.length % 30) + 1 else 1)
+        a.mime match {
+          case "image/png" =>
+            val img = ImageIO.read(new ByteArrayInputStream(a.media))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            MediaFeatures(a.asset_id, a.mime, a.media.length.toLong,
+              Some(w.toLong), Some(h.toLong), w.toLong * h, Some(sum))
+          case "audio/wav" =>
+            val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(a.media))
+            val n = ais.getFrameLength
+            val buf = ais.readAllBytes() // 8-bit unsigned PCM: byte == sample
+            var sum = 0L
+            var i = 0
+            while (i < buf.length) { sum += (buf(i) & 0xff); i += 1 }
+            MediaFeatures(a.asset_id, a.mime, a.media.length.toLong, None, None, n, Some(sum))
+          case _ =>
+            // ??? <- real MP4 decode would go here; the JDK has no MP4
+            // codec, so frame count is a clearly-marked deterministic fake
+            // (same shape: n_units = frames).
+            MediaFeatures(a.asset_id, a.mime, a.media.length.toLong, None, None,
+              (a.media.length % 30) + 1L, None)
+        }
       }
     }
   }
 
   val queries: Map[String, Q] = Map(
-    // -- metadata-only projection: oracle-checkable (byte length of UTF-8
-    //    text computed identically in DuckDB)
+    // -- metadata-only projection: typed width/height metadata, binary
+    //    payload untouched — oracle-exact arithmetic
     "x_mm_meta" -> ((s, d) =>
-      assets(s, d).toDF()
-        .filter(col("asset_id") < 100)
-        .select(col("asset_id"), col("mime"), length(col("media")).cast("long").as("n_bytes"))
+      assets(s, d, maxId = 100).toDF()
+        .select(col("asset_id"), col("mime"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"))
         .orderBy("asset_id")),
 
-    // -- full decode-stub pipeline: rows-only driver check + MultimodalSpec
+    // -- REAL decode pipeline: PNG/WAV payloads round-trip through the JDK
+    //    codecs; decoded dims + pixel/sample sums are hash-gated against a
+    //    closed-form DuckDB oracle
     "x_mm_features" -> ((s, d) =>
-      decodeStub(assets(s, d)).toDF()
-        .filter(col("asset_id") < 100)
-        .groupBy("mime")
-        .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
-          max("frames").cast("long").as("max_frames"))
-        .orderBy("mime")),
+      decode(assets(s, d, maxId = 120)).toDF()
+        .select(col("asset_id"), col("mime"), col("width"), col("height"),
+          col("n_units"), col("feat_sum"))
+        .orderBy("asset_id")),
 
     // -- resize planning: fit each image into a 64×64 box preserving
     //    aspect ratio — pure integer arithmetic on the typed metadata, so
-    //    oracle-exact; the actual pixel work is the decode stub's job
-    //    (same mapPartitions shape as decodeStub at scale)
+    //    oracle-exact; the actual pixel work is decode()'s job
     "x_mm_resize" -> ((s, d) =>
-      assets(s, d).toDF()
-        .filter(col("mime") === "image/png" && col("asset_id") < 300)
+      assets(s, d, maxId = 300).toDF()
+        .filter(col("mime") === "image/png")
         .select(col("asset_id"),
           greatest(col("width"), lit(1)).cast("long").as("w"),
           greatest(col("height"), lit(1)).cast("long").as("h"))
@@ -100,14 +179,14 @@ object Multimodal {
 
     // -- frame sampling: every 5th frame of each video asset, fanned out
     //    one row per sampled frame (the shape a frame-level feature
-    //    extractor consumes). Frame count comes from the deterministic
-    //    decode stub, so the fan-out itself is oracle-exact; at scale this
-    //    is a generator over the decode output — no shuffle.
+    //    extractor consumes). Video frame count is the deterministic mp4
+    //    fake, so the fan-out itself is oracle-exact; at scale this is a
+    //    generator over the decode output — no shuffle.
     "x_mm_frames" -> ((s, d) =>
-      decodeStub(assets(s, d)).toDF()
-        .filter(col("mime") === "video/mp4" && col("asset_id") < 200)
-        .select(col("asset_id"), col("frames").cast("long").as("frames"),
-          explode(expr("sequence(0L, CAST(frames AS LONG) - 1L, 5L)")).as("frame_no"))
+      decode(assets(s, d, maxId = 200)).toDF()
+        .filter(col("mime") === "video/mp4")
+        .select(col("asset_id"), col("n_units").as("frames"),
+          explode(expr("sequence(0L, n_units - 1L, 5L)")).as("frame_no"))
         .select(col("asset_id"), col("frames"), col("frame_no"),
           expr("frame_no div 5").as("sample_idx"))
         .orderBy("asset_id", "frame_no"))
@@ -119,9 +198,51 @@ object Multimodal {
         |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS mime,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  CAST(n_chars % 640 AS BIGINT) AS width,
+        |  CAST(n_chars % 480 AS BIGINT) AS height
         |FROM documents WHERE doc_id < 100 ORDER BY asset_id""".stripMargin,
-    // x_mm_features: stub-decode output → rows-only check + MultimodalSpec.
+
+    // Decoded features in closed form: PNG pixel (id*31+7x+13y)%256 over
+    // (id%24+8)×(id%16+8); WAV sample (id*17+5i)%256 over (id%100+50)
+    // samples; mp4 fake frames = octet_length(text)%30+1.
+    "x_mm_features" ->
+      """WITH base AS (
+        |  SELECT doc_id AS asset_id, doc_id % 3 AS m,
+        |         octet_length(encode(text)) AS tb
+        |  FROM documents WHERE doc_id < 120),
+        |png AS (
+        |  SELECT asset_id, (asset_id % 24) + 8 AS w, (asset_id % 16) + 8 AS h
+        |  FROM base WHERE m = 0),
+        |pngx AS (
+        |  SELECT asset_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM png),
+        |pngxy AS (
+        |  SELECT asset_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM pngx),
+        |pngf AS (
+        |  SELECT asset_id, 'image/png' AS mime,
+        |         CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |         CAST(w * h AS BIGINT) AS n_units,
+        |         CAST(sum((asset_id * 31 + 7 * x + 13 * y) % 256) AS BIGINT) AS feat_sum
+        |  FROM pngxy GROUP BY asset_id, w, h),
+        |wav AS (
+        |  SELECT asset_id, (asset_id % 100) + 50 AS n FROM base WHERE m = 1),
+        |wavi AS (
+        |  SELECT asset_id, n, unnest(generate_series(0, n - 1)) AS i FROM wav),
+        |wavf AS (
+        |  SELECT asset_id, 'audio/wav' AS mime,
+        |         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |         CAST(n AS BIGINT) AS n_units,
+        |         CAST(sum((asset_id * 17 + 5 * i) % 256) AS BIGINT) AS feat_sum
+        |  FROM wavi GROUP BY asset_id, n),
+        |mp4f AS (
+        |  SELECT asset_id, 'video/mp4' AS mime,
+        |         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |         CAST(tb % 30 + 1 AS BIGINT) AS n_units,
+        |         CAST(NULL AS BIGINT) AS feat_sum
+        |  FROM base WHERE m = 2)
+        |SELECT * FROM pngf
+        |UNION ALL SELECT * FROM wavf
+        |UNION ALL SELECT * FROM mp4f
+        |ORDER BY asset_id""".stripMargin,
 
     // width/height are synthesized from n_chars (assets()); the resize
     // plan is integer arithmetic — exact oracle
@@ -136,7 +257,7 @@ object Multimodal {
         |  CASE WHEN w >= h THEN (h * 64) // w ELSE 64 END AS new_h
         |FROM a ORDER BY asset_id""".stripMargin,
 
-    // frames = (octet_length % 30) + 1 for video assets — the stub is
+    // frames = (octet_length % 30) + 1 for video assets — the mp4 fake is
     // deterministic arithmetic, so the frame fan-out has an exact oracle
     "x_mm_frames" ->
       """WITH v AS (

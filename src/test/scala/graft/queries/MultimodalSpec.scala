@@ -4,24 +4,56 @@ import graft.SparkSpecBase
 
 class MultimodalSpec extends SparkSpecBase {
 
-  test("asset synthesis: media bytes round-trip, mime assignment") {
-    val a = Multimodal.assets(spark, sf).filter(_.asset_id < 9).collect().sortBy(_.asset_id)
+  test("asset synthesis: real media payloads, mime assignment") {
+    val a = Multimodal.assets(spark, sf, maxId = 9).collect().sortBy(_.asset_id)
     assert(a.length == 9)
     assert(a.map(_.mime).toSeq == Seq(
       "image/png", "audio/wav", "video/mp4", "image/png", "audio/wav",
       "video/mp4", "image/png", "audio/wav", "video/mp4"))
     assert(a.forall(x => x.media.nonEmpty))
+    // real container formats: PNG magic + RIFF/WAVE header
+    a.filter(_.mime == "image/png").foreach { x =>
+      assert((x.media(0) & 0xff) == 0x89 && x.media(1) == 'P' && x.media(2) == 'N' && x.media(3) == 'G')
+    }
+    a.filter(_.mime == "audio/wav").foreach { x =>
+      assert(new String(x.media.take(4), "US-ASCII") == "RIFF")
+      assert(new String(x.media.slice(8, 12), "US-ASCII") == "WAVE")
+    }
   }
 
-  test("decode stub: deterministic features, byte counts match media") {
-    val assets = Multimodal.assets(spark, sf).filter(_.asset_id < 50)
-    val f1 = Multimodal.decodeStub(assets).collect().sortBy(_.asset_id)
-    val f2 = Multimodal.decodeStub(assets).collect().sortBy(_.asset_id)
+  test("decode: real ImageIO/AudioSystem round trip, fixture-pinned features") {
+    val assets = Multimodal.assets(spark, sf, maxId = 50)
+    val f1 = Multimodal.decode(assets).collect().sortBy(_.asset_id)
+    val f2 = Multimodal.decode(assets).collect().sortBy(_.asset_id)
     assert(f1.toSeq == f2.toSeq) // deterministic
+
+    // asset 0: 8×8 grayscale PNG, pixel (7x+13y)%256 never wraps →
+    // sum = 8·7·(0+…+7) + 8·13·(0+…+7) = 8·28·20 = 4480
+    val a0 = f1.find(_.asset_id == 0L).get
+    assert(a0.width.contains(8L) && a0.height.contains(8L))
+    assert(a0.n_units == 64L && a0.feat_sum.contains(4480L))
+
+    // asset 1: 51-sample WAV, sample (17+5i)%256 wraps for i ≥ 48 →
+    // sum = 51·17 + 5·(50·51/2) − 3·256 = 6474
+    val a1 = f1.find(_.asset_id == 1L).get
+    assert(a1.width.isEmpty && a1.height.isEmpty)
+    assert(a1.n_units == 51L && a1.feat_sum.contains(6474L))
+
+    // every png decodes to its generator dims; wav to its sample count
+    f1.filter(_.mime == "image/png").foreach { f =>
+      val (w, h) = Multimodal.pngDims(f.asset_id)
+      assert(f.width.contains(w.toLong) && f.height.contains(h.toLong))
+      assert(f.n_units == w.toLong * h)
+    }
+    f1.filter(_.mime == "audio/wav").foreach { f =>
+      assert(f.n_units == Multimodal.wavSamples(f.asset_id).toLong)
+    }
+    // mp4 fake: frames within [1, 30], no dims, no sum
+    f1.filter(_.mime == "video/mp4").foreach { f =>
+      assert(f.n_units >= 1 && f.n_units <= 30 && f.width.isEmpty && f.feat_sum.isEmpty)
+    }
+    // n_bytes always matches the stored payload
     val raw = assets.collect().map(a => a.asset_id -> a.media.length.toLong).toMap
     f1.foreach { f => assert(f.n_bytes == raw(f.asset_id)) }
-    f1.filter(_.mime.startsWith("video")).foreach(f => assert(f.frames >= 1 && f.frames <= 30))
-    f1.filterNot(_.mime.startsWith("video")).foreach(f => assert(f.frames == 1))
-    assert(f1.forall(_.head_hex.length == 16))
   }
 }
