@@ -27,6 +27,13 @@ object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Embedding dimensionality contract (TESTDATA.md): the LSH hyperplane
+    * literals AND the static DuckDB oracle for `x_sim_lsh` are generated
+    * for exactly this many dims. A corpus with different dims fails fast
+    * (see the require in x_sim_lsh) instead of silently truncating the
+    * dot products and skewing buckets. */
+  val EmbeddingDims = 64
+
   /** Norms via the native float_dot expression (graft.functions) — a fused
     * codegen loop; bit-identical to the composed aggregate/zip_with form. */
   private def withNorm(s: SparkSession, d: String): DataFrame = {
@@ -74,13 +81,17 @@ object Similarity {
     //    (xxhash64(p * 997 + i) % 1000) / 1000.0.
     "x_sim_lsh" -> ((s, d) => {
       val planes = 4
-      // hyperplane literals must match the corpus dimension exactly —
-      // derived from the data (one-row probe), not hardcoded: a shorter
-      // assumed dims would silently truncate float_dot and skew buckets
+      // hyperplane literals must match the corpus dimension exactly — the
+      // one-row probe guards the EmbeddingDims contract the static oracle
+      // is generated against: a mismatch fails fast instead of silently
+      // truncating float_dot and diverging from the oracle
       val dims = table(s, d, "embeddings").select(size(col("embedding"))).take(1) match {
         case Array(r) => r.getInt(0)
-        case _        => 1 // empty corpus: bucket values are irrelevant
+        case _        => EmbeddingDims // empty corpus: bucket values are irrelevant
       }
+      require(dims == EmbeddingDims,
+        s"x_sim_lsh: corpus dims $dims != contract $EmbeddingDims — hyperplanes and the " +
+          "DuckDB oracle are generated for the contract dims; regenerate both for a new corpus")
       val e = withNorm(s, d)
       // bucket = the `planes` sign bits of dot products against literal
       // double hyperplanes; float_dot keeps the index-ordered double fold
@@ -177,12 +188,37 @@ object Similarity {
     * and queried many times, so the k-means fit is memoized per
     * (session, corpus, k) and only the query path runs per call. The
     * memo holds k×dims floats — index-sized by design (it is broadcast
-    * to every executor anyway), never corpus-sized. */
-  private val fittedCentroids =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Array[(Long, Array[Float])]]()
+    * to every executor anyway), never corpus-sized.
+    *
+    * Lifecycle: entries of STOPPED sessions are purged on every access
+    * (sessions are map keys, so a JVM hosting many short-lived sessions
+    * would otherwise leak them), and [[invalidateIvfIndex]] drops the
+    * memo for a corpus dir whose data has been rewritten — without it a
+    * re-fit would silently serve the stale centroids. */
+  private val fittedCentroids = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[(String, Int), Array[(Long, Array[Float])]]]()
+
+  private def purgeStoppedSessions(): Unit =
+    fittedCentroids.keySet.removeIf(sess => sess.sparkContext.isStopped)
+
+  /** Drop the memoized IVF index for (session, corpus dir) — call after
+    * the corpus at `d` changes; the next IVF query re-fits. */
+  def invalidateIvfIndex(s: SparkSession, d: String): Unit = {
+    val inner = fittedCentroids.get(s)
+    if (inner != null) inner.keySet.removeIf(_._1 == d)
+  }
+
+  /** Spec hook: number of memoized indexes for the session. */
+  private[queries] def memoizedIndexCount(s: SparkSession): Int = {
+    val inner = fittedCentroids.get(s)
+    if (inner == null) 0 else inner.size
+  }
 
   private def ivfCentroids(s: SparkSession, d: String, k: Int): DataFrame = {
-    val arr = fittedCentroids.computeIfAbsent((s, d, k), _ => {
+    purgeStoppedSessions()
+    val perSession = fittedCentroids.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[(Long, Array[Float])]]())
+    val arr = perSession.computeIfAbsent((d, k), _ => {
       val e = withNorm(s, d)
       // the fit runs on a bounded deterministic sample — the classic IVF
       // training recipe (a few-percent sample bounds fit cost regardless
@@ -242,12 +278,13 @@ object Similarity {
     // The LSH hyperplanes are LITERAL doubles (planeWeight is evaluated
     // driver-side), so DuckDB can reproduce the buckets bit-for-bit with
     // the same index-ordered double arithmetic as float_dot — making the
-    // whole multi-probe pipeline hash-gated, not rows-only. Dims pinned
-    // at the testdata contract's 64 (TESTDATA.md).
+    // whole multi-probe pipeline hash-gated, not rows-only. Both sides are
+    // generated for EmbeddingDims (TESTDATA.md contract); the Spark query
+    // probes the corpus and fails fast on a mismatch.
     "x_sim_lsh" -> {
-      def w(p: Int) = (0 until 64).map(i => planeWeight(p, i)).mkString("[", ", ", "]")
+      def w(p: Int) = (0 until EmbeddingDims).map(i => planeWeight(p, i)).mkString("[", ", ", "]")
       def dot(p: Int) =
-        s"list_sum(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * (${w(p)})[i]))"
+        s"list_sum(list_transform(generate_series(1, $EmbeddingDims), i -> CAST(embedding[i] AS DOUBLE) * (${w(p)})[i]))"
       val bucket = (0 until 4)
         .map(p => s"(CASE WHEN ${dot(p)} > 0 THEN ${1L << (3 - p)} ELSE 0 END)")
         .mkString("\n        |     + ")

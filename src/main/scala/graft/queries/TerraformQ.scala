@@ -22,13 +22,18 @@ object TerraformQ {
 
   private val registered = new ConcurrentHashMap[SparkSession, Dataset[TfRow]]()
 
-  /** Register fixture-backed views once per session (cached parse). */
-  def ensure(spark: SparkSession): Unit =
+  /** Register fixture-backed views once per session (cached parse).
+    * Stopped sessions are purged first so the JVM-lifetime map never
+    * pins dead sessions (and their cached Datasets). */
+  def ensure(spark: SparkSession): Unit = {
+    registered.keySet.removeIf(s => s.sparkContext.isStopped)
     registered.computeIfAbsent(spark, s =>
       Terraform.register(s, Terraform.Paths(
         configurationFilePaths = Seq(s"$fixDir/*.tf"),
         planFilePaths = Seq(s"$fixDir/tfplan.json", s"$fixDir/tfplan_oneline.json"),
         stateFilePaths = Seq(s"$fixDir/terraform.tfstate"))))
+    ()
+  }
 
   private def q(sql: String): Q = (spark, _) => { ensure(spark); spark.sql(sql) }
 

@@ -104,16 +104,8 @@ object PgDialect {
           var j = at + needle.length
           while (j < s.length && s.charAt(j).isWhitespace) j += 1
           if (j < s.length && s.charAt(j) == '(') {
-            var depth = 0
-            var k = j
-            var done = false
-            while (k < s.length && !done) {
-              val c = s.charAt(k)
-              if (c == '(') depth += 1
-              else if (c == ')') { depth -= 1; if (depth == 0) done = true }
-              k += 1
-            }
-            if (done) {
+            val k = pastBalanced(s, j)
+            if (k >= 0) {
               s = s.substring(0, at) + "explode(" + fnName +
                 s.substring(j, k) + ")" + s.substring(k)
               from = at + "explode(".length + fnName.length
@@ -149,15 +141,8 @@ object PgDialect {
         val opEnd = k + 1
         var opStart = 0
         if (k >= 0 && s.charAt(k) == ')') {
-          var depth = 0
-          var done = false
-          while (k >= 0 && !done) {
-            val c = s.charAt(k)
-            if (c == ')') depth += 1
-            else if (c == '(') { depth -= 1; if (depth == 0) done = true }
-            k -= 1
-          }
-          opStart = k + 1
+          opStart = backBalanced(s, k).max(0)
+          k = opStart - 1
         } else {
           while (k >= 0 && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_' || s.charAt(k) == '.' ||
                  s.charAt(k) == '\'' )) {
@@ -223,13 +208,8 @@ object PgDialect {
         val opEnd = k + 1
         var opStart = 0
         if (k >= 0 && s.charAt(k) == ')') {
-          var depth = 0; var done = false
-          while (k >= 0 && !done) {
-            val c = s.charAt(k)
-            if (c == ')') depth += 1 else if (c == '(') { depth -= 1; if (depth == 0) done = true }
-            k -= 1
-          }
-          opStart = k + 1
+          opStart = backBalanced(s, k).max(0)
+          k = opStart - 1
         } else {
           while (k >= 0 && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_' || s.charAt(k) == '.' || s.charAt(k) == ')')) k -= 1
           opStart = k + 1
@@ -282,6 +262,37 @@ object PgDialect {
          .replaceAll("(?<![!~])~(?![~*])", " rlike "))
       case other        => other
     }.map(_.text).mkString("")
+  }
+
+  /** `s(open) == '('` → index just past the matching `)`, or -1 if
+    * unbalanced. Skips single-quoted literals so a `)` inside a string
+    * (e.g. `json_each(x, '$.a)b')`) never closes the paren early. */
+  private def pastBalanced(s: String, open: Int): Int = {
+    var depth = 0
+    var k = open
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (c == '\'') { k += 1; while (k < s.length && s.charAt(k) != '\'') k += 1 }
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return k + 1 }
+      k += 1
+    }
+    -1
+  }
+
+  /** `s(close) == ')'` → index of the matching `(`, or -1. Backward twin of
+    * [[pastBalanced]]; same string-literal skip. */
+  private def backBalanced(s: String, close: Int): Int = {
+    var depth = 0
+    var k = close
+    while (k >= 0) {
+      val c = s.charAt(k)
+      if (c == '\'') { k -= 1; while (k >= 0 && s.charAt(k) != '\'') k -= 1 }
+      else if (c == ')') depth += 1
+      else if (c == '(') { depth -= 1; if (depth == 0) return k }
+      k -= 1
+    }
+    -1
   }
 
   /** index of `needle` outside quoted regions, first occurrence. */

@@ -119,12 +119,30 @@ object Sources {
     * resolves silently reuse, and two concurrent resolves can't observe
     * each other's half-written checkout — whoever renames second just
     * discards its copy. */
+  /** A cache entry counts as a completed checkout only if it looks like
+    * one (`.git` present — depth-1 clones have it). An empty or squatted
+    * path at the key is corrupt cache state, not a checkout. */
+  private[tf] def completedCheckout(dir: java.io.File): Boolean =
+    dir.isDirectory && new java.io.File(dir, ".git").exists()
+
+  /** After a failed cache rename, only a CONCURRENT resolve having
+    * completed the checkout excuses the failure; anything else (e.g. a
+    * genuine permission error) must surface, not silently hand back an
+    * empty/garbage cache dir. */
+  private[tf] def verifyRenameFallback(dir: java.io.File, url: String, e: Throwable): Unit =
+    if (!completedCheckout(dir)) throw new IllegalStateException(
+      s"git cache rename failed for $url and no completed checkout exists at $dir", e)
+
   def systemGitFetcher: GitFetcher = (url, ref) => {
     val key = MessageDigest.getInstance("SHA-1")
       .digest((url + "@" + ref.getOrElse("")).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val dir = JPaths.get(sys.props("java.io.tmpdir"), "graft-git-cache", key).toFile
-    if (!dir.isDirectory) {
+    if (!completedCheckout(dir)) {
+      // the key lives in our private cache namespace: a leftover that is
+      // not a completed checkout (crash artifact, squatting file) is ours
+      // to reclaim before re-cloning
+      if (dir.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
       Files.createDirectories(dir.getParentFile.toPath)
       val tmp = Files.createTempDirectory(dir.getParentFile.toPath, s".$key-").toFile
       val cmd = Seq("git", "clone", "--quiet", "--depth", "1") ++
@@ -137,11 +155,11 @@ object Sources {
       }
       try Files.move(tmp.toPath, dir.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException |
+        case e @ (_: java.nio.file.FileAlreadyExistsException |
              _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.AccessDeniedException =>
-          // a concurrent resolve won the rename; its checkout is complete
+             _: java.nio.file.AccessDeniedException) =>
           org.apache.hadoop.fs.FileUtil.fullyDelete(tmp)
+          verifyRenameFallback(dir, url, e)
       }
     }
     dir

@@ -43,7 +43,10 @@ object SqliteDialect {
   private val booleanColumns = Seq("sensitive")
 
   /** `<boolcol> = 1|0` → `<boolcol> = true|false` (code regions only,
-    * word-bounded both sides). */
+    * word-bounded both sides). Handles the qualified form
+    * (`t.sensitive = 1` — a leading `.` is an alias qualifier, not a
+    * word-boundary violation) and the literal-first form
+    * (`1 = sensitive`, `0 = t.sensitive`). */
   private def rewriteBoolIntCompare(sql0: String): String = {
     var s = sql0
     booleanColumns.foreach { col =>
@@ -55,14 +58,17 @@ object SqliteDialect {
         else {
           from = at + col.length
           val bounded =
-            (at == 0 || { val c = s.charAt(at - 1); !c.isLetterOrDigit && c != '_' && c != '.' }) &&
+            (at == 0 || { val c = s.charAt(at - 1); !c.isLetterOrDigit && c != '_' }) &&
             (at + col.length >= s.length || {
               val c = s.charAt(at + col.length); !c.isLetterOrDigit && c != '_'
             })
           if (bounded) {
+            // column-first: <col> = 0|1
             var j = at + col.length
             while (j < s.length && s.charAt(j).isWhitespace) j += 1
-            if (j < s.length && s.charAt(j) == '=' && (j + 1 >= s.length || s.charAt(j + 1) != '=')) {
+            var rewritten = false
+            if (j < s.length && s.charAt(j) == '=' && (j + 1 >= s.length || s.charAt(j + 1) != '=') &&
+                (j == 0 || !"<>!".contains(s.charAt(j - 1)))) {
               var k = j + 1
               while (k < s.length && s.charAt(k).isWhitespace) k += 1
               val lit =
@@ -74,6 +80,31 @@ object SqliteDialect {
               if (litBounded) {
                 s = s.substring(0, k) + lit.get + s.substring(k + 1)
                 from = k + lit.get.length
+                rewritten = true
+              }
+            }
+            // literal-first: 0|1 = [alias.]<col>
+            if (!rewritten) {
+              var k = at - 1
+              if (k >= 0 && s.charAt(k) == '.') { // back over the qualifier
+                k -= 1
+                while (k >= 0 && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_')) k -= 1
+              }
+              while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
+              if (k >= 0 && s.charAt(k) == '=' && (k == 0 || !"<>!=".contains(s.charAt(k - 1)))) {
+                var m = k - 1
+                while (m >= 0 && s.charAt(m).isWhitespace) m -= 1
+                val lit =
+                  if (m >= 0 && s.charAt(m) == '1') Some("true")
+                  else if (m >= 0 && s.charAt(m) == '0') Some("false")
+                  else None
+                val litBounded = lit.isDefined &&
+                  (m == 0 || { val c = s.charAt(m - 1); !c.isLetterOrDigit && c != '.' && c != '_' }) &&
+                  (m + 1 >= s.length || { val c = s.charAt(m + 1); !c.isDigit && c != '.' })
+                if (litBounded) {
+                  s = s.substring(0, m) + lit.get + s.substring(m + 1)
+                  from = at + col.length + lit.get.length - 1 // splice was left of `at`
+                }
               }
             }
           }

@@ -211,6 +211,7 @@ object Terraform {
     * query cache: every view and repeated query reuses one parse. */
   def register(spark: SparkSession, paths: Paths): Dataset[TfRow] = {
     val r = rows(spark, paths).cache()
+    registrations.keySet.removeIf(s => s.sparkContext.isStopped) // drop dead sessions
     registrations.put(spark, (paths, r))
     resource(r).createOrReplaceTempView("terraform_resource")
     dataSource(r).createOrReplaceTempView("terraform_data_source")

@@ -44,6 +44,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.3, s"recall $recall too low (|truth∩approx|=${(truth & approx).size})")
   }
 
+  test("IVF index memo: invalidation drops the fit; re-query re-fits to the same index") {
+    val r1 = Similarity.queries("x_sim_ivf")(spark, sf).collect()
+    assert(Similarity.memoizedIndexCount(spark) >= 1)
+    Similarity.invalidateIvfIndex(spark, sf)
+    assert(Similarity.memoizedIndexCount(spark) == 0,
+      "invalidate must drop every memo for the corpus dir")
+    val r2 = Similarity.queries("x_sim_ivf")(spark, sf).collect()
+    assert(r1.toSeq == r2.toSeq, "re-fit after invalidation is deterministic")
+  }
+
+  test("LSH dims contract: a corpus with non-contract dims fails fast") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dims").toString
+    Seq((0L, Array(1f, 2f, 3f)), (1L, Array(4f, 5f, 6f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException](
+      Similarity.queries("x_sim_lsh")(spark, dir).collect())
+    assert(e.getMessage.contains("dims 3") && e.getMessage.contains("64"))
+  }
+
   test("int8 quantization: range bound and reconstruction error") {
     import org.apache.spark.sql.functions._
     val q = Similarity.queries("x_sim_quantize")(spark, sf)

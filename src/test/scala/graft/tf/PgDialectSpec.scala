@@ -30,6 +30,20 @@ class PgDialectSpec extends SparkSpecBase {
       "explode(json_array_elements(json_get(a, 'f'))) as x")
   }
 
+  test("rewrite unit: parens inside string literals never break splicing") {
+    // a ')' inside a json-path literal must not close the call early
+    assert(PgDialect.rewrite("select json_each(x, '$.a)b') as f from t") ==
+      "select explode(json_each_values(x, '$.a)b')) as f from t")
+    assert(PgDialect.rewrite("jsonb_array_elements(f(x, 'a)b')) as e") ==
+      "explode(json_array_elements(f(x, 'a)b'))) as e")
+    // cast operand back-scan: ')' in a literal must not unbalance the group
+    assert(PgDialect.rewrite("x + (a || ')')::boolean") ==
+      "x + CAST((a || ')') AS BOOLEAN)")
+    // arrow operand back-scan: '(' in a literal must not end the group early
+    assert(PgDialect.rewrite("(a || '(') ->> 'k'") ==
+      "json_get_str((a || '('), 'k')")
+  }
+
   test("rewrite unit: regex-match token boundaries and trailing arrow") {
     // !~ must become NOT rlike, not a mangled ' rlike' with a stray '!'
     assert(PgDialect.rewrite("m !~ '^[0-9]'") == "m  NOT rlike  '^[0-9]'")

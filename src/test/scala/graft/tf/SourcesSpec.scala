@@ -82,6 +82,53 @@ class SourcesSpec extends SparkSpecBase {
     assert(Sources.resolve(Seq("fixtures/*.tf")) == Seq("fixtures/*.tf"))
   }
 
+  test("git cache: rename fallback only excused by a completed checkout") {
+    // no checkout behind the failed rename → genuine failure surfaces
+    val junk = Files.createTempDirectory("graft-junk").toFile
+    val e = intercept[IllegalStateException](
+      Sources.verifyRenameFallback(junk, "git://x/y", new RuntimeException("boom")))
+    assert(e.getMessage.contains("no completed checkout"))
+    assert(e.getCause.getMessage == "boom")
+    // a concurrent resolve's completed checkout (.git present) excuses it
+    val ok = Files.createTempDirectory("graft-ok").toFile
+    assert(new java.io.File(ok, ".git").mkdir())
+    Sources.verifyRenameFallback(ok, "git://x/y", new RuntimeException("boom")) // no throw
+  }
+
+  test("git cache: a corrupt (squatted/empty) cache entry is reclaimed, not served") {
+    val repoDir = Files.createTempDirectory("gitsrc2").toFile
+    Files.copy(JPaths.get("fixtures/main.tf"),
+      JPaths.get(repoDir.getPath, "main.tf"), StandardCopyOption.REPLACE_EXISTING)
+    def git(args: String*): Unit = {
+      val p = new ProcessBuilder(
+        (Seq("git", "-C", repoDir.getPath, "-c", "user.email=t@t", "-c", "user.name=t") ++ args): _*)
+        .redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+      assert(p.waitFor() == 0, s"git ${args.head} failed: $out")
+    }
+    git("init", "--quiet"); git("add", "."); git("commit", "--quiet", "-m", "init")
+
+    // squat the cache key with a plain FILE (e.g. crash artifact): the
+    // old behavior cloned, failed the rename, and silently served the file
+    val url = s"file://${repoDir.getPath}"
+    val key = java.security.MessageDigest.getInstance("SHA-1")
+      .digest((url + "@").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cachePath = JPaths.get(sys.props("java.io.tmpdir"), "graft-git-cache", key)
+    Files.createDirectories(cachePath.getParent)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(cachePath.toFile)
+    Files.writeString(cachePath, "squatter")
+    try {
+      val resolved = Sources.resolve(Seq(s"git::$url//*.tf"))
+      assert(resolved.size == 1 && resolved.head.endsWith("/*.tf"))
+      assert(Sources.completedCheckout(cachePath.toFile), "reclaimed + re-cloned")
+      // an EMPTY directory at the key (old-code crash leftover) likewise re-clones
+      org.apache.hadoop.fs.FileUtil.fullyDelete(cachePath.toFile)
+      Files.createDirectories(cachePath)
+      assert(Sources.resolve(Seq(s"git::$url//*.tf")) == resolved)
+      assert(Sources.completedCheckout(cachePath.toFile))
+    } finally org.apache.hadoop.fs.FileUtil.fullyDelete(cachePath.toFile)
+  }
+
   test("e2e: s3:: source reaches the binaryFile scan (mocked object store)") {
     // reference S3 branch: utils.go:143 (tfStateList) — the full path:
     // s3:: URL → s3a:// glob → PER-GLOB FileSystem resolution (the session

@@ -45,6 +45,29 @@ class SqliteDialectSpec extends SparkSpecBase {
     assert(SqliteDialect.rewrite(once) == once)
   }
 
+  test("rewrite unit: qualified and literal-first boolean-int compares") {
+    // qualified column: alias prefix is not a word-boundary violation
+    assert(SqliteDialect.rewrite("select x from t where t.sensitive = 1") ==
+      "select x from t where t.sensitive = true")
+    assert(SqliteDialect.rewrite("where tv.sensitive = 0") ==
+      "where tv.sensitive = false")
+    // literal-first form
+    assert(SqliteDialect.rewrite("where 1 = sensitive") == "where true = sensitive")
+    assert(SqliteDialect.rewrite("where 0 = t.sensitive") == "where false = t.sensitive")
+    // both forms in one predicate
+    assert(SqliteDialect.rewrite("where sensitive = 1 and 1 = v.sensitive") ==
+      "where sensitive = true and true = v.sensitive")
+    // guards: non-equality operators and non-0/1 literals untouched
+    assert(SqliteDialect.rewrite("where sensitive != 1") == "where sensitive != 1")
+    assert(SqliteDialect.rewrite("where sensitive <= 1") == "where sensitive <= 1")
+    assert(SqliteDialect.rewrite("where 10 = sensitive") == "where 10 = sensitive")
+    assert(SqliteDialect.rewrite("where 1.0 = sensitive") == "where 1.0 = sensitive")
+    assert(SqliteDialect.rewrite("where x1 = sensitive") == "where x1 = sensitive")
+    // string literals never rewritten
+    assert(SqliteDialect.rewrite("where name = 'sensitive = 1'") ==
+      "where name = 'sensitive = 1'")
+  }
+
   // ---- terraform_resource.md sqlite examples (10)
   test("resource: basic + iam_role filter + json_extract statement") {
     assert(lite("select name, type, address, attributes_std, path from terraform_resource;").count() == 9)
