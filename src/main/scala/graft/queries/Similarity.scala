@@ -123,30 +123,15 @@ object Similarity {
     //    assignment is a broadcast of centroids + a partial-aggregatable
     //    max(struct) argmax — one scan, one reduce, no window over the
     //    corpus; the candidate join is key-equi on cell id.
-    "x_sim_ivf" -> ((s, d) => {
-      val nprobe = 4
-      val e = withNorm(s, d)
-      val cents = ivfCentroids(s, d, k = 16)
-      val assigned = assignCells(e, cents)
-      // query side: tiny (10 rows) — probe the nprobe nearest cells
-      val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
-      val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-        .join(broadcast(cents), lit(true))
-        .select(col("qid"), col("qe"), col("qn"), col("cid"),
-          (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))
-        .withColumn("rnk", row_number().over(wp))
-        .filter(col("rnk") <= nprobe)
-        .select(col("qid"), col("qe"), col("qn"), col("cid"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
-      broadcast(probes)
-        .join(assigned, probes("cid") === assigned("cid") && col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
-        .orderBy("qid", "rank")
-    }),
+    "x_sim_ivf" -> ((s, d) =>
+      ivfSearch(withNorm(s, d), ivfCentroids(s, d, k = 16), nprobe = 4)),
+
+    // -- engine-portable IVF twin: md5 seed draw, deterministic modulo
+    //    sample, and exact scaled-integer centroid means make the whole
+    //    2-iteration Lloyd fit + probe reproducible in DuckDB (see the
+    //    unrolled-CTE oracle) — the IVF pipeline's hash gate.
+    "x_sim_ivf_md5" -> ((s, d) =>
+      ivfSearch(withNorm(s, d), ivfCentroidsPortable(s, d, k = 16), nprobe = 4)),
 
     "x_sim_quantize" -> ((s, d) => quantizeQuery(s, d).filter(col("vec_id") < 100))
   )
@@ -168,6 +153,32 @@ object Similarity {
         floor(col("x").cast("double") * col("qscale") + 0.5).cast("long").as("q"),
         col("qscale"))
       .orderBy("vec_id", "pos")
+
+  /** IVF probe + exact re-rank (shared by the xxhash64 fast path and the
+    * md5-portable twin): queries probe their `nprobe` nearest cells, the
+    * full corpus is cell-assigned once, candidates join key-equi on cell
+    * id, and top-5 re-ranks exactly. Query side is tiny → broadcast both
+    * the centroid table and the probe fan-out. */
+  private def ivfSearch(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val assigned = assignCells(e, cents)
+    val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .join(broadcast(cents), lit(true))
+      .select(col("qid"), col("qe"), col("qn"), col("cid"),
+        (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))
+      .withColumn("rnk", row_number().over(wp))
+      .filter(col("rnk") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("cid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(probes)
+      .join(assigned, probes("cid") === assigned("cid") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
 
   /** Nearest-centroid cell assignment: argmax via max(struct(cos, -cid))
     * — deterministic tie-break, map-side-combinable (unlike a row_number
@@ -196,16 +207,16 @@ object Similarity {
     * memo for a corpus dir whose data has been rewritten — without it a
     * re-fit would silently serve the stale centroids. */
   private val fittedCentroids = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[(String, Int), Array[(Long, Array[Float])]]]()
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Float])]]]()
 
   private def purgeStoppedSessions(): Unit =
     fittedCentroids.keySet.removeIf(sess => sess.sparkContext.isStopped)
 
-  /** Drop the memoized IVF index for (session, corpus dir) — call after
+  /** Drop the memoized IVF indexes for (session, corpus dir) — call after
     * the corpus at `d` changes; the next IVF query re-fits. */
   def invalidateIvfIndex(s: SparkSession, d: String): Unit = {
     val inner = fittedCentroids.get(s)
-    if (inner != null) inner.keySet.removeIf(_._1 == d)
+    if (inner != null) inner.keySet.removeIf(_.startsWith(d + " "))
   }
 
   /** Spec hook: number of memoized indexes for the session. */
@@ -214,22 +225,33 @@ object Similarity {
     if (inner == null) 0 else inner.size
   }
 
-  private def ivfCentroids(s: SparkSession, d: String, k: Int): DataFrame = {
+  private def memoizedCentroids(s: SparkSession, d: String, key: String)(
+      fit: => DataFrame): DataFrame = {
     purgeStoppedSessions()
     val perSession = fittedCentroids.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[(Long, Array[Float])]]())
-    val arr = perSession.computeIfAbsent((d, k), _ => {
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Float])]]())
+    val arr = perSession.computeIfAbsent(d + " " + key, _ =>
+      fit.select(col("cid"), col("ce"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+    import s.implicits._
+    arr.toSeq.toDF("cid", "ce").withColumn("cn", sqrt(expr("float_dot(ce, ce)")))
+  }
+
+  private def ivfCentroids(s: SparkSession, d: String, k: Int): DataFrame =
+    memoizedCentroids(s, d, s"xx$k") {
       val e = withNorm(s, d)
       // the fit runs on a bounded deterministic sample — the classic IVF
       // training recipe (a few-percent sample bounds fit cost regardless
       // of corpus size); assignment + probing still cover the full corpus
       kmeansCentroids(e.sample(withReplacement = false, 0.2, seed = 42), k, iters = 2)
-        .select(col("cid"), col("ce"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    })
-    import s.implicits._
-    arr.toSeq.toDF("cid", "ce").withColumn("cn", sqrt(expr("float_dot(ce, ce)")))
-  }
+    }
+
+  private def ivfCentroidsPortable(s: SparkSession, d: String, k: Int): DataFrame =
+    memoizedCentroids(s, d, s"md5$k") {
+      // modulo sample instead of Bernoulli: same 20% bound, reproducible
+      // in any engine
+      kmeansCentroidsPortable(withNorm(s, d).filter(col("vec_id") % 5 === 0), k, iters = 2)
+    }
 
   /** k-means centroid fit for the IVF cells (Lloyd, fixed iteration
     * count), replacing round-2's every-31st-vector scaffolding.
@@ -250,6 +272,31 @@ object Similarity {
         .groupBy("cid", "pos").agg(avg("x").as("m"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> CAST(p.m AS FLOAT))").as("ce"))
+        .withColumn("cn", sqrt(expr("float_dot(ce, ce)")))
+        .select(col("cid"), col("ce"), col("cn"))
+    }
+    cents
+  }
+
+  /** Engine-portable Lloyd fit: identical shape to [[kmeansCentroids]] but
+    * every non-associative step is replaced by an exactly-reproducible one:
+    * seeds are the k sample vectors with the smallest md5(vec_id) hex
+    * string (vec_id tie-break), and each centroid component is an EXACT
+    * scaled-integer mean — floor(x·10⁹) summed as DECIMAL(38,0) (partial-
+    * aggregatable, order-independent, overflow-free), divided as double,
+    * rounded once to float. The ~1e-9 quantization keeps the fit a valid
+    * k-means variant while making it bit-reproducible in DuckDB. */
+  private[queries] def kmeansCentroidsPortable(samp: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = samp.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
+    for (_ <- 0 until iters) {
+      cents = assignCells(samp, cents)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("q", floor(col("x").cast("double") * lit(1e9)).cast("decimal(38,0)"))
+        .groupBy("cid", "pos")
+        .agg((sum("q").cast("double") / (lit(1e9) * count(lit(1)))).cast("float").as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("ce"))
         .withColumn("cn", sqrt(expr("float_dot(ce, ce)")))
         .select(col("cid"), col("ce"), col("cn"))
     }
@@ -313,6 +360,63 @@ object Similarity {
         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },
 
+    // x_sim_ivf: xxhash64 seeds + Bernoulli sample are Spark-specific →
+    // rows-only; x_sim_ivf_md5 below hash-gates the same pipeline with
+    // engine-portable arithmetic. The oracle unrolls the 2-iteration
+    // Lloyd fit as CTEs: every step (md5 seed draw, cosine argmax
+    // assignment, exact scaled-integer means) mirrors the Spark side
+    // bit-for-bit.
+    "x_sim_ivf_md5" -> {
+      val D = EmbeddingDims
+      def dotq(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, $D), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      // nearest-centroid assignment of `src` rows against `cents`
+      def assign(src: String, cents: String, out: String) =
+        s"""$out AS (
+           |  SELECT vec_id, embedding, nrm, cid FROM (
+           |    SELECT s.vec_id, s.embedding, s.nrm, c.cid,
+           |           row_number() OVER (PARTITION BY s.vec_id
+           |             ORDER BY ${dotq("s.embedding", "c.ce")} / (s.nrm * c.cn) DESC, c.cid ASC) rn
+           |    FROM $src s CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+      // centroid update: exact scaled-integer mean per (cid, pos)
+      def update(asg: String, n: Int) =
+        s"""x$n AS (
+           |  SELECT a.cid, t.i AS pos,
+           |         CAST(floor(CAST(a.embedding[t.i] AS DOUBLE) * 1000000000.0) AS DECIMAL(38,0)) AS q
+           |  FROM $asg a, range(1, ${D + 1}) t(i)),
+           |m$n AS (
+           |  SELECT cid, pos,
+           |         CAST(CAST(sum(q) AS DOUBLE) / (1000000000.0 * count(*)) AS REAL) AS m
+           |  FROM x$n GROUP BY cid, pos),
+           |l$n AS (SELECT cid, list(m ORDER BY pos) AS ce FROM m$n GROUP BY cid),
+           |c$n AS (SELECT cid, ce, sqrt(${dotq("ce", "ce")}) AS cn FROM l$n)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dotq("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |samp AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+         |c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM samp
+         |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |${assign("samp", "c0", "a1")},
+         |${update("a1", 1)},
+         |${assign("samp", "c1", "a2")},
+         |${update("a2", 2)},
+         |probes AS (
+         |  SELECT qid, qe, qn, cid FROM (
+         |    SELECT q.vec_id qid, q.embedding qe, q.nrm qn, c.cid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotq("q.embedding", "c.ce")} / (q.nrm * c.cn) DESC, c.cid ASC) rn
+         |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rn <= 4),
+         |${assign("e", "c2", "asgf")},
+         |scored AS (
+         |  SELECT p.qid, t.vec_id, ${dotq("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
+         |  FROM probes p JOIN asgf t ON p.cid = t.cid AND p.qid != t.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+         |  FROM scored)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
     "x_sim_quantize" ->
       """WITH m AS (
         |  SELECT vec_id, embedding,
@@ -327,8 +431,5 @@ object Similarity {
         |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * qscale + 0.5) AS BIGINT) AS q,
         |  qscale
         |FROM sc ORDER BY vec_id, pos""".stripMargin
-    // x_sim_ivf: centroids come from a distributed k-means fit (mean of
-    // doubles in partition order — not engine-reproducible) → rows-only
-    // check; recall floor + determinism pinned in SimilaritySpec.
   )
 }

@@ -44,6 +44,22 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.3, s"recall $recall too low (|truth∩approx|=${(truth & approx).size})")
   }
 
+  test("portable IVF twin: valid ranked output, useful recall, distinct memo entry") {
+    val rows = Similarity.queries("x_sim_ivf_md5")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val cos = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    val truth = Similarity.queries("x_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(recall >= 0.3, s"ivf_md5 recall $recall too low")
+  }
+
   test("IVF index memo: invalidation drops the fit; re-query re-fits to the same index") {
     val r1 = Similarity.queries("x_sim_ivf")(spark, sf).collect()
     assert(Similarity.memoizedIndexCount(spark) >= 1)
