@@ -51,25 +51,30 @@ object Terraform {
       // remote-source surface (docs/index.md:103-236): git::/github.com/
       // s3:: paths resolve to local checkouts / s3a:// globs first
       val globs0 = Sources.resolve(globsCfg)
-      // reference parity (utils.go:87-90,116-119,148-151): bare directory
-      // entries are skipped, and sources matching nothing yield an empty
-      // result instead of an error. The FileSystem is resolved PER GLOB:
-      // a scheme-qualified glob (s3a://…, hdfs://…) must use its own FS —
-      // the session default is file:/// and globStatus throws
-      // "Wrong FS" for any other scheme (reference S3 branch: utils.go:143)
-      val globs = globs0
-        .filterNot { p =>
-          !p.exists("*?[{".contains(_)) && new java.io.File(p).isDirectory
-        }
-        .filter { g =>
-          val hp = new org.apache.hadoop.fs.Path(g)
-          val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val st = fs.globStatus(hp)
-          st != null && st.nonEmpty
-        }
-      if (globs.isEmpty) spark.emptyDataset[TfRow]
+      // reference parity (utils.go:87-90): bare directory entries skipped
+      val globs = globs0.filterNot { p =>
+        !p.exists("*?[{".contains(_)) && new java.io.File(p).isDirectory
+      }
+      // ONE driver-side listing: glob each source ourselves and feed the
+      // matched statuses straight into the scan (PreListedFileIndex).
+      // `spark.read.load(globs)` would glob AND re-list inside Spark —
+      // two sequential passes that are the A1 scale-killer on a 10⁷-file
+      // object store. The FileSystem is resolved PER GLOB: a scheme-
+      // qualified glob (s3a://…, hdfs://…) must use its own FS — the
+      // session default is file:/// (reference S3 branch: utils.go:143).
+      // Sources matching nothing yield an empty result instead of an
+      // error (utils.go:116-119,148-151): globStatus returns null/empty
+      // and the glob simply contributes no statuses.
+      val conf = spark.sparkContext.hadoopConfiguration
+      val statuses = globs.flatMap { g =>
+        val hp = new org.apache.hadoop.fs.Path(g)
+        Option(hp.getFileSystem(conf).globStatus(hp)).toSeq.flatten
+      }.filter(_.isFile)
+      if (statuses.isEmpty) spark.emptyDataset[TfRow]
       else {
-        val scan = spark.read.format("binaryFile").load(globs: _*)
+        val base = graft.sources.PreListedFileIndex.binaryFileScan(
+          spark, statuses.toArray, globs.map(new org.apache.hadoop.fs.Path(_)))
+        val scan = base
           .withColumn("kind",
             when(col("path").endsWith(".tfstate"), FileKind.State).otherwise(kind))
         val exploded = scan

@@ -18,6 +18,8 @@ class MockS3FileSystem extends RawLocalFileSystem {
   override def getScheme: String = "s3a"
   override def checkPath(path: Path): Unit = ()
 
+  import MockS3FileSystem.{getStatusCalls, listStatusCalls}
+
   private def toLocal(p: Path): Path = new Path("file:" + p.toUri.getPath)
   // fixed permission: the superclass status loads permissions lazily via a
   // `new java.io.File(path.toUri)` that only accepts file: URIs, and the
@@ -29,10 +31,24 @@ class MockS3FileSystem extends RawLocalFileSystem {
       else org.apache.hadoop.fs.permission.FsPermission.getFileDefault,
       "tester", "tester", new Path("s3a://bucket" + st.getPath.toUri.getPath))
 
-  override def getFileStatus(f: Path): FileStatus =
+  override def getFileStatus(f: Path): FileStatus = {
+    getStatusCalls.incrementAndGet()
     reroot(super.getFileStatus(toLocal(f)))
-  override def listStatus(f: Path): Array[FileStatus] =
+  }
+  override def listStatus(f: Path): Array[FileStatus] = {
+    listStatusCalls.incrementAndGet()
     super.listStatus(toLocal(f)).map(reroot)
+  }
   override def open(f: Path, bufferSize: Int): FSDataInputStream =
     super.open(toLocal(f), bufferSize)
+}
+
+/** Listing-RPC counters: every `getFileStatus`/`listStatus` against the
+  * mock store is one would-be object-store round trip — SourcesSpec pins
+  * that discovery pays the listing ONCE, not per pre-probe + scan. */
+object MockS3FileSystem {
+  val getStatusCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val listStatusCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  def resetCounters(): Unit = { getStatusCalls.set(0); listStatusCalls.set(0) }
+  def totalCalls: Int = getStatusCalls.get + listStatusCalls.get
 }

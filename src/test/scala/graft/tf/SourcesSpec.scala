@@ -150,4 +150,32 @@ class SourcesSpec extends SparkSpecBase {
     assert(Terraform.rows(spark, Terraform.Paths(configurationFilePaths = Seq(
       s"s3::https://bucket.s3.us-east-1.amazonaws.com${dir.getAbsolutePath}//*.nomatch"))).isEmpty)
   }
+
+  test("discovery pays the object-store listing once, not pre-probe + scan") {
+    val dir = Files.createTempDirectory("graft-s3-count").toFile
+    Files.writeString(JPaths.get(dir.getPath, "a.tf"),
+      "resource \"aws_instance\" \"one\" {}\n")
+    Files.writeString(JPaths.get(dir.getPath, "b.tf"),
+      "resource \"aws_instance\" \"two\" {}\n")
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3a.impl", classOf[MockS3FileSystem].getName)
+    val src = s"s3::https://bucket.s3.us-east-1.amazonaws.com${dir.getAbsolutePath}//*.tf"
+
+    // cost of ONE manual glob pass over the same source
+    MockS3FileSystem.resetCounters()
+    val hp = new org.apache.hadoop.fs.Path(s"s3a://bucket${dir.getAbsolutePath}/*.tf")
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).globStatus(hp)
+    val singlePass = MockS3FileSystem.totalCalls
+    assert(singlePass > 0)
+
+    // building the rows plan (discovery + scan setup) pays exactly one
+    // glob pass: the matched statuses feed the scan directly
+    // (PreListedFileIndex) instead of being re-listed by load()
+    MockS3FileSystem.resetCounters()
+    val rows = Terraform.rows(spark, Terraform.Paths(configurationFilePaths = Seq(src)))
+    val listingCalls = MockS3FileSystem.totalCalls
+    assert(listingCalls <= singlePass,
+      s"discovery re-listed: $listingCalls RPCs vs $singlePass for one glob pass")
+    assert(rows.filter(col("table") === "resource").count() == 2)
+  }
 }
