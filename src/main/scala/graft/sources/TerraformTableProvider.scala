@@ -1,0 +1,244 @@
+package graft.sources
+
+import graft.tf.{Builders, FileKind, Terraform, TfRow}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 packaging of the seven published tables:
+  *
+  * {{{
+  *   spark.read.format("terraform")
+  *     .option("table", "terraform_resource")
+  *     .option("configurationFilePaths", "&lt;glob or git:: or s3:: source&gt;")
+  *     .load()
+  * }}}
+  *
+  * The connector is the DSv2 restatement of the reference's plugin
+  * registration (`/root/reference/terraform/plugin.go:19-38`): one
+  * InputPartition per discovered file (the parent→child hydrate analog,
+  * SURVEY §1.1), `Builders.rowsForFile` running on executors, and the
+  * reference's single pushed-down qual — `path = '…'` — pruning the file
+  * list AT PLANNING TIME (`utils.go:45-58`), so non-matching files are
+  * never opened. Column pruning drops unused fields before rows are built.
+  * Discovery shares [[Terraform.globOnce]]'s single listing pass.
+  *
+  * Paths given positionally to `.load(p…)` are configuration paths; the
+  * three `…FilePaths` options take comma-separated source strings in the
+  * reference's connection-config grammar (local glob / git:: / s3::).
+  */
+final class TerraformTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "terraform"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TerraformTableProvider.schemaFor(TerraformTableProvider.tableName(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new TerraformDsv2Table(new CaseInsensitiveStringMap(properties))
+}
+
+object TerraformTableProvider {
+
+  /** Column spec: name, type, and the TfRow field it publishes. Order and
+    * NULL semantics are the reference's table declarations, identical to
+    * the temp-view projections in Terraform.scala. */
+  private type Col = (String, DataType, TfRow => Any)
+
+  private def s(n: String, get: TfRow => Option[String]): Col =
+    (n, StringType, r => get(r).map(UTF8String.fromString).orNull)
+  private def l(n: String, get: TfRow => Option[Long]): Col =
+    (n, LongType, r => get(r).orNull)
+  private def b(n: String, get: TfRow => Option[Boolean]): Col =
+    (n, BooleanType, r => get(r).orNull)
+
+  private def span: Seq[Col] = Seq(
+    l("start_line", _.startLine), l("end_line", _.endLine),
+    s("source", _.source), s("path", r => Some(r.path)))
+
+  /** table name → (TfRow.table kind, columns). */
+  private[sources] val tables: Map[String, (String, Seq[Col])] = Map(
+    "terraform_resource" -> ("resource" -> (Seq(
+      s("name", _.name), s("type", _.tfType), s("mode", _.mode), s("address", _.address),
+      s("arguments", _.arguments), s("attributes", _.attributes),
+      s("attributes_std", _.attributesStd), l("count", _.count), s("count_src", _.countSrc),
+      s("for_each", _.forEach), s("depends_on", _.dependsOn), s("lifecycle", _.lifecycle),
+      s("provider", _.provider),
+      l("start_line", _.startLine), l("end_line", _.endLine), s("source", _.source),
+      s("path", r => Some(r.path))))),
+    "terraform_data_source" -> ("data_source" -> (Seq(
+      s("name", _.name), s("type", _.tfType), s("arguments", _.arguments),
+      l("count", _.count), s("count_src", _.countSrc), s("for_each", _.forEach),
+      s("depends_on", _.dependsOn), s("provider", _.provider)) ++ span)),
+    "terraform_local" -> ("local" -> (Seq(
+      s("name", _.name), s("value", _.value)) ++ span)),
+    "terraform_module" -> ("module" -> (Seq(
+      s("name", _.name), s("module_source", _.moduleSource), s("version", _.version),
+      s("arguments", _.arguments), l("count", _.count), s("count_src", _.countSrc),
+      s("for_each", _.forEach), s("depends_on", _.dependsOn), s("provider", _.provider)) ++ span)),
+    "terraform_output" -> ("output" -> (Seq(
+      s("name", _.name), s("value", _.value), s("description", _.description),
+      b("sensitive", _.sensitive), s("depends_on", _.dependsOn)) ++ span)),
+    "terraform_provider" -> ("provider" -> (Seq(
+      s("name", _.name), s("arguments", _.arguments), s("alias", _.alias),
+      s("version", _.version)) ++ span)),
+    "terraform_variable" -> ("variable" -> (Seq(
+      s("name", _.name), s("type", _.tfType), s("default_value", _.defaultValue),
+      s("description", _.description), b("sensitive", _.sensitive),
+      l("start_line", _.startLine), s("validation", _.validation),
+      l("end_line", _.endLine), s("source", _.source), s("path", r => Some(r.path))))),
+    "terraform_diagnostics" -> ("_error" -> Seq(
+      s("path", r => Some(r.path)), s("error", _.description))))
+
+  private[sources] def tableName(options: CaseInsensitiveStringMap): String = {
+    val t = options.getOrDefault("table", "terraform_resource")
+    require(tables.contains(t),
+      s"unknown terraform table '$t' (expected one of ${tables.keys.toSeq.sorted.mkString(", ")})")
+    t
+  }
+
+  private[sources] def schemaFor(table: String): StructType =
+    StructType(tables(table)._2.map { case (n, dt, _) => StructField(n, dt, nullable = true) })
+
+  /** Configured sources per kind: positional `.load(path)` paths count as
+    * configuration paths, like the reference's configuration_file_paths. */
+  private[sources] def sourcesByKind(options: CaseInsensitiveStringMap): Seq[(String, Seq[String])] = {
+    def split(key: String): Seq[String] =
+      Option(options.get(key)).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val positional =
+      Option(options.get("paths")).toSeq.flatMap { js =>
+        // DataFrameReader encodes multi-path load() as a JSON array
+        js.stripPrefix("[").stripSuffix("]").split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      }.filter(_.nonEmpty) ++ Option(options.get("path")).toSeq
+    Seq(
+      FileKind.Config -> (split("configurationFilePaths") ++ positional),
+      FileKind.Plan -> split("planFilePaths"),
+      FileKind.State -> split("stateFilePaths"))
+  }
+}
+
+/** One discovered file: the DSv2 input partition (parent→child hydrate). */
+private final case class TfFilePartition(path: String, kind: String) extends InputPartition
+
+private final class TerraformDsv2Table(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val table = TerraformTableProvider.tableName(options)
+
+  override def name(): String = table
+  override def schema(): StructType = TerraformTableProvider.schemaFor(table)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new TerraformScanBuilder(table, options)
+}
+
+private final class TerraformScanBuilder(table: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pathEq: Option[String] = None
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = TerraformTableProvider.schemaFor(table)
+
+  /** The reference's one pushable qual: `path = '…'` (utils.go:45-58).
+    * Everything else stays with Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (eq, rest) = filters.partition {
+      case EqualTo("path", _: String) => true
+      case _ => false
+    }
+    eq.headOption.foreach { case EqualTo(_, v: String) => pathEq = Some(v); case _ => }
+    pushed = eq
+    // an EqualTo we prune by is exact — Spark need not re-apply it, but
+    // returning every filter (Spark re-checks) keeps semantics obvious
+    // for multi-EqualTo corner cases (two different paths → empty).
+    rest ++ eq.drop(1)
+  }
+  override def pushedFilters(): Array[Filter] = pushed.take(1)
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new TerraformScan(table, options, pathEq, required)
+}
+
+private final class TerraformScan(table: String, options: CaseInsensitiveStringMap,
+    pathEq: Option[String], required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"terraform table=$table pushedPath=${pathEq.getOrElse("-")}"
+
+  /** Discovery at planning time: one glob pass (Terraform.globOnce), then
+    * the pushed `path =` qual prunes files BEFORE any are opened. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    TerraformTableProvider.sourcesByKind(options).flatMap { case (kind, cfg) =>
+      val globs = Terraform.resolveGlobs(cfg)
+      Terraform.globOnce(conf, globs).map { st =>
+        val p = st.getPath.toString
+        val k = if (p.endsWith(".tfstate")) FileKind.State else kind
+        TfFilePartition(p, k)
+      }
+    }
+      .filter(fp => pathEq.forall(_ == Terraform.stripScheme(fp.path)))
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // executor-side FS access needs the driver's Hadoop conf (fs.s3a.impl
+    // etc.); ship the relevant entries as plain strings
+    val confEntries = {
+      val c = SparkSession.active.sparkContext.hadoopConfiguration
+      c.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    }
+    new TerraformReaderFactory(table, required, confEntries)
+  }
+}
+
+private final class TerraformReaderFactory(table: String, required: StructType,
+    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val fp = partition.asInstanceOf[TfFilePartition]
+    val (kindFilter, cols) = TerraformTableProvider.tables(table)
+    val getters = {
+      val byName = cols.map { case (n, _, g) => n -> g }.toMap
+      required.fields.map(f => byName(f.name))
+    }
+    new PartitionReader[InternalRow] {
+      private lazy val rows: Iterator[TfRow] = {
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val hp = new Path(fp.path)
+        val in = hp.getFileSystem(conf).open(hp)
+        val content = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+        Builders.rowsForFile(Terraform.stripScheme(fp.path), fp.kind, content)
+          .iterator.filter(_.table == kindFilter)
+      }
+      private var current: TfRow = _
+      override def next(): Boolean = rows.hasNext && { current = rows.next(); true }
+      override def get(): InternalRow =
+        new GenericInternalRow(getters.map(g => g(current)).asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -49,12 +49,9 @@ object Terraform {
 
     def read(globsCfg: Seq[String], kind: String): Dataset[TfRow] = {
       // remote-source surface (docs/index.md:103-236): git::/github.com/
-      // s3:: paths resolve to local checkouts / s3a:// globs first
-      val globs0 = Sources.resolve(globsCfg)
-      // reference parity (utils.go:87-90): bare directory entries skipped
-      val globs = globs0.filterNot { p =>
-        !p.exists("*?[{".contains(_)) && new java.io.File(p).isDirectory
-      }
+      // s3:: paths resolve to local checkouts / s3a:// globs first; bare
+      // directory entries are skipped (utils.go:87-90)
+      val globs = resolveGlobs(globsCfg)
       // ONE driver-side listing: glob each source ourselves and feed the
       // matched statuses straight into the scan (PreListedFileIndex).
       // `spark.read.load(globs)` would glob AND re-list inside Spark —
@@ -65,11 +62,7 @@ object Terraform {
       // Sources matching nothing yield an empty result instead of an
       // error (utils.go:116-119,148-151): globStatus returns null/empty
       // and the glob simply contributes no statuses.
-      val conf = spark.sparkContext.hadoopConfiguration
-      val statuses = globs.flatMap { g =>
-        val hp = new org.apache.hadoop.fs.Path(g)
-        Option(hp.getFileSystem(conf).globStatus(hp)).toSeq.flatten
-      }.filter(_.isFile)
+      val statuses = globOnce(spark.sparkContext.hadoopConfiguration, globs)
       if (statuses.isEmpty) spark.emptyDataset[TfRow]
       else {
         val base = graft.sources.PreListedFileIndex.binaryFileScan(
@@ -92,7 +85,24 @@ object Terraform {
       .unionAll(read(paths.stateFilePaths, FileKind.State))
   }
 
-  private def stripScheme(path: String): String =
+  /** The single listing pass behind discovery: glob each resolved source
+    * against ITS OWN FileSystem, silently dropping non-matches
+    * (utils.go:116-119,148-151) and directories. Shared by [[rows]] and
+    * the DataSource V2 provider (graft.sources.TerraformTableProvider). */
+  private[graft] def globOnce(conf: org.apache.hadoop.conf.Configuration,
+      globs: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] =
+    globs.flatMap { g =>
+      val hp = new org.apache.hadoop.fs.Path(g)
+      Option(hp.getFileSystem(conf).globStatus(hp)).toSeq.flatten
+    }.filter(_.isFile)
+
+  /** Resolved, directory-pruned globs for one configured source list. */
+  private[graft] def resolveGlobs(globsCfg: Seq[String]): Seq[String] =
+    Sources.resolve(globsCfg).filterNot { p =>
+      !p.exists("*?[{".contains(_)) && new java.io.File(p).isDirectory
+    }
+
+  private[graft] def stripScheme(path: String): String =
     if (path.startsWith("file:")) path.stripPrefix("file:") else path
 
   /** Streaming twin of [[rows]] — the real analog of the reference's
