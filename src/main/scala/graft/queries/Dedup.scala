@@ -67,14 +67,19 @@ object Dedup {
     * more than `max` members BEFORE the join. A bucket that big means a
     * degenerate signature (empty/boilerplate documents) whose pairs
     * belong to exact dedup, not near-dup discovery — and without the cap
-    * ONE hot bucket costs O(bucket²) pairs at 100 TB. The count groups on
-    * the SAME keys the join shuffles on, so the exchange is reused, not
-    * doubled. Default caps are far above anything a healthy corpus
-    * produces (DedupSpec pins that nothing is dropped at test scale and
-    * that a planted hot bucket IS dropped). */
+    * ONE hot bucket costs O(bucket²) pairs at 100 TB. The count is a
+    * WINDOW over the join's own partition keys, not a separate aggregate:
+    * the banded rows shuffle ONCE on (band, bucket) and that single
+    * exchange feeds the count, the filter, and both sides of the
+    * candidate self-join (ReusedExchange — pinned in PlanQualitySpec).
+    * Default caps are far above anything a healthy corpus produces
+    * (DedupSpec pins that nothing is dropped at test scale and that a
+    * planted hot bucket IS dropped). */
   private[queries] def capBuckets(blocks: DataFrame, max: Long, keys: String*): DataFrame = {
-    val counts = blocks.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bn"))
-    blocks.join(counts.filter(col("bn") <= max).select(keys.map(col): _*), keys.toSeq)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    blocks.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= max)
+      .drop("bn")
   }
 
   /** Distinct candidate pairs (da < db, with both signatures) from a

@@ -110,6 +110,25 @@ class PlanQualitySpec extends SparkSpecBase {
       s"signature pipeline computed twice:\n$p")
   }
 
+  test("bucket cap piggybacks on the candidate-join shuffle, no extra count exchange") {
+    // capBuckets counts bucket sizes with a window over the join's own
+    // partition keys: the banded rows must shuffle ONCE on the band keys
+    // (one live Exchange + a ReusedExchange for the self-join's other
+    // side), not once for a count aggregate and again for the join
+    for ((q, bandKey) <- Seq("x_dedup_minhash" -> "band", "x_dedup_simhash_lsh" -> "blk")) {
+      // AQE's toString appends the pre-execution "Initial Plan" — assert
+      // on the executed final section only
+      val p = finalPlanStr(q).split("== Initial Plan ==").head
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+        p.contains("TableCacheQueryStage"), s"$q: no exchange reuse:\n$p")
+      val bandShuffles = p.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("Reused") &&
+          l.contains(bandKey + "#")).toSeq
+      assert(bandShuffles.size <= 1,
+        s"$q: banded rows shuffled ${bandShuffles.size}× on $bandKey:\n${bandShuffles.mkString("\n")}")
+    }
+  }
+
   test("hot single-table queries run inside whole-stage codegen") {
     // "*(n)" is plan-toString's WholeStageCodegen stage marker
     for (q <- Seq("b_agg_q1", "x_text_tokens")) {
