@@ -304,17 +304,21 @@ object Terraform {
         case JStr(v) => v
         case v       => v.render
       }.orNull)
-    // sqlite json_each value stream (docs/tables/terraform_data_source.md:97):
+    // sqlite json_each row stream (docs/tables/terraform_data_source.md:97):
     // PgDialect rewrites `json_each(x, p) as f` to
-    // `explode(json_each_values(x, p)) as f`, each row a struct with a
-    // `value` field so the documented `f.value` projections work. Same
-    // single-object leniency as json_array_elements (one HCL block renders
-    // as an object, repeated blocks as an array — both must iterate).
+    // `explode(json_each_values(x, p)) as f`, each row carrying sqlite's
+    // virtual-table columns (key, value, type, atom, id, fullkey, path —
+    // json_each's `parent` is always NULL so it is omitted) so both the
+    // documented `f.value` projections and user queries over
+    // `f.key`/`f.type` work. Same single-object leniency as
+    // json_array_elements (one HCL block renders as an object, repeated
+    // blocks as an array — both must iterate).
     spark.udf.register("json_each_values", (s: String, path: String) =>
       if (s == null || path == null) Array.empty[JsonEachRow]
       else Json.parseOpt(s).flatMap(jsonPath(_, path)).map {
-        case JArr(items) => items.map(i => JsonEachRow(i.render)).toArray
-        case v           => Array(JsonEachRow(v.render))
+        case JArr(items) =>
+          items.zipWithIndex.map { case (i, ix) => jsonEachRow(Some(ix), i, path) }.toArray
+        case v => Array(jsonEachRow(None, v, path))
       }.getOrElse(Array.empty[JsonEachRow]))
     // sqlite dynamic truthiness for predicate-position json_extract (see
     // SqliteDialect): sqlite's json_extract returns 1/0 for JSON booleans
@@ -330,9 +334,40 @@ object Terraform {
       })
   }
 
-  /** One `json_each` output row (only the `value` member of sqlite's
-    * 8-column schema is used by the documented queries). */
-  final case class JsonEachRow(value: String)
+  /** One `json_each` output row: sqlite's virtual-table schema minus the
+    * always-NULL `parent`. Column values are strings (our JSON columns are
+    * canonical-JSON text): `value` keeps the canonical rendering the
+    * documented queries pin; `atom` is the unquoted scalar text (NULL for
+    * containers — booleans render as true/false, not sqlite's 1/0); `id`
+    * is the element ordinal (sqlite's internal node id has no documented
+    * consumer). */
+  final case class JsonEachRow(key: String, value: String, `type`: String,
+      atom: String, id: Long, fullkey: String, path: String)
+
+  private def jsonEachRow(idx: Option[Int], v: JValue, path: String): JsonEachRow = {
+    val tpe = v match {
+      case _: JObj      => "object"
+      case _: JArr      => "array"
+      case _: JStr      => "text"
+      case JNum(raw)    => if (raw.exists(c => c == '.' || c == 'e' || c == 'E')) "real" else "integer"
+      case JBool(true)  => "true"
+      case JBool(false) => "false"
+      case JNull        => "null"
+    }
+    val atom = v match {
+      case _: JObj | _: JArr => null
+      case JStr(s)           => s
+      case other             => other.render
+    }
+    JsonEachRow(
+      key = idx.map(_.toString).orNull,
+      value = v.render,
+      `type` = tpe,
+      atom = atom,
+      id = idx.map(_.toLong).getOrElse(0L),
+      fullkey = idx.map(i => s"$path[$i]").getOrElse(path),
+      path = path)
+  }
 
   /** sqlite JSON path subset: `$`, `.key`, `[idx]` — covers every path in
     * the reference's doc corpus. Unsupported syntax → None (NULL). */

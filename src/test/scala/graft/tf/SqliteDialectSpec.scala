@@ -167,6 +167,37 @@ class SqliteDialectSpec extends SparkSpecBase {
   }
 
   // ---- terraform_local.md sqlite examples (2)
+  test("data source: json_each full virtual-table schema (key/type/atom/fullkey)") {
+    // sqlite's json_each exposes key,value,type,atom,id,fullkey,path — a
+    // user porting sqlite SQL that reads more than .value must see them
+    val rows = lite(
+      """with f as (
+        |  select name, json_each(arguments, '$.filter') as e
+        |  from terraform_data_source where type = 'aws_ami')
+        |select name, e.key as k, e.type as t, e.atom as a, e.fullkey as fk, e.path as p
+        |from f order by name, k;""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(2) == "object") // each filter element is a block object
+      assert(r.isNullAt(3)) // atom NULL for containers
+      assert(r.getString(5) == "$.filter")
+    }
+    // array iteration: key = index, fullkey = path[index]
+    val amzn = rows.filter(_.getString(0).contains("amzn"))
+    assert(amzn.map(_.getString(1)).toSeq == Seq("0", "1"))
+    assert(amzn.map(_.getString(4)).toSeq == Seq("$.filter[0]", "$.filter[1]"))
+    // single-block leniency: one object row, key/fullkey fall back to the path
+    val ubuntu = rows.filter(_.getString(0).contains("ubuntu"))
+    assert(ubuntu.length == 1 && ubuntu.head.isNullAt(1) && ubuntu.head.getString(4) == "$.filter")
+    // scalar elements: type/atom reflect the value
+    val scal = lite(
+      "select e.key as k, e.value as v, e.type as t, e.atom as a " +
+        "from (select json_each('[\"x\", 3, 1.5, true, null]', '$') as e) order by k;").collect()
+    assert(scal.map(r => (r.getString(2), r.getString(3))).toSeq ==
+      Seq(("text", "x"), ("integer", "3"), ("real", "1.5"), ("true", "true"), ("null", "null")))
+    assert(scal.map(_.getString(1)).toSeq == Seq("\"x\"", "3", "1.5", "true", "null"))
+  }
+
   test("local: basic + like") {
     assert(lite("select name, value, path from terraform_local;").count() == 3)
     val rows = lite(
