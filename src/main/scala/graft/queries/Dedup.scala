@@ -140,11 +140,15 @@ object Dedup {
         .orderBy(col("j").desc, col("da"), col("db"))
     }),
 
-    // -- MinHash + LSH banding: 32 permutations, 8 bands × 4 rows.
+    // -- MinHash + LSH banding. Sizing is corpus-derived (LshTuning): the
+    //    gate corpus (500 docs) gives 8 bands × 4 rows = 32 permutations;
+    //    a 10⁸-doc corpus tightens to 7 rows × 64 bands so the candidate
+    //    S-curve threshold stays near the est_j cut at any scale.
     //    Signature shuffle is (doc, band, hash) — never the text.
     "x_dedup_minhash" -> ((s, d) => {
-      val nPerm = 32
-      val rowsPerBand = 4
+      val corpusN = table(s, d, "documents").count()
+      val rowsPerBand = LshTuning.minhashRowsPerBand(corpusN)
+      val nPerm = LshTuning.minhashBands(rowsPerBand) * rowsPerBand
       graft.functions.MinHashAgg.register(s, nPerm)
       // signature as a TRUE partial aggregate: each shingle hashes to 8
       // bytes map-side and folds straight into the fixed nPerm-long minima

@@ -1,0 +1,41 @@
+package graft.queries
+
+/** Corpus-size-derived LSH sizing — the sub-linear knobs that hold the
+  * bucket/candidate contracts as the corpus grows, instead of constants
+  * that only fit one scale factor.
+  *
+  * The gate corpora (sf0.001/sf0.01: 500 documents, 500 vectors) derive
+  * exactly the constants the static DuckDB oracles are generated with
+  * (4 sign planes; 8 minhash bands × 4 rows), so the hash-gated queries
+  * stay byte-stable while a 10⁹-row corpus gets a proportionally larger
+  * hash space. Pinned at two synthetic sizes in Similarity/Dedup specs.
+  */
+object LshTuning {
+
+  /** Sign-LSH hyperplane count: the bucket space 2^planes is sized so the
+    * EXPECTED bucket holds ≈ `targetBucket` vectors — candidate re-rank
+    * cost per query stays flat as the corpus grows. 500 → 4 (gate), 2000
+    * → 6, clamped to [min, max] (at max=16 a 2⁶⁴-row corpus still probes
+    * 65536 buckets, and fewer planes than 4 under-spreads tiny corpora). */
+  def signPlanes(corpus: Long, targetBucket: Long = 32,
+      minPlanes: Int = 4, maxPlanes: Int = 16): Int = {
+    val need = math.ceil(log2(math.max(1.0, corpus.toDouble / targetBucket))).toInt
+    math.min(maxPlanes, math.max(minPlanes, need))
+  }
+
+  /** MinHash banding rows-per-band: r grows with log₁₆(corpus) — as the
+    * number of potentially colliding pairs grows, each band needs more
+    * agreeing hashes before it emits a candidate. 500 → 4 (gate); grows
+    * to 5 past 65k docs, 7 past 268M. */
+  def minhashRowsPerBand(corpus: Long, minRows: Int = 4, maxRows: Int = 7): Int =
+    math.min(maxRows, math.max(minRows,
+      math.ceil(log2(math.max(2.0, corpus.toDouble)) / 4.0).toInt))
+
+  /** Bands paired with [[minhashRowsPerBand]]: b = 2^(r-1) keeps the
+    * S-curve threshold (1/b)^(1/r) pinned near 0.55–0.6 at every scale
+    * (r=4,b=8 → 0.59; r=5,b=16 → 0.57; r=7,b=64 → 0.55), matching the
+    * est_j ≥ 0.5 cut the pipeline applies after exact estimation. */
+  def minhashBands(rowsPerBand: Int): Int = 1 << (rowsPerBand - 1)
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+}

@@ -80,18 +80,21 @@ object Similarity {
     //    hyperplanes: plane p, dim i weight =
     //    (xxhash64(p * 997 + i) % 1000) / 1000.0.
     "x_sim_lsh" -> ((s, d) => {
-      val planes = 4
-      // hyperplane literals must match the corpus dimension exactly — the
-      // one-row probe guards the EmbeddingDims contract the static oracle
-      // is generated against: a mismatch fails fast instead of silently
-      // truncating float_dot and diverging from the oracle
-      val dims = table(s, d, "embeddings").select(size(col("embedding"))).take(1) match {
-        case Array(r) => r.getInt(0)
-        case _        => EmbeddingDims // empty corpus: bucket values are irrelevant
+      // ONE probe job for both contracts: dims (must equal EmbeddingDims —
+      // hyperplanes and the static oracle are generated for it; a mismatch
+      // fails fast instead of silently truncating float_dot) and corpus
+      // size (derives the plane count so expected bucket size stays flat
+      // at any scale; the gate corpus of 500 derives the oracle's 4)
+      val (dims, corpusN) = table(s, d, "embeddings")
+        .agg(first(size(col("embedding"))).as("dims"), count(lit(1)).as("n"))
+        .take(1) match {
+        case Array(r) if !r.isNullAt(0) => (r.getInt(0), r.getLong(1))
+        case _ => (EmbeddingDims, 0L) // empty corpus: bucket values are irrelevant
       }
       require(dims == EmbeddingDims,
         s"x_sim_lsh: corpus dims $dims != contract $EmbeddingDims — hyperplanes and the " +
           "DuckDB oracle are generated for the contract dims; regenerate both for a new corpus")
+      val planes = LshTuning.signPlanes(corpusN)
       val e = withNorm(s, d)
       // bucket = the `planes` sign bits of dot products against literal
       // double hyperplanes; float_dot keeps the index-ordered double fold
@@ -326,14 +329,16 @@ object Similarity {
     // driver-side), so DuckDB can reproduce the buckets bit-for-bit with
     // the same index-ordered double arithmetic as float_dot — making the
     // whole multi-probe pipeline hash-gated, not rows-only. Both sides are
-    // generated for EmbeddingDims (TESTDATA.md contract); the Spark query
-    // probes the corpus and fails fast on a mismatch.
+    // generated for EmbeddingDims (TESTDATA.md contract) and for the plane
+    // count LshTuning derives at the GATE corpus (500 vectors → 4); the
+    // Spark query probes the corpus and derives the same values there.
     "x_sim_lsh" -> {
+      val gatePlanes = LshTuning.signPlanes(500)
       def w(p: Int) = (0 until EmbeddingDims).map(i => planeWeight(p, i)).mkString("[", ", ", "]")
       def dot(p: Int) =
         s"list_sum(list_transform(generate_series(1, $EmbeddingDims), i -> CAST(embedding[i] AS DOUBLE) * (${w(p)})[i]))"
-      val bucket = (0 until 4)
-        .map(p => s"(CASE WHEN ${dot(p)} > 0 THEN ${1L << (3 - p)} ELSE 0 END)")
+      val bucket = (0 until gatePlanes)
+        .map(p => s"(CASE WHEN ${dot(p)} > 0 THEN ${1L << (gatePlanes - 1 - p)} ELSE 0 END)")
         .mkString("\n        |     + ")
       s"""WITH e AS (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
@@ -343,8 +348,8 @@ object Similarity {
         |       $bucket AS bucket
         |  FROM e),
         |q AS (SELECT vec_id qid, embedding qe, nrm qn,
-        |        unnest([bucket, xor(bucket, 1), xor(bucket, 2),
-        |                xor(bucket, 4), xor(bucket, 8)]) AS qbucket
+        |        unnest([bucket${(0 until gatePlanes)
+                  .map(b => s", xor(bucket, ${1L << b})").mkString}]) AS qbucket
         |      FROM b WHERE vec_id < 10),
         |scored AS (
         |  SELECT q.qid, t.vec_id,

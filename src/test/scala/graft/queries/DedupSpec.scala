@@ -79,6 +79,18 @@ class DedupSpec extends SparkSpecBase {
     assert(pair < single, s"pair-of-blocks candidates $pair !< single-block $single")
   }
 
+  test("derived minhash banding: gate corpus reproduces 8 bands x 4 rows, larger corpora tighten") {
+    assert(LshTuning.minhashRowsPerBand(500) == 4 && LshTuning.minhashBands(4) == 8)
+    assert(LshTuning.minhashRowsPerBand(100000) == 5 && LshTuning.minhashBands(5) == 16)
+    assert(LshTuning.minhashRowsPerBand(300000000L) == 7 && LshTuning.minhashBands(7) == 64)
+    // S-curve threshold (1/b)^(1/r) stays near the est_j >= 0.5 cut
+    for (n <- Seq(500L, 100000L, 300000000L)) {
+      val r = LshTuning.minhashRowsPerBand(n)
+      val t = math.pow(1.0 / LshTuning.minhashBands(r), 1.0 / r)
+      assert(t > 0.5 && t < 0.65, s"threshold $t drifted at corpus $n")
+    }
+  }
+
   test("degenerate-bucket cap drops only the hot bucket") {
     import spark.implicits._
     // 5 docs share a degenerate bucket key, 2 docs sit in healthy ones

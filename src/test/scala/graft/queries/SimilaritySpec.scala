@@ -70,6 +70,13 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r1.toSeq == r2.toSeq, "re-fit after invalidation is deterministic")
   }
 
+  test("derived sign-LSH planes: gate corpus reproduces the oracle's 4, larger corpora widen") {
+    assert(LshTuning.signPlanes(500) == 4) // gate corpus — static oracle value
+    assert(LshTuning.signPlanes(2000) == 6) // sf0.1 corpus: 64 buckets of ~32
+    assert(LshTuning.signPlanes(10) == 4) // min clamp
+    assert(LshTuning.signPlanes(1L << 26) == 16) // max clamp
+  }
+
   test("LSH dims contract: a corpus with non-contract dims fails fast") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dims").toString
