@@ -231,7 +231,12 @@ private final class TerraformReaderFactory(table: String, required: StructType,
         val in = hp.getFileSystem(conf).open(hp)
         val content = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-        Builders.rowsForFile(Terraform.stripScheme(fp.path), fp.kind, content)
+        // span elision, DSv2-native: when column pruning dropped every
+        // span column, skip span recovery / source slicing in the parse
+        val needSpans = required.fieldNames
+          .exists(Set("start_line", "end_line", "source"))
+        Builders.rowsForFile(Terraform.stripScheme(fp.path), fp.kind, content,
+            withSpans = needSpans)
           .iterator.filter(_.table == kindFilter)
       }
       private var current: TfRow = _

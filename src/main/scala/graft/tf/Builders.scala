@@ -30,12 +30,13 @@ object Builders {
   private val ValidationRe: Regex = "validation\\s*\\{[^}]+\\}".r
   private val TypeUnwrapRe: Regex = "^\\$\\{(.+)\\}$".r
 
-  def rowsForFile(path: String, kind: String, content: String): Seq[TfRow] = {
+  def rowsForFile(path: String, kind: String, content: String,
+      withSpans: Boolean = true): Seq[TfRow] = {
     val isPlan = kind == FileKind.Plan || isTerraformPlan(content)
-    if (isPlan) planRows(path, content)
-    else if (kind == FileKind.State) stateRows(path, content)
-    else if (path.endsWith(".tf.json")) jsonConfigRows(path, content)
-    else hclRows(path, content)
+    if (isPlan) planRows(path, content, withSpans)
+    else if (kind == FileKind.State) stateRows(path, content, withSpans)
+    else if (path.endsWith(".tf.json")) jsonConfigRows(path, content, withSpans)
+    else hclRows(path, content, withSpans)
   }
 
   /** utils.go:360-372 — a JSON doc with both resource_changes and
@@ -110,11 +111,11 @@ object Builders {
     Seq(TfRow.empty.copy(table = "_error", path = path,
       description = Some(s"$stage: ${Option(e.getMessage).getOrElse(e.getClass.getSimpleName)}")))
 
-  private def hclRows(path: String, content: String): Seq[TfRow] = {
+  private def hclRows(path: String, content: String, withSpans: Boolean): Seq[TfRow] = {
     val doc =
       try Hcl.parse(content)
       catch { case e: Exception => return errorRow(path, "hcl", e) }
-    docRows(path, doc)
+    docRows(path, doc, withSpans)
   }
 
   /** JSON-syntax configuration (`*.tf.json`): Terraform's alternate config
@@ -122,11 +123,12 @@ object Builders {
     * (the reference's kics parser reads both through one model), so the
     * seven table builders apply unchanged; block spans come from the JSON
     * parser's token locations. */
-  private[tf] def jsonConfigRows(path: String, content: String): Seq[TfRow] = {
+  private[tf] def jsonConfigRows(path: String, content: String,
+      withSpans: Boolean = true): Seq[TfRow] = {
     val doc =
       try jsonTfDoc(content)
       catch { case e: Exception => return errorRow(path, "tf.json", e) }
-    docRows(path, doc)
+    docRows(path, doc, withSpans)
   }
 
   private def jsonTfDoc(content: String): HclDoc = {
@@ -165,11 +167,12 @@ object Builders {
   }
 
   /** Config-table rows from a parsed document tree (HCL or tf.json). */
-  private def docRows(path: String, doc: HclDoc): Seq[TfRow] = {
+  private def docRows(path: String, doc: HclDoc, withSpans: Boolean): Seq[TfRow] = {
     val base = TfRow.empty.copy(path = path)
 
     def span(blockType: String, labels: Seq[String]): (Option[Long], Option[Long], Option[String]) =
-      doc.firstBlock(blockType, labels) match {
+      if (!withSpans) (None, None, None) // span elision: columns are pruned upstream
+      else doc.firstBlock(blockType, labels) match {
         case Some(b) => (nzL(b.startLine.toLong), nzL(b.endLine.toLong), nz(b.source))
         case None    => (None, None, None)
       }
@@ -410,7 +413,7 @@ object Builders {
       }
     }
 
-  private def planRows(path: String, content: String): Seq[TfRow] = {
+  private def planRows(path: String, content: String, withSpans: Boolean): Seq[TfRow] = {
     val (tree, spans) =
       try Json.parseWithSpans(content)
       catch { case e: Exception => return errorRow(path, "plan-json", e) }
@@ -432,10 +435,12 @@ object Builders {
       val args = r.get("values").collect { case o: JObj => o }
       // plan matching keys are (address, type) — parse_tfplan.go:49
       val (sl, el) =
-        if (formatted) Option(spans.get(r)).getOrElse((0, 0))
+        if (!withSpans) (0, 0)
+        else if (formatted) Option(spans.get(r)).getOrElse((0, 0))
         else unformattedSpan(content)
       val src =
-        if (formatted) sourceSlice(content, sl, el)
+        if (!withSpans) None
+        else if (formatted) sourceSlice(content, sl, el)
         else fallbackPlanSource(content, address, rtype)
       var row = base.copy(table = "resource", name = nz(name), tfType = nz(rtype),
         mode = nz(mode), address = nz(address),
@@ -453,7 +458,7 @@ object Builders {
     * (table_terraform_resource.go:233-275); outputs and variables are also
     * served (table_terraform_output.go:153-165,
     * table_terraform_variable.go:158-170). */
-  private def stateRows(path: String, content: String): Seq[TfRow] = {
+  private def stateRows(path: String, content: String, withSpans: Boolean): Seq[TfRow] = {
     val (tree, spans) =
       try Json.parseWithSpans(content)
       catch { case e: Exception => return errorRow(path, "state-json", e) }
@@ -471,10 +476,12 @@ object Builders {
         val rname = envelope.get("name").collect { case JStr(s) => s }.getOrElse("")
         // state matching keys are (type, name) — table_terraform_resource.go:295
         val (sl, el) =
-          if (formatted) Option(spans.get(envelope)).getOrElse((0, 0))
+          if (!withSpans) (0, 0)
+          else if (formatted) Option(spans.get(envelope)).getOrElse((0, 0))
           else unformattedSpan(content)
         val src =
-          if (formatted) sourceSlice(content, sl, el)
+          if (!withSpans) None
+          else if (formatted) sourceSlice(content, sl, el)
           else fallbackPlanSource(content, rtype, rname)
         val instances = envelope.get("instances").collect { case JArr(is) => is }.getOrElse(Vector.empty)
         instances.collect { case inst: JObj =>
@@ -503,9 +510,12 @@ object Builders {
           // unformatted outputs: span 1..total, no source (the reference's
           // fallback regex is plan-shaped and cannot match state content)
           val (sl, el) =
-            if (formatted) Option(spans.get(body)).getOrElse((0, 0))
+            if (!withSpans) (0, 0)
+            else if (formatted) Option(spans.get(body)).getOrElse((0, 0))
             else unformattedSpan(content)
-          val src = if (formatted) sourceSlice(content, sl, el) else None
+          val src =
+            if (!withSpans) None
+            else if (formatted) sourceSlice(content, sl, el) else None
           out += buildOutput(base, oname, body, nzL(sl.toLong), nzL(el.toLong), src)
         case _ =>
       }
@@ -516,9 +526,12 @@ object Builders {
       vars.fields.foreach {
         case (vname, body: JObj) =>
           val (sl, el) =
-            if (formatted) Option(spans.get(body)).getOrElse((0, 0))
+            if (!withSpans) (0, 0)
+            else if (formatted) Option(spans.get(body)).getOrElse((0, 0))
             else unformattedSpan(content)
-          val src = if (formatted) sourceSlice(content, sl, el) else None
+          val src =
+            if (!withSpans) None
+            else if (formatted) sourceSlice(content, sl, el) else None
           var row = base.copy(table = "variable", name = nz(vname),
             startLine = nzL(sl.toLong), endLine = nzL(el.toLong), source = src)
           body.fields.foreach {

@@ -39,13 +39,9 @@ object Terraform {
     * analog of the reference's qual short-circuit (utils.go:45-58). */
   def rows(spark: SparkSession, paths: Paths): Dataset[TfRow] = {
     import spark.implicits._
+    SpanElision.install(spark)
 
-    val parse = udf { (path: String, kind: String, bytes: Array[Byte]) =>
-      Builders.rowsForFile(stripScheme(path), kind,
-        new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-        // path is re-attached from the scan column (keeps it pushable)
-        .map(_.copy(path = ""))
-    }
+    val parse = udf(SpanElision.parseWithSpans).withName(SpanElision.ParseName)
 
     def read(globsCfg: Seq[String], kind: String): Dataset[TfRow] = {
       // remote-source surface (docs/index.md:103-236): git::/github.com/
