@@ -41,6 +41,18 @@ object TerraformQ {
     "tf_resource_types" -> q(
       "SELECT type, count(*) AS n FROM terraform_resource GROUP BY type ORDER BY type"),
 
+    // same aggregation through the DataSource V2 connector — pins that a
+    // `spark.read.format("terraform")` user sees exactly the view rows
+    "tf_dsv2_resource_types" -> ((spark, _) =>
+      spark.read.format("terraform")
+        .option("table", "terraform_resource")
+        .option("configurationFilePaths", s"$fixDir/*.tf")
+        .option("planFilePaths", s"$fixDir/tfplan.json,$fixDir/tfplan_oneline.json")
+        .option("stateFilePaths", s"$fixDir/terraform.tfstate")
+        .load()
+        .groupBy("type").agg(count(lit(1)).as("n"))
+        .orderBy("type")),
+
     "tf_resource_meta" -> q(
       """SELECT name, address, count, count_src, provider
         |FROM terraform_resource WHERE path LIKE '%main.tf' ORDER BY name""".stripMargin),
@@ -86,6 +98,12 @@ object TerraformQ {
 
   val oracle: Map[String, String] = Map(
     "tf_resource_types" ->
+      """SELECT * FROM (VALUES
+        | ('aws_cloudtrail', CAST(1 AS BIGINT)),
+        | ('aws_instance',   CAST(8 AS BIGINT)),
+        | ('aws_s3_bucket',  CAST(3 AS BIGINT))) AS t(type, n) ORDER BY type""".stripMargin,
+
+    "tf_dsv2_resource_types" ->
       """SELECT * FROM (VALUES
         | ('aws_cloudtrail', CAST(1 AS BIGINT)),
         | ('aws_instance',   CAST(8 AS BIGINT)),
