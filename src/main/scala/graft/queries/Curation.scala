@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators: the selection/reporting layer a
+  * large-scale data pipeline runs after cleaning and dedup —
+  * deterministic stratified sampling, benchmark-contamination checks,
+  * and boilerplate (repetition) scoring.
+  *
+  * Everything is engine-portable by construction (md5-hex thresholds,
+  * integer/double arithmetic, index-ordered folds), so every query here
+  * is DuckDB hash-gated.
+  *
+  * Scale notes: sampling is a stateless narrow filter (no shuffle, no
+  * global coordination — the md5 threshold IS the sampler, so re-runs
+  * and backfills select identical rows); contamination broadcasts the
+  * (small) benchmark shingle set against a corpus-side scan; repetition
+  * is one explode + two partial-aggregatable groupBys on doc_id.
+  */
+object Curation {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+
+  val queries: Map[String, Q] = Map(
+    // -- deterministic stratified sampling: per-language keep rates via an
+    //    md5-hex threshold (en is over-represented → 25%, others 50%).
+    //    The hash IS the sampler: no RNG state, identical selection on
+    //    re-run/backfill, and rates are auditable per stratum.
+    "x_cur_sample_stratified" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), col("lang"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) <
+          when(col("lang") === "en", lit("4")).otherwise(lit("8")))
+        .orderBy("doc_id")),
+
+    // -- per-stratum audit of the same sample: total, kept, realized rate
+    "x_cur_sample_audit" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("lang"),
+          (substring(md5(col("doc_id").cast("string")), 1, 1) <
+            when(col("lang") === "en", lit("4")).otherwise(lit("8"))).cast("long").as("kept"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total"), sum("kept").as("kept"),
+          (sum("kept").cast("double") / count(lit(1))).as("rate"))
+        .orderBy("lang")),
+
+    // -- benchmark contamination: word-3-gram overlap between each corpus
+    //    document and a held-out benchmark set (docs 0..19 here). The
+    //    benchmark shingle set is tiny → broadcast; the corpus side stays
+    //    a partition-parallel scan + key-equi join. Output: every
+    //    contaminated doc with overlap counts and ratio.
+    "x_cur_contamination" -> ((s, d) => {
+      val sh = Dedup.shinglesOf(toks(s, d))
+      val bench = sh.filter(col("doc_id") < 20).select(col("s")).distinct()
+      val corpus = sh.filter(col("doc_id") >= 20)
+      val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val overlap = corpus.join(broadcast(bench), "s")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      overlap.join(totals, "doc_id")
+        .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+          (col("n_overlap").cast("double") / col("n_shingles")).as("overlap_ratio"))
+        .orderBy(col("overlap_ratio").desc, col("doc_id"))
+        .limit(50)
+    }),
+
+    // -- boilerplate/repetition scoring: share of the document taken by
+    //    its single most frequent token. One explode, two per-doc
+    //    aggregations — both partial-aggregatable, shuffle O(docs×vocab).
+    "x_cur_repetition" -> ((s, d) =>
+      toks(s, d)
+        .select(col("doc_id"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_tokens"), max("cnt").as("top_count"))
+        .select(col("doc_id"), col("n_tokens"), col("top_count"),
+          (col("top_count").cast("double") / col("n_tokens")).as("rep_ratio"))
+        .orderBy(col("rep_ratio").desc, col("doc_id"))
+        .limit(30))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_cur_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        |      (CASE WHEN lang = 'en' THEN '4' ELSE '8' END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_cur_sample_audit" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) total,
+        |  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        |      (CASE WHEN lang = 'en' THEN '4' ELSE '8' END) THEN 1 ELSE 0 END) AS BIGINT) kept,
+        |  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        |      (CASE WHEN lang = 'en' THEN '4' ELSE '8' END) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS rate
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x_cur_contamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(ws) - 2, 0)),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) s FROM t),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20),
+        |totals AS (SELECT doc_id, count(*) n_shingles FROM corpus GROUP BY doc_id),
+        |overlap AS (SELECT c.doc_id, count(*) n_overlap
+        |            FROM corpus c JOIN bench b ON c.s = b.s GROUP BY c.doc_id)
+        |SELECT o.doc_id, CAST(t.n_shingles AS BIGINT) n_shingles,
+        |       CAST(o.n_overlap AS BIGINT) n_overlap,
+        |       CAST(o.n_overlap AS DOUBLE) / t.n_shingles AS overlap_ratio
+        |FROM overlap o JOIN totals t ON o.doc_id = t.doc_id
+        |ORDER BY overlap_ratio DESC, o.doc_id LIMIT 50""".stripMargin,
+
+    "x_cur_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+        |c AS (SELECT doc_id, w, count(*) cnt FROM w GROUP BY doc_id, w),
+        |r AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) n_tokens,
+        |             CAST(max(cnt) AS BIGINT) top_count
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, top_count,
+        |       CAST(top_count AS DOUBLE) / n_tokens AS rep_ratio
+        |FROM r ORDER BY rep_ratio DESC, doc_id LIMIT 30""".stripMargin
+  )
+}
