@@ -80,7 +80,52 @@ object Curation {
         .select(col("doc_id"), col("n_tokens"), col("top_count"),
           (col("top_count").cast("double") / col("n_tokens")).as("rep_ratio"))
         .orderBy(col("rep_ratio").desc, col("doc_id"))
-        .limit(30))
+        .limit(30)),
+
+    // -- sequence packing (context-length packing for training): assign
+    //    every document a global token offset and an 8192-token bin, in
+    //    doc_id order. Scalably: a naive cumulative sum is ONE window over
+    //    the whole corpus (single partition — the classic scale killer);
+    //    instead this is a DISTRIBUTED PREFIX SUM — per-chunk cumsum
+    //    windows run partition-parallel, and only the tiny chunk-total
+    //    relation (corpus/100 rows) sees a sequential window before being
+    //    broadcast back. Same rows, parallel plan.
+    "x_cur_pack" -> ((s, d) => {
+      val t = toks(s, d)
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n"),
+          expr("doc_id div 100").as("chunk"))
+      val wLocal = org.apache.spark.sql.expressions.Window
+        .partitionBy("chunk").orderBy("doc_id")
+        .rowsBetween(Long.MinValue, 0)
+      val wChunk = org.apache.spark.sql.expressions.Window
+        .orderBy("chunk").rowsBetween(Long.MinValue, -1)
+      val chunkOffsets = t.groupBy("chunk").agg(sum("n").as("ctot"))
+        .withColumn("coff", coalesce(sum("ctot").over(wChunk), lit(0L)))
+        .select(col("chunk"), col("coff"))
+      t.withColumn("lcum", sum("n").over(wLocal))
+        .join(broadcast(chunkOffsets), "chunk")
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          (col("coff") + col("lcum") - col("n")).as("tok_offset"),
+          expr("(coff + lcum - n) div 8192").as("bin"))
+        .orderBy("doc_id")
+    }),
+
+    // -- per-language embedding centroids: documents ⨝ embeddings, then
+    //    an EXACT per-(lang, dim) mean via the scaled-integer trick
+    //    (floor(x·10⁹) summed as DECIMAL — order-independent, partial-
+    //    aggregatable — divided once as double), so the distributed mean
+    //    is bit-reproducible in any engine. The shuffle carries skinny
+    //    (lang, pos, q) rows, never whole vectors.
+    "x_cur_embed_centroids" -> ((s, d) =>
+      table(s, d, "documents").select(col("doc_id"), col("lang"))
+        .join(table(s, d, "embeddings"), col("doc_id") === col("vec_id"))
+        .select(col("lang"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("q", floor(col("x").cast("double") * lit(1e9)).cast("decimal(38,0)"))
+        .groupBy("lang", "pos")
+        .agg(count(lit(1)).as("n"),
+          (sum("q").cast("double") / (lit(1e9) * count(lit(1)))).as("c"))
+        .select(col("lang"), col("pos").cast("long").as("pos"), col("n"), col("c"))
+        .orderBy("lang", "pos"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -123,6 +168,31 @@ object Curation {
         |      FROM c GROUP BY doc_id)
         |SELECT doc_id, n_tokens, top_count,
         |       CAST(top_count AS DOUBLE) / n_tokens AS rep_ratio
-        |FROM r ORDER BY rep_ratio DESC, doc_id LIMIT 30""".stripMargin
+        |FROM r ORDER BY rep_ratio DESC, doc_id LIMIT 30""".stripMargin,
+
+    // the oracle is the NAIVE single-window cumsum — proving the
+    // distributed chunked prefix sum computes identical offsets
+    "x_cur_pack" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS o
+        |      FROM t)
+        |SELECT doc_id, n AS n_tokens, CAST(o AS BIGINT) AS tok_offset,
+        |       CAST(o // 8192 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x_cur_embed_centroids" ->
+      """WITH j AS (
+        |  SELECT d.lang, e.embedding FROM documents d
+        |  JOIN embeddings e ON d.doc_id = e.vec_id),
+        |x AS (
+        |  SELECT lang, t.i - 1 AS pos,
+        |         CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000000.0) AS DECIMAL(38,0)) AS q
+        |  FROM j, range(1, 65) t(i))
+        |SELECT lang, CAST(pos AS BIGINT) pos, CAST(count(*) AS BIGINT) n,
+        |       CAST(sum(q) AS DOUBLE) / (1000000000.0 * count(*)) AS c
+        |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin
   )
 }

@@ -36,6 +36,42 @@ class CurationSpec extends SparkSpecBase {
     assert(ratios.zip(ratios.tail).forall { case (a, b) => a >= b })
   }
 
+  test("sequence packing: offsets are the exact global cumsum; bins contiguous") {
+    val rows = Curation.queries("x_cur_pack")(spark, sf).collect()
+    assert(rows.length == 500)
+    // offsets reconstruct the running sum in doc_id order
+    var cum = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      assert(r.getLong(2) == cum, s"doc ${r.getLong(0)}: offset ${r.getLong(2)} != cumsum $cum")
+      assert(r.getLong(3) == cum / 8192)
+      cum += r.getLong(1)
+    }
+    // the corpus-sized window must be partition-parallel: its sort/window
+    // partitions by chunk (an exchange on chunk), never SinglePartition —
+    // only the tiny chunk-totals relation may see a sequential window
+    val p = Curation.queries("x_cur_pack")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(chunk"),
+      s"per-chunk window not partition-parallel:\n$p")
+  }
+
+  test("embedding centroids: exact means per (lang, dim), all dims covered") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.queries("x_cur_embed_centroids")(spark, sf).collect()
+    val langs = rows.map(_.getString(0)).distinct.sorted
+    assert(rows.length == langs.length * 64, "64 dims per language")
+    // cross-check one (lang, pos) against a driver-side exact computation
+    val (lang, pos) = (rows.head.getString(0), rows.head.getLong(1))
+    val xs = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("lang"))
+      .join(spark.read.parquet(s"$sf/embeddings.parquet"), col("doc_id") === col("vec_id"))
+      .filter(col("lang") === lang)
+      .select(element_at(col("embedding"), (pos + 1).toInt).cast("double"))
+      .collect().map(_.getDouble(0))
+    val expect = xs.map(x => math.floor(x * 1e9).toLong).sum.toDouble / (1e9 * xs.length)
+    assert(rows.head.getLong(2) == xs.length)
+    assert(rows.head.getDouble(3) == expect, "scaled-integer mean must be exact")
+  }
+
   test("repetition: top-share ratio bounded and consistent with raw counts") {
     val rows = Curation.queries("x_cur_repetition")(spark, sf).collect()
     assert(rows.length == 30)
