@@ -55,13 +55,18 @@ object Curation {
     //    a partition-parallel scan + key-equi join. Output: every
     //    contaminated doc with overlap counts and ratio.
     "x_cur_contamination" -> ((s, d) => {
-      val sh = Dedup.shinglesOf(toks(s, d))
-      val bench = sh.filter(col("doc_id") < 20).select(col("s")).distinct()
-      val corpus = sh.filter(col("doc_id") >= 20)
-      val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      val overlap = corpus.join(broadcast(bench), "s")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-      overlap.join(totals, "doc_id")
+      val bench = Dedup.shinglesOf(toks(s, d).filter(col("doc_id") < 20))
+        .select(col("s")).distinct()
+        .withColumn("hit", lit(1L))
+      // ONE corpus pass: broadcast-left-join the benchmark set, then a
+      // single per-doc aggregate yields totals AND overlap together (the
+      // two-aggregate form would run the shingle explode twice)
+      Dedup.shinglesOf(toks(s, d).filter(col("doc_id") >= 20))
+        .join(broadcast(bench), Seq("s"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+        .filter(col("n_overlap") > 0)
         .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
           (col("n_overlap").cast("double") / col("n_shingles")).as("overlap_ratio"))
         .orderBy(col("overlap_ratio").desc, col("doc_id"))
