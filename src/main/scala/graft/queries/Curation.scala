@@ -115,6 +115,23 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // -- leakage-safe train/validation split: assignment is decided per
+    //    DEDUP CLUSTER (md5-MinHash discovery → star clustering, the same
+    //    hash-gated pipeline as x_dedup_clusters_full), so near-duplicate
+    //    documents can never straddle the split — the standard guard
+    //    against train→eval contamination. The md5-hex threshold on the
+    //    cluster id gives a deterministic ~12.5% validation share.
+    "x_cur_split" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id"))
+      val clusters =
+        Dedup.starClusters(docs, Dedup.md5MinhashPairs(s, d).select(col("da"), col("db")))._1
+      clusters
+        .withColumn("split",
+          when(substring(md5(col("cluster").cast("string")), 1, 1) < "2", lit("val"))
+            .otherwise(lit("train")))
+        .orderBy("doc_id")
+    }),
+
     // -- per-language embedding centroids: documents ⨝ embeddings, then
     //    an EXACT per-(lang, dim) mean via the scaled-integer trick
     //    (floor(x·10⁹) summed as DECIMAL — order-independent, partial-
@@ -187,6 +204,20 @@ object Curation {
         |SELECT doc_id, n AS n_tokens, CAST(o AS BIGINT) AS tok_offset,
         |       CAST(o // 8192 AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x_cur_split" ->
+      s"""WITH RECURSIVE ${Dedup.md5MinhashCte},
+        |p AS (SELECT da, db FROM est WHERE est_j >= 0.5),
+        |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+        |cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < '2'
+        |       THEN 'val' ELSE 'train' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin,
 
     "x_cur_embed_centroids" ->
       """WITH j AS (

@@ -297,7 +297,7 @@ object Dedup {
   /** md5-family MinHash+LSH near-dup pairs with est_j ≥ 0.5 (da < db) —
     * see the x_dedup_minhash_md5 entry for the scheme. Shared by the
     * pair query and the full-corpus clustering pipeline. */
-  private def md5MinhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def md5MinhashPairs(s: SparkSession, d: String): DataFrame = {
     val nPerm = 16
     val nBands = 4
     val rows = nPerm / nBands
@@ -443,7 +443,7 @@ object Dedup {
 
   /** Shared DuckDB WITH-body: the md5-family MinHash pipeline through the
     * per-candidate similarity estimate (`est(da, db, est_j)`). */
-  private def md5MinhashCte: String = {
+  private[queries] def md5MinhashCte: String = {
     val mins = (0 until 16).map(p =>
       s"min((h * ${2 * p + 1} + ${p * p + 7}) % 1000000007) AS m$p")
       .mkString(",\n        |         ")

@@ -72,6 +72,26 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.head.getDouble(3) == expect, "scaled-integer mean must be exact")
   }
 
+  test("leakage-safe split: clusters never straddle splits; near-dups co-assigned") {
+    val rows = Curation.queries("x_cur_split")(spark, sf).collect()
+    assert(rows.length == 500)
+    val split = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    // one split per cluster by construction — verify anyway
+    rows.groupBy(_.getLong(1)).foreach { case (c, rs) =>
+      assert(rs.map(_.getString(2)).distinct.length == 1, s"cluster $c straddles splits")
+    }
+    // the discovered near-dup pairs must land on the same side
+    val pairs = Dedup.queries("x_dedup_minhash_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a,$b) straddles the split")
+    }
+    // deterministic ~12.5% validation share, loose bounds
+    val valFrac = rows.count(_.getString(2) == "val").toDouble / rows.length
+    assert(valFrac > 0.03 && valFrac < 0.30, s"val fraction $valFrac")
+  }
+
   test("repetition: top-share ratio bounded and consistent with raw counts") {
     val rows = Curation.queries("x_cur_repetition")(spark, sf).collect()
     assert(rows.length == 30)
