@@ -39,7 +39,7 @@ object Dedup {
     * tokens produce NO shingles (guarded: Spark's sequence(1, 0) would
     * yield the descending [1, 0], emitting spurious partial grams, while
     * the DuckDB oracle's generate_series(1, 0) is empty). */
-  private[queries] def shinglesOf(tokenized: DataFrame): DataFrame =
+  private[graft] def shinglesOf(tokenized: DataFrame): DataFrame =
     tokenized
       .select(col("doc_id"), explode(array_distinct(expr(
         """CASE WHEN size(ws) >= 3

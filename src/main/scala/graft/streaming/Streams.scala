@@ -48,6 +48,25 @@ object Streams {
   def dedupe(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicates(keyCols :+ "ts")
 
+  /** Streaming stratified sampler — stateless twin of
+    * `x_cur_sample_stratified`: the md5 threshold IS the sampler, so a
+    * stream and a backfill batch select exactly the same documents (no
+    * RNG state to coordinate). Input: (doc_id, lang, …). */
+  def stratifiedSample(docs: DataFrame): DataFrame =
+    docs.filter(substring(md5(col("doc_id").cast("string")), 1, 1) <
+      when(col("lang") === "en", lit("4")).otherwise(lit("8")))
+
+  /** Streaming contamination counts — continuous twin of
+    * `x_cur_contamination`: incoming documents' word-3-gram shingles
+    * semi-join the (static, broadcast) benchmark shingle set; per-doc
+    * overlap counts emit in Update mode. Input: (doc_id, text);
+    * `bench`: a static DataFrame with a single `s` column. */
+  def contaminationCounts(docs: DataFrame, bench: DataFrame): DataFrame =
+    graft.queries.Dedup.shinglesOf(
+        docs.select(col("doc_id"), split(col("text"), " ").as("ws")))
+      .join(broadcast(bench), Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   final case class AsOfMatch(purchase_id: Long, user_id: Long, p_us: Long,

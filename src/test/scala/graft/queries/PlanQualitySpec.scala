@@ -129,6 +129,18 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("curation: sampler is shuffle-free; contamination broadcasts the benchmark") {
+    // the md5-threshold sampler is a stateless narrow filter — the only
+    // exchange allowed is the output sort's range partitioning
+    val p1 = finalPlanStr("x_cur_sample_stratified").split("== Initial Plan ==").head
+    assert(!p1.contains("Exchange hashpartitioning"), s"sampler shuffles:\n$p1")
+    // the benchmark shingle set joins broadcast — the corpus side must
+    // never shuffle on the shingle string
+    val p2 = finalPlanStr("x_cur_contamination").split("== Initial Plan ==").head
+    assert(p2.contains("BroadcastHashJoin"), s"benchmark not broadcast:\n$p2")
+    assert(!p2.contains("SortMergeJoin"), s"corpus shuffled on shingles:\n$p2")
+  }
+
   test("hot single-table queries run inside whole-stage codegen") {
     // "*(n)" is plan-toString's WholeStageCodegen stage marker
     for (q <- Seq("b_agg_q1", "x_text_tokens")) {

@@ -102,4 +102,44 @@ class StreamsSpec extends SparkSpecBase {
     assert(rows(103L) == (Some(101L), Some(20L)), s"state across batches: $rows")
     assert(rows(104L) == (None, None), s"no view -> null: $rows")
   }
+
+  test("streaming stratified sample selects exactly the batch sampler's docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.stratifiedSample(in.toDF().toDF("doc_id", "lang"))
+      .writeStream.format("memory").queryName("strat_out")
+      .outputMode(OutputMode.Append()).start()
+    val docs = (0L until 200L).map(i => (i, Seq("en", "de", "fr")((i % 3).toInt)))
+    try { in.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("strat_out").collect().map(_.getLong(0)).toSet
+    val batch = docs.toDF("doc_id", "lang")
+      .filter(org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5($"doc_id".cast("string")), 1, 1) <
+        org.apache.spark.sql.functions.when($"lang" === "en",
+          org.apache.spark.sql.functions.lit("4"))
+          .otherwise(org.apache.spark.sql.functions.lit("8")))
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, "stream and backfill must select identical docs")
+    assert(streamed.nonEmpty && streamed.size < docs.size)
+  }
+
+  test("streaming contamination counts overlap against the static benchmark set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("a b c", "b c d").toDF("s")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.contaminationCounts(in.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((1L, "a b c d e"), (2L, "x y z w"), (3L, "a b c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("contam_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.get(1L).contains(2L), s"doc 1 overlaps both benchmark shingles: $rows")
+    assert(rows.get(3L).contains(1L), s"doc 3 overlaps one: $rows")
+    assert(!rows.contains(2L), s"doc 2 has no overlap: $rows")
+  }
 }
