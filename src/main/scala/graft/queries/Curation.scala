@@ -150,6 +150,36 @@ object Curation {
         .orderBy("lang", "pos"))
   )
 
+  /** Materialize the curated corpus: the leakage-safe split and the
+    * stratified sampler applied to the full documents table, written as
+    * parquet partitioned by (split, lang) — the layout a training job
+    * consumes (split/language selection become partition pruning, no
+    * scan) — with rows sorted by doc_id inside each file so downstream
+    * sequence packing reads them in offset order. One shuffle
+    * (repartition on the partition columns); `maxRecordsPerFile` bounds
+    * file sizes at scale. Returns the curated row count. */
+  def writeCurated(s: SparkSession, d: String, out: String,
+      maxRecordsPerFile: Long = 1000000L): Long = {
+    val docs = table(s, d, "documents")
+    val split = queries("x_cur_split")(s, d).select(col("doc_id"), col("split"))
+    val curated = docs
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) <
+        when(col("lang") === "en", lit("4")).otherwise(lit("8")))
+      .join(split, "doc_id")
+    curated
+      .repartition(col("split"), col("lang"))
+      // partition columns lead the sort so the writer's own required
+      // ordering (group rows by partition) is already satisfied and the
+      // doc_id order inside each (split, lang) file survives
+      .sortWithinPartitions("split", "lang", "doc_id")
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("split", "lang")
+      .mode("overwrite")
+      .parquet(out)
+    s.read.parquet(out).count()
+  }
+
   val oracle: Map[String, String] = Map(
     "x_cur_sample_stratified" ->
       """SELECT doc_id, lang FROM documents

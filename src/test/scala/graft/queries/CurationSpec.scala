@@ -92,6 +92,38 @@ class CurationSpec extends SparkSpecBase {
     assert(valFrac > 0.03 && valFrac < 0.30, s"val fraction $valFrac")
   }
 
+  test("writeCurated: partitioned layout, sampled+split content, sorted files") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-curated").toString
+    val n = Curation.writeCurated(spark, sf, out)
+
+    // layout: split=<v>/lang=<l> partition directories
+    val splitDirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(splitDirs.toSet.subsetOf(Set("split=train", "split=val")) && splitDirs.nonEmpty)
+    val langDirs = new java.io.File(s"$out/split=train").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(langDirs.exists(_.startsWith("lang=")))
+
+    // content: exactly the sampled docs, each with its cluster's split
+    val back = spark.read.parquet(out)
+    val sample = Curation.queries("x_cur_sample_stratified")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(n == sample.size && back.count() == n)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet == sample)
+    val splits = Curation.queries("x_cur_split")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    back.select("doc_id", "split").collect()
+      .foreach(r => assert(splits(r.getLong(0)) == r.getString(1)))
+
+    // per-file ordering: doc_id ascending within every written file
+    val byFile = back.select(input_file_name().as("f"), col("doc_id")).collect()
+      .groupBy(_.getString(0)).values
+    byFile.foreach { rows =>
+      val ids = rows.map(_.getLong(1)).toSeq
+      assert(ids == ids.sorted, "files must be sorted by doc_id for packing")
+    }
+  }
+
   test("repetition: top-share ratio bounded and consistent with raw counts") {
     val rows = Curation.queries("x_cur_repetition")(spark, sf).collect()
     assert(rows.length == 30)
