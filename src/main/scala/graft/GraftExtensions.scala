@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, FloatDot, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, FloatDot, Md5Long60, MinHashSignature, SimHash64}
 
 /** Cluster-facing packaging of the graft native functions:
   *
@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("md5long60"),
+      new ExpressionInfo(classOf[Md5Long60].getName, "md5long60"),
+      (es: Seq[Expression]) => Md5Long60(es.head)))
   }
 }
 
@@ -51,6 +54,7 @@ object GraftExtensions {
     CosineSimilarity.register(spark)
     MinHashSignature.register(spark)
     SimHash64.register(spark)
+    Md5Long60.register(spark)
     graft.functions.MinHashAgg.register(spark, minhashPerms)
     graft.tf.Terraform.registerFunctions(spark)
   }

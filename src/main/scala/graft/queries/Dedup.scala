@@ -230,10 +230,10 @@ object Dedup {
     //    proven on the fast path and applies unchanged.
     "x_dedup_simhash_md5" -> ((s, d) => {
       val nBits = 60
+      graft.functions.Md5Long60.register(s)
       val hashed = toks(s, d).filter(col("doc_id") < 200)
         .select(col("doc_id"), explode(col("ws")).as("w"))
-        .select(col("doc_id"),
-          expr("CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .select(col("doc_id"), expr("md5long60(w)").as("h"))
       val bitSums = (0 until nBits).map(b =>
         sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"c$b"))
       val sig = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -302,9 +302,9 @@ object Dedup {
     val nBands = 4
     val rows = nPerm / nBands
     val P = 1000000007L
+    graft.functions.Md5Long60.register(s)
     val sh = shingles(s, d, lit(true))
-      .select(col("doc_id"),
-        (expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)") % P).as("h"))
+      .select(col("doc_id"), (expr("md5long60(s)") % P).as("h"))
     val mins = (0 until nPerm).map(p =>
       min((col("h") * (2 * p + 1) + (p * p + 7)) % P).as(s"m$p"))
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
