@@ -123,8 +123,13 @@ object TerraformTableProvider {
       Option(options.get(key)).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val positional =
       Option(options.get("paths")).toSeq.flatMap { js =>
-        // DataFrameReader encodes multi-path load() as a JSON array
-        js.stripPrefix("[").stripSuffix("]").split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        // DataFrameReader encodes multi-path load(p1, p2, …) as a JSON
+        // array — parse it properly (paths may contain commas/quotes)
+        graft.tf.Json.parseOpt(js) match {
+          case Some(graft.tf.JArr(items)) =>
+            items.collect { case graft.tf.JStr(p) => p }
+          case _ => Seq(js)
+        }
       }.filter(_.nonEmpty) ++ Option(options.get("path")).toSeq
     Seq(
       FileKind.Config -> (split("configurationFilePaths") ++ positional),

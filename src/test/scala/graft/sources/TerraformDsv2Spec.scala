@@ -64,6 +64,18 @@ class TerraformDsv2Spec extends SparkSpecBase {
     assert(df.collect().nonEmpty)
   }
 
+  test("positional load paths are configuration sources (single and multi)") {
+    val one = spark.read.format("terraform").load(s"$dir/*.tf")
+    assert(one.count() > 0)
+    // multi-path load() arrives as a JSON array option
+    val dir2 = java.nio.file.Files.createTempDirectory("dsv2-multi").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir2, "extra.tf"),
+      "resource \"aws_sqs_queue\" \"q\" {}\n")
+    val multi = spark.read.format("terraform").load(s"$dir/*.tf", s"$dir2/*.tf")
+    assert(multi.count() == one.count() + 1)
+    assert(multi.filter(col("type") === "aws_sqs_queue").count() == 1)
+  }
+
   test("unknown table name fails fast") {
     val e = intercept[IllegalArgumentException](
       spark.read.format("terraform").option("table", "terraform_nope").load())
