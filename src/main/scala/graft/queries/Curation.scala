@@ -26,6 +26,16 @@ object Curation {
   private def toks(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
 
+  /** THE stratified-sampling predicate — single source of truth shared by
+    * the sample query, its audit, the curated-corpus writer and the
+    * streaming twin (Streams.stratifiedSample): keep a doc when the
+    * first md5 hex digit of its id is under the per-stratum threshold
+    * (en 4/16 = 25%, others 8/16 = 50%). Deterministic: a stream and a
+    * backfill select identical rows. */
+  private[graft] def samplePredicate: org.apache.spark.sql.Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1) <
+      when(col("lang") === "en", lit("4")).otherwise(lit("8"))
+
   val queries: Map[String, Q] = Map(
     // -- deterministic stratified sampling: per-language keep rates via an
     //    md5-hex threshold (en is over-represented → 25%, others 50%).
@@ -34,16 +44,13 @@ object Curation {
     "x_cur_sample_stratified" -> ((s, d) =>
       table(s, d, "documents")
         .select(col("doc_id"), col("lang"))
-        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) <
-          when(col("lang") === "en", lit("4")).otherwise(lit("8")))
+        .filter(samplePredicate)
         .orderBy("doc_id")),
 
     // -- per-stratum audit of the same sample: total, kept, realized rate
     "x_cur_sample_audit" -> ((s, d) =>
       table(s, d, "documents")
-        .select(col("lang"),
-          (substring(md5(col("doc_id").cast("string")), 1, 1) <
-            when(col("lang") === "en", lit("4")).otherwise(lit("8"))).cast("long").as("kept"))
+        .select(col("lang"), samplePredicate.cast("long").as("kept"))
         .groupBy("lang")
         .agg(count(lit(1)).as("total"), sum("kept").as("kept"),
           (sum("kept").cast("double") / count(lit(1))).as("rate"))
@@ -163,8 +170,7 @@ object Curation {
     val docs = table(s, d, "documents")
     val split = queries("x_cur_split")(s, d).select(col("doc_id"), col("split"))
     val curated = docs
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) <
-        when(col("lang") === "en", lit("4")).otherwise(lit("8")))
+      .filter(samplePredicate)
       .join(split, "doc_id")
     curated
       .repartition(col("split"), col("lang"))

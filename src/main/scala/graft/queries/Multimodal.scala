@@ -81,25 +81,42 @@ object Multimodal {
     out.toByteArray
   }
 
+  private val mimeOfMod = Map(0 -> "image/png", 1 -> "audio/wav", 2 -> "video/mp4")
+
   /** Synthesize an assets table from `documents`. PNG and WAV payloads are
     * real encoded media (deterministic content, see [[pngBytes]] /
     * [[wavBytes]]); mp4 payloads are the document's UTF-8 bytes (no JDK
-    * MP4 encoder). `maxId` prunes documents BEFORE the (CPU-bearing)
-    * encode map — callers that only need a prefix of the corpus must pass
-    * it so encode cost scales with rows consumed, not corpus size. */
-  def assets(s: SparkSession, d: String, maxId: Long = Long.MaxValue): Dataset[Asset] = {
+    * MP4 encoder). All three prune knobs apply BEFORE the (CPU-bearing)
+    * encode map, so codec cost scales with rows actually consumed:
+    * `maxId` bounds the id prefix, `onlyMime` keeps one mime class (the
+    * mime is a pure function of doc_id, so the filter is a scan
+    * predicate), and `withMedia = false` skips payload encoding entirely
+    * for metadata-only consumers (Spark cannot prune columns through a
+    * typed map, so the caller must say what it needs). */
+  def assets(s: SparkSession, d: String, maxId: Long = Long.MaxValue,
+      onlyMime: Option[String] = None, withMedia: Boolean = true): Dataset[Asset] = {
     import s.implicits._
-    table(s, d, "documents")
+    val base = table(s, d, "documents")
       .select(col("doc_id"), col("text"), col("n_chars"))
       .filter(col("doc_id") < maxId)
+    val pruned = onlyMime match {
+      case Some(m) =>
+        val mod = mimeOfMod.collectFirst { case (k, v) if v == m => k }.getOrElse(
+          throw new IllegalArgumentException(s"unknown mime $m"))
+        base.filter(col("doc_id") % 3 === mod)
+      case None => base
+    }
+    pruned
       .as[(Long, String, Long)]
       .map { case (id, text, n) =>
-        val mime = if (id % 3 == 0) "image/png" else if (id % 3 == 1) "audio/wav" else "video/mp4"
-        val media = mime match {
-          case "image/png" => pngBytes(id)
-          case "audio/wav" => wavBytes(id)
-          case _           => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        }
+        val mime = mimeOfMod((id % 3).toInt)
+        val media =
+          if (!withMedia) Array.emptyByteArray
+          else mime match {
+            case "image/png" => pngBytes(id)
+            case "audio/wav" => wavBytes(id)
+            case _           => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
         Asset(id, mime, media, (n % 640).toInt, (n % 480).toInt)
       }
   }
@@ -149,7 +166,7 @@ object Multimodal {
     // -- metadata-only projection: typed width/height metadata, binary
     //    payload untouched — oracle-exact arithmetic
     "x_mm_meta" -> ((s, d) =>
-      assets(s, d, maxId = 100).toDF()
+      assets(s, d, maxId = 100, withMedia = false).toDF()
         .select(col("asset_id"), col("mime"),
           col("width").cast("long").as("width"), col("height").cast("long").as("height"))
         .orderBy("asset_id")),
@@ -167,8 +184,7 @@ object Multimodal {
     //    aspect ratio — pure integer arithmetic on the typed metadata, so
     //    oracle-exact; the actual pixel work is decode()'s job
     "x_mm_resize" -> ((s, d) =>
-      assets(s, d, maxId = 300).toDF()
-        .filter(col("mime") === "image/png")
+      assets(s, d, maxId = 300, onlyMime = Some("image/png"), withMedia = false).toDF()
         .select(col("asset_id"),
           greatest(col("width"), lit(1)).cast("long").as("w"),
           greatest(col("height"), lit(1)).cast("long").as("h"))
@@ -183,8 +199,7 @@ object Multimodal {
     //    fake, so the fan-out itself is oracle-exact; at scale this is a
     //    generator over the decode output — no shuffle.
     "x_mm_frames" -> ((s, d) =>
-      decode(assets(s, d, maxId = 200)).toDF()
-        .filter(col("mime") === "video/mp4")
+      decode(assets(s, d, maxId = 200, onlyMime = Some("video/mp4"))).toDF()
         .select(col("asset_id"), col("n_units").as("frames"),
           explode(expr("sequence(0L, n_units - 1L, 5L)")).as("frame_no"))
         .select(col("asset_id"), col("frames"), col("frame_no"),

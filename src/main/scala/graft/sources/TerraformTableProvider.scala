@@ -209,17 +209,17 @@ private final class TerraformScan(table: String, options: CaseInsensitiveStringM
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // executor-side FS access needs the driver's Hadoop conf (fs.s3a.impl
-    // etc.); ship the relevant entries as plain strings
-    val confEntries = {
-      val c = SparkSession.active.sparkContext.hadoopConfiguration
-      c.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
-    }
-    new TerraformReaderFactory(table, required, confEntries)
+    // etc.) — broadcast it ONCE instead of serializing ~1000 entries into
+    // every task's reader-factory closure
+    val sc = SparkSession.active.sparkContext
+    val bc = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
+    new TerraformReaderFactory(table, required, bc)
   }
 }
 
 private final class TerraformReaderFactory(table: String, required: StructType,
-    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
+    bcConf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val fp = partition.asInstanceOf[TfFilePartition]
@@ -230,8 +230,7 @@ private final class TerraformReaderFactory(table: String, required: StructType,
     }
     new PartitionReader[InternalRow] {
       private lazy val rows: Iterator[TfRow] = {
-        val conf = new Configuration(false)
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val conf = bcConf.value.value
         val hp = new Path(fp.path)
         val in = hp.getFileSystem(conf).open(hp)
         val content = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)

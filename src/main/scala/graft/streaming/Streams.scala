@@ -53,19 +53,32 @@ object Streams {
     * stream and a backfill batch select exactly the same documents (no
     * RNG state to coordinate). Input: (doc_id, lang, …). */
   def stratifiedSample(docs: DataFrame): DataFrame =
-    docs.filter(substring(md5(col("doc_id").cast("string")), 1, 1) <
-      when(col("lang") === "en", lit("4")).otherwise(lit("8")))
+    docs.filter(graft.queries.Curation.samplePredicate)
 
   /** Streaming contamination counts — continuous twin of
     * `x_cur_contamination`: incoming documents' word-3-gram shingles
     * semi-join the (static, broadcast) benchmark shingle set; per-doc
-    * overlap counts emit in Update mode. Input: (doc_id, text);
+    * overlap counts emit in Update mode. Input: (doc_id, text) plus a
+    * `ts` event-time column when `watermarkOn` is set — pass it on any
+    * long-running stream so per-doc state is EVICTED once the watermark
+    * passes (without it the groupBy keeps one state entry per doc_id
+    * forever, which is only acceptable for bounded backfills).
     * `bench`: a static DataFrame with a single `s` column. */
-  def contaminationCounts(docs: DataFrame, bench: DataFrame): DataFrame =
+  def contaminationCounts(docs: DataFrame, bench: DataFrame,
+      watermarkOn: Option[(String, String)] = None): DataFrame = {
+    val bounded = watermarkOn match {
+      case Some((tsCol, delay)) => docs.withWatermark(tsCol, delay)
+      case None => docs
+    }
+    val withTs = watermarkOn.map(_._1).toSeq
     graft.queries.Dedup.shinglesOf(
-        docs.select(col("doc_id"), split(col("text"), " ").as("ws")))
+        bounded.select((Seq(col("doc_id")) ++ withTs.map(col) :+
+          split(col("text"), " ").as("ws")): _*))
       .join(broadcast(bench), Seq("s"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .groupBy((col("doc_id") +: withTs.map(col)): _*)
+      .agg(count(lit(1)).as("n_overlap"))
+      .drop(withTs: _*)
+  }
 
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 

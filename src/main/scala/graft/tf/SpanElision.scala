@@ -42,10 +42,13 @@ object SpanElision {
         new String(bytes, java.nio.charset.StandardCharsets.UTF_8), withSpans = false)
         .map(_.copy(path = ""))
 
-  /** Ordinals of startLine/endLine/source in the TfRow struct. */
+  /** Ordinals of startLine/endLine/source in the TfRow struct — taken
+    * from the ENCODER schema (the same source of truth GetStructField
+    * ordinals come from), not JVM reflection field order, which is
+    * unspecified. */
   private val spanOrdinals: Set[Int] = {
-    val names = classOf[TfRow].getDeclaredFields.map(_.getName)
-    Set("startLine", "endLine", "source").map(n => names.indexOf(n))
+    val schema = org.apache.spark.sql.Encoders.product[TfRow].schema
+    Set("startLine", "endLine", "source").map(schema.fieldIndex)
   }
 
   def install(spark: SparkSession): Unit = synchronized {

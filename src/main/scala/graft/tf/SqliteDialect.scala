@@ -63,6 +63,14 @@ object SqliteDialect {
               val c = s.charAt(at + col.length); !c.isLetterOrDigit && c != '_'
             })
           if (bounded) {
+            // the literal must be a BARE comparison operand, not part of
+            // arithmetic: reject when an operator adjoins it (skipping
+            // whitespace), e.g. `sensitive = 1 + x` or `n + 1 = sensitive`
+            def arithAt(pos: Int, step: Int): Boolean = {
+              var m = pos
+              while (m >= 0 && m < s.length && s.charAt(m).isWhitespace) m += step
+              m >= 0 && m < s.length && "+-*/%|&^~".contains(s.charAt(m))
+            }
             // column-first: <col> = 0|1
             var j = at + col.length
             while (j < s.length && s.charAt(j).isWhitespace) j += 1
@@ -76,7 +84,8 @@ object SqliteDialect {
                 else if (s.startsWith("0", k)) Some("false")
                 else None
               val litBounded = lit.isDefined &&
-                (k + 1 >= s.length || { val c = s.charAt(k + 1); !c.isLetterOrDigit && c != '.' && c != '_' })
+                (k + 1 >= s.length || { val c = s.charAt(k + 1); !c.isLetterOrDigit && c != '.' && c != '_' }) &&
+                !arithAt(k + 1, +1)
               if (litBounded) {
                 s = s.substring(0, k) + lit.get + s.substring(k + 1)
                 from = k + lit.get.length
@@ -100,7 +109,8 @@ object SqliteDialect {
                   else None
                 val litBounded = lit.isDefined &&
                   (m == 0 || { val c = s.charAt(m - 1); !c.isLetterOrDigit && c != '.' && c != '_' }) &&
-                  (m + 1 >= s.length || { val c = s.charAt(m + 1); !c.isDigit && c != '.' })
+                  (m + 1 >= s.length || { val c = s.charAt(m + 1); !c.isDigit && c != '.' }) &&
+                  !arithAt(m - 1, -1)
                 if (litBounded) {
                   s = s.substring(0, m) + lit.get + s.substring(m + 1)
                   from = at + col.length + lit.get.length - 1 // splice was left of `at`

@@ -83,14 +83,20 @@ object Terraform {
 
   /** The single listing pass behind discovery: glob each resolved source
     * against ITS OWN FileSystem, silently dropping non-matches
-    * (utils.go:116-119,148-151) and directories. Shared by [[rows]] and
-    * the DataSource V2 provider (graft.sources.TerraformTableProvider). */
+    * (utils.go:116-119,148-151) and directory matches (the reference
+    * sanitizes glob matches to ignore directories — utils.go:95-101 —
+    * so a glob whose match is a directory contributes nothing rather
+    * than being descended into). Overlapping globs in one source list
+    * dedup by path (first occurrence wins), matching the old
+    * InMemoryFileIndex behavior. Shared by [[rows]] and the DataSource
+    * V2 provider (graft.sources.TerraformTableProvider). */
   private[graft] def globOnce(conf: org.apache.hadoop.conf.Configuration,
       globs: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] =
     globs.flatMap { g =>
       val hp = new org.apache.hadoop.fs.Path(g)
       Option(hp.getFileSystem(conf).globStatus(hp)).toSeq.flatten
     }.filter(_.isFile)
+      .distinctBy(_.getPath.toString)
 
   /** Resolved, directory-pruned globs for one configured source list. */
   private[graft] def resolveGlobs(globsCfg: Seq[String]): Seq[String] =

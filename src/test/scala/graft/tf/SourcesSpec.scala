@@ -82,6 +82,18 @@ class SourcesSpec extends SparkSpecBase {
     assert(Sources.resolve(Seq("fixtures/*.tf")) == Seq("fixtures/*.tf"))
   }
 
+  test("discovery: overlapping globs dedup by path; directory matches are skipped") {
+    val dir = Files.createTempDirectory("graft-overlap").toFile
+    Files.writeString(JPaths.get(dir.getPath, "one.tf"),
+      "resource \"aws_instance\" \"only\" {}\n")
+    assert(new java.io.File(dir, "sub").mkdir())
+    // one.tf matches BOTH globs; `sub` matches the wildcard as a directory
+    val rows = Terraform.rows(spark, Terraform.Paths(configurationFilePaths =
+      Seq(s"$dir/*", s"$dir/one.tf")))
+    assert(rows.filter(col("table") === "resource").count() == 1,
+      "a file matched by two globs must contribute rows once")
+  }
+
   test("git cache: rename fallback only excused by a completed checkout") {
     // no checkout behind the failed rename → genuine failure surfaces
     val junk = Files.createTempDirectory("graft-junk").toFile

@@ -66,6 +66,13 @@ class SqliteDialectSpec extends SparkSpecBase {
     // string literals never rewritten
     assert(SqliteDialect.rewrite("where name = 'sensitive = 1'") ==
       "where name = 'sensitive = 1'")
+    // arithmetic context: the 1/0 is an operand, not a boolean literal
+    assert(SqliteDialect.rewrite("where n + 1 = sensitive") ==
+      "where n + 1 = sensitive")
+    assert(SqliteDialect.rewrite("where sensitive = 1 + n") ==
+      "where sensitive = 1 + n")
+    assert(SqliteDialect.rewrite("where x - 1 = t.sensitive") ==
+      "where x - 1 = t.sensitive")
   }
 
   // ---- terraform_resource.md sqlite examples (10)
