@@ -146,6 +146,9 @@ object Dedup {
     //    S-curve threshold stays near the est_j cut at any scale.
     //    Signature shuffle is (doc, band, hash) — never the text.
     "x_dedup_minhash" -> ((s, d) => {
+      // sizing probe: one metadata-cheap count at plan-build time — the
+      // "measure the corpus, size the index" step every LSH deployment
+      // runs; production pipelines would feed catalog stats instead
       val corpusN = table(s, d, "documents").count()
       val rowsPerBand = LshTuning.minhashRowsPerBand(corpusN)
       val nPerm = LshTuning.minhashBands(rowsPerBand) * rowsPerBand
