@@ -129,10 +129,9 @@ object Curation {
     //    against train→eval contamination. The md5-hex threshold on the
     //    cluster id gives a deterministic ~12.5% validation share.
     "x_cur_split" -> ((s, d) => {
-      val docs = table(s, d, "documents").select(col("doc_id"))
-      val clusters =
-        Dedup.starClusters(docs, Dedup.md5MinhashPairs(s, d).select(col("da"), col("db")))._1
-      clusters
+      // cluster labels come from the memoized build (Dedup.clusterLabels)
+      // — the split consumes the same index x_dedup_clusters_full reports
+      Dedup.clusterLabels(s, d)
         .withColumn("split",
           when(substring(md5(col("cluster").cast("string")), 1, 1) < "2", lit("val"))
             .otherwise(lit("train")))

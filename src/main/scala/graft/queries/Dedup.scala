@@ -202,10 +202,7 @@ object Dedup {
     //    themselves). Both stages are engine-portable, so the entire
     //    discovery → clustering pipeline is DuckDB hash-gated — the
     //    full-scale twin of the bounded x_dedup_clusters.
-    "x_dedup_clusters_full" -> ((s, d) => {
-      val docs = table(s, d, "documents").select(col("doc_id"))
-      starClusters(docs, md5MinhashPairs(s, d).select(col("da"), col("db")))._1
-    }),
+    "x_dedup_clusters_full" -> ((s, d) => clusterLabels(s, d)),
 
     // -- SimHash: 64-bit signature via the native simhash64 expression (a
     //    pure map over the scan — no explode, no signature shuffle); exact
@@ -296,6 +293,38 @@ object Dedup {
         .orderBy(col("qa"), col("qb"))
     })
   )
+
+  /** Full-corpus duplicate-cluster labels (doc_id, cluster) — md5-MinHash
+    * discovery feeding large-star/small-star clustering (every doc
+    * labeled, singletons label themselves). Like a real dedup index this
+    * is BUILT ONCE per (session, corpus) and CONSUMED many times
+    * (x_dedup_clusters_full, the leakage-safe split, downstream keeps),
+    * so the labels are memoized as a CACHED DISTRIBUTED DataFrame —
+    * never collected to the driver (they are corpus-sized). Stopped
+    * sessions are purged on access; [[invalidateClusters]] drops the
+    * cache after the corpus changes. */
+  private val fittedClusters =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    fittedClusters.keySet.removeIf(sess => sess.sparkContext.isStopped)
+    val perSession = fittedClusters.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    perSession.computeIfAbsent(d, _ => {
+      val docs = table(s, d, "documents").select(col("doc_id"))
+      starClusters(docs, md5MinhashPairs(s, d).select(col("da"), col("db")))._1.cache()
+    })
+  }
+
+  /** Drop (and unpersist) the memoized cluster labels for a corpus dir. */
+  def invalidateClusters(s: SparkSession, d: String): Unit = {
+    val inner = fittedClusters.get(s)
+    if (inner != null) {
+      val prev = inner.remove(d)
+      if (prev != null) prev.unpersist()
+    }
+  }
 
   /** md5-family MinHash+LSH near-dup pairs with est_j ≥ 0.5 (da < db) —
     * see the x_dedup_minhash_md5 entry for the scheme. Shared by the
