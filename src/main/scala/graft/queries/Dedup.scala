@@ -38,14 +38,17 @@ object Dedup {
   /** (doc_id, s) distinct word-3-gram shingles. Documents shorter than 3
     * tokens produce NO shingles (guarded: Spark's sequence(1, 0) would
     * yield the descending [1, 0], emitting spurious partial grams, while
-    * the DuckDB oracle's generate_series(1, 0) is empty). */
+    * the DuckDB oracle's generate_series(1, 0) is empty). Any column
+    * besides `ws` rides along unchanged — streaming callers carry an
+    * event-time column through so a downstream watermark still resolves. */
   private[graft] def shinglesOf(tokenized: DataFrame): DataFrame =
     tokenized
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """CASE WHEN size(ws) >= 3
-          |  THEN transform(sequence(1, size(ws)-2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))
-          |  ELSE CAST(array() AS array<string>) END""".stripMargin
-      ))).as("s"))
+      .select(tokenized.columns.filterNot(_ == "ws").map(col).toIndexedSeq :+
+        explode(array_distinct(expr(
+          """CASE WHEN size(ws) >= 3
+            |  THEN transform(sequence(1, size(ws)-2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))
+            |  ELSE CAST(array() AS array<string>) END""".stripMargin
+        ))).as("s"): _*)
 
   private def shingles(s: SparkSession, d: String, limit: Column): DataFrame =
     shinglesOf(toks(s, d).filter(limit))

@@ -142,4 +142,31 @@ class StreamsSpec extends SparkSpecBase {
     assert(rows.get(3L).contains(1L), s"doc 3 overlaps one: $rows")
     assert(!rows.contains(2L), s"doc 2 has no overlap: $rows")
   }
+
+  test("contamination counts with a watermark: ts survives shingling, state is evictable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq("a b c", "b c d").toDF("s")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    // Append mode only emits once the watermark closes a (doc_id, ts)
+    // group — proof the watermark actually binds to the aggregation
+    // (the eviction path ADVICE r5 flagged as unresolvable).
+    val q = Streams.contaminationCounts(in.toDF().toDF("ts", "doc_id", "text"),
+        bench, watermarkOn = Some(("ts", "10 minutes")))
+      .writeStream.format("memory").queryName("contam_wm_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), 1L, "a b c d e"), (ts(0), 2L, "x y z w"), (ts(1), 3L, "a b c"))
+      q.processAllAvailable()
+      assert(spark.table("contam_wm_out").isEmpty,
+        "append emits nothing before the watermark passes")
+      in.addData((ts(600), 4L, "a b c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("contam_wm_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_overlap")).toMap
+    assert(rows.get(1L).contains(2L), s"doc 1 overlaps both benchmark shingles: $rows")
+    assert(rows.get(3L).contains(1L), s"doc 3 overlaps one: $rows")
+    assert(!rows.contains(2L), s"doc 2 has no overlap: $rows")
+  }
 }
