@@ -12,15 +12,17 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
 /** Multimodal-column plumbing: opaque `binary` media payloads with typed
   * metadata, processed batch-wise per partition.
   *
-  * Media generation and decode use REAL JDK codecs where one exists:
-  * PNG via `javax.imageio.ImageIO` (encode + decode round trip) and WAV
-  * via `javax.sound.sampled.AudioSystem`. Pixel / sample content is a
-  * deterministic arithmetic function of the asset id, so the decoded
-  * features (width, height, pixel sum, sample sum) have an exact
-  * closed-form oracle — the CORRECTNESS gate exercises the full
-  * encode→binary-column→decode path, not a stub. Only `video/mp4` keeps a
-  * clearly-marked deterministic fake (the JDK ships no MP4 codec; see
-  * [[decode]] — the `???`-marked branch).
+  * Media generation and decode use REAL formats for all three mimes:
+  * PNG via `javax.imageio.ImageIO` (encode + decode round trip), WAV via
+  * `javax.sound.sampled.AudioSystem`, and MP4 via [[Mp4]] — a pure-JVM
+  * ISO BMFF container writer/parser (the JDK ships no MP4 video codec, so
+  * pixel decode is out of scope, but frame count, dimensions and sample
+  * byte totals are REAL metadata read back from the container's
+  * tkhd/stts/stsz tables). Content is a deterministic arithmetic function
+  * of the asset id, so the decoded features (width, height, pixel sum,
+  * sample sum, frame count, sample-byte sum) have an exact closed-form
+  * oracle — the CORRECTNESS gate exercises the full
+  * encode→binary-column→decode path, not a stub.
   *
   * Scale: media bytes never hit the driver; [[decode]] is `mapPartitions`
   * so a per-partition decoder instance amortizes across the batch (the
@@ -36,7 +38,8 @@ object Multimodal {
   final case class Asset(asset_id: Long, mime: String, media: Array[Byte], width: Int, height: Int)
 
   /** Decode output. `width`/`height`/`feat_sum` are None where the mime has
-    * no such feature (audio has no dims; the mp4 fake has no pixel sum). */
+    * no such feature (audio has no dims). For video, `n_units` is the real
+    * stsz frame count and `feat_sum` the real sample-byte total. */
   final case class MediaFeatures(asset_id: Long, mime: String, n_bytes: Long,
       width: Option[Long], height: Option[Long], n_units: Long, feat_sum: Option[Long])
 
@@ -83,10 +86,10 @@ object Multimodal {
 
   private val mimeOfMod = Map(0 -> "image/png", 1 -> "audio/wav", 2 -> "video/mp4")
 
-  /** Synthesize an assets table from `documents`. PNG and WAV payloads are
-    * real encoded media (deterministic content, see [[pngBytes]] /
-    * [[wavBytes]]); mp4 payloads are the document's UTF-8 bytes (no JDK
-    * MP4 encoder). All three prune knobs apply BEFORE the (CPU-bearing)
+  /** Synthesize an assets table from `documents`. All payloads are real
+    * encoded media with deterministic content: PNG ([[pngBytes]]), WAV
+    * ([[wavBytes]]) and ISO BMFF MP4 ([[Mp4.bytes]]). All three prune
+    * knobs apply BEFORE the (CPU-bearing)
     * encode map, so codec cost scales with rows actually consumed:
     * `maxId` bounds the id prefix, `onlyMime` keeps one mime class (the
     * mime is a pure function of doc_id, so the filter is a scan
@@ -97,7 +100,7 @@ object Multimodal {
       onlyMime: Option[String] = None, withMedia: Boolean = true): Dataset[Asset] = {
     import s.implicits._
     val base = table(s, d, "documents")
-      .select(col("doc_id"), col("text"), col("n_chars"))
+      .select(col("doc_id"), col("n_chars")) // media is id-derived: no text scan
       .filter(col("doc_id") < maxId)
     val pruned = onlyMime match {
       case Some(m) =>
@@ -107,24 +110,25 @@ object Multimodal {
       case None => base
     }
     pruned
-      .as[(Long, String, Long)]
-      .map { case (id, text, n) =>
+      .as[(Long, Long)]
+      .map { case (id, n) =>
         val mime = mimeOfMod((id % 3).toInt)
         val media =
           if (!withMedia) Array.emptyByteArray
           else mime match {
             case "image/png" => pngBytes(id)
             case "audio/wav" => wavBytes(id)
-            case _           => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case _           => Mp4.bytes(id)
           }
         Asset(id, mime, media, (n % 640).toInt, (n % 480).toInt)
       }
   }
 
-  /** Decode the binary media column with real JDK codecs (PNG: ImageIO;
-    * WAV: AudioSystem). Per-partition batch loop: decoder state (ImageIO
-    * reader caches etc.) amortizes across the partition — the contract a
-    * native codec binding needs at 100 TB. */
+  /** Decode the binary media column with real decoders (PNG: ImageIO;
+    * WAV: AudioSystem; MP4: [[Mp4.parse]] box-level container read).
+    * Per-partition batch loop: decoder state (ImageIO reader caches etc.)
+    * amortizes across the partition — the contract a native codec binding
+    * needs at 100 TB. */
   def decode(assets: Dataset[Asset]): Dataset[MediaFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -152,11 +156,12 @@ object Multimodal {
             while (i < buf.length) { sum += (buf(i) & 0xff); i += 1 }
             MediaFeatures(a.asset_id, a.mime, a.media.length.toLong, None, None, n, Some(sum))
           case _ =>
-            // ??? <- real MP4 decode would go here; the JDK has no MP4
-            // codec, so frame count is a clearly-marked deterministic fake
-            // (same shape: n_units = frames).
-            MediaFeatures(a.asset_id, a.mime, a.media.length.toLong, None, None,
-              (a.media.length % 30) + 1L, None)
+            // real ISO BMFF container parse: dims from tkhd, frame count
+            // from stsz/stts, feat_sum = total sample bytes (what ffprobe
+            // reports without invoking a decoder)
+            val m = Mp4.parse(a.media)
+            MediaFeatures(a.asset_id, a.mime, a.media.length.toLong,
+              Some(m.width), Some(m.height), m.nSamples, Some(m.sampleBytes))
         }
       }
     }
