@@ -40,8 +40,12 @@ object Dedup {
     * yield the descending [1, 0], emitting spurious partial grams, while
     * the DuckDB oracle's generate_series(1, 0) is empty). Any column
     * besides `ws` rides along unchanged — streaming callers carry an
-    * event-time column through so a downstream watermark still resolves. */
-  private[graft] def shinglesOf(tokenized: DataFrame): DataFrame =
+    * event-time column through so a downstream watermark still resolves.
+    * The output column name `s` is reserved: an input already containing
+    * `s` would emit a duplicate, ambiguous column (fail-fast instead). */
+  private[graft] def shinglesOf(tokenized: DataFrame): DataFrame = {
+    require(!tokenized.columns.contains("s"),
+      "shinglesOf reserves output column name 's'; rename the input column")
     tokenized
       .select(tokenized.columns.filterNot(_ == "ws").map(col).toIndexedSeq :+
         explode(array_distinct(expr(
@@ -49,6 +53,7 @@ object Dedup {
             |  THEN transform(sequence(1, size(ws)-2), i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))
             |  ELSE CAST(array() AS array<string>) END""".stripMargin
         ))).as("s"): _*)
+  }
 
   private def shingles(s: SparkSession, d: String, limit: Column): DataFrame =
     shinglesOf(toks(s, d).filter(limit))

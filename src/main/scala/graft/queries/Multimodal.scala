@@ -200,9 +200,10 @@ object Multimodal {
 
     // -- frame sampling: every 5th frame of each video asset, fanned out
     //    one row per sampled frame (the shape a frame-level feature
-    //    extractor consumes). Video frame count is the deterministic mp4
-    //    fake, so the fan-out itself is oracle-exact; at scale this is a
-    //    generator over the decode output — no shuffle.
+    //    extractor consumes). The frame count is the REAL stts/stsz sample
+    //    count read back from the MP4 container by Mp4.parse; the writer's
+    //    content is closed-form, so the fan-out is oracle-exact. At scale
+    //    this is a generator over the decode output — no shuffle.
     "x_mm_frames" -> ((s, d) =>
       decode(assets(s, d, maxId = 200, onlyMime = Some("video/mp4"))).toDF()
         .select(col("asset_id"), col("n_units").as("frames"),
@@ -224,11 +225,12 @@ object Multimodal {
 
     // Decoded features in closed form: PNG pixel (id*31+7x+13y)%256 over
     // (id%24+8)×(id%16+8); WAV sample (id*17+5i)%256 over (id%100+50)
-    // samples; mp4 fake frames = octet_length(text)%30+1.
+    // samples; MP4 container metadata mirrors Mp4.frames/dims/sampleSize —
+    // n=(id%28)+3 frames, tkhd dims ((id%320)+16, (id%240)+16), stsz
+    // sample i of size (id*7+3i)%64+1.
     "x_mm_features" ->
       """WITH base AS (
-        |  SELECT doc_id AS asset_id, doc_id % 3 AS m,
-        |         octet_length(encode(text)) AS tb
+        |  SELECT doc_id AS asset_id, doc_id % 3 AS m
         |  FROM documents WHERE doc_id < 120),
         |png AS (
         |  SELECT asset_id, (asset_id % 24) + 8 AS w, (asset_id % 16) + 8 AS h
@@ -253,12 +255,17 @@ object Multimodal {
         |         CAST(n AS BIGINT) AS n_units,
         |         CAST(sum((asset_id * 17 + 5 * i) % 256) AS BIGINT) AS feat_sum
         |  FROM wavi GROUP BY asset_id, n),
+        |mp4 AS (
+        |  SELECT asset_id, (asset_id % 28) + 3 AS n FROM base WHERE m = 2),
+        |mp4i AS (
+        |  SELECT asset_id, n, unnest(generate_series(0, n - 1)) AS i FROM mp4),
         |mp4f AS (
         |  SELECT asset_id, 'video/mp4' AS mime,
-        |         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
-        |         CAST(tb % 30 + 1 AS BIGINT) AS n_units,
-        |         CAST(NULL AS BIGINT) AS feat_sum
-        |  FROM base WHERE m = 2)
+        |         CAST((asset_id % 320) + 16 AS BIGINT) AS width,
+        |         CAST((asset_id % 240) + 16 AS BIGINT) AS height,
+        |         CAST(n AS BIGINT) AS n_units,
+        |         CAST(sum((asset_id * 7 + 3 * i) % 64 + 1) AS BIGINT) AS feat_sum
+        |  FROM mp4i GROUP BY asset_id, n)
         |SELECT * FROM pngf
         |UNION ALL SELECT * FROM wavf
         |UNION ALL SELECT * FROM mp4f
@@ -277,12 +284,12 @@ object Multimodal {
         |  CASE WHEN w >= h THEN (h * 64) // w ELSE 64 END AS new_h
         |FROM a ORDER BY asset_id""".stripMargin,
 
-    // frames = (octet_length % 30) + 1 for video assets — the mp4 fake is
-    // deterministic arithmetic, so the frame fan-out has an exact oracle
+    // frames = real stts/stsz sample count = (doc_id % 28) + 3 (the MP4
+    // writer's closed form) — the frame fan-out has an exact oracle
     "x_mm_frames" ->
       """WITH v AS (
         |  SELECT doc_id AS asset_id,
-        |         CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS frames
+        |         CAST(doc_id % 28 + 3 AS BIGINT) AS frames
         |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 200),
         |f AS (
         |  SELECT asset_id, frames,

@@ -48,12 +48,49 @@ class MultimodalSpec extends SparkSpecBase {
     f1.filter(_.mime == "audio/wav").foreach { f =>
       assert(f.n_units == Multimodal.wavSamples(f.asset_id).toLong)
     }
-    // mp4 fake: frames within [1, 30], no dims, no sum
+    // mp4: real container metadata round-trips the Mp4 writer's closed
+    // forms — tkhd dims, stts/stsz frame count, total sample bytes
     f1.filter(_.mime == "video/mp4").foreach { f =>
-      assert(f.n_units >= 1 && f.n_units <= 30 && f.width.isEmpty && f.feat_sum.isEmpty)
+      val (w, h) = Mp4.dims(f.asset_id)
+      assert(f.width.contains(w.toLong) && f.height.contains(h.toLong))
+      assert(f.n_units == Mp4.frames(f.asset_id).toLong)
+      val bytes = (0 until Mp4.frames(f.asset_id)).map(i => Mp4.sampleSize(f.asset_id, i).toLong).sum
+      assert(f.feat_sum.contains(bytes))
     }
     // n_bytes always matches the stored payload
     val raw = assets.collect().map(a => a.asset_id -> a.media.length.toLong).toMap
     f1.foreach { f => assert(f.n_bytes == raw(f.asset_id)) }
+  }
+
+  test("mp4 fixture: box layout and parsed container metadata (asset 2)") {
+    val b = Mp4.bytes(2L)
+
+    def u32(at: Int): Long =
+      ((b(at) & 0xffL) << 24) | ((b(at + 1) & 0xffL) << 16) |
+        ((b(at + 2) & 0xffL) << 8) | (b(at + 3) & 0xffL)
+    def tpe(at: Int): String = new String(b, at + 4, 4, "US-ASCII")
+
+    // top-level box walk by size header: exactly ftyp, moov, mdat
+    var at = 0
+    val layout = Seq.newBuilder[(String, Int)]
+    while (at < b.length) {
+      val size = u32(at).toInt
+      layout += ((tpe(at), at))
+      at += size
+    }
+    val boxes = layout.result()
+    assert(boxes.map(_._1) == Seq("ftyp", "moov", "mdat"))
+    assert(at == b.length) // sizes tile the file exactly
+
+    // mdat payload = sum of stsz sample sizes; asset 2 → 5 frames of
+    // sizes 15,18,21,24,27 (closed form (2*7+3i)%64+1) = 105 bytes
+    val mdatAt = boxes(2)._2
+    assert(u32(mdatAt).toInt - 8 == 105)
+    assert((b(mdatAt + 8) & 0xff) == 2) // first media byte = (id+0)%256
+
+    // parse() recovers the writer's closed forms: tkhd 18×18, 5 samples,
+    // 105 sample bytes, 5 frames × 40 ms = 200 ms
+    assert(Mp4.parse(b) == Mp4.Meta(18L, 18L, 5L, 105L, 200L))
+    assert(Mp4.frames(2L) == 5 && Mp4.dims(2L) == ((18, 18)))
   }
 }
