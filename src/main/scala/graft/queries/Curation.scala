@@ -98,29 +98,12 @@ object Curation {
     //    every document a global token offset and an 8192-token bin, in
     //    doc_id order. Scalably: a naive cumulative sum is ONE window over
     //    the whole corpus (single partition — the classic scale killer);
-    //    instead this is a DISTRIBUTED PREFIX SUM — per-chunk cumsum
-    //    windows run partition-parallel, and only the tiny chunk-total
-    //    relation (corpus/100 rows) sees a sequential window before being
-    //    broadcast back. Same rows, parallel plan.
-    "x_cur_pack" -> ((s, d) => {
-      val t = toks(s, d)
-        .select(col("doc_id"), size(col("ws")).cast("long").as("n"),
-          expr("doc_id div 100").as("chunk"))
-      val wLocal = org.apache.spark.sql.expressions.Window
-        .partitionBy("chunk").orderBy("doc_id")
-        .rowsBetween(Long.MinValue, 0)
-      val wChunk = org.apache.spark.sql.expressions.Window
-        .orderBy("chunk").rowsBetween(Long.MinValue, -1)
-      val chunkOffsets = t.groupBy("chunk").agg(sum("n").as("ctot"))
-        .withColumn("coff", coalesce(sum("ctot").over(wChunk), lit(0L)))
-        .select(col("chunk"), col("coff"))
-      t.withColumn("lcum", sum("n").over(wLocal))
-        .join(broadcast(chunkOffsets), "chunk")
-        .select(col("doc_id"), col("n").as("n_tokens"),
-          (col("coff") + col("lcum") - col("n")).as("tok_offset"),
-          expr("(coff + lcum - n) div 8192").as("bin"))
-        .orderBy("doc_id")
-    }),
+    //    instead this is a DISTRIBUTED PREFIX SUM (see [[pack]]) — per-
+    //    chunk cumsum windows run partition-parallel, and only the
+    //    bounded chunk-total relation sees a sequential window before
+    //    being broadcast back. Same rows, parallel plan.
+    "x_cur_pack" -> ((s, d) =>
+      pack(toks(s, d).select(col("doc_id"), size(col("ws")).cast("long").as("n")))),
 
     // -- leakage-safe train/validation split: assignment is decided per
     //    DEDUP CLUSTER (md5-MinHash discovery → star clustering, the same
@@ -155,6 +138,53 @@ object Curation {
         .select(col("lang"), col("pos").cast("long").as("pos"), col("n"), col("c"))
         .orderBy("lang", "pos"))
   )
+
+  /** Chunk width for [[pack]]'s distributed prefix sum: splits the doc_id
+    * span `[minId, maxId]` into at most `targetChunks` chunks
+    * (`ceil(span / targetChunks)`), so the chunk-total relation is bounded
+    * by targetChunks rows at ANY corpus size — a fixed width would grow
+    * the sequential chunk-cumsum stage linearly with the corpus. */
+  private[graft] def packChunkSize(minId: Long, maxId: Long, targetChunks: Long): Long = {
+    require(targetChunks > 0, "targetChunks must be positive")
+    val span = maxId - minId + 1
+    math.max(1L, (span + targetChunks - 1) / targetChunks)
+  }
+
+  /** Distributed prefix sum over `(doc_id, n)` → `(doc_id, n_tokens,
+    * tok_offset, bin)`: per-chunk cumsum windows run partition-parallel;
+    * only the chunk-total relation — at most `targetChunks` rows by
+    * [[packChunkSize]] — sees a sequential window before being broadcast
+    * back. `targetChunks` defaults to shuffle-partitions × 8, so the
+    * sequential stage stays a few-thousand-row single task even on a
+    * 1000-executor cluster, while each parallel chunk still holds enough
+    * rows to amortize its window. The one min/max probe that sizes the
+    * chunking is a plan-build step over a single column (the same pattern
+    * as the LSH sizing probes). */
+  private[graft] def pack(docs: DataFrame, targetChunks: Long = 0L): DataFrame = {
+    val s = docs.sparkSession
+    val target =
+      if (targetChunks > 0L) targetChunks
+      else s.conf.get("spark.sql.shuffle.partitions").toLong * 8
+    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+    val chunkSize =
+      if (bounds.isNullAt(0)) 1L // empty corpus: any width, no rows follow
+      else packChunkSize(bounds.getLong(0), bounds.getLong(1), target)
+    val t = docs.withColumn("chunk", expr(s"doc_id div $chunkSize"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val wChunk = org.apache.spark.sql.expressions.Window
+      .orderBy("chunk").rowsBetween(Long.MinValue, -1)
+    val chunkOffsets = t.groupBy("chunk").agg(sum("n").as("ctot"))
+      .withColumn("coff", coalesce(sum("ctot").over(wChunk), lit(0L)))
+      .select(col("chunk"), col("coff"))
+    t.withColumn("lcum", sum("n").over(wLocal))
+      .join(broadcast(chunkOffsets), "chunk")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (col("coff") + col("lcum") - col("n")).as("tok_offset"),
+        expr("(coff + lcum - n) div 8192").as("bin"))
+      .orderBy("doc_id")
+  }
 
   /** Materialize the curated corpus: the leakage-safe split and the
     * stratified sampler applied to the full documents table, written as

@@ -55,6 +55,33 @@ class CurationSpec extends SparkSpecBase {
       s"per-chunk window not partition-parallel:\n$p")
   }
 
+  test("sequence packing: chunk width derives from the corpus span, chunk count bounded") {
+    // pure sizing: ceil(span / targetChunks), never below 1
+    assert(Curation.packChunkSize(0L, 999L, 100L) == 10L)
+    assert(Curation.packChunkSize(0L, 99999L, 100L) == 1000L)
+    assert(Curation.packChunkSize(7L, 7L, 100L) == 1L)
+    assert(Curation.packChunkSize(0L, 9L, 100L) == 1L)
+
+    // two synthetic corpora 100× apart: identical offsets to a driver-side
+    // cumsum at both sizes, and the chunk-total relation stays ≤ target —
+    // the property a fixed chunk constant can't hold as the corpus grows
+    for (rows <- Seq(1000L, 100000L)) {
+      val target = 64L
+      val docs = spark.range(rows)
+        .select(col("id").as("doc_id"), (col("id") % 7 + 1).cast("long").as("n"))
+      val packed = Curation.pack(docs, target).collect()
+      assert(packed.length == rows)
+      var cum = 0L
+      packed.foreach { r => // pack() output is doc_id-ordered
+        assert(r.getLong(2) == cum, s"doc ${r.getLong(0)} at corpus $rows")
+        cum += r.getLong(1)
+      }
+      val width = Curation.packChunkSize(0L, rows - 1, target)
+      assert((rows + width - 1) / width <= target,
+        s"corpus $rows: ${(rows + width - 1) / width} chunks exceed target $target")
+    }
+  }
+
   test("embedding centroids: exact means per (lang, dim), all dims covered") {
     import org.apache.spark.sql.functions._
     val rows = Curation.queries("x_cur_embed_centroids")(spark, sf).collect()
