@@ -28,9 +28,10 @@ import scala.jdk.CollectionConverters._
   * }}}
   *
   * The connector is the DSv2 restatement of the reference's plugin
-  * registration (`/root/reference/terraform/plugin.go:19-38`): one
-  * InputPartition per discovered file (the parent→child hydrate analog,
-  * SURVEY §1.1), `Builders.rowsForFile` running on executors, and the
+  * registration (`/root/reference/terraform/plugin.go:19-38`): discovered
+  * files bin-packed into byte-budgeted InputPartitions (the parent→child
+  * hydrate analog, SURVEY §1.1, with small files amortized per task),
+  * `Builders.rowsForFile` running on executors, and the
   * reference's single pushed-down qual — `path = '…'` — pruning the file
   * list AT PLANNING TIME (`utils.go:45-58`), so non-matching files are
   * never opened. Column pruning drops unused fields before rows are built.
@@ -116,6 +117,35 @@ object TerraformTableProvider {
   private[sources] def schemaFor(table: String): StructType =
     StructType(tables(table)._2.map { case (n, dt, _) => StructField(n, dt, nullable = true) })
 
+  /** Bin discovered files into input partitions, Spark's own FilePartition
+    * policy restated for this source: each file is costed at
+    * `len + openCostInBytes`, the per-partition budget is
+    * `min(maxPartitionBytes, max(openCost, totalCost / minPartitions))`,
+    * and files are packed first-fit in size-descending order. 10⁷ tiny
+    * configuration files therefore land in ~minPartitions bins instead of
+    * 10⁷ microsecond tasks, while a handful of large plan/state JSONs
+    * still spread across the cluster. */
+  private[sources] def packPartitions(files: Seq[(String, String, Long)],
+      maxPartitionBytes: Long, openCostInBytes: Long,
+      minPartitions: Int): Array[InputPartition] = {
+    if (files.isEmpty) return Array.empty
+    val totalCost = files.iterator.map(_._3 + openCostInBytes).sum
+    val budget = math.min(maxPartitionBytes,
+      math.max(openCostInBytes, totalCost / math.max(1, minPartitions)))
+    val out = Array.newBuilder[InputPartition]
+    var cur = List.empty[(String, String)]
+    var curCost = 0L
+    files.sortBy(f => (-f._3, f._1)).foreach { case (p, k, len) =>
+      val cost = len + openCostInBytes
+      if (cur.nonEmpty && curCost + cost > budget) {
+        out += TfFilePartition(cur.reverse); cur = Nil; curCost = 0L
+      }
+      cur = (p, k) :: cur; curCost += cost
+    }
+    if (cur.nonEmpty) out += TfFilePartition(cur.reverse)
+    out.result()
+  }
+
   /** Configured sources per kind: positional `.load(path)` paths count as
     * configuration paths, like the reference's configuration_file_paths. */
   private[sources] def sourcesByKind(options: CaseInsensitiveStringMap): Seq[(String, Seq[String])] = {
@@ -124,11 +154,15 @@ object TerraformTableProvider {
     val positional =
       Option(options.get("paths")).toSeq.flatMap { js =>
         // DataFrameReader encodes multi-path load(p1, p2, …) as a JSON
-        // array — parse it properly (paths may contain commas/quotes)
+        // array — parse it properly (paths may contain commas/quotes).
+        // A plain string here is the reference's legacy `paths` connection
+        // argument (connection_config.go:9) set explicitly as an option:
+        // comma-separated sources, routed as configuration files like the
+        // other three lists.
         graft.tf.Json.parseOpt(js) match {
           case Some(graft.tf.JArr(items)) =>
             items.collect { case graft.tf.JStr(p) => p }
-          case _ => Seq(js)
+          case _ => js.split(',').map(_.trim).toSeq
         }
       }.filter(_.nonEmpty) ++ Option(options.get("path")).toSeq
     Seq(
@@ -138,8 +172,9 @@ object TerraformTableProvider {
   }
 }
 
-/** One discovered file: the DSv2 input partition (parent→child hydrate). */
-private final case class TfFilePartition(path: String, kind: String) extends InputPartition
+/** A bin of discovered (path, kind) files packed into one DSv2 input
+  * partition (parent→child hydrate, small files amortized per task). */
+private final case class TfFilePartition(files: Seq[(String, String)]) extends InputPartition
 
 private final class TerraformDsv2Table(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
@@ -190,21 +225,30 @@ private final class TerraformScan(table: String, options: CaseInsensitiveStringM
   override def description(): String =
     s"terraform table=$table pushedPath=${pathEq.getOrElse("-")}"
 
-  /** Discovery at planning time: one glob pass (Terraform.globOnce), then
-    * the pushed `path =` qual prunes files BEFORE any are opened. */
+  /** Discovery at planning time: one glob pass (Terraform.globOnce), the
+    * pushed `path =` qual prunes files BEFORE any are opened, then the
+    * survivors are bin-packed into byte-budgeted partitions
+    * (TerraformTableProvider.packPartitions) so a corpus of tiny files
+    * doesn't become one task per file. */
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
-    TerraformTableProvider.sourcesByKind(options).flatMap { case (kind, cfg) =>
+    val discovered = TerraformTableProvider.sourcesByKind(options).flatMap { case (kind, cfg) =>
       val globs = Terraform.resolveGlobs(cfg)
       Terraform.globOnce(conf, globs).map { st =>
         val p = st.getPath.toString
         val k = if (p.endsWith(".tfstate")) FileKind.State else kind
-        TfFilePartition(p, k)
+        (p, k, st.getLen)
       }
-    }
-      .filter(fp => pathEq.forall(_ == Terraform.stripScheme(fp.path)))
-      .toArray
+    }.filter { case (p, _, _) => pathEq.forall(_ == Terraform.stripScheme(p)) }
+    def bytesConf(key: String, dflt: Long): Long =
+      spark.conf.getOption(key)
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(dflt)
+    TerraformTableProvider.packPartitions(discovered,
+      maxPartitionBytes = bytesConf("spark.sql.files.maxPartitionBytes", 128L << 20),
+      openCostInBytes = bytesConf("spark.sql.files.openCostInBytes", 4L << 20),
+      minPartitions = spark.sparkContext.defaultParallelism)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -231,17 +275,21 @@ private final class TerraformReaderFactory(table: String, required: StructType,
     new PartitionReader[InternalRow] {
       private lazy val rows: Iterator[TfRow] = {
         val conf = bcConf.value.value
-        val hp = new Path(fp.path)
-        val in = hp.getFileSystem(conf).open(hp)
-        val content = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
         // span elision, DSv2-native: when column pruning dropped every
         // span column, skip span recovery / source slicing in the parse
         val needSpans = required.fieldNames
           .exists(Set("start_line", "end_line", "source"))
-        Builders.rowsForFile(Terraform.stripScheme(fp.path), fp.kind, content,
-            withSpans = needSpans)
-          .iterator.filter(_.table == kindFilter)
+        // one packed bin of files, parsed lazily in sequence — a bin never
+        // holds more than the byte budget, so per-task memory stays bounded
+        fp.files.iterator.flatMap { case (path, kind) =>
+          val hp = new Path(path)
+          val in = hp.getFileSystem(conf).open(hp)
+          val content = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+          Builders.rowsForFile(Terraform.stripScheme(path), kind, content,
+              withSpans = needSpans)
+            .iterator.filter(_.table == kindFilter)
+        }
       }
       private var current: TfRow = _
       override def next(): Boolean = rows.hasNext && { current = rows.next(); true }

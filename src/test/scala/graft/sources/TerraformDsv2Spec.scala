@@ -76,6 +76,49 @@ class TerraformDsv2Spec extends SparkSpecBase {
     assert(multi.filter(col("type") === "aws_sqs_queue").count() == 1)
   }
 
+  test("legacy `paths` option: comma-separated sources route as configuration") {
+    // the reference's deprecated `paths` connection argument
+    // (connection_config.go:9), set explicitly as a DSv2 option
+    val tmp = java.nio.file.Files.createTempDirectory("dsv2-legacy")
+    java.nio.file.Files.writeString(tmp.resolve("a.tf"),
+      "resource \"aws_s3_bucket\" \"la\" {}\n")
+    java.nio.file.Files.writeString(tmp.resolve("b.tf"),
+      "resource \"aws_s3_bucket\" \"lb\" {}\n")
+    val df = spark.read.format("terraform")
+      .option("paths", s"$tmp/a.tf, $tmp/b.tf")
+      .load()
+    assert(df.select("name").collect().map(_.getString(0)).sorted.toSeq == Seq("la", "lb"))
+  }
+
+  test("small-file packing: M tiny files land in few partitions, rows intact") {
+    val tmp = java.nio.file.Files.createTempDirectory("dsv2-pack")
+    val m = 200
+    (0 until m).foreach { i =>
+      java.nio.file.Files.writeString(tmp.resolve(f"r$i%03d.tf"),
+        s"""resource "aws_s3_bucket" "b$i" { bucket = "b-$i" }\n""")
+    }
+    val df = spark.read.format("terraform").load(s"$tmp/*.tf")
+    val parts = df.rdd.getNumPartitions
+    // 200 files × (len + 4 MB openCost) / 32 cores ≈ 25 MB budget → ~6
+    // files per bin: far fewer tasks than files, but still parallel
+    assert(parts <= 64, s"$m tiny files should pack into ≤ 64 partitions, got $parts")
+    assert(parts > 1, "packing must not collapse a parallel read to one task")
+    // row parity: every file's resource present exactly once
+    assert(df.count() == m)
+    assert(df.select("name").distinct().count() == m)
+
+    // pure packing policy: budget caps at maxPartitionBytes, floor at one
+    // file per bin even when a single file exceeds the budget
+    val files = (0 until 10).map(i => (s"/f$i", "config", 10L))
+    val packed = TerraformTableProvider.packPartitions(files,
+      maxPartitionBytes = 1L << 30, openCostInBytes = 100L, minPartitions = 2)
+    assert(packed.length == 2, s"10 equal files over 2 cores → 2 bins, got ${packed.length}")
+    val huge = TerraformTableProvider.packPartitions(
+      Seq(("/big", "config", 1L << 40), ("/small", "config", 1L)),
+      maxPartitionBytes = 128L << 20, openCostInBytes = 4L << 20, minPartitions = 32)
+    assert(huge.length == 2, "an over-budget file still gets its own bin")
+  }
+
   test("unknown table name fails fast") {
     val e = intercept[IllegalArgumentException](
       spark.read.format("terraform").option("table", "terraform_nope").load())
