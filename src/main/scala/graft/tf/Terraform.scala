@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Terraform {
 
-  /** Connection config analog (reference connection_config.go:7-12). */
+  /** Connection config analog (reference connection_config.go:7-12).
+    * `paths` is the reference's fourth, deprecated source list
+    * (connection_config.go:9): kept so an old steampipe config ports
+    * verbatim, routed exactly like `configurationFilePaths`. */
   final case class Paths(
       configurationFilePaths: Seq[String] = Seq.empty,
       planFilePaths: Seq[String] = Seq.empty,
-      stateFilePaths: Seq[String] = Seq.empty)
+      stateFilePaths: Seq[String] = Seq.empty,
+      paths: Seq[String] = Seq.empty)
 
   /** Discover + parse all configured files into the superset row Dataset.
     * Kind routing follows utils.go:38-169: configured kind wins, a
@@ -76,7 +80,7 @@ object Terraform {
       }
     }
 
-    read(paths.configurationFilePaths, FileKind.Config)
+    read(paths.configurationFilePaths ++ paths.paths, FileKind.Config)
       .unionAll(read(paths.planFilePaths, FileKind.Plan))
       .unionAll(read(paths.stateFilePaths, FileKind.State))
   }
@@ -135,7 +139,7 @@ object Terraform {
       }.reduceOption(_ unionAll _)
 
     val streams = Seq(
-      read(paths.configurationFilePaths, FileKind.Config),
+      read(paths.configurationFilePaths ++ paths.paths, FileKind.Config),
       read(paths.planFilePaths, FileKind.Plan),
       read(paths.stateFilePaths, FileKind.State)).flatten
     streams.reduceOption(_ unionAll _)

@@ -163,6 +163,21 @@ class SourcesSpec extends SparkSpecBase {
       s"s3::https://bucket.s3.us-east-1.amazonaws.com${dir.getAbsolutePath}//*.nomatch"))).isEmpty)
   }
 
+  test("legacy `paths` connection argument routes as configuration files") {
+    // reference connection_config.go:9 — the fourth, deprecated source
+    // list; an old steampipe config using it must port verbatim
+    val dir = Files.createTempDirectory("graft-legacy-paths").toFile
+    Files.writeString(JPaths.get(dir.getPath, "legacy.tf"),
+      "resource \"aws_s3_bucket\" \"via_legacy\" {}\n")
+    val viaLegacy = Terraform.rows(spark,
+      Terraform.Paths(paths = Seq(s"${dir.getAbsolutePath}/*.tf")))
+    val viaModern = Terraform.rows(spark,
+      Terraform.Paths(configurationFilePaths = Seq(s"${dir.getAbsolutePath}/*.tf")))
+    assert(viaLegacy.collect().toSeq == viaModern.collect().toSeq)
+    assert(viaLegacy.filter(col("table") === "resource").collect()
+      .exists(_.name.contains("via_legacy")))
+  }
+
   test("discovery pays the object-store listing once, not pre-probe + scan") {
     val dir = Files.createTempDirectory("graft-s3-count").toFile
     Files.writeString(JPaths.get(dir.getPath, "a.tf"),
