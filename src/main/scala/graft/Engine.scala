@@ -34,4 +34,15 @@ object Engine {
   /** Load one driver-generated parquet table from a scale-factor dir. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Row count for plan-build sizing probes (LSH banding, ANN planes):
+    * catalog/plan statistics when the optimizer already knows the count —
+    * ANALYZEd tables, cached relations, in-memory ranges — so sizing costs
+    * NO job; otherwise one count() scan (itself metadata-cheap on parquet:
+    * row-group counts, no column IO). */
+  def rowCountFast(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(n) => n.toLong
+      case None => df.count()
+    }
 }

@@ -154,10 +154,10 @@ object Dedup {
     //    S-curve threshold stays near the est_j cut at any scale.
     //    Signature shuffle is (doc, band, hash) — never the text.
     "x_dedup_minhash" -> ((s, d) => {
-      // sizing probe: one metadata-cheap count at plan-build time — the
-      // "measure the corpus, size the index" step every LSH deployment
-      // runs; production pipelines would feed catalog stats instead
-      val corpusN = table(s, d, "documents").count()
+      // sizing probe at plan-build time — the "measure the corpus, size
+      // the index" step every LSH deployment runs; catalog/plan stats
+      // satisfy it with NO job when the optimizer already knows the count
+      val corpusN = graft.Engine.rowCountFast(table(s, d, "documents"))
       val rowsPerBand = LshTuning.minhashRowsPerBand(corpusN)
       val nPerm = LshTuning.minhashBands(rowsPerBand) * rowsPerBand
       graft.functions.MinHashAgg.register(s, nPerm)

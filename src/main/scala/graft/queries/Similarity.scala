@@ -80,16 +80,26 @@ object Similarity {
     //    hyperplanes: plane p, dim i weight =
     //    (xxhash64(p * 997 + i) % 1000) / 1000.0.
     "x_sim_lsh" -> ((s, d) => {
-      // ONE probe job for both contracts: dims (must equal EmbeddingDims —
-      // hyperplanes and the static oracle are generated for it; a mismatch
-      // fails fast instead of silently truncating float_dot) and corpus
-      // size (derives the plane count so expected bucket size stays flat
-      // at any scale; the gate corpus of 500 derives the oracle's 4)
-      val (dims, corpusN) = table(s, d, "embeddings")
-        .agg(first(size(col("embedding"))).as("dims"), count(lit(1)).as("n"))
-        .take(1) match {
-        case Array(r) if !r.isNullAt(0) => (r.getInt(0), r.getLong(1))
-        case _ => (EmbeddingDims, 0L) // empty corpus: bucket values are irrelevant
+      // ONE probe job (at most) for both contracts: dims (must equal
+      // EmbeddingDims — hyperplanes and the static oracle are generated
+      // for it; a mismatch fails fast instead of silently truncating
+      // float_dot) and corpus size (derives the plane count so expected
+      // bucket size stays flat at any scale; the gate corpus of 500
+      // derives the oracle's 4). When catalog/plan stats already carry
+      // the row count, only the single-row dims fetch runs.
+      val emb = table(s, d, "embeddings")
+      val (dims, corpusN) = emb.queryExecution.optimizedPlan.stats.rowCount match {
+        case Some(n) =>
+          emb.select(size(col("embedding")).as("dims")).take(1) match {
+            case Array(r) => (r.getInt(0), n.toLong)
+            case _ => (EmbeddingDims, 0L) // empty corpus: bucket values are irrelevant
+          }
+        case None => emb
+          .agg(first(size(col("embedding"))).as("dims"), count(lit(1)).as("n"))
+          .take(1) match {
+          case Array(r) if !r.isNullAt(0) => (r.getInt(0), r.getLong(1))
+          case _ => (EmbeddingDims, 0L)
+        }
       }
       require(dims == EmbeddingDims,
         s"x_sim_lsh: corpus dims $dims != contract $EmbeddingDims — hyperplanes and the " +

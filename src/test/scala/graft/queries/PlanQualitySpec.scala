@@ -162,4 +162,20 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("simhash64") && l.contains("*(")),
       s"simhash64 projection not codegen'd:\n$p")
   }
+
+  test("sizing probes take the catalog-stats fast path: no job when stats exist") {
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    // a relation whose optimized plan carries an exact rowCount (Range
+    // does; so do ANALYZEd catalog tables and materialized caches)
+    val n = graft.Engine.rowCountFast(spark.range(12345).toDF())
+    assert(n == 12345L)
+    Thread.sleep(300) // status tracker is listener-fed; let it drain
+    assert(tracker.getJobIdsForGroup(null).length == before,
+      "stats-backed rowCountFast must not launch a job")
+    // a bare parquet read publishes no rowCount → falls back to one count
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(docs.queryExecution.optimizedPlan.stats.rowCount.isEmpty)
+    assert(graft.Engine.rowCountFast(docs) == 500L)
+  }
 }
