@@ -33,7 +33,20 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     val (p1, p2) = (timedPass(), timedPass())
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    // Variance guard: min-of-two still records a poisoned number when
+    // concurrent machine load lands on BOTH passes of one query. When the
+    // two timings disagree >2× (beyond sub-100ms jitter), take a third
+    // pass and keep the overall min.
+    val results = p1.map { case (k, v) =>
+      val best = math.min(v, p2(k))
+      val guarded =
+        if (math.max(v, p2(k)) > 2 * best && best > 0.1) {
+          val t0 = System.nanoTime()
+          try { selected(k)(spark, sfDir).count() } catch { case _: Throwable => () }
+          math.min(best, (System.nanoTime() - t0) / 1e9)
+        } else best
+      k -> guarded
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
