@@ -53,6 +53,20 @@ object TerraformQ {
         .groupBy("type").agg(count(lit(1)).as("n"))
         .orderBy("type")),
 
+    // same aggregation resolved through the DSv2 TableCatalog — pins the
+    // zero-registration "installed plugin" path (SELECT … FROM
+    // terraform.terraform_resource with only session conf set) in the
+    // driver's DuckDB gate
+    "tf_catalog_resource_types" -> ((spark, _) => {
+      spark.conf.set("spark.sql.catalog.terraform", "graft.sources.TerraformCatalog")
+      spark.conf.set("spark.sql.catalog.terraform.configurationFilePaths", s"$fixDir/*.tf")
+      spark.conf.set("spark.sql.catalog.terraform.planFilePaths",
+        s"$fixDir/tfplan.json,$fixDir/tfplan_oneline.json")
+      spark.conf.set("spark.sql.catalog.terraform.stateFilePaths", s"$fixDir/terraform.tfstate")
+      spark.sql("SELECT type, count(*) AS n FROM terraform.terraform_resource " +
+        "GROUP BY type ORDER BY type")
+    }),
+
     "tf_resource_meta" -> q(
       """SELECT name, address, count, count_src, provider
         |FROM terraform_resource WHERE path LIKE '%main.tf' ORDER BY name""".stripMargin),
@@ -104,6 +118,12 @@ object TerraformQ {
         | ('aws_s3_bucket',  CAST(3 AS BIGINT))) AS t(type, n) ORDER BY type""".stripMargin,
 
     "tf_dsv2_resource_types" ->
+      """SELECT * FROM (VALUES
+        | ('aws_cloudtrail', CAST(1 AS BIGINT)),
+        | ('aws_instance',   CAST(8 AS BIGINT)),
+        | ('aws_s3_bucket',  CAST(3 AS BIGINT))) AS t(type, n) ORDER BY type""".stripMargin,
+
+    "tf_catalog_resource_types" ->
       """SELECT * FROM (VALUES
         | ('aws_cloudtrail', CAST(1 AS BIGINT)),
         | ('aws_instance',   CAST(8 AS BIGINT)),
