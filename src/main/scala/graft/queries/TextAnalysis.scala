@@ -129,6 +129,42 @@ object TextAnalysis {
         .orderBy(col("tf").desc, col("w"))
         .limit(100)),
 
+    // -- token-budget truncation: cut each document at a 32-token context
+    //    budget on whitespace boundaries — the pre-packing normalization a
+    //    training ingest runs. Pure narrow projection (no shuffle, no
+    //    UDF); the truncated text itself is hash-gated.
+    "x_text_truncate" -> ((s, d) =>
+      table(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          least(size(col("ws")).cast("long"), lit(32L)).as("n_kept"),
+          array_join(slice(col("ws"), 1, 32), " ").as("head_text"),
+          (size(col("ws")) > 32).as("truncated"))
+        .orderBy("doc_id")),
+
+    // -- top distinguishing term per document: argmax over (tf desc,
+    //    df asc, term desc) with document frequency computed over the FULL
+    //    corpus — the tokenizer/keyword statistic. All-integer ranking so
+    //    the oracle is exact (no float log). Scale shape: one explode, two
+    //    partial-aggregatable groupBys, a key-equi join on the term (the
+    //    df relation is vocabulary-sized, NOT corpus-sized), and a
+    //    max(struct) argmax instead of a per-doc window; the doc_id < 50
+    //    output bound pushes into the tf side of the join.
+    "x_text_topterm" -> ((s, d) => {
+      val words = table(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = words.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+      tf.filter(col("doc_id") < 50)
+        .join(df, "w")
+        .groupBy("doc_id")
+        .agg(max(struct(col("tf"), (-col("df")).as("ndf"), col("w"))).as("top"))
+        .select(col("doc_id"), col("top.w").as("term"),
+          col("top.tf").as("tf"), (-col("top.ndf")).as("df"))
+        .orderBy("doc_id")
+    }),
+
     // -- training-corpus funnel: the composed cleaning pipeline a real
     //    ingest runs — quality gate (length + alpha ratio), language gate,
     //    exact-dedup keep — reported as per-stage survivor counts. ALL
@@ -219,6 +255,29 @@ object TextAnalysis {
         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY w ORDER BY tf DESC, w LIMIT 100""".stripMargin,
+
+    "x_text_truncate" ->
+      """SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) n_tokens,
+        |  CAST(least(len(ws), 32) AS BIGINT) n_kept,
+        |  array_to_string(list_slice(ws, 1, 32), ' ') head_text,
+        |  len(ws) > 32 AS truncated
+        |FROM (SELECT doc_id, string_split(text, ' ') ws
+        |      FROM documents WHERE doc_id < 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_text_topterm" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) tf FROM words GROUP BY doc_id, w),
+        |df AS (SELECT w, count(DISTINCT doc_id) df FROM words GROUP BY w),
+        |j AS (SELECT t.doc_id, t.w, t.tf, d.df
+        |      FROM tf t JOIN df d USING (w) WHERE t.doc_id < 50),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY tf DESC, df ASC, w DESC) rn
+        |      FROM j)
+        |SELECT doc_id, w AS term, CAST(tf AS BIGINT) tf, CAST(df AS BIGINT) df
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "x_text_funnel" ->
       """WITH staged AS (

@@ -24,6 +24,41 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(ns.head > 0 && ns.last > 0)
   }
 
+  test("truncation: 32-token budget on whitespace boundaries, flags consistent") {
+    val rows = TextAnalysis.queries("x_text_truncate")(spark, sf).collect()
+    assert(rows.length == 100)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 100)
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("text"))).toMap
+    rows.foreach { r =>
+      val (id, nTok, nKept, head, trunc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getBoolean(4))
+      val ws = texts(id).split(" ")
+      assert(nTok == ws.length.toLong)
+      assert(nKept == math.min(ws.length, 32).toLong)
+      assert(head == ws.take(32).mkString(" "), s"doc $id: truncation not on token boundary")
+      assert(trunc == ws.length > 32)
+    }
+  }
+
+  test("top term: corpus-wide df, argmax matches a driver-side computation") {
+    val rows = TextAnalysis.queries("x_text_topterm")(spark, sf).collect()
+    assert(rows.length == 50)
+    // recompute exactly for one document against the raw corpus
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("text")).split(" ").toSeq)
+    val dfMap = all.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (w, xs) => w -> xs.length.toLong }
+    val doc0 = all.toMap.apply(0L)
+    val tf0 = doc0.groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val expect = tf0.toSeq.map { case (w, tf) => (tf, -dfMap(w), w) }.max
+    val got = rows.find(_.getLong(0) == 0L).get
+    assert(got.getString(1) == expect._3 && got.getLong(2) == expect._1
+      && got.getLong(3) == -expect._2)
+    // df must be computed over the FULL corpus, not the doc_id < 50 sample
+    rows.foreach(r => assert(r.getLong(3) == dfMap(r.getString(1))))
+  }
+
   test("approx_percentile sketch tracks the exact rank-arithmetic percentiles") {
     val exact = TextAnalysis.queries("x_text_percentiles")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
