@@ -163,6 +163,20 @@ class PlanQualitySpec extends SparkSpecBase {
       s"simhash64 projection not codegen'd:\n$p")
   }
 
+  test("top-term: sample bound pushes to the tf scan, df scan stays full-corpus") {
+    val p = planStr("x_text_topterm")
+    // the doc_id < 50 output bound must reach the tf-side parquet scan…
+    assert(p.contains("LessThan(doc_id,50)"), s"sample bound not pushed:\n$p")
+    // …while the df side reads the whole corpus: exactly one of the two
+    // scans carries the pushed bound
+    val pushedScans = p.linesIterator.count(_.contains("LessThan(doc_id,50)"))
+    assert(pushedScans == 1, s"expected exactly 1 bounded scan, got $pushedScans:\n$p")
+    // argmax is a partial aggregate (no per-doc window), join is key-equi
+    assert(p.contains("partial_max(struct"), s"argmax not partially aggregated:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"term join degenerated:\n$p")
+  }
+
   test("sizing probes take the catalog-stats fast path: no job when stats exist") {
     val tracker = spark.sparkContext.statusTracker
     val before = tracker.getJobIdsForGroup(null).length
