@@ -215,6 +215,30 @@ object Curation {
     s.read.parquet(out).count()
   }
 
+  /** Materialize the curated corpus as a BUCKETED, per-bucket-sorted
+    * managed table: rows are hash-shuffled ONCE into `buckets` buckets on
+    * doc_id at write time, so every downstream equi-join or aggregation
+    * on doc_id — embedding joins, split lookups, packing — reads
+    * co-located data with NO exchange (provided the other side is
+    * bucketed the same way). At 100 TB this is the difference between
+    * one shuffle at ingest and one shuffle per downstream query; the
+    * exchange-free join is pinned in CurationSpec. Returns the curated
+    * row count. */
+  def writeCuratedBucketed(s: SparkSession, d: String, tableName: String,
+      buckets: Int = 32): Long = {
+    val docs = table(s, d, "documents")
+    val split = queries("x_cur_split")(s, d).select(col("doc_id"), col("split"))
+    docs.filter(samplePredicate)
+      .join(split, "doc_id")
+      .write
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(tableName)
+    s.table(tableName).count()
+  }
+
   val oracle: Map[String, String] = Map(
     "x_cur_sample_stratified" ->
       """SELECT doc_id, lang FROM documents

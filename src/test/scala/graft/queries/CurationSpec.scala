@@ -151,6 +151,28 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("bucketed curated table: doc_id equi-join runs with zero exchange") {
+    val n = Curation.writeCuratedBucketed(spark, sf, "curated_bucketed", buckets = 4)
+    assert(n > 0)
+    // bucket the embeddings side identically (same count, same key hash)
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .write.bucketBy(4, "vec_id").sortBy("vec_id")
+      .mode("overwrite").format("parquet").saveAsTable("emb_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-join path
+    try {
+      val j = spark.table("curated_bucketed")
+        .join(spark.table("emb_bucketed"), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("embedding"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed-both-sides join must not shuffle:\n$p")
+      // row parity: every curated doc joins its embedding exactly once
+      assert(j.count() == n)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("repetition: top-share ratio bounded and consistent with raw counts") {
     val rows = Curation.queries("x_cur_repetition")(spark, sf).collect()
     assert(rows.length == 30)
