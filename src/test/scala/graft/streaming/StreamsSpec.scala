@@ -54,6 +54,22 @@ class StreamsSpec extends SparkSpecBase {
     assert(rows.head.getAs[Double]("sum_value") == 5.0)
   }
 
+  test("sliding windows: an event lands in every overlapping 1h/30m window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    // one event at t0+40min: covered by the windows starting t0-30+10 and t0+30
+    in.addData((ts(40), 1L, "click", 1.0))
+    runToMemory("sliding_out", Streams.slidingCounts(events), OutputMode.Update())
+    val rows = spark.table("sliding_out").orderBy("w_start").collect()
+    assert(rows.length == 2, rows.mkString(","))
+    assert(rows.forall(_.getAs[Long]("n") == 1L))
+    // consecutive window starts 30 minutes apart
+    val starts = rows.map(_.getAs[Timestamp]("w_start").getTime)
+    assert(starts(1) - starts(0) == 30L * 60_000L)
+  }
+
   test("streaming dedup drops repeats of the same key+ts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
