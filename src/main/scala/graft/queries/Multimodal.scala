@@ -167,6 +167,30 @@ object Multimodal {
     }
   }
 
+  /** One fixed-size PCM analysis window (the MFCC/fbank framing unit). */
+  final case class AudioWindow(asset_id: Long, win_no: Long, n_samples: Long, energy: Long)
+
+  /** Frame-level audio features: decode each WAV's PCM with AudioSystem
+    * and aggregate fixed `win`-sample windows (last window partial) — the
+    * framing step every speech/audio feature extractor (fbank, MFCC) runs
+    * before its transform. Per-partition batch decode like [[decode]];
+    * the fan-out is a generator over the decode output, no shuffle. */
+  def audioWindows(assets: Dataset[Asset], win: Int = 32): Dataset[AudioWindow] = {
+    require(win > 0, "window size must be positive")
+    import assets.sparkSession.implicits._
+    assets.filter(_.mime == "audio/wav").mapPartitions { it =>
+      it.flatMap { a =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(a.media))
+        val buf = ais.readAllBytes() // 8-bit unsigned PCM: byte == sample
+        buf.grouped(win).zipWithIndex.map { case (chunk, i) =>
+          var s = 0L
+          chunk.foreach(b => s += (b & 0xff))
+          AudioWindow(a.asset_id, i.toLong, chunk.length.toLong, s)
+        }
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // -- metadata-only projection: typed width/height metadata, binary
     //    payload untouched — oracle-exact arithmetic
@@ -197,6 +221,13 @@ object Multimodal {
           when(col("w") >= col("h"), lit(64L)).otherwise(expr("(w * 64) div h")).as("new_w"),
           when(col("w") >= col("h"), expr("(h * 64) div w")).otherwise(lit(64L)).as("new_h"))
         .orderBy("asset_id")),
+
+    // -- audio framing: REAL WAV decode fanned out into 32-sample
+    //    analysis windows with per-window sample counts and energy sums —
+    //    hash-gated byte-exact against the PCM generator's closed form
+    "x_mm_audio_windows" -> ((s, d) =>
+      audioWindows(assets(s, d, maxId = 150, onlyMime = Some("audio/wav"))).toDF()
+        .orderBy("asset_id", "win_no")),
 
     // -- frame sampling: every 5th frame of each video asset, fanned out
     //    one row per sampled frame (the shape a frame-level feature
@@ -283,6 +314,28 @@ object Multimodal {
         |  CASE WHEN w >= h THEN 64 ELSE (w * 64) // h END AS new_w,
         |  CASE WHEN w >= h THEN (h * 64) // w ELSE 64 END AS new_h
         |FROM a ORDER BY asset_id""".stripMargin,
+
+    // PCM sample i of asset id is (id*17+5i)%256 over (id%100)+50 samples
+    // (the WAV generator's closed form); windows are 32 samples, last
+    // partial — so window counts, sizes and energies are all exact
+    "x_mm_audio_windows" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id, (doc_id % 100) + 50 AS n
+        |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 150),
+        |w AS (
+        |  SELECT asset_id, n, unnest(generate_series(0, (n + 31) // 32 - 1)) AS win_no
+        |  FROM a),
+        |s AS (
+        |  SELECT asset_id, win_no,
+        |         unnest(generate_series(win_no * 32, least(win_no * 32 + 31, n - 1))) AS i
+        |  FROM w),
+        |f AS (
+        |  SELECT asset_id, CAST(win_no AS BIGINT) win_no,
+        |         CAST(count(*) AS BIGINT) n_samples,
+        |         CAST(sum((asset_id * 17 + 5 * i) % 256) AS BIGINT) energy
+        |  FROM s GROUP BY asset_id, win_no)
+        |SELECT asset_id, win_no, n_samples, energy
+        |FROM f ORDER BY asset_id, win_no""".stripMargin,
 
     // frames = real stts/stsz sample count = (doc_id % 28) + 3 (the MP4
     // writer's closed form) — the frame fan-out has an exact oracle

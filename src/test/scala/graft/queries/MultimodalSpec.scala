@@ -62,6 +62,30 @@ class MultimodalSpec extends SparkSpecBase {
     f1.foreach { f => assert(f.n_bytes == raw(f.asset_id)) }
   }
 
+  test("audio windows: real PCM decode framed into 32-sample windows") {
+    val assets = Multimodal.assets(spark, sf, maxId = 40, onlyMime = Some("audio/wav"))
+    val wins = Multimodal.audioWindows(assets).collect()
+      .groupBy(_.asset_id).view.mapValues(_.sortBy(_.win_no)).toMap
+    assert(wins.nonEmpty)
+    wins.foreach { case (id, ws) =>
+      val n = Multimodal.wavSamples(id)
+      // window count, per-window sizes, contiguous numbering
+      assert(ws.length == (n + 31) / 32, s"asset $id window count")
+      assert(ws.map(_.win_no).toSeq == ws.indices.map(_.toLong))
+      assert(ws.map(_.n_samples).sum == n.toLong)
+      ws.init.foreach(w => assert(w.n_samples == 32L))
+      // energies recompute from the PCM generator's closed form
+      ws.foreach { w =>
+        val lo = (w.win_no * 32).toInt
+        val expect = (lo until math.min(lo + 32, n))
+          .map(i => Multimodal.wavSample(id, i).toLong).sum
+        assert(w.energy == expect, s"asset $id window ${w.win_no}")
+      }
+    }
+    // asset 1: 51 samples → windows of 32 and 19
+    assert(wins(1L).map(_.n_samples).toSeq == Seq(32L, 19L))
+  }
+
   test("mp4 fixture: box layout and parsed container metadata (asset 2)") {
     val b = Mp4.bytes(2L)
 
