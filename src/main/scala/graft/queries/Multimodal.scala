@@ -191,6 +191,43 @@ object Multimodal {
     }
   }
 
+  /** One image patch (the ViT tokenization unit). */
+  final case class ImagePatch(asset_id: Long, px: Long, py: Long, n_pixels: Long, pix_sum: Long)
+
+  /** Patch extraction: decode each PNG with ImageIO and tile it into
+    * `patch`×`patch` cells (edge cells partial) with per-cell pixel
+    * counts and sums — the ViT-style tokenization a vision-language
+    * pipeline runs before embedding. Same per-partition batch-decode
+    * contract as [[decode]]/[[audioWindows]]; generator fan-out, no
+    * shuffle. */
+  def imagePatches(assets: Dataset[Asset], patch: Int = 8): Dataset[ImagePatch] = {
+    require(patch > 0, "patch size must be positive")
+    import assets.sparkSession.implicits._
+    assets.filter(_.mime == "image/png").mapPartitions { it =>
+      it.flatMap { a =>
+        val img = ImageIO.read(new ByteArrayInputStream(a.media))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        for {
+          px <- (0 until (w + patch - 1) / patch).iterator
+          py <- (0 until (h + patch - 1) / patch).iterator
+        } yield {
+          var sum = 0L
+          var n = 0L
+          var y = py * patch
+          while (y < math.min(py * patch + patch, h)) {
+            var x = px * patch
+            while (x < math.min(px * patch + patch, w)) {
+              sum += raster.getSample(x, y, 0); n += 1; x += 1
+            }
+            y += 1
+          }
+          ImagePatch(a.asset_id, px.toLong, py.toLong, n, sum)
+        }
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // -- metadata-only projection: typed width/height metadata, binary
     //    payload untouched — oracle-exact arithmetic
@@ -221,6 +258,13 @@ object Multimodal {
           when(col("w") >= col("h"), lit(64L)).otherwise(expr("(w * 64) div h")).as("new_w"),
           when(col("w") >= col("h"), expr("(h * 64) div w")).otherwise(lit(64L)).as("new_h"))
         .orderBy("asset_id")),
+
+    // -- image patch grid: REAL PNG decode tiled into 8×8 cells (ViT
+    //    tokenization) with per-cell pixel counts and sums — hash-gated
+    //    against the pixel generator's closed form
+    "x_mm_patches" -> ((s, d) =>
+      imagePatches(assets(s, d, maxId = 150, onlyMime = Some("image/png"))).toDF()
+        .orderBy("asset_id", "px", "py")),
 
     // -- audio framing: REAL WAV decode fanned out into 32-sample
     //    analysis windows with per-window sample counts and energy sums —
@@ -314,6 +358,35 @@ object Multimodal {
         |  CASE WHEN w >= h THEN 64 ELSE (w * 64) // h END AS new_w,
         |  CASE WHEN w >= h THEN (h * 64) // w ELSE 64 END AS new_h
         |FROM a ORDER BY asset_id""".stripMargin,
+
+    // pixel (x,y) of asset id is (id*31+7x+13y)%256 over a
+    // ((id%24)+8)×((id%16)+8) image (the PNG generator's closed form);
+    // patches are 8×8 cells, edge cells partial — counts and sums exact
+    "x_mm_patches" ->
+      """WITH a AS (
+        |  SELECT doc_id AS asset_id, (doc_id % 24) + 8 AS w, (doc_id % 16) + 8 AS h
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 150),
+        |g1 AS (
+        |  SELECT asset_id, w, h, unnest(generate_series(0, (w + 7) // 8 - 1)) AS px
+        |  FROM a),
+        |g2 AS (
+        |  SELECT asset_id, w, h, px, unnest(generate_series(0, (h + 7) // 8 - 1)) AS py
+        |  FROM g1),
+        |xs AS (
+        |  SELECT asset_id, w, h, px, py,
+        |         unnest(generate_series(px * 8, least(px * 8 + 7, w - 1))) AS x
+        |  FROM g2),
+        |xys AS (
+        |  SELECT asset_id, px, py, x,
+        |         unnest(generate_series(py * 8, least(py * 8 + 7, h - 1))) AS y
+        |  FROM xs),
+        |f AS (
+        |  SELECT asset_id, CAST(px AS BIGINT) px, CAST(py AS BIGINT) py,
+        |         CAST(count(*) AS BIGINT) n_pixels,
+        |         CAST(sum((asset_id * 31 + 7 * x + 13 * y) % 256) AS BIGINT) pix_sum
+        |  FROM xys GROUP BY asset_id, px, py)
+        |SELECT asset_id, px, py, n_pixels, pix_sum
+        |FROM f ORDER BY asset_id, px, py""".stripMargin,
 
     // PCM sample i of asset id is (id*17+5i)%256 over (id%100)+50 samples
     // (the WAV generator's closed form); windows are 32 samples, last

@@ -86,6 +86,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(wins(1L).map(_.n_samples).toSeq == Seq(32L, 19L))
   }
 
+  test("image patches: decoded 8x8 grid tiles each image exactly") {
+    val assets = Multimodal.assets(spark, sf, maxId = 40, onlyMime = Some("image/png"))
+    val patches = Multimodal.imagePatches(assets).collect()
+      .groupBy(_.asset_id).view.mapValues(_.toSeq).toMap
+    assert(patches.nonEmpty)
+    patches.foreach { case (id, ps) =>
+      val (w, h) = Multimodal.pngDims(id)
+      // grid shape and exact tiling: pixel counts sum to the image area
+      assert(ps.length == ((w + 7) / 8) * ((h + 7) / 8), s"asset $id grid")
+      assert(ps.map(_.n_pixels).sum == w.toLong * h, s"asset $id tiling")
+      // interior patches are full 8×8
+      ps.filter(p => (p.px + 1) * 8 <= w && (p.py + 1) * 8 <= h)
+        .foreach(p => assert(p.n_pixels == 64L))
+      // each patch sum recomputes from the pixel generator
+      ps.foreach { p =>
+        val expect = (for {
+          x <- (p.px * 8).toInt until math.min((p.px * 8 + 8).toInt, w)
+          y <- (p.py * 8).toInt until math.min((p.py * 8 + 8).toInt, h)
+        } yield Multimodal.pngPixel(id, x, y).toLong).sum
+        assert(p.pix_sum == expect, s"asset $id patch (${p.px},${p.py})")
+      }
+    }
+  }
+
   test("mp4 fixture: box layout and parsed container metadata (asset 2)") {
     val b = Mp4.bytes(2L)
 
