@@ -152,6 +152,13 @@ class CurationSpec extends SparkSpecBase {
   }
 
   test("bucketed curated table: doc_id equi-join runs with zero exchange") {
+    // the warehouse dir outlives the in-memory catalog across JVM runs:
+    // drop any catalog entry AND the orphaned location before writing
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("curated_bucketed", "emb_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
     val n = Curation.writeCuratedBucketed(spark, sf, "curated_bucketed", buckets = 4)
     assert(n > 0)
     // bucket the embeddings side identically (same count, same key hash)
