@@ -119,6 +119,44 @@ class TerraformDsv2Spec extends SparkSpecBase {
     assert(huge.length == 2, "an over-budget file still gets its own bin")
   }
 
+  test("readStream.format(terraform): new and changed files arrive incrementally") {
+    val tmp = java.nio.file.Files.createTempDirectory("dsv2-stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("dsv2-stream-ckpt").toString
+    def writeTf(name: String, resource: String, modMs: Long): Unit = {
+      val f = tmp.resolve(name)
+      java.nio.file.Files.writeString(f,
+        s"""resource "aws_s3_bucket" "$resource" {}\n""")
+      assert(f.toFile.setLastModified(modMs))
+    }
+    writeTf("a.tf", "stream_a", 1000000L)
+
+    val df = spark.readStream.format("terraform")
+      .option("table", "terraform_resource")
+      .option("configurationFilePaths", s"$tmp/*.tf")
+      .load()
+    val q = df.select("name").writeStream.format("memory").queryName("tf_watch")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def names = spark.table("tf_watch").collect().map(_.getString(0)).sorted.toSeq
+      assert(names == Seq("stream_a"))
+
+      // a NEW file with a later mod time arrives in the next micro-batch
+      writeTf("b.tf", "stream_b", 2000000L)
+      q.processAllAvailable()
+      assert(names == Seq("stream_a", "stream_b"))
+
+      // an UPDATED file re-emits its rows (the reference's watch re-query)
+      writeTf("a.tf", "stream_a2", 3000000L)
+      q.processAllAvailable()
+      assert(names == Seq("stream_a", "stream_a2", "stream_b"))
+
+      // quiescent: no new offsets, no duplicate rows
+      q.processAllAvailable()
+      assert(names == Seq("stream_a", "stream_a2", "stream_b"))
+    } finally q.stop()
+  }
+
   test("unknown table name fails fast") {
     val e = intercept[IllegalArgumentException](
       spark.read.format("terraform").option("table", "terraform_nope").load())
