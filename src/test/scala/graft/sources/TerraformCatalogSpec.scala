@@ -49,6 +49,21 @@ class TerraformCatalogSpec extends SparkSpecBase {
     assert(one.rdd.getNumPartitions == 1, "path qual must prune partitions via catalog")
   }
 
+  test("streaming through the catalog: readStream.table(terraform.<name>)") {
+    catalog
+    val ckpt = java.nio.file.Files.createTempDirectory("cat-stream-ckpt").toString
+    val q = spark.readStream.table("terraform.terraform_variable")
+      .select("name")
+      .writeStream.format("memory").queryName("cat_watch")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the fixture corpus's one variable arrives through the watch path
+      assert(spark.table("cat_watch").collect().map(_.getString(0)).toSeq ==
+        Seq("instance_type"))
+    } finally q.stop()
+  }
+
   test("SHOW TABLES lists the published surface; unknown table fails; read-only") {
     catalog
     val listed = spark.sql("SHOW TABLES IN terraform").collect()
