@@ -283,17 +283,30 @@ private final class TerraformScan(table: String, options: CaseInsensitiveStringM
     val spark = SparkSession.active
     new MicroBatchStream {
       private val hadoopConf = spark.sparkContext.hadoopConfiguration
+      // one listing per trigger, not one per callback: latestOffset's
+      // listing is reused by the planInputPartitions that follows it (the
+      // A1 object-store concern — a 10⁷-file glob should not run twice
+      // per micro-batch). Replay from a checkpoint (planInputPartitions
+      // with no prior latestOffset in this process) re-lists.
+      @volatile private var lastListing: Seq[(String, String, Long, Long)] = null
 
       override def initialOffset(): Offset = TfModTimeOffset(0L) // replay all once
       override def deserializeOffset(json: String): Offset =
         TfModTimeOffset(json.trim.toLong)
-      override def latestOffset(): Offset =
-        TfModTimeOffset(discover(hadoopConf).map(_._4).maxOption.getOrElse(0L))
+      override def latestOffset(): Offset = {
+        val listing = discover(hadoopConf)
+        lastListing = listing
+        TfModTimeOffset(listing.map(_._4).maxOption.getOrElse(0L))
+      }
 
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
         val s = start.asInstanceOf[TfModTimeOffset].maxModMs
         val e = end.asInstanceOf[TfModTimeOffset].maxModMs
-        pack(spark, discover(hadoopConf)
+        val listing = {
+          val l = lastListing
+          if (l != null) l else discover(hadoopConf)
+        }
+        pack(spark, listing
           .filter(f => f._4 > s && f._4 <= e)
           .map(f => (f._1, f._2, f._3)))
       }
