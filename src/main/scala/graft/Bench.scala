@@ -42,8 +42,10 @@ object Bench {
       val guarded =
         if (math.max(v, p2(k)) > 2 * best && best > 0.1) {
           val t0 = System.nanoTime()
-          try { selected(k)(spark, sfDir).count() } catch { case _: Throwable => () }
-          math.min(best, (System.nanoTime() - t0) / 1e9)
+          val ok = try { selected(k)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+          // a pass that THREW must not contribute its time-to-failure
+          if (ok) math.min(best, (System.nanoTime() - t0) / 1e9) else best
         } else best
       k -> guarded
     }

@@ -186,6 +186,16 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** THE curated corpus: the stratified sampler applied to the full
+    * documents table, each survivor tagged with its leakage-safe split —
+    * the single definition both writers materialize. */
+  private def curated(s: SparkSession, d: String): DataFrame = {
+    val split = queries("x_cur_split")(s, d).select(col("doc_id"), col("split"))
+    table(s, d, "documents")
+      .filter(samplePredicate)
+      .join(split, "doc_id")
+  }
+
   /** Materialize the curated corpus: the leakage-safe split and the
     * stratified sampler applied to the full documents table, written as
     * parquet partitioned by (split, lang) — the layout a training job
@@ -196,12 +206,7 @@ object Curation {
     * file sizes at scale. Returns the curated row count. */
   def writeCurated(s: SparkSession, d: String, out: String,
       maxRecordsPerFile: Long = 1000000L): Long = {
-    val docs = table(s, d, "documents")
-    val split = queries("x_cur_split")(s, d).select(col("doc_id"), col("split"))
-    val curated = docs
-      .filter(samplePredicate)
-      .join(split, "doc_id")
-    curated
+    curated(s, d)
       .repartition(col("split"), col("lang"))
       // partition columns lead the sort so the writer's own required
       // ordering (group rows by partition) is already satisfied and the
@@ -226,10 +231,7 @@ object Curation {
     * row count. */
   def writeCuratedBucketed(s: SparkSession, d: String, tableName: String,
       buckets: Int = 32): Long = {
-    val docs = table(s, d, "documents")
-    val split = queries("x_cur_split")(s, d).select(col("doc_id"), col("split"))
-    docs.filter(samplePredicate)
-      .join(split, "doc_id")
+    curated(s, d)
       .write
       .bucketBy(buckets, "doc_id")
       .sortBy("doc_id")

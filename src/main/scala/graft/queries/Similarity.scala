@@ -91,8 +91,8 @@ object Similarity {
       val (dims, corpusN) = emb.queryExecution.optimizedPlan.stats.rowCount match {
         case Some(n) =>
           emb.select(size(col("embedding")).as("dims")).take(1) match {
-            case Array(r) => (r.getInt(0), n.toLong)
-            case _ => (EmbeddingDims, 0L) // empty corpus: bucket values are irrelevant
+            case Array(r) if !r.isNullAt(0) => (r.getInt(0), n.toLong)
+            case _ => (EmbeddingDims, n.toLong) // NULL first row: contract dims
           }
         case None => emb
           .agg(first(size(col("embedding"))).as("dims"), count(lit(1)).as("n"))

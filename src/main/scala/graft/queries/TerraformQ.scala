@@ -58,11 +58,21 @@ object TerraformQ {
     // terraform.terraform_resource with only session conf set) in the
     // driver's DuckDB gate
     "tf_catalog_resource_types" -> ((spark, _) => {
-      spark.conf.set("spark.sql.catalog.terraform", "graft.sources.TerraformCatalog")
-      spark.conf.set("spark.sql.catalog.terraform.configurationFilePaths", s"$fixDir/*.tf")
-      spark.conf.set("spark.sql.catalog.terraform.planFilePaths",
+      // Spark caches a DSv2 catalog instance at first resolution; a later
+      // conf change would be silently ignored. Fail fast on a conflicting
+      // pre-existing value rather than read a stale file set.
+      def setOnce(key: String, value: String): Unit =
+        spark.conf.getOption(key) match {
+          case Some(existing) if existing != value =>
+            throw new IllegalStateException(
+              s"$key already set to '$existing' (catalog may be cached with it); expected '$value'")
+          case _ => spark.conf.set(key, value)
+        }
+      setOnce("spark.sql.catalog.terraform", "graft.sources.TerraformCatalog")
+      setOnce("spark.sql.catalog.terraform.configurationFilePaths", s"$fixDir/*.tf")
+      setOnce("spark.sql.catalog.terraform.planFilePaths",
         s"$fixDir/tfplan.json,$fixDir/tfplan_oneline.json")
-      spark.conf.set("spark.sql.catalog.terraform.stateFilePaths", s"$fixDir/terraform.tfstate")
+      setOnce("spark.sql.catalog.terraform.stateFilePaths", s"$fixDir/terraform.tfstate")
       spark.sql("SELECT type, count(*) AS n FROM terraform.terraform_resource " +
         "GROUP BY type ORDER BY type")
     }),

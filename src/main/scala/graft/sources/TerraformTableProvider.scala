@@ -289,14 +289,28 @@ private final class TerraformScan(table: String, options: CaseInsensitiveStringM
       // per micro-batch). Replay from a checkpoint (planInputPartitions
       // with no prior latestOffset in this process) re-lists.
       @volatile private var lastListing: Seq[(String, String, Long, Long)] = null
+      // monotonicity floor: an empty or transiently-shrunken listing must
+      // never regress the watermark below anything already emitted or
+      // committed — a regressed offset would re-emit processed files as
+      // duplicates when they reappear
+      @volatile private var maxSeen: Long = Long.MinValue
+      // one broadcast for the stream's lifetime, not one per micro-batch
+      private lazy val factory = TerraformScan.this.readerFactory(spark)
 
-      override def initialOffset(): Offset = TfModTimeOffset(0L) // replay all once
-      override def deserializeOffset(json: String): Offset =
-        TfModTimeOffset(json.trim.toLong)
+      // replay all once — below any representable mtime (a strictly-
+      // greater filter from 0 would permanently skip epoch-0 files)
+      override def initialOffset(): Offset = TfModTimeOffset(Long.MinValue)
+      override def deserializeOffset(json: String): Offset = {
+        val ms = json.trim.toLong
+        maxSeen = math.max(maxSeen, ms) // restart: floor at the committed offset
+        TfModTimeOffset(ms)
+      }
       override def latestOffset(): Offset = {
         val listing = discover(hadoopConf)
         lastListing = listing
-        TfModTimeOffset(listing.map(_._4).maxOption.getOrElse(0L))
+        maxSeen = math.max(maxSeen,
+          listing.map(_._4).maxOption.getOrElse(Long.MinValue))
+        TfModTimeOffset(maxSeen)
       }
 
       override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -311,8 +325,7 @@ private final class TerraformScan(table: String, options: CaseInsensitiveStringM
           .map(f => (f._1, f._2, f._3)))
       }
 
-      override def createReaderFactory(): PartitionReaderFactory =
-        TerraformScan.this.readerFactory(spark)
+      override def createReaderFactory(): PartitionReaderFactory = factory
 
       override def commit(end: Offset): Unit = ()
       override def stop(): Unit = ()
