@@ -157,6 +157,52 @@ class TerraformDsv2Spec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream offset: epoch-0 files arrive; deletions never regress the watermark") {
+    val tmp = java.nio.file.Files.createTempDirectory("dsv2-stream-edge")
+    val ckpt = java.nio.file.Files.createTempDirectory("dsv2-stream-edge-ckpt").toString
+    def writeTf(name: String, resource: String, modMs: Long): java.nio.file.Path = {
+      val f = tmp.resolve(name)
+      java.nio.file.Files.writeString(f,
+        s"""resource "aws_s3_bucket" "$resource" {}\n""")
+      assert(f.toFile.setLastModified(modMs))
+      f
+    }
+    // an epoch-0 mtime (tar extraction with zeroed timestamps) must still
+    // be picked up by the initial replay batch
+    val zero = writeTf("zero.tf", "epoch_zero", 0L)
+    val late = writeTf("late.tf", "late", 5000000L)
+
+    val q = spark.readStream.format("terraform")
+      .option("table", "terraform_resource")
+      .option("configurationFilePaths", s"$tmp/*.tf")
+      .load()
+      .select("name")
+      .writeStream.format("memory").queryName("tf_watch_edge")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def names = spark.table("tf_watch_edge").collect().map(_.getString(0)).sorted.toSeq
+      assert(names == Seq("epoch_zero", "late"))
+
+      // delete everything: the watermark must NOT regress to "empty"
+      java.nio.file.Files.delete(zero)
+      java.nio.file.Files.delete(late)
+      q.processAllAvailable()
+      assert(names == Seq("epoch_zero", "late"))
+
+      // a file REAPPEARING with an mtime below the committed watermark is
+      // already-processed content — no duplicate rows
+      writeTf("late.tf", "late", 3000000L)
+      q.processAllAvailable()
+      assert(names == Seq("epoch_zero", "late"), "regressed watermark re-emitted rows")
+
+      // touched beyond the watermark → re-emits (the watch re-query)
+      writeTf("late.tf", "late2", 6000000L)
+      q.processAllAvailable()
+      assert(names == Seq("epoch_zero", "late", "late2"))
+    } finally q.stop()
+  }
+
   test("unknown table name fails fast") {
     val e = intercept[IllegalArgumentException](
       spark.read.format("terraform").option("table", "terraform_nope").load())
