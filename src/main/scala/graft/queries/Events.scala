@@ -29,11 +29,18 @@ object Events {
     // DuckDB's epoch_us truncation bit-for-bit
     table(s, d, "events").withColumn("us", expr("ts div 1000"))
 
+  /** Window-start bucket: floor `us` to a multiple of `width`. pmod gives
+    * FLOOR semantics for pre-1970 (negative) epochs — the same window
+    * assignment Spark's own window() makes; the oracles spell the same
+    * floor as `us - ((us % w) + w) % w`. */
+  private def bucket(width: Long) =
+    col("us") - pmod(col("us"), lit(width))
+
   val queries: Map[String, Q] = Map(
     // -- tumbling 1-hour windows per event type
     "x_events_tumbling" -> ((s, d) =>
       ev(s, d)
-        .withColumn("w", (col("us") - pmod(col("us"), lit(3600L * 1000000))).cast("long"))
+        .withColumn("w", bucket(3600L * 1000000))
         .groupBy("w", "event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(25,2)")).cast("double").as("sum_value"))
@@ -46,9 +53,7 @@ object Events {
       val slide = 1800L * 1000000
       ev(s, d)
         .select(col("event_type"), col("us"),
-          explode(array(
-            (col("us") - pmod(col("us"), lit(slide))).cast("long"),
-            (col("us") - pmod(col("us"), lit(slide)) - lit(slide)).cast("long"))).as("w"))
+          explode(array(bucket(slide), bucket(slide) - lit(slide))).as("w"))
         .groupBy("w", "event_type").agg(count(lit(1)).as("n"))
         .orderBy("w", "event_type")
     }),
@@ -127,18 +132,24 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    // window starts spell FLOOR semantics — `us - ((us % w) + w) % w` —
+    // so pre-1970 (negative-epoch) events bucket identically to Spark's
+    // pmod; equal to plain `us - us % w` for the non-negative testdata
     "x_events_tumbling" ->
-      """SELECT (epoch_us(ts) - epoch_us(ts) % CAST(3600000000 AS BIGINT)) AS w, event_type,
+      """SELECT (epoch_us(ts) - ((epoch_us(ts) % CAST(3600000000 AS BIGINT))
+        |        + CAST(3600000000 AS BIGINT)) % CAST(3600000000 AS BIGINT)) AS w, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin,
 
     "x_events_sliding" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) us FROM events),
+        |b AS (SELECT event_type, us,
+        |        us - ((us % 1800000000) + 1800000000) % 1800000000 AS w0 FROM e),
         |x AS (
-        |  SELECT event_type, us, (us - us % 1800000000) AS w FROM e
+        |  SELECT event_type, us, w0 AS w FROM b
         |  UNION ALL
-        |  SELECT event_type, us, (us - us % 1800000000 - 1800000000) AS w FROM e)
+        |  SELECT event_type, us, w0 - 1800000000 AS w FROM b)
         |SELECT w, event_type, count(*) AS n FROM x
         |GROUP BY w, event_type ORDER BY w, event_type""".stripMargin,
 
