@@ -54,7 +54,18 @@ final case class MinHashAgg(numPerms: Int)
 }
 
 object MinHashAgg {
-  /** Register `minhash_agg(hashCol)` with the given permutation count. */
-  def register(spark: SparkSession, numPerms: Int): Unit =
-    spark.udf.register("minhash_agg", udaf(MinHashAgg(numPerms)))
+  /** Register the permutation-count-specific `minhash_agg_<n>(hashCol)`
+    * and return that name. The SIZED name is what query builders must
+    * call: the session function registry is global, so two concurrent
+    * builds for different corpus sizes re-registering a shared name
+    * could resolve each other's aggregate (wrong signature length, no
+    * error). The unsized `minhash_agg` alias is also kept for
+    * interactive use. */
+  def register(spark: SparkSession, numPerms: Int): String = {
+    val name = s"minhash_agg_$numPerms"
+    val fn = udaf(MinHashAgg(numPerms))
+    spark.udf.register(name, fn)
+    spark.udf.register("minhash_agg", fn)
+    name
+  }
 }

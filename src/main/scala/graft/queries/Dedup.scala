@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *     simhash64, a pure map — no shuffle); the scale path
   *     (x_dedup_simhash_lsh) finds candidate pairs via 8-bit block
   *     banding (pigeonhole-complete for hamming ≤ 6) as a key-equi join;
-  *   - all operators are pure DataFrame/Column expressions (codegen'd),
-  *     no UDFs, no driver-side loops.
+  *   - operators are pure DataFrame/Column expressions (codegen'd), with
+  *     two deliberate exceptions: the MinHashAgg typed Aggregator (the
+  *     price of a true map-side-combinable signature) and the clustering
+  *     builders' driver-side fixpoint loops (one bounded Spark job per
+  *     round; all state stays on executors).
   *
   * DuckDB-oracle notes: Jaccard = intersect/(|A|+|B|-intersect) is an exact
   * int division performed in double — bit-identical across engines. MinHash
@@ -82,9 +85,14 @@ object Dedup {
     * candidate self-join (ReusedExchange — pinned in PlanQualitySpec).
     * Default caps are far above anything a healthy corpus produces
     * (DedupSpec pins that nothing is dropped at test scale and that a
-    * planted hot bucket IS dropped). */
+    * planted hot bucket IS dropped). NOTE the cap is a deliberate recall
+    * bound: a >max bucket (10⁵ docs sharing one band value — template
+    * boilerplate) is dropped on the Spark side only, so beyond that
+    * threshold the md5 pipelines diverge from their un-capped DuckDB
+    * oracles BY DESIGN; exact-dedup upstream of LSH keeps real corpora
+    * far below it. */
   private[queries] def capBuckets(blocks: DataFrame, max: Long, keys: String*): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
     blocks.withColumn("bn", count(lit(1)).over(w))
       .filter(col("bn") <= max)
       .drop("bn")
@@ -132,21 +140,10 @@ object Dedup {
     }),
 
     // -- n-gram (3-shingle) Jaccard near-dup pairs, exact, bounded subset
-    "x_dedup_ngram_jaccard" -> ((s, d) => {
-      val sh = shingles(s, d, col("doc_id") < 60)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sz.as("sa"), col("da") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("db") === col("sb.doc_id"))
-        .select(col("da"), col("db"),
-          (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("j"))
-        .filter(col("j") >= 0.2)
-        .orderBy(col("j").desc, col("da"), col("db"))
-    }),
+    //    (the same jaccardPairs pipeline the clustering operators consume)
+    "x_dedup_ngram_jaccard" -> ((s, d) =>
+      jaccardPairs(s, d, col("doc_id") < 60)
+        .orderBy(col("j").desc, col("da"), col("db"))),
 
     // -- MinHash + LSH banding. Sizing is corpus-derived (LshTuning): the
     //    gate corpus (500 docs) gives 8 bands × 4 rows = 32 permutations;
@@ -160,7 +157,9 @@ object Dedup {
       val corpusN = graft.Engine.rowCountFast(table(s, d, "documents"))
       val rowsPerBand = LshTuning.minhashRowsPerBand(corpusN)
       val nPerm = LshTuning.minhashBands(rowsPerBand) * rowsPerBand
-      graft.functions.MinHashAgg.register(s, nPerm)
+      // SIZED registration: the name carries nPerm so a concurrent build
+      // for a different corpus size can never swap this query's aggregate
+      val aggName = graft.functions.MinHashAgg.register(s, nPerm)
       // signature as a TRUE partial aggregate: each shingle hashes to 8
       // bytes map-side and folds straight into the fixed nPerm-long minima
       // buffer (MinHashAgg), so map-side combine reduces every partition's
@@ -168,23 +167,30 @@ object Dedup {
       // shuffle are O(docs × nPerm), independent of document length
       val sig = shingles(s, d, lit(true))
         .select(col("doc_id"), xxhash64(col("s")).as("h"))
-        .groupBy("doc_id").agg(expr("minhash_agg(h)").as("sig"))
+        .groupBy("doc_id").agg(expr(s"$aggName(h)").as("sig"))
+      // band keys only (doc, band, bh): the banded exchange and the
+      // candidate distinct never carry the nPerm-long signatures — a true
+      // pair agrees on MANY bands (the S-curve's point), so carrying sigs
+      // would shuffle each pair's signatures once per agreeing band
       val bands = capBuckets(
-        sig.select(col("doc_id"), col("sig"),
+        sig.select(col("doc_id"),
             explode(expr(s"transform(sequence(0, ${nPerm / rowsPerBand - 1}), " +
               s"b -> struct(b AS band, xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)) AS bh))")).as("bk"))
-          .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.bh")),
+          .select(col("doc_id"), col("bk.band"), col("bk.bh")),
         100000L, "band", "bh")
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-          col("a.sig").as("siga"), col("b.sig").as("sigb"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
         .distinct()
+      // re-join the signatures ONCE per surviving candidate pair (the
+      // md5MinhashPairs shape) for the exact estimate
       cand
+        .join(sig.as("sa"), col("da") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("db") === col("sb.doc_id"))
         .select(col("da"), col("db"),
-          (expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))").cast("double") / nPerm).as("est_j"))
+          (expr("size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), v -> v))").cast("double") / nPerm).as("est_j"))
         .filter(col("est_j") >= 0.5)
         .orderBy(col("est_j").desc, col("da"), col("db"))
     }),
@@ -319,13 +325,26 @@ object Dedup {
     fittedClusters.keySet.removeIf(sess => sess.sparkContext.isStopped)
     val perSession = fittedClusters.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-    perSession.computeIfAbsent(d, _ => {
-      val docs = table(s, d, "documents").select(col("doc_id"))
-      starClusters(docs, md5MinhashPairs(s, d).select(col("da"), col("db")))._1.cache()
-    })
+    // build OUTSIDE the map's mapping function: the multi-round clustering
+    // build is minutes of Spark jobs — far beyond computeIfAbsent's
+    // "short and simple" contract, under which it would also block
+    // unrelated corpora hashing to the same bin. Racing builders may
+    // duplicate work; the loser's build is unpersisted and the winner's
+    // entry served.
+    val cached = perSession.get(d)
+    if (cached != null) return cached
+    val docs = table(s, d, "documents").select(col("doc_id"))
+    val built = starClusters(docs,
+      md5MinhashPairs(s, d).select(col("da"), col("db")))._1.cache()
+    val prev = perSession.putIfAbsent(d, built)
+    if (prev != null) { built.unpersist(); prev } else built
   }
 
-  /** Drop (and unpersist) the memoized cluster labels for a corpus dir. */
+  /** Drop (and unpersist) the memoized cluster labels for a corpus dir.
+    * Advisory with respect to IN-FLIGHT builds: a build that started
+    * before the invalidation may still install labels computed from the
+    * old files. For strict semantics, version the corpus (write changed
+    * corpora to a NEW dir) — the memo key is the path. */
   def invalidateClusters(s: SparkSession, d: String): Unit = {
     val inner = fittedClusters.get(s)
     if (inner != null) {
@@ -373,9 +392,11 @@ object Dedup {
       .filter(col("est_j") >= 0.5)
   }
 
-  /** Near-dup edge discovery shared by the clustering operators:
-    * 3-shingle Jaccard ≥ 0.2 pairs (da < db). */
-  private[queries] def jaccardPairs(s: SparkSession, d: String, limit: Column): DataFrame = {
+  /** Near-dup edge discovery shared by the pair query and the clustering
+    * operators: 3-shingle Jaccard pairs (da < db, with `j`) at ≥ `minJ`.
+    * Callers needing only the edge set project (da, db). */
+  private[queries] def jaccardPairs(s: SparkSession, d: String, limit: Column,
+      minJ: Double = 0.2): DataFrame = {
     val sh = shingles(s, d, limit)
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")
@@ -384,8 +405,9 @@ object Dedup {
       .agg(count(lit(1)).as("i"))
       .join(sz.as("sa"), col("da") === col("sa.doc_id"))
       .join(sz.as("sb"), col("db") === col("sb.doc_id"))
-      .filter(col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i")) >= 0.2)
-      .select(col("da"), col("db"))
+      .select(col("da"), col("db"),
+        (col("i").cast("double") / (col("sa.n") + col("sb.n") - col("i"))).as("j"))
+      .filter(col("j") >= minJ)
   }
 
   /** Connected components by min-label propagation to fixpoint: one
