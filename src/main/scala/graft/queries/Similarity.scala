@@ -243,9 +243,22 @@ object Similarity {
     purgeStoppedSessions()
     val perSession = fittedCentroids.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Float])]]())
-    val arr = perSession.computeIfAbsent(d + " " + key, _ =>
-      fit.select(col("cid"), col("ce"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+    // fit OUTSIDE the mapping function (same contract note as
+    // Dedup.clusterLabels): the Lloyd fit runs several Spark jobs, far
+    // beyond computeIfAbsent's "short and simple" contract, under which
+    // it would also block unrelated keys on the same hash bin. Racing
+    // fitters may duplicate work; the winner's entry is served.
+    val mapKey = d + " " + key
+    val arr = {
+      val cached = perSession.get(mapKey)
+      if (cached != null) cached
+      else {
+        val built = fit.select(col("cid"), col("ce"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val prev = perSession.putIfAbsent(mapKey, built)
+        if (prev != null) prev else built
+      }
+    }
     import s.implicits._
     arr.toSeq.toDF("cid", "ce").withColumn("cn", sqrt(expr("float_dot(ce, ce)")))
   }
