@@ -21,7 +21,13 @@ import scala.util.matching.Regex
   *   2. Type-mismatch meta-arguments (e.g. a non-list `depends_on`) make the
   *      reference abort the whole table scan with an error; we skip the
   *      offending field and keep the row (lenient, query still runs).
-  *   (Former divergence 3 — single-line plan/state span recovery — is
+  *   3. Duplicate blocks sharing type AND name (two `resource "a" "b"`
+  *      blocks in one file) fan out one fully-populated row each; the
+  *      kics merge makes the reference emit a single row whose arguments
+  *      are EMPTY (convertModelDocumentToMapInterface returns an empty
+  *      map for the merged array — table_terraform_resource.go:407-417),
+  *      silently losing both bodies. Deliberate fix, noted.
+  *   (Former divergence — single-line plan/state span recovery — is
   *   retired: unformatted files now reproduce the reference's fallback,
   *   utils.go:495-547. See unformattedSpan/fallbackPlanSource.)
   */
@@ -84,7 +90,9 @@ object Builders {
       case JNum(raw) =>
         try {
           val bd = BigDecimal(raw)
-          if (bd.isWhole) nzL(bd.toLong) else None
+          // isValidLong: gocty.FromCtyValue errors on out-of-range whole
+          // numbers too — toLong alone would wrap modularly
+          if (bd.isWhole && bd.isValidLong) nzL(bd.toLong) else None
         } catch { case _: NumberFormatException => None }
       case _ => None
     }
@@ -184,7 +192,7 @@ object Builders {
       val (sl, el, src) = span("resource", Seq(rtype, rname))
       var row = base.copy(table = "resource", tfType = nz(rtype), name = nz(rname),
         startLine = sl, endLine = el, source = src)
-      row = applyResourceMeta(row, body, dropName = true)
+      row = applyResourceMeta(row, body)
       row = row.copy(attributesStd = row.arguments)
       if (row.address.isEmpty) row = row.copy(address = Some(s"$rtype.$rname"))
       out += row
@@ -303,7 +311,7 @@ object Builders {
 
   /** Shared meta-argument switch of buildResource
     * (table_terraform_resource.go:315-401). */
-  private def applyResourceMeta(row0: TfRow, body: JObj, dropName: Boolean): TfRow = {
+  private def applyResourceMeta(row0: TfRow, body: JObj): TfRow = {
     var row = row0
     val args = Vector.newBuilder[(String, JValue)]
     body.fields.foreach {
@@ -414,10 +422,14 @@ object Builders {
     }
 
   private def planRows(path: String, content: String, withSpans: Boolean): Seq[TfRow] = {
+    // span elision reaches the JSON branch too: a pruned read skips the
+    // per-object span bookkeeping AND the full-file block-line scan
     val (tree, spans) =
-      try Json.parseWithSpans(content)
-      catch { case e: Exception => return errorRow(path, "plan-json", e) }
-    val formatted = hasBlockLine(content, "resources")
+      try {
+        if (withSpans) Json.parseWithSpans(content)
+        else (Json.parse(content), new java.util.IdentityHashMap[JValue, (Int, Int)]())
+      } catch { case e: Exception => return errorRow(path, "plan-json", e) }
+    val formatted = withSpans && hasBlockLine(content, "resources")
     val resources = tree match {
       case o: JObj =>
         o.get("planned_values").collect { case pv: JObj => pv }
@@ -447,7 +459,10 @@ object Builders {
         arguments = args.map(_.render), // plan arguments NOT NullIfEmptyMap'd pre-serialization quirk: empty map renders "{}" → NullIfEmptyMap applies at column level
         startLine = nzL(sl.toLong), endLine = nzL(el.toLong), source = src)
       row = row.copy(arguments = row.arguments.filter(_ != "{}"), attributesStd = row.arguments.filter(_ != "{}"))
-      if (row.address.isEmpty) row = row.copy(address = Some(s"$rtype.$name"))
+      // NO type.name address fallback here: buildTerraformPlanResource
+      // (parse_tfplan.go:38-59) copies the plan address verbatim — the
+      // fallback exists only in the config (:226-228) and state (:269-271)
+      // branches; an address-less plan resource publishes NULL
       row
     }
   }
@@ -460,8 +475,10 @@ object Builders {
     * table_terraform_variable.go:158-170). */
   private def stateRows(path: String, content: String, withSpans: Boolean): Seq[TfRow] = {
     val (tree, spans) =
-      try Json.parseWithSpans(content)
-      catch { case e: Exception => return errorRow(path, "state-json", e) }
+      try {
+        if (withSpans) Json.parseWithSpans(content)
+        else (Json.parse(content), new java.util.IdentityHashMap[JValue, (Int, Int)]())
+      } catch { case e: Exception => return errorRow(path, "state-json", e) }
     val doc = tree match {
       case o: JObj => o
       case _       => return Seq.empty
@@ -470,7 +487,7 @@ object Builders {
     val out = Seq.newBuilder[TfRow]
 
     doc.get("resources").collect { case JArr(items) => items }.foreach { items =>
-      val formatted = hasBlockLine(content, "resources")
+      val formatted = withSpans && hasBlockLine(content, "resources")
       items.collect { case envelope: JObj =>
         val rtype = envelope.get("type").collect { case JStr(s) => s }.getOrElse("")
         val rname = envelope.get("name").collect { case JStr(s) => s }.getOrElse("")
@@ -490,7 +507,7 @@ object Builders {
           // buildResource receives the ENVELOPE map (not the instance) —
           // arguments therefore carry resource-level keys, instances skipped
           // (table_terraform_resource.go:242,395)
-          row = applyResourceMeta(row, envelope, dropName = true)
+          row = applyResourceMeta(row, envelope)
           inst.get("attributes").foreach { a => row = row.copy(attributes = Some(a.render).filter(_ != "{}")) }
           inst.get("index_key").foreach {
             case JNum(raw) => row = row.copy(address = Some(s"$rtype.$rname[$raw]"))
@@ -504,7 +521,7 @@ object Builders {
     }
 
     doc.get("outputs").collect { case outputs: JObj => outputs }.foreach { outputs =>
-      val formatted = hasBlockLine(content, "outputs")
+      val formatted = withSpans && hasBlockLine(content, "outputs")
       outputs.fields.foreach {
         case (oname, body: JObj) =>
           // unformatted outputs: span 1..total, no source (the reference's
@@ -522,16 +539,15 @@ object Builders {
     }
 
     doc.get("variables").collect { case vars: JObj => vars }.foreach { vars =>
-      val formatted = hasBlockLine(content, "variables")
       vars.fields.foreach {
         case (vname, body: JObj) =>
-          val (sl, el) =
-            if (!withSpans) (0, 0)
-            else if (formatted) Option(spans.get(body)).getOrElse((0, 0))
-            else unformattedSpan(content)
-          val src =
-            if (!withSpans) None
-            else if (formatted) sourceSlice(content, sl, el) else None
+          // the reference scanner has no closing logic for a "variables"
+          // block (findBlockLinesFromJSON only closes outputs/resources):
+          // startLine is set then reset, and EVERY state variable — even
+          // in a pretty-printed file — takes the 1..totalLines fallback
+          // with NO source (the plan-shaped regex can't match state)
+          val (sl, el) = if (!withSpans) (0, 0) else unformattedSpan(content)
+          val src: Option[String] = None
           var row = base.copy(table = "variable", name = nz(vname),
             startLine = nzL(sl.toLong), endLine = nzL(el.toLong), source = src)
           body.fields.foreach {
@@ -554,10 +570,15 @@ object Builders {
     out.result()
   }
 
+  /** JSON plan/state source slice — getSourceFromFile (utils.go:552-567)
+    * appends "\n" after EVERY line including the last, so formatted
+    * plan/state sources carry a trailing newline (the HCL getBlock path
+    * joins without one — hclRows' slicing is separate). */
   private def sourceSlice(content: String, startLine: Int, endLine: Int): Option[String] =
     if (startLine <= 0 || endLine < startLine) None
     else {
       val lines = content.split("\n", -1)
-      nz(lines.slice(startLine - 1, math.min(endLine, lines.length)).mkString("\n"))
+      nz(lines.slice(startLine - 1, math.min(endLine, lines.length))
+        .map(_ + "\n").mkString)
     }
 }

@@ -42,13 +42,15 @@ object SpanElision {
         new String(bytes, java.nio.charset.StandardCharsets.UTF_8), withSpans = false)
         .map(_.copy(path = ""))
 
-  /** Ordinals of startLine/endLine/source in the TfRow struct — taken
+  /** Ordinals of the span-DERIVED fields in the TfRow struct — taken
     * from the ENCODER schema (the same source of truth GetStructField
     * ordinals come from), not JVM reflection field order, which is
-    * unspecified. */
+    * unspecified. `validation` is included: it is regex-extracted from
+    * the block SOURCE (extractValidationBlock), so eliding span work
+    * under a query that selects validation would silently null it. */
   private val spanOrdinals: Set[Int] = {
     val schema = org.apache.spark.sql.Encoders.product[TfRow].schema
-    Set("startLine", "endLine", "source").map(schema.fieldIndex)
+    Set("startLine", "endLine", "source", "validation").map(schema.fieldIndex)
   }
 
   def install(spark: SparkSession): Unit = synchronized {

@@ -173,6 +173,70 @@ class BuildersSpec extends AnyFunSuite {
     assert(outs.nonEmpty && outs.forall(r => r.startLine == Some(1L) && r.source.isEmpty))
   }
 
+  test("formatted state: trailing-newline sources; variables always take the fallback") {
+    // the reference's getSourceFromFile appends \n to EVERY line (incl.
+    // the last), and its scanner has no closing logic for a "variables"
+    // block — every state variable reports 1..totalLines with NO source
+    // even in a pretty-printed file
+    val state =
+      """{
+        |  "version": 4,
+        |  "outputs": {
+        |    "ip": { "value": "10.0.0.9", "type": "string" }
+        |  },
+        |  "resources": [
+        |    {
+        |      "mode": "managed",
+        |      "type": "aws_instance",
+        |      "name": "web",
+        |      "instances": [
+        |        { "attributes": { "id": "i-9" } }
+        |      ]
+        |    }
+        |  ],
+        |  "variables": {
+        |    "region": { "value": "us-east-1" }
+        |  }
+        |}""".stripMargin
+    val rows = Builders.rowsForFile("/fx/fmt.tfstate", FileKind.State, state)
+    val totalLines = state.split("\n", -1).length.toLong
+
+    val res = of(rows, "resource").head
+    assert(res.source.exists(_.endsWith("\n")), "formatted resource source must end with \\n")
+    val out = of(rows, "output").head
+    assert(out.source.exists(_.endsWith("\n")), "formatted output source must end with \\n")
+
+    val v = of(rows, "variable").head
+    assert(v.name == Some("region"))
+    assert(v.startLine == Some(1L) && v.endLine == Some(totalLines),
+      s"state variable must take the 1..totalLines fallback, got ${v.startLine}..${v.endLine}")
+    assert(v.source.isEmpty, "state variable source must be NULL (scanner cannot close the block)")
+  }
+
+  test("plan resource without an address publishes NULL (no type.name fallback)") {
+    // buildTerraformPlanResource (parse_tfplan.go:38-59) copies the plan
+    // address verbatim; the type.name fallback is config/state-only
+    val plan =
+      """{"format_version":"1.1","planned_values":{"root_module":{"resources":[
+        |{"type":"aws_instance","name":"web","mode":"managed","values":{"ami":"a"}}
+        |]}},"resource_changes":[]}""".stripMargin.replace("\n", "")
+    val rows = Builders.rowsForFile("/fx/noaddr.json", FileKind.Plan, plan)
+    val r = of(rows, "resource").head
+    assert(r.name == Some("web") && r.address.isEmpty,
+      s"plan row without address must publish NULL, got ${r.address}")
+  }
+
+  test("count meta-arg: out-of-Long-range whole numbers yield NULL, not a wrapped value") {
+    val rows = Builders.rowsForFile("/fx/big.tf", FileKind.Config,
+      """resource "aws_instance" "x" {
+        |  count = 10000000000000000000
+        |}
+        |""".stripMargin)
+    val r = of(rows, "resource").head
+    assert(r.count.isEmpty, s"overflowing count must be NULL, got ${r.count}")
+    assert(r.countSrc == Some("10000000000000000000"), "count_src keeps the raw JSON")
+  }
+
   // ------------------------------------------------------------ state file
 
   test("state instance fan-out + index_key addressing (A8)") {

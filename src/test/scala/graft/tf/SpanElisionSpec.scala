@@ -36,6 +36,18 @@ class SpanElisionSpec extends SparkSpecBase {
     assert(spanful.filter(col("start_line").isNotNull).count() > 0)
   }
 
+  test("validation is span-derived: selecting it keeps the full parse") {
+    // validation is regex-extracted from the block SOURCE — a query that
+    // selects validation (but no explicit span column) must NOT elide
+    val variable = Terraform.variable(Terraform.rows(spark, paths))
+    val q = variable.select("name", "validation")
+    val p = q.queryExecution.optimizedPlan.toString
+    assert(!p.contains(SpanElision.ParseNoSpanName),
+      s"elision fired under a validation consumer:\n$p")
+    assert(q.filter(col("validation").isNotNull).count() > 0,
+      "fixture variable's validation block must survive")
+  }
+
   test("whole-row consumers (typed Dataset ops) never see elided spans") {
     // a typed map consumes the full TfRow struct — the rule must not fire
     import spark.implicits._
