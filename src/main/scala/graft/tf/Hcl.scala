@@ -37,15 +37,16 @@ final case class HclBlock(
     source: String)
 
 final case class HclDoc(doc: JObj, blocks: Vector[HclBlock]) {
-  /** getBlock emulation: first block matching type + labels (labels compared
-    * case-insensitively; an empty request matches any labels — the `locals`
-    * quirk). */
+  /** getBlock emulation (isBlockMatch, utils.go:300-314): first block whose
+    * type matches case-insensitively AND whose label count EQUALS the
+    * request's, labels compared case-insensitively. The locals path passes
+    * an empty request, which therefore matches the first label-less
+    * `locals` block — the A13 quirk. */
   def firstBlock(blockType: String, labels: Seq[String]): Option[HclBlock] =
     blocks.find { b =>
-      b.blockType == blockType &&
-      (labels.isEmpty ||
-        (b.labels.length >= labels.length &&
-          labels.zip(b.labels).forall { case (want, got) => want.equalsIgnoreCase(got) }))
+      b.blockType.equalsIgnoreCase(blockType) &&
+      b.labels.length == labels.length &&
+      labels.zip(b.labels).forall { case (want, got) => want.equalsIgnoreCase(got) }
     }
 }
 
@@ -61,11 +62,11 @@ object Hcl {
       val startLine = p.line
       val blockType = p.ident()
       val labels = Vector.newBuilder[String]
-      p.skipInline()
+      p.skipHeaderTrivia()
       while (!p.eof && p.peek != '{') {
         if (p.peek == '"') labels += p.quotedString()._1
         else labels += p.ident()
-        p.skipInline()
+        p.skipHeaderTrivia()
       }
       p.expect('{')
       val body = parseBody(p)
@@ -99,12 +100,28 @@ object Hcl {
           case Some(prev)        => root(key) = JArr(Vector(prev, body))
         }
       case key :: rest =>
-        val child = root.get(key) match {
-          case Some(o: JObj) => toMap(o)
-          case _             => mutable.LinkedHashMap[String, JValue]()
+        root.get(key) match {
+          case Some(o: JObj) =>
+            val child = toMap(o)
+            insertChain(child, rest, body)
+            root(key) = JObj(child.toVector)
+          case None =>
+            val child = mutable.LinkedHashMap[String, JValue]()
+            insertChain(child, rest, body)
+            root(key) = JObj(child.toVector)
+          case Some(other) =>
+            // mixed-arity collision (`foo {}` then `foo "bar" {}` — invalid
+            // Terraform, but accepted input must degrade gracefully): keep
+            // the earlier value(s) alongside the new subtree instead of
+            // silently dropping them
+            val child = mutable.LinkedHashMap[String, JValue]()
+            insertChain(child, rest, body)
+            val merged = JObj(child.toVector)
+            root(key) = other match {
+              case JArr(items) => JArr(items :+ merged)
+              case prev        => JArr(Vector(prev, merged))
+            }
         }
-        insertChain(child, rest, body)
-        root(key) = JObj(child.toVector)
       case Nil => // unreachable: chain always starts with blockType
     }
   }
@@ -124,9 +141,10 @@ object Hcl {
       } else {
         // nested block, possibly labeled
         val labels = Vector.newBuilder[String]
+        p.skipHeaderTrivia()
         while (!p.eof && p.peek != '{') {
           if (p.peek == '"') labels += p.quotedString()._1 else labels += p.ident()
-          p.skipInline()
+          p.skipHeaderTrivia()
         }
         p.expect('{')
         val body = parseBody(p)
@@ -193,6 +211,23 @@ object Hcl {
     def skipInline(): Unit =
       while (!eof && (peek == ' ' || peek == '\t' || peek == '\r')) advance()
 
+    /** Block-header trivia: inline whitespace plus slash-star block
+      * comments between labels and '{' (hclsyntax accepts an inline block
+      * comment after the last label). Line comments are NOT skipped —
+      * they would push '{' to another line, which HCL rejects. */
+    def skipHeaderTrivia(): Unit = {
+      var go = true
+      while (go && !eof) {
+        val c = peek
+        if (c == ' ' || c == '\t' || c == '\r') advance()
+        else if (c == '/' && peekAt(1) == '*') {
+          advance(); advance()
+          while (!eof && !(peek == '*' && peekAt(1) == '/')) advance()
+          if (!eof) { advance(); advance() }
+        } else go = false
+      }
+    }
+
     def ident(): String = {
       skipTrivia()
       val start = i
@@ -224,12 +259,17 @@ object Hcl {
               case '"' => sb.append('"')
               case '\\' => sb.append('\\')
               case 'u' =>
-                val hex = s.substring(i, math.min(i + 4, s.length)); (0 until hex.length).foreach(_ => advance())
+                val hex = s.substring(i, math.min(i + 4, s.length))
+                if (hex.length < 4 || !hex.forall(ch => Character.digit(ch, 16) >= 0))
+                  fail(s"invalid \\u escape at line $line") // HclParseError, not NumberFormatException
+                (0 until 4).foreach(_ => advance())
                 sb.append(Integer.parseInt(hex, 16).toChar)
               case other => sb.append('\\').append(other)
             }
           case '$' if !eof && peek == '$' && peekAt(1) == '{' =>
             advance(); sb.append("${") ; advance() // escaped literal "${"
+          case '%' if !eof && peek == '%' && peekAt(1) == '{' =>
+            advance(); sb.append("%{") ; advance() // escaped directive intro
           case '$' if !eof && peek == '{' =>
             interp = true
             sb.append('$')
@@ -238,9 +278,22 @@ object Hcl {
             while (depth > 0) {
               if (eof) fail(s"unterminated interpolation at line $line")
               val c2 = advance()
-              if (c2 == '{') depth += 1
+              sb.append(c2)
+              if (c2 == '"') {
+                // nested quoted string inside the interpolation (function
+                // arguments): copied opaquely — a brace literal in it must
+                // not move the interpolation depth
+                var strDone = false
+                while (!strDone) {
+                  if (eof) fail(s"unterminated string at line $line")
+                  val c3 = advance()
+                  sb.append(c3)
+                  if (c3 == '\\') { if (!eof) sb.append(advance()) }
+                  else if (c3 == '"') strDone = true
+                }
+              }
+              else if (c2 == '{') depth += 1
               else if (c2 == '}') depth -= 1
-              if (depth > 0 || c2 != '}') sb.append(c2) else sb.append('}')
             }
           case other => sb.append(other)
         }
@@ -266,7 +319,7 @@ object Hcl {
         val ln = s.substring(lineStart, i)
         if (!eof) advance()
         if (ln.trim == tag) done = true
-        else if (eof && ln.trim != tag) { lines += ln; done = true }
+        else if (eof) { lines += ln; done = true }
         else lines += ln
       }
       var out = lines.result()
@@ -275,7 +328,8 @@ object Hcl {
         val cut = if (indents.isEmpty) 0 else indents.min
         out = out.map(l => l.drop(math.min(cut, l.takeWhile(c => c == ' ' || c == '\t').length)))
       }
-      out.mkString("", "\n", "\n")
+      // empty heredoc (terminator on the first line) is "", not "\n"
+      if (out.isEmpty) "" else out.mkString("", "\n", "\n")
     }
 
     /** Capture one attribute expression's raw source: scan until a newline,
@@ -363,7 +417,10 @@ object Hcl {
     }
 
     /** Element capture inside []/{} — stops at ',' or the closing char at
-      * depth 0 (newlines do NOT terminate here). */
+      * depth 0. Inside an OBJECT a depth-0 newline also terminates the
+      * element: HCL2 object constructors accept newline separators (the
+      * standard multi-line `tags` map), while tuple elements require
+      * commas, so array capture lets newlines ride. */
     private def scanElementRaw(close: Char): String = {
       val start = i
       var depth = 0
@@ -386,6 +443,7 @@ object Hcl {
           else { depth -= 1; advance() }
         }
         else if (c == ',' && depth == 0) done = true
+        else if (c == '\n' && depth == 0 && close == '}') done = true
         else advance()
       }
       s.substring(start, i)
