@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -43,10 +43,14 @@ object Streams {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
 
-  /** Streaming exact dedup on a key column within the watermark horizon —
-    * the streaming twin of x_dedup_exact. */
+  /** Streaming exact dedup ON THE KEY COLUMNS within the watermark
+    * horizon — the streaming twin of x_dedup_exact. Uses
+    * dropDuplicatesWithinWatermark, so a retransmitted event whose retry
+    * was re-stamped a second later still dedups (appending ts to the keys
+    * would keep every re-stamped copy), and key state is evicted once the
+    * watermark passes. */
   def dedupe(events: DataFrame, keyCols: Seq[String]): DataFrame =
-    events.withWatermark("ts", "10 minutes").dropDuplicates(keyCols :+ "ts")
+    events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(keyCols)
 
   /** Streaming stratified sampler — stateless twin of
     * `x_cur_sample_stratified`: the md5 threshold IS the sampler, so a
@@ -87,49 +91,81 @@ object Streams {
 
   /** Streaming as-of join — the continuous twin of the batch
     * `x_events_asof`: per-user keyed state holds the latest view seen so
-    * far; each purchase emits its match against that state. Events must
-    * arrive per-batch; within a batch they are ordered by (time, type)
-    * with views first at equal timestamps, mirroring the batch
-    * tie-break. State is one (view_id, v_us) pair per user — bounded,
-    * partitioned by the group key across executors.
+    * far; each purchase emits its match against the latest view AT OR
+    * BEFORE it. Within a batch, events are ordered by (time, type) with
+    * views first at equal timestamps, mirroring the batch tie-break;
+    * across batches the stored view only advances lexicographically on
+    * (us, event_id), so a late duplicate-timestamp view with a lower id
+    * can't displace the winner the batch oracle picks. A late purchase
+    * older than the stored view emits a NULL match (the batch "latest at
+    * or before" semantics), never a match to the future. State is one
+    * (view_id, v_us) pair per user, partitioned by the group key;
+    * `idleTimeout` evicts users idle longer than the duration so state
+    * stays bounded under ever-growing user cardinality (a purchase
+    * arriving after eviction re-matches as if no view were seen — the
+    * same loss any watermark assigns to that-late data). Opt-in: a
+    * registered processing-time timeout keeps the engine from reaching
+    * quiescence under `processAllAvailable`, so it suits continuously
+    * triggered production queries, not drain-and-stop runs.
     * Input tuples: (event_id, user_id, us, event_type). */
-  def asofMatches(events: Dataset[(Long, Long, Long, String)]): Dataset[AsOfMatch] = {
+  def asofMatches(events: Dataset[(Long, Long, Long, String)],
+      idleTimeout: Option[String] = None): Dataset[AsOfMatch] = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_._2)
       .flatMapGroupsWithState[(Long, Long), AsOfMatch](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (uid, rows, state: GroupState[(Long, Long)]) =>
-          val out = Seq.newBuilder[AsOfMatch]
-          // views sort before purchases at equal us (same order as the
-          // batch tagged-union), latest view wins by (us, event_id)
-          val ordered = rows.toSeq.sortBy(r => (r._3, if (r._4 == "view") 0 else 1, r._1))
-          ordered.foreach {
-            case (vid, _, vus, "view") =>
-              if (state.getOption.forall { case (_, prev) => prev <= vus })
-                state.update((vid, vus))
-            case (pid, _, pus, "purchase") =>
-              val m = state.getOption
-              out += AsOfMatch(pid, uid, pus, m.map(_._1), m.map(_._2))
-            case _ => ()
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = Seq.newBuilder[AsOfMatch]
+            // views sort before purchases at equal us (same order as the
+            // batch tagged-union), latest view wins by (us, event_id)
+            val ordered = rows.toSeq.sortBy(r => (r._3, if (r._4 == "view") 0 else 1, r._1))
+            ordered.foreach {
+              case (vid, _, vus, "view") =>
+                if (state.getOption.forall { case (pv, pu) => pu < vus || (pu == vus && pv <= vid) })
+                  state.update((vid, vus))
+              case (pid, _, pus, "purchase") =>
+                val m = state.getOption.filter { case (_, vus) => vus <= pus }
+                out += AsOfMatch(pid, uid, pus, m.map(_._1), m.map(_._2))
+              case _ => ()
+            }
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          out.result().iterator
       }
   }
 
   /** Custom keyed state via mapGroupsWithState: running per-user totals
-    * (the pattern for bespoke state the built-in aggs can't express). */
-  def runningTotals(events: Dataset[(java.sql.Timestamp, Long, String, Double)]): Dataset[UserRunning] = {
+    * (the pattern for bespoke state the built-in aggs can't express).
+    * State here IS the product — a total must survive arbitrarily long
+    * idle gaps — so eviction defaults OFF; pass `idleTimeout` when the
+    * key space grows without bound and losing idle users' totals is the
+    * accepted price of bounded state. */
+  def runningTotals(events: Dataset[(java.sql.Timestamp, Long, String, Double)],
+      idleTimeout: Option[String] = None): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_._2)
-      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UserRunning, UserRunning](timeoutConf) {
         case (uid, rows, state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
-          var n = prev.n
-          var total = prev.total
-          rows.foreach { r => n += 1; total += r._4 }
-          val next = UserRunning(uid, n, total)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+            state.remove()
+            last // final emission for the evicted user
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+            var n = prev.n
+            var total = prev.total
+            rows.foreach { r => n += 1; total += r._4 }
+            val next = UserRunning(uid, n, total)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
       }
   }
 }

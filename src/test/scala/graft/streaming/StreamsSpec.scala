@@ -70,14 +70,17 @@ class StreamsSpec extends SparkSpecBase {
     assert(starts(1) - starts(0) == 30L * 60_000L)
   }
 
-  test("streaming dedup drops repeats of the same key+ts") {
+  test("streaming dedup keys on the columns alone within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
     val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
-    in.addData((ts(0), 1L, "click", 1.0), (ts(0), 1L, "click", 1.0), (ts(1), 1L, "click", 1.0))
+    // a retransmitted event re-stamped one minute later still dedups:
+    // the key is (user_id, event_type), NOT key+ts
+    in.addData((ts(0), 1L, "click", 1.0), (ts(0), 1L, "click", 1.0), (ts(1), 1L, "click", 1.0),
+      (ts(0), 2L, "view", 1.0))
     runToMemory("dedup_out", Streams.dedupe(events, Seq("user_id", "event_type")), OutputMode.Append())
-    assert(spark.table("dedup_out").count() == 2)
+    assert(spark.table("dedup_out").count() == 2) // (1, click) once + (2, view)
   }
 
   test("mapGroupsWithState accumulates per-user running totals") {
@@ -117,6 +120,37 @@ class StreamsSpec extends SparkSpecBase {
     assert(rows(102L) == (Some(101L), Some(20L)), s"equal-ts view visible: $rows")
     assert(rows(103L) == (Some(101L), Some(20L)), s"state across batches: $rows")
     assert(rows(104L) == (None, None), s"no view -> null: $rows")
+  }
+
+  test("streaming as-of: cross-batch tie-breaks and late purchases match batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.asofMatches(in.toDS()).writeStream.format("memory")
+      .queryName("asof_edge_out").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: view id=101 at us=20 lands first
+      in.addData((101L, 1L, 20L, "view"))
+      q.processAllAvailable()
+      // a LATE duplicate-timestamp view with a LOWER id must not displace
+      // the (us, event_id)-max winner the batch oracle picks
+      in.addData((99L, 1L, 20L, "view"))
+      q.processAllAvailable()
+      in.addData((110L, 1L, 25L, "purchase"))
+      q.processAllAvailable()
+      // user 2: view at us=50 in one batch, then a LATE purchase at us=30
+      // — must emit a NULL match, never a match to the future
+      in.addData((200L, 2L, 50L, "view"))
+      q.processAllAvailable()
+      in.addData((210L, 2L, 30L, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("asof_edge_out").collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (Option(r.getAs[Any]("view_id")), Option(r.getAs[Any]("v_us")))).toMap
+    assert(rows(110L) == (Some(101L), Some(20L)),
+      s"late lower-id equal-ts view displaced the winner: $rows")
+    assert(rows(210L) == (None, None), s"purchase matched a FUTURE view: $rows")
   }
 
   test("streaming stratified sample selects exactly the batch sampler's docs") {
