@@ -59,6 +59,30 @@ class JsonPropSpec extends AnyFunSuite {
     }
   }
 
+  test("go-marshal parity edges: trailing garbage, U+2028/9, lone surrogates, key order") {
+    // trailing content after the first value is malformed (json.Unmarshal
+    // parity — the plan sniff must reject `{…}garbage`)
+    assert(Json.parseOpt("""{"a":1} trailing""").isEmpty)
+    assert(Json.parseOpt("""{"a":1}{"b":2}""").isEmpty)
+    assert(Json.parseOpt("""{"a":1}   """).isDefined) // whitespace is fine
+
+    // Go escapes the JS line separators unconditionally
+    assert(JStr("a" + 0x2028.toChar + "b").render == "\"a\\u2028b\"")
+    assert(JStr("a" + 0x2029.toChar + "b").render == "\"a\\u2029b\"")
+
+    // a lone surrogate is invalid on encode → the � replacement
+    // escape (Go behavior); a valid pair passes through untouched
+    assert(JStr("x" + 0xD800.toChar).render == "\"x\\ufffd\"")
+    assert(JStr("x" + 0xDC00.toChar + "y").render == "\"x\\ufffdy\"")
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(Json.parse(JStr(emoji).render) == JStr(emoji))
+
+    // keys sort by CODE POINT (UTF-8 byte order), not UTF-16 code units:
+    // U+FFFD < U+1F600 although the emoji's high surrogate 0xD83D < 0xFFFD
+    val o = JObj(Vector(emoji -> JNum("1"), "�" -> JNum("2")))
+    assert(o.render == "{\"�\":2,\"" + emoji + "\":1}")
+  }
+
   test("hcl literal numbers round-trip; bare words go opaque") {
     samples(Gen.chooseNum(-1000000L, 1000000L)).foreach { n =>
       assert(Hcl.literalOrOpaque(n.toString) == JNum(n.toString))
