@@ -19,26 +19,25 @@ import graft.functions.{CosineSimilarity, FloatDot, Md5Long60, MinHashSignature,
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // builders come from each companion — the injector and the per-session
+  // register() path share one implementation (incl. arity checks) so the
+  // two deployment modes can't drift
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+      CosineSimilarity.builder))
     ext.injectFunction((FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (es: Seq[Expression]) => FloatDot(es.head, es(1))))
+      CosineSimilarity.dotBuilder))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
-      (es: Seq[Expression]) => es match {
-        case Seq(arr, Literal(np: Int, IntegerType)) => MinHashSignature(arr, np)
-        case _ => throw new IllegalArgumentException(
-          "minhash_sig expects (array<string|long>, literal int)")
-      }))
+      MinHashSignature.builder))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
+      SimHash64.builder))
     ext.injectFunction((FunctionIdentifier("md5long60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "md5long60"),
-      (es: Seq[Expression]) => Md5Long60(es.head)))
+      Md5Long60.builder))
   }
 }
 

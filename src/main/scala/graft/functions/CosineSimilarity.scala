@@ -19,9 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * inside whole-stage codegen as one fused primitive loop — no
   * allocations, no virtual calls.
   *
-  * Semantics match the composed form bit-for-bit: strictly index-ordered
-  * double accumulation, dot / (sqrt(na) * sqrt(nb)) — so the DuckDB
-  * oracle parity of the composed version carries over unchanged
+  * Semantics match the composed form bit-for-bit — INCLUDING its edges:
+  * strictly index-ordered double accumulation, dot / (sqrt(na) *
+  * sqrt(nb)); mismatched lengths are NULL (zip_with pads with nulls →
+  * the aggregate is NULL), a null element is NULL, and a zero-norm side
+  * is NULL (Divide by zero → NULL in non-ANSI Spark). So the DuckDB
+  * oracle parity of the composed version carries over unchanged, and
+  * malformed rows surface as NULL instead of plausible scores
   * (CosineSimilaritySpec asserts exact equality).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -38,16 +42,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // NULL on length mismatch / null element / zero norm, regardless of
+  // child nullability
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0d
     var nx = 0d
     var ny = 0d
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -56,7 +65,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       i += 1
     }
     val denom = math.sqrt(nx) * math.sqrt(ny)
-    if (denom == 0d) 0d else dot / denom
+    if (denom == 0d) null else dot / denom
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -70,17 +79,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0d, $nx = 0d, $ny = 0d;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x.getFloat($i);
-         |  double $yi = (double) $y.getFloat($i);
-         |  $dot += $xi * $yi;
-         |  $nx += $xi * $xi;
-         |  $ny += $yi * $yi;
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0d, $nx = 0d, $ny = 0d;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = (double) $x.getFloat($i);
+         |    double $yi = (double) $y.getFloat($i);
+         |    $dot += $xi * $yi;
+         |    $nx += $xi * $xi;
+         |    $ny += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |    if ($denom == 0d) ${ev.isNull} = true; else ${ev.value} = $dot / $denom;
+         |  }
          |}
-         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |${ev.value} = ($denom == 0d) ? 0d : $dot / $denom;
        """.stripMargin
     })
 
@@ -89,16 +105,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+
+  /** SQL builder with an arity check (shared by register and the
+    * session-extensions injector so the two paths can't drift). */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => CosineSimilarity(a, b)
+    case other => throw new IllegalArgumentException(
+      s"cosine_sim expects exactly 2 arguments (array<float>, array<float>), got ${other.length}")
+  }
+
+  val dotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => FloatDot(a, b)
+    case other => throw new IllegalArgumentException(
+      s"float_dot expects exactly 2 arguments (array<float|double> ×2), got ${other.length}")
+  }
+
   /** Register `cosine_sim(a, b)` and `float_dot(a, b)`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1)))
+      builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (exprs: Seq[Expression]) => FloatDot(exprs.head, exprs(1)))
+      dotBuilder)
   }
 }
 
@@ -109,14 +140,21 @@ object CosineSimilarity {
   * against the same target set), and against literal double hyperplanes
   * for sign-LSH bucketing. Accumulation order matches the composed
   * `aggregate(zip_with(...))` fold exactly (float elements widened to
-  * double per-element, like `CAST(embedding[i] AS DOUBLE)`). */
+  * double per-element, like `CAST(embedding[i] AS DOUBLE)`) — including
+  * the edges: mismatched lengths and null elements are NULL, like the
+  * composed form; two empty arrays are 0.0 (the fold's init). */
 case class FloatDot(left: Expression, right: Expression) extends BinaryExpression {
 
   private def elemOk(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
     case _                                                  => false
   }
-  private def isFloat(e: Expression): Boolean = e.dataType match {
+  // invariant for the expression's lifetime — hoisted out of the per-row path
+  private lazy val leftFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  private lazy val rightFloat: Boolean = right.dataType match {
     case ArrayType(FloatType, _) => true
     case _                       => false
   }
@@ -127,18 +165,19 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
       s"float_dot requires array<float|double> inputs, got (${left.dataType.sql}, ${right.dataType.sql})")
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_dot"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lf = isFloat(left)
-    val rf = isFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0d
     var i = 0
     while (i < n) {
-      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi
       i += 1
     }
@@ -153,12 +192,17 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
       def get(v: String, fl: Boolean) =
         if (fl) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0d;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ${get(x, isFloat(left))} * ${get(y, isFloat(right))};
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0d;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += ${get(x, leftFloat)} * ${get(y, rightFloat)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

@@ -57,9 +57,16 @@ object Md5Long60 {
     be >>> 4
   }
 
+  /** SQL builder with an arity check (shared with GraftExtensions). */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(s) => Md5Long60(s)
+    case other => throw new IllegalArgumentException(
+      s"md5long60 expects exactly 1 string argument, got ${other.length}")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("md5long60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "md5long60"),
-      (exprs: Seq[Expression]) => Md5Long60(exprs.head))
+      builder)
 }

@@ -41,14 +41,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
 case class MinHashSignature(child: Expression, numPerms: Int)
     extends UnaryExpression {
 
-  private def stringElems: Boolean = child.dataType match {
+  // invariant for the expression's lifetime — hoisted out of the per-row path
+  private lazy val stringElems: Boolean = child.dataType match {
     case ArrayType(StringType, _) => true
     case _                        => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) | ArrayType(LongType, _) if numPerms > 0 =>
-      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      if (numPerms > 0) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires a POSITIVE permutation count, got $numPerms")
     case other => TypeCheckResult.TypeCheckFailure(
       s"minhash_sig requires (array<string|long>, positive literal int), got ${other.sql}")
   }
@@ -115,14 +118,18 @@ case class MinHashSignature(child: Expression, numPerms: Int)
 }
 
 object MinHashSignature {
+  /** SQL builder (shared with GraftExtensions); numPerms must be a
+    * literal int. */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(arr, Literal(np: Int, IntegerType)) => MinHashSignature(arr, np)
+    case other => throw new IllegalArgumentException(
+      s"minhash_sig expects (array<string|long>, literal int), got ${other.length} argument(s)")
+  }
+
   /** Register `minhash_sig(arr, numPerms)`; numPerms must be a literal. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) => exprs match {
-        case Seq(arr, Literal(np: Int, IntegerType)) => MinHashSignature(arr, np)
-        case _ => throw new IllegalArgumentException(
-          "minhash_sig expects (array<string|long>, literal int)")
-      })
+      builder)
 }

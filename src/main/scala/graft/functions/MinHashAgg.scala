@@ -55,17 +55,14 @@ final case class MinHashAgg(numPerms: Int)
 
 object MinHashAgg {
   /** Register the permutation-count-specific `minhash_agg_<n>(hashCol)`
-    * and return that name. The SIZED name is what query builders must
-    * call: the session function registry is global, so two concurrent
-    * builds for different corpus sizes re-registering a shared name
-    * could resolve each other's aggregate (wrong signature length, no
-    * error). The unsized `minhash_agg` alias is also kept for
-    * interactive use. */
+    * and return that name. ONLY the sized name is registered: the session
+    * function registry is global, so an unsized alias rebound by each
+    * call would recreate exactly the cross-build race the sized name
+    * exists to prevent (a query built for n permutations silently
+    * resolving another size's aggregate). */
   def register(spark: SparkSession, numPerms: Int): String = {
     val name = s"minhash_agg_$numPerms"
-    val fn = udaf(MinHashAgg(numPerms))
-    spark.udf.register(name, fn)
-    spark.udf.register("minhash_agg", fn)
+    spark.udf.register(name, udaf(MinHashAgg(numPerms)))
     name
   }
 }

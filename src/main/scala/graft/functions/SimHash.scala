@@ -24,7 +24,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * is Spark's `xxhash64(w)` (XXH64.hashUTF8String, seed 42); bit b of
   * the signature is 1 iff the count of tokens with hash-bit b set
   * exceeds the count with it clear — exactly the old
-  * `sum(shiftright(h, b) % 2 != 0 ? 1 : -1) > 0`.
+  * `sum(shiftright(h, b) % 2 != 0 ? 1 : -1) > 0`. An EMPTY token array
+  * is NULL — the round-1 explode produced no rows for a token-less doc,
+  * so it had no signature at all; a 0L sentinel would instead make every
+  * empty doc a mutual hamming-0 near-dup and flood the LSH buckets.
   *
   * Pairing at query time: `bit_count(a ^ b)` gives the Hamming distance
   * (replaces the old zip_with/filter over 0/1 arrays, same values).
@@ -38,10 +41,12 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def nullable: Boolean = true // empty token array → NULL
 
   override def nullSafeEval(a: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return null
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
@@ -71,18 +76,22 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val xxh = classOf[XXH64].getName
       s"""
          |int $n = $x.numElements();
-         |int[] $counts = new int[64];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = $x.isNullAt($i) ? 42L : $xxh.hashUTF8String($x.getUTF8String($i), 42L);
-         |  for (int $b = 0; $b < 64; $b++) {
-         |    if ((($h >> $b) & 1L) != 0L) $counts[$b]++; else $counts[$b]--;
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $counts = new int[64];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $x.isNullAt($i) ? 42L : $xxh.hashUTF8String($x.getUTF8String($i), 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >> $b) & 1L) != 0L) $counts[$b]++; else $counts[$b]--;
+         |    }
          |  }
+         |  long $sig = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($counts[$b] > 0) $sig |= (1L << $b);
+         |  }
+         |  ${ev.value} = $sig;
          |}
-         |long $sig = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
-         |  if ($counts[$b] > 0) $sig |= (1L << $b);
-         |}
-         |${ev.value} = $sig;
        """.stripMargin
     })
 
@@ -91,9 +100,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
+  /** SQL builder with an arity check (shared with GraftExtensions). */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(arr) => SimHash64(arr)
+    case other => throw new IllegalArgumentException(
+      s"simhash64 expects exactly 1 argument (array<string>), got ${other.length}")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head))
+      builder)
 }

@@ -23,13 +23,30 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(diff == 0)
   }
 
-  test("null and empty inputs") {
+  test("null/empty/mismatched/zero-norm inputs are NULL (composed-form parity)") {
     CosineSimilarity.register(spark)
     val r = spark.sql(
       """SELECT cosine_sim(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT))) AS n,
-        |       cosine_sim(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS z""".stripMargin).collect().head
-    assert(r.isNullAt(0))
-    assert(r.getDouble(1) == 0d)
+        |       cosine_sim(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS z,
+        |       cosine_sim(array(CAST(1.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS mis,
+        |       cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS ne,
+        |       cosine_sim(array(CAST(0.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS zn,
+        |       float_dot(array(CAST(1.0 AS FLOAT)),
+        |                 array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS dmis,
+        |       float_dot(CAST(array() AS ARRAY<FLOAT>), CAST(array() AS ARRAY<FLOAT>)) AS dz
+        |""".stripMargin).collect().head
+    assert(r.isNullAt(0), "null input")
+    // the composed form divides 0/0 → NULL; a mismatched length zip_with
+    // pads with nulls → NULL; a null element → NULL; zero norm → NULL —
+    // malformed rows surface as NULL, never as plausible scores
+    assert(r.isNullAt(1), "empty arrays")
+    assert(r.isNullAt(2), "mismatched lengths")
+    assert(r.isNullAt(3), "null element")
+    assert(r.isNullAt(4), "zero norm")
+    assert(r.isNullAt(5), "float_dot mismatched lengths")
+    assert(r.getDouble(6) == 0d, "float_dot over equal empty arrays is the fold init")
   }
 
   test("codegen path produces same results as interpreted eval") {

@@ -36,13 +36,13 @@ class MinHashSpec extends SparkSpecBase {
 
   test("minhash_agg partial aggregate equals minhash_sig over the collected set") {
     MinHashSignature.register(spark)
-    MinHashAgg.register(spark, 32)
+    val aggName = MinHashAgg.register(spark, 32) // size-carrying name
     val hashes = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
     val diff = hashes
       .groupBy("doc_id")
-      .agg(expr("minhash_agg(h)").as("agg"), collect_set("h").as("shs"))
+      .agg(expr(s"$aggName(h)").as("agg"), collect_set("h").as("shs"))
       .select(col("agg"), expr("minhash_sig(shs, 32)").as("sig"))
       .filter(col("agg") =!= col("sig"))
       .count()
