@@ -80,20 +80,28 @@ object Sources {
     GitGlob(repo, params.get("ref").filter(_.nonEmpty), globOpt.getOrElse("**"))
   }
 
+  private val S3HostRe = "^(.+)\\.s3(?:[.-][A-Za-z0-9-]+)*\\.amazonaws\\.com$".r
+
   /** `https://<bucket>.s3[.<region>].amazonaws.com[/prefix]//glob` →
     * `s3a://bucket/prefix/glob`. Unrecognized hosts keep the raw URL as a
     * Hadoop glob (custom endpoints are the s3a provider's concern). */
   private def parseS3(url: String): Source = {
     val (noQuery, _) = splitQuery(url) // aws_profile/region → s3a provider chain
     val (base, globOpt) = splitDoubleSlash(noQuery)
-    val hostStart = base.indexOf("://") + 3
+    val hostStart = base.indexOf("://") match {
+      case -1 => 0 // scheme omitted: the host starts immediately
+      case i  => i + 3
+    }
     val slash = base.indexOf('/', hostStart)
     val (host, prefix) =
       if (slash < 0) (base.substring(hostStart), "")
       else (base.substring(hostStart, slash), base.substring(slash + 1))
-    val bucket = host.indexOf(".s3") match {
-      case -1 => host
-      case i  => host.substring(0, i)
+    // cut at the OFFICIAL amazonaws suffix (greedy bucket group): bucket
+    // names may legally contain ".s3", so cutting at the first occurrence
+    // would target the wrong bucket
+    val bucket = host match {
+      case S3HostRe(b) => b
+      case _           => host
     }
     val parts = Seq(prefix, globOpt.getOrElse("**")).filter(_.nonEmpty)
     S3Glob(s"s3a://$bucket/${parts.mkString("/")}")
@@ -133,33 +141,60 @@ object Sources {
     if (!completedCheckout(dir)) throw new IllegalStateException(
       s"git cache rename failed for $url and no completed checkout exists at $dir", e)
 
+  /** Per-key monitors: concurrent in-JVM resolves of the same (url, ref)
+    * serialize, so the reclaim-delete below can never destroy a checkout
+    * another thread just completed (cross-PROCESS safety still rests on
+    * the atomic-rename protocol, re-checked right before any delete). */
+  private val fetchLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def run(cmd: Seq[String]): (Int, String) = {
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+    (p.waitFor(), out)
+  }
+
   def systemGitFetcher: GitFetcher = (url, ref) => {
     val key = MessageDigest.getInstance("SHA-1")
       .digest((url + "@" + ref.getOrElse("")).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     val dir = JPaths.get(sys.props("java.io.tmpdir"), "graft-git-cache", key).toFile
-    if (!completedCheckout(dir)) {
-      // the key lives in our private cache namespace: a leftover that is
-      // not a completed checkout (crash artifact, squatting file) is ours
-      // to reclaim before re-cloning
-      if (dir.exists()) org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
-      Files.createDirectories(dir.getParentFile.toPath)
-      val tmp = Files.createTempDirectory(dir.getParentFile.toPath, s".$key-").toFile
-      val cmd = Seq("git", "clone", "--quiet", "--depth", "1") ++
-        ref.toSeq.flatMap(r => Seq("--branch", r)) ++ Seq(url, tmp.getPath)
-      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes, "UTF-8")
-      if (p.waitFor() != 0) {
-        org.apache.hadoop.fs.FileUtil.fullyDelete(tmp)
-        throw new IllegalArgumentException(s"git clone failed for $url: $out")
-      }
-      try Files.move(tmp.toPath, dir.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case e @ (_: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.DirectoryNotEmptyException |
-             _: java.nio.file.AccessDeniedException) =>
-          org.apache.hadoop.fs.FileUtil.fullyDelete(tmp)
-          verifyRenameFallback(dir, url, e)
+    fetchLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      if (!completedCheckout(dir)) {
+        // the key lives in our private cache namespace: a leftover that is
+        // not a completed checkout (crash artifact, squatting file) is ours
+        // to reclaim before re-cloning — re-checked at the last instant so
+        // a checkout another PROCESS just renamed in survives
+        if (dir.exists() && !completedCheckout(dir))
+          org.apache.hadoop.fs.FileUtil.fullyDelete(dir)
+        if (!completedCheckout(dir)) {
+          Files.createDirectories(dir.getParentFile.toPath)
+          val tmp = Files.createTempDirectory(dir.getParentFile.toPath, s".$key-").toFile
+          val (code, out) = run(Seq("git", "clone", "--quiet", "--depth", "1") ++
+            ref.toSeq.flatMap(r => Seq("--branch", r)) ++ Seq(url, tmp.getPath))
+          if (code != 0) {
+            org.apache.hadoop.fs.FileUtil.fullyDelete(tmp)
+            // ?ref= may pin a COMMIT SHA (go-getter supports it) — git
+            // rejects --branch <sha>, so fall back to a full clone + checkout
+            val shaRecovered = ref.exists { r =>
+              Files.createDirectories(tmp.toPath)
+              val (c2, o2) = run(Seq("git", "clone", "--quiet", url, tmp.getPath))
+              val ok = c2 == 0 && run(Seq("git", "-C", tmp.getPath, "checkout",
+                "--quiet", r))._1 == 0
+              if (!ok) org.apache.hadoop.fs.FileUtil.fullyDelete(tmp)
+              ok
+            }
+            if (!shaRecovered)
+              throw new IllegalArgumentException(s"git clone failed for $url: $out")
+          }
+          try Files.move(tmp.toPath, dir.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case e @ (_: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.DirectoryNotEmptyException |
+                 _: java.nio.file.AccessDeniedException) =>
+              org.apache.hadoop.fs.FileUtil.fullyDelete(tmp)
+              verifyRenameFallback(dir, url, e)
+          }
+        }
       }
     }
     dir

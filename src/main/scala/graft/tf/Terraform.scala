@@ -72,7 +72,10 @@ object Terraform {
             when(col("path").endsWith(".tfstate"), FileKind.State).otherwise(kind))
         val exploded = scan
           .select(col("path"), explode(parse(col("path"), col("kind"), col("content"))).as("r"))
-        val fields = exploded.select(col("r.*")).columns.filter(_ != "path")
+        // field names from the encoder schema (the same source of truth
+        // the struct was built from) — no throwaway plan analysis
+        val fields = org.apache.spark.sql.Encoders.product[TfRow]
+          .schema.fieldNames.filter(_ != "path")
         exploded
           .select(Seq(expr("regexp_replace(path, '^file:', '')").as("path")) ++
             fields.map(f => col(s"r.$f")): _*)
@@ -80,9 +83,13 @@ object Terraform {
       }
     }
 
+    // BY NAME: the empty-source branch's column order (case-class) differs
+    // from the non-empty branch's path-first projection — a positional
+    // unionAll would silently swap string columns whenever one source list
+    // is empty and another is not
     read(paths.configurationFilePaths ++ paths.paths, FileKind.Config)
-      .unionAll(read(paths.planFilePaths, FileKind.Plan))
-      .unionAll(read(paths.stateFilePaths, FileKind.State))
+      .unionByName(read(paths.planFilePaths, FileKind.Plan))
+      .unionByName(read(paths.stateFilePaths, FileKind.State))
   }
 
   /** The single listing pass behind discovery: glob each resolved source
@@ -97,10 +104,62 @@ object Terraform {
   private[graft] def globOnce(conf: org.apache.hadoop.conf.Configuration,
       globs: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] =
     globs.flatMap { g =>
-      val hp = new org.apache.hadoop.fs.Path(g)
-      Option(hp.getFileSystem(conf).globStatus(hp)).toSeq.flatten
+      // Hadoop's globStatus has NO recursive `**` (each path component
+      // degrades to `*`) — patterns containing it take ONE recursive
+      // listing (a single LIST round on object stores) filtered by a
+      // doublestar-style matcher, reproducing go-getter's glob semantics
+      if (g.contains("**")) recursiveGlob(conf, g)
+      else {
+        val hp = new org.apache.hadoop.fs.Path(g)
+        Option(hp.getFileSystem(conf).globStatus(hp)).toSeq.flatten
+      }
     }.filter(_.isFile)
       .distinctBy(_.getPath.toString)
+
+  private def recursiveGlob(conf: org.apache.hadoop.conf.Configuration,
+      glob: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val firstWild = glob.indexWhere(c => "*?[{".contains(c))
+    val baseEnd = glob.lastIndexOf('/', firstWild)
+    val base = if (baseEnd <= 0) "/" else glob.substring(0, baseEnd)
+    val re = globRegex(glob)
+    try {
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(base), true)
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        // listings come back scheme-qualified; the configured glob may be
+        // scheme-less — accept a match against either spelling
+        if (re.matcher(st.getPath.toString).matches() ||
+            re.matcher(st.getPath.toUri.getPath).matches()) out += st
+      }
+      out.result()
+    } catch {
+      // a missing base contributes nothing, like globStatus' null
+      case _: java.io.FileNotFoundException => Seq.empty
+    }
+  }
+
+  /** doublestar-style glob → regex: `**``/` spans zero or more directory
+    * levels, trailing `**` spans everything, `*` and `?` stay within one
+    * path segment. */
+  private[graft] def globRegex(glob: String): java.util.regex.Pattern = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < glob.length) {
+      val c = glob.charAt(i)
+      if (c == '*' && i + 1 < glob.length && glob.charAt(i + 1) == '*') {
+        if (i + 2 < glob.length && glob.charAt(i + 2) == '/') { sb.append("(?:.*/)?"); i += 2 }
+        else { sb.append(".*"); i += 1 }
+      }
+      else if (c == '*') sb.append("[^/]*")
+      else if (c == '?') sb.append("[^/]")
+      else if ("\\.[]{}()+-^$|".indexOf(c) >= 0) sb.append('\\').append(c)
+      else sb.append(c)
+      i += 1
+    }
+    java.util.regex.Pattern.compile(sb.toString)
+  }
 
   /** Resolved, directory-pruned globs for one configured source list. */
   private[graft] def resolveGlobs(globsCfg: Seq[String]): Seq[String] =
@@ -125,9 +184,13 @@ object Terraform {
 
     // one stream per glob, unioned — readStream.load takes a single path,
     // so multi-glob configs mirror the batch read() via unionAll (the
-    // reference watches every configured path; see connection_config.go:8-11)
+    // reference watches every configured path; see connection_config.go:
+    // 8-11). Exact duplicate globs dedupe; OVERLAPPING globs (two distinct
+    // patterns matching one file) emit that file's rows once per stream —
+    // batch dedups matched paths, streams cannot without per-file state,
+    // so configure disjoint globs for watch paths.
     def read(globs: Seq[String], kind: String): Option[Dataset[TfRow]] =
-      Sources.resolve(globs).map { g =>
+      Sources.resolve(globs).distinct.map { g =>
         spark.readStream.format("binaryFile").schema(binSchema).load(g)
           .select(col("path"), col("content"))
           .as[(String, Array[Byte])]
@@ -233,7 +296,10 @@ object Terraform {
   def register(spark: SparkSession, paths: Paths): Dataset[TfRow] = {
     val r = rows(spark, paths).cache()
     registrations.keySet.removeIf(s => s.sparkContext.isStopped) // drop dead sessions
-    registrations.put(spark, (paths, r))
+    // a re-registration replaces the cached parse: unpersist the old one
+    // or its blocks leak in the block manager for the context's lifetime
+    Option(registrations.put(spark, (paths, r)))
+      .filter(_._2 ne r).foreach(_._2.unpersist())
     resource(r).createOrReplaceTempView("terraform_resource")
     dataSource(r).createOrReplaceTempView("terraform_data_source")
     local(r).createOrReplaceTempView("terraform_local")

@@ -163,6 +163,40 @@ class SourcesSpec extends SparkSpecBase {
       s"s3::https://bucket.s3.us-east-1.amazonaws.com${dir.getAbsolutePath}//*.nomatch"))).isEmpty)
   }
 
+  test("state-only config: columns stay aligned when earlier source lists are empty") {
+    // the empty-config branch emits case-class column order while the
+    // non-empty branch is path-first — a positional union would silently
+    // swap path/table and empty every view
+    val dir = new java.io.File("fixtures").getAbsolutePath
+    val rows = Terraform.rows(spark,
+      Terraform.Paths(stateFilePaths = Seq(s"$dir/terraform.tfstate")))
+    val rs = rows.filter(col("table") === "resource").collect()
+    assert(rs.length == 3, "state resources must survive an empty config list")
+    assert(rs.forall(_.path.endsWith("terraform.tfstate")))
+  }
+
+  test("recursive ** glob spans zero or more directory levels") {
+    val root = Files.createTempDirectory("graft-doublestar").toFile
+    Files.createDirectories(JPaths.get(root.getPath, "a", "b"))
+    Files.writeString(JPaths.get(root.getPath, "top.tf"),
+      "resource \"aws_s3_bucket\" \"top\" {}\n")
+    Files.writeString(JPaths.get(root.getPath, "a", "mid.tf"),
+      "resource \"aws_s3_bucket\" \"mid\" {}\n")
+    Files.writeString(JPaths.get(root.getPath, "a", "b", "deep.tf"),
+      "resource \"aws_s3_bucket\" \"deep\" {}\n")
+    // Hadoop's globStatus degrades ** to one level; the recursive matcher
+    // must find root-level, one-deep AND two-deep files (go-getter parity)
+    val rows = Terraform.rows(spark,
+      Terraform.Paths(configurationFilePaths = Seq(s"${root.getAbsolutePath}/**/*.tf")))
+    val names = rows.filter(col("table") === "resource").collect().flatMap(_.name).sorted.toSeq
+    assert(names == Seq("deep", "mid", "top"), s"got $names")
+    // pure matcher pins
+    assert(Terraform.globRegex("/x/**/*.tf").matcher("/x/a.tf").matches())
+    assert(Terraform.globRegex("/x/**/*.tf").matcher("/x/a/b/c.tf").matches())
+    assert(!Terraform.globRegex("/x/**/*.tf").matcher("/y/a.tf").matches())
+    assert(!Terraform.globRegex("/x/*.tf").matcher("/x/a/b.tf").matches())
+  }
+
   test("legacy `paths` connection argument routes as configuration files") {
     // reference connection_config.go:9 — the fourth, deprecated source
     // list; an old steampipe config using it must port verbatim
