@@ -72,6 +72,13 @@ object PgDialect {
         val start = i
         while (i < n && sql.charAt(i) != '\n') i += 1
         out += Tok(Quoted, sql.substring(start, i))
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        // block comment: an apostrophe inside must not flip quote state
+        flush()
+        val start = i; i += 2
+        while (i < n && !(sql.charAt(i) == '*' && i + 1 < n && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, n)
+        out += Tok(Quoted, sql.substring(start, i))
       } else { code.append(c); i += 1 }
     }
     flush()
@@ -86,12 +93,18 @@ object PgDialect {
     * is also advanced past each inserted `explode(fnName` head, so a
     * replacement that contains the needle (`json_each` → `json_each_values`)
     * never rematches: the rewrite is idempotent (PgDialectPropSpec). */
+  /** Char-wise lowercase: 1:1 length-preserving (so indices computed on
+    * the lowered string are valid in the original) and locale-independent
+    * (String.toLowerCase under tr_TR maps I to dotless ı, and İ expands
+    * to two chars, shifting every offset). */
+  private[tf] def asciiLower(s: String): String = s.map(Character.toLowerCase)
+
   private[tf] def expandCalls(sql0: String, needle: String, fnName: String): String = {
     var s = sql0
     var from = 0
     var searching = true
     while (searching) {
-      val at = findCodeImpl(s.toLowerCase, needle, last = false, minPos = from)
+      val at = findCodeImpl(asciiLower(s), needle, last = false, minPos = from)
       if (at < 0) searching = false
       else {
         val bounded =
@@ -119,10 +132,42 @@ object PgDialect {
     s
   }
 
-  /** `expr::type` — operand is the token run back to the previous
-    * word-boundary at paren depth 0 (handles `(…)::jsonb` and
-    * `col ->> 'k')::jsonb` shapes because the operand scan stops at a
-    * balanced open paren). */
+  /** Start of the operand expression ending at `end` (exclusive): walks
+    * left over identifier chars/dots, string literals ('' doubling
+    * respected) and balanced paren groups; an identifier written FLUSH
+    * against a group's '(' (function-call syntax) is absorbed with it,
+    * while `AND (x)` style keywords — separated by whitespace — are not.
+    * Shared by the cast and arrow rewrites. */
+  private def operandStart(s: String, end: Int): Int = {
+    var k = end - 1
+    var done = false
+    while (!done && k >= 0) {
+      val c = s.charAt(k)
+      if (c == ')') {
+        val o = backBalanced(s, k)
+        if (o < 0) done = true else k = o - 1 // loop absorbs a flush fn name
+      } else if (c == '\'') {
+        k -= 1
+        var inStr = true
+        while (inStr && k >= 0) {
+          if (s.charAt(k) == '\'') {
+            if (k - 1 >= 0 && s.charAt(k - 1) == '\'') k -= 2 // '' escape
+            else { inStr = false; k -= 1 }
+          } else k -= 1
+        }
+      } else if (c.isLetterOrDigit || c == '_' || c == '.') k -= 1
+      else done = true
+    }
+    k + 1
+  }
+
+  /** Parameterized type names whose `(…)` arguments belong to the cast. */
+  private val paramTypes = Set("varchar", "char", "numeric", "decimal")
+
+  /** `expr::type` — operand via [[operandStart]] (handles `(…)::jsonb`,
+    * `fn(args)::boolean` and chained forms); parameterized types consume
+    * their argument list (`::varchar(255)` passes through like ::varchar,
+    * `::numeric(p,s)` keeps its precision). */
   private def rewriteCasts(toks: Vector[Tok]): Vector[Tok] = {
     var s = toks.map(_.text).mkString("")
     var changed = true
@@ -135,28 +180,22 @@ object PgDialect {
         var j = at + 2
         while (j < s.length && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
         val tpe = s.substring(at + 2, j).toLowerCase
+        // a parameterized type's (…) is part of the cast, not trailing SQL
+        var args = ""
+        if (j < s.length && s.charAt(j) == '(' && paramTypes.contains(tpe)) {
+          val k2 = pastBalanced(s, j)
+          if (k2 >= 0) { args = s.substring(j, k2); j = k2 }
+        }
         // operand before ::
         var k = at - 1
         while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
         val opEnd = k + 1
-        var opStart = 0
-        if (k >= 0 && s.charAt(k) == ')') {
-          opStart = backBalanced(s, k).max(0)
-          k = opStart - 1
-        } else {
-          while (k >= 0 && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_' || s.charAt(k) == '.' ||
-                 s.charAt(k) == '\'' )) {
-            if (s.charAt(k) == '\'') { // back over a string literal
-              k -= 1
-              while (k >= 0 && s.charAt(k) != '\'') k -= 1
-            }
-            k -= 1
-          }
-          opStart = k + 1
-        }
+        val opStart = operandStart(s, opEnd)
         val operand = s.substring(opStart, opEnd)
         val replacement = tpe match {
-          case "jsonb" | "json" | "text" | "varchar" => operand
+          case "jsonb" | "json" | "text" | "varchar" | "char" => operand
+          case t @ ("numeric" | "decimal") if args.nonEmpty =>
+            s"CAST($operand AS DECIMAL$args)"
           case t => s"CAST($operand AS ${sqlType(t)})"
         }
         s = s.substring(0, opStart) + replacement + s.substring(j)
@@ -174,46 +213,47 @@ object PgDialect {
     case other => other.toUpperCase
   }
 
-  /** `a -> 'k'` / `a ->> 'k'`: operand to the left as in casts; key is the
-    * following string literal or number. Innermost-first via repeated
-    * rightmost rewrite. */
+  /** `a -> 'k'` / `a ->> 'k'`: operand via [[operandStart]]; key is the
+    * following string literal ('' doubling respected), possibly-negative
+    * number, or bare word. LEFTMOST-first: rewriting `x -> 'a' ->> 'b'`
+    * first turns the left arrow into `json_get(x, 'a')`, which the next
+    * iteration's operand scan absorbs whole — chained arrows (the
+    * canonical Postgres idiom) nest correctly; each rewrite removes one
+    * arrow and inserts none, so the loop terminates. */
   private def rewriteArrow(sql0: String): String = {
     var s = sql0
     var changed = true
     while (changed) {
       changed = false
-      val at2 = findCodeLast(s, "->>")
-      val at1r = findCodeLast(s, "->")
-      // choose the rightmost arrow; ->> wins at same position
-      val (at, len, fn) =
-        if (at2 >= 0 && at2 >= at1r) (at2, 3, "json_get_str")
-        else if (at1r >= 0 && (at1r + 2 >= s.length || s.charAt(at1r + 2) != '>')) (at1r, 2, "json_get")
-        else if (at1r >= 0) (at1r, 3, "json_get_str")
-        else (-1, 0, "")
+      val at = findCode(s, "->")
       if (at >= 0) {
         changed = true
+        val (len, fn) =
+          if (at + 2 < s.length && s.charAt(at + 2) == '>') (3, "json_get_str")
+          else (2, "json_get")
         // key after arrow
         var j = at + len
         while (j < s.length && s.charAt(j).isWhitespace) j += 1
         var keyEnd = j
         if (keyEnd < s.length && s.charAt(keyEnd) == '\'') {
           keyEnd += 1
-          while (keyEnd < s.length && s.charAt(keyEnd) != '\'') keyEnd += 1
-          keyEnd += 1
-        } else while (keyEnd < s.length && (s.charAt(keyEnd).isLetterOrDigit || s.charAt(keyEnd) == '_')) keyEnd += 1
+          var inStr = true
+          while (inStr && keyEnd < s.length) {
+            if (s.charAt(keyEnd) == '\'') {
+              if (keyEnd + 1 < s.length && s.charAt(keyEnd + 1) == '\'') keyEnd += 2
+              else { inStr = false; keyEnd += 1 }
+            } else keyEnd += 1
+          }
+        } else {
+          if (keyEnd < s.length && s.charAt(keyEnd) == '-') keyEnd += 1 // negative index
+          while (keyEnd < s.length && (s.charAt(keyEnd).isLetterOrDigit || s.charAt(keyEnd) == '_')) keyEnd += 1
+        }
         val key = s.substring(j, keyEnd)
         // operand before arrow
         var k = at - 1
         while (k >= 0 && s.charAt(k).isWhitespace) k -= 1
         val opEnd = k + 1
-        var opStart = 0
-        if (k >= 0 && s.charAt(k) == ')') {
-          opStart = backBalanced(s, k).max(0)
-          k = opStart - 1
-        } else {
-          while (k >= 0 && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_' || s.charAt(k) == '.' || s.charAt(k) == ')')) k -= 1
-          opStart = k + 1
-        }
+        val opStart = operandStart(s, opEnd)
         val operand = s.substring(opStart, opEnd)
         s = s.substring(0, opStart) + s"$fn($operand, $key)" + s.substring(keyEnd)
       }
@@ -254,15 +294,45 @@ object PgDialect {
       }
     }
     // pass 2: plain ~ / !~ (any remaining ~* — non-literal pattern — is
-    // skipped by the (?![~*]) guards)
+    // skipped by the (?![~*]) guards). The operator must FOLLOW an operand
+    // (identifier/')'/ literal end) — a unary bitwise NOT (`~flags`) has
+    // none and passes through untouched.
     val toks = tokenize(s)
-    toks.map {
-      case Tok(Code, t) => Tok(Code,
-        t.replaceAll("!~(?![~*])", " NOT rlike ")
-         .replaceAll("(?<![!~])~(?![~*])", " rlike "))
-      case other        => other
+    toks.zipWithIndex.map {
+      case (Tok(Code, t), idx) =>
+        val t1 = TildeBinRe.replaceAllIn(t, m => {
+          val word = m.group(1)
+          // a keyword before ~ means the tilde is unary bitwise NOT
+          // (`select ~flags`, `where ~x`) — leave it alone
+          if (sqlKeywords(asciiLower(word))) scala.util.matching.Regex.quoteReplacement(m.matched)
+          else scala.util.matching.Regex.quoteReplacement(
+            word + (if (m.group(3) == "!") " NOT rlike " else " rlike "))
+        })
+        // a ~ at the token's start follows a string literal ('p' ~ x):
+        // that literal IS the left operand, it just sits in the previous
+        // token — still a binary match
+        val t2 = if (idx > 0 && toks(idx - 1).kind == Quoted)
+          TildeLeadRe.findFirstMatchIn(t1) match {
+            case Some(m) =>
+              (if (m.group(2) == "!") " NOT rlike " else " rlike ") + t1.substring(m.end)
+            case None => t1
+          }
+        else t1
+        Tok(Code, t2)
+      case (other, _) => other
     }.map(_.text).mkString("")
   }
+
+  /** binary ~ / !~ preceded by an operand word/paren/bracket (group 1);
+    * group 3 is the optional `!`. */
+  private val TildeBinRe = "([A-Za-z0-9_.]+|\\)|\\])(\\s*)(!?)~(?![~*])".r
+  private val TildeLeadRe = "^(\\s*)(!?)~(?![~*])".r
+
+  private val sqlKeywords = Set(
+    "select", "where", "and", "or", "not", "when", "then", "else", "end",
+    "in", "on", "like", "between", "case", "from", "join", "having",
+    "group", "order", "by", "union", "all", "distinct", "as", "is",
+    "exists", "returning", "set", "values", "limit", "offset")
 
   /** `s(open) == '('` → index just past the matching `)`, or -1 if
     * unbalanced. Skips single-quoted literals so a `)` inside a string
@@ -313,6 +383,12 @@ object PgDialect {
                !(i + 2 < s.length && s.charAt(i + 2) == '>')) {
         // line comment (same `-->` carve-out as tokenize): skip to newline
         while (i < s.length && s.charAt(i) != '\n') i += 1
+      }
+      else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        // block comment: skip to the closing marker
+        i += 2
+        while (i < s.length && !(s.charAt(i) == '*' && i + 1 < s.length && s.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, s.length)
       }
       else if (s.startsWith(needle, i) && i >= minPos && i < maxPos) {
         if (!last) return i

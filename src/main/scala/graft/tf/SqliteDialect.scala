@@ -53,7 +53,7 @@ object SqliteDialect {
       var from = 0
       var searching = true
       while (searching) {
-        val at = PgDialect.findCodeImpl(s.toLowerCase, col, last = false, minPos = from)
+        val at = PgDialect.findCodeImpl(PgDialect.asciiLower(s), col, last = false, minPos = from)
         if (at < 0) searching = false
         else {
           from = at + col.length
@@ -154,7 +154,7 @@ object SqliteDialect {
     var from = 0
     var searching = true
     while (searching) {
-      val at = PgDialect.findCodeImpl(s.toLowerCase, needle, last = false, minPos = from)
+      val at = PgDialect.findCodeImpl(PgDialect.asciiLower(s), needle, last = false, minPos = from)
       if (at < 0) searching = false
       else {
         from = at + needle.length

@@ -24,7 +24,7 @@ class PgDialectSpec extends SparkSpecBase {
       "json_get((json_get_str(a, 'k')), 'S')")
     assert(PgDialect.rewrite("x::boolean") == "CAST(x AS BOOLEAN)")
     assert(PgDialect.rewrite("value::text like '%x%'") == "value like '%x%'")
-    assert(PgDialect.rewrite("not m ~ '^[0-9]'") == "not m  rlike  '^[0-9]'")
+    assert(PgDialect.rewrite("not m ~ '^[0-9]'") == "not m rlike  '^[0-9]'")
     assert(PgDialect.rewrite("'lit->net'") == "'lit->net'") // strings untouched
     assert(PgDialect.rewrite("jsonb_array_elements(a -> 'f') as x") ==
       "explode(json_array_elements(json_get(a, 'f'))) as x")
@@ -46,7 +46,7 @@ class PgDialectSpec extends SparkSpecBase {
 
   test("rewrite unit: regex-match token boundaries and trailing arrow") {
     // !~ must become NOT rlike, not a mangled ' rlike' with a stray '!'
-    assert(PgDialect.rewrite("m !~ '^[0-9]'") == "m  NOT rlike  '^[0-9]'")
+    assert(PgDialect.rewrite("m !~ '^[0-9]'") == "m NOT rlike  '^[0-9]'")
     // ~* / !~* case-insensitive variants fold (?i) into the pattern
     assert(PgDialect.rewrite("m ~* 'x'") == "m  rlike '(?i)x'")
     assert(PgDialect.rewrite("m !~* 'x'") == "m  NOT rlike '(?i)x'")
@@ -118,5 +118,41 @@ class PgDialectSpec extends SparkSpecBase {
         |from terraform_provider where name = 'aws'""".stripMargin).count() == 2)
     assert(pg("select name, validation, type from terraform_variable where validation is not null").count() == 1)
     assert(pg("select name, description, sensitive from terraform_variable where sensitive").count() == 1)
+  }
+
+  test("chained arrows nest leftmost-first (the canonical PG JSON idiom)") {
+    assert(PgDialect.rewrite("x -> 'a' ->> 'b'") ==
+      "json_get_str(json_get(x, 'a'), 'b')")
+    assert(PgDialect.rewrite("x -> 'a' -> 'b' ->> 'c'") ==
+      "json_get_str(json_get(json_get(x, 'a'), 'b'), 'c')")
+    // end-to-end over fixtures: two-level access through the tags map
+    val rows = pg(
+      "select name from terraform_resource where arguments -> 'tags' ->> 'Name' is not null")
+      .collect().map(_.getString(0))
+    assert(rows.contains("app_server"))
+  }
+
+  test("function-call operands absorb their name; casts keep parameters") {
+    assert(PgDialect.rewrite("lower(x) -> 'k'") == "json_get(lower(x), 'k')")
+    assert(PgDialect.rewrite("json_get(x, 'k')::boolean") ==
+      "CAST(json_get(x, 'k') AS BOOLEAN)")
+    assert(PgDialect.rewrite("x::varchar(255)") == "x")
+    assert(PgDialect.rewrite("x::numeric(10,2)") == "CAST(x AS DECIMAL(10,2))")
+    // keyword before a paren group (whitespace-separated) is NOT absorbed
+    assert(PgDialect.rewrite("where (x)::boolean") == "where CAST((x) AS BOOLEAN)")
+  }
+
+  test("block comments, escaped keys, negative indices, unary tilde") {
+    // an apostrophe inside a block comment must not flip quote state
+    assert(PgDialect.rewrite("/* don't */ select x -> 'k' from t") ==
+      "/* don't */ select json_get(x, 'k') from t")
+    // '' doubling inside a key; negative array index
+    assert(PgDialect.rewrite("x -> 'it''s'") == "json_get(x, 'it''s')")
+    assert(PgDialect.rewrite("x -> -1") == "json_get(x, -1)")
+    // unary bitwise NOT has no left operand — passes through untouched
+    assert(PgDialect.rewrite("select ~flags from t") == "select ~flags from t")
+    // binary regex match still rewrites, incl. literal-first spelling
+    assert(PgDialect.rewrite("a ~ 'p'") == "a rlike  'p'")
+    assert(PgDialect.rewrite("'p' ~ a") == "'p' rlike  a")
   }
 }
