@@ -22,12 +22,17 @@ object Events {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** ns → µs in exact long arithmetic. INTEGER division because ns epochs
+    * (~1.7e18) exceed double's 53-bit mantissa (`ts / 1000` drifts ±1 µs);
+    * FLOOR division, not `ts div 1000`, because div truncates toward zero
+    * while DuckDB's epoch_us floors (ts = -1500 ns → -2 µs, not -1), so a
+    * pre-epoch event with a sub-µs component would land one µs late and
+    * shift its window/session/gap arithmetic. pmod(ts, 1000) ∈ [0,999]
+    * makes the numerator an exact multiple, so div IS floor here. */
+  private[queries] val nsToUs = "(ts - pmod(ts, 1000)) div 1000"
+
   private def ev(s: SparkSession, d: String): DataFrame =
-    // INTEGER division: ns epochs (~1.7e18) exceed double's 53-bit
-    // mantissa, so `ts / 1000` (double) drifts by ±1 µs on some rows —
-    // `div` keeps the whole pipeline in exact long arithmetic, matching
-    // DuckDB's epoch_us truncation bit-for-bit
-    table(s, d, "events").withColumn("us", expr("ts div 1000"))
+    table(s, d, "events").withColumn("us", expr(nsToUs))
 
   /** Window-start bucket: floor `us` to a multiple of `width`. pmod gives
     * FLOOR semantics for pre-1970 (negative) epochs — the same window

@@ -45,15 +45,20 @@ object Relational {
         .select(col("p_partkey"), col("p_brand"), col("p_size").cast("long").as("p_size"))
         .orderBy("p_partkey")),
 
+    // predicates hit the synthetic vocabulary ('red widget', ECONOMY) so
+    // the gate is non-vacuous: both the LIKE and the ILIKE branch match
+    // rows, and a case-sensitivity or wildcard regression changes output
     "b_filter_like_ilike" -> ((s, d) =>
       table(s, d, "part")
-        .filter(col("p_name").like("%green%") || col("p_type").ilike("%BRASS%"))
+        .filter(col("p_name").like("%red%") || col("p_type").ilike("%economy%"))
         .select(col("p_partkey"), col("p_name"), col("p_type"))
         .orderBy("p_partkey")),
 
+    // anchors + character class over names that DO match (NATION_10..19),
+    // so anchoring/class regressions are visible in the hash
     "b_filter_regex" -> ((s, d) =>
       table(s, d, "nation")
-        .filter(col("n_name").rlike("^[AEIOU]"))
+        .filter(col("n_name").rlike("^NATION_1[0-9]$"))
         .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
         .orderBy("n_nationkey")),
 
@@ -130,10 +135,12 @@ object Relational {
     // two named sets only — no grand total — so the result proves the
     // set list is honored, not just expanded to a cube
     "b_agg_grouping_sets" -> ((s, d) =>
-      s.sql(s"""SELECT l_returnflag, l_linestatus, count(*) AS n
-               |FROM parquet.`$d/lineitem.parquet`
-               |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
-               |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+      table(s, d, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_returnflag"), col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
     // PIVOT: wide conditional aggregation (one shuffle; Catalyst compiles
     // the pivot to grouped CASE aggregates — the same plan the oracle SQL
@@ -182,11 +189,15 @@ object Relational {
         .orderBy("c_custkey")
     }),
 
+    // the build side is filtered (no customer lacks orders entirely in the
+    // synthetic data) so the anti-join's output is a proper non-empty
+    // subset — an anti-planned-as-semi or null-key regression shows up
     "b_join_anti" -> ((s, d) => {
       val customer = table(s, d, "customer")
-      val orders = table(s, d, "orders").select(col("o_custkey"))
+      val bigOrders = table(s, d, "orders")
+        .filter(col("o_totalprice") > 300000).select(col("o_custkey"))
       customer
-        .join(orders, col("o_custkey") === col("c_custkey"), "left_anti")
+        .join(bigOrders, col("o_custkey") === col("c_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_acctbal"))
         .orderBy("c_custkey")
     }),
@@ -367,9 +378,9 @@ object Relational {
     "b_filter_in_notnull" ->
       "SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size FROM part WHERE p_brand IN ('Brand#11','Brand#22','Brand#33') AND p_size IS NOT NULL ORDER BY p_partkey",
     "b_filter_like_ilike" ->
-      "SELECT p_partkey, p_name, p_type FROM part WHERE p_name LIKE '%green%' OR p_type ILIKE '%BRASS%' ORDER BY p_partkey",
+      "SELECT p_partkey, p_name, p_type FROM part WHERE p_name LIKE '%red%' OR p_type ILIKE '%economy%' ORDER BY p_partkey",
     "b_filter_regex" ->
-      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation WHERE regexp_matches(n_name, '^[AEIOU]') ORDER BY n_nationkey",
+      "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation WHERE regexp_matches(n_name, '^NATION_1[0-9]$') ORDER BY n_nationkey",
     "b_case_cast" ->
       "SELECT o_orderkey, CASE WHEN o_totalprice > 200000.0 THEN 'big' WHEN o_totalprice > 100000.0 THEN 'mid' ELSE 'small' END AS bucket, CAST(o_orderkey AS VARCHAR) AS okstr FROM orders ORDER BY o_orderkey",
     "b_string_fns" ->
@@ -397,7 +408,7 @@ object Relational {
     "b_join_semi" ->
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
     "b_join_anti" ->
-      "SELECT c_custkey, c_acctbal FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+      "SELECT c_custkey, c_acctbal FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000) ORDER BY c_custkey",
     "b_join_multiway" ->
       "SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
     "b_join_salted" ->

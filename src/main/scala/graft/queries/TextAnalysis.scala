@@ -60,7 +60,7 @@ object TextAnalysis {
           size(array_distinct(col("ws"))).cast("long").as("n_distinct"),
           (size(array_distinct(col("ws"))).cast("double") / size(col("ws"))).as("distinct_ratio"),
           (size(array_intersect(col("ws"),
-            array(lit("the"), lit("a"), lit("of"), lit("and")))).cast("double") / size(col("ws"))).as("stopword_ratio"),
+            array(markers("en").map(lit): _*))).cast("double") / size(col("ws"))).as("stopword_ratio"),
           (expr("aggregate(ws, 0L, (a, w) -> a + length(w))").cast("double") / size(col("ws"))).as("avg_token_len"))
         .orderBy("doc_id")),
 

@@ -7,11 +7,20 @@ import graft.SparkSpecBase
   * oracle). */
 class EventsSpec extends SparkSpecBase {
 
+  test("ns→µs conversion floors pre-epoch timestamps like DuckDB epoch_us") {
+    // epoch_us(TIMESTAMP_NS '1969-12-31 23:59:59.9999985') = -2 in DuckDB
+    // (floor), while `ts div 1000` would truncate -1500 → -1
+    val got = spark.sql(
+      s"SELECT ${Events.nsToUs} AS us FROM VALUES (-1500L), (-1000L), (-999L), (0L), (999L), (1500L) AS t(ts)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(-2L, -1L, -1L, 0L, 0L, 1L))
+  }
+
   test("as-of join equals the brute-force per-purchase latest-view") {
     val rows = Events.queries("x_events_asof")(spark, sf).collect()
 
     val ev = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("event_id", "user_id", "ts div 1000 AS us", "event_type")
+      .selectExpr("event_id", "user_id", s"${Events.nsToUs} AS us", "event_type")
       .collect()
     val views = ev.filter(_.getString(3) == "view")
       .groupBy(r => (r.getLong(1), r.getLong(2)))
