@@ -36,13 +36,20 @@ object Engine {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Row count for plan-build sizing probes (LSH banding, ANN planes):
-    * catalog/plan statistics when the optimizer already knows the count —
-    * ANALYZEd tables, cached relations, in-memory ranges — so sizing costs
-    * NO job; otherwise one count() scan (itself metadata-cheap on parquet:
-    * row-group counts, no column IO). */
-  def rowCountFast(df: DataFrame): Long =
-    df.queryExecution.optimizedPlan.stats.rowCount match {
-      case Some(n) => n.toLong
-      case None => df.count()
+    * plan statistics when they are EXACT by construction — LocalRelation,
+    * Range, materialized caches — so sizing costs NO job; otherwise one
+    * count() scan (itself metadata-cheap on parquet: row-group counts, no
+    * column IO). Catalog stats from ANALYZE are deliberately NOT trusted:
+    * they survive table rewrites, and a stale count silently resizes LSH
+    * planes/bands — correctness-relevant, not just a costing hint. */
+  def rowCountFast(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val plan = df.queryExecution.optimizedPlan
+    val exact = plan match {
+      case _: LocalRelation | _: Range | _: InMemoryRelation => plan.stats.rowCount
+      case _ => None
     }
+    exact.map(_.toLong).getOrElse(df.count())
+  }
 }

@@ -196,8 +196,13 @@ object Mp4 {
     val (stblS, stblE) = child(b, children(b, minfS, minfE), "stbl")
     val stbl = children(b, stblS, stblE)
 
-    val (sttsS, _) = child(b, stbl, "stts")
+    val (sttsS, sttsE) = child(b, stbl, "stts")
     val sttsEntries = u32(b, sttsS + 4)
+    // declared entry counts must fit their box: a malformed table would
+    // otherwise walk into sibling boxes (silently wrong sums) or off the
+    // buffer (raw AIOOBE instead of the fail-fast contract)
+    require(sttsS + 8L + sttsEntries * 8L <= sttsE,
+      s"stts declares $sttsEntries entries beyond its box end")
     var sttsCount = 0L
     var i = 0
     while (i < sttsEntries) {
@@ -205,12 +210,14 @@ object Mp4 {
       i += 1
     }
 
-    val (stszS, _) = child(b, stbl, "stsz")
+    val (stszS, stszE) = child(b, stbl, "stsz")
     val fixedSize = u32(b, stszS + 4)
     val nSamples = u32(b, stszS + 8)
     val sampleBytes =
       if (fixedSize != 0L) fixedSize * nSamples
       else {
+        require(stszS + 12L + nSamples * 4L <= stszE,
+          s"stsz declares $nSamples samples beyond its box end")
         var sum = 0L
         var k = 0
         while (k < nSamples) { sum += u32(b, stszS + 12 + k * 4); k += 1 }

@@ -174,7 +174,12 @@ object Multimodal {
     * and aggregate fixed `win`-sample windows (last window partial) — the
     * framing step every speech/audio feature extractor (fbank, MFCC) runs
     * before its transform. Per-partition batch decode like [[decode]];
-    * the fan-out is a generator over the decode output, no shuffle. */
+    * the fan-out is a generator over the decode output, no shuffle.
+    *
+    * Build `assets` with `onlyMime = Some("audio/wav")`: the mime filter
+    * here is a correctness guard only — by this point non-WAV payloads
+    * are already encoded (Spark cannot prune through a typed map), so
+    * pruning must happen in [[assets]], before the codec runs. */
   def audioWindows(assets: Dataset[Asset], win: Int = 32): Dataset[AudioWindow] = {
     require(win > 0, "window size must be positive")
     import assets.sparkSession.implicits._
@@ -199,7 +204,9 @@ object Multimodal {
     * counts and sums — the ViT-style tokenization a vision-language
     * pipeline runs before embedding. Same per-partition batch-decode
     * contract as [[decode]]/[[audioWindows]]; generator fan-out, no
-    * shuffle. */
+    * shuffle. As with [[audioWindows]], pass `onlyMime = Some("image/png")`
+    * when building `assets` — the filter here cannot un-encode the other
+    * mimes' payloads. */
   def imagePatches(assets: Dataset[Asset], patch: Int = 8): Dataset[ImagePatch] = {
     require(patch > 0, "patch size must be positive")
     import assets.sparkSession.implicits._

@@ -81,9 +81,7 @@ object TerraformTableProvider {
       s("arguments", _.arguments), s("attributes", _.attributes),
       s("attributes_std", _.attributesStd), l("count", _.count), s("count_src", _.countSrc),
       s("for_each", _.forEach), s("depends_on", _.dependsOn), s("lifecycle", _.lifecycle),
-      s("provider", _.provider),
-      l("start_line", _.startLine), l("end_line", _.endLine), s("source", _.source),
-      s("path", r => Some(r.path))))),
+      s("provider", _.provider)) ++ span)),
     "terraform_data_source" -> ("data_source" -> (Seq(
       s("name", _.name), s("type", _.tfType), s("arguments", _.arguments),
       l("count", _.count), s("count_src", _.countSrc), s("for_each", _.forEach),
@@ -186,8 +184,14 @@ private final class TerraformDsv2Table(options: CaseInsensitiveStringMap)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new TerraformScanBuilder(table, options)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    // per-read options (spark.read.option(…).table("terraform.…")) override
+    // the table's own properties — dropping them would silently read the
+    // catalog-configured corpus instead of the one the user just asked for
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(opts.asCaseSensitiveMap())
+    new TerraformScanBuilder(table, new CaseInsensitiveStringMap(merged))
+  }
 }
 
 private final class TerraformScanBuilder(table: String, options: CaseInsensitiveStringMap)
@@ -228,16 +232,39 @@ private final class TerraformScan(table: String, options: CaseInsensitiveStringM
 
   /** One discovery pass: glob (Terraform.globOnce), prune by the pushed
     * `path =` qual BEFORE any file is opened, return (path, kind, len,
-    * modMs). Shared by the batch scan and the micro-batch stream. */
-  private def discover(conf: Configuration): Seq[(String, String, Long, Long)] =
+    * modMs). Shared by the batch scan and the micro-batch stream.
+    *
+    * With an exact `path =` qual, membership in a plain glob is decided by
+    * pattern alone and the single candidate is stat'ed directly — one RPC
+    * instead of a full LIST round over a 10⁷-file corpus. Globs whose
+    * membership the matcher can't decide (`{}`/`[]` Hadoop-glob features)
+    * still list and filter. */
+  private def discover(conf: Configuration): Seq[(String, String, Long, Long)] = {
+    def statOne(path: String): Seq[org.apache.hadoop.fs.FileStatus] =
+      try {
+        val hp = new Path(path)
+        Seq(hp.getFileSystem(conf).getFileStatus(hp)).filter(_.isFile)
+      } catch { case _: java.io.FileNotFoundException => Seq.empty }
     TerraformTableProvider.sourcesByKind(options).flatMap { case (kind, cfg) =>
       val globs = Terraform.resolveGlobs(cfg)
-      Terraform.globOnce(conf, globs).map { st =>
+      val matched = pathEq match {
+        case Some(want) =>
+          val (decidable, opaque) = globs.partition(Terraform.canDecideMembership)
+          val direct =
+            if (decidable.exists(g => Terraform.globMatches(g, want))) statOne(want)
+            else Seq.empty
+          (direct ++ Terraform.globOnce(conf, opaque)
+            .filter(st => Terraform.stripScheme(st.getPath.toString) == want))
+            .distinctBy(_.getPath.toString)
+        case None => Terraform.globOnce(conf, globs)
+      }
+      matched.map { st =>
         val p = st.getPath.toString
         val k = if (p.endsWith(".tfstate")) FileKind.State else kind
         (p, k, st.getLen, st.getModificationTime)
       }
     }.filter { case (p, _, _, _) => pathEq.forall(_ == Terraform.stripScheme(p)) }
+  }
 
   private def pack(spark: SparkSession,
       files: Seq[(String, String, Long)]): Array[InputPartition] = {
@@ -257,7 +284,9 @@ private final class TerraformScan(table: String, options: CaseInsensitiveStringM
     // every task's reader-factory closure
     val sc = spark.sparkContext
     val bc = sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration))
-    new TerraformReaderFactory(table, required, bc)
+    val ignoreMissing =
+      spark.conf.getOption("spark.sql.files.ignoreMissingFiles").exists(_.toBoolean)
+    new TerraformReaderFactory(table, required, bc, ignoreMissing)
   }
 
   /** Discovery at planning time, then the survivors are bin-packed into
@@ -346,7 +375,8 @@ private final case class TfModTimeOffset(maxModMs: Long) extends Offset {
 }
 
 private final class TerraformReaderFactory(table: String, required: StructType,
-    bcConf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf])
+    bcConf: org.apache.spark.broadcast.Broadcast[SerializableHadoopConf],
+    ignoreMissing: Boolean)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -366,13 +396,25 @@ private final class TerraformReaderFactory(table: String, required: StructType,
         // one packed bin of files, parsed lazily in sequence — a bin never
         // holds more than the byte budget, so per-task memory stays bounded
         fp.files.iterator.flatMap { case (path, kind) =>
-          val hp = new Path(path)
-          val in = hp.getFileSystem(conf).open(hp)
-          val content = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-          Builders.rowsForFile(Terraform.stripScheme(path), kind, content,
-              withSpans = needSpans)
-            .iterator.filter(_.table == kindFilter)
+          // a file can vanish between planning-time listing and this read
+          // (watched corpora churn): honor spark.sql.files.ignoreMissingFiles
+          // like the binaryFile batch path, surfacing the skip as a
+          // terraform_diagnostics row instead of failing every task retry
+          try {
+            val hp = new Path(path)
+            val in = hp.getFileSystem(conf).open(hp)
+            val content = try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+            Builders.rowsForFile(Terraform.stripScheme(path), kind, content,
+                withSpans = needSpans)
+              .iterator.filter(_.table == kindFilter)
+          } catch {
+            case e: java.io.FileNotFoundException if ignoreMissing =>
+              Iterator.single(TfRow.empty.copy(table = "_error",
+                path = Terraform.stripScheme(path),
+                description = Some(s"missing: ${Option(e.getMessage).getOrElse(path)}")))
+                .filter(_.table == kindFilter)
+          }
         }
       }
       private var current: TfRow = _

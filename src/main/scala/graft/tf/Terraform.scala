@@ -170,6 +170,20 @@ object Terraform {
   private[graft] def stripScheme(path: String): String =
     if (path.startsWith("file:")) path.stripPrefix("file:") else path
 
+  /** Can `path ∈ glob` be decided by [[globRegex]] alone? `{}` alternation
+    * and `[]` classes are Hadoop-glob features globRegex treats as
+    * literals, so membership for globs using them needs a real listing. */
+  private[graft] def canDecideMembership(glob: String): Boolean =
+    !glob.exists(c => c == '{' || c == '[')
+
+  /** Pattern-only membership test for an exact pushed `path =` qual:
+    * true iff `path` (published, scheme-stripped spelling) matches the
+    * resolved glob in either its raw or scheme-stripped spelling. Only
+    * meaningful when [[canDecideMembership]] holds. */
+  private[graft] def globMatches(glob: String, path: String): Boolean =
+    globRegex(glob).matcher(path).matches() ||
+      globRegex(stripScheme(glob)).matcher(path).matches()
+
   /** Streaming twin of [[rows]] — the real analog of the reference's
     * file-watch re-query (`steampipe:"watch"` tags, connection_config.go:
     * 8-11 / SURVEY A21): new or updated files under the watched globs are

@@ -61,4 +61,26 @@ class Mp4PropSpec extends AnyFunSuite {
     intercept[Exception](Mp4.parse("not an mp4 at all".getBytes("US-ASCII")))
     intercept[Exception](Mp4.parse(Array[Byte]()))
   }
+
+  test("sample-table entry counts are bounded by their boxes (no overread)") {
+    def boxAt(b: Array[Byte], tpe: String): Int = {
+      val t = tpe.getBytes("US-ASCII")
+      (0 until b.length - 4).find(i => b.slice(i, i + 4).sameElements(t)).get
+    }
+    def putU32(b: Array[Byte], at: Int, v: Int): Unit = {
+      b(at) = (v >>> 24).toByte; b(at + 1) = (v >>> 16).toByte
+      b(at + 2) = (v >>> 8).toByte; b(at + 3) = v.toByte
+    }
+    // stsz lying about its sample count must fail fast, not read sibling
+    // boxes' bytes as sizes (box layout: [size][type][ver+flags][fixed][n])
+    val lieStsz = Mp4.bytes(7L)
+    putU32(lieStsz, boxAt(lieStsz, "stsz") + 12, 10000)
+    val e1 = intercept[IllegalArgumentException](Mp4.parse(lieStsz))
+    assert(e1.getMessage.contains("stsz"))
+    // stts entry count beyond its box likewise ([size][type][ver+flags][n])
+    val lieStts = Mp4.bytes(7L)
+    putU32(lieStts, boxAt(lieStts, "stts") + 8, 10000)
+    val e2 = intercept[IllegalArgumentException](Mp4.parse(lieStts))
+    assert(e2.getMessage.contains("stts"))
+  }
 }

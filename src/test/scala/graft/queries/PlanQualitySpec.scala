@@ -180,8 +180,9 @@ class PlanQualitySpec extends SparkSpecBase {
   test("sizing probes take the catalog-stats fast path: no job when stats exist") {
     val tracker = spark.sparkContext.statusTracker
     val before = tracker.getJobIdsForGroup(null).length
-    // a relation whose optimized plan carries an exact rowCount (Range
-    // does; so do ANALYZEd catalog tables and materialized caches)
+    // a relation whose optimized plan carries an exact-by-construction
+    // rowCount (Range, LocalRelation, materialized caches; ANALYZE'd
+    // catalog stats are deliberately NOT trusted — they go stale)
     val n = graft.Engine.rowCountFast(spark.range(12345).toDF())
     assert(n == 12345L)
     Thread.sleep(300) // status tracker is listener-fed; let it drain

@@ -64,6 +64,21 @@ class TerraformCatalogSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("per-read options override the catalog's table properties") {
+    catalog
+    val tmp = java.nio.file.Files.createTempDirectory("cat-override")
+    java.nio.file.Files.writeString(tmp.resolve("other.tf"),
+      "resource \"aws_s3_bucket\" \"overridden\" {}\n")
+    // spark.read.option(…).table(…) must read the corpus the user just
+    // asked for, not silently fall back to the catalog-configured one
+    val names = spark.read
+      .option("configurationFilePaths", s"$tmp/*.tf")
+      .option("planFilePaths", "").option("stateFilePaths", "")
+      .table("terraform.terraform_resource")
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(names == Seq("overridden"), s"got $names")
+  }
+
   test("SHOW TABLES lists the published surface; unknown table fails; read-only") {
     catalog
     val listed = spark.sql("SHOW TABLES IN terraform").collect()

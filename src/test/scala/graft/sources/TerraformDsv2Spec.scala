@@ -208,4 +208,44 @@ class TerraformDsv2Spec extends SparkSpecBase {
       spark.read.format("terraform").option("table", "terraform_nope").load())
     assert(e.getMessage.contains("terraform_nope"))
   }
+
+  test("exact path qual stats its candidate — zero LIST rounds on the store") {
+    val tmp = java.nio.file.Files.createTempDirectory("dsv2-exact")
+    (0 until 5).foreach { i =>
+      java.nio.file.Files.writeString(tmp.resolve(s"f$i.tf"),
+        s"""resource "aws_s3_bucket" "x$i" {}\n""")
+    }
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3a.impl", classOf[graft.tf.MockS3FileSystem].getName)
+    val df = spark.read.format("terraform")
+      .option("configurationFilePaths", s"s3a://bucket$tmp/*.tf")
+      .load()
+      .filter(col("path") === s"s3a://bucket$tmp/f3.tf")
+      .select("name")
+    graft.tf.MockS3FileSystem.resetCounters()
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("x3"))
+    assert(graft.tf.MockS3FileSystem.listStatusCalls.get == 0,
+      "an exact pushed path must getFileStatus the one candidate, not LIST the corpus")
+  }
+
+  test("missing file at read time: ignoreMissingFiles skips + surfaces diagnostics") {
+    val tmp = java.nio.file.Files.createTempDirectory("dsv2-missing")
+    val f = tmp.resolve("gone.tf")
+    java.nio.file.Files.writeString(f, "resource \"aws_s3_bucket\" \"g\" {}\n")
+    val sc = spark.sparkContext
+    def reader(table: String, ignore: Boolean) =
+      new TerraformReaderFactory(table, TerraformTableProvider.schemaFor(table),
+        sc.broadcast(new SerializableHadoopConf(sc.hadoopConfiguration)), ignore)
+        .createReader(TfFilePartition(Seq((f.toString, graft.tf.FileKind.Config))))
+    java.nio.file.Files.delete(f)
+    // honored: the resource scan just skips the vanished file…
+    assert(!reader("terraform_resource", ignore = true).next())
+    // …and the diagnostics table explains the skip
+    val diag = reader("terraform_diagnostics", ignore = true)
+    assert(diag.next())
+    val row = diag.get()
+    assert(row.getString(0) == f.toString && row.getString(1).startsWith("missing:"))
+    // not honored (the default): the read fails like the file sources do
+    intercept[java.io.FileNotFoundException](reader("terraform_resource", ignore = false).next())
+  }
 }
