@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,32 +10,29 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
       case None        => SparkEntry.queries
     }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Engine.session(s"local[$cpus]")
     // Warmup pass: JIT + codegen + parquet footer caching dominate first
     // execution on a fresh JVM; report steady-state numbers.
     selected.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
     // Two timed passes, min per query: a single pass is hostage to GC
-    // pauses and machine load landing on individual queries.
+    // pauses and machine load landing on individual queries. A pass that
+    // THREW records +∞, never its time-to-failure — a broken query must
+    // not masquerade as a fast success in the round's benchmark artifact.
     def timedPass(): Map[String, Double] =
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
       }
     val (p1, p2) = (timedPass(), timedPass())
     // Variance guard: min-of-two still records a poisoned number when
     // concurrent machine load lands on BOTH passes of one query. When the
     // two timings disagree >2× (beyond sub-100ms jitter), take a third
-    // pass and keep the overall min.
+    // pass and keep the overall min. (A one-pass failure also lands here
+    // via its ∞ and gets the extra attempt.)
     val results = p1.map { case (k, v) =>
       val best = math.min(v, p2(k))
       val guarded =
@@ -44,15 +40,20 @@ object Bench {
           val t0 = System.nanoTime()
           val ok = try { selected(k)(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
-          // a pass that THREW must not contribute its time-to-failure
           if (ok) math.min(best, (System.nanoTime() - t0) / 1e9) else best
         } else best
       k -> guarded
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // failed queries (∞ in every pass) are reported by name, not by a
+    // bogus timing; the total covers successes only
+    val (failed, timed) = results.partition(_._2.isInfinity)
+    val qs = timed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.keys.toSeq.sorted.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
+    val total = if (timed.nonEmpty) timed.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,18 +36,24 @@ object Engine {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** Row count for plan-build sizing probes (LSH banding, ANN planes):
-    * plan statistics when they are EXACT by construction — LocalRelation,
-    * Range, materialized caches — so sizing costs NO job; otherwise one
-    * count() scan (itself metadata-cheap on parquet: row-group counts, no
-    * column IO). Catalog stats from ANALYZE are deliberately NOT trusted:
-    * they survive table rewrites, and a stale count silently resizes LSH
-    * planes/bands — correctness-relevant, not just a costing hint. */
+    * plan statistics when they are EXACT by construction — Range, a
+    * MATERIALIZED cache (whose stats come from its row-count accumulator),
+    * and LocalRelation under test configs — so sizing costs NO job;
+    * otherwise one count() scan (itself metadata-cheap on parquet:
+    * row-group counts, no column IO). Catalog stats from ANALYZE are
+    * deliberately NOT trusted: they survive table rewrites, and a stale
+    * count silently resizes LSH planes/bands — correctness-relevant, not
+    * just a costing hint. An UNmaterialized cache falls back to its
+    * child's stats, which can carry exactly those stale catalog counts,
+    * so it must count(). */
   def rowCountFast(df: DataFrame): Long = {
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range}
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val plan = df.queryExecution.optimizedPlan
     val exact = plan match {
-      case _: LocalRelation | _: Range | _: InMemoryRelation => plan.stats.rowCount
+      case _: LocalRelation | _: Range => plan.stats.rowCount
+      case r: InMemoryRelation if r.cacheBuilder.isCachedColumnBuffersLoaded =>
+        plan.stats.rowCount
       case _ => None
     }
     exact.map(_.toLong).getOrElse(df.count())

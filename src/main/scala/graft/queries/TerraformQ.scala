@@ -1,9 +1,8 @@
 package graft.queries
 
-import graft.tf.{Terraform, TfRow}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.tf.Terraform
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.util.concurrent.ConcurrentHashMap
 
 /** Driver-checkable queries over the seven Terraform tables, built from the
   * fixture corpus (fixtures/ — see FIXTURES.md). The oracle side is pinned
@@ -20,18 +19,15 @@ object TerraformQ {
     if (rel.exists()) rel.getAbsolutePath else "/root/repo/fixtures"
   }
 
-  private val registered = new ConcurrentHashMap[SparkSession, Dataset[TfRow]]()
-
-  /** Register fixture-backed views once per session (cached parse).
-    * Stopped sessions are purged first so the JVM-lifetime map never
-    * pins dead sessions (and their cached Datasets). */
+  /** Ensure the fixture-backed views are this session's registration
+    * (cached parse reused when they already are). Session tracking and
+    * dead-session purging live in Terraform's own registrations map —
+    * no second JVM-lifetime map here. */
   def ensure(spark: SparkSession): Unit = {
-    registered.keySet.removeIf(s => s.sparkContext.isStopped)
-    registered.computeIfAbsent(spark, s =>
-      Terraform.register(s, Terraform.Paths(
-        configurationFilePaths = Seq(s"$fixDir/*.tf"),
-        planFilePaths = Seq(s"$fixDir/tfplan.json", s"$fixDir/tfplan_oneline.json"),
-        stateFilePaths = Seq(s"$fixDir/terraform.tfstate"))))
+    Terraform.ensureRegistered(spark, Terraform.Paths(
+      configurationFilePaths = Seq(s"$fixDir/*.tf"),
+      planFilePaths = Seq(s"$fixDir/tfplan.json", s"$fixDir/tfplan_oneline.json"),
+      stateFilePaths = Seq(s"$fixDir/terraform.tfstate")))
     ()
   }
 

@@ -329,6 +329,16 @@ object Terraform {
   private val registrations =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, (Paths, Dataset[TfRow])]()
 
+  /** Idempotent [[register]]: no-op when `paths` is already this session's
+    * registered configuration (keeping its cached parse); registers — or
+    * RE-registers, replacing a different configuration — otherwise. The
+    * once-per-session guard callers used to hand-roll around register's
+    * parse cost lives here, next to the map that answers it. */
+  def ensureRegistered(spark: SparkSession, paths: Paths): Dataset[TfRow] = {
+    val prev = registrations.get(spark)
+    if (prev == null || prev._1 != paths) register(spark, paths) else prev._2
+  }
+
   /** Watch-path refresh for the batch views — the analog of the reference's
     * file-watch cache invalidation (`steampipe:"watch"` connection tags,
     * connection_config.go:8-11: the SDK drops its query cache when a watched

@@ -239,4 +239,21 @@ class SourcesSpec extends SparkSpecBase {
       s"discovery re-listed: $listingCalls RPCs vs $singlePass for one glob pass")
     assert(rows.filter(col("table") === "resource").count() == 2)
   }
+
+  test("ensureRegistered: same paths reuse the cached parse, new paths re-register") {
+    val dir = new java.io.File("fixtures").getAbsolutePath
+    val p = Terraform.Paths(configurationFilePaths = Seq(s"$dir/*.tf"))
+    val r1 = Terraform.ensureRegistered(spark, p)
+    assert(Terraform.ensureRegistered(spark, p) eq r1,
+      "identical paths must be a no-op reusing the cached rows")
+    val tmp = java.nio.file.Files.createTempDirectory("ensure-reg")
+    java.nio.file.Files.writeString(tmp.resolve("x.tf"),
+      "resource \"aws_s3_bucket\" \"er\" {}\n")
+    val p2 = Terraform.Paths(configurationFilePaths = Seq(s"$tmp/*.tf"))
+    val r2 = Terraform.ensureRegistered(spark, p2)
+    assert(r2 ne r1, "a different configuration must re-register")
+    assert(spark.table("terraform_resource").count() == 1,
+      "views must reflect the newly registered corpus")
+    Terraform.register(spark, p) // leave the shared session on fixtures
+  }
 }
