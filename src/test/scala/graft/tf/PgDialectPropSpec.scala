@@ -47,12 +47,27 @@ class PgDialectPropSpec extends AnyFunSuite {
     }
   }
 
+  test("block comments survive untouched (apostrophes inside must not leak)") {
+    val gen = for { p <- genPayload; c <- genCode } yield (s"$c /* don't $p */ $c", s"/* don't $p */")
+    samples(gen).filter { case (_, com) =>
+      // a payload containing the closing marker legitimately ends the
+      // comment early — only well-formed comments must survive whole
+      !com.dropRight(2).contains("*/")
+    }.foreach { case (sql, comment) =>
+      val out = PgDialect.rewrite(sql)
+      assert(out.contains(comment), s"block comment corrupted:\n in: $sql\nout: $out")
+    }
+  }
+
   test("rewrite is idempotent on its own output for the documented corpus") {
     val examples = Seq(
       "select attributes_std ->> 'acl' from terraform_resource",
       "select (attributes_std ->> 'policy')::jsonb -> 'Statement' from t",
       "select * from t where version ~ '^[0-9]' and name !~* 'prod'",
-      "select jsonb_array_elements(arguments -> 'filter') as f from t")
+      "select jsonb_array_elements(arguments -> 'filter') as f from t",
+      "select arguments -> 'tags' -> 'a' ->> 'b' from terraform_resource",
+      "select lower(x) -> 'k', y::numeric(10,2) from t /* don't */",
+      "select x -> 'it''s', x -> -1, ~flags from t")
     examples.foreach { sql =>
       val once = PgDialect.rewrite(sql)
       assert(PgDialect.rewrite(once) == once, s"not idempotent: $sql -> $once")
