@@ -214,8 +214,13 @@ object Mp4 {
     val fixedSize = u32(b, stszS + 4)
     val nSamples = u32(b, stszS + 8)
     val sampleBytes =
-      if (fixedSize != 0L) fixedSize * nSamples
-      else {
+      if (fixedSize != 0L) {
+        // two u32s can multiply past Long.MaxValue — fail fast instead of
+        // publishing a wrapped-negative byte total
+        require(nSamples <= Long.MaxValue / fixedSize,
+          s"stsz fixed-size total overflows: $fixedSize * $nSamples")
+        fixedSize * nSamples
+      } else {
         require(stszS + 12L + nSamples * 4L <= stszE,
           s"stsz declares $nSamples samples beyond its box end")
         var sum = 0L

@@ -187,9 +187,13 @@ private final class TerraformDsv2Table(options: CaseInsensitiveStringMap)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     // per-read options (spark.read.option(…).table("terraform.…")) override
     // the table's own properties — dropping them would silently read the
-    // catalog-configured corpus instead of the one the user just asked for
-    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
-    merged.putAll(opts.asCaseSensitiveMap())
+    // catalog-configured corpus instead of the one the user just asked for.
+    // Merge the CASE-INSENSITIVE views (both expose lowercased keys): the
+    // case-sensitive originals can differ only in key case, and the CISM
+    // constructor would then collapse the duplicates in hash order —
+    // sometimes keeping the stale table property over the user's override.
+    val merged = new java.util.HashMap[String, String](options)
+    merged.putAll(opts)
     new TerraformScanBuilder(table, new CaseInsensitiveStringMap(merged))
   }
 }
@@ -240,19 +244,26 @@ private final class TerraformScan(table: String, options: CaseInsensitiveStringM
     * membership the matcher can't decide (`{}`/`[]` Hadoop-glob features)
     * still list and filter. */
   private def discover(conf: Configuration): Seq[(String, String, Long, Long)] = {
-    def statOne(path: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    // stat against the MATCHING GLOB's filesystem: the pushed path is the
+    // published (scheme-stripped for file:) spelling, so resolving it
+    // against the default FS would hit the wrong store on a cluster whose
+    // fs.defaultFS differs from the corpus's scheme
+    def statOne(glob: String, path: String): Seq[org.apache.hadoop.fs.FileStatus] =
       try {
-        val hp = new Path(path)
-        Seq(hp.getFileSystem(conf).getFileStatus(hp)).filter(_.isFile)
+        val fs = new Path(glob).getFileSystem(conf)
+        Seq(fs.getFileStatus(new Path(path))).filter(_.isFile)
       } catch { case _: java.io.FileNotFoundException => Seq.empty }
     TerraformTableProvider.sourcesByKind(options).flatMap { case (kind, cfg) =>
       val globs = Terraform.resolveGlobs(cfg)
       val matched = pathEq match {
         case Some(want) =>
-          val (decidable, opaque) = globs.partition(Terraform.canDecideMembership)
-          val direct =
-            if (decidable.exists(g => Terraform.globMatches(g, want))) statOne(want)
-            else Seq.empty
+          // a mismatch against a decidable, published-spelling glob proves
+          // non-membership (skip its LIST); anything else must still list
+          // — a relative or `{}`/`[]` glob's mismatch proves nothing
+          val (decidable, opaque) = globs.partition(g =>
+            Terraform.canDecideMembership(g) && Terraform.comparableSpelling(g))
+          val direct = decidable.find(g => Terraform.globMatches(g, want)).toSeq
+            .flatMap(g => statOne(g, want))
           (direct ++ Terraform.globOnce(conf, opaque)
             .filter(st => Terraform.stripScheme(st.getPath.toString) == want))
             .distinctBy(_.getPath.toString)

@@ -310,8 +310,11 @@ object PgDialect {
         })
         // a ~ at the token's start follows a string literal ('p' ~ x):
         // that literal IS the left operand, it just sits in the previous
-        // token — still a binary match
-        val t2 = if (idx > 0 && toks(idx - 1).kind == Quoted)
+        // token — still a binary match. Comments also tokenize as Quoted
+        // but are NOT operands (`/* note */ ~flags` stays unary), so
+        // require the previous token to actually be a string literal.
+        val t2 = if (idx > 0 && toks(idx - 1).kind == Quoted &&
+            toks(idx - 1).text.startsWith("'"))
           TildeLeadRe.findFirstMatchIn(t1) match {
             case Some(m) =>
               (if (m.group(2) == "!") " NOT rlike " else " rlike ") + t1.substring(m.end)

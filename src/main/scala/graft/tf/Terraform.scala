@@ -176,13 +176,23 @@ object Terraform {
   private[graft] def canDecideMembership(glob: String): Boolean =
     !glob.exists(c => c == '{' || c == '[')
 
+  /** Is non-membership decidable by pattern alone? The comparison is
+    * apples-to-apples only when the glob is spelled in published-path
+    * terms: absolute, or scheme-qualified. A relative glob's matches list
+    * back as absolute paths, so a pattern mismatch proves nothing. */
+  private[graft] def comparableSpelling(glob: String): Boolean =
+    glob.startsWith("/") || glob.startsWith("file:") || glob.contains("://")
+
   /** Pattern-only membership test for an exact pushed `path =` qual:
     * true iff `path` (published, scheme-stripped spelling) matches the
-    * resolved glob in either its raw or scheme-stripped spelling. Only
-    * meaningful when [[canDecideMembership]] holds. */
+    * resolved glob in its raw spelling or — for `file:` globs, whose
+    * matches publish scheme-stripped — its URI-path spelling (the
+    * authority-less path after the `file:` prefix, however many slashes
+    * spell it). Only meaningful when [[canDecideMembership]] and
+    * [[comparableSpelling]] hold. */
   private[graft] def globMatches(glob: String, path: String): Boolean =
-    globRegex(glob).matcher(path).matches() ||
-      globRegex(stripScheme(glob)).matcher(path).matches()
+    globRegex(glob).matcher(path).matches() || (glob.startsWith("file:") &&
+      globRegex(new org.apache.hadoop.fs.Path(glob).toUri.getPath).matcher(path).matches())
 
   /** Streaming twin of [[rows]] — the real analog of the reference's
     * file-watch re-query (`steampipe:"watch"` tags, connection_config.go:
@@ -334,10 +344,16 @@ object Terraform {
     * RE-registers, replacing a different configuration — otherwise. The
     * once-per-session guard callers used to hand-roll around register's
     * parse cost lives here, next to the map that answers it. */
-  def ensureRegistered(spark: SparkSession, paths: Paths): Dataset[TfRow] = {
-    val prev = registrations.get(spark)
-    if (prev == null || prev._1 != paths) register(spark, paths) else prev._2
-  }
+  private val ensureLock = new Object
+
+  def ensureRegistered(spark: SparkSession, paths: Paths): Dataset[TfRow] =
+    // serialized check-then-register: two concurrent callers with the same
+    // paths must not both parse (the second register would also unpersist
+    // the first caller's just-returned cache)
+    ensureLock.synchronized {
+      val prev = registrations.get(spark)
+      if (prev == null || prev._1 != paths) register(spark, paths) else prev._2
+    }
 
   /** Watch-path refresh for the batch views — the analog of the reference's
     * file-watch cache invalidation (`steampipe:"watch"` connection tags,
@@ -357,6 +373,11 @@ object Terraform {
     * queries (SURVEY §2B): jsonb_pretty, json_get/json_get_str (the ->/->>
     * operators), json_extract (sqlite dialect). All other capabilities are
     * native Spark SQL. */
+  /** Postgres array-index semantics for `->`/`->>`: a negative integer
+    * counts from the end (`'[1,2,3]' -> -1` is `3`); out of range → None. */
+  private def arrIdx(items: Vector[JValue], key: String): Option[JValue] =
+    key.toIntOption.flatMap { i => items.lift(if (i < 0) items.length + i else i) }
+
   def registerFunctions(spark: SparkSession): Unit = {
     spark.udf.register("jsonb_pretty", (s: String) =>
       if (s == null) null
@@ -366,8 +387,7 @@ object Terraform {
       if (s == null || key == null) null
       else Json.parseOpt(s).flatMap {
         case o: JObj => o.get(key).map(_.render)
-        case JArr(items) =>
-          try Some(items(key.toInt).render) catch { case _: Exception => None }
+        case JArr(items) => arrIdx(items, key).map(_.render)
         case _ => None
       }.orNull)
     // jsonb_array_elements: JSON array → rows (lenient: a single object
@@ -386,8 +406,7 @@ object Terraform {
       else Json.parseOpt(s).flatMap {
         case o: JObj => o.get(key).map { case JStr(v) => v; case v => v.render }
         case JArr(items) =>
-          try Some(items(key.toInt) match { case JStr(v) => v; case v => v.render })
-          catch { case _: Exception => None }
+          arrIdx(items, key).map { case JStr(v) => v; case v => v.render }
         case _ => None
       }.orNull)
     // sqlite-dialect json_extract (every `sql+sqlite` doc example, e.g.

@@ -82,5 +82,12 @@ class Mp4PropSpec extends AnyFunSuite {
     putU32(lieStts, boxAt(lieStts, "stts") + 8, 10000)
     val e2 = intercept[IllegalArgumentException](Mp4.parse(lieStts))
     assert(e2.getMessage.contains("stts"))
+    // fixed-size path: u32 × u32 can exceed Long — must fail fast, not
+    // publish a wrapped-negative byte total
+    val lieFixed = Mp4.bytes(7L)
+    putU32(lieFixed, boxAt(lieFixed, "stsz") + 8, 0xffffffff.toInt)  // fixedSize
+    putU32(lieFixed, boxAt(lieFixed, "stsz") + 12, 0xffffffff.toInt) // nSamples
+    val e3 = intercept[IllegalArgumentException](Mp4.parse(lieFixed))
+    assert(e3.getMessage.contains("overflow"))
   }
 }

@@ -77,6 +77,14 @@ class TerraformCatalogSpec extends SparkSpecBase {
       .table("terraform.terraform_resource")
       .select("name").collect().map(_.getString(0)).toSeq
     assert(names == Seq("overridden"), s"got $names")
+    // key case must not matter: a case-variant option key still overrides
+    // the (lowercased) catalog property instead of colliding with it
+    val upper = spark.read
+      .option("CONFIGURATIONFILEPATHS", s"$tmp/*.tf")
+      .option("planFilePaths", "").option("stateFilePaths", "")
+      .table("terraform.terraform_resource")
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(upper == Seq("overridden"), s"case-variant key dropped: got $upper")
   }
 
   test("SHOW TABLES lists the published surface; unknown table fails; read-only") {

@@ -228,6 +228,17 @@ class TerraformDsv2Spec extends SparkSpecBase {
       "an exact pushed path must getFileStatus the one candidate, not LIST the corpus")
   }
 
+  test("relative-glob corpora still answer exact path quals (listing fallback)") {
+    // 'fixtures/*.tf' lists back as absolute paths, so a pattern mismatch
+    // against the relative spelling proves nothing — the qual must fall
+    // back to list-and-filter, not silently return zero rows
+    val rows = spark.read.format("terraform")
+      .option("configurationFilePaths", "fixtures/*.tf")
+      .load()
+      .filter(col("path") === s"$dir/main.tf")
+    assert(rows.count() > 0, "relative glob + exact path qual lost the file")
+  }
+
   test("missing file at read time: ignoreMissingFiles skips + surfaces diagnostics") {
     val tmp = java.nio.file.Files.createTempDirectory("dsv2-missing")
     val f = tmp.resolve("gone.tf")

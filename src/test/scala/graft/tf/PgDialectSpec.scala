@@ -149,10 +149,20 @@ class PgDialectSpec extends SparkSpecBase {
     // '' doubling inside a key; negative array index
     assert(PgDialect.rewrite("x -> 'it''s'") == "json_get(x, 'it''s')")
     assert(PgDialect.rewrite("x -> -1") == "json_get(x, -1)")
-    // unary bitwise NOT has no left operand — passes through untouched
+    // unary bitwise NOT has no left operand — passes through untouched,
+    // including straight after a comment (comments are not operands)
     assert(PgDialect.rewrite("select ~flags from t") == "select ~flags from t")
+    assert(PgDialect.rewrite("select /* note */ ~flags from t") ==
+      "select /* note */ ~flags from t")
     // binary regex match still rewrites, incl. literal-first spelling
     assert(PgDialect.rewrite("a ~ 'p'") == "a rlike  'p'")
     assert(PgDialect.rewrite("'p' ~ a") == "'p' rlike  a")
+  }
+
+  test("negative array index counts from the end, like Postgres") {
+    // '[1,2,3]'::jsonb -> -1 is 3 in Postgres; ->> -1 returns text
+    val r = pg("select '[10,20,30]'::jsonb -> -1 as a, '[10,20,30]'::jsonb ->> -3 as b, " +
+      "'[10,20,30]'::jsonb -> -4 as c").collect().head
+    assert(r.getString(0) == "30" && r.getString(1) == "10" && r.isNullAt(2))
   }
 }
