@@ -45,6 +45,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
 
+  test("anti-join pushes its build-side filter and stays a hash anti join") {
+    val p = planStr("b_join_anti")
+    // the o_totalprice predicate must reach the orders parquet scan, not
+    // run post-scan; the join itself must plan as a (broadcast) hash
+    // LeftAnti, never a nested loop
+    assert(p.contains("GreaterThan(o_totalprice"), s"build filter not pushed:\n$p")
+    assert(p.contains("LeftAnti"), s"not an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"anti join degenerated:\n$p")
+  }
+
   test("LSH/banded candidate joins are equi-joins, never cartesian") {
     for (q <- Seq("x_sim_lsh", "x_dedup_minhash", "x_dedup_simhash_lsh", "x_sim_ivf",
         "x_dedup_minhash_md5")) {
