@@ -119,20 +119,33 @@ object Dedup {
       .distinct()
   }
 
+  /** The raw synthetic corpus contains NO exact duplicates, so a gate
+    * over it alone passes on empty-vs-empty and a broken group-detector
+    * goes unnoticed. Simulate a re-crawl: every 50th document re-ingested
+    * under a new id — the exact-dedup gates then have real groups to
+    * find (the DuckDB oracles build the same corpus). */
+  private def withRecrawl(docs: DataFrame): DataFrame = {
+    val cols = Seq(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    docs.select(cols: _*).unionAll(
+      docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id") +: cols.tail: _*))
+  }
+
   val queries: Map[String, Q] = Map(
     // -- exact dedup: hash-groupBy; duplicate groups + the kept representative
     "x_dedup_exact" -> ((s, d) =>
-      table(s, d, "documents")
+      withRecrawl(table(s, d, "documents"))
         .groupBy(md5(col("text")).as("h"))
         .agg(count(lit(1)).as("n"), min("doc_id").as("keeper"))
         .filter(col("n") > 1)
         .orderBy("h")),
 
     // -- exact dedup, corpus output form: keep the lowest doc_id per
-    //    content hash (what a pipeline actually materializes)
+    //    content hash (what a pipeline actually materializes; the rn
+    //    filter actively drops the re-crawled copies)
     "x_dedup_keep" -> ((s, d) => {
       val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-      table(s, d, "documents")
+      withRecrawl(table(s, d, "documents"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("doc_id"), col("lang"), col("n_chars"))
@@ -140,9 +153,12 @@ object Dedup {
     }),
 
     // -- n-gram (3-shingle) Jaccard near-dup pairs, exact, bounded subset
-    //    (the same jaccardPairs pipeline the clustering operators consume)
+    //    (the same jaccardPairs pipeline the clustering operators consume).
+    //    The cut is calibrated to the synthetic corpus so the gate output
+    //    is non-empty at BOTH driver scales (sf0.01's doc_id<60 slice tops
+    //    out near j≈0.02; a 0.2 cut would gate empty-vs-empty)
     "x_dedup_ngram_jaccard" -> ((s, d) =>
-      jaccardPairs(s, d, col("doc_id") < 60)
+      jaccardPairs(s, d, col("doc_id") < 60, minJ = 0.015)
         .orderBy(col("j").desc, col("da"), col("db"))),
 
     // -- MinHash + LSH banding. Sizing is corpus-derived (LshTuning): the
@@ -289,7 +305,10 @@ object Dedup {
     //    computing the same transitive closure (exact ints → hash-exact).
     "x_dedup_clusters" -> ((s, d) => {
       val docs = table(s, d, "documents").filter(col("doc_id") < 60).select(col("doc_id"))
-      starClusters(docs, jaccardPairs(s, d, col("doc_id") < 60))._1
+      // same corpus-calibrated cut as x_dedup_ngram_jaccard: with the
+      // default 0.2 the sf0.01 slice has no edges at all and the closure
+      // degenerates to the identity labeling (nothing exercised)
+      starClusters(docs, jaccardPairs(s, d, col("doc_id") < 60, minJ = 0.015))._1
     }),
 
     // -- embedding-cosine near-dup: exact double arithmetic (index-ordered
@@ -303,7 +322,10 @@ object Dedup {
       broadcast(q).join(e.filter(col("vec_id") >= 100), lit(true))
         .select(col("qa"), col("vec_id").as("qb"),
           (expr("float_dot(ea, embedding)") / (col("na") * col("nrm"))).as("cos"))
-        .filter(col("cos") >= 0.95)
+        // cut calibrated to the synthetic embeddings (cross-block cosines
+        // top out near 0.49): ~10 pairs at both driver scales — a 0.95
+        // cut would gate empty-vs-empty
+        .filter(col("cos") >= 0.42)
         .orderBy(col("qa"), col("qb"))
     })
   )
@@ -533,14 +555,22 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "x_dedup_exact" ->
-      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
-        |FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0)
+        |SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+        |FROM corpus GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
 
     "x_dedup_keep" ->
-      """SELECT doc_id, lang, n_chars FROM (
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang, n_chars, text FROM documents WHERE doc_id % 50 = 0)
+        |SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
         |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
-        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+        |  FROM corpus) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "x_dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 60),
@@ -552,7 +582,7 @@ object Dedup {
         |          JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) j
         |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.015
         |ORDER BY j DESC, da, db""".stripMargin,
 
     "x_dedup_minhash_md5" ->
@@ -606,7 +636,7 @@ object Dedup {
         |          JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |p AS (SELECT da, db FROM inter
         |      JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-        |      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2),
+        |      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.015),
         |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),
         |reach(src, dst) AS (
         |  SELECT doc_id, doc_id FROM t
@@ -627,7 +657,7 @@ object Dedup {
         |FROM e a, e b WHERE a.vec_id < 100 AND b.vec_id >= 100
         |  AND list_sum(list_transform(generate_series(1, len(a.embedding)),
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (a.nrm * b.nrm) >= 0.95
+        |    / (a.nrm * b.nrm) >= 0.42
         |ORDER BY qa, qb""".stripMargin
     // x_dedup_minhash / x_dedup_simhash / x_dedup_simhash_lsh:
     // xxhash64-based → rows-only check; invariants pinned in DedupSpec.
