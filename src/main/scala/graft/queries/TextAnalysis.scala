@@ -74,6 +74,23 @@ object TextAnalysis {
         .agg(sum("n_ws").as("ws_tokens"), sum("n_re").as("re_tokens"), count(lit(1)).as("docs"))
         .orderBy("lang")),
 
+    // -- BPE-style adjacent-pair counts: the corpus statistic the first
+    //    merge iteration of tokenizer training consumes. Pure generator
+    //    fan-out + one count groupBy (map-side partials), so it scales as
+    //    a single shuffle of (pair, partial-count) — never the text. The
+    //    size(ws) >= 2 guard matters: Spark's sequence(1, 0) would step
+    //    DESCENDING, not return empty.
+    "x_text_bpe_pairs" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(
+          expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)),
+
     // -- exact per-language token-count percentiles (p50/p90) via rank
     //    arithmetic: integer inputs + integer index selection, so the
     //    DuckDB oracle matches bit-for-bit (no interpolated quantiles).
@@ -191,6 +208,14 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_text_bpe_pairs" ->
+      """WITH t AS (SELECT string_split(text, ' ') ws FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(2, len(ws)),
+        |               i -> ws[i-1] || ' ' || ws[i])) pair
+        |      FROM t WHERE len(ws) >= 2)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+
     "x_text_langid" ->
       """WITH sc AS (
         |  SELECT doc_id, lang,

@@ -73,4 +73,23 @@ class TextAnalysisSpec extends SparkSpecBase {
       assert(math.abs(p90a - p90e) <= 1, s"$lang p90: approx $p90a vs exact $p90e")
     }
   }
+
+  test("bpe pair counts match a driver-side recompute from the raw text") {
+    val got = TextAnalysis.queries("x_text_bpe_pairs")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val ws = t.split(" ", -1)
+      var i = 1
+      while (i < ws.length) {
+        val p = ws(i - 1) + " " + ws(i)
+        counts(p) = counts.getOrElse(p, 0L) + 1
+        i += 1
+      }
+    }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(got == expect, s"got ${got.take(5)}… want ${expect.take(5)}…")
+  }
 }
