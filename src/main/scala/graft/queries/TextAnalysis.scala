@@ -91,6 +91,33 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(20)),
 
+    // -- LM-style novelty scoring: score a document slice against a
+    //    CORPUS-WIDE bigram table (bigrams seen in ≥ 2 distinct docs are
+    //    "known"); low known_ratio flags novel-or-noisy text — the
+    //    exact-arithmetic stand-in for KenLM perplexity filtering (log
+    //    probabilities would not be bit-portable across engines, count
+    //    ratios are). Scale: the LM table shuffles keyed by bigram (never
+    //    broadcast — corpus-wide it is large), the scoring join is
+    //    key-equi, and both aggregations combine map-side.
+    "x_text_lm_novelty" -> ((s, d) => {
+      val bigrams = table(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(
+          expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("pair"))
+      val lm = bigrams.groupBy("pair")
+        .agg(countDistinct("doc_id").as("df")).filter(col("df") >= 2)
+      val perDoc = bigrams.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
+      val known = bigrams.join(lm.select("pair"), Seq("pair"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
+      perDoc.join(known, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_bigrams"),
+          coalesce(col("n_known"), lit(0L)).as("n_known"),
+          (coalesce(col("n_known"), lit(0L)).cast("double") / col("n_bigrams")).as("known_ratio"))
+        .filter(col("doc_id") < 200)
+        .orderBy("doc_id")
+    }),
+
     // -- exact per-language token-count percentiles (p50/p90) via rank
     //    arithmetic: integer inputs + integer index selection, so the
     //    DuckDB oracle matches bit-for-bit (no interpolated quantiles).
@@ -215,6 +242,20 @@ object TextAnalysis {
         |      FROM t WHERE len(ws) >= 2)
         |SELECT pair, count(*) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+
+    "x_text_lm_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(generate_series(2, len(ws)),
+        |          i -> ws[i-1] || ' ' || ws[i])) pair
+        |       FROM t WHERE len(ws) >= 2),
+        |lm AS (SELECT pair FROM (SELECT pair, count(DISTINCT doc_id) df FROM bg GROUP BY pair)
+        |       WHERE df >= 2),
+        |pd AS (SELECT doc_id, count(*) n_bigrams FROM bg GROUP BY doc_id),
+        |kn AS (SELECT doc_id, count(*) n_known FROM bg JOIN lm USING (pair) GROUP BY doc_id)
+        |SELECT pd.doc_id, n_bigrams, coalesce(n_known, 0) AS n_known,
+        |       CAST(coalesce(n_known, 0) AS DOUBLE) / n_bigrams AS known_ratio
+        |FROM pd LEFT JOIN kn ON pd.doc_id = kn.doc_id
+        |WHERE pd.doc_id < 200 ORDER BY pd.doc_id""".stripMargin,
 
     "x_text_langid" ->
       """WITH sc AS (

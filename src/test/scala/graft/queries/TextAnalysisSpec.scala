@@ -92,4 +92,19 @@ class TextAnalysisSpec extends SparkSpecBase {
     val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
     assert(got == expect, s"got ${got.take(5)}… want ${expect.take(5)}…")
   }
+
+  test("lm novelty: coherent counts, and shared text scores as known") {
+    val rows = TextAnalysis.queries("x_text_lm_novelty")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, nk, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nb >= 1 && nk >= 0 && nk <= nb, s"doc ${r.getLong(0)}: $nk of $nb")
+      assert(ratio == nk.toDouble / nb)
+    }
+    // the corpus's planted near-duplicates (docs 8 and 12 share almost all
+    // their text) must score their bigrams as corpus-known
+    val byId = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byId(8L) > 0.5 && byId(12L) > 0.5,
+      s"planted near-dups should be known: ${byId(8L)}, ${byId(12L)}")
+  }
 }
