@@ -119,11 +119,12 @@ object Dedup {
       .distinct()
   }
 
-  /** The raw synthetic corpus contains NO exact duplicates, so a gate
-    * over it alone passes on empty-vs-empty and a broken group-detector
-    * goes unnoticed. Simulate a re-crawl: every 50th document re-ingested
+  /** The raw synthetic corpus has no exact duplicates at the gate scales
+    * (sf0.001/sf0.01; sf0.1 happens to carry a few), so a gate over it
+    * alone passes on empty-vs-empty and a broken group-detector goes
+    * unnoticed. Simulate a re-crawl: every 50th document re-ingested
     * under a new id — the exact-dedup gates then have real groups to
-    * find (the DuckDB oracles build the same corpus). */
+    * find at EVERY scale (the DuckDB oracles build the same corpus). */
   private def withRecrawl(docs: DataFrame): DataFrame = {
     val cols = Seq(col("doc_id"), col("lang"), col("n_chars"), col("text"))
     docs.select(cols: _*).unionAll(

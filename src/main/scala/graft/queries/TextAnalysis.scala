@@ -26,6 +26,16 @@ object TextAnalysis {
     "de" -> Seq("der", "und", "die", "das"),
     "es" -> Seq("el", "y", "los", "que"))
 
+  /** (doc_id, pair) — adjacent whitespace-token bigrams, shared by the
+    * BPE-count and LM-novelty queries. The size(ws) >= 2 guard matters:
+    * Spark's sequence(1, 0) would step DESCENDING, not return empty. */
+  private def bigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(
+        expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("pair"))
+
   val queries: Map[String, Q] = Map(
     // -- language ID: stopword-profile scores + zh via CJK codepoints;
     //    prediction = argmax with deterministic tie-break order
@@ -77,15 +87,9 @@ object TextAnalysis {
     // -- BPE-style adjacent-pair counts: the corpus statistic the first
     //    merge iteration of tokenizer training consumes. Pure generator
     //    fan-out + one count groupBy (map-side partials), so it scales as
-    //    a single shuffle of (pair, partial-count) — never the text. The
-    //    size(ws) >= 2 guard matters: Spark's sequence(1, 0) would step
-    //    DESCENDING, not return empty.
+    //    a single shuffle of (pair, partial-count) — never the text.
     "x_text_bpe_pairs" -> ((s, d) =>
-      table(s, d, "documents")
-        .select(split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(explode(
-          expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("pair"))
+      bigrams(table(s, d, "documents"))
         .groupBy("pair")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
@@ -100,15 +104,11 @@ object TextAnalysis {
     //    broadcast — corpus-wide it is large), the scoring join is
     //    key-equi, and both aggregations combine map-side.
     "x_text_lm_novelty" -> ((s, d) => {
-      val bigrams = table(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(
-          expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("pair"))
-      val lm = bigrams.groupBy("pair")
+      val bg = bigrams(table(s, d, "documents"))
+      val lm = bg.groupBy("pair")
         .agg(countDistinct("doc_id").as("df")).filter(col("df") >= 2)
-      val perDoc = bigrams.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
-      val known = bigrams.join(lm.select("pair"), Seq("pair"))
+      val perDoc = bg.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
+      val known = bg.join(lm.select("pair"), Seq("pair"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
       perDoc.join(known, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_bigrams"),
