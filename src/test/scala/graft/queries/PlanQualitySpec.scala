@@ -45,6 +45,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
 
+  test("lm novelty: key-equi scoring join, no cartesian, map-side partials") {
+    val p = planStr("x_text_lm_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"scoring join degenerated:\n$p")
+    assert(p.contains("partial_count"), s"counts not partially aggregated:\n$p")
+  }
+
   test("anti-join pushes its build-side filter and stays a hash anti join") {
     val p = planStr("b_join_anti")
     // the o_totalprice predicate must reach the orders parquet scan, not
