@@ -161,6 +161,39 @@ object TextAnalysis {
           md5(lower(regexp_replace(col("text"), " +", " "))).as("fp"))
         .orderBy("doc_id")),
 
+    // -- winnowing fingerprints (the MOSS algorithm): hash every 3-gram
+    //    (engine-portable md5long60), slide a 4-hash window, keep each
+    //    window's MINIMUM hash — rightmost position on ties — and dedupe.
+    //    The guarantee: any shared run of ≥ 6 tokens between two docs
+    //    yields a shared fingerprint, at ~2/(w+1) the storage of all
+    //    shingles — the standard local fingerprint for plagiarism /
+    //    contamination attribution. Windows pair via a doc_id-equi join
+    //    (never cartesian); the w× fan-out ships (id, pos, hash) longs,
+    //    never text.
+    "x_text_winnow" -> ((s, d) => {
+      graft.functions.Md5Long60.register(s)
+      val w = 4
+      val sh = table(s, d, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(ws) - 2), i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          expr("md5long60(col)").as("h"))
+      val pairs = sh.select(col("doc_id"), col("pos").as("j"))
+        .join(sh, Seq("doc_id"))
+        .filter(col("pos").between(col("j"), col("j") + (w - 1)))
+      // only COMPLETE windows select (positions are dense: count == w)
+      val wins = pairs.groupBy("doc_id", "j")
+        .agg(count(lit(1)).as("cnt"), min("h").as("mh"))
+        .filter(col("cnt") === w)
+      pairs.join(wins, Seq("doc_id", "j"))
+        .filter(col("h") === col("mh"))
+        .groupBy("doc_id", "j").agg(max("pos").as("pos"), min("mh").as("h"))
+        .select(col("doc_id"), col("pos"), col("h")).distinct()
+        .orderBy("doc_id", "pos", "h")
+    }),
+
     // -- corpus vocabulary: term + document frequency, top 100 by tf —
     //    the tokenizer-building statistic. One explode + one groupBy with
     //    map-side partial counts; top-k is a TakeOrdered, never a full
@@ -299,6 +332,24 @@ object TextAnalysis {
     "x_text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, ' +', ' ', 'g'))) fp
         |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+
+    "x_text_winnow" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents
+        |           WHERE doc_id < 50),
+        |sh0 AS (SELECT doc_id, unnest(generate_series(3, len(ws))) AS i, ws
+        |        FROM t WHERE len(ws) >= 3),
+        |sh AS (SELECT doc_id, CAST(i - 3 AS BIGINT) AS pos,
+        |         ('0x' || substr(md5(ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]), 1, 15))::BIGINT AS h
+        |       FROM sh0),
+        |pairs AS (SELECT a.doc_id, a.pos AS j, b.pos, b.h
+        |          FROM sh a JOIN sh b
+        |            ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos AND a.pos + 3),
+        |wins AS (SELECT doc_id, j, min(h) AS mh FROM pairs
+        |         GROUP BY doc_id, j HAVING count(*) = 4),
+        |fp AS (SELECT p.doc_id, p.j, max(p.pos) AS pos, min(w.mh) AS h
+        |       FROM pairs p JOIN wins w ON p.doc_id = w.doc_id AND p.j = w.j
+        |       WHERE p.h = w.mh GROUP BY p.doc_id, p.j)
+        |SELECT DISTINCT doc_id, pos, h FROM fp ORDER BY doc_id, pos, h""".stripMargin,
 
     "x_text_percentiles" ->
       """WITH t AS (

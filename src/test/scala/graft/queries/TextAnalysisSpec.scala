@@ -93,6 +93,29 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(got == expect, s"got ${got.take(5)}… want ${expect.take(5)}…")
   }
 
+  test("winnowing matches a driver-side recompute (rightmost-min rule)") {
+    val got = TextAnalysis.queries("x_text_winnow")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id < 50").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      val ws = text.split(" ", -1)
+      val hs = (0 to ws.length - 3).map { p =>
+        p.toLong -> graft.functions.Md5Long60.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            s"${ws(p)} ${ws(p + 1)} ${ws(p + 2)}"))
+      }
+      (0 to hs.length - 4).map { j =>
+        val win = hs.slice(j, j + 4)
+        val mh = win.map(_._2).min
+        val pos = win.filter(_._2 == mh).map(_._1).max // rightmost tie-break
+        (id, pos, mh)
+      }.distinct
+    }.distinct.sortBy(x => x).toSeq
+    assert(got == expect, s"got ${got.length} fps, want ${expect.length}")
+  }
+
   test("lm novelty: coherent counts, and shared text scores as known") {
     val rows = TextAnalysis.queries("x_text_lm_novelty")(spark, sf).collect()
     assert(rows.nonEmpty)
