@@ -162,6 +162,37 @@ object Dedup {
       jaccardPairs(s, d, col("doc_id") < 60, minJ = 0.015)
         .orderBy(col("j").desc, col("da"), col("db"))),
 
+    // -- exact-substring dedup spans (the Lee-et-al. "deduplicating
+    //    training data" shape): every 8-token gram shared across ≥ 2
+    //    documents, merged per document into maximal repeated spans via a
+    //    gap sessionization — the spans a substring-dedup pass would cut.
+    //    Grams shuffle as (id, pos, 60-bit hash) longs, never text; the
+    //    duplicate-gram table is a map-side-combinable groupBy; span
+    //    merging is one window per document.
+    "x_dedup_substring_spans" -> ((s, d) => {
+      graft.functions.Md5Long60.register(s)
+      val K = 8
+      val grams = table(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= K)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(ws) - ${K - 1}), i -> concat_ws(' ', slice(ws, i, $K)))")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          expr("md5long60(col)").as("h"))
+      val dup = grams.groupBy("h")
+        .agg(countDistinct("doc_id").as("df")).filter(col("df") >= 2)
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      grams.join(dup.select("h"), Seq("h")).select("doc_id", "pos")
+        .withColumn("brk", when(col("pos") - lag("pos", 1).over(byDoc) > 1, 1L).otherwise(0L))
+        .withColumn("sid", sum("brk").over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "sid")
+        .agg(min("pos").as("span_start"), (max("pos") + (K - 1)).as("span_end"),
+          count(lit(1)).as("n_grams"))
+        .select("doc_id", "span_start", "span_end", "n_grams")
+        .orderBy("doc_id", "span_start")
+    }),
+
     // -- MinHash + LSH banding. Sizing is corpus-derived (LshTuning): the
     //    gate corpus (500 docs) gives 8 bands × 4 rows = 32 permutations;
     //    a 10⁸-doc corpus tightens to 7 rows × 64 bands so the candidate
@@ -572,6 +603,27 @@ object Dedup {
         |  SELECT doc_id, lang, n_chars,
         |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
         |  FROM corpus) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "x_dedup_substring_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |g0 AS (SELECT doc_id, unnest(generate_series(8, len(ws))) AS i, ws
+        |       FROM t WHERE len(ws) >= 8),
+        |g AS (SELECT doc_id, CAST(i - 8 AS BIGINT) AS pos,
+        |        ('0x' || substr(md5(ws[i-7]||' '||ws[i-6]||' '||ws[i-5]||' '||ws[i-4]||' '||
+        |                            ws[i-3]||' '||ws[i-2]||' '||ws[i-1]||' '||ws[i]), 1, 15))::BIGINT AS h
+        |      FROM g0),
+        |dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) df FROM g GROUP BY h)
+        |        WHERE df >= 2),
+        |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+        |mk AS (SELECT doc_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+        |              THEN 1 ELSE 0 END brk
+        |       FROM hits),
+        |sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sid FROM mk)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |       CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
+        |FROM sp GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin,
 
     "x_dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 60),

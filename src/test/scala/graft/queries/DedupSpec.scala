@@ -126,4 +126,26 @@ class DedupSpec extends SparkSpecBase {
     assert(lone.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((7L, 7L), (9L, 9L)))
   }
+
+  test("substring spans: maximal, coherent, and found on the planted near-dups") {
+    val rows = Dedup.queries("x_dedup_substring_spans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, s0, e, n) =>
+      // span covers n consecutive 8-gram starts: e = s0 + n - 1 + 7
+      assert(e == s0 + n + 6, s"doc $id span [$s0,$e] n=$n incoherent")
+    }
+    // spans within one doc are disjoint and non-adjacent (maximality)
+    rows.groupBy(_._1).foreach { case (id, sp) =>
+      sp.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) =>
+          assert(s2 > e1 - 6, s"doc $id spans overlap-mergeable: $e1 vs $s2")
+        case _ =>
+      }
+    }
+    // the planted near-duplicates (8 and 12 share nearly all text) must
+    // surface repeated spans
+    val ids = rows.map(_._1).toSet
+    assert(ids.contains(8L) && ids.contains(12L), s"planted dups missing: $ids")
+  }
 }
