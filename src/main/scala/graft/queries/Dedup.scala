@@ -164,11 +164,15 @@ object Dedup {
 
     // -- exact-substring dedup spans (the Lee-et-al. "deduplicating
     //    training data" shape): every 8-token gram shared across ≥ 2
-    //    documents, merged per document into maximal repeated spans via a
-    //    gap sessionization — the spans a substring-dedup pass would cut.
-    //    Grams shuffle as (id, pos, 60-bit hash) longs, never text; the
-    //    duplicate-gram table is a map-side-combinable groupBy; span
-    //    merging is one window per document.
+    //    documents, merged per document into MAXIMAL repeated token spans
+    //    via gap sessionization — the spans a substring-dedup pass would
+    //    cut. Gram starts whose 8-token windows overlap or touch (gap ≤ K)
+    //    merge into ONE span, so output token ranges are disjoint and
+    //    non-adjacent, and every token inside a span is covered by some
+    //    duplicated gram. n_grams counts the duplicated gram starts the
+    //    span absorbed. Grams shuffle as (id, pos, 60-bit hash) longs,
+    //    never text; the duplicate-gram table is a map-side-combinable
+    //    groupBy; span merging is one window per document.
     "x_dedup_substring_spans" -> ((s, d) => {
       graft.functions.Md5Long60.register(s)
       val K = 8
@@ -183,7 +187,7 @@ object Dedup {
         .agg(countDistinct("doc_id").as("df")).filter(col("df") >= 2)
       val byDoc = Window.partitionBy("doc_id").orderBy("pos")
       grams.join(dup.select("h"), Seq("h")).select("doc_id", "pos")
-        .withColumn("brk", when(col("pos") - lag("pos", 1).over(byDoc) > 1, 1L).otherwise(0L))
+        .withColumn("brk", when(col("pos") - lag("pos", 1).over(byDoc) > K, 1L).otherwise(0L))
         .withColumn("sid", sum("brk").over(
           byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("doc_id", "sid")
@@ -616,7 +620,7 @@ object Dedup {
         |        WHERE df >= 2),
         |hits AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
         |mk AS (SELECT doc_id, pos,
-        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 1
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
         |              THEN 1 ELSE 0 END brk
         |       FROM hits),
         |sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos

@@ -167,12 +167,14 @@ object TextAnalysis {
     //    The guarantee: any shared run of ≥ 6 tokens between two docs
     //    yields a shared fingerprint, at ~2/(w+1) the storage of all
     //    shingles — the standard local fingerprint for plagiarism /
-    //    contamination attribution. Windows pair via a doc_id-equi join
-    //    (never cartesian); the w× fan-out ships (id, pos, hash) longs,
-    //    never text.
+    //    contamination attribution. ONE windowed pass, no self-join: the
+    //    rightmost-min of each frame is min(struct(h, -pos)) — struct
+    //    ordering is lexicographic, so equal hashes tie-break to the
+    //    larger position; frame completeness is a count over the same
+    //    frame. A long document costs O(n·w), never O(n²).
     "x_text_winnow" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       graft.functions.Md5Long60.register(s)
-      val w = 4
       val sh = table(s, d, "documents").filter(col("doc_id") < 50)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
@@ -180,17 +182,13 @@ object TextAnalysis {
           "transform(sequence(1, size(ws) - 2), i -> concat(ws[i-1], ' ', ws[i], ' ', ws[i+1]))")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           expr("md5long60(col)").as("h"))
-      val pairs = sh.select(col("doc_id"), col("pos").as("j"))
-        .join(sh, Seq("doc_id"))
-        .filter(col("pos").between(col("j"), col("j") + (w - 1)))
-      // only COMPLETE windows select (positions are dense: count == w)
-      val wins = pairs.groupBy("doc_id", "j")
-        .agg(count(lit(1)).as("cnt"), min("h").as("mh"))
-        .filter(col("cnt") === w)
-      pairs.join(wins, Seq("doc_id", "j"))
-        .filter(col("h") === col("mh"))
-        .groupBy("doc_id", "j").agg(max("pos").as("pos"), min("mh").as("h"))
-        .select(col("doc_id"), col("pos"), col("h")).distinct()
+      val frame = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, 3)
+      sh.withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+        .withColumn("cnt", count(lit(1)).over(frame))
+        .filter(col("cnt") === 4) // complete 4-hash windows only
+        .select(col("doc_id"), (-col("m.np")).as("pos"), col("m.h").as("h"))
+        .distinct()
         .orderBy("doc_id", "pos", "h")
     }),
 
@@ -341,15 +339,14 @@ object TextAnalysis {
         |sh AS (SELECT doc_id, CAST(i - 3 AS BIGINT) AS pos,
         |         ('0x' || substr(md5(ws[i-2] || ' ' || ws[i-1] || ' ' || ws[i]), 1, 15))::BIGINT AS h
         |       FROM sh0),
-        |pairs AS (SELECT a.doc_id, a.pos AS j, b.pos, b.h
-        |          FROM sh a JOIN sh b
-        |            ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos AND a.pos + 3),
-        |wins AS (SELECT doc_id, j, min(h) AS mh FROM pairs
-        |         GROUP BY doc_id, j HAVING count(*) = 4),
-        |fp AS (SELECT p.doc_id, p.j, max(p.pos) AS pos, min(w.mh) AS h
-        |       FROM pairs p JOIN wins w ON p.doc_id = w.doc_id AND p.j = w.j
-        |       WHERE p.h = w.mh GROUP BY p.doc_id, p.j)
-        |SELECT DISTINCT doc_id, pos, h FROM fp ORDER BY doc_id, pos, h""".stripMargin,
+        |w AS (SELECT doc_id,
+        |        min(struct_pack(h := h, np := -pos)) OVER fr AS m,
+        |        count(*) OVER fr AS cnt
+        |      FROM sh
+        |      WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+        |                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+        |SELECT DISTINCT doc_id, CAST(-m.np AS BIGINT) AS pos, m.h AS h
+        |FROM w WHERE cnt = 4 ORDER BY doc_id, pos, h""".stripMargin,
 
     "x_text_percentiles" ->
       """WITH t AS (

@@ -132,14 +132,17 @@ class DedupSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.nonEmpty)
     rows.foreach { case (id, s0, e, n) =>
-      // span covers n consecutive 8-gram starts: e = s0 + n - 1 + 7
-      assert(e == s0 + n + 6, s"doc $id span [$s0,$e] n=$n incoherent")
+      // a span holds n duplicated gram starts whose 8-token windows tile
+      // it contiguously: at least one gram, at most one per position
+      assert(e >= s0 + 7 && n >= 1 && n <= e - s0 - 6,
+        s"doc $id span [$s0,$e] n=$n incoherent")
     }
-    // spans within one doc are disjoint and non-adjacent (maximality)
+    // token ranges within one doc are DISJOINT and non-adjacent — the
+    // maximality contract a cut pass relies on (no token cut twice)
     rows.groupBy(_._1).foreach { case (id, sp) =>
       sp.sortBy(_._2).sliding(2).foreach {
         case Array((_, _, e1, _), (_, s2, _, _)) =>
-          assert(s2 > e1 - 6, s"doc $id spans overlap-mergeable: $e1 vs $s2")
+          assert(s2 > e1 + 1, s"doc $id spans overlap or touch: $e1 vs $s2")
         case _ =>
       }
     }
