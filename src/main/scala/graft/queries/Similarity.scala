@@ -229,7 +229,7 @@ object Similarity {
     * the corpus at `d` changes; the next IVF query re-fits. */
   def invalidateIvfIndex(s: SparkSession, d: String): Unit = {
     val inner = fittedCentroids.get(s)
-    if (inner != null) inner.keySet.removeIf(_.startsWith(d + " "))
+    if (inner != null) inner.keySet.removeIf(_.startsWith(d + "\u0000"))
   }
 
   /** Spec hook: number of memoized indexes for the session. */
@@ -248,7 +248,7 @@ object Similarity {
     // beyond computeIfAbsent's "short and simple" contract, under which
     // it would also block unrelated keys on the same hash bin. Racing
     // fitters may duplicate work; the winner's entry is served.
-    val mapKey = d + " " + key
+    val mapKey = d + "\u0000" + key
     val arr = {
       val cached = perSession.get(mapKey)
       if (cached != null) cached
