@@ -171,8 +171,11 @@ object Dedup {
     //    non-adjacent, and every token inside a span is covered by some
     //    duplicated gram. n_grams counts the duplicated gram starts the
     //    span absorbed. Grams shuffle as (id, pos, 60-bit hash) longs,
-    //    never text; the duplicate-gram table is a map-side-combinable
-    //    groupBy; span merging is one window per document.
+    //    never text — and the gram text is split/hashed in ONE pass:
+    //    "shared across ≥ 2 documents" is min(doc_id) ≠ max(doc_id) over
+    //    a window partitioned by h, so there is no duplicate-gram join
+    //    (and no second scan feeding its build side); span merging is one
+    //    window per document.
     "x_dedup_substring_spans" -> ((s, d) => {
       graft.functions.Md5Long60.register(s)
       val K = 8
@@ -183,10 +186,12 @@ object Dedup {
           s"transform(sequence(1, size(ws) - ${K - 1}), i -> concat_ws(' ', slice(ws, i, $K)))")))
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           expr("md5long60(col)").as("h"))
-      val dup = grams.groupBy("h")
-        .agg(countDistinct("doc_id").as("df")).filter(col("df") >= 2)
+      val byHash = Window.partitionBy("h")
       val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      grams.join(dup.select("h"), Seq("h")).select("doc_id", "pos")
+      grams
+        .withColumn("mn", min("doc_id").over(byHash))
+        .withColumn("mx", max("doc_id").over(byHash))
+        .filter(col("mn") =!= col("mx")).select("doc_id", "pos")
         .withColumn("brk", when(col("pos") - lag("pos", 1).over(byDoc) > K, 1L).otherwise(0L))
         .withColumn("sid", sum("brk").over(
           byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -146,6 +146,21 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("substring spans: one corpus scan, one gram pass, no duplicate-gram join") {
+    // the gram table (split + md5 over every 8-token window) is the
+    // dominant cost; the ≥2-distinct-docs test is a min≠max window over
+    // h, so the plan must contain exactly ONE gram pipeline and ONE
+    // corpus scan — a join-based formulation recomputes both for the
+    // build side (column pruning defeats exchange reuse there)
+    val p = finalPlanStr("x_dedup_substring_spans").split("== Initial Plan ==").head
+    val gramPasses = p.linesIterator.count(_.contains("posexplode"))
+    assert(gramPasses == 1, s"gram pipeline computed $gramPasses times:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("BatchScan"))
+    assert(scans <= 1, s"documents scanned $scans times:\n$p")
+    assert(!p.contains("Join"), s"duplicate-gram join crept back:\n$p")
+  }
+
   test("curation: sampler is shuffle-free; contamination broadcasts the benchmark") {
     // the md5-threshold sampler is a stateless narrow filter — the only
     // exchange allowed is the output sort's range partitioning
