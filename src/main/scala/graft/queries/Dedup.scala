@@ -368,6 +368,39 @@ object Dedup {
         // cut would gate empty-vs-empty
         .filter(col("cos") >= 0.42)
         .orderBy(col("qa"), col("qb"))
+    }),
+
+    // -- semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster
+    //    the embedding space, then inside each cluster prune any vector
+    //    whose cosine to a LOWER-id cluster-mate reaches τ. The pairwise
+    //    work is confined to clusters — a key-equi self-join on cell id,
+    //    never corpus all-pairs — and at production scale k grows with
+    //    the corpus so cluster sizes (and the within-cluster quadratic)
+    //    stay bounded. The fit is the memoized md5-portable Lloyd shared
+    //    with x_sim_ivf_md5, so fit + assignment + pruning hash-gate
+    //    end-to-end in DuckDB. τ = 0.40 is calibrated to the synthetic
+    //    embeddings (same-cluster cosines top out near 0.53; a paper-
+    //    typical 0.9 cut would gate empty-vs-empty). Output: every
+    //    vector with its cell, the lowest-id duplicate that shadows it
+    //    (NULL if none), and the resulting keep flag.
+    "x_dedup_semantic" -> ((s, d) => {
+      val asg = Similarity.assignCells(
+        Similarity.withNorm(s, d), Similarity.ivfCentroidsPortable(s, d, k = 16))
+      val a = asg.select(col("cid"), col("vec_id").as("va"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = asg.select(col("cid"), col("vec_id").as("vb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val dupOf = a.join(b, Seq("cid"))
+        .filter(col("va") < col("vb"))
+        .select(col("vb"),
+          (expr("float_dot(ea, eb)") / (col("na") * col("nb"))).as("cos"), col("va"))
+        .filter(col("cos") >= 0.40)
+        .groupBy("vb").agg(min("va").as("dup_of"))
+      asg.select("vec_id", "cid")
+        .join(dupOf, col("vec_id") === col("vb"), "left")
+        .select(col("vec_id"), col("cid"), col("dup_of"),
+          col("dup_of").isNull.as("keep"))
+        .orderBy("vec_id")
     })
   )
 
@@ -521,7 +554,7 @@ object Dedup {
     // the per-round job count (the oracle hash-gate would catch a
     // collision-induced early stop; bit_xor cannot overflow under ANSI)
     def fingerprint(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(hi, lo))")).head
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(hi, lo))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var fp = fingerprint(edges)
@@ -720,7 +753,21 @@ object Dedup {
         |  AND list_sum(list_transform(generate_series(1, len(a.embedding)),
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
         |    / (a.nrm * b.nrm) >= 0.42
-        |ORDER BY qa, qb""".stripMargin
+        |ORDER BY qa, qb""".stripMargin,
+
+    // Reuses the md5-portable Lloyd-fit CTE chain (fit + full-corpus
+    // assignment `asgf`) from the x_sim_ivf_md5 oracle, then prunes
+    // within cells exactly like the Spark side.
+    "x_dedup_semantic" ->
+      s"""WITH ${Similarity.portableIvfCtes},
+         |p AS (SELECT b.vec_id AS vb, min(a.vec_id) AS dup_of
+         |      FROM asgf a JOIN asgf b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |      WHERE ${Similarity.dotSql("a.embedding", "b.embedding")}
+         |            / (a.nrm * b.nrm) >= 0.40
+         |      GROUP BY b.vec_id)
+         |SELECT f.vec_id, f.cid, p.dup_of, p.dup_of IS NULL AS keep
+         |FROM asgf f LEFT JOIN p ON f.vec_id = p.vb
+         |ORDER BY vec_id""".stripMargin
     // x_dedup_minhash / x_dedup_simhash / x_dedup_simhash_lsh:
     // xxhash64-based → rows-only check; invariants pinned in DedupSpec.
   )

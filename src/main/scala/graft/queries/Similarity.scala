@@ -35,8 +35,10 @@ object Similarity {
   val EmbeddingDims = 64
 
   /** Norms via the native float_dot expression (graft.functions) — a fused
-    * codegen loop; bit-identical to the composed aggregate/zip_with form. */
-  private def withNorm(s: SparkSession, d: String): DataFrame = {
+    * codegen loop; bit-identical to the composed aggregate/zip_with form.
+    * `private[queries]`: the semantic-dedup operator builds on the same
+    * normed corpus. */
+  private[queries] def withNorm(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     table(s, d, "embeddings").select(col("vec_id"), col("embedding"),
       sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
@@ -197,7 +199,7 @@ object Similarity {
     * — deterministic tie-break, map-side-combinable (unlike a row_number
     * window, which would shuffle the whole corpus × centroid product).
     * `cents`: (cid, ce: array<float>, cn). */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[queries] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val ccos = (expr("float_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("ccos")
     e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -272,7 +274,7 @@ object Similarity {
       kmeansCentroids(e.sample(withReplacement = false, 0.2, seed = 42), k, iters = 2)
     }
 
-  private def ivfCentroidsPortable(s: SparkSession, d: String, k: Int): DataFrame =
+  private[queries] def ivfCentroidsPortable(s: SparkSession, d: String, k: Int): DataFrame =
     memoizedCentroids(s, d, s"md5$k") {
       // modulo sample instead of Bernoulli: same 20% bound, reproducible
       // in any engine
@@ -328,6 +330,51 @@ object Similarity {
     }
     cents
   }
+
+  /** DuckDB double dot product over the first [[EmbeddingDims]] components
+    * — the same index-ordered double fold as the native float_dot. */
+  private[queries] def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $EmbeddingDims), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** Nearest-centroid assignment of `src` rows against `cents` (CTE text). */
+  private def assignSql(src: String, cents: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, embedding, nrm, cid FROM (
+       |    SELECT s.vec_id, s.embedding, s.nrm, c.cid,
+       |           row_number() OVER (PARTITION BY s.vec_id
+       |             ORDER BY ${dotSql("s.embedding", "c.ce")} / (s.nrm * c.cn) DESC, c.cid ASC) rn
+       |    FROM $src s CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+
+  /** Centroid update: exact scaled-integer mean per (cid, pos) (CTE text). */
+  private def updateSql(asg: String, n: Int): String =
+    s"""x$n AS (
+       |  SELECT a.cid, t.i AS pos,
+       |         CAST(floor(CAST(a.embedding[t.i] AS DOUBLE) * 1000000000.0) AS DECIMAL(38,0)) AS q
+       |  FROM $asg a, range(1, ${EmbeddingDims + 1}) t(i)),
+       |m$n AS (
+       |  SELECT cid, pos,
+       |         CAST(CAST(sum(q) AS DOUBLE) / (1000000000.0 * count(*)) AS REAL) AS m
+       |  FROM x$n GROUP BY cid, pos),
+       |l$n AS (SELECT cid, list(m ORDER BY pos) AS ce FROM m$n GROUP BY cid),
+       |c$n AS (SELECT cid, ce, sqrt(${dotSql("ce", "ce")}) AS cn FROM l$n)""".stripMargin
+
+  /** The md5-portable IVF pipeline as a DuckDB CTE chain: norms (`e`), the
+    * modulo sample (`samp`), the md5 seed draw (`c0`), the unrolled
+    * 2-iteration Lloyd fit (ending at `c2`), and the full-corpus
+    * nearest-centroid assignment (`asgf`). Every step mirrors the Spark
+    * side bit-for-bit; shared by the x_sim_ivf_md5 and x_dedup_semantic
+    * oracles so both hash-gate the same fit. */
+  private[queries] def portableIvfCtes: String =
+    s"""e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |samp AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+       |c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM samp
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |${assignSql("samp", "c0", "a1")},
+       |${updateSql("a1", 1)},
+       |${assignSql("samp", "c1", "a2")},
+       |${updateSql("a2", 2)},
+       |${assignSql("e", "c2", "asgf")}""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x_sim_topk" ->
@@ -395,45 +442,14 @@ object Similarity {
     // assignment, exact scaled-integer means) mirrors the Spark side
     // bit-for-bit.
     "x_sim_ivf_md5" -> {
-      val D = EmbeddingDims
-      def dotq(a: String, b: String) =
-        s"list_sum(list_transform(generate_series(1, $D), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
-      // nearest-centroid assignment of `src` rows against `cents`
-      def assign(src: String, cents: String, out: String) =
-        s"""$out AS (
-           |  SELECT vec_id, embedding, nrm, cid FROM (
-           |    SELECT s.vec_id, s.embedding, s.nrm, c.cid,
-           |           row_number() OVER (PARTITION BY s.vec_id
-           |             ORDER BY ${dotq("s.embedding", "c.ce")} / (s.nrm * c.cn) DESC, c.cid ASC) rn
-           |    FROM $src s CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
-      // centroid update: exact scaled-integer mean per (cid, pos)
-      def update(asg: String, n: Int) =
-        s"""x$n AS (
-           |  SELECT a.cid, t.i AS pos,
-           |         CAST(floor(CAST(a.embedding[t.i] AS DOUBLE) * 1000000000.0) AS DECIMAL(38,0)) AS q
-           |  FROM $asg a, range(1, ${D + 1}) t(i)),
-           |m$n AS (
-           |  SELECT cid, pos,
-           |         CAST(CAST(sum(q) AS DOUBLE) / (1000000000.0 * count(*)) AS REAL) AS m
-           |  FROM x$n GROUP BY cid, pos),
-           |l$n AS (SELECT cid, list(m ORDER BY pos) AS ce FROM m$n GROUP BY cid),
-           |c$n AS (SELECT cid, ce, sqrt(${dotq("ce", "ce")}) AS cn FROM l$n)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding, sqrt(${dotq("embedding", "embedding")}) AS nrm
-         |  FROM embeddings),
-         |samp AS (SELECT * FROM e WHERE vec_id % 5 = 0),
-         |c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM samp
-         |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-         |${assign("samp", "c0", "a1")},
-         |${update("a1", 1)},
-         |${assign("samp", "c1", "a2")},
-         |${update("a2", 2)},
+      val dotq = dotSql _
+      s"""WITH $portableIvfCtes,
          |probes AS (
          |  SELECT qid, qe, qn, cid FROM (
          |    SELECT q.vec_id qid, q.embedding qe, q.nrm qn, c.cid,
          |           row_number() OVER (PARTITION BY q.vec_id
          |             ORDER BY ${dotq("q.embedding", "c.ce")} / (q.nrm * c.cn) DESC, c.cid ASC) rn
          |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rn <= 4),
-         |${assign("e", "c2", "asgf")},
          |scored AS (
          |  SELECT p.qid, t.vec_id, ${dotq("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
          |  FROM probes p JOIN asgf t ON p.cid = t.cid AND p.qid != t.vec_id),

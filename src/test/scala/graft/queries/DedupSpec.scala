@@ -151,4 +151,45 @@ class DedupSpec extends SparkSpecBase {
     val ids = rows.map(_._1).toSet
     assert(ids.contains(8L) && ids.contains(12L), s"planted dups missing: $ids")
   }
+
+  test("semantic dedup: total, shadowed-by-lower-id, kept set pairwise below tau") {
+    val rows = Dedup.queries("x_dedup_semantic")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getBoolean(3)))
+    // every corpus vector classified exactly once
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(rows.length.toLong == n && rows.map(_._1).distinct.length.toLong == n)
+    val cell = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (v, cid, dup, keep) =>
+      assert(keep == dup.isEmpty, s"$v: keep=$keep but dup_of=$dup")
+      dup.foreach { d =>
+        assert(d < v, s"$v shadowed by non-lower $d")
+        assert(cell(d) == cid, s"$v shadowed across cells: $d in ${cell(d)} != $cid")
+      }
+    }
+    // non-vacuous: the calibrated tau prunes something on the gate corpus
+    val pruned = rows.filter(!_._4)
+    assert(pruned.nonEmpty, "tau prunes nothing — gate is vacuous")
+    // survivor contract: no kept pair within one cell reaches tau (any
+    // such pair would have shadowed its higher id); recompute cosines
+    // driver-side from the raw embeddings
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    for {
+      (_, mates) <- rows.filter(_._4).groupBy(_._2)
+      Array((va, _, _, _), (vb, _, _, _)) <- mates.sortBy(_._1).combinations(2)
+    } assert(cos(emb(va), emb(vb)) < 0.40, s"kept pair ($va,$vb) reaches tau")
+    // and a pruned row really is within tau of its shadow
+    pruned.foreach { case (v, _, Some(d), _) =>
+      assert(cos(emb(d), emb(v)) >= 0.40, s"($d,$v) marked dup below tau")
+    case other => fail(s"pruned row without dup_of: $other")
+    }
+  }
 }
