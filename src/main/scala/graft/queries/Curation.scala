@@ -136,8 +136,54 @@ object Curation {
         .agg(count(lit(1)).as("n"),
           (sum("q").cast("double") / (lit(1e9) * count(lit(1)))).as("c"))
         .select(col("lang"), col("pos").cast("long").as("pos"), col("n"), col("c"))
-        .orderBy("lang", "pos"))
+        .orderBy("lang", "pos")),
+
+    // -- C4-style blocklist filter: a document is dropped when it
+    //    contains ANY blocklist token (C4's "bad words" rule). A pure
+    //    narrow map — the token scan is a higher-order filter over the
+    //    already-split array, no explode, no shuffle — so it pipelines
+    //    into whole-stage codegen ahead of any downstream operator.
+    //    Output keeps every doc with its hit count, the distinct matched
+    //    terms (sorted, comma-joined), and the keep verdict. Blocklist
+    //    terms are calibrated to the synthetic vocabulary so both
+    //    verdicts occur at every driver scale.
+    "x_cur_blocklist" -> ((s, d) => {
+      val blocked = array(Blocklist.map(lit): _*)
+      toks(s, d)
+        .withColumn("hits", filter(col("ws"), w => array_contains(blocked, w)))
+        .select(col("doc_id"),
+          size(col("hits")).cast("long").as("n_blocked"),
+          array_join(array_sort(array_distinct(col("hits"))), ",").as("terms"),
+          (size(col("hits")) === 0).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // -- deterministic training shard assignment + within-shard order:
+    //    the "global shuffle" step before packing/serving. shard =
+    //    md5(doc_id) mod N decorrelates neighboring doc_ids; the
+    //    within-shard position orders by the SAME hash, so the layout is
+    //    fully reproducible (a backfill writes byte-identical shards).
+    //    Scale shape: one hash-partitioned exchange on shard, then a
+    //    per-shard sort — exactly repartition + sortWithinPartitions on
+    //    the write path; production N is thousands (file-sized shards),
+    //    so the per-shard window never concentrates the corpus.
+    "x_cur_shard" -> ((s, d) => {
+      graft.functions.Md5Long60.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val h = expr("md5long60(CAST(doc_id AS STRING))")
+      val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+      table(s, d, "documents").select(col("doc_id"))
+        .withColumn("h", h)
+        .withColumn("shard", pmod(col("h"), lit(8L)))
+        .withColumn("pos", row_number().over(w).cast("long") - 1L)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    })
   )
+
+  /** C4-rule blocklist, calibrated to the synthetic corpus vocabulary
+    * (real deployments load the published bad-words list). */
+  private[graft] val Blocklist: Seq[String] = Seq("slow", "spam", "lorem")
 
   /** Chunk width for [[pack]]'s distributed prefix sum: splits the doc_id
     * span `[minId, maxId]` into at most `targetChunks` chunks
@@ -320,6 +366,26 @@ object Curation {
         |  FROM j, range(1, 65) t(i))
         |SELECT lang, CAST(pos AS BIGINT) pos, CAST(count(*) AS BIGINT) n,
         |       CAST(sum(q) AS DOUBLE) / (1000000000.0 * count(*)) AS c
-        |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin
+        |FROM x GROUP BY lang, pos ORDER BY lang, pos""".stripMargin,
+
+    "x_cur_blocklist" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             list_filter(string_split(text, ' '),
+         |               w -> list_contains([${Blocklist.map(t => s"'$t'").mkString(", ")}], w)) AS hits
+         |           FROM documents)
+         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_blocked,
+         |       -- array_to_string is NULL (not '') on an empty list
+         |       coalesce(array_to_string(list_sort(list_distinct(hits)), ','), '') AS terms,
+         |       len(hits) = 0 AS keep
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x_cur_shard" ->
+      """WITH t AS (SELECT doc_id,
+        |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |           FROM documents)
+        |SELECT doc_id, h % 8 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+        |            AS BIGINT) AS pos
+        |FROM t ORDER BY shard, pos""".stripMargin
   )
 }

@@ -195,4 +195,39 @@ class CurationSpec extends SparkSpecBase {
     val top = words.groupBy(identity).map(_._2.length).max
     assert(rows.head.getLong(2) == top.toLong)
   }
+
+  test("blocklist: verdicts match a driver-side rescan; both verdicts occur") {
+    val rows = Curation.queries("x_cur_blocklist")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    val texts = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    val bl = Curation.Blocklist.toSet
+    rows.foreach { case (id, n, terms, keep) =>
+      val hits = texts(id).split(" ").filter(bl)
+      assert(n == hits.length.toLong, s"doc $id: $n != ${hits.length}")
+      assert(terms == hits.distinct.sorted.mkString(","), s"doc $id terms: $terms")
+      assert(keep == hits.isEmpty)
+    }
+    assert(rows.exists(_._4) && rows.exists(!_._4), "one-sided gate — vacuous")
+  }
+
+  test("shard assignment: total, balanced-ish, dense in-shard positions, deterministic") {
+    val rows = Curation.queries("x_cur_shard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length.toLong == n && rows.map(_._1).distinct.length.toLong == n)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    // every shard used, positions dense 0..size-1 within each shard
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.size == 8, s"only ${byShard.size} shards used")
+    byShard.foreach { case (sh, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length.toLong),
+        s"shard $sh positions not dense")
+    }
+    // reproducible: the layout is a pure function of doc_id
+    val again = Curation.queries("x_cur_shard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
