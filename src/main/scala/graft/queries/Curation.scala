@@ -178,6 +178,45 @@ object Curation {
         .withColumn("pos", row_number().over(w).cast("long") - 1L)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")
+    }),
+
+    // -- α-sampling domain mixture (the multilingual/UniMax temperature
+    //    recipe): per-source sampling rate ∝ tokens^α / tokens with
+    //    α = 0.5 — upweighting small sources — scaled so expected kept
+    //    tokens ≈ half the corpus. Every non-associative step is exact:
+    //    token sums are integers, the α-weight √tokens is quantized to a
+    //    DECIMAL (order-independent sum), the rate is one fixed
+    //    left-associated double chain, and the keep test compares the
+    //    60-bit md5 of the doc id to floor(rate·2⁶⁰) as INTEGERS — so
+    //    plan AND realized sample reproduce in any engine (backfill-
+    //    stable) and the whole audit hash-gates. Scale shape: one corpus
+    //    scan, a source-sized aggregate, rates broadcast back, map-side
+    //    combinable re-aggregation.
+    "x_cur_mixture" -> ((s, d) => {
+      graft.functions.Md5Long60.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val t = table(s, d, "documents").select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      val w0 = Window.partitionBy(lit(0))
+      val r = t.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+        .withColumn("wq",
+          floor(sqrt(col("n_tokens").cast("double")) * lit(1e9)).cast("decimal(38,0)"))
+        .withColumn("rate", least(lit(1.0),
+          sum("n_tokens").over(w0).cast("double") / lit(2.0) *
+            col("wq").cast("double") / sum("wq").over(w0).cast("double") /
+            col("n_tokens").cast("double")))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("rate"))
+      t.join(broadcast(r), Seq("source"))
+        .withColumn("kept",
+          expr("md5long60(CAST(doc_id AS STRING))") <
+            floor(col("rate") * lit(1.152921504606846976e18)))
+        .groupBy("source")
+        .agg(first("n_docs").as("n_docs"), first("n_tokens").as("n_tokens"),
+          first("rate").as("rate"),
+          sum(col("kept").cast("long")).as("kept_docs"),
+          sum(when(col("kept"), col("n")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
     })
   )
 
@@ -386,6 +425,33 @@ object Curation {
         |SELECT doc_id, h % 8 AS shard,
         |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
         |            AS BIGINT) AS pos
-        |FROM t ORDER BY shard, pos""".stripMargin
+        |FROM t ORDER BY shard, pos""".stripMargin,
+
+    "x_cur_mixture" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |           FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n) AS BIGINT) AS n_tokens
+        |      FROM t GROUP BY source),
+        |r AS (SELECT source, n_docs, n_tokens,
+        |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000000.0)
+        |             AS DECIMAL(38,0)) AS wq
+        |      FROM s),
+        |r2 AS (SELECT source, n_docs, n_tokens,
+        |         least(CAST(1.0 AS DOUBLE),
+        |           CAST(sum(n_tokens) OVER () AS DOUBLE) / 2.0 *
+        |           CAST(wq AS DOUBLE) / CAST(sum(wq) OVER () AS DOUBLE) /
+        |           CAST(n_tokens AS DOUBLE)) AS rate
+        |       FROM r),
+        |k AS (SELECT t.source, r2.n_docs, r2.n_tokens, r2.rate, t.n,
+        |        ('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          < CAST(floor(r2.rate * 1152921504606846976.0) AS BIGINT) AS kept
+        |      FROM t JOIN r2 USING (source))
+        |SELECT source, n_docs, n_tokens, rate,
+        |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |       CAST(sum(CASE WHEN kept THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM k GROUP BY source, n_docs, n_tokens, rate
+        |ORDER BY source""".stripMargin
   )
 }

@@ -230,4 +230,32 @@ class CurationSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("mixture: alpha-rates match a driver recompute; small sources upweighted") {
+    val rows = Curation.queries("x_cur_mixture")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 20)
+    // recompute the exact rate chain driver-side (same quantized weights,
+    // same left-associated double ops)
+    val tokTot = rows.map(_._3).sum
+    val wq = rows.map(r => math.floor(math.sqrt(r._3.toDouble) * 1e9))
+    val wqTot = wq.sum // exact: each wq is an integer-valued double < 2^53
+    rows.zipWithIndex.foreach { case ((src, nd, nt, rate, kd, kt), i) =>
+      val expect = math.min(1.0, tokTot.toDouble / 2.0 * wq(i) / wqTot / nt.toDouble)
+      assert(rate == expect, s"$src rate $rate != $expect")
+      assert(kd >= 0 && kd <= nd && kt >= 0 && kt <= nt)
+    }
+    // alpha < 1 upweights small sources: rates are anti-monotone in size
+    val bySize = rows.sortBy(_._3)
+    bySize.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 >= b._4,
+        s"rate not anti-monotone: ${a._1}=${a._4} < ${b._1}=${b._4}")
+      case _ =>
+    }
+    // the realized sample lands near the half-corpus token budget
+    val keptTot = rows.map(_._6).sum.toDouble
+    assert(keptTot > 0.3 * tokTot && keptTot < 0.7 * tokTot,
+      s"kept $keptTot of $tokTot — far from the half-token budget")
+  }
 }
