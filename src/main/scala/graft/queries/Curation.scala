@@ -148,9 +148,8 @@ object Curation {
     //    terms are calibrated to the synthetic vocabulary so both
     //    verdicts occur at every driver scale.
     "x_cur_blocklist" -> ((s, d) => {
-      val blocked = array(Blocklist.map(lit): _*)
       toks(s, d)
-        .withColumn("hits", filter(col("ws"), w => array_contains(blocked, w)))
+        .withColumn("hits", blocklistHits)
         .select(col("doc_id"),
           size(col("hits")).cast("long").as("n_blocked"),
           array_join(array_sort(array_distinct(col("hits"))), ",").as("terms"),
@@ -223,6 +222,13 @@ object Curation {
   /** C4-rule blocklist, calibrated to the synthetic corpus vocabulary
     * (real deployments load the published bad-words list). */
   private[graft] val Blocklist: Seq[String] = Seq("slow", "spam", "lorem")
+
+  /** THE blocklist hit extractor — single source of truth shared by the
+    * batch audit (`x_cur_blocklist`) and the streaming filter
+    * (`Streams.blocklistFilter`). Input must carry the split `ws` array;
+    * a stream and a backfill reach identical verdicts. */
+  private[graft] def blocklistHits: org.apache.spark.sql.Column =
+    filter(col("ws"), w => array_contains(array(Blocklist.map(lit): _*), w))
 
   /** Chunk width for [[pack]]'s distributed prefix sum: splits the doc_id
     * span `[minId, maxId]` into at most `targetChunks` chunks

@@ -59,6 +59,16 @@ object Streams {
   def stratifiedSample(docs: DataFrame): DataFrame =
     docs.filter(graft.queries.Curation.samplePredicate)
 
+  /** Streaming C4 blocklist filter — stateless twin of
+    * `x_cur_blocklist`'s keep verdict: documents containing any
+    * blocklist token drop on arrival (a narrow filter — no state, no
+    * watermark), and a stream and a backfill keep identical documents.
+    * Input: (doc_id, text, …); passes all input columns through. */
+  def blocklistFilter(docs: DataFrame): DataFrame =
+    docs.withColumn("ws", split(col("text"), " "))
+      .filter(size(graft.queries.Curation.blocklistHits) === 0)
+      .drop("ws")
+
   /** Streaming contamination counts — continuous twin of
     * `x_cur_contamination`: incoming documents' word-3-gram shingles
     * semi-join the (static, broadcast) benchmark shingle set; per-doc

@@ -174,6 +174,24 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed.size < docs.size)
   }
 
+  test("streaming blocklist filter keeps exactly the batch verdict's docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.blocklistFilter(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("blocklist_out")
+      .outputMode(OutputMode.Append()).start()
+    val docs = Seq(
+      (0L, "fast table scan"), (1L, "a slow merge join"), (2L, "spam"),
+      (3L, "slowly but surely"), // substring must NOT match the token rule
+      (4L, "lorem ipsum dolor"), (5L, "value part hash"))
+    try { in.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    val kept = spark.table("blocklist_out").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 3L, 5L), s"got $kept")
+    // schema passthrough: text survives the filter
+    assert(spark.table("blocklist_out").columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("streaming contamination counts overlap against the static benchmark set") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
