@@ -267,6 +267,14 @@ object Dedup {
     "x_dedup_minhash_md5" -> ((s, d) =>
       md5MinhashPairs(s, d).orderBy(col("est_j").desc, col("da"), col("db"))),
 
+    // -- incremental dedup against an existing index: docs ≥ 400 play
+    //    the "new batch", docs < 400 the historical index (the split is
+    //    non-vacuous at every driver scale — planted cross-boundary
+    //    dups exist). The batch's band keys broadcast against the index
+    //    — the per-increment shape of a daily-crawl pipeline, where the
+    //    index side never reshuffles.
+    "x_dedup_incremental" -> ((s, d) => md5IncrementalDups(s, d, cut = 400L)),
+
     // -- the composed full-corpus dedup pipeline a 100 TB ingest runs:
     //    md5-family MinHash+LSH pair discovery feeding large-star/
     //    small-star clustering over EVERY document (singletons label
@@ -449,18 +457,19 @@ object Dedup {
     }
   }
 
-  /** md5-family MinHash+LSH near-dup pairs with est_j ≥ 0.5 (da < db) —
-    * see the x_dedup_minhash_md5 entry for the scheme. Shared by the
-    * pair query and the full-corpus clustering pipeline. */
-  private[queries] def md5MinhashPairs(s: SparkSession, d: String): DataFrame = {
-    val nPerm = 16
+  private val md5NPerm = 16
+
+  /** md5-family MinHash signatures (one row per doc, m0..m15) and the
+    * (hot-bucket-capped) LSH band keys — the index structures every
+    * md5-family dedup operator shares. */
+  private def md5SigKeys(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val nBands = 4
-    val rows = nPerm / nBands
+    val rows = md5NPerm / nBands
     val P = 1000000007L
     graft.functions.Md5Long60.register(s)
     val sh = shingles(s, d, lit(true))
       .select(col("doc_id"), (expr("md5long60(s)") % P).as("h"))
-    val mins = (0 until nPerm).map(p =>
+    val mins = (0 until md5NPerm).map(p =>
       min((col("h") * (2 * p + 1) + (p * p + 7)) % P).as(s"m$p"))
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val keys = capBuckets(
@@ -472,20 +481,67 @@ object Dedup {
             .mkString("array(", ", ", ")"))).as("k"))
         .select(col("doc_id"), col("k.band"), col("k.bh")),
       100000L, "band", "bh")
+    (sig, keys)
+  }
+
+  /** Signature-agreement Jaccard estimate for a candidate joined against
+    * `sig` under aliases sa/sb. */
+  private def md5EstExpr: Column =
+    (0 until md5NPerm)
+      .map(p => when(col(s"sa.m$p") === col(s"sb.m$p"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / md5NPerm
+
+  /** md5-family MinHash+LSH near-dup pairs with est_j ≥ 0.5 (da < db) —
+    * see the x_dedup_minhash_md5 entry for the scheme. Shared by the
+    * pair query and the full-corpus clustering pipeline. */
+  private[queries] def md5MinhashPairs(s: SparkSession, d: String): DataFrame = {
+    val (sig, keys) = md5SigKeys(s, d)
     val cand = keys.as("a")
       .join(keys.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val est = (0 until nPerm)
-      .map(p => when(col(s"sa.m$p") === col(s"sb.m$p"), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / nPerm
     cand
       .join(sig.as("sa"), col("da") === col("sa.doc_id"))
       .join(sig.as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"), est.as("est_j"))
+      .select(col("da"), col("db"), md5EstExpr.as("est_j"))
       .filter(col("est_j") >= 0.5)
+  }
+
+  /** Incremental dedup: which NEW documents (doc_id ≥ `cut`) duplicate
+    * the existing index (doc_id < `cut`)? The per-increment shape a
+    * daily-crawl pipeline runs. The side predicates live in the JOIN
+    * CONDITION, not as pre-filters: filtering the key table first
+    * pushes doc_id through the signature aggregation and splits the
+    * shared subtree, recomputing the shingle→signature pass once per
+    * consumer (a measured 2.6× slowdown); as a join condition both
+    * sides stay the identical capped key relation, so the candidate
+    * join rides ONE exchange (ReusedExchange, the bucket-cap pin's
+    * shape), while constraint propagation still prunes the sa/sb
+    * signature scans to the index/batch subsets. In production the
+    * index's signatures are a precomputed structure (the
+    * [[clusterLabels]] memo pattern) and only the increment is hashed.
+    * One row per duplicated new doc: match count, the lowest matched
+    * index doc, the best agreement estimate. */
+  private[queries] def md5IncrementalDups(s: SparkSession, d: String, cut: Long): DataFrame = {
+    val (sig, keys) = md5SigKeys(s, d)
+    val cand = keys.as("a")
+      .join(keys.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < cut && col("b.doc_id") >= cut)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(sig.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), md5EstExpr.as("est_j"))
+      .filter(col("est_j") >= 0.5)
+      .groupBy("db")
+      .agg(count(lit(1)).as("n_matches"), min("da").as("dup_of"),
+        max("est_j").as("est_j"))
+      .select(col("db").as("doc_id"), col("n_matches"), col("dup_of"), col("est_j"))
+      .orderBy("doc_id")
   }
 
   /** Near-dup edge discovery shared by the pair query and the clustering
@@ -684,6 +740,15 @@ object Dedup {
       s"""WITH $md5MinhashCte
         |SELECT da, db, est_j FROM est WHERE est_j >= 0.5
         |ORDER BY est_j DESC, da, db""".stripMargin,
+
+    // the full pair table restricted to index×batch and grouped per new
+    // doc — the incremental query must find exactly these
+    "x_dedup_incremental" ->
+      s"""WITH $md5MinhashCte
+        |SELECT db AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |       min(da) AS dup_of, max(est_j) AS est_j
+        |FROM est WHERE est_j >= 0.5 AND da < 400 AND db >= 400
+        |GROUP BY db ORDER BY doc_id""".stripMargin,
 
     "x_dedup_clusters_full" ->
       s"""WITH RECURSIVE $md5MinhashCte,

@@ -152,6 +152,35 @@ class DedupSpec extends SparkSpecBase {
     assert(ids.contains(8L) && ids.contains(12L), s"planted dups missing: $ids")
   }
 
+  test("incremental dedup equals the full md5 pair table restricted to index x batch") {
+    val full = Dedup.queries("x_dedup_minhash_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = full.filter(p => p._1 < 400 && p._2 >= 400).groupBy(_._2).map {
+      case (db, ps) => (db, ps.length.toLong, ps.map(_._1).min, ps.map(_._3).max)
+    }.toSet
+    val got = Dedup.queries("x_dedup_incremental")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect, s"incremental ${got.size} rows != restricted full ${expect.size}")
+    assert(got.nonEmpty, "no cross-boundary dups — gate is vacuous")
+    // the banded key pipeline must be built ONCE and its exchange reused
+    // by the candidate join's other side (side predicates live in the
+    // join condition — pre-filtering the key table splits the subtree
+    // and recomputes the signature pass per consumer, a measured 2.6×);
+    // the sa/sb signature joins may re-derive signatures only from
+    // doc_id-PRUNED scans (constraint propagation pushes the index/batch
+    // predicate into parquet), never from a second full-corpus pass
+    val df = Dedup.queries("x_dedup_incremental")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val keyPasses = p.linesIterator.count(_.contains("explode(array(struct(band"))
+    assert(keyPasses == 1, s"band-key pipeline computed $keyPasses times:\n$p")
+    assert(p.contains("ReusedExchange"), s"candidate join duplicated the key exchange:\n$p")
+    val fullScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents") &&
+        !l.contains("PushedFilters: [LessThan") && !l.contains("PushedFilters: [GreaterThanOrEqual"))
+    assert(fullScans <= 1, s"$fullScans unpruned corpus scans:\n$p")
+  }
+
   test("semantic dedup: total, shadowed-by-lower-id, kept set pairwise below tau") {
     val rows = Dedup.queries("x_dedup_semantic")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1),
