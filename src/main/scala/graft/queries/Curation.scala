@@ -188,9 +188,11 @@ object Curation {
     //    left-associated double chain, and the keep test compares the
     //    60-bit md5 of the doc id to floor(rate·2⁶⁰) as INTEGERS — so
     //    plan AND realized sample reproduce in any engine (backfill-
-    //    stable) and the whole audit hash-gates. Scale shape: one corpus
-    //    scan, a source-sized aggregate, rates broadcast back, map-side
-    //    combinable re-aggregation.
+    //    stable) and the whole audit hash-gates. Scale shape: two corpus
+    //    passes — the source-sized rate aggregate, then the per-doc keep
+    //    probe with rates broadcast back (inherent to exact global
+    //    rates; both passes are scan+map+partial-agg, nothing corpus-
+    //    sized shuffles) — and a map-side-combinable re-aggregation.
     "x_cur_mixture" -> ((s, d) => {
       graft.functions.Md5Long60.register(s)
       import org.apache.spark.sql.expressions.Window
@@ -225,10 +227,14 @@ object Curation {
 
   /** THE blocklist hit extractor — single source of truth shared by the
     * batch audit (`x_cur_blocklist`) and the streaming filter
-    * (`Streams.blocklistFilter`). Input must carry the split `ws` array;
-    * a stream and a backfill reach identical verdicts. */
+    * (`Streams.blocklistFilter`): the blocked tokens found in `ws`
+    * (any split token array). A stream and a backfill reach identical
+    * verdicts. */
+  private[graft] def blocklistHitsIn(ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(ws, w => array_contains(array(Blocklist.map(lit): _*), w))
+
   private[graft] def blocklistHits: org.apache.spark.sql.Column =
-    filter(col("ws"), w => array_contains(array(Blocklist.map(lit): _*), w))
+    blocklistHitsIn(col("ws"))
 
   /** Chunk width for [[pack]]'s distributed prefix sum: splits the doc_id
     * span `[minId, maxId]` into at most `targetChunks` chunks

@@ -390,7 +390,13 @@ object Dedup {
     //    embeddings (same-cluster cosines top out near 0.53; a paper-
     //    typical 0.9 cut would gate empty-vs-empty). Output: every
     //    vector with its cell, the lowest-id duplicate that shadows it
-    //    (NULL if none), and the resulting keep flag.
+    //    (NULL if none), and the resulting keep flag. Totality WITHOUT a
+    //    third pass over the assignment: the self-join keeps va ≤ vb, so
+    //    every vector appears as vb at least once (its self-pair) and
+    //    the shadow test moves into the aggregate — the corpus×centroid
+    //    assignment is built once and its exchange reused by both join
+    //    sides (a projection-based totality join would prune differently
+    //    and recompute it; the spec pins one assignment pass).
     "x_dedup_semantic" -> ((s, d) => {
       val asg = Similarity.assignCells(
         Similarity.withNorm(s, d), Similarity.ivfCentroidsPortable(s, d, k = 16))
@@ -398,15 +404,15 @@ object Dedup {
         col("embedding").as("ea"), col("nrm").as("na"))
       val b = asg.select(col("cid"), col("vec_id").as("vb"),
         col("embedding").as("eb"), col("nrm").as("nb"))
-      val dupOf = a.join(b, Seq("cid"))
-        .filter(col("va") < col("vb"))
-        .select(col("vb"),
-          (expr("float_dot(ea, eb)") / (col("na") * col("nb"))).as("cos"), col("va"))
-        .filter(col("cos") >= 0.40)
-        .groupBy("vb").agg(min("va").as("dup_of"))
-      asg.select("vec_id", "cid")
-        .join(dupOf, col("vec_id") === col("vb"), "left")
-        .select(col("vec_id"), col("cid"), col("dup_of"),
+      a.join(b, Seq("cid"))
+        .filter(col("va") <= col("vb"))
+        .select(col("cid"), col("va"), col("vb"),
+          (expr("float_dot(ea, eb)") / (col("na") * col("nb"))).as("cos"))
+        .groupBy("vb")
+        .agg(first("cid").as("cid"),
+          min(when(col("va") < col("vb") && col("cos") >= 0.40, col("va")))
+            .as("dup_of"))
+        .select(col("vb").as("vec_id"), col("cid"), col("dup_of"),
           col("dup_of").isNull.as("keep"))
         .orderBy("vec_id")
     })
@@ -491,6 +497,16 @@ object Dedup {
       .map(p => when(col(s"sa.m$p") === col(s"sb.m$p"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / md5NPerm
 
+  /** Attach the signature-agreement estimate to candidate (da, db) pairs
+    * and keep the near-dups (est_j ≥ 0.5) — shared by the full pair
+    * query and the incremental variant. */
+  private def estimatedPairs(cand: DataFrame, sig: DataFrame): DataFrame =
+    cand
+      .join(sig.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("db") === col("sb.doc_id"))
+      .select(col("da"), col("db"), md5EstExpr.as("est_j"))
+      .filter(col("est_j") >= 0.5)
+
   /** md5-family MinHash+LSH near-dup pairs with est_j ≥ 0.5 (da < db) —
     * see the x_dedup_minhash_md5 entry for the scheme. Shared by the
     * pair query and the full-corpus clustering pipeline. */
@@ -502,11 +518,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    cand
-      .join(sig.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"), md5EstExpr.as("est_j"))
-      .filter(col("est_j") >= 0.5)
+    estimatedPairs(cand, sig)
   }
 
   /** Incremental dedup: which NEW documents (doc_id ≥ `cut`) duplicate
@@ -532,11 +544,7 @@ object Dedup {
           col("a.doc_id") < cut && col("b.doc_id") >= cut)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    cand
-      .join(sig.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("db") === col("sb.doc_id"))
-      .select(col("da"), col("db"), md5EstExpr.as("est_j"))
-      .filter(col("est_j") >= 0.5)
+    estimatedPairs(cand, sig)
       .groupBy("db")
       .agg(count(lit(1)).as("n_matches"), min("da").as("dup_of"),
         max("est_j").as("est_j"))
@@ -825,14 +833,15 @@ object Dedup {
     // within cells exactly like the Spark side.
     "x_dedup_semantic" ->
       s"""WITH ${Similarity.portableIvfCtes},
-         |p AS (SELECT b.vec_id AS vb, min(a.vec_id) AS dup_of
-         |      FROM asgf a JOIN asgf b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |      WHERE ${Similarity.dotSql("a.embedding", "b.embedding")}
-         |            / (a.nrm * b.nrm) >= 0.40
-         |      GROUP BY b.vec_id)
-         |SELECT f.vec_id, f.cid, p.dup_of, p.dup_of IS NULL AS keep
-         |FROM asgf f LEFT JOIN p ON f.vec_id = p.vb
-         |ORDER BY vec_id""".stripMargin
+         |p AS (SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+         |        ${Similarity.dotSql("a.embedding", "b.embedding")}
+         |          / (a.nrm * b.nrm) AS cos
+         |      FROM asgf a JOIN asgf b
+         |        ON a.cid = b.cid AND a.vec_id <= b.vec_id)
+         |SELECT vb AS vec_id, any_value(cid) AS cid,
+         |       min(CASE WHEN va < vb AND cos >= 0.40 THEN va END) AS dup_of,
+         |       min(CASE WHEN va < vb AND cos >= 0.40 THEN va END) IS NULL AS keep
+         |FROM p GROUP BY vb ORDER BY vec_id""".stripMargin
     // x_dedup_minhash / x_dedup_simhash / x_dedup_simhash_lsh:
     // xxhash64-based → rows-only check; invariants pinned in DedupSpec.
   )

@@ -63,11 +63,12 @@ object Streams {
     * `x_cur_blocklist`'s keep verdict: documents containing any
     * blocklist token drop on arrival (a narrow filter — no state, no
     * watermark), and a stream and a backfill keep identical documents.
-    * Input: (doc_id, text, …); passes all input columns through. */
+    * Input: (doc_id, text, …); passes ALL input columns through
+    * untouched (the tokenization lives inside the predicate, so even a
+    * pre-existing `ws` column survives). */
   def blocklistFilter(docs: DataFrame): DataFrame =
-    docs.withColumn("ws", split(col("text"), " "))
-      .filter(size(graft.queries.Curation.blocklistHits) === 0)
-      .drop("ws")
+    docs.filter(
+      size(graft.queries.Curation.blocklistHitsIn(split(col("text"), " "))) === 0)
 
   /** Streaming contamination counts — continuous twin of
     * `x_cur_contamination`: incoming documents' word-3-gram shingles

@@ -161,6 +161,21 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"duplicate-gram join crept back:\n$p")
   }
 
+  test("semantic dedup: the corpus assignment is computed once, reused by both join sides") {
+    // the corpus×centroid argmax's PARTIAL pass (scan + broadcast
+    // product + partial_max) is the dominant stage; the within-cell
+    // self-join's two sides must both read its exchange (each side then
+    // runs only the cheap merge aggregate over the shuffled partials) —
+    // a projection-diverged totality join used to rebuild the whole pass
+    val p = finalPlanStr("x_dedup_semantic").split("== Initial Plan ==").head
+    val partials = p.linesIterator.count(_.contains("partial_max(sc"))
+    assert(partials == 1, s"assignment partial pass appears $partials times:\n$p")
+    assert(p.contains("ReusedExchange"), s"assignment exchange not reused:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("BatchScan"))
+    assert(scans <= 1, s"embeddings scanned $scans times:\n$p")
+  }
+
   test("curation: sampler is shuffle-free; contamination broadcasts the benchmark") {
     // the md5-threshold sampler is a stateless narrow filter — the only
     // exchange allowed is the output sort's range partitioning

@@ -190,6 +190,14 @@ class StreamsSpec extends SparkSpecBase {
     assert(kept == Set(0L, 3L, 5L), s"got $kept")
     // schema passthrough: text survives the filter
     assert(spark.table("blocklist_out").columns.toSeq == Seq("doc_id", "text"))
+    // a PRE-EXISTING ws column passes through untouched (the predicate
+    // tokenizes internally; batch and stream share the plan)
+    val withWs = Streams.blocklistFilter(
+      Seq((1L, "fast scan", "pre"), (2L, "a slow join", "gone"))
+        .toDF("doc_id", "text", "ws"))
+    assert(withWs.columns.toSeq == Seq("doc_id", "text", "ws"))
+    assert(withWs.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "pre")))
   }
 
   test("streaming contamination counts overlap against the static benchmark set") {
