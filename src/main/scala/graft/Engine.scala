@@ -46,7 +46,15 @@ object Engine {
     * just a costing hint. An UNmaterialized cache falls back to its
     * child's stats, which can carry exactly those stale catalog counts,
     * so it must count(). */
-  def rowCountFast(df: DataFrame): Long = {
+  def rowCountFast(df: DataFrame): Long =
+    exactStatsRowCount(df).getOrElse(df.count())
+
+  /** The exact-by-construction whitelist behind [[rowCountFast]], exposed
+    * so probes that COMBINE the count with other per-corpus facts in one
+    * job (x_sim_lsh's dims+count agg) apply the SAME trust policy instead
+    * of reading raw `stats.rowCount` (which can carry stale ANALYZE
+    * counts). None = no trusted stats; run your own job. */
+  def exactStatsRowCount(df: DataFrame): Option[Long] = {
     import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range}
     import org.apache.spark.sql.execution.columnar.InMemoryRelation
     val plan = df.queryExecution.optimizedPlan
@@ -56,6 +64,6 @@ object Engine {
         plan.stats.rowCount
       case _ => None
     }
-    exact.map(_.toLong).getOrElse(df.count())
+    exact.map(_.toLong)
   }
 }

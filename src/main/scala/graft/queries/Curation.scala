@@ -164,16 +164,26 @@ object Curation {
     //    fully reproducible (a backfill writes byte-identical shards).
     //    Scale shape: one hash-partitioned exchange on shard, then a
     //    per-shard sort — exactly repartition + sortWithinPartitions on
-    //    the write path; production N is thousands (file-sized shards),
-    //    so the per-shard window never concentrates the corpus.
+    //    the write path. N IS corpus-derived ([[targetShards]]: one
+    //    token-mass probe, ceil(tokens / per-shard budget)), so shards
+    //    stay file-sized and the per-shard window never concentrates the
+    //    corpus — the gate corpora (~27–28k tokens) derive exactly the 8
+    //    the static oracle is generated with.
     "x_cur_shard" -> ((s, d) => {
       graft.functions.Md5Long60.register(s)
       import org.apache.spark.sql.expressions.Window
+      val docs = table(s, d, "documents")
+      val nTokens = docs
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n"))
+        .take(1) match {
+        case Array(r) if !r.isNullAt(0) => r.getLong(0)
+        case _ => 0L
+      }
       val h = expr("md5long60(CAST(doc_id AS STRING))")
       val w = Window.partitionBy("shard").orderBy("h", "doc_id")
-      table(s, d, "documents").select(col("doc_id"))
+      docs.select(col("doc_id"))
         .withColumn("h", h)
-        .withColumn("shard", pmod(col("h"), lit(8L)))
+        .withColumn("shard", pmod(col("h"), lit(targetShards(nTokens))))
         .withColumn("pos", row_number().over(w).cast("long") - 1L)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")
@@ -220,6 +230,17 @@ object Curation {
         .orderBy("source")
     })
   )
+
+  /** Shard count from corpus token mass: ceil(tokens / tokenBudget), so
+    * shard files stay a fixed size as the corpus grows (the window in
+    * x_cur_shard sorts one shard per task — a frozen N would concentrate
+    * corpus/N rows per task at 100× scale). The default budget is
+    * gate-scale — the synthetic corpora (27939 / 27165 tokens) both
+    * derive the static oracle's 8; a production deployment passes its
+    * real per-file budget (e.g. ~100M tokens ≈ a few hundred MB of
+    * shard). Pinned at two corpus sizes in CurationSpec. */
+  private[queries] def targetShards(corpusTokens: Long, tokenBudget: Long = 3500L): Long =
+    math.max(1L, math.ceil(corpusTokens.toDouble / tokenBudget).toLong)
 
   /** C4-rule blocklist, calibrated to the synthetic corpus vocabulary
     * (real deployments load the published bad-words list). */

@@ -382,9 +382,10 @@ object Dedup {
     //    the embedding space, then inside each cluster prune any vector
     //    whose cosine to a LOWER-id cluster-mate reaches τ. The pairwise
     //    work is confined to clusters — a key-equi self-join on cell id,
-    //    never corpus all-pairs — and at production scale k grows with
-    //    the corpus so cluster sizes (and the within-cluster quadratic)
-    //    stay bounded. The fit is the memoized md5-portable Lloyd shared
+    //    never corpus all-pairs — and k IS corpus-derived
+    //    (LshTuning.ivfCells via Similarity.ivfK: expected cluster ≈ 32)
+    //    so cluster sizes (and the within-cluster quadratic) stay
+    //    bounded at any scale. The fit is the memoized md5-portable Lloyd shared
     //    with x_sim_ivf_md5, so fit + assignment + pruning hash-gate
     //    end-to-end in DuckDB. τ = 0.40 is calibrated to the synthetic
     //    embeddings (same-cluster cosines top out near 0.53; a paper-
@@ -399,7 +400,8 @@ object Dedup {
     //    and recompute it; the spec pins one assignment pass).
     "x_dedup_semantic" -> ((s, d) => {
       val asg = Similarity.assignCells(
-        Similarity.withNorm(s, d), Similarity.ivfCentroidsPortable(s, d, k = 16))
+        Similarity.withNorm(s, d),
+        Similarity.ivfCentroidsPortable(s, d, k = Similarity.ivfK(s, d)))
       val a = asg.select(col("cid"), col("vec_id").as("va"),
         col("embedding").as("ea"), col("nrm").as("na"))
       val b = asg.select(col("cid"), col("vec_id").as("vb"),

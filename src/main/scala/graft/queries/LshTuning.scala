@@ -31,6 +31,19 @@ object LshTuning {
     math.min(maxRows, math.max(minRows,
       math.ceil(log2(math.max(2.0, corpus.toDouble)) / 4.0).toInt))
 
+  /** IVF cell count: k is sized so the EXPECTED cell holds ≈ `targetCell`
+    * vectors — the within-cell quadratic work (SemDeDup pairwise pruning,
+    * IVF probe re-rank) stays O(corpus · targetCell) instead of
+    * O(corpus²/k) with a frozen k. 500 → 16 (gate — the static DuckDB
+    * oracles for x_sim_ivf_md5 / x_dedup_semantic are generated with it),
+    * 2000 → 63 (sf0.1 bench), capped at 65536: a 64-dim float centroid
+    * table tops out ≈ 16 MB — still broadcastable to every executor.
+    * Past the cap cell populations resume growing linearly; the next
+    * step there is hierarchical (two-level) IVF, not a bigger broadcast. */
+  def ivfCells(corpus: Long, targetCell: Long = 32, maxCells: Int = 1 << 16): Int =
+    math.min(maxCells.toLong,
+      math.max(1L, math.ceil(corpus.toDouble / targetCell).toLong)).toInt
+
   /** Bands paired with [[minhashRowsPerBand]]: b = 2^(r-1) keeps the
     * S-curve threshold (1/b)^(1/r) pinned near 0.55–0.6 at every scale
     * (r=4,b=8 → 0.59; r=5,b=16 → 0.57; r=7,b=64 → 0.55), matching the

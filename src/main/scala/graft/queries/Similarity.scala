@@ -87,14 +87,17 @@ object Similarity {
       // for it; a mismatch fails fast instead of silently truncating
       // float_dot) and corpus size (derives the plane count so expected
       // bucket size stays flat at any scale; the gate corpus of 500
-      // derives the oracle's 4). When catalog/plan stats already carry
-      // the row count, only the single-row dims fetch runs.
+      // derives the oracle's 4). When plan stats are exact by
+      // construction, only the single-row dims fetch runs — the trust
+      // test is Engine.exactStatsRowCount's whitelist, NOT raw
+      // stats.rowCount, which can carry stale ANALYZE counts that would
+      // silently resize the plane space (correctness, not costing).
       val emb = table(s, d, "embeddings")
-      val (dims, corpusN) = emb.queryExecution.optimizedPlan.stats.rowCount match {
+      val (dims, corpusN) = graft.Engine.exactStatsRowCount(emb) match {
         case Some(n) =>
           emb.select(size(col("embedding")).as("dims")).take(1) match {
-            case Array(r) if !r.isNullAt(0) => (r.getInt(0), n.toLong)
-            case _ => (EmbeddingDims, n.toLong) // NULL first row: contract dims
+            case Array(r) if !r.isNullAt(0) => (r.getInt(0), n)
+            case _ => (EmbeddingDims, n) // NULL first row: contract dims
           }
         case None => emb
           .agg(first(size(col("embedding"))).as("dims"), count(lit(1)).as("n"))
@@ -137,16 +140,19 @@ object Similarity {
     //    nearest cells and re-rank exactly inside them. Scale shape: cell
     //    assignment is a broadcast of centroids + a partial-aggregatable
     //    max(struct) argmax — one scan, one reduce, no window over the
-    //    corpus; the candidate join is key-equi on cell id.
+    //    corpus; the candidate join is key-equi on cell id. k is derived
+    //    from corpus size (LshTuning.ivfCells: expected cell ≈ 32, so
+    //    probe re-rank cost stays flat as the corpus grows; the gate
+    //    corpus of 500 derives the oracle's 16).
     "x_sim_ivf" -> ((s, d) =>
-      ivfSearch(withNorm(s, d), ivfCentroids(s, d, k = 16), nprobe = 4)),
+      ivfSearch(withNorm(s, d), ivfCentroids(s, d, k = ivfK(s, d)), nprobe = 4)),
 
     // -- engine-portable IVF twin: md5 seed draw, deterministic modulo
     //    sample, and exact scaled-integer centroid means make the whole
     //    2-iteration Lloyd fit + probe reproducible in DuckDB (see the
     //    unrolled-CTE oracle) — the IVF pipeline's hash gate.
     "x_sim_ivf_md5" -> ((s, d) =>
-      ivfSearch(withNorm(s, d), ivfCentroidsPortable(s, d, k = 16), nprobe = 4)),
+      ivfSearch(withNorm(s, d), ivfCentroidsPortable(s, d, k = ivfK(s, d)), nprobe = 4)),
 
     "x_sim_quantize" -> ((s, d) => quantizeQuery(s, d).filter(col("vec_id") < 100))
   )
@@ -264,6 +270,16 @@ object Similarity {
     import s.implicits._
     arr.toSeq.toDF("cid", "ce").withColumn("cn", sqrt(expr("float_dot(ce, ce)")))
   }
+
+  /** Corpus-derived IVF cell count shared by x_sim_ivf/_md5 and the
+    * SemDeDup clustering (Dedup.x_dedup_semantic): one count probe
+    * (Engine.rowCountFast — exact stats when trustworthy, else a
+    * metadata-cheap count()) feeding LshTuning.ivfCells, so the
+    * within-cell quadratic stays bounded at every scale while the
+    * 500-vector gate corpora derive exactly the k=16 the static DuckDB
+    * oracles are generated with. */
+  private[queries] def ivfK(s: SparkSession, d: String): Int =
+    LshTuning.ivfCells(graft.Engine.rowCountFast(table(s, d, "embeddings")))
 
   private def ivfCentroids(s: SparkSession, d: String, k: Int): DataFrame =
     memoizedCentroids(s, d, s"xx$k") {

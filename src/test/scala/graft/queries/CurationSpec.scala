@@ -231,6 +231,15 @@ class CurationSpec extends SparkSpecBase {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("derived shard count: gate corpora reproduce the oracle's 8, shards stay file-sized") {
+    assert(Curation.targetShards(27939L) == 8L) // sf0.001 token mass — static oracle value
+    assert(Curation.targetShards(27165L) == 8L) // sf0.01 token mass — same oracle value
+    assert(Curation.targetShards(270704L) == 78L) // sf0.1: N grows with the corpus
+    assert(Curation.targetShards(0L) == 1L) // empty-corpus clamp
+    // production budget override: 1T tokens at 100M/shard = 10k shard files
+    assert(Curation.targetShards(1_000_000_000_000L, tokenBudget = 100_000_000L) == 10000L)
+  }
+
   test("mixture: alpha-rates match a driver recompute; small sources upweighted") {
     val rows = Curation.queries("x_cur_mixture")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),

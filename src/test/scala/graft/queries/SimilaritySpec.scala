@@ -77,6 +77,15 @@ class SimilaritySpec extends SparkSpecBase {
     assert(LshTuning.signPlanes(1L << 26) == 16) // max clamp
   }
 
+  test("derived IVF cells: gate corpus reproduces the oracle's 16, larger corpora widen") {
+    assert(LshTuning.ivfCells(500) == 16) // gate corpus — static oracle value
+    assert(LshTuning.ivfCells(2000) == 63) // sf0.1 corpus: ~32/cell holds
+    assert(LshTuning.ivfCells(1) == 1) // min clamp
+    assert(LshTuning.ivfCells(10_000_000_000L) == 65536) // broadcastable cap
+    // the live derivation on the gate corpus dir agrees with the oracle k
+    assert(Similarity.ivfK(spark, sf) == 16)
+  }
+
   test("LSH dims contract: a corpus with non-contract dims fails fast") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dims").toString
