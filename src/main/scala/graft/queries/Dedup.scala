@@ -470,12 +470,13 @@ object Dedup {
   /** md5-family MinHash signatures (one row per doc, m0..m15) and the
     * (hot-bucket-capped) LSH band keys — the index structures every
     * md5-family dedup operator shares. */
-  private def md5SigKeys(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def md5SigKeys(s: SparkSession, d: String,
+      docFilter: Column = lit(true)): (DataFrame, DataFrame) = {
     val nBands = 4
     val rows = md5NPerm / nBands
     val P = 1000000007L
     graft.functions.Md5Long60.register(s)
-    val sh = shingles(s, d, lit(true))
+    val sh = shingles(s, d, docFilter)
       .select(col("doc_id"), (expr("md5long60(s)") % P).as("h"))
     val mins = (0 until md5NPerm).map(p =>
       min((col("h") * (2 * p + 1) + (p * p + 7)) % P).as(s"m$p"))
@@ -503,9 +504,17 @@ object Dedup {
     * and keep the near-dups (est_j ≥ 0.5) — shared by the full pair
     * query and the incremental variant. */
   private def estimatedPairs(cand: DataFrame, sig: DataFrame): DataFrame =
+    estimatedPairs(cand, sig, sig)
+
+  /** Two-sided variant: `da` resolves against `sigA`, `db` against
+    * `sigB` — the persisted-index path reads sigA from parquet while
+    * sigB is the freshly-hashed increment. Broadcast hints on the
+    * caller's inputs pass through (hint the cand/sigB sides to keep a
+    * large sigA exchange-free). */
+  private def estimatedPairs(cand: DataFrame, sigA: DataFrame, sigB: DataFrame): DataFrame =
     cand
-      .join(sig.as("sa"), col("da") === col("sa.doc_id"))
-      .join(sig.as("sb"), col("db") === col("sb.doc_id"))
+      .join(sigA.as("sa"), col("da") === col("sa.doc_id"))
+      .join(sigB.as("sb"), col("db") === col("sb.doc_id"))
       .select(col("da"), col("db"), md5EstExpr.as("est_j"))
       .filter(col("est_j") >= 0.5)
 
@@ -546,12 +555,57 @@ object Dedup {
           col("a.doc_id") < cut && col("b.doc_id") >= cut)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    estimatedPairs(cand, sig)
+    newDocDupSummary(estimatedPairs(cand, sig))
+  }
+
+  /** One row per duplicated new doc (doc_id, n_matches, dup_of, est_j) —
+    * the verdict schema shared by the in-corpus split
+    * ([[md5IncrementalDups]]) and the persisted-index path
+    * ([[incrementalDupsAgainstIndex]]). */
+  private def newDocDupSummary(pairs: DataFrame): DataFrame =
+    pairs
       .groupBy("db")
       .agg(count(lit(1)).as("n_matches"), min("da").as("dup_of"),
         max("est_j").as("est_j"))
       .select(col("db").as("doc_id"), col("n_matches"), col("dup_of"), col("est_j"))
       .orderBy("doc_id")
+
+  /** Persist the minhash index side of incremental dedup: md5-family
+    * signatures (doc_id, m0..m15) and capped LSH band keys (doc_id,
+    * band, bh) for every document matching `docFilter`, written as two
+    * parquet tables under `path`. A daily-crawl pipeline builds this
+    * ONCE from the historical corpus and hands each increment to
+    * [[incrementalDupsAgainstIndex]]: history is never re-shingled, and
+    * on the read side never re-shuffled. (The 100k hot-bucket cap is
+    * applied per side at write/probe time — at gate scale no bucket
+    * approaches it.) */
+  def writeMinhashIndex(s: SparkSession, d: String, path: String,
+      docFilter: Column = lit(true)): Unit = {
+    val (sig, keys) = md5SigKeys(s, d, docFilter)
+    sig.write.mode("overwrite").parquet(s"$path/minhash_sig.parquet")
+    keys.write.mode("overwrite").parquet(s"$path/minhash_keys.parquet")
+  }
+
+  /** Incremental dedup of a NEW batch (documents of corpus `d` matching
+    * `batchFilter`) against a PERSISTED index written by
+    * [[writeMinhashIndex]] — same verdict schema as x_dedup_incremental.
+    * Scale shape: only the increment is shingled and hashed; its band
+    * keys, candidate pairs and signatures all BROADCAST against the
+    * index parquet, so the index side is two pure scans with no shuffle
+    * exchange anywhere above them (PlanQualitySpec pins it) — the index
+    * never reshuffles no matter how large history grows, and the only
+    * shuffled rows are increment-proportional (candidates + verdicts). */
+  def incrementalDupsAgainstIndex(s: SparkSession, d: String,
+      indexPath: String, batchFilter: Column): DataFrame = {
+    val (bsig, bkeys) = md5SigKeys(s, d, batchFilter)
+    val ikeys = s.read.parquet(s"$indexPath/minhash_keys.parquet")
+    val isig = s.read.parquet(s"$indexPath/minhash_sig.parquet")
+    val cand = ikeys.as("a")
+      .join(broadcast(bkeys.as("b")),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    newDocDupSummary(estimatedPairs(broadcast(cand), isig, broadcast(bsig)))
   }
 
   /** Near-dup edge discovery shared by the pair query and the clustering

@@ -181,6 +181,19 @@ class DedupSpec extends SparkSpecBase {
     assert(fullScans <= 1, s"$fullScans unpruned corpus scans:\n$p")
   }
 
+  test("persisted-index incremental dedup matches the in-corpus split verdicts") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    Dedup.writeMinhashIndex(spark, sf, dir, col("doc_id") < 400)
+    val viaIndex = Dedup.incrementalDupsAgainstIndex(spark, sf, dir, col("doc_id") >= 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val inCorpus = Dedup.md5IncrementalDups(spark, sf, cut = 400L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(viaIndex.nonEmpty, "no cross-boundary dups — gate is vacuous")
+    assert(viaIndex.toSeq == inCorpus.toSeq,
+      s"index path ${viaIndex.length} rows != split path ${inCorpus.length}")
+  }
+
   test("semantic dedup: total, shadowed-by-lower-id, kept set pairwise below tau") {
     val rows = Dedup.queries("x_dedup_semantic")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1),

@@ -224,6 +224,47 @@ class PlanQualitySpec extends SparkSpecBase {
       s"term join degenerated:\n$p")
   }
 
+  test("persisted-index incremental dedup: no shuffle exchange above the index scans") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx-plan").toString
+    graft.queries.Dedup.writeMinhashIndex(spark, sf, dir, col("doc_id") < 400)
+    // AQE off for this pin: the adaptive wrapper hides the inner tree
+    // from collect() until execution, which would make the assertion
+    // vacuously pass
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.queries.Dedup
+        .incrementalDupsAgainstIndex(spark, sf, dir, col("doc_id") >= 400)
+      val p = df.queryExecution.executedPlan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      def scansIndex(n: SparkPlan): Boolean =
+        n.collectLeaves().exists(_.toString.contains("minhash_"))
+      assert(scansIndex(p), s"index parquet never scanned:\n$p")
+      // index ROWS must be join-reduced (streamed through a broadcast
+      // hash join against the increment) before crossing ANY exchange —
+      // shuffle or broadcast. Walking down from an exchange, an index
+      // scan reachable without crossing a BroadcastHashJoin means
+      // history itself was repartitioned/broadcast; below a BHJ only
+      // increment-proportional match rows flow, which may shuffle.
+      def rawIndexBelow(n: SparkPlan): Boolean = n match {
+        case leaf if leaf.children.isEmpty => leaf.toString.contains("minhash_")
+        case _: BroadcastHashJoinExec => false
+        case other => other.children.exists(rawIndexBelow)
+      }
+      p.collect { case b: BroadcastExchangeExec => b }.foreach(b =>
+        assert(!rawIndexBelow(b.child), s"persisted index broadcast raw:\n$b"))
+      val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+      // the verdict aggregation DOES shuffle (increment-proportional rows)…
+      assert(shuffles.nonEmpty, s"expected the verdict agg shuffle:\n$p")
+      shuffles.foreach(e => assert(!rawIndexBelow(e.child),
+        s"persisted index re-shuffled under:\n$e"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("sizing probes take the catalog-stats fast path: no job when stats exist") {
     val tracker = spark.sparkContext.statusTracker
     val before = tracker.getJobIdsForGroup(null).length
