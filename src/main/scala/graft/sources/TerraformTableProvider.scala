@@ -164,10 +164,20 @@ object TerraformTableProvider {
           case _ => js.split(',').map(_.trim).toSeq
         }
       }.filter(_.nonEmpty) ++ Option(options.get("path")).toSeq
-    Seq(
+    val configured = Seq(
       FileKind.Config -> (split("configurationFilePaths") ++ positional),
       FileKind.Plan -> split("planFilePaths"),
       FileKind.State -> split("stateFilePaths"))
+    // no sources at all → the reference's shipped CWD defaults
+    // (config/terraform.spc:23-25), same all-or-nothing rule as
+    // Terraform.Paths.orDefaults
+    if (configured.forall(_._2.isEmpty)) {
+      val d = graft.tf.Terraform.Paths.defaults
+      Seq(
+        FileKind.Config -> d.configurationFilePaths,
+        FileKind.Plan -> d.planFilePaths,
+        FileKind.State -> d.stateFilePaths)
+    } else configured
   }
 }
 

@@ -28,7 +28,28 @@ object Terraform {
       configurationFilePaths: Seq[String] = Seq.empty,
       planFilePaths: Seq[String] = Seq.empty,
       stateFilePaths: Seq[String] = Seq.empty,
-      paths: Seq[String] = Seq.empty)
+      paths: Seq[String] = Seq.empty) {
+    def isEmpty: Boolean =
+      configurationFilePaths.isEmpty && planFilePaths.isEmpty &&
+        stateFilePaths.isEmpty && paths.isEmpty
+    /** The reference ships a config whose three lists default to CWD globs
+      * (config/terraform.spc:23-25, comment :22 "Defaults to CWD"): a
+      * registration with NO sources configured resolves those defaults
+      * instead of returning nothing. The substitution is all-or-nothing —
+      * the shipped defaults come from one config file, so any explicitly
+      * configured list suppresses all of them, exactly like editing the
+      * spc. */
+    def orDefaults: Paths = if (isEmpty) Paths.defaults else this
+  }
+
+  object Paths {
+    /** config/terraform.spc:23-25, resolved relative to CWD like any other
+      * relative glob. */
+    val defaults: Paths = Paths(
+      configurationFilePaths = Seq("*.tf"),
+      planFilePaths = Seq("tfplan.json", "*.tfplan.json"),
+      stateFilePaths = Seq("*.tfstate"))
+  }
 
   /** Discover + parse all configured files into the superset row Dataset.
     * Kind routing follows utils.go:38-169: configured kind wins, a
@@ -41,8 +62,9 @@ object Terraform {
     * Generate all the way into the binaryFile scan (which supports path
     * filters): non-matching files are neither read nor parsed, the exact
     * analog of the reference's qual short-circuit (utils.go:45-58). */
-  def rows(spark: SparkSession, paths: Paths): Dataset[TfRow] = {
+  def rows(spark: SparkSession, paths0: Paths): Dataset[TfRow] = {
     import spark.implicits._
+    val paths = paths0.orDefaults
     SpanElision.install(spark)
 
     val parse = udf(SpanElision.parseWithSpans).withName(SpanElision.ParseName)
@@ -199,9 +221,10 @@ object Terraform {
     * 8-11 / SURVEY A21): new or updated files under the watched globs are
     * parsed incrementally as they appear. Same row schema as batch, so
     * downstream table projections apply unchanged. */
-  def streamRows(spark: SparkSession, paths: Paths): Dataset[TfRow] = {
+  def streamRows(spark: SparkSession, paths0: Paths): Dataset[TfRow] = {
     import spark.implicits._
     import org.apache.spark.sql.types._
+    val paths = paths0.orDefaults
     val binSchema = StructType(Seq(
       StructField("path", StringType), StructField("modificationTime", TimestampType),
       StructField("length", LongType), StructField("content", BinaryType)))

@@ -232,12 +232,19 @@ class CurationSpec extends SparkSpecBase {
   }
 
   test("derived shard count: gate corpora reproduce the oracle's 8, shards stay file-sized") {
-    assert(Curation.targetShards(27939L) == 8L) // sf0.001 token mass — static oracle value
-    assert(Curation.targetShards(27165L) == 8L) // sf0.01 token mass — same oracle value
-    assert(Curation.targetShards(270704L) == 78L) // sf0.1: N grows with the corpus
+    // byte masses are the text column's footer total_uncompressed_size;
+    // both gate corpora sit MID-band for 8 (band 143.5k–164k B), so ±6%
+    // regeneration drift cannot flip the static oracle hash
+    assert(Curation.targetShards(156021L) == 8L) // sf0.001 text byte mass
+    assert(Curation.targetShards(152498L) == 8L) // sf0.01 — same oracle value
+    assert(Curation.targetShards(1512270L) == 74L) // sf0.1: N grows with the corpus
     assert(Curation.targetShards(0L) == 1L) // empty-corpus clamp
-    // production budget override: 1T tokens at 100M/shard = 10k shard files
-    assert(Curation.targetShards(1_000_000_000_000L, tokenBudget = 100_000_000L) == 10000L)
+    // production budget override: 1 PB of text at 500 MB/shard = 2M shard files
+    assert(Curation.targetShards(1_000_000_000_000_000L, byteBudget = 500_000_000L) == 2_000_000L)
+    // the LIVE probe agrees with the pinned gate mass: footer metadata
+    // is the same number every session (deterministic generator)
+    assert(Curation.textBytes(spark, sf) == 156021L,
+      "sf0.001 footer byte mass drifted — recheck the gate band above")
   }
 
   test("mixture: alpha-rates match a driver recompute; small sources upweighted") {

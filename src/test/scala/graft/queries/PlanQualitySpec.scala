@@ -281,4 +281,24 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(docs.queryExecution.optimizedPlan.stats.rowCount.isEmpty)
     assert(graft.Engine.rowCountFast(docs) == 500L)
   }
+
+  test("x_cur_shard's sizing probe is metadata-only: plan build adds no job") {
+    val tracker = spark.sparkContext.statusTracker
+    def jobsDuring(f: => Unit): Int = {
+      val before = tracker.getJobIdsForGroup(null).length
+      f
+      Thread.sleep(300) // status tracker is listener-fed; let it drain
+      tracker.getJobIdsForGroup(null).length - before
+    }
+    // opening the table itself costs a fixed schema-inference job
+    // (mergeSchemasInParallel runs one even for a single file) — the
+    // relevant pin is that the shard-count probe adds NOTHING on top:
+    // Curation.textBytes reads parquet footers driver-side, never a scan
+    val baseline = jobsDuring { spark.read.parquet(s"$sf/documents.parquet"); () }
+    val built = jobsDuring { Curation.queries("x_cur_shard")(spark, sf); () }
+    assert(built <= baseline,
+      s"building x_cur_shard launched $built jobs vs $baseline for a bare table open — " +
+        "the sizing probe must stay footer-metadata-only")
+    assert(Curation.queries("x_cur_shard")(spark, sf).count() == 500L)
+  }
 }

@@ -122,11 +122,16 @@ class TerraformDsv2Spec extends SparkSpecBase {
   test("readStream.format(terraform): new and changed files arrive incrementally") {
     val tmp = java.nio.file.Files.createTempDirectory("dsv2-stream")
     val ckpt = java.nio.file.Files.createTempDirectory("dsv2-stream-ckpt").toString
+    // Write OUTSIDE the watched glob (`.tmp` doesn't match `*.tf`), rewind
+    // the mtime, then atomically rename in: the live continuous-trigger
+    // stream can never observe the fresh-mtime intermediate state.
     def writeTf(name: String, resource: String, modMs: Long): Unit = {
-      val f = tmp.resolve(name)
-      java.nio.file.Files.writeString(f,
+      val staged = tmp.resolve(name + ".tmp")
+      java.nio.file.Files.writeString(staged,
         s"""resource "aws_s3_bucket" "$resource" {}\n""")
-      assert(f.toFile.setLastModified(modMs))
+      assert(staged.toFile.setLastModified(modMs))
+      java.nio.file.Files.move(staged, tmp.resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     writeTf("a.tf", "stream_a", 1000000L)
 
@@ -160,11 +165,16 @@ class TerraformDsv2Spec extends SparkSpecBase {
   test("stream offset: epoch-0 files arrive; deletions never regress the watermark") {
     val tmp = java.nio.file.Files.createTempDirectory("dsv2-stream-edge")
     val ckpt = java.nio.file.Files.createTempDirectory("dsv2-stream-edge-ckpt").toString
+    // Same staged-write + ATOMIC_MOVE pattern as the previous test: the
+    // stream must never see the file with its pre-rewind fresh mtime.
     def writeTf(name: String, resource: String, modMs: Long): java.nio.file.Path = {
-      val f = tmp.resolve(name)
-      java.nio.file.Files.writeString(f,
+      val staged = tmp.resolve(name + ".tmp")
+      java.nio.file.Files.writeString(staged,
         s"""resource "aws_s3_bucket" "$resource" {}\n""")
-      assert(f.toFile.setLastModified(modMs))
+      assert(staged.toFile.setLastModified(modMs))
+      val f = tmp.resolve(name)
+      java.nio.file.Files.move(staged, f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       f
     }
     // an epoch-0 mtime (tar extraction with zeroed timestamps) must still

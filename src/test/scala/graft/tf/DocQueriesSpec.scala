@@ -152,4 +152,27 @@ class DocQueriesSpec extends SparkSpecBase {
     val sens = sql("select name, description, sensitive from terraform_variable where sensitive").collect()
     assert(sens.map(_.getString(0)).toSeq == Seq("instance_type"))
   }
+
+  // ---- terraform.spc:23-25: a no-argument registration defaults to CWD
+  test("default path: no-argument register finds CWD files like the shipped spc") {
+    val cwd = java.nio.file.Paths.get("").toAbsolutePath
+    val dst = cwd.resolve("zz_doc_default.tf")
+    java.nio.file.Files.copy(java.nio.file.Paths.get("fixtures", "main.tf"), dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Terraform.register(spark, Terraform.Paths())
+      val rows = spark.sql(
+        s"select name, type from terraform_resource where path = '$dst'").collect()
+      assert(rows.map(_.getString(0)).sorted.toSeq == Seq("app_server", "trail", "worker"),
+        "the documented default '*.tf' must resolve relative to CWD")
+    } finally {
+      java.nio.file.Files.deleteIfExists(dst)
+      // restore the fixtures registration the rest of the suite memoized
+      val dir = new java.io.File("fixtures").getAbsolutePath
+      Terraform.register(spark, Terraform.Paths(
+        configurationFilePaths = Seq(s"$dir/*.tf"),
+        planFilePaths = Seq(s"$dir/tfplan.json"),
+        stateFilePaths = Seq(s"$dir/terraform.tfstate")))
+    }
+  }
 }

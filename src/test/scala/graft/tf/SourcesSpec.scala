@@ -256,4 +256,38 @@ class SourcesSpec extends SparkSpecBase {
       "views must reflect the newly registered corpus")
     Terraform.register(spark, p) // leave the shared session on fixtures
   }
+
+  test("empty Paths resolve the reference's shipped CWD defaults (terraform.spc:23-25)") {
+    // all-or-nothing substitution: any configured list suppresses the lot
+    assert(Terraform.Paths().orDefaults == Terraform.Paths.defaults)
+    assert(Terraform.Paths(paths = Seq("x.tf")).orDefaults ==
+      Terraform.Paths(paths = Seq("x.tf")))
+    val partial = Terraform.Paths(stateFilePaths = Seq("s.tfstate"))
+    assert(partial.orDefaults == partial,
+      "an explicitly configured list must suppress every default, like editing the spc")
+
+    // behavioral: stage one file of each kind in the CWD (the forked test
+    // JVM's CWD is the repo root) — a no-argument registration must find
+    // all three via `*.tf` / `*.tfplan.json` / `*.tfstate`
+    val cwd = java.nio.file.Paths.get("").toAbsolutePath
+    val fx = java.nio.file.Paths.get("fixtures")
+    val staged = Seq(
+      (fx.resolve("main.tf"), cwd.resolve("zz_spec_default.tf")),
+      (fx.resolve("tfplan.json"), cwd.resolve("zz_spec_default.tfplan.json")),
+      (fx.resolve("terraform.tfstate"), cwd.resolve("zz_spec_default.tfstate")))
+    staged.foreach { case (src, dst) => java.nio.file.Files.copy(src, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+    try {
+      val rows = Terraform.rows(spark, Terraform.Paths())
+      val byPath = rows.select("path").distinct()
+        .collect().map(_.getString(0)).toSet
+      staged.foreach { case (_, dst) =>
+        assert(byPath.contains(dst.toString), s"default glob missed $dst")
+      }
+      // DSv2 packaging honors the same defaults on a bare load()
+      val v2 = spark.read.format("terraform").load()
+        .filter(col("path") === cwd.resolve("zz_spec_default.tf").toString)
+      assert(v2.count() > 0, "bare DSv2 load() must resolve the CWD defaults")
+    } finally staged.foreach { case (_, dst) => java.nio.file.Files.deleteIfExists(dst) }
+  }
 }
