@@ -104,7 +104,16 @@ object Dedup {
   private[queries] def simhashCandidates(s: SparkSession, d: String,
       pairBlocks: Boolean, maxBucket: Long = 100000L): DataFrame = {
     graft.functions.SimHash64.register(s)
-    val bits = toks(s, d).select(col("doc_id"), expr("simhash64(ws)").as("sh"))
+    simhashCandidatesOf(
+      toks(s, d).select(col("doc_id"), expr("simhash64(ws)").as("sh")),
+      pairBlocks, maxBucket)
+  }
+
+  /** Banding over an arbitrary `(doc_id, sh)` signature relation — the
+    * join shape shared by the xxhash64 fast path and the md5-portable
+    * twin (the banding is hash-family-agnostic: it only slices bits). */
+  private[queries] def simhashCandidatesOf(bits: DataFrame,
+      pairBlocks: Boolean, maxBucket: Long = 100000L): DataFrame = {
     val blocks = capBuckets(
       bits.select(col("doc_id"), col("sh"),
           explode(expr(simhashBandKeys(pairBlocks))).as("k"))
@@ -117,6 +126,28 @@ object Dedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.sh").as("sa"), col("b.sh").as("sb"))
       .distinct()
+  }
+
+  /** md5-portable 60-bit SimHash signatures (doc_id, sh): token hash =
+    * the md5 digest's top 60 bits, signature bit b = sign of the ±1 sum
+    * over that bit across the token multiset (Charikar) — reproducible
+    * in DuckDB, so everything downstream of it hash-gates. Shared by
+    * the bounded all-pairs query (x_dedup_simhash_md5) and the banded
+    * scale path (x_dedup_simhash_lsh_md5). */
+  private[queries] def md5SimhashSig(s: SparkSession, d: String,
+      docFilter: Column = lit(true)): DataFrame = {
+    val nBits = 60
+    graft.functions.Md5Long60.register(s)
+    val hashed = toks(s, d).filter(docFilter)
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .select(col("doc_id"), expr("md5long60(w)").as("h"))
+    val bitSums = (0 until nBits).map(b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"c$b"))
+    hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until nBits).map(b =>
+          when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
   }
 
   /** The raw synthetic corpus has no exact duplicates at the gate scales
@@ -308,18 +339,7 @@ object Dedup {
     //    verification mirrors x_dedup_simhash; the banding scale path is
     //    proven on the fast path and applies unchanged.
     "x_dedup_simhash_md5" -> ((s, d) => {
-      val nBits = 60
-      graft.functions.Md5Long60.register(s)
-      val hashed = toks(s, d).filter(col("doc_id") < 200)
-        .select(col("doc_id"), explode(col("ws")).as("w"))
-        .select(col("doc_id"), expr("md5long60(w)").as("h"))
-      val bitSums = (0 until nBits).map(b =>
-        sum(when(expr(s"(shiftright(h, $b) & 1) = 1"), 1).otherwise(-1)).as(s"c$b"))
-      val sig = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"),
-          (0 until nBits).map(b =>
-            when(col(s"c$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _).as("sh"))
+      val sig = md5SimhashSig(s, d, col("doc_id") < 200)
       sig.as("a")
         .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -327,6 +347,22 @@ object Dedup {
         .filter(col("hamming") <= 6)
         .orderBy(col("hamming"), col("da"), col("db"))
     }),
+
+    // -- SimHash banding with the md5-portable hash family: the SCALE
+    //    path (pair-of-blocks banding, pigeonhole-complete for hamming
+    //    ≤ 6 — see x_dedup_simhash_lsh) over the DuckDB-reproducible
+    //    60-bit signature, so the one remaining LSH candidate generator
+    //    hash-gates END-TO-END: signature, band keys, candidates and
+    //    verified pairs all reproduce in the oracle. Full corpus — no
+    //    doc_id bound — because banding, not all-pairs, controls the
+    //    join volume. Block 7 of the 60-bit signature carries 4 bits
+    //    (values 0–15); the pigeonhole argument is width-independent.
+    "x_dedup_simhash_lsh_md5" -> ((s, d) =>
+      simhashCandidatesOf(md5SimhashSig(s, d), pairBlocks = true)
+        .select(col("da"), col("db"),
+          expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy(col("hamming"), col("da"), col("db"))),
 
     // -- SimHash at scale: PAIR-of-blocks banding. Split the 64-bit
     //    signature into 8 bytes; a pair within hamming ≤ 6 has ≥ 2 intact
@@ -471,12 +507,19 @@ object Dedup {
     * (hot-bucket-capped) LSH band keys — the index structures every
     * md5-family dedup operator shares. */
   private def md5SigKeys(s: SparkSession, d: String,
-      docFilter: Column = lit(true)): (DataFrame, DataFrame) = {
+      docFilter: Column = lit(true)): (DataFrame, DataFrame) =
+    md5SigKeysOf(toks(s, d).filter(docFilter))
+
+  /** [[md5SigKeys]] over an arbitrary `(doc_id, ws)` relation — the form
+    * a STREAMING micro-batch hands in (Streams.incrementalDedup), where
+    * there is no corpus dir to read. */
+  private def md5SigKeysOf(tokenized: DataFrame): (DataFrame, DataFrame) = {
+    val s = tokenized.sparkSession
     val nBands = 4
     val rows = md5NPerm / nBands
     val P = 1000000007L
     graft.functions.Md5Long60.register(s)
-    val sh = shingles(s, d, docFilter)
+    val sh = shinglesOf(tokenized.select(col("doc_id"), col("ws")))
       .select(col("doc_id"), (expr("md5long60(s)") % P).as("h"))
     val mins = (0 until md5NPerm).map(p =>
       min((col("h") * (2 * p + 1) + (p * p + 7)) % P).as(s"m$p"))
@@ -586,6 +629,28 @@ object Dedup {
     keys.write.mode("overwrite").parquet(s"$path/minhash_keys.parquet")
   }
 
+  /** [[writeMinhashIndex]] as BUCKETED managed tables
+    * (`{tablePrefix}_sig` bucketed+sorted on doc_id, `{tablePrefix}_keys`
+    * bucketed on (band, bh)) — the backfill-scale index layout: the
+    * probe-side joins in [[incrementalDupsAgainstBucketedIndex]] read
+    * the index pre-partitioned on exactly their join keys, so the index
+    * NEVER reshuffles and — unlike the broadcast path — the increment
+    * may be arbitrarily large (it alone shuffles, into the index's
+    * bucketing). Bucket count sizes the per-task index slice:
+    * history_bytes / buckets should stay executor-memory-comfortable
+    * (the default 32 matches the test session's shuffle partitions; a
+    * 100 TB history wants O(10⁴)). */
+  def writeMinhashIndexBucketed(s: SparkSession, d: String, tablePrefix: String,
+      buckets: Int = 32, docFilter: Column = lit(true)): Unit = {
+    val (sig, keys) = md5SigKeys(s, d, docFilter)
+    sig.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${tablePrefix}_sig")
+    keys.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "bh")
+      .saveAsTable(s"${tablePrefix}_keys")
+  }
+
   /** Incremental dedup of a NEW batch (documents of corpus `d` matching
     * `batchFilter`) against a PERSISTED index written by
     * [[writeMinhashIndex]] — same verdict schema as x_dedup_incremental.
@@ -594,18 +659,67 @@ object Dedup {
     * index parquet, so the index side is two pure scans with no shuffle
     * exchange anywhere above them (PlanQualitySpec pins it) — the index
     * never reshuffles no matter how large history grows, and the only
-    * shuffled rows are increment-proportional (candidates + verdicts). */
+    * shuffled rows are increment-proportional (candidates + verdicts).
+    *
+    * CONTRACT — increment size: the broadcast hints are the daily-crawl
+    * shape (increment ≪ history) and hit Spark's 8 GB broadcast
+    * hard-stop near ~10⁷ increment docs; failure is loud, not silent.
+    * Backfill-sized increments go through
+    * [[incrementalDupsAgainstBucketedIndex]], which trades the
+    * broadcasts for one increment-side shuffle into the index's buckets.
+    *
+    * CONTRACT — recall bound: the 100k hot-bucket cap is applied PER
+    * SIDE here (index at write time, increment at probe time), while
+    * the in-corpus split (x_dedup_incremental / [[md5IncrementalDups]])
+    * caps the JOINT key table. A bucket whose joint size exceeds the
+    * cap but whose per-side counts stay under it survives here and is
+    * dropped there — the two paths share verdicts only below the cap
+    * (DedupSpec pins equality at gate scale; real corpora sit far
+    * below 10⁵-member band buckets after exact dedup). */
   def incrementalDupsAgainstIndex(s: SparkSession, d: String,
-      indexPath: String, batchFilter: Column): DataFrame = {
+      indexPath: String, batchFilter: Column): DataFrame =
+    incrementalDupsOf(table(s, d, "documents").filter(batchFilter), indexPath)
+
+  /** [[incrementalDupsAgainstIndex]] over an arbitrary `(doc_id, text)`
+    * batch — the entry a STREAMING micro-batch uses
+    * (Streams.incrementalDedup): verdicts are per-doc functions of
+    * (doc, index) alone, so micro-batch boundaries cannot change them. */
+  def incrementalDupsOf(batch: DataFrame, indexPath: String): DataFrame = {
+    val s = batch.sparkSession
+    val (bsig, bkeys) = md5SigKeysOf(
+      batch.select(col("doc_id"), split(col("text"), " ").as("ws")))
+    incrementalVerdicts(
+      s.read.parquet(s"$indexPath/minhash_keys.parquet"),
+      s.read.parquet(s"$indexPath/minhash_sig.parquet"),
+      bkeys, bsig, broadcastIncrement = true)
+  }
+
+  /** Bucketed-index twin of [[incrementalDupsAgainstIndex]]: same
+    * verdicts (DedupSpec pins equality with the broadcast path), but
+    * the joins are shuffle joins whose index side is satisfied by the
+    * tables' bucketing — no index exchange, no broadcast ceiling; only
+    * the increment shuffles (PlanQualitySpec pins the topology). */
+  def incrementalDupsAgainstBucketedIndex(s: SparkSession, d: String,
+      tablePrefix: String, batchFilter: Column): DataFrame = {
     val (bsig, bkeys) = md5SigKeys(s, d, batchFilter)
-    val ikeys = s.read.parquet(s"$indexPath/minhash_keys.parquet")
-    val isig = s.read.parquet(s"$indexPath/minhash_sig.parquet")
+    incrementalVerdicts(s.table(s"${tablePrefix}_keys"), s.table(s"${tablePrefix}_sig"),
+      bkeys, bsig, broadcastIncrement = false)
+  }
+
+  /** The shared index-probe plan: candidates from the band-key equi-join,
+    * then signature verification and the per-new-doc verdict rollup.
+    * `broadcastIncrement` picks the daily-crawl shape (increment-side
+    * broadcasts, index exchange-free) vs the backfill shape (shuffle
+    * joins that the index's bucketing satisfies without an exchange). */
+  private def incrementalVerdicts(ikeys: DataFrame, isig: DataFrame,
+      bkeys: DataFrame, bsig: DataFrame, broadcastIncrement: Boolean): DataFrame = {
+    val hint: DataFrame => DataFrame = if (broadcastIncrement) broadcast else identity
     val cand = ikeys.as("a")
-      .join(broadcast(bkeys.as("b")),
+      .join(hint(bkeys.as("b")),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    newDocDupSummary(estimatedPairs(broadcast(cand), isig, broadcast(bsig)))
+    newDocDupSummary(estimatedPairs(hint(cand), isig, hint(bsig)))
   }
 
   /** Near-dup edge discovery shared by the pair query and the clustering
@@ -747,6 +861,28 @@ object Dedup {
       |        FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db)""".stripMargin
   }
 
+  /** DuckDB CTE chain computing the md5-portable 60-bit SimHash signature
+    * `sig(doc_id, sh)` — the oracle twin of [[md5SimhashSig]]. `where`
+    * restricts the corpus (e.g. "WHERE doc_id < 200"), empty for all. */
+  private def md5SimhashSigCtes(where: String): String = {
+    val sums = (0 until 60).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b")
+      .mkString(",\n        |         ")
+    val sig = (0 until 60).map(b =>
+      s"(CASE WHEN c$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString("\n        |       + ")
+    s"""t AS (SELECT doc_id, unnest(string_split(text, ' ')) w
+      |          FROM documents $where),
+      |hh AS (SELECT doc_id,
+      |         ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM t),
+      |cs AS (SELECT doc_id,
+      |         $sums
+      |       FROM hh GROUP BY doc_id),
+      |sig AS (SELECT doc_id,
+      |         $sig AS sh
+      |       FROM cs)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x_dedup_exact" ->
       """WITH corpus AS (
@@ -825,27 +961,27 @@ object Dedup {
         |SELECT src AS doc_id, min(dst) AS cluster
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
-    "x_dedup_simhash_md5" -> {
-      val sums = (0 until 60).map(b =>
-        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS c$b")
-        .mkString(",\n        |         ")
-      val sig = (0 until 60).map(b =>
-        s"(CASE WHEN c$b > 0 THEN ${1L << b} ELSE 0 END)")
-        .mkString("\n        |       + ")
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) w
-        |          FROM documents WHERE doc_id < 200),
-        |hh AS (SELECT doc_id,
-        |         ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM t),
-        |cs AS (SELECT doc_id,
-        |         $sums
-        |       FROM hh GROUP BY doc_id),
-        |sig AS (SELECT doc_id,
-        |         $sig AS sh
-        |       FROM cs)
+    "x_dedup_simhash_md5" ->
+      s"""WITH ${md5SimhashSigCtes("WHERE doc_id < 200")}
         |SELECT a.doc_id da, b.doc_id db,
         |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+        |ORDER BY hamming, da, db""".stripMargin,
+
+    // the banded twin reproduces signature AND banding: 28 pair-of-block
+    // keys per doc, key-equi candidates, exact hamming verification
+    "x_dedup_simhash_lsh_md5" -> {
+      val keys = (for { i <- 0 until 8; j <- (i + 1) until 8 } yield
+        s"SELECT doc_id, ${i * 8 + j} AS blk, ((sh >> ${i * 8}) & 255) * 256 + ((sh >> ${j * 8}) & 255) AS bv FROM sig")
+        .mkString("\n        |       UNION ALL ")
+      s"""WITH ${md5SimhashSigCtes("")},
+        |keys AS ($keys),
+        |cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM keys a
+        |         JOIN keys b ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT da, db, CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+        |FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
+        |WHERE bit_count(xor(sa.sh, sb.sh)) <= 6
         |ORDER BY hamming, da, db""".stripMargin
     },
 

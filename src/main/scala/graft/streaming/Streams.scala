@@ -95,6 +95,27 @@ object Streams {
       .drop(withTs: _*)
   }
 
+  /** Streaming twin of incremental near-dup dedup — the continuous form
+    * of `x_dedup_incremental` against a PERSISTED index
+    * (Dedup.writeMinhashIndex): each micro-batch of new documents
+    * `(doc_id, text, …)` is shingled, signed, banded against the index's
+    * parquet band keys and verified against its signatures, emitting the
+    * same per-doc verdict rows `(doc_id, n_matches, dup_of, est_j)`.
+    * Runs through foreachBatch, NOT a continuous plan: the signature
+    * aggregation and the verdict rollup are two chained aggregations —
+    * inexpressible as one streaming plan — and per-batch batch semantics
+    * is exactly the daily-crawl contract the index path documents.
+    * Verdicts are per-doc functions of (doc, index) alone, so micro-
+    * batch boundaries cannot change them: a stream and a one-shot
+    * backfill emit identical rows (StreamsSpec pins the equivalence).
+    * The batch handed to `sink` is increment-proportional; the index is
+    * never reshuffled or re-read beyond its two scans per batch. */
+  def incrementalDedup(docs: DataFrame, indexPath: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.queries.Dedup.incrementalDupsOf(batch.toDF(), indexPath), batchId)
+    }
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   final case class AsOfMatch(purchase_id: Long, user_id: Long, p_us: Long,

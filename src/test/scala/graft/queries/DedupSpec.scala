@@ -61,6 +61,23 @@ class DedupSpec extends SparkSpecBase {
     assert(got.contains((8L, 12L)) && got.contains((0L, 50L)), s"got $got")
   }
 
+  test("md5-family simhash banding is complete: banded == brute-force all-pairs") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val banded = Dedup.queries("x_dedup_simhash_lsh_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the SAME full-corpus md5 signature — pair-of-blocks
+    // banding must lose nothing within the hamming <= 6 budget (pigeonhole)
+    val sig = Dedup.md5SimhashSig(spark, sf)
+    val brute = sig.as("a")
+      .join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        expr("bit_count(a.sh ^ b.sh)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, s"banded \\ brute: ${banded.diff(brute)}; missed: ${brute.diff(banded)}")
+    assert(brute.nonEmpty, "empty gate — vacuous completeness check")
+  }
+
   test("full-corpus cluster pipeline labels every doc; planted dups co-cluster") {
     val labels = Dedup.queries("x_dedup_clusters_full")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -192,6 +209,26 @@ class DedupSpec extends SparkSpecBase {
     assert(viaIndex.nonEmpty, "no cross-boundary dups — gate is vacuous")
     assert(viaIndex.toSeq == inCorpus.toSeq,
       s"index path ${viaIndex.length} rows != split path ${inCorpus.length}")
+  }
+
+  test("bucketed index verdicts equal the broadcast path's") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx-b").toString
+    Dedup.writeMinhashIndex(spark, sf, dir, col("doc_id") < 400)
+    Dedup.writeMinhashIndexBucketed(spark, sf, "dsx_mh", buckets = 8,
+      docFilter = col("doc_id") < 400)
+    try {
+      val broadcastPath = Dedup.incrementalDupsAgainstIndex(spark, sf, dir, col("doc_id") >= 400)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val bucketedPath = Dedup.incrementalDupsAgainstBucketedIndex(spark, sf, "dsx_mh", col("doc_id") >= 400)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(broadcastPath.nonEmpty, "no cross-boundary dups — gate is vacuous")
+      assert(bucketedPath.toSeq == broadcastPath.toSeq,
+        s"bucketed ${bucketedPath.length} rows != broadcast ${broadcastPath.length}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS dsx_mh_sig")
+      spark.sql("DROP TABLE IF EXISTS dsx_mh_keys")
+    }
   }
 
   test("semantic dedup: total, shadowed-by-lower-id, kept set pairwise below tau") {

@@ -265,6 +265,57 @@ class PlanQualitySpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("bucketed minhash index: index side rides its bucketing, never an exchange") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    graft.queries.Dedup.writeMinhashIndexBucketed(spark, sf, "pqx_mh",
+      buckets = 32, docFilter = col("doc_id") < 400)
+    // AQE off (see the broadcast-path pin above); broadcasts off so the
+    // planner can't hide the topology behind a small-increment BHJ — the
+    // point of the bucketed path is surviving increments too big to
+    // broadcast, so the pin must hold under pure shuffle joins
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.queries.Dedup
+        .incrementalDupsAgainstBucketedIndex(spark, sf, "pqx_mh", col("doc_id") >= 400)
+        .queryExecution.executedPlan
+      def scansIndex(n: SparkPlan): Boolean =
+        n.collectLeaves().exists(_.toString.contains("pqx_mh"))
+      assert(scansIndex(p), s"bucketed index never scanned:\n$p")
+      // below any equi-join only increment-proportional match rows flow;
+      // RAW index rows reachable from an exchange without crossing a
+      // join mean history itself was repartitioned or broadcast
+      def rawIndexBelow(n: SparkPlan): Boolean = n match {
+        case leaf if leaf.children.isEmpty => leaf.toString.contains("pqx_mh")
+        case _: BroadcastHashJoinExec | _: SortMergeJoinExec | _: ShuffledHashJoinExec => false
+        case other => other.children.exists(rawIndexBelow)
+      }
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!rawIndexBelow(e.child), s"bucketed index re-shuffled under:\n$e"))
+      p.collect { case b: BroadcastExchangeExec => b }.foreach(b =>
+        assert(!rawIndexBelow(b.child), s"bucketed index broadcast raw:\n$b"))
+      // and the join really is a shuffle join fed by the bucketed scan —
+      // the increment alone paid an exchange to meet the index's layout
+      val joins = p.collect {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j: SparkPlan
+      }
+      assert(joins.exists(j => j.children.exists(c =>
+          scansIndex(c) && c.collect { case e: ShuffleExchangeExec => e }.isEmpty)),
+        s"no shuffle join rides the index bucketing directly:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS pqx_mh_sig")
+      spark.sql("DROP TABLE IF EXISTS pqx_mh_keys")
+    }
+  }
+
   test("sizing probes take the catalog-stats fast path: no job when stats exist") {
     val tracker = spark.sparkContext.statusTracker
     val before = tracker.getJobIdsForGroup(null).length

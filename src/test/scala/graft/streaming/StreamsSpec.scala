@@ -245,4 +245,38 @@ class StreamsSpec extends SparkSpecBase {
     assert(rows.get(3L).contains(1L), s"doc 3 overlaps one: $rows")
     assert(!rows.contains(2L), s"doc 2 has no overlap: $rows")
   }
+
+  test("incremental dedup: streamed micro-batches emit the backfill's verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-mhidx-stream").toString
+    graft.queries.Dedup.writeMinhashIndex(spark, sf, idx, col("doc_id") < 400)
+    // one-shot backfill over every new doc = the expected verdict set
+    val expected = graft.queries.Dedup
+      .incrementalDupsAgainstIndex(spark, sf, idx, col("doc_id") >= 400)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.nonEmpty, "no cross-boundary dups — equivalence gate is vacuous")
+
+    val newDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") >= 400).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+    assert(b1.nonEmpty && b2.nonEmpty, "need two non-trivial micro-batches")
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = Streams.incrementalDedup(in.toDF().toDF("doc_id", "text"), idx) {
+      (verdicts, _) =>
+        got.synchronized {
+          got ++= verdicts.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        }
+        ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected,
+      s"stream-only: ${got.toSet.diff(expected)}; backfill-only: ${expected.diff(got.toSet)}")
+  }
 }
