@@ -22,8 +22,9 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // driver testdata events.parquet stores timestamp[ns]; read as long
-      // (nanos since epoch) — tsCol() converts where wall-clock is needed
+      // events.ts has shipped as both parquet timestamp[ns] and
+      // timestamp[us] across testdata generations; keep ns readable as
+      // long so Events.usFor can dispatch on whichever layout arrives
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -225,6 +225,61 @@ object Curation {
           sum(col("kept").cast("long")).as("kept_docs"),
           sum(when(col("kept"), col("n")).otherwise(0L)).as("kept_tokens"))
         .orderBy("source")
+    }),
+
+    // -- THE COMPOSED PIPELINE: blocklist → dedup-keep → α-mixture →
+    //    sequence-pack → shard as ONE declarative plan — the query a
+    //    100 TB curation run actually submits, proving the stages
+    //    compose without re-scanning the corpus per stage. Scale shape:
+    //    documents is scanned exactly TWICE in the final plan (the
+    //    mixture's survivor-rate aggregate and the survivor flow — the
+    //    two passes inherent to exact global rates; a 5-stage chain of
+    //    the standalone queries would scan it 6×, PlanQualitySpec pins
+    //    the 2), document BODIES never cross an exchange (text is
+    //    dropped the moment the blocklist verdict and token count are
+    //    taken, before the dedup-label join shuffles skinny
+    //    (doc_id, source, n) rows), dedup labels come from the memoized
+    //    cluster cache, per-source rates broadcast back, and the pack
+    //    chunking + shard count derive from FOOTER METADATA
+    //    ([[docIdBounds]], [[textBytes]]) so plan construction runs
+    //    zero Spark jobs beyond the one-time cluster-label build.
+    //    Every stage reuses the single-source-of-truth the standalone
+    //    query gates: [[blocklistHits]], Dedup.clusterLabels, the
+    //    mixture rate chain, [[pack]], [[targetShards]] — so the
+    //    composed oracle re-derives each stage bit-for-bit.
+    "x_cur_pipeline" -> ((s, d) => {
+      graft.functions.Md5Long60.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val reps = Dedup.clusterLabels(s, d)
+        .filter(col("doc_id") === col("cluster")).select("doc_id")
+      val survivors = table(s, d, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(blocklistHits) === 0)
+        .select(col("doc_id"), col("source"), size(col("ws")).cast("long").as("n"))
+        .join(reps, "doc_id")
+      val w0 = Window.partitionBy(lit(0))
+      val rates = survivors.groupBy("source")
+        .agg(sum("n").as("n_tokens"))
+        .withColumn("wq",
+          floor(sqrt(col("n_tokens").cast("double")) * lit(1e9)).cast("decimal(38,0)"))
+        .withColumn("rate", least(lit(1.0),
+          sum("n_tokens").over(w0).cast("double") / lit(2.0) *
+            col("wq").cast("double") / sum("wq").over(w0).cast("double") /
+            col("n_tokens").cast("double")))
+        .select(col("source"), col("rate"))
+      val kept = survivors.join(broadcast(rates), Seq("source"))
+        .filter(expr("md5long60(CAST(doc_id AS STRING))") <
+          floor(col("rate") * lit(1.152921504606846976e18)))
+        .select(col("doc_id"), col("n"))
+      val packed = pack(kept, idBounds = Some(docIdBounds(s, d)))
+      val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+      packed
+        .withColumn("h", expr("md5long60(CAST(doc_id AS STRING))"))
+        .withColumn("shard", pmod(col("h"), lit(targetShards(textBytes(s, d)))))
+        .withColumn("pos", row_number().over(w).cast("long") - 1L)
+        .select(col("doc_id"), col("n_tokens"), col("tok_offset"), col("bin"),
+          col("shard"), col("pos"))
+        .orderBy("doc_id")
     })
   )
 
@@ -259,24 +314,59 @@ object Curation {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private[queries] def textBytes(s: SparkSession, d: String): Long =
-    textBytesMemo.computeIfAbsent(d, _ => {
-      import scala.jdk.CollectionConverters._
-      val conf = s.sparkContext.hadoopConfiguration
-      val root = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-      val fs = root.getFileSystem(conf)
-      def leaves(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(leaves)
-        else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Seq.empty
-      leaves(fs.getFileStatus(root)).map { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getFooter.getBlocks.asScala.iterator
-          .flatMap(_.getColumns.asScala)
-          .filter(_.getPath.toDotString == "text")
-          .map(_.getTotalUncompressedSize).sum
-        finally r.close()
-      }.sum
+    textBytesMemo.computeIfAbsent(d, _ =>
+      sweepFooters(s, s"$d/documents.parquet")(
+        _.filter(_.getPath.toDotString == "text")
+          .map(_.getTotalUncompressedSize).sum).sum)
+
+  /** METADATA-ONLY doc_id span probe: min/max from the doc_id column's
+    * row-group footer statistics — the covering span [[pack]] needs for
+    * its chunking, at zero Spark jobs (the same footer sweep as
+    * [[textBytes]], memoized per corpus dir). Falls back to a one-column
+    * min/max job only when a writer stripped the statistics. */
+  private val docIdBoundsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private[queries] def docIdBounds(s: SparkSession, d: String): (Long, Long) =
+    docIdBoundsMemo.computeIfAbsent(d, _ => {
+      val stats = sweepFooters(s, s"$d/documents.parquet")(
+        // force the per-file traversal INSIDE the sweep — the reader
+        // closes when each file's callback returns
+        _.filter(_.getPath.toDotString == "doc_id").map(_.getStatistics)
+          .filter(st => st != null && st.hasNonNullValue)
+          .map(st => (st.genericGetMin, st.genericGetMax)).toList)
+        .flatten
+        .collect { case (lo: java.lang.Long, hi: java.lang.Long) =>
+          (lo.longValue, hi.longValue) }
+      if (stats.nonEmpty) (stats.map(_._1).min, stats.map(_._2).max)
+      else {
+        val r = table(s, d, "documents").agg(min("doc_id"), max("doc_id")).head()
+        (r.getLong(0), r.getLong(1))
+      }
     })
+
+  /** Driver-side parquet footer sweep: applies `f` to each file's
+    * row-group column-chunk metadata under `path` (file or directory).
+    * Bounded by file COUNT — a footer is a few KB regardless of file
+    * size — so probes built on it cost zero Spark jobs and zero column
+    * IO. At 100 TB (~10⁵ GB-sized files) parallelize over a file-list
+    * RDD or answer from catalog statistics if the sweep ever shows up. */
+  private def sweepFooters[T](s: SparkSession, path: String)(
+      f: Iterator[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData] => T): Seq[T] = {
+    import scala.jdk.CollectionConverters._
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    def leaves(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(leaves)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Seq.empty
+    leaves(fs.getFileStatus(root)).map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try f(r.getFooter.getBlocks.asScala.iterator.flatMap(_.getColumns.asScala))
+      finally r.close()
+    }
+  }
 
   /** C4-rule blocklist, calibrated to the synthetic corpus vocabulary
     * (real deployments load the published bad-words list). */
@@ -314,15 +404,23 @@ object Curation {
     * rows to amortize its window. The one min/max probe that sizes the
     * chunking is a plan-build step over a single column (the same pattern
     * as the LSH sizing probes). */
-  private[graft] def pack(docs: DataFrame, targetChunks: Long = 0L): DataFrame = {
+  private[graft] def pack(docs: DataFrame, targetChunks: Long = 0L,
+      idBounds: Option[(Long, Long)] = None): DataFrame = {
     val s = docs.sparkSession
     val target =
       if (targetChunks > 0L) targetChunks
       else s.conf.get("spark.sql.shuffle.partitions").toLong * 8
-    val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
-    val chunkSize =
-      if (bounds.isNullAt(0)) 1L // empty corpus: any width, no rows follow
-      else packChunkSize(bounds.getLong(0), bounds.getLong(1), target)
+    // the chunking only needs a COVERING doc_id span, so a caller with
+    // metadata-derived bounds (parquet footer min/max — [[docIdBounds]])
+    // skips the eager min/max probe job; a sparse subset of the span
+    // still packs correctly (absent chunks contribute 0 to the offsets)
+    val chunkSize = idBounds match {
+      case Some((lo, hi)) => packChunkSize(lo, hi, target)
+      case None =>
+        val bounds = docs.agg(min("doc_id"), max("doc_id")).head()
+        if (bounds.isNullAt(0)) 1L // empty corpus: any width, no rows follow
+        else packChunkSize(bounds.getLong(0), bounds.getLong(1), target)
+    }
     val t = docs.withColumn("chunk", expr(s"doc_id div $chunkSize"))
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy("chunk").orderBy("doc_id")
@@ -521,6 +619,54 @@ object Curation {
         |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
         |       CAST(sum(CASE WHEN kept THEN n ELSE 0 END) AS BIGINT) AS kept_tokens
         |FROM k GROUP BY source, n_docs, n_tokens, rate
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    // the composed pipeline re-derives every stage the standalone
+    // oracles gate: minhash clusters (x_cur_split), the blocklist rule
+    // (x_cur_blocklist), the survivor-rate mixture (x_cur_mixture), the
+    // naive-cumsum pack (x_cur_pack) and the md5 shard (x_cur_shard)
+    "x_cur_pipeline" ->
+      s"""WITH RECURSIVE ${Dedup.md5MinhashCte},
+        |p AS (SELECT da, db FROM est WHERE est_j >= 0.5),
+        |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+        |cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+        |base AS (SELECT doc_id, source,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |           len(list_filter(string_split(text, ' '),
+        |             w -> list_contains([${Blocklist.map(t => s"'$t'").mkString(", ")}], w))) AS n_blocked
+        |         FROM documents),
+        |surv AS (SELECT b.doc_id, b.source, b.n
+        |         FROM base b JOIN cl ON b.doc_id = cl.doc_id
+        |         WHERE b.n_blocked = 0 AND cl.cluster = b.doc_id),
+        |s AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens FROM surv GROUP BY source),
+        |r AS (SELECT source, n_tokens,
+        |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000000.0)
+        |             AS DECIMAL(38,0)) AS wq
+        |      FROM s),
+        |r2 AS (SELECT source,
+        |         least(CAST(1.0 AS DOUBLE),
+        |           CAST(sum(n_tokens) OVER () AS DOUBLE) / 2.0 *
+        |           CAST(wq AS DOUBLE) / CAST(sum(wq) OVER () AS DOUBLE) /
+        |           CAST(n_tokens AS DOUBLE)) AS rate
+        |       FROM r),
+        |kept AS (SELECT v.doc_id, v.n,
+        |           ('0x' || substr(md5(CAST(v.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |         FROM surv v JOIN r2 USING (source)
+        |         WHERE ('0x' || substr(md5(CAST(v.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |               < CAST(floor(r2.rate * 1152921504606846976.0) AS BIGINT)),
+        |c AS (SELECT doc_id, n, h,
+        |        sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS o
+        |      FROM kept)
+        |SELECT doc_id, n AS n_tokens, CAST(o AS BIGINT) AS tok_offset,
+        |       CAST(o // 8192 AS BIGINT) AS bin,
+        |       h % 8 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+        |            AS BIGINT) AS pos
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

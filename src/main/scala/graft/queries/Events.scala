@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
 
 /** Windowed / sessionized analytics over `events`.
   *
-  * `events.ts` is read as nanoseconds-since-epoch (LongType, via
-  * spark.sql.legacy.parquet.nanosAsLong) — window arithmetic below is
-  * exact integer math on microseconds, so the DuckDB oracle (epoch_us on
-  * its native TIMESTAMP_NS) agrees bit-for-bit.
+  * All window arithmetic below is exact integer math on epoch
+  * MICROSECONDS (`us`), derived from `events.ts` by physical layout
+  * ([[usFor]]): the driver testdata has shipped `ts` both as parquet
+  * timestamp[ns] (read as LongType ns via
+  * spark.sql.legacy.parquet.nanosAsLong) and as timestamp[us] (read as
+  * TIMESTAMP_NTZ), and every layout maps to the SAME µs value DuckDB's
+  * `epoch_us(ts)` computes — so the oracles agree bit-for-bit regardless
+  * of which layout a corpus carries.
   *
   * The same logic runs under Structured Streaming (graft.streaming.* uses
   * window()/session_window() + watermarks); these batch twins are the
@@ -31,8 +35,29 @@ object Events {
     * makes the numerator an exact multiple, so div IS floor here. */
   private[queries] val nsToUs = "(ts - pmod(ts, 1000)) div 1000"
 
-  private def ev(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events").withColumn("us", expr(nsToUs))
+  /** TIMESTAMP_NTZ → epoch µs, timezone-independent: a µs-difference from
+    * the NTZ epoch never consults the session zone, exactly how DuckDB's
+    * epoch_us reads its naive TIMESTAMP. (unix_micros would need a cast
+    * through the session-zoned TIMESTAMP type first.) */
+  private[queries] val ntzToUs =
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+
+  /** Epoch-µs extraction dispatched on the PHYSICAL layout `ts` arrived
+    * in — long ns, naive timestamp, or zoned timestamp (instant
+    * semantics → unix_micros). */
+  private[queries] def usFor(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType         => expr(nsToUs)
+      case org.apache.spark.sql.types.TimestampNTZType => expr(ntzToUs)
+      case org.apache.spark.sql.types.TimestampType    => expr("unix_micros(ts)")
+      case other => throw new IllegalArgumentException(
+        s"events.ts: expected long-ns or timestamp, got $other")
+    }
+
+  private def ev(s: SparkSession, d: String): DataFrame = {
+    val t = table(s, d, "events")
+    t.withColumn("us", usFor(t))
+  }
 
   /** Window-start bucket: floor `us` to a multiple of `width`. pmod gives
     * FLOOR semantics for pre-1970 (negative) epochs — the same window

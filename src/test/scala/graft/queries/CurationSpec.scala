@@ -274,4 +274,52 @@ class CurationSpec extends SparkSpecBase {
     assert(keptTot > 0.3 * tokTot && keptTot < 0.7 * tokTot,
       s"kept $keptTot of $tokTot — far from the half-token budget")
   }
+
+  test("docIdBounds reads footer stats; a covering-bounds pack equals the probing pack") {
+    val (lo, hi) = Curation.docIdBounds(spark, sf)
+    val r = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(min("doc_id"), max("doc_id")).head()
+    assert((lo, hi) == (r.getLong(0), r.getLong(1)),
+      s"footer bounds ($lo,$hi) != scan bounds (${r.getLong(0)},${r.getLong(1)})")
+    // a SPARSE subset of the span must pack identically under metadata
+    // bounds (absent chunks contribute nothing to the offsets)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val probing = Curation.pack(docs).collect().map(_.toString).toSeq
+    val bounded = Curation.pack(docs, idBounds = Some((lo, hi)))
+      .collect().map(_.toString).toSeq
+    assert(probing == bounded)
+  }
+
+  test("pipeline: composes the gated stages; offsets cumsum survivors; shard positions dense") {
+    val rows = Curation.queries("x_cur_pipeline")(spark, sf).collect()
+    assert(rows.nonEmpty, "pipeline must keep something at gate scale")
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "one row per kept doc")
+
+    // stage subsets: every survivor passed the blocklist AND is its
+    // cluster's representative; the mixture genuinely down-sampled
+    val keepBl = Curation.queries("x_cur_blocklist")(spark, sf)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val reps = Dedup.clusterLabels(spark, sf)
+      .filter(col("doc_id") === col("cluster"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.forall(keepBl), "a blocklisted doc survived the pipeline")
+    assert(ids.forall(reps), "a non-representative near-dup survived")
+    assert(ids.length < keepBl.size, "mixture stage must down-sample")
+
+    // pack stage: tok_offset is the exact running sum in doc_id order
+    var run = 0L
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      assert(r.getLong(2) == run, s"doc ${r.getLong(0)}: offset ${r.getLong(2)} != $run")
+      assert(r.getLong(3) == r.getLong(2) / 8192, "bin must derive from offset")
+      run += r.getLong(1)
+    }
+    // shard stage: positions are dense 0..k-1 within every shard
+    rows.groupBy(_.getLong(4)).foreach { case (shard, rs) =>
+      val pos = rs.map(_.getLong(5)).sorted.toSeq
+      assert(pos == (0L until rs.length.toLong), s"shard $shard positions not dense: $pos")
+    }
+  }
 }

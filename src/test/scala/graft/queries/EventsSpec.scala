@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.functions.col
 
 /** Events operators (windowing is oracle-gated in Verify; the as-of join
   * gets a brute-force semantic proof here on top of its DuckDB ASOF
@@ -16,11 +17,31 @@ class EventsSpec extends SparkSpecBase {
     assert(got == Seq(-2L, -1L, -1L, 0L, 0L, 1L))
   }
 
+  test("usFor dispatches on the ts layout; every layout yields epoch µs") {
+    // long ns → floor-div path
+    val ns = spark.sql("SELECT CAST(1500 AS BIGINT) AS ts")
+    assert(ns.select(Events.usFor(ns).as("us")).head().getLong(0) == 1L)
+    // TIMESTAMP_NTZ (parquet timestamp[us], the regenerated-testdata
+    // layout) → timezone-independent µs diff, pre-epoch included
+    val ntz = spark.sql(
+      """SELECT ts FROM VALUES
+        |  (TIMESTAMP_NTZ'1969-12-31 23:59:59.999998'),
+        |  (TIMESTAMP_NTZ'1970-01-01 00:00:00'),
+        |  (TIMESTAMP_NTZ'1970-01-01 00:00:01.000001') AS t(ts)""".stripMargin)
+    assert(ntz.select(Events.usFor(ntz).as("us")).collect().map(_.getLong(0)).toSeq
+      == Seq(-2L, 0L, 1000001L))
+    // zoned TIMESTAMP → unix_micros (session tz is UTC in specs)
+    val tz = spark.sql("SELECT TIMESTAMP'1970-01-01 00:00:02' AS ts")
+    assert(tz.select(Events.usFor(tz).as("us")).head().getLong(0) == 2000000L)
+  }
+
   test("as-of join equals the brute-force per-purchase latest-view") {
     val rows = Events.queries("x_events_asof")(spark, sf).collect()
 
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("event_id", "user_id", s"${Events.nsToUs} AS us", "event_type")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val ev = raw
+      .select(col("event_id"), col("user_id"), Events.usFor(raw).as("us"),
+        col("event_type"))
       .collect()
     val views = ev.filter(_.getString(3) == "view")
       .groupBy(r => (r.getLong(1), r.getLong(2)))
