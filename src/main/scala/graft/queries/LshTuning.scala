@@ -44,6 +44,24 @@ object LshTuning {
     math.min(maxCells.toLong,
       math.max(1L, math.ceil(corpus.toDouble / targetCell).toLong)).toInt
 
+  /** Two-level (coarse/fine) IVF sizing — the layout past [[ivfCells]]'s
+    * 65,536-cell broadcast cap: total cells still track corpus/targetCell,
+    * but they factor as kCoarse × kFinePerCell with kCoarse ≈ √total, so
+    * ONLY the coarse table broadcasts (≤ 65,536 rows at 10¹⁰ vectors:
+    * 3.1×10⁸ cells → 17,678 coarse) while the fine table — potentially
+    * 10⁸ rows — is joined key-equi on its coarse cell id and never
+    * broadcast. Per-vector fine-assignment work is kFinePerCell ≈ √total
+    * comparisons instead of total, the classic IMI-style square-root
+    * split. Gate corpus 500 → (4, 4) = the same 16 total cells the flat
+    * oracle uses; the static x_sim_ivf2_md5 oracle is generated with it. */
+  def ivfTwoLevel(corpus: Long, targetCell: Long = 32,
+      maxCoarse: Int = 1 << 16): (Int, Int) = {
+    val total = math.max(1L, math.ceil(corpus.toDouble / targetCell).toLong)
+    val kc = math.min(maxCoarse.toLong, math.ceil(math.sqrt(total.toDouble)).toLong).toInt
+    val kf = math.ceil(total.toDouble / kc).toInt
+    (kc, kf)
+  }
+
   /** Bands paired with [[minhashRowsPerBand]]: b = 2^(r-1) keeps the
     * S-curve threshold (1/b)^(1/r) pinned near 0.55–0.6 at every scale
     * (r=4,b=8 → 0.59; r=5,b=16 → 0.57; r=7,b=64 → 0.55), matching the

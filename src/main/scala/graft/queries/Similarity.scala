@@ -154,6 +154,24 @@ object Similarity {
     "x_sim_ivf_md5" -> ((s, d) =>
       ivfSearch(withNorm(s, d), ivfCentroidsPortable(s, d, k = ivfK(s, d)), nprobe = 4)),
 
+    // -- TWO-LEVEL (coarse/fine) IVF, md5-portable end-to-end: the ANN
+    //    layout past the flat-IVF 65,536-cell broadcast cap
+    //    (LshTuning.ivfCells scaladoc named it; this is that successor).
+    //    Coarse ≈ √totalCells centroids broadcast exactly like flat IVF;
+    //    fine centroids live in a cluster-PERSISTED table keyed by their
+    //    coarse cell and every fine-side join — fit, full-corpus
+    //    assignment, query probing — is key-equi on ccid, so the fine
+    //    table (10⁸ rows at 10¹⁰ vectors) never broadcasts and never
+    //    reaches the driver. Same md5 seed draw + exact scaled-integer
+    //    Lloyd arithmetic as x_sim_ivf_md5 → the full two-level fit,
+    //    assignment and probe reproduce bit-for-bit in the DuckDB oracle.
+    //    Gate corpus 500 → (kc=4, kf=4), the same 16 total cells as the
+    //    flat gate; probes 2 coarse × 4 fine.
+    "x_sim_ivf2_md5" -> ((s, d) => {
+      val (coarse, fine) = ivf2CentroidsPortable(s, d)
+      ivf2Search(withNorm(s, d), coarse, fine, nprobeC = 2, nprobeF = 4)
+    }),
+
     "x_sim_quantize" -> ((s, d) => quantizeQuery(s, d).filter(col("vec_id") < 100))
   )
 
@@ -230,14 +248,35 @@ object Similarity {
   private val fittedCentroids = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Array[Float])]]]()
 
-  private def purgeStoppedSessions(): Unit =
+  /** Fine-centroid registry for two-level IVF: unlike the coarse memo —
+    * which collects k ≤ 65,536 rows to the driver because they broadcast
+    * anyway — the fine table can be 10⁸ rows at 10¹⁰ vectors, so it is
+    * held as a cluster-PERSISTED DataFrame (executor block storage,
+    * MEMORY_AND_DISK) and NEVER driver-collected. Production writes it
+    * once as a parquet table bucketed on ccid (the
+    * writeMinhashIndexBucketed pattern); this memo is the query-session
+    * equivalent. */
+  private val fittedFine = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def purgeStoppedSessions(): Unit = {
     fittedCentroids.keySet.removeIf(sess => sess.sparkContext.isStopped)
+    fittedFine.keySet.removeIf(sess => sess.sparkContext.isStopped)
+  }
 
   /** Drop the memoized IVF indexes for (session, corpus dir) — call after
     * the corpus at `d` changes; the next IVF query re-fits. */
   def invalidateIvfIndex(s: SparkSession, d: String): Unit = {
     val inner = fittedCentroids.get(s)
     if (inner != null) inner.keySet.removeIf(_.startsWith(d + "\u0000"))
+    val fins = fittedFine.get(s)
+    if (fins != null) {
+      val it = fins.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.startsWith(d + "\u0000")) { e.getValue.unpersist(); it.remove() }
+      }
+    }
   }
 
   /** Spec hook: number of memoized indexes for the session. */
@@ -296,6 +335,126 @@ object Similarity {
       // in any engine
       kmeansCentroidsPortable(withNorm(s, d).filter(col("vec_id") % 5 === 0), k, iters = 2)
     }
+
+  /** Two-level IVF index, md5-portable (see x_sim_ivf2_md5): coarse =
+    * the portable Lloyd fit at kc cells (broadcast-sized by
+    * construction, LshTuning.ivfTwoLevel caps it at 65,536); fine = a
+    * per-coarse-cell portable Lloyd over the coarse cell's sample
+    * members, held cluster-persisted ([[fittedFine]]). Returns
+    * (coarse (ccid, ce, cn), fine (ccid, fcid, fe, fn)). */
+  private[queries] def ivf2CentroidsPortable(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (kc, kf) = ivf2K(s, d)
+    val coarse = ivfCentroidsPortable(s, d, kc)
+      .select(col("cid").as("ccid"), col("ce"), col("cn"))
+    purgeStoppedSessions()
+    val perSession = fittedFine.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    val mapKey = d + "\u0000" + s"md5-$kc-$kf"
+    // fit OUTSIDE the mapping function (the memoizedCentroids contract
+    // note applies); racing fitters may duplicate work, winner served
+    val fine = {
+      val cached = perSession.get(mapKey)
+      if (cached != null) cached
+      else {
+        val sampA = assignCells(
+          withNorm(s, d).filter(col("vec_id") % 5 === 0),
+          coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+          .withColumnRenamed("cid", "ccid")
+        val built = fineFitPortable(sampA, kf, iters = 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val prev = perSession.putIfAbsent(mapKey, built)
+        if (prev != null) { built.unpersist(); prev } else built
+      }
+    }
+    (coarse, fine)
+  }
+
+  /** Corpus-derived two-level sizing (one metadata-cheap count probe,
+    * the [[ivfK]] pattern). */
+  private[queries] def ivf2K(s: SparkSession, d: String): (Int, Int) =
+    LshTuning.ivfTwoLevel(graft.Engine.rowCountFast(table(s, d, "embeddings")))
+
+  /** Nearest-FINE-centroid assignment within each vector's coarse cell:
+    * the join is KEY-EQUI on ccid — a shuffle (or bucketed-table) join
+    * that scales to a 10⁸-row fine table, never a broadcast — followed
+    * by the same max(struct) partial-agg argmax as [[assignCells]].
+    * `v`: (vec_id, embedding, nrm, ccid); `fine`: (ccid, fcid, fe, fn). */
+  private def assignFine(v: DataFrame, fine: DataFrame): DataFrame = {
+    val fcos = (expr("float_dot(embedding, fe)") / (col("nrm") * col("fn"))).as("fcos")
+    v.join(fine, Seq("ccid"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("ccid"),
+        struct(fcos, (lit(0L) - col("fcid")).as("negf")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max("sc").as("m"), first("embedding").as("embedding"),
+        first("nrm").as("nrm"), first("ccid").as("ccid"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("ccid"),
+        (lit(0L) - col("m.negf")).as("fcid"))
+  }
+
+  /** Per-coarse-cell portable Lloyd: seeds are each cell's kf sample
+    * members with the smallest (md5(vec_id), vec_id) — the c0 draw,
+    * per-partitioned; updates are the exact scaled-integer means of
+    * [[kmeansCentroidsPortable]], grouped per fine cell. Every
+    * iteration's join is key-equi on ccid. `sampA`: the coarse-assigned
+    * sample (vec_id, embedding, nrm, ccid). */
+  private def fineFitPortable(sampA: DataFrame, kf: Int, iters: Int): DataFrame = {
+    val wSeed = Window.partitionBy("ccid")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    var fine = sampA.withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= kf)
+      .select(col("ccid"), col("vec_id").as("fcid"),
+        col("embedding").as("fe"), col("nrm").as("fn"))
+    for (_ <- 0 until iters) {
+      fine = assignFine(sampA, fine)
+        .select(col("ccid"), col("fcid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("q", floor(col("x").cast("double") * lit(1e9)).cast("decimal(38,0)"))
+        .groupBy("ccid", "fcid", "pos")
+        .agg((sum("q").cast("double") / (lit(1e9) * count(lit(1)))).cast("float").as("m"))
+        .groupBy("ccid", "fcid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("fe"))
+        .withColumn("fn", sqrt(expr("float_dot(fe, fe)")))
+        .select(col("ccid"), col("fcid"), col("fe"), col("fn"))
+    }
+    fine
+  }
+
+  /** Two-level probe + exact re-rank: queries take their nprobeC nearest
+    * COARSE cells (broadcast centroids, tiny query side), refine to the
+    * nprobeF nearest FINE cells among those (key-equi join on ccid),
+    * then candidates join key-equi on fcid and top-5 re-ranks exactly —
+    * the same last mile as [[ivfSearch]]. The corpus is assigned
+    * coarse-then-fine once; only skinny probe rows broadcast. */
+  private def ivf2Search(e: DataFrame, coarse: DataFrame, fine: DataFrame,
+      nprobeC: Int, nprobeF: Int): DataFrame = {
+    val assigned = assignFine(
+      assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+        .withColumnRenamed("cid", "ccid"),
+      fine)
+    val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("ccid").asc)
+    val probesC = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .join(broadcast(coarse), lit(true))
+      .select(col("qid"), col("qe"), col("qn"), col("ccid"),
+        (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= nprobeC)
+      .select(col("qid"), col("qe"), col("qn"), col("ccid"))
+    val wf = Window.partitionBy("qid").orderBy(col("fcos").desc, col("fcid").asc)
+    val probesF = broadcast(probesC).join(fine, Seq("ccid"))
+      .select(col("qid"), col("qe"), col("qn"), col("fcid"),
+        (expr("float_dot(qe, fe)") / (col("qn") * col("fn"))).as("fcos"))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= nprobeF)
+      .select(col("qid"), col("qe"), col("qn"), col("fcid"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(probesF)
+      .join(assigned, probesF("fcid") === assigned("fcid") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
 
   /** k-means centroid fit for the IVF cells (Lloyd, fixed iteration
     * count), replacing round-2's every-31st-vector scaffolding.
@@ -374,18 +533,83 @@ object Similarity {
        |l$n AS (SELECT cid, list(m ORDER BY pos) AS ce FROM m$n GROUP BY cid),
        |c$n AS (SELECT cid, ce, sqrt(${dotSql("ce", "ce")}) AS cn FROM l$n)""".stripMargin
 
+  /** Fine-centroid assignment WITHIN the coarse cell (CTE text): the
+    * same row_number argmax as [[assignSql]], except the candidate set
+    * is key-equi on the coarse cell — mirroring the Spark assignFine.
+    * `src` carries (vec_id, embedding, nrm, cid); `fine` (ccid, fcid,
+    * fe, fn). */
+  private def fineAssignSql(src: String, fine: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, embedding, nrm, ccid, fcid FROM (
+       |    SELECT v.vec_id, v.embedding, v.nrm, f.ccid, f.fcid,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${dotSql("v.embedding", "f.fe")} / (v.nrm * f.fn) DESC, f.fcid ASC) rn
+       |    FROM $src v JOIN $fine f ON v.cid = f.ccid) WHERE rn = 1)""".stripMargin
+
+  /** Fine-centroid update: exact scaled-integer mean per (ccid, fcid,
+    * pos) — [[updateSql]] with the two-level keys (CTE text). */
+  private def fineUpdateSql(asg: String, n: Int): String =
+    s"""fx$n AS (
+       |  SELECT a.ccid, a.fcid, t.i AS pos,
+       |         CAST(floor(CAST(a.embedding[t.i] AS DOUBLE) * 1000000000.0) AS DECIMAL(38,0)) AS q
+       |  FROM $asg a, range(1, ${EmbeddingDims + 1}) t(i)),
+       |fm$n AS (
+       |  SELECT ccid, fcid, pos,
+       |         CAST(CAST(sum(q) AS DOUBLE) / (1000000000.0 * count(*)) AS REAL) AS m
+       |  FROM fx$n GROUP BY ccid, fcid, pos),
+       |fl$n AS (SELECT ccid, fcid, list(m ORDER BY pos) AS fe FROM fm$n GROUP BY ccid, fcid),
+       |f$n AS (SELECT ccid, fcid, fe, sqrt(${dotSql("fe", "fe")}) AS fn FROM fl$n)""".stripMargin
+
+  /** The md5-portable TWO-LEVEL IVF pipeline as a DuckDB CTE chain
+    * (x_sim_ivf2_md5's oracle): the coarse fit is the [[portableIvfCtes]]
+    * chain at kCoarse, then each coarse cell's sample members seed and
+    * Lloyd-fit kFine fine centroids (`f0`→`f2`: md5 seed draw
+    * per-partitioned, exact scaled-integer means per fine cell), and the
+    * full corpus is assigned coarse (`acf`) then fine (`faf`). kc/kf are
+    * interpolated from the SAME derivation the Spark side runs
+    * (LshTuning.ivfTwoLevel at the 500-vector gate corpus), so a
+    * gate-corpus resize moves oracle and engine together. */
+  private[queries] def portableIvf2Ctes: String = {
+    val (kc, kf) = LshTuning.ivfTwoLevel(500)
+    s"""e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |samp AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+       |c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM samp
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kc),
+       |${assignSql("samp", "c0", "a1")},
+       |${updateSql("a1", 1)},
+       |${assignSql("samp", "c1", "a2")},
+       |${updateSql("a2", 2)},
+       |${assignSql("samp", "c2", "ac")},
+       |f0 AS (SELECT cid AS ccid, vec_id AS fcid, embedding AS fe, nrm AS fn FROM (
+       |  SELECT vec_id, embedding, nrm, cid,
+       |         row_number() OVER (PARTITION BY cid
+       |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) rn
+       |  FROM ac) WHERE rn <= $kf),
+       |${fineAssignSql("ac", "f0", "fa1")},
+       |${fineUpdateSql("fa1", 1)},
+       |${fineAssignSql("ac", "f1", "fa2")},
+       |${fineUpdateSql("fa2", 2)},
+       |${assignSql("e", "c2", "acf")},
+       |${fineAssignSql("acf", "f2", "faf")}""".stripMargin
+  }
+
   /** The md5-portable IVF pipeline as a DuckDB CTE chain: norms (`e`), the
     * modulo sample (`samp`), the md5 seed draw (`c0`), the unrolled
     * 2-iteration Lloyd fit (ending at `c2`), and the full-corpus
     * nearest-centroid assignment (`asgf`). Every step mirrors the Spark
     * side bit-for-bit; shared by the x_sim_ivf_md5 and x_dedup_semantic
-    * oracles so both hash-gate the same fit. */
+    * oracles so both hash-gate the same fit. k is interpolated from the
+    * SAME derivation the Spark side runs (LshTuning.ivfCells at the gate
+    * corpus' 500 vectors — the x_sim_lsh oracle's signPlanes pattern),
+    * so a gate-corpus resize moves oracle and engine together instead of
+    * silently skewing a hard-coded LIMIT. */
   private[queries] def portableIvfCtes: String =
     s"""e AS (SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
        |samp AS (SELECT * FROM e WHERE vec_id % 5 = 0),
        |c0 AS (SELECT vec_id AS cid, embedding AS ce, nrm AS cn FROM samp
-       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT ${LshTuning.ivfCells(500)}),
        |${assignSql("samp", "c0", "a1")},
        |${updateSql("a1", 1)},
        |${assignSql("samp", "c1", "a2")},
@@ -469,6 +693,37 @@ object Similarity {
          |scored AS (
          |  SELECT p.qid, t.vec_id, ${dotq("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
          |  FROM probes p JOIN asgf t ON p.cid = t.cid AND p.qid != t.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+         |  FROM scored)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    // Two-level IVF, hash-gated end-to-end: coarse probe (rn <= 2,
+    // mirroring nprobeC), fine refinement among the probed coarse cells'
+    // centroids (rn <= 4, nprobeF, key-equi on ccid), candidates from
+    // the fine-assigned corpus, exact top-5 re-rank. The fit chain is
+    // [[portableIvf2Ctes]].
+    "x_sim_ivf2_md5" -> {
+      val dotq = dotSql _
+      s"""WITH $portableIvf2Ctes,
+         |pc AS (
+         |  SELECT qid, qe, qn, ccid FROM (
+         |    SELECT q.vec_id qid, q.embedding qe, q.nrm qn, c.cid ccid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotq("q.embedding", "c.ce")} / (q.nrm * c.cn) DESC, c.cid ASC) rn
+         |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rn <= 2),
+         |pf AS (
+         |  SELECT qid, qe, qn, fcid FROM (
+         |    SELECT p.qid, p.qe, p.qn, f.fcid,
+         |           row_number() OVER (PARTITION BY p.qid
+         |             ORDER BY ${dotq("p.qe", "f.fe")} / (p.qn * f.fn) DESC, f.fcid ASC) rn
+         |    FROM pc p JOIN f2 f ON p.ccid = f.ccid) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.qid, t.vec_id, ${dotq("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
+         |  FROM pf p JOIN faf t ON p.fcid = t.fcid AND p.qid != t.vec_id),
          |ranked AS (
          |  SELECT qid, vec_id, cos,
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank

@@ -352,4 +352,76 @@ class PlanQualitySpec extends SparkSpecBase {
         "the sizing probe must stay footer-metadata-only")
     assert(Curation.queries("x_cur_shard")(spark, sf).count() == 500L)
   }
+
+  test("composed pipeline: two corpus scans total; job-free plan build past the cluster memo") {
+    // warm the one-time cluster-label memo (its build legitimately runs
+    // jobs); everything else the pipeline derives at plan-build time —
+    // pack chunking, shard count — must come from footer metadata
+    graft.queries.Dedup.clusterLabels(spark, sf).count()
+    Curation.queries("x_cur_shard")(spark, sf) // warms textBytes/docIdBounds memos
+    val tracker = spark.sparkContext.statusTracker
+    def jobsDuring(f: => Unit): Int = {
+      val before = tracker.getJobIdsForGroup(null).length
+      f
+      Thread.sleep(300)
+      tracker.getJobIdsForGroup(null).length - before
+    }
+    val baseline = jobsDuring { spark.read.parquet(s"$sf/documents.parquet"); () }
+    val built = jobsDuring { Curation.queries("x_cur_pipeline")(spark, sf); () }
+    assert(built <= baseline,
+      s"building x_cur_pipeline launched $built jobs vs $baseline for a bare table open")
+
+    // the five composed stages must NOT re-scan the corpus per stage:
+    // exactly the two inherent passes (mixture's survivor-rate aggregate
+    // + the survivor flow) read documents in the executed plan; dedup
+    // labels ride the InMemoryRelation cache
+    val p = finalPlanStr("x_cur_pipeline").split("== Initial Plan ==").head
+    val docScans = p.linesIterator.count(l =>
+      (l.contains("FileScan parquet") || l.contains("BatchScan")) &&
+        l.contains("documents"))
+    assert(docScans <= 2, s"documents scanned $docScans times — a stage re-scans:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      s"dedup labels must come from the cluster cache:\n$p")
+  }
+
+  test("two-level IVF: the fine table joins key-equi and never feeds a nested loop") {
+    // the design claim that carries ANN past the 65,536-cell cap: the
+    // fine-centroid table joins by its coarse-cell key and can degrade
+    // to a shuffle join — it must NEVER require a broadcast or a
+    // cartesian. AQE off (adaptive wrapper hides the tree) and
+    // auto-broadcast off so the degradation is visible; the intentional
+    // coarse fan-outs (corpus argmax + query probe) carry explicit
+    // hints and survive as nested loops over the ≤65,536-row coarse set.
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
+      CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.SparkEntry.queries("x_sim_ivf2_md5")(spark, sf)
+        .queryExecution.executedPlan
+      assert(p.collect { case c: CartesianProductExec => c }.isEmpty,
+        s"cartesian in two-level IVF:\n$p")
+      val bnl = p.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnl.nonEmpty, s"expected the hinted coarse fan-outs:\n$p")
+      // the cluster-persisted fine table must never sit under a nested
+      // loop — at 10^10 vectors it is 10^8 rows
+      bnl.foreach(j => assert(
+        j.collect { case s: InMemoryTableScanExec => s }.isEmpty,
+        s"fine table feeds a nested loop:\n$j"))
+      def keyed(j: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+        j.exists(_.toString.contains("ccid"))
+      val equiFine = p.collect {
+        case j: SortMergeJoinExec if keyed(j.leftKeys) => j
+        case j: ShuffledHashJoinExec if keyed(j.leftKeys) => j
+      }
+      assert(equiFine.nonEmpty,
+        s"fine assignment must be a shuffle equi-join on ccid:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
 }

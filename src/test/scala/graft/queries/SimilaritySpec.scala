@@ -86,6 +86,38 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Similarity.ivfK(spark, sf) == 16)
   }
 
+  test("two-level IVF: ranked output, useful recall, deterministic re-query") {
+    val rows = Similarity.queries("x_sim_ivf2_md5")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val cos = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    val truth = Similarity.queries("x_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    // 2 of 4 coarse × 4 fine cells probed — comparable to the flat
+    // twin's 4-of-16 coverage
+    assert(recall >= 0.2, s"ivf2 recall $recall too low")
+    // deterministic (argmax + seed-draw tie-breaks pinned, memo served)
+    val again = Similarity.queries("x_sim_ivf2_md5")(spark, sf).collect().toSeq
+    assert(again == rows.toSeq)
+  }
+
+  test("two-level sizing: gate derives (4,4); coarse stays broadcastable out to 10^10 vectors") {
+    assert(LshTuning.ivfTwoLevel(500) == ((4, 4))) // gate — static oracle values
+    assert(LshTuning.ivfTwoLevel(2000) == ((8, 8))) // sf0.1: 63 cells factor as 8x8
+    assert(LshTuning.ivfTwoLevel(1) == ((1, 1))) // floor
+    val (kc, kf) = LshTuning.ivfTwoLevel(10_000_000_000L)
+    assert(kc <= 65536, "coarse table must stay broadcast-sized")
+    assert(kc.toLong * kf >= 312_500_000L, "kc x kf must cover total cells")
+    // the live derivation on the gate corpus dir agrees with the oracle
+    assert(Similarity.ivf2K(spark, sf) == ((4, 4)))
+  }
+
   test("LSH dims contract: a corpus with non-contract dims fails fast") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-dims").toString
