@@ -107,6 +107,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(again == rows.toSeq)
   }
 
+  test("persisted ivf2 index: bucketed search equals the in-memory path; scans prune to probed buckets") {
+    // the warehouse dir outlives the in-memory catalog across JVM runs:
+    // drop any catalog entry AND the orphaned location before writing
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("ivf2idx_coarse", "ivf2idx_fine", "ivf2idx_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    Similarity.writeIvf2Index(spark, sf, "ivf2idx")
+    val direct = Similarity.queries("x_sim_ivf2_md5")(spark, sf).collect().toSeq
+    val indexed = Similarity
+      .ivf2SearchAgainstIndex(spark, sf, "ivf2idx", nprobeC = 2, nprobeF = 4)
+    assert(indexed.collect().toSeq == direct,
+      "indexed search must emit exactly the in-memory path's verdicts")
+    // a narrow query set probes few cells — the postings/fine scans must
+    // BUCKET-PRUNE to them (the sub-linear-storage claim, visible as
+    // SelectedBucketsCount k < n in the scan)
+    val narrow = Similarity
+      .ivf2SearchAgainstIndex(spark, sf, "ivf2idx", nprobeC = 2, nprobeF = 4, maxQid = 2L)
+    val p = narrow.queryExecution.executedPlan.toString
+    val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+    val prunes = sel.findAllMatchIn(p).map(m => (m.group(1).toInt, m.group(2).toInt)).toList
+    assert(prunes.nonEmpty, s"no bucketed scan in plan:\n$p")
+    assert(prunes.exists { case (k, n) => k < n },
+      s"no scan actually pruned buckets: $prunes\n$p")
+  }
+
   test("two-level sizing: gate derives (4,4); coarse stays broadcastable out to 10^10 vectors") {
     assert(LshTuning.ivfTwoLevel(500) == ((4, 4))) // gate — static oracle values
     assert(LshTuning.ivfTwoLevel(2000) == ((8, 8))) // sf0.1: 63 cells factor as 8x8
