@@ -59,6 +59,26 @@ object Streams {
   def stratifiedSample(docs: DataFrame): DataFrame =
     docs.filter(graft.queries.Curation.samplePredicate)
 
+  /** Streaming α-mixture applier — continuous twin of `x_cur_mixture`'s
+    * keep decision, the production split of that operator: the
+    * temperature RATES are fit once on the backfill (they need global
+    * per-source token masses — inherently two-pass), then a stream
+    * applies them statelessly. Incoming docs join the static broadcast
+    * (source, rate) table and keep iff md5long60(doc_id) clears the
+    * rate threshold — a pure function of (doc_id, source, rates), so
+    * stream and backfill keep IDENTICAL documents and micro-batch
+    * boundaries cannot change the kept set. Works unchanged on a batch
+    * DataFrame (StreamsSpec pins stream == batch == the hash-gated
+    * aggregate's kept counts). Input: (doc_id, source, …) — all input
+    * columns pass through. */
+  def mixtureFilter(docs: DataFrame, rates: DataFrame): DataFrame = {
+    graft.functions.Md5Long60.register(docs.sparkSession)
+    docs.join(broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
+      .filter(expr("md5long60(CAST(doc_id AS STRING))") <
+        floor(col("rate") * lit(1.152921504606846976e18)))
+      .drop("rate")
+  }
+
   /** Streaming C4 blocklist filter — stateless twin of
     * `x_cur_blocklist`'s keep verdict: documents containing any
     * blocklist token drop on arrival (a narrow filter — no state, no

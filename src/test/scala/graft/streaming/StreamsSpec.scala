@@ -174,6 +174,41 @@ class StreamsSpec extends SparkSpecBase {
     assert(streamed.nonEmpty && streamed.size < docs.size)
   }
 
+  test("streaming mixture filter keeps exactly the hash-gated aggregate's docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // rates fit on the backfill — the (source, rate) slice of the
+    // oracle-gated mixture aggregate
+    val mix = graft.queries.Curation.queries("x_cur_mixture")(spark, sf)
+    val rates = mix.select("source", "rate")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.mixtureFilter(in.toDF().toDF("doc_id", "source"), rates)
+      .writeStream.format("memory").queryName("mix_out")
+      .outputMode(OutputMode.Append()).start()
+    // two micro-batches: the kept set must not depend on the boundary
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mix_out").collect().map(_.getLong(1)).toSet
+    // the same helper on a batch frame selects the same docs…
+    val batch = Streams.mixtureFilter(
+      docs.toDF("doc_id", "source"), rates).collect().map(_.getLong(1)).toSet
+    assert(streamed == batch, "stream and backfill must keep identical docs")
+    // …and both agree with the aggregate's per-source kept_docs counts
+    val wantPerSource = mix.select("source", "kept_docs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotPerSource = spark.table("mix_out").collect()
+      .groupBy(_.getString(0)).map { case (s0, rs) => s0 -> rs.length.toLong }
+    assert(gotPerSource == wantPerSource,
+      s"per-source kept counts diverge: got $gotPerSource want $wantPerSource")
+    assert(streamed.nonEmpty && streamed.size < docs.size, "mixture must down-sample")
+  }
+
   test("streaming blocklist filter keeps exactly the batch verdict's docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
