@@ -136,6 +136,35 @@ object Streams {
       sink(graft.queries.Dedup.incrementalDupsOf(batch.toDF(), indexPath), batchId)
     }
 
+  /** Streaming curation ingest — the continuous-ingest composition of
+    * the batch pipeline's PER-DOC stages: blocklist → not-a-duplicate
+    * against the persisted minhash index → α-mixture keep, run per
+    * micro-batch via foreachBatch (plain batch plans inside, so the
+    * dedup verdict's candidate join + rollup face no streaming
+    * restrictions). Every stage is a pure per-doc function of
+    * (doc, static index/rates), so the union over micro-batches equals
+    * a one-shot backfill of the same composition — StreamsSpec pins it.
+    * The corpus-GLOBAL stages of x_cur_pipeline stay where they belong:
+    * rates arrive pre-fitted on the backfill (the [[mixtureFilter]]
+    * contract) and pack offsets / shard positions are assigned
+    * downstream over the accumulated kept corpus, not per batch.
+    * Input: (doc_id, source, text, …); the sink receives each batch's
+    * kept rows. */
+  def curationIngest(docs: DataFrame, rates: DataFrame, indexPath: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(curationIngestBatch(batch.toDF(), rates, indexPath), batchId)
+    }
+
+  /** The per-batch plan [[curationIngest]] runs — shared with the spec's
+    * one-shot backfill so stream and batch execute the SAME composition. */
+  def curationIngestBatch(docs: DataFrame, rates: DataFrame, indexPath: String): DataFrame = {
+    val clean = blocklistFilter(docs)
+    val dups = graft.queries.Dedup.incrementalDupsOf(clean, indexPath)
+      .select("doc_id")
+    mixtureFilter(clean.join(dups, Seq("doc_id"), "left_anti"), rates)
+  }
+
   final case class UserRunning(user_id: Long, n: Long, total: Double)
 
   final case class AsOfMatch(purchase_id: Long, user_id: Long, p_us: Long,

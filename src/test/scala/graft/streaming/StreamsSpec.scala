@@ -281,6 +281,43 @@ class StreamsSpec extends SparkSpecBase {
     assert(!rows.contains(2L), s"doc 2 has no overlap: $rows")
   }
 
+  test("streaming curation ingest: blocklist+index-dedup+mixture equals the one-shot backfill") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft-ingest-idx").toString
+    graft.queries.Dedup.writeMinhashIndex(spark, sf, idx, col("doc_id") < 400)
+    val rates = graft.queries.Curation.queries("x_cur_mixture")(spark, sf)
+      .select("source", "rate")
+    val increment = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") >= 400).select("doc_id", "source", "text")
+    // one-shot backfill of the same composition = the expected kept set
+    val want = Streams.curationIngestBatch(increment, rates, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty, "composition kept nothing — equivalence gate is vacuous")
+    // …and every stage must actually bite on the increment
+    val dupDocs = graft.queries.Dedup.incrementalDupsOf(increment, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(dupDocs.nonEmpty, "no cross-boundary dups — dedup stage is vacuous")
+    assert(want.intersect(dupDocs).isEmpty, "a dup of the index survived ingest")
+
+    val rows = increment.as[(Long, String, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.curationIngest(
+      in.toDF().toDF("doc_id", "source", "text"), rates, idx) { (kept, _) =>
+      got.synchronized { got ++= kept.select("doc_id").collect().map(_.getLong(0)) }
+      ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == want,
+      s"stream-only: ${got.toSet.diff(want)}; backfill-only: ${want.diff(got.toSet)}")
+    assert(got.size == got.toSet.size, "a doc was emitted twice across batches")
+  }
+
   test("incremental dedup: streamed micro-batches emit the backfill's verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
