@@ -38,8 +38,10 @@ object LshTuning {
     * oracles for x_sim_ivf_md5 / x_dedup_semantic are generated with it),
     * 2000 → 63 (sf0.1 bench), capped at 65536: a 64-dim float centroid
     * table tops out ≈ 16 MB — still broadcastable to every executor.
-    * Past the cap cell populations resume growing linearly; the next
-    * step there is hierarchical (two-level) IVF, not a bigger broadcast. */
+    * Past the cap cell populations resume growing linearly; the
+    * hierarchical successor EXISTS as [[ivfTwoLevel]] (x_sim_ivf2_md5),
+    * which keeps total cells growing with the corpus while only the
+    * √total coarse level broadcasts. */
   def ivfCells(corpus: Long, targetCell: Long = 32, maxCells: Int = 1 << 16): Int =
     math.min(maxCells.toLong,
       math.max(1L, math.ceil(corpus.toDouble / targetCell).toLong)).toInt
