@@ -154,6 +154,19 @@ object Similarity {
     "x_sim_ivf_md5" -> ((s, d) =>
       ivfSearch(withNorm(s, d), ivfCentroidsPortable(s, d, k = ivfK(s, d)), nprobe = 4)),
 
+    // -- IVF with int8 ASYMMETRIC candidate scoring (ADC) + exact
+    //    re-rank, md5-portable end-to-end: candidates inside the probed
+    //    cells are first scored from their int8 codes — integer dot
+    //    products over 64 bytes instead of float_dot over the raw
+    //    vectors, the 4× memory-bandwidth cut that dominates ANN serving
+    //    cost at 100 TB — and only the top-20 per query pay the exact
+    //    re-rank. The quantized score is EXACT integer arithmetic (the
+    //    hash-gated x_sim_quantize codes) divided by the two scale/norm
+    //    products in a fixed order, so the candidate cut reproduces
+    //    bit-for-bit in DuckDB; the final top-5 re-ranks with float_dot.
+    "x_sim_ivfq_md5" -> ((s, d) =>
+      ivfQuantizedSearch(s, d, nprobe = 4, shortlist = 20)),
+
     // -- TWO-LEVEL (coarse/fine) IVF, md5-portable end-to-end: the ANN
     //    layout past the flat-IVF 65,536-cell broadcast cap
     //    (LshTuning.ivfCells scaladoc named it; this is that successor).
@@ -449,6 +462,59 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(probesF)
       .join(assigned, probesF("fcid") === assigned("fcid") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Full-corpus int8 quantization (the x_sim_quantize codes, unexploded):
+    * (vec_id, embedding, nrm, qscale, q array<long of int8-range>). */
+  private def quantized(e: DataFrame): DataFrame =
+    e.withColumn("mx", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("qscale", when(col("mx") > 0, lit(127.0) / col("mx")).otherwise(lit(0.0)))
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * qscale + 0.5) AS BIGINT))"))
+      .drop("mx")
+
+  /** IVF probe with int8 asymmetric scoring (see x_sim_ivfq_md5): probed
+    * cells' candidates rank by the integer code dot product (exact, so
+    * the shortlist cut is engine-portable), then only `shortlist` rows
+    * per query re-rank with the exact float dot. Zero-scale guards (a
+    * zero vector has qscale 0) pin the degenerate score BELOW any true
+    * cosine instead of leaving a NaN to engine-specific ordering. */
+  private def ivfQuantizedSearch(s: SparkSession, d: String,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    val e = withNorm(s, d)
+    val cents = ivfCentroidsPortable(s, d, k = ivfK(s, d))
+    val qz = quantized(e)
+    val assigned = assignCells(e, cents)
+      .select(col("vec_id"), col("cid"))
+      .join(qz, Seq("vec_id"))
+    val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    val probes = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
+        col("qscale").as("qqs"), col("q").as("qq"))
+      .join(broadcast(cents), lit(true))
+      .select(col("qid"), col("qe"), col("qn"), col("qqs"), col("qq"), col("cid"),
+        (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qe"), col("qn"), col("qqs"), col("qq"), col("cid"))
+    val wq = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(probes)
+      .join(assigned, probes("cid") === assigned("cid") && col("qid") =!= col("vec_id"))
+      .withColumn("ip", expr(
+        "aggregate(zip_with(qq, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      .withColumn("qcos",
+        when(col("qqs") * col("qscale") === 0 || col("qn") * col("nrm") === 0, lit(-2.0))
+          .otherwise(col("ip").cast("double") / (col("qqs") * col("qscale")) /
+            (col("qn") * col("nrm"))))
+      .withColumn("rnq", row_number().over(wq))
+      .filter(col("rnq") <= shortlist)
       .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
@@ -774,6 +840,55 @@ object Similarity {
          |  SELECT qid, vec_id, cos,
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
          |  FROM scored)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    // IVF + int8 asymmetric scoring: the quantization CTE is the
+    // hash-gated x_sim_quantize formula (unexploded), the integer code
+    // dot is exact in both engines, and the scale/norm divisions follow
+    // the same fixed order as the Spark column expression — so the
+    // 20-candidate shortlist cut and the exact re-ranked top-5 both
+    // reproduce bit-for-bit.
+    "x_sim_ivfq_md5" -> {
+      val dotq = dotSql _
+      s"""WITH $portableIvfCtes,
+         |qz AS (
+         |  SELECT vec_id, embedding, nrm, qscale,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * qscale + 0.5) AS BIGINT)) AS q
+         |  FROM (SELECT vec_id, embedding, nrm,
+         |          CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS qscale
+         |        FROM (SELECT vec_id, embedding, nrm,
+         |                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |              FROM e))),
+         |asgq AS (
+         |  SELECT a.vec_id, a.cid, z.embedding, z.nrm, z.qscale, z.q
+         |  FROM asgf a JOIN qz z ON a.vec_id = z.vec_id),
+         |probes AS (
+         |  SELECT qid, qe, qn, qqs, qq, cid FROM (
+         |    SELECT z.vec_id qid, z.embedding qe, z.nrm qn, z.qscale qqs, z.q qq, c.cid,
+         |           row_number() OVER (PARTITION BY z.vec_id
+         |             ORDER BY ${dotq("z.embedding", "c.ce")} / (z.nrm * c.cn) DESC, c.cid ASC) rn
+         |    FROM qz z CROSS JOIN c2 c WHERE z.vec_id < 10) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, t.vec_id, p.qe, p.qn, t.embedding, t.nrm,
+         |         list_sum(list_transform(generate_series(1, $EmbeddingDims),
+         |           i -> p.qq[i] * t.q[i])) AS ip,
+         |         p.qqs * t.qscale AS ss, p.qn * t.nrm AS nn
+         |  FROM probes p JOIN asgq t ON p.cid = t.cid AND p.qid != t.vec_id),
+         |short AS (
+         |  SELECT qid, vec_id, qe, qn, embedding, nrm FROM (
+         |    SELECT c.*, row_number() OVER (PARTITION BY qid
+         |             ORDER BY qcos DESC, vec_id ASC) rnq
+         |    FROM (SELECT cand.*,
+         |            CASE WHEN ss = 0 OR nn = 0 THEN -2.0
+         |                 ELSE CAST(ip AS DOUBLE) / ss / nn END AS qcos
+         |          FROM cand) c) WHERE rnq <= 20),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+         |  FROM (SELECT qid, vec_id, ${dotq("qe", "embedding")} / (qn * nrm) AS cos FROM short))
          |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },

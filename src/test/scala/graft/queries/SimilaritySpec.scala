@@ -86,6 +86,33 @@ class SimilaritySpec extends SparkSpecBase {
     assert(Similarity.ivfK(spark, sf) == 16)
   }
 
+  test("quantized-rerank IVF: ranked output, useful recall, deterministic") {
+    val rows = Similarity.queries("x_sim_ivfq_md5")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val cos = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    val truth = Similarity.queries("x_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(recall >= 0.3, s"ivfq recall $recall too low")
+    // the int8 shortlist may only SHRINK the flat twin's candidate set —
+    // every emitted neighbor must come from the same probed cells
+    val flat = Similarity.queries("x_sim_ivf_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val extra = approx.diff(flat)
+    // allowed: rank shifts within the shortlist promote different top-5
+    // members, but wholesale divergence means the probe stage drifted
+    assert(extra.size <= truth.size / 2,
+      s"quantized path diverged from the flat probe stage: $extra")
+    val again = Similarity.queries("x_sim_ivfq_md5")(spark, sf).collect().toSeq
+    assert(again == rows.toSeq)
+  }
+
   test("two-level IVF: ranked output, useful recall, deterministic re-query") {
     val rows = Similarity.queries("x_sim_ivf2_md5")(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
