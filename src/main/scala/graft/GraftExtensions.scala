@@ -5,13 +5,13 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, FloatDot, Md5Long60, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, FloatDot, IntDot, Md5Long60, MinHashSignature, SimHash64}
 
 /** Cluster-facing packaging of the graft native functions:
   *
   *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
   *
-  * injects `cosine_sim`, `float_dot`, `minhash_sig`, `simhash64` into
+  * injects `cosine_sim`, `float_dot`, `int_dot`, `minhash_sig`, `simhash64` into
   * every session built from that config — the idiomatic deployment for a
   * library of Catalyst expressions (no driver-side register calls, works
   * from pure SQL, survives session cloning). The per-query `register`
@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       CosineSimilarity.dotBuilder))
+    ext.injectFunction((FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
+      CosineSimilarity.intDotBuilder))
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       MinHashSignature.builder))

@@ -120,7 +120,13 @@ object CosineSimilarity {
       s"float_dot expects exactly 2 arguments (array<float|double> ×2), got ${other.length}")
   }
 
-  /** Register `cosine_sim(a, b)` and `float_dot(a, b)`. */
+  val intDotBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => IntDot(a, b)
+    case other => throw new IllegalArgumentException(
+      s"int_dot expects exactly 2 arguments (array<bigint> ×2), got ${other.length}")
+  }
+
+  /** Register `cosine_sim(a, b)`, `float_dot(a, b)` and `int_dot(a, b)`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"),
@@ -130,6 +136,10 @@ object CosineSimilarity {
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       dotBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[IntDot].getName, "int_dot"),
+      intDotBuilder)
   }
 }
 
@@ -200,6 +210,70 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
          |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $dot += ${get(x, leftFloat)} * ${get(y, rightFloat)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Integer array dot product (codegen'd fused loop) over two
+  * `array<bigint>` columns — the int8-code scorer of the quantized ANN
+  * path (x_sim_ivfq_md5), where the composed
+  * `aggregate(zip_with(a, b, (x, y) -> x*y), 0L, (acc, x) -> acc + x)`
+  * interprets two lambda closures and allocates a product array per
+  * candidate pair. Semantics match that composed fold exactly:
+  * mismatched lengths are NULL (zip_with pads with null → the running
+  * sum turns null), a null element is NULL, two empty arrays are 0 (the
+  * fold's init). Products of int8-range codes are ≤ 127² · dims — no
+  * overflow anywhere near bigint. */
+case class IntDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def elemOk(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+    case _                                                 => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(elemOk)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int_dot requires array<bigint> inputs, got (${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "int_dot"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += $x.getLong($i) * $y.getLong($i);
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $dot;
          |}

@@ -507,8 +507,10 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(probes)
       .join(assigned, probes("cid") === assigned("cid") && col("qid") =!= col("vec_id"))
-      .withColumn("ip", expr(
-        "aggregate(zip_with(qq, q, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+      // int_dot: the codegen'd fused loop (graft.functions.IntDot) —
+      // bit-identical to the composed aggregate/zip_with fold, which
+      // would interpret two lambdas per candidate pair in the hot path
+      .withColumn("ip", expr("int_dot(qq, q)"))
       .withColumn("qcos",
         when(col("qqs") * col("qscale") === 0 || col("qn") * col("nrm") === 0, lit(-2.0))
           .otherwise(col("ip").cast("double") / (col("qqs") * col("qscale")) /

@@ -22,15 +22,17 @@ class GraftExtensionsSpec extends SparkSpecBase {
       val r = s2.sql(
         """SELECT cosine_sim(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT))) AS c,
           |       float_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d,
+          |       int_dot(array(4L, 5L), array(2L, 3L)) AS id,
           |       size(minhash_sig(array('a', 'b'), 8)) AS m,
           |       simhash64(array('x', 'y')) AS sh""".stripMargin).collect().head
       assert(r.getDouble(0) == 1.0)
       assert(r.getDouble(1) == 6.0)
-      assert(r.getInt(2) == 8)
+      assert(r.getLong(2) == 23L)
+      assert(r.getInt(3) == 8)
       // parity with the register()-path expression on the same input
       graft.functions.SimHash64.register(base)
       val want = base.sql("SELECT simhash64(array('x', 'y'))").collect().head.getLong(0)
-      assert(r.getLong(3) == want)
+      assert(r.getLong(4) == want)
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)

@@ -49,6 +49,22 @@ class CosineSimilaritySpec extends SparkSpecBase {
     assert(r.getDouble(6) == 0d, "float_dot over equal empty arrays is the fold init")
   }
 
+  test("int_dot equals the composed aggregate/zip_with fold, edges included") {
+    CosineSimilarity.register(spark)
+    val r = spark.sql(
+      """SELECT int_dot(array(3L, -2L, 7L), array(5L, 4L, 2L)) AS v,
+        |       aggregate(zip_with(array(3L, -2L, 7L), array(5L, 4L, 2L),
+        |         (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS composed,
+        |       int_dot(array(1L), array(1L, 2L)) AS mis,
+        |       int_dot(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS ne,
+        |       int_dot(CAST(array() AS ARRAY<BIGINT>), CAST(array() AS ARRAY<BIGINT>)) AS z
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == 21L && r.getLong(1) == 21L, "value parity with the fold")
+    assert(r.isNullAt(2), "mismatched lengths")
+    assert(r.isNullAt(3), "null element")
+    assert(r.getLong(4) == 0L, "equal empty arrays are the fold init")
+  }
+
   test("codegen path produces same results as interpreted eval") {
     CosineSimilarity.register(spark)
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(5).collect()
