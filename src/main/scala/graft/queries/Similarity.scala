@@ -185,6 +185,18 @@ object Similarity {
       ivf2Search(withNorm(s, d), coarse, fine, nprobeC = 2, nprobeF = 4)
     }),
 
+    // -- THE COMPOSED SERVING STACK, md5-portable end-to-end: two-level
+    //    IVF probing (coarse broadcast, fine key-equi — the 10¹⁰-vector
+    //    layout) + int8 ADC candidate scoring (integer code dots at 4×
+    //    less bandwidth) + exact re-rank of the top-20 shortlist — the
+    //    textbook billion-scale ANN recipe as ONE declarative plan,
+    //    every stage reusing the structure its standalone query gates
+    //    ([[ivf2CentroidsPortable]], [[quantized]], [[assignFine]]).
+    "x_sim_ivf2q_md5" -> ((s, d) => {
+      val (coarse, fine) = ivf2CentroidsPortable(s, d)
+      ivf2QuantizedSearch(s, d, coarse, fine, nprobeC = 2, nprobeF = 4, shortlist = 20)
+    }),
+
     "x_sim_quantize" -> ((s, d) => quantizeQuery(s, d).filter(col("vec_id") < 100))
   )
 
@@ -510,6 +522,56 @@ object Similarity {
       // int_dot: the codegen'd fused loop (graft.functions.IntDot) —
       // bit-identical to the composed aggregate/zip_with fold, which
       // would interpret two lambdas per candidate pair in the hot path
+      .withColumn("ip", expr("int_dot(qq, q)"))
+      .withColumn("qcos",
+        when(col("qqs") * col("qscale") === 0 || col("qn") * col("nrm") === 0, lit(-2.0))
+          .otherwise(col("ip").cast("double") / (col("qqs") * col("qscale")) /
+            (col("qn") * col("nrm"))))
+      .withColumn("rnq", row_number().over(wq))
+      .filter(col("rnq") <= shortlist)
+      .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** Two-level probe + int8 ADC shortlist + exact re-rank (see
+    * x_sim_ivf2q_md5): [[ivf2Search]]'s probe chain down to the
+    * candidate join, then [[ivfQuantizedSearch]]'s integer-code scoring
+    * cut before the exact top-5. */
+  private def ivf2QuantizedSearch(s: SparkSession, d: String,
+      coarse: DataFrame, fine: DataFrame,
+      nprobeC: Int, nprobeF: Int, shortlist: Int): DataFrame = {
+    val e = withNorm(s, d)
+    val qz = quantized(e)
+    val assigned = assignFine(
+      assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+        .withColumnRenamed("cid", "ccid"),
+      fine)
+      .select(col("vec_id"), col("fcid"))
+      .join(qz, Seq("vec_id"))
+    val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("ccid").asc)
+    val probesC = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"),
+        col("qscale").as("qqs"), col("q").as("qq"))
+      .join(broadcast(coarse), lit(true))
+      .select(col("qid"), col("qe"), col("qn"), col("qqs"), col("qq"), col("ccid"),
+        (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= nprobeC)
+      .select(col("qid"), col("qe"), col("qn"), col("qqs"), col("qq"), col("ccid"))
+    val wf = Window.partitionBy("qid").orderBy(col("fcos").desc, col("fcid").asc)
+    val probesF = broadcast(probesC).join(fine, Seq("ccid"))
+      .select(col("qid"), col("qe"), col("qn"), col("qqs"), col("qq"), col("fcid"),
+        (expr("float_dot(qe, fe)") / (col("qn") * col("fn"))).as("fcos"))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= nprobeF)
+      .select(col("qid"), col("qe"), col("qn"), col("qqs"), col("qq"), col("fcid"))
+    val wq = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(probesF)
+      .join(assigned, probesF("fcid") === assigned("fcid") && col("qid") =!= col("vec_id"))
       .withColumn("ip", expr("int_dot(qq, q)"))
       .withColumn("qcos",
         when(col("qqs") * col("qscale") === 0 || col("qn") * col("nrm") === 0, lit(-2.0))
@@ -922,6 +984,58 @@ object Similarity {
          |  SELECT qid, vec_id, cos,
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
          |  FROM scored)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    // The composed serving stack: two-level fit/probe CTEs + the ADC
+    // quantization/shortlist CTEs, each already gated standalone —
+    // composition stays bit-for-bit.
+    "x_sim_ivf2q_md5" -> {
+      val dotq = dotSql _
+      s"""WITH $portableIvf2Ctes,
+         |qz AS (
+         |  SELECT vec_id, embedding, nrm, qscale,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * qscale + 0.5) AS BIGINT)) AS q
+         |  FROM (SELECT vec_id, embedding, nrm,
+         |          CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS qscale
+         |        FROM (SELECT vec_id, embedding, nrm,
+         |                list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+         |              FROM e))),
+         |asq AS (
+         |  SELECT f.vec_id, f.fcid, z.embedding, z.nrm, z.qscale, z.q
+         |  FROM faf f JOIN qz z ON f.vec_id = z.vec_id),
+         |pc AS (
+         |  SELECT qid, qe, qn, qqs, qq, ccid FROM (
+         |    SELECT z.vec_id qid, z.embedding qe, z.nrm qn, z.qscale qqs, z.q qq, c.cid ccid,
+         |           row_number() OVER (PARTITION BY z.vec_id
+         |             ORDER BY ${dotq("z.embedding", "c.ce")} / (z.nrm * c.cn) DESC, c.cid ASC) rn
+         |    FROM qz z CROSS JOIN c2 c WHERE z.vec_id < 10) WHERE rn <= 2),
+         |pf AS (
+         |  SELECT qid, qe, qn, qqs, qq, fcid FROM (
+         |    SELECT p.qid, p.qe, p.qn, p.qqs, p.qq, f.fcid,
+         |           row_number() OVER (PARTITION BY p.qid
+         |             ORDER BY ${dotq("p.qe", "f.fe")} / (p.qn * f.fn) DESC, f.fcid ASC) rn
+         |    FROM pc p JOIN f2 f ON p.ccid = f.ccid) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.qid, t.vec_id, p.qe, p.qn, t.embedding, t.nrm,
+         |         list_sum(list_transform(generate_series(1, $EmbeddingDims),
+         |           i -> p.qq[i] * t.q[i])) AS ip,
+         |         p.qqs * t.qscale AS ss, p.qn * t.nrm AS nn
+         |  FROM pf p JOIN asq t ON p.fcid = t.fcid AND p.qid != t.vec_id),
+         |short AS (
+         |  SELECT qid, vec_id, qe, qn, embedding, nrm FROM (
+         |    SELECT c.*, row_number() OVER (PARTITION BY qid
+         |             ORDER BY qcos DESC, vec_id ASC) rnq
+         |    FROM (SELECT cand.*,
+         |            CASE WHEN ss = 0 OR nn = 0 THEN -2.0
+         |                 ELSE CAST(ip AS DOUBLE) / ss / nn END AS qcos
+         |          FROM cand) c) WHERE rnq <= 20),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+         |  FROM (SELECT qid, vec_id, ${dotq("qe", "embedding")} / (qn * nrm) AS cos FROM short))
          |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
          |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
     },

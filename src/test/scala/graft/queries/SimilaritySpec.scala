@@ -134,6 +134,30 @@ class SimilaritySpec extends SparkSpecBase {
     assert(again == rows.toSeq)
   }
 
+  test("composed serving stack (ivf2 + ADC): ranked output, recall, probe-stage agreement") {
+    val rows = Similarity.queries("x_sim_ivf2q_md5")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val cos = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    val truth = Similarity.queries("x_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(recall >= 0.2, s"ivf2q recall $recall too low")
+    // same probes as the exact two-level path — the int8 shortlist may
+    // only reorder/shrink within the probed cells, never widen them
+    val ivf2 = Similarity.queries("x_sim_ivf2_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(approx.diff(ivf2).size <= truth.size / 2,
+      s"quantized stack diverged from the two-level probe stage")
+    val again = Similarity.queries("x_sim_ivf2q_md5")(spark, sf).collect().toSeq
+    assert(again == rows.toSeq)
+  }
+
   test("persisted ivf2 index: bucketed search equals the in-memory path; scans prune to probed buckets") {
     // the warehouse dir outlives the in-memory catalog across JVM runs:
     // drop any catalog entry AND the orphaned location before writing
