@@ -403,17 +403,61 @@ object Similarity {
     * the join is KEY-EQUI on ccid — a shuffle (or bucketed-table) join
     * that scales to a 10⁸-row fine table, never a broadcast — followed
     * by the same max(struct) partial-agg argmax as [[assignCells]].
-    * `v`: (vec_id, embedding, nrm, ccid); `fine`: (ccid, fcid, fe, fn). */
-  private def assignFine(v: DataFrame, fine: DataFrame): DataFrame = {
-    val fcos = (expr("float_dot(embedding, fe)") / (col("nrm") * col("fn"))).as("fcos")
-    v.join(fine, Seq("ccid"))
+    * `v`: (vec_id, embedding, nrm, ccid); `fine`: (ccid, fcid, fe, fn).
+    *
+    * LEFT join, not inner: the fine fit draws seeds from SAMPLE members,
+    * so a coarse cell that wins full-corpus vectors but zero sample
+    * vectors has no fine centroids — an inner join would silently drop
+    * its vectors from assignment (and from the serving-index postings:
+    * unindexed and unsearchable). Such vectors fall back to the cell's
+    * designated degenerate fine cell `fcid = -1 - ccid` (negative, so it
+    * can never collide with the vec_id-seeded real fcids ≥ 0); the probe
+    * side (each probesF builder) probes the same fallback cell whenever
+    * a probed coarse cell has no fine rows, so recall is preserved. The
+    * fit itself is untouched by the left join: every ccid present in the
+    * fit's sample has ≥ 1 seed by construction, where left ≡ inner. */
+  private[queries] def assignFine(v: DataFrame, fine: DataFrame): DataFrame = {
+    val fcos = coalesce(
+      expr("float_dot(embedding, fe)") / (col("nrm") * col("fn")), lit(2.0)).as("fcos")
+    val fcid = coalesce(col("fcid"), lit(-1L) - col("ccid"))
+    v.join(fine, Seq("ccid"), "left")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("ccid"),
-        struct(fcos, (lit(0L) - col("fcid")).as("negf")).as("sc"))
+        struct(fcos, (lit(0L) - fcid).as("negf")).as("sc"))
       .groupBy("vec_id")
       .agg(max("sc").as("m"), first("embedding").as("embedding"),
         first("nrm").as("nrm"), first("ccid").as("ccid"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("ccid"),
         (lit(0L) - col("m.negf")).as("fcid"))
+  }
+
+  /** Fine-probe rows for a set of coarse probes: real fine cells via an
+    * inner broadcast join (probesC is skinny: queries × nprobeC rows),
+    * UNION fallback rows for probed coarse cells with NO fine centroids
+    * (anti-join against the fine table's distinct ccids — ≤ kc ≤ 65,536
+    * ids, broadcast-sized) ranked at fcos = 2.0, above any true cosine,
+    * so a fine-less cell is always probed as its own degenerate fine
+    * cell (fcid = -1 - ccid, where [[assignFine]] put its vectors)
+    * rather than silently skipped. Shaped as inner ∪ anti instead of one
+    * left join because a broadcast hint on the PRESERVED side of an
+    * outer join cannot be honored — this form keeps both legs
+    * broadcast-able at any corpus scale. Semantically identical to the
+    * oracle's LEFT JOIN + COALESCE: per (qid, ccid) either real matches
+    * exist (inner leg) or exactly one fallback row (anti leg).
+    * `carry`: the probe columns to thread through (qid first). */
+  private def probeFine(probesC: DataFrame, fine: DataFrame, carry: Seq[String],
+      nprobeF: Int): DataFrame = {
+    val keep = carry.map(col)
+    val real = broadcast(probesC).join(fine, Seq("ccid"))
+      .select(keep :+ col("fcid") :+
+        (expr("float_dot(qe, fe)") / (col("qn") * col("fn"))).as("fcos"): _*)
+    val fallback = probesC
+      .join(broadcast(fine.select("ccid").distinct()), Seq("ccid"), "left_anti")
+      .select(keep :+ (lit(-1L) - col("ccid")).as("fcid") :+ lit(2.0).as("fcos"): _*)
+    val wf = Window.partitionBy("qid").orderBy(col("fcos").desc, col("fcid").asc)
+    real.unionByName(fallback)
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") <= nprobeF)
+      .select(keep :+ col("fcid"): _*)
   }
 
   /** Per-coarse-cell portable Lloyd: seeds are each cell's kf sample
@@ -449,7 +493,7 @@ object Similarity {
     * then candidates join key-equi on fcid and top-5 re-ranks exactly —
     * the same last mile as [[ivfSearch]]. The corpus is assigned
     * coarse-then-fine once; only skinny probe rows broadcast. */
-  private def ivf2Search(e: DataFrame, coarse: DataFrame, fine: DataFrame,
+  private[queries] def ivf2Search(e: DataFrame, coarse: DataFrame, fine: DataFrame,
       nprobeC: Int, nprobeF: Int): DataFrame = {
     val assigned = assignFine(
       assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
@@ -464,13 +508,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wc))
       .filter(col("rn") <= nprobeC)
       .select(col("qid"), col("qe"), col("qn"), col("ccid"))
-    val wf = Window.partitionBy("qid").orderBy(col("fcos").desc, col("fcid").asc)
-    val probesF = broadcast(probesC).join(fine, Seq("ccid"))
-      .select(col("qid"), col("qe"), col("qn"), col("fcid"),
-        (expr("float_dot(qe, fe)") / (col("qn") * col("fn"))).as("fcos"))
-      .withColumn("rn", row_number().over(wf))
-      .filter(col("rn") <= nprobeF)
-      .select(col("qid"), col("qe"), col("qn"), col("fcid"))
+    val probesF = probeFine(probesC, fine, Seq("qid", "qe", "qn"), nprobeF)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(probesF)
       .join(assigned, probesF("fcid") === assigned("fcid") && col("qid") =!= col("vec_id"))
@@ -561,13 +599,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wc))
       .filter(col("rn") <= nprobeC)
       .select(col("qid"), col("qe"), col("qn"), col("qqs"), col("qq"), col("ccid"))
-    val wf = Window.partitionBy("qid").orderBy(col("fcos").desc, col("fcid").asc)
-    val probesF = broadcast(probesC).join(fine, Seq("ccid"))
-      .select(col("qid"), col("qe"), col("qn"), col("qqs"), col("qq"), col("fcid"),
-        (expr("float_dot(qe, fe)") / (col("qn") * col("fn"))).as("fcos"))
-      .withColumn("rn", row_number().over(wf))
-      .filter(col("rn") <= nprobeF)
-      .select(col("qid"), col("qe"), col("qn"), col("qqs"), col("qq"), col("fcid"))
+    val probesF = probeFine(probesC, fine, Seq("qid", "qe", "qn", "qqs", "qq"), nprobeF)
     val wq = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(probesF)
@@ -641,15 +673,13 @@ object Similarity {
       .filter(col("rn") <= nprobeC)
       .select(col("qid"), col("qe"), col("qn"), col("ccid"))
     val probedC = probesC.select("ccid").distinct().collect().map(_.getLong(0))
-    val wf = Window.partitionBy("qid").orderBy(col("fcos").desc, col("fcid").asc)
-    val probesF = broadcast(probesC)
-      .join(s.table(s"${tablePrefix}_fine").filter(col("ccid").isin(probedC: _*)),
-        Seq("ccid"))
-      .select(col("qid"), col("qe"), col("qn"), col("fcid"),
-        (expr("float_dot(qe, fe)") / (col("qn") * col("fn"))).as("fcos"))
-      .withColumn("rn", row_number().over(wf))
-      .filter(col("rn") <= nprobeF)
-      .select(col("qid"), col("qe"), col("qn"), col("fcid"))
+    // fallback-aware fine probe (see probeFine): the postings table holds
+    // fallback fcids for fine-less coarse cells' vectors, so the fallback
+    // probe keeps them reachable; the ccid IN-filter still bucket-prunes
+    // the fine scan to the probed coarse cells
+    val probesF = probeFine(probesC,
+      s.table(s"${tablePrefix}_fine").filter(col("ccid").isin(probedC: _*)),
+      Seq("qid", "qe", "qn"), nprobeF)
     val probedF = probesF.select("fcid").distinct().collect().map(_.getLong(0))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     val postings = s.table(s"${tablePrefix}_postings")
@@ -742,16 +772,20 @@ object Similarity {
 
   /** Fine-centroid assignment WITHIN the coarse cell (CTE text): the
     * same row_number argmax as [[assignSql]], except the candidate set
-    * is key-equi on the coarse cell — mirroring the Spark assignFine.
-    * `src` carries (vec_id, embedding, nrm, cid); `fine` (ccid, fcid,
-    * fe, fn). */
+    * is key-equi on the coarse cell — mirroring the Spark assignFine,
+    * INCLUDING its left-join fallback: a coarse cell with no fine
+    * centroids assigns its vectors to the degenerate fine cell
+    * `fcid = -1 - ccid` instead of dropping them. `src` carries
+    * (vec_id, embedding, nrm, cid); `fine` (ccid, fcid, fe, fn). */
   private def fineAssignSql(src: String, fine: String, out: String): String =
     s"""$out AS (
        |  SELECT vec_id, embedding, nrm, ccid, fcid FROM (
-       |    SELECT v.vec_id, v.embedding, v.nrm, f.ccid, f.fcid,
+       |    SELECT v.vec_id, v.embedding, v.nrm, v.cid AS ccid,
+       |           COALESCE(f.fcid, -1 - v.cid) AS fcid,
        |           row_number() OVER (PARTITION BY v.vec_id
-       |             ORDER BY ${dotSql("v.embedding", "f.fe")} / (v.nrm * f.fn) DESC, f.fcid ASC) rn
-       |    FROM $src v JOIN $fine f ON v.cid = f.ccid) WHERE rn = 1)""".stripMargin
+       |             ORDER BY COALESCE(${dotSql("v.embedding", "f.fe")} / (v.nrm * f.fn), 2.0) DESC,
+       |                      COALESCE(f.fcid, -1 - v.cid) ASC) rn
+       |    FROM $src v LEFT JOIN $fine f ON v.cid = f.ccid) WHERE rn = 1)""".stripMargin
 
   /** Fine-centroid update: exact scaled-integer mean per (ccid, fcid,
     * pos) — [[updateSql]] with the two-level keys (CTE text). */
@@ -973,10 +1007,11 @@ object Similarity {
          |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rn <= 2),
          |pf AS (
          |  SELECT qid, qe, qn, fcid FROM (
-         |    SELECT p.qid, p.qe, p.qn, f.fcid,
+         |    SELECT p.qid, p.qe, p.qn, COALESCE(f.fcid, -1 - p.ccid) AS fcid,
          |           row_number() OVER (PARTITION BY p.qid
-         |             ORDER BY ${dotq("p.qe", "f.fe")} / (p.qn * f.fn) DESC, f.fcid ASC) rn
-         |    FROM pc p JOIN f2 f ON p.ccid = f.ccid) WHERE rn <= 4),
+         |             ORDER BY COALESCE(${dotq("p.qe", "f.fe")} / (p.qn * f.fn), 2.0) DESC,
+         |                      COALESCE(f.fcid, -1 - p.ccid) ASC) rn
+         |    FROM pc p LEFT JOIN f2 f ON p.ccid = f.ccid) WHERE rn <= 4),
          |scored AS (
          |  SELECT p.qid, t.vec_id, ${dotq("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
          |  FROM pf p JOIN faf t ON p.fcid = t.fcid AND p.qid != t.vec_id),
@@ -1014,10 +1049,11 @@ object Similarity {
          |    FROM qz z CROSS JOIN c2 c WHERE z.vec_id < 10) WHERE rn <= 2),
          |pf AS (
          |  SELECT qid, qe, qn, qqs, qq, fcid FROM (
-         |    SELECT p.qid, p.qe, p.qn, p.qqs, p.qq, f.fcid,
+         |    SELECT p.qid, p.qe, p.qn, p.qqs, p.qq, COALESCE(f.fcid, -1 - p.ccid) AS fcid,
          |           row_number() OVER (PARTITION BY p.qid
-         |             ORDER BY ${dotq("p.qe", "f.fe")} / (p.qn * f.fn) DESC, f.fcid ASC) rn
-         |    FROM pc p JOIN f2 f ON p.ccid = f.ccid) WHERE rn <= 4),
+         |             ORDER BY COALESCE(${dotq("p.qe", "f.fe")} / (p.qn * f.fn), 2.0) DESC,
+         |                      COALESCE(f.fcid, -1 - p.ccid) ASC) rn
+         |    FROM pc p LEFT JOIN f2 f ON p.ccid = f.ccid) WHERE rn <= 4),
          |cand AS (
          |  SELECT p.qid, t.vec_id, p.qe, p.qn, t.embedding, t.nrm,
          |         list_sum(list_transform(generate_series(1, $EmbeddingDims),

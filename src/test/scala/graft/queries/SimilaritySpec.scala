@@ -100,17 +100,44 @@ class SimilaritySpec extends SparkSpecBase {
     val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (truth & approx).size.toDouble / truth.size
     assert(recall >= 0.3, s"ivfq recall $recall too low")
-    // the int8 shortlist may only SHRINK the flat twin's candidate set —
-    // every emitted neighbor must come from the same probed cells
-    val flat = Similarity.queries("x_sim_ivf_md5")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val extra = approx.diff(flat)
-    // allowed: rank shifts within the shortlist promote different top-5
-    // members, but wholesale divergence means the probe stage drifted
-    assert(extra.size <= truth.size / 2,
-      s"quantized path diverged from the flat probe stage: $extra")
+    // probe-stage containment, asserted DIRECTLY (not via top-5 overlap,
+    // which tolerates wholesale drift): every emitted neighbor's cell must
+    // be one of the query's nprobe=4 probed cells under the same portable
+    // fit — the int8 shortlist may reorder within probed cells, never
+    // reach outside them
+    val cellOf = flatCellAssignment()
+    val probed = flatProbedCells(nprobe = 4)
+    rows.foreach { r =>
+      val (qid, vid) = (r.getLong(0), r.getLong(2))
+      assert(probed(qid).contains(cellOf(vid)),
+        s"neighbor $vid of query $qid came from unprobed cell ${cellOf(vid)} (probed: ${probed(qid)})")
+    }
     val again = Similarity.queries("x_sim_ivfq_md5")(spark, sf).collect().toSeq
     assert(again == rows.toSeq)
+  }
+
+  /** Full-corpus cell assignment under the portable flat-IVF fit. */
+  private def flatCellAssignment(): Map[Long, Long] = {
+    val cents = Similarity.ivfCentroidsPortable(spark, sf, Similarity.ivfK(spark, sf))
+    Similarity.assignCells(Similarity.withNorm(spark, sf), cents)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Per-query probed cell ids, replicating the query path's coarse probe. */
+  private def flatProbedCells(nprobe: Int): Map[Long, Set[Long]] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val cents = Similarity.ivfCentroidsPortable(spark, sf, Similarity.ivfK(spark, sf))
+    val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    Similarity.withNorm(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .join(broadcast(cents), lit(true))
+      .select(col("qid"), col("cid"),
+        (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
+      .select("qid", "cid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
   }
 
   test("two-level IVF: ranked output, useful recall, deterministic re-query") {
@@ -148,14 +175,90 @@ class SimilaritySpec extends SparkSpecBase {
     val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (truth & approx).size.toDouble / truth.size
     assert(recall >= 0.2, s"ivf2q recall $recall too low")
-    // same probes as the exact two-level path — the int8 shortlist may
-    // only reorder/shrink within the probed cells, never widen them
-    val ivf2 = Similarity.queries("x_sim_ivf2_md5")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(approx.diff(ivf2).size <= truth.size / 2,
-      s"quantized stack diverged from the two-level probe stage")
+    // probe-stage containment, asserted directly: every emitted neighbor's
+    // FINE cell must be one the query probed under the same two-level fit —
+    // the int8 shortlist may reorder within probed fine cells, never widen
+    val (fcidOf, probedF) = ivf2ProbeState(nprobeC = 2, nprobeF = 4)
+    rows.foreach { r =>
+      val (qid, vid) = (r.getLong(0), r.getLong(2))
+      assert(probedF(qid).contains(fcidOf(vid)),
+        s"neighbor $vid of query $qid came from unprobed fine cell ${fcidOf(vid)} (probed: ${probedF(qid)})")
+    }
     val again = Similarity.queries("x_sim_ivf2q_md5")(spark, sf).collect().toSeq
     assert(again == rows.toSeq)
+  }
+
+  /** (full-corpus fine-cell assignment, per-query probed fine cells) under
+    * the portable two-level fit — replicates the query path's coarse→fine
+    * probe chain. */
+  private def ivf2ProbeState(nprobeC: Int, nprobeF: Int): (Map[Long, Long], Map[Long, Set[Long]]) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val (coarse, fine) = Similarity.ivf2CentroidsPortable(spark, sf)
+    val e = Similarity.withNorm(spark, sf)
+    val fcidOf = Similarity.assignFine(
+      Similarity.assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+        .withColumnRenamed("cid", "ccid"), fine)
+      .select("vec_id", "fcid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("ccid").asc)
+    val probesC = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      .join(broadcast(coarse), lit(true))
+      .select(col("qid"), col("qe"), col("qn"), col("ccid"),
+        (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") <= nprobeC)
+      .select(col("qid"), col("qe"), col("qn"), col("ccid"))
+    val wf = Window.partitionBy("qid").orderBy(col("fcos").desc, col("fcid").asc)
+    val probedF = probesC.join(fine, Seq("ccid"), "left")
+      .select(col("qid"),
+        coalesce(col("fcid"), lit(-1L) - col("ccid")).as("fcid"),
+        coalesce(expr("float_dot(qe, fe)") / (col("qn") * col("fn")), lit(2.0)).as("fcos"))
+      .withColumn("rn", row_number().over(wf)).filter(col("rn") <= nprobeF)
+      .select("qid", "fcid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    (fcidOf, probedF)
+  }
+
+  test("fine-less coarse cell: assignFine falls back instead of dropping; probes still reach it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two orthogonal coarse cells; fine centroids exist ONLY for ccid=0 —
+    // the shape the sample-seeded fine fit produces when a coarse cell
+    // wins corpus vectors but no sample vectors
+    def vec(hot: Int, v: Float): Array[Float] =
+      Array.tabulate(4)(i => if (i == hot) v else 0f)
+    val corpus = Seq(
+      (0L, vec(0, 1.0f)), (1L, vec(0, 0.9f)), (2L, vec(0, 0.8f)),
+      (3L, vec(1, 1.0f)), (4L, vec(1, 0.9f)), (5L, vec(1, 0.8f)))
+      .toDF("vec_id", "embedding")
+    graft.functions.CosineSimilarity.register(spark)
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+    val coarse = Seq((0L, vec(0, 1.0f)), (1L, vec(1, 1.0f)))
+      .toDF("ccid", "ce")
+      .withColumn("cn", sqrt(expr("float_dot(ce, ce)")))
+    val fine = Seq((0L, 100L, vec(0, 1.0f)))
+      .toDF("ccid", "fcid", "fe")
+      .withColumn("fn", sqrt(expr("float_dot(fe, fe)")))
+    val assigned = Similarity.assignFine(
+      Similarity.assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+        .withColumnRenamed("cid", "ccid"), fine)
+      .select("vec_id", "ccid", "fcid").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // NOTHING drops: all 6 vectors assigned
+    assert(assigned.size == 6, s"coverage lost: $assigned")
+    // ccid=0 vectors land in the real fine cell; ccid=1 vectors in the
+    // fallback cell -1 - ccid = -2
+    for (v <- Seq(0L, 1L, 2L)) assert(assigned(v) == ((0L, 100L)))
+    for (v <- Seq(3L, 4L, 5L)) assert(assigned(v) == ((1L, -2L)))
+    // end-to-end: a query near the fine-less cell still finds its
+    // neighbors through the fallback probe (vec 3's neighbors are 4, 5)
+    val res = Similarity.ivf2Search(e, coarse, fine, nprobeC = 1, nprobeF = 2)
+      .filter(col("qid") === 3L).collect()
+    val neigh = res.map(_.getLong(2)).toSet
+    assert(neigh == Set(4L, 5L),
+      s"query in the fine-less cell must see its cellmates via the fallback probe, got $neigh")
   }
 
   test("persisted ivf2 index: bucketed search equals the in-memory path; scans prune to probed buckets") {
