@@ -648,19 +648,86 @@ object Similarity {
       .saveAsTable(s"${tablePrefix}_postings")
   }
 
+  /** Append NEW vectors into a persisted two-level index WITHOUT
+    * re-fitting or rewriting existing postings — the daily-crawl
+    * maintenance path, mirroring the minhash index's incremental story
+    * (Dedup.writeMinhashIndexBucketed / incrementalDupsAgainstBucketedIndex).
+    * The increment is assigned coarse→fine against the FROZEN persisted
+    * fit (`{prefix}_coarse` / `{prefix}_fine` — including assignFine's
+    * fallback cells for fine-less coarse cells) and appended with the
+    * postings table's OWN bucket spec, so the new rows shuffle INTO the
+    * existing bucketed layout and the 10¹⁰ existing rows are never read,
+    * moved, or rewritten; a 10⁶-row daily increment costs O(increment),
+    * not O(index).
+    *
+    * Recall-drift contract: the fit is deliberately NOT refreshed.
+    * Centroids drift from the true cell means as the corpus grows, so
+    * probe recall decays with appended mass; when the appended fraction
+    * warrants it, re-fit offline via [[writeIvf2Index]] (and
+    * [[invalidateIvfIndex]] for the session memo). Caller contract:
+    * `newVectors` (vec_id, embedding) are not already indexed — this
+    * path does not anti-join 10¹⁰ postings rows to dedupe. */
+  def appendIvf2Postings(s: SparkSession, tablePrefix: String, newVectors: DataFrame): Unit = {
+    graft.functions.CosineSimilarity.register(s)
+    val coarse = s.table(s"${tablePrefix}_coarse")
+    val fine = s.table(s"${tablePrefix}_fine")
+    val buckets = s.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${tablePrefix}_postings"))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"${tablePrefix}_postings is not bucketed — not an ivf2 serving index"))
+    val e = newVectors.select(col("vec_id"), col("embedding"),
+      sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+    assignFine(
+      assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+        .withColumnRenamed("cid", "ccid"),
+      fine)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("fcid"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "fcid").sortBy("fcid")
+      .saveAsTable(s"${tablePrefix}_postings")
+  }
+
+  /** Restrict an index table to the probed cell ids, by one of two
+    * regimes chosen at plan-build time from the probed-set size:
+    *
+    *  - ≤ `cap` distinct ids (the serving contract: queries × nprobe):
+    *    a bounded `limit(cap+1).collect()` turns them into a LITERAL
+    *    IN-filter on the bucket column, which bucket-PRUNES the scan at
+    *    planning time (SelectedBucketsCount k < n — a 10¹⁰-row table
+    *    reads ~probed/total of its bytes). The limit bounds driver
+    *    traffic at cap+1 ids no matter how many queries probe.
+    *  - > cap (a bulk re-scoring batch, 10⁶ queries): the probed set
+    *    approaches all cells, literal pruning stops paying, and a
+    *    driver round-trip of ~every cell id would itself bottleneck —
+    *    so keep the ids distributed and left-semi-join the table
+    *    against the broadcast probed-id set (ids only: 8 bytes each).
+    *
+    * Both regimes emit identical rows (a semi-join on ids ≡ an
+    * IN-filter); PlanQualitySpec pins plan shape and result equality. */
+  private def pruneToProbed(tbl: DataFrame, idCol: String, probedIds: DataFrame,
+      cap: Int): DataFrame = {
+    val sample = probedIds.limit(cap + 1).collect().map(_.getLong(0))
+    if (sample.length <= cap) tbl.filter(col(idCol).isin(sample.toIndexedSeq: _*))
+    else tbl.join(broadcast(probedIds), Seq(idCol), "left_semi")
+  }
+
   /** Query the persisted two-level index: coarse probe (broadcast
     * argmax), fine refinement restricted to the probed coarse cells,
     * candidates from the probed FINE cells' postings, exact top-5
     * re-rank — same verdicts as the in-memory path (SimilaritySpec pins
-    * equality). The two tiny driver round-trips (probed ccids, then
-    * probed fcids — each ≤ queries × nprobe ids) turn the probe sets
-    * into LITERAL IN-filters on the bucket columns, which is what lets
-    * the fine and postings scans prune to the probed buckets
-    * (SelectedBucketsCount in the plan; pinned). This is the classic
-    * ANN serving trade: O(queries · nprobe) driver traffic buys
-    * skipping ~(1 − nprobe/totalCells) of a 10¹⁰-row index. */
+    * equality). The fine and postings scans are restricted to the
+    * probed cells via [[pruneToProbed]]: literal IN-filters (planning-
+    * time bucket pruning, SelectedBucketsCount pinned) while the probed
+    * set stays under `literalProbeCap`, a broadcast semi-join beyond it
+    * — so the classic serving trade (skip ~(1 − nprobe/totalCells) of a
+    * 10¹⁰-row index) holds for interactive query sets AND a 10⁶-query
+    * bulk batch degrades to one distributed semi-join instead of a
+    * driver-side literal list. */
   def ivf2SearchAgainstIndex(s: SparkSession, d: String, tablePrefix: String,
-      nprobeC: Int, nprobeF: Int, maxQid: Long = 10L): DataFrame = {
+      nprobeC: Int, nprobeF: Int, maxQid: Long = 10L,
+      literalProbeCap: Int = 1000): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
     val coarse = s.table(s"${tablePrefix}_coarse")
     val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("ccid").asc)
@@ -672,18 +739,17 @@ object Similarity {
       .withColumn("rn", row_number().over(wc))
       .filter(col("rn") <= nprobeC)
       .select(col("qid"), col("qe"), col("qn"), col("ccid"))
-    val probedC = probesC.select("ccid").distinct().collect().map(_.getLong(0))
     // fallback-aware fine probe (see probeFine): the postings table holds
     // fallback fcids for fine-less coarse cells' vectors, so the fallback
-    // probe keeps them reachable; the ccid IN-filter still bucket-prunes
-    // the fine scan to the probed coarse cells
+    // probe keeps them reachable; the probed-ccid restriction still
+    // bucket-prunes the fine scan in the literal regime
     val probesF = probeFine(probesC,
-      s.table(s"${tablePrefix}_fine").filter(col("ccid").isin(probedC: _*)),
+      pruneToProbed(s.table(s"${tablePrefix}_fine"), "ccid",
+        probesC.select("ccid").distinct(), literalProbeCap),
       Seq("qid", "qe", "qn"), nprobeF)
-    val probedF = probesF.select("fcid").distinct().collect().map(_.getLong(0))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
-    val postings = s.table(s"${tablePrefix}_postings")
-      .filter(col("fcid").isin(probedF: _*))
+    val postings = pruneToProbed(s.table(s"${tablePrefix}_postings"), "fcid",
+      probesF.select("fcid").distinct(), literalProbeCap)
     broadcast(probesF)
       .join(postings, probesF("fcid") === postings("fcid") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))

@@ -424,4 +424,39 @@ class PlanQualitySpec extends SparkSpecBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("index probe pruning regimes: literal IN bucket-prunes under the cap, semi-join above it, same verdicts") {
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("ivf2pq_coarse", "ivf2pq_fine", "ivf2pq_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    Similarity.writeIvf2Index(spark, sf, "ivf2pq")
+    // serving regime (probed ids under the cap): literal IN-filters reach
+    // the bucketed scans and prune them at PLANNING time — the
+    // sub-linear-storage claim needs SelectedBucketsCount k < n, and no
+    // semi-join may appear in its place
+    val lit = Similarity.ivf2SearchAgainstIndex(spark, sf, "ivf2pq",
+      nprobeC = 2, nprobeF = 4, maxQid = 2L)
+    val litPlan = lit.queryExecution.executedPlan.toString
+    val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+    assert(sel.findAllMatchIn(litPlan)
+      .exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"literal regime did not bucket-prune:\n$litPlan")
+    assert(!litPlan.contains("LeftSemi"),
+      s"literal regime must not plan a semi-join:\n$litPlan")
+    // bulk regime (cap forced to 0 so every probed set overflows): the
+    // probed ids stay distributed and restrict the index tables via
+    // broadcast LEFT SEMI joins — no driver-side literal lists
+    val semi = Similarity.ivf2SearchAgainstIndex(spark, sf, "ivf2pq",
+      nprobeC = 2, nprobeF = 4, maxQid = 2L, literalProbeCap = 0)
+    val semiPlan = semi.queryExecution.executedPlan.toString
+    assert(semiPlan.contains("LeftSemi"),
+      s"bulk regime must restrict via semi-joins:\n$semiPlan")
+    assert(!semiPlan.contains(" IN ("),
+      s"bulk regime must not carry literal probe lists:\n$semiPlan")
+    // both regimes are the same query — verdict equality, row for row
+    assert(semi.collect().toSeq == lit.collect().toSeq,
+      "semi-join regime must emit exactly the literal regime's verdicts")
+  }
 }

@@ -288,6 +288,48 @@ class SimilaritySpec extends SparkSpecBase {
       s"no scan actually pruned buckets: $prunes\n$p")
   }
 
+  test("ivf2 index append: frozen-fit assignment, existing postings untouched, search == one-shot union") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("ivf2app_coarse", "ivf2app_fine", "ivf2app_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    def postingsFiles(): Set[String] = {
+      val dir = new java.io.File(warehouse, "ivf2app_postings")
+      dir.listFiles().filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    // the fit freezes over the base corpus (a strict subset dir); the
+    // increment is the remainder — union == the full gate corpus
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf2app").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 400)
+      .write.parquet(s"$base/embeddings.parquet")
+    Similarity.writeIvf2Index(spark, base, "ivf2app")
+    val before = postingsFiles()
+    val inc = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") >= 400)
+      .select("vec_id", "embedding")
+    assert(inc.count() > 0, "test needs a non-empty increment")
+    Similarity.appendIvf2Postings(spark, "ivf2app", inc)
+    val after = postingsFiles()
+    // incremental contract: the append writes NEW files into the bucketed
+    // layout and never reads/moves/rewrites the existing ones
+    assert(before.subsetOf(after), s"append rewrote existing postings files: ${before -- after}")
+    assert(after.size > before.size, "append must add posting files")
+    // verdict equality: searching base+appended == an in-memory search of
+    // the UNION corpus at the SAME frozen coarse/fine fit (postings are a
+    // pure per-vector function of (vector, frozen fit), so batching the
+    // corpus into base+increment cannot change them)
+    val expected = Similarity.ivf2Search(
+      Similarity.withNorm(spark, sf),
+      spark.table("ivf2app_coarse"), spark.table("ivf2app_fine"),
+      nprobeC = 2, nprobeF = 4).collect().toSeq
+    val got = Similarity
+      .ivf2SearchAgainstIndex(spark, sf, "ivf2app", nprobeC = 2, nprobeF = 4)
+      .collect().toSeq
+    assert(got == expected,
+      "appended-index search must equal the frozen-fit union search")
+  }
+
   test("two-level sizing: gate derives (4,4); coarse stays broadcastable out to 10^10 vectors") {
     assert(LshTuning.ivfTwoLevel(500) == ((4, 4))) // gate — static oracle values
     assert(LshTuning.ivfTwoLevel(2000) == ((8, 8))) // sf0.1: 63 cells factor as 8x8
