@@ -503,17 +503,38 @@ object Dedup {
 
   private val md5NPerm = 16
 
+  /** The shared hot-bucket recall bound for the md5-minhash family: a
+    * band bucket whose TOTAL corpus membership (index + increment, when
+    * the corpus is split) exceeds this is dropped from candidate
+    * generation — see [[capBuckets]] for the rationale. ONE bound for
+    * every path: the in-corpus split caps the joint key table directly,
+    * and the persisted-index paths reconstruct the same joint count from
+    * the index's persisted per-bucket counts plus the increment's own
+    * (see [[incrementalVerdicts]]) — so all three paths drop exactly the
+    * same buckets and share one recall contract at every scale. */
+  private[queries] val hotBucketCap = 100000L
+
   /** md5-family MinHash signatures (one row per doc, m0..m15) and the
     * (hot-bucket-capped) LSH band keys — the index structures every
     * md5-family dedup operator shares. */
   private def md5SigKeys(s: SparkSession, d: String,
-      docFilter: Column = lit(true)): (DataFrame, DataFrame) =
-    md5SigKeysOf(toks(s, d).filter(docFilter))
+      docFilter: Column = lit(true), cap: Long = hotBucketCap): (DataFrame, DataFrame) =
+    md5SigKeysOf(toks(s, d).filter(docFilter), cap)
 
   /** [[md5SigKeys]] over an arbitrary `(doc_id, ws)` relation — the form
     * a STREAMING micro-batch hands in (Streams.incrementalDedup), where
     * there is no corpus dir to read. */
-  private def md5SigKeysOf(tokenized: DataFrame): (DataFrame, DataFrame) = {
+  private def md5SigKeysOf(tokenized: DataFrame,
+      cap: Long = hotBucketCap): (DataFrame, DataFrame) = {
+    val (sig, keysBn) = md5SigKeysCounted(tokenized)
+    (sig, keysBn.filter(col("bn") <= cap).drop("bn"))
+  }
+
+  /** [[md5SigKeysOf]] BEFORE the hot-bucket filter: keys carry their
+    * bucket's member count (`bn`, a window over the banding's own
+    * partition keys — same shape as [[capBuckets]]). The persisted-index
+    * paths need the raw counts to reconstruct the JOINT bound. */
+  private def md5SigKeysCounted(tokenized: DataFrame): (DataFrame, DataFrame) = {
     val s = tokenized.sparkSession
     val nBands = 4
     val rows = md5NPerm / nBands
@@ -524,16 +545,16 @@ object Dedup {
     val mins = (0 until md5NPerm).map(p =>
       min((col("h") * (2 * p + 1) + (p * p + 7)) % P).as(s"m$p"))
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val keys = capBuckets(
-      sig.select(col("doc_id"),
-          explode(expr((0 until nBands)
-            .map(b => s"struct($b AS band, md5(${
-              (0 until rows).map(r => s"m${b * rows + r}").mkString("concat_ws('|', ", ", ", ")")
-            }) AS bh)")
-            .mkString("array(", ", ", ")"))).as("k"))
-        .select(col("doc_id"), col("k.band"), col("k.bh")),
-      100000L, "band", "bh")
-    (sig, keys)
+    val w = Window.partitionBy("band", "bh")
+    val keysBn = sig.select(col("doc_id"),
+        explode(expr((0 until nBands)
+          .map(b => s"struct($b AS band, md5(${
+            (0 until rows).map(r => s"m${b * rows + r}").mkString("concat_ws('|', ", ", ", ")")
+          }) AS bh)")
+          .mkString("array(", ", ", ")"))).as("k"))
+      .select(col("doc_id"), col("k.band"), col("k.bh"))
+      .withColumn("bn", count(lit(1)).over(w))
+    (sig, keysBn)
   }
 
   /** Signature-agreement Jaccard estimate for a candidate joined against
@@ -590,8 +611,9 @@ object Dedup {
     * [[clusterLabels]] memo pattern) and only the increment is hashed.
     * One row per duplicated new doc: match count, the lowest matched
     * index doc, the best agreement estimate. */
-  private[queries] def md5IncrementalDups(s: SparkSession, d: String, cut: Long): DataFrame = {
-    val (sig, keys) = md5SigKeys(s, d)
+  private[queries] def md5IncrementalDups(s: SparkSession, d: String, cut: Long,
+      cap: Long = hotBucketCap): DataFrame = {
+    val (sig, keys) = md5SigKeys(s, d, cap = cap)
     val cand = keys.as("a")
       .join(keys.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -614,19 +636,26 @@ object Dedup {
       .orderBy("doc_id")
 
   /** Persist the minhash index side of incremental dedup: md5-family
-    * signatures (doc_id, m0..m15) and capped LSH band keys (doc_id,
-    * band, bh) for every document matching `docFilter`, written as two
-    * parquet tables under `path`. A daily-crawl pipeline builds this
-    * ONCE from the historical corpus and hands each increment to
+    * signatures (doc_id, m0..m15), capped LSH band keys (doc_id, band,
+    * bh), and the kept buckets' member COUNTS (band, bh, n) for every
+    * document matching `docFilter`, written as three parquet tables
+    * under `path`. A daily-crawl pipeline builds this ONCE from the
+    * historical corpus and hands each increment to
     * [[incrementalDupsAgainstIndex]]: history is never re-shingled, and
-    * on the read side never re-shuffled. (The 100k hot-bucket cap is
-    * applied per side at write/probe time — at gate scale no bucket
-    * approaches it.) */
+    * on the read side never re-shuffled. The counts are what let the
+    * probe reconstruct the JOINT hot-bucket bound ([[hotBucketCap]]) —
+    * index members + increment members — so the index path drops
+    * exactly the buckets the in-corpus split drops, instead of a
+    * laxer per-side bound that admits quadratic candidate work the
+    * other path refuses. */
   def writeMinhashIndex(s: SparkSession, d: String, path: String,
-      docFilter: Column = lit(true)): Unit = {
-    val (sig, keys) = md5SigKeys(s, d, docFilter)
+      docFilter: Column = lit(true), cap: Long = hotBucketCap): Unit = {
+    val (sig, keysBn) = md5SigKeysCounted(toks(s, d).filter(docFilter))
+    val kept = keysBn.filter(col("bn") <= cap)
     sig.write.mode("overwrite").parquet(s"$path/minhash_sig.parquet")
-    keys.write.mode("overwrite").parquet(s"$path/minhash_keys.parquet")
+    kept.drop("bn").write.mode("overwrite").parquet(s"$path/minhash_keys.parquet")
+    kept.select(col("band"), col("bh"), col("bn").as("n")).distinct()
+      .write.mode("overwrite").parquet(s"$path/minhash_keycounts.parquet")
   }
 
   /** [[writeMinhashIndex]] as BUCKETED managed tables
@@ -641,14 +670,21 @@ object Dedup {
     * (the default 32 matches the test session's shuffle partitions; a
     * 100 TB history wants O(10⁴)). */
   def writeMinhashIndexBucketed(s: SparkSession, d: String, tablePrefix: String,
-      buckets: Int = 32, docFilter: Column = lit(true)): Unit = {
-    val (sig, keys) = md5SigKeys(s, d, docFilter)
+      buckets: Int = 32, docFilter: Column = lit(true), cap: Long = hotBucketCap): Unit = {
+    val (sig, keysBn) = md5SigKeysCounted(toks(s, d).filter(docFilter))
+    val kept = keysBn.filter(col("bn") <= cap)
     sig.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${tablePrefix}_sig")
-    keys.write.mode("overwrite").format("parquet")
+    kept.drop("bn").write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "band", "bh")
       .saveAsTable(s"${tablePrefix}_keys")
+    // per-bucket counts, bucketed like the keys so the probe-side joint
+    // bound joins exchange-free on the index side
+    kept.select(col("band"), col("bh"), col("bn").as("n")).distinct()
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "band", "bh")
+      .saveAsTable(s"${tablePrefix}_counts")
   }
 
   /** Incremental dedup of a NEW batch (documents of corpus `d` matching
@@ -668,30 +704,30 @@ object Dedup {
     * [[incrementalDupsAgainstBucketedIndex]], which trades the
     * broadcasts for one increment-side shuffle into the index's buckets.
     *
-    * CONTRACT — recall bound: the 100k hot-bucket cap is applied PER
-    * SIDE here (index at write time, increment at probe time), while
-    * the in-corpus split (x_dedup_incremental / [[md5IncrementalDups]])
-    * caps the JOINT key table. A bucket whose joint size exceeds the
-    * cap but whose per-side counts stay under it survives here and is
-    * dropped there — the two paths share verdicts only below the cap
-    * (DedupSpec pins equality at gate scale; real corpora sit far
-    * below 10⁵-member band buckets after exact dedup). */
+    * CONTRACT — recall bound: SAME joint bound as the in-corpus split
+    * (x_dedup_incremental / [[md5IncrementalDups]]): a bucket is dropped
+    * iff its index members + increment members exceed [[hotBucketCap]],
+    * reconstructed at probe time from the index's persisted counts (see
+    * [[incrementalVerdicts]]). DedupSpec pins all three paths to
+    * identical verdicts on a planted over-cap bucket. */
   def incrementalDupsAgainstIndex(s: SparkSession, d: String,
-      indexPath: String, batchFilter: Column): DataFrame =
-    incrementalDupsOf(table(s, d, "documents").filter(batchFilter), indexPath)
+      indexPath: String, batchFilter: Column, cap: Long = hotBucketCap): DataFrame =
+    incrementalDupsOf(table(s, d, "documents").filter(batchFilter), indexPath, cap)
 
   /** [[incrementalDupsAgainstIndex]] over an arbitrary `(doc_id, text)`
     * batch — the entry a STREAMING micro-batch uses
     * (Streams.incrementalDedup): verdicts are per-doc functions of
     * (doc, index) alone, so micro-batch boundaries cannot change them. */
-  def incrementalDupsOf(batch: DataFrame, indexPath: String): DataFrame = {
+  def incrementalDupsOf(batch: DataFrame, indexPath: String,
+      cap: Long = hotBucketCap): DataFrame = {
     val s = batch.sparkSession
-    val (bsig, bkeys) = md5SigKeysOf(
+    val (bsig, bkeysBn) = md5SigKeysCounted(
       batch.select(col("doc_id"), split(col("text"), " ").as("ws")))
     incrementalVerdicts(
       s.read.parquet(s"$indexPath/minhash_keys.parquet"),
       s.read.parquet(s"$indexPath/minhash_sig.parquet"),
-      bkeys, bsig, broadcastIncrement = true)
+      s.read.parquet(s"$indexPath/minhash_keycounts.parquet"),
+      bkeysBn, bsig, broadcastIncrement = true, cap)
   }
 
   /** Bucketed-index twin of [[incrementalDupsAgainstIndex]]: same
@@ -700,20 +736,41 @@ object Dedup {
     * tables' bucketing — no index exchange, no broadcast ceiling; only
     * the increment shuffles (PlanQualitySpec pins the topology). */
   def incrementalDupsAgainstBucketedIndex(s: SparkSession, d: String,
-      tablePrefix: String, batchFilter: Column): DataFrame = {
-    val (bsig, bkeys) = md5SigKeys(s, d, batchFilter)
+      tablePrefix: String, batchFilter: Column, cap: Long = hotBucketCap): DataFrame = {
+    val (bsig, bkeysBn) = md5SigKeysCounted(toks(s, d).filter(batchFilter))
     incrementalVerdicts(s.table(s"${tablePrefix}_keys"), s.table(s"${tablePrefix}_sig"),
-      bkeys, bsig, broadcastIncrement = false)
+      s.table(s"${tablePrefix}_counts"),
+      bkeysBn, bsig, broadcastIncrement = false, cap)
   }
 
-  /** The shared index-probe plan: candidates from the band-key equi-join,
-    * then signature verification and the per-new-doc verdict rollup.
-    * `broadcastIncrement` picks the daily-crawl shape (increment-side
-    * broadcasts, index exchange-free) vs the backfill shape (shuffle
-    * joins that the index's bucketing satisfies without an exchange). */
+  /** The shared index-probe plan: the JOINT hot-bucket bound, then
+    * candidates from the band-key equi-join, signature verification and
+    * the per-new-doc verdict rollup. `broadcastIncrement` picks the
+    * daily-crawl shape (increment-side broadcasts, index exchange-free)
+    * vs the backfill shape (shuffle joins that the index's bucketing
+    * satisfies without an exchange).
+    *
+    * The joint bound: the increment's keys arrive UNCAPPED with their
+    * own bucket counts (`bn`); joining them against the index's
+    * persisted counts (`icounts`: band, bh, n) and keeping
+    * bn + n ≤ cap reproduces exactly the in-corpus split's joint-table
+    * cap — total bucket membership across both sides. An increment key
+    * in a bucket the index doesn't know (no icounts row) can produce no
+    * candidates anyway, so the inner join dropping it is verdict-
+    * neutral; an index bucket that was over-cap ALONE was already
+    * dropped at write time, which the joint bound subsumes. The join is
+    * increment-sized against the (possibly huge) counts relation — in
+    * the broadcast regime the increment side broadcasts, in the
+    * bucketed regime `icounts` rides the same (band, bh) bucketing as
+    * the keys, so the index side stays exchange-free in both. */
   private def incrementalVerdicts(ikeys: DataFrame, isig: DataFrame,
-      bkeys: DataFrame, bsig: DataFrame, broadcastIncrement: Boolean): DataFrame = {
+      icounts: DataFrame, bkeysBn: DataFrame, bsig: DataFrame,
+      broadcastIncrement: Boolean, cap: Long): DataFrame = {
     val hint: DataFrame => DataFrame = if (broadcastIncrement) broadcast else identity
+    val bkeys = icounts
+      .join(hint(bkeysBn), Seq("band", "bh"))
+      .filter(col("bn") + col("n") <= cap)
+      .select(col("doc_id"), col("band"), col("bh"))
     val cand = ikeys.as("a")
       .join(hint(bkeys.as("b")),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))

@@ -12,6 +12,17 @@ class DedupSpec extends SparkSpecBase {
     Dedup.queries(name)(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  /** The warehouse dir outlives the in-memory catalog across JVM runs:
+    * drop any catalog entry AND the orphaned location before (re)writing
+    * a bucketed index under `prefix`. */
+  private def dropBucketedTables(prefix: String): Unit = {
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq(s"${prefix}_sig", s"${prefix}_keys", s"${prefix}_counts")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+  }
+
   test("minhash LSH finds the planted near-duplicate pairs") {
     val got = pairs("x_dedup_minhash")
     assert(got.contains((8L, 12L)), s"missing (8,12) in $got")
@@ -215,6 +226,7 @@ class DedupSpec extends SparkSpecBase {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-mhidx-b").toString
     Dedup.writeMinhashIndex(spark, sf, dir, col("doc_id") < 400)
+    dropBucketedTables("dsx_mh")
     Dedup.writeMinhashIndexBucketed(spark, sf, "dsx_mh", buckets = 8,
       docFilter = col("doc_id") < 400)
     try {
@@ -228,6 +240,49 @@ class DedupSpec extends SparkSpecBase {
     } finally {
       spark.sql("DROP TABLE IF EXISTS dsx_mh_sig")
       spark.sql("DROP TABLE IF EXISTS dsx_mh_keys")
+      spark.sql("DROP TABLE IF EXISTS dsx_mh_counts")
+    }
+  }
+
+  test("planted hot bucket: one JOINT cap bound shared by split, broadcast-index, and bucketed-index paths") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotbucket").toString
+    // 7 index + 7 increment copies of the hot text: UNDER the cap (10)
+    // per side, OVER it jointly — the exact shape that used to survive
+    // the index paths' per-side cap while the in-corpus split dropped it
+    val hotText = "aaa bbb ccc ddd eee fff"
+    val okText = "xxx yyy zzz www vvv uuu"
+    val docs =
+      (0L until 7L).map((_, hotText)) ++ (100L until 107L).map((_, hotText)) ++
+        Seq(10L, 11L, 12L).map((_, okText)) ++ Seq(110L, 111L, 112L).map((_, okText))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val cap = 10L
+    val idx = java.nio.file.Files.createTempDirectory("graft-hotbucket-idx").toString
+    Dedup.writeMinhashIndex(spark, dir, idx, col("doc_id") < 100, cap)
+    dropBucketedTables("dsx_hot")
+    Dedup.writeMinhashIndexBucketed(spark, dir, "dsx_hot", buckets = 4,
+      docFilter = col("doc_id") < 100, cap = cap)
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val split = rows(Dedup.md5IncrementalDups(spark, dir, cut = 100L, cap = cap))
+      val bcast = rows(Dedup
+        .incrementalDupsAgainstIndex(spark, dir, idx, col("doc_id") >= 100, cap))
+      val buck = rows(Dedup
+        .incrementalDupsAgainstBucketedIndex(spark, dir, "dsx_hot", col("doc_id") >= 100, cap))
+      // the hot group is dropped (joint 14 > 10); the control group (3+3,
+      // joint 6) keeps its verdicts — in ALL three paths, identically
+      assert(split.map(_._1) == Seq(110L, 111L, 112L),
+        s"split path verdicts wrong (hot bucket leaked or control lost): $split")
+      assert(bcast == split, s"broadcast-index path diverged:\nindex: $bcast\nsplit: $split")
+      assert(buck == split, s"bucketed-index path diverged:\nbucketed: $buck\nsplit: $split")
+      // non-vacuous: with the cap out of the way the hot group IS a dup group
+      val uncapped = rows(Dedup.md5IncrementalDups(spark, dir, cut = 100L, cap = 1000L))
+      assert(uncapped.exists(_._1 < 110L), "planted hot bucket produced no dups uncapped")
+    } finally {
+      for (t <- Seq("dsx_hot_sig", "dsx_hot_keys", "dsx_hot_counts"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
 

@@ -270,6 +270,13 @@ class PlanQualitySpec extends SparkSpecBase {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    // the warehouse dir outlives the in-memory catalog across JVM runs:
+    // drop any catalog entry AND the orphaned location before writing
+    val pqWarehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("pqx_mh_sig", "pqx_mh_keys", "pqx_mh_counts")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(pqWarehouse, t))
+    }
     graft.queries.Dedup.writeMinhashIndexBucketed(spark, sf, "pqx_mh",
       buckets = 32, docFilter = col("doc_id") < 400)
     // AQE off (see the broadcast-path pin above); broadcasts off so the
@@ -313,6 +320,7 @@ class PlanQualitySpec extends SparkSpecBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.sql("DROP TABLE IF EXISTS pqx_mh_sig")
       spark.sql("DROP TABLE IF EXISTS pqx_mh_keys")
+      spark.sql("DROP TABLE IF EXISTS pqx_mh_counts")
     }
   }
 
