@@ -727,12 +727,26 @@ object Similarity {
     * driver-side literal list. */
   def ivf2SearchAgainstIndex(s: SparkSession, d: String, tablePrefix: String,
       nprobeC: Int, nprobeF: Int, maxQid: Long = 10L,
-      literalProbeCap: Int = 1000): DataFrame = {
+      literalProbeCap: Int = 1000): DataFrame =
+    ivf2SearchOf(
+      table(s, d, "embeddings").filter(col("vec_id") < maxQid)
+        .select(col("vec_id"), col("embedding")),
+      tablePrefix, nprobeC, nprobeF, literalProbeCap)
+
+  /** [[ivf2SearchAgainstIndex]] over an arbitrary `(vec_id, embedding)`
+    * query relation — the form a STREAMING micro-batch hands in
+    * (Streams.annSearch), where there is no corpus dir to read. Each
+    * query's verdicts are a pure function of (query vector, frozen
+    * index), so any batching of the query set emits identical rows. */
+  def ivf2SearchOf(queries: DataFrame, tablePrefix: String,
+      nprobeC: Int, nprobeF: Int, literalProbeCap: Int = 1000): DataFrame = {
+    val s = queries.sparkSession
     graft.functions.CosineSimilarity.register(s)
     val coarse = s.table(s"${tablePrefix}_coarse")
     val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("ccid").asc)
-    val probesC = withNorm(s, d).filter(col("vec_id") < maxQid)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val probesC = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("qn"))
       .join(broadcast(coarse), lit(true))
       .select(col("qid"), col("qe"), col("qn"), col("ccid"),
         (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))

@@ -136,6 +136,29 @@ object Streams {
       sink(graft.queries.Dedup.incrementalDupsOf(batch.toDF(), indexPath), batchId)
     }
 
+  /** Streaming ANN serving — the continuous twin of
+    * `Similarity.ivf2SearchAgainstIndex`: each micro-batch of query
+    * vectors `(vec_id, embedding)` probes the PERSISTED two-level IVF
+    * index (`{tablePrefix}_coarse` / `_fine` / `_postings`, written by
+    * Similarity.writeIvf2Index) and emits the exact-re-ranked top-5 per
+    * query. Runs through foreachBatch, NOT a continuous plan: the probe
+    * chain stacks three ranking windows — inexpressible as one
+    * streaming plan — and per-batch batch semantics keeps the literal
+    * bucket-pruning path (SelectedBucketsCount) live for each batch's
+    * probed cells. Verdicts are per-query functions of (query vector,
+    * frozen index) alone, so micro-batch boundaries cannot change them:
+    * a stream and a one-shot batch search emit identical rows
+    * (StreamsSpec pins the equivalence). Pairs with
+    * Similarity.appendIvf2Postings for the full serving lifecycle:
+    * queries stream here while the corpus grows by appends. */
+  def annSearch(queries: DataFrame, tablePrefix: String,
+      nprobeC: Int, nprobeF: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.queries.Similarity.ivf2SearchOf(batch.toDF(), tablePrefix,
+        nprobeC, nprobeF), batchId)
+    }
+
   /** Streaming curation ingest — the continuous-ingest composition of
     * the batch pipeline's PER-DOC stages: blocklist → not-a-duplicate
     * against the persisted minhash index → α-mixture keep, run per

@@ -318,6 +318,45 @@ class StreamsSpec extends SparkSpecBase {
     assert(got.size == got.toSet.size, "a doc was emitted twice across batches")
   }
 
+  test("streaming ANN serving: micro-batched queries emit the one-shot batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("stx_ivf2_coarse", "stx_ivf2_fine", "stx_ivf2_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    graft.queries.Similarity.writeIvf2Index(spark, sf, "stx_ivf2")
+    val queries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+    // one-shot batch search over all 10 queries = the expected verdicts
+    val expected = graft.queries.Similarity
+      .ivf2SearchOf(queries, "stx_ivf2", nprobeC = 2, nprobeF = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.size == 50, s"10 queries x top-5 expected, got ${expected.size}")
+
+    val rows = queries.as[(Long, Array[Float])].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    assert(b1.nonEmpty && b2.nonEmpty, "need two non-trivial micro-batches")
+    val in = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = Streams.annSearch(in.toDF().toDF("vec_id", "embedding"), "stx_ivf2",
+      nprobeC = 2, nprobeF = 4) { (verdicts, _) =>
+      got.synchronized {
+        got ++= verdicts.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+      ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected,
+      s"stream-only: ${got.toSet.diff(expected)}; batch-only: ${expected.diff(got.toSet)}")
+    assert(got.size == expected.size, "a verdict was emitted twice across batches")
+  }
+
   test("incremental dedup: streamed micro-batches emit the backfill's verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
