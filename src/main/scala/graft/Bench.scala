@@ -44,6 +44,19 @@ object Bench {
         } else best
       k -> guarded
     }
+    // Pass-to-pass spread per query (max/min of the two timed passes):
+    // the round-over-round reader's ambient-load signal. A high median
+    // spread says the HOST was noisy and cross-round deltas of that size
+    // carry no code-change information; n_over_2x counts queries whose
+    // passes disagreed enough to trigger the third-pass guard.
+    val spreads = p1.collect {
+      case (k, a) if !a.isInfinity && !p2(k).isInfinity && math.min(a, p2(k)) > 0 =>
+        math.max(a, p2(k)) / math.min(a, p2(k))
+    }.toSeq.sorted
+    val varianceJson =
+      if (spreads.isEmpty) ""
+      else s""","variance":{"median_spread":${spreads(spreads.size / 2)},""" +
+        s""""max_spread":${spreads.last},"n_over_2x":${spreads.count(_ > 2.0)}}"""
     // failed queries (∞ in every pass) are reported by name, not by a
     // bogus timing; the total covers successes only
     val (failed, timed) = results.partition(_._2.isInfinity)
@@ -53,7 +66,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.keys.toSeq.sorted.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
     val total = if (timed.nonEmpty) timed.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson$varianceJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -493,6 +493,44 @@ object Curation {
     s.table(tableName).count()
   }
 
+  /** The shard write-side layout, split from the write so
+    * PlanQualitySpec can pin its topology over a precomputed assignment:
+    * ONE hash exchange on `shard` plus a per-partition (shard, pos)
+    * sort — exactly repartition + sortWithinPartitions. The partition
+    * column leads the sort so the parquet writer's own required
+    * ordering (group rows by partition value) is already satisfied and
+    * the `pos` order inside each shard file survives (the
+    * [[writeCurated]] pattern). */
+  private[queries] def shardWriteLayout(assigned: DataFrame): DataFrame =
+    assigned.repartition(col("shard")).sortWithinPartitions("shard", "pos")
+
+  /** Materialize the deterministic training shards — the artifact the
+    * `x_cur_shard` / `x_cur_pipeline` ASSIGNMENT describes, written as
+    * `out/shards/shard=K/` (exactly one data file per shard: a shard's
+    * rows live in exactly one task after the repartition) with rows in
+    * `pos` order inside each file, plus `out/manifest.parquet` — one row
+    * per shard with its doc count (and token mass when the assignment
+    * carries `n_tokens`), the sidecar a trainer uses to plan epochs and
+    * validate a transfer. The layout is a pure function of the
+    * assignment (shard by md5, pos unique within shard), so two
+    * consecutive writes are BYTE-identical — reproducibility a training
+    * run can checksum (CurationSpec pins it). Scale shape: one
+    * corpus-sized exchange + per-task sort for the data, one tiny
+    * shard-count-sized aggregate for the manifest. Returns the shard
+    * count. */
+  def writeShards(assigned: DataFrame, out: String): Long = {
+    val s = assigned.sparkSession
+    shardWriteLayout(assigned)
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$out/shards")
+    val aggs = Seq(count(lit(1)).as("n_docs")) ++
+      (if (assigned.columns.contains("n_tokens")) Seq(sum("n_tokens").as("n_tokens"))
+       else Nil)
+    assigned.groupBy("shard").agg(aggs.head, aggs.tail: _*)
+      .repartition(1).sortWithinPartitions("shard")
+      .write.mode("overwrite").parquet(s"$out/manifest.parquet")
+    s.read.parquet(s"$out/manifest.parquet").count()
+  }
+
   val oracle: Map[String, String] = Map(
     "x_cur_sample_stratified" ->
       """SELECT doc_id, lang FROM documents

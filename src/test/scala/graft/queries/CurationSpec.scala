@@ -322,4 +322,44 @@ class CurationSpec extends SparkSpecBase {
       assert(pos == (0L until rs.length.toLong), s"shard $shard positions not dense: $pos")
     }
   }
+
+  test("shard writer: byte-identical consecutive writes, one file per shard, faithful manifest") {
+    val assigned = Curation.queries("x_cur_pipeline")(spark, sf)
+    val d1 = java.nio.file.Files.createTempDirectory("graft-shards1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    val n1 = Curation.writeShards(assigned, d1)
+    val n2 = Curation.writeShards(assigned, d2)
+    assert(n1 == n2 && n1 > 1, s"shard counts $n1 / $n2")
+    // one data file per shard (a shard's rows live in exactly one task),
+    // and the files are BYTE-identical across the two writes — the
+    // reproducibility contract a training run checksums
+    def shardFiles(root: String): Map[String, Array[Byte]] = {
+      val base = new java.io.File(s"$root/shards")
+      base.listFiles().filter(_.getName.startsWith("shard=")).map { dir =>
+        val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length == 1, s"${dir.getName}: ${files.length} data files")
+        dir.getName -> java.nio.file.Files.readAllBytes(files.head.toPath)
+      }.toMap
+    }
+    val f1 = shardFiles(d1)
+    val f2 = shardFiles(d2)
+    assert(f1.keySet == f2.keySet && f1.keySet.size.toLong == n1)
+    f1.foreach { case (shard, bytes) =>
+      assert(java.util.Arrays.equals(bytes, f2(shard)), s"$shard bytes differ across writes")
+    }
+    // the written rows ARE the assignment (partition column read back)
+    val back = spark.read.parquet(s"$d1/shards")
+      .select(col("doc_id"), col("shard").cast("long"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = assigned.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back == want, "written shard rows diverge from the assignment")
+    // manifest: per-shard doc counts and token masses match the assignment
+    val manifest = spark.read.parquet(s"$d1/manifest.parquet").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expect = assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(manifest == expect, s"manifest $manifest != assignment rollup $expect")
+  }
 }

@@ -433,6 +433,28 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("shard writer layout: exactly one exchange over a precomputed assignment") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SortExec
+    // feed a parquet-backed assignment so the pin isolates the WRITER's
+    // own topology from the pipeline that produced the assignment
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shardplan").toString
+    Curation.queries("x_cur_shard")(spark, sf).write.mode("overwrite").parquet(tmp)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Curation.shardWriteLayout(spark.read.parquet(tmp))
+        .queryExecution.executedPlan
+      val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.length == 1,
+        s"shard layout must cost exactly ONE exchange, found ${shuffles.length}:\n$p")
+      // the sort is per-partition (the writer's requirement), never global
+      val sorts = p.collect { case s: SortExec => s }
+      assert(sorts.nonEmpty && sorts.forall(!_.global),
+        s"expected only per-partition sorts:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("index probe pruning regimes: literal IN bucket-prunes under the cap, semi-join above it, same verdicts") {
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     for (t <- Seq("ivf2pq_coarse", "ivf2pq_fine", "ivf2pq_postings")) {
