@@ -273,9 +273,13 @@ object Curation {
         .select(col("doc_id"), col("n"))
       val packed = pack(kept, idBounds = Some(docIdBounds(s, d)))
       val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+      // shards sized to the KEPT mass (full-corpus bytes / the mixture's
+      // design keep-rate — see MixtureKeepRate), not full-corpus mass:
+      // the pipeline writes only the kept subset
       packed
         .withColumn("h", expr("md5long60(CAST(doc_id AS STRING))"))
-        .withColumn("shard", pmod(col("h"), lit(targetShards(textBytes(s, d)))))
+        .withColumn("shard",
+          pmod(col("h"), lit(targetShards(textBytes(s, d) / MixtureKeepRate))))
         .withColumn("pos", row_number().over(w).cast("long") - 1L)
         .select(col("doc_id"), col("n_tokens"), col("tok_offset"), col("bin"),
           col("shard"), col("pos"))
@@ -298,6 +302,27 @@ object Curation {
     * sizes + a production budget in CurationSpec. */
   private[queries] def targetShards(textByteMass: Long, byteBudget: Long = 20500L): Long =
     math.max(1L, math.ceil(textByteMass.toDouble / byteBudget).toLong)
+
+  /** Representative gate-corpus text-byte mass for the static oracles:
+    * both gate corpora (156,021 B at sf0.001, 152,498 B at sf0.01) sit
+    * mid-band around it, so the oracles' shard counts are interpolated
+    * from the SAME [[targetShards]] derivation the engine runs (the
+    * portableIvfCtes LIMIT pattern) instead of a hard-coded literal — a
+    * byteBudget retune moves oracle and engine together, and a corpus
+    * regeneration that leaves the band fails the gate loudly instead of
+    * silently shipping a stale modulus. */
+  private[queries] val GateTextBytes = 154000L
+
+  /** The α-mixture's design keep-rate: rates are scaled so expected kept
+    * tokens ≈ half the corpus (see x_cur_mixture). The PIPELINE's shard
+    * sizing divides its byte mass by this, because the pipeline writes
+    * only the kept subset — sizing its shards from FULL-corpus mass
+    * would systematically undersize files at ~2× the intended count.
+    * Kept-byte mass itself is not footer-derivable (the kept set is
+    * dynamic), so the design rate keeps the probe metadata-only; the
+    * slight overestimate (blocklist+dedup survivors < corpus) errs
+    * toward marginally fuller files, the safe direction. */
+  private[queries] val MixtureKeepRate = 2L
 
   /** METADATA-ONLY corpus mass probe: the `text` column's
     * total_uncompressed_size summed over every row-group footer of
@@ -326,6 +351,19 @@ object Curation {
     * min/max job only when a writer stripped the statistics. */
   private val docIdBoundsMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Drop the memoized footer probes for corpus dir `d` — call after an
+    * in-place rewrite of `d/documents.parquet`, the same contract as
+    * [[graft.queries.Similarity.invalidateIvfIndex]] for the IVF memo.
+    * Without it, pack chunking and shard counts keep serving the OLD
+    * footers' statistics; shard count is output-affecting, so a stale
+    * memo surfaces as oracle-divergent x_cur_shard / x_cur_pipeline
+    * results until JVM restart. */
+  def invalidateSizingProbes(d: String): Unit = {
+    textBytesMemo.remove(d)
+    docIdBoundsMemo.remove(d)
+    ()
+  }
 
   private[queries] def docIdBounds(s: SparkSession, d: String): (Long, Long) =
     docIdBoundsMemo.computeIfAbsent(d, _ => {
@@ -623,12 +661,16 @@ object Curation {
          |       len(hits) = 0 AS keep
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    // the modulus is interpolated from the SAME targetShards derivation
+    // the engine runs, at the representative gate byte mass (both gate
+    // corpora sit mid-band — see GateTextBytes)
     "x_cur_shard" ->
-      """WITH t AS (SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id,
         |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
         |           FROM documents)
-        |SELECT doc_id, h % 8 AS shard,
-        |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+        |SELECT doc_id, h % ${targetShards(GateTextBytes)} AS shard,
+        |       CAST(row_number() OVER (PARTITION BY h % ${targetShards(GateTextBytes)}
+        |              ORDER BY h, doc_id) - 1
         |            AS BIGINT) AS pos
         |FROM t ORDER BY shard, pos""".stripMargin,
 
@@ -702,8 +744,10 @@ object Curation {
         |      FROM kept)
         |SELECT doc_id, n AS n_tokens, CAST(o AS BIGINT) AS tok_offset,
         |       CAST(o // 8192 AS BIGINT) AS bin,
-        |       h % 8 AS shard,
-        |       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+        |       h % ${targetShards(GateTextBytes / MixtureKeepRate)} AS shard,
+        |       CAST(row_number() OVER (
+        |              PARTITION BY h % ${targetShards(GateTextBytes / MixtureKeepRate)}
+        |              ORDER BY h, doc_id) - 1
         |            AS BIGINT) AS pos
         |FROM c ORDER BY doc_id""".stripMargin
   )

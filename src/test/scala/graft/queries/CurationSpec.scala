@@ -245,6 +245,35 @@ class CurationSpec extends SparkSpecBase {
     // is the same number every session (deterministic generator)
     assert(Curation.textBytes(spark, sf) == 156021L,
       "sf0.001 footer byte mass drifted — recheck the gate band above")
+    // the oracle moduli are interpolated from this SAME derivation at the
+    // representative gate mass — both live gate masses agree with it, for
+    // the full-corpus shard query AND the kept-mass-sized pipeline
+    assert(Curation.targetShards(Curation.GateTextBytes) == 8L)
+    assert(Curation.targetShards(156021L) == Curation.targetShards(Curation.GateTextBytes))
+    assert(Curation.targetShards(152498L) == Curation.targetShards(Curation.GateTextBytes))
+    assert(Curation.targetShards(Curation.GateTextBytes / Curation.MixtureKeepRate) == 4L)
+    assert(Curation.targetShards(156021L / Curation.MixtureKeepRate) == 4L)
+    assert(Curation.targetShards(152498L / Curation.MixtureKeepRate) == 4L)
+  }
+
+  test("sizing-probe memos: invalidation re-reads footers after an in-place corpus rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sizing").toString
+    Seq((1L, "one two three"), (5L, "four five six")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val b1 = Curation.textBytes(spark, dir)
+    assert(b1 > 0 && Curation.docIdBounds(spark, dir) == ((1L, 5L)))
+    // in-place rewrite: much bigger text, wider id span
+    Seq((0L, ("x " * 200).trim), (9L, ("y " * 200).trim)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // memoized: still serves the OLD footers — the documented hazard the
+    // invalidation hook exists for (shard count is output-affecting)
+    assert(Curation.textBytes(spark, dir) == b1)
+    assert(Curation.docIdBounds(spark, dir) == ((1L, 5L)))
+    Curation.invalidateSizingProbes(dir)
+    assert(Curation.textBytes(spark, dir) > b1,
+      "post-invalidation byte mass must come from the NEW footers")
+    assert(Curation.docIdBounds(spark, dir) == ((0L, 9L)))
   }
 
   test("mixture: alpha-rates match a driver recompute; small sources upweighted") {

@@ -324,17 +324,41 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  /** Count Spark jobs started while `f` runs, via a SparkListener's
+    * onJobStart — visible to EVERY job regardless of its job group
+    * (statusTracker.getJobIdsForGroup(null) is blind to jobs submitted
+    * under a non-null group) — then settle-polled until the async
+    * listener bus goes quiet (count stable for 300 ms, 3 s ceiling)
+    * instead of a fixed sleep racing AQE's async submissions. */
+  private def jobsDuring(f: => Unit): Int = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f
+      var last = -1
+      var stableMs = 0L
+      val deadline = System.nanoTime() + 3000000000L
+      while (stableMs < 300L && System.nanoTime() < deadline) {
+        val now = counter.get()
+        if (now == last) stableMs += 50L else { last = now; stableMs = 0L }
+        Thread.sleep(50L)
+      }
+      counter.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("sizing probes take the catalog-stats fast path: no job when stats exist") {
-    val tracker = spark.sparkContext.statusTracker
-    val before = tracker.getJobIdsForGroup(null).length
     // a relation whose optimized plan carries an exact-by-construction
     // rowCount (Range, LocalRelation, materialized caches; ANALYZE'd
     // catalog stats are deliberately NOT trusted — they go stale)
-    val n = graft.Engine.rowCountFast(spark.range(12345).toDF())
-    assert(n == 12345L)
-    Thread.sleep(300) // status tracker is listener-fed; let it drain
-    assert(tracker.getJobIdsForGroup(null).length == before,
-      "stats-backed rowCountFast must not launch a job")
+    val jobs = jobsDuring { assert(graft.Engine.rowCountFast(spark.range(12345).toDF()) == 12345L) }
+    assert(jobs == 0, s"stats-backed rowCountFast launched $jobs jobs")
     // a bare parquet read publishes no rowCount → falls back to one count
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     assert(docs.queryExecution.optimizedPlan.stats.rowCount.isEmpty)
@@ -342,13 +366,6 @@ class PlanQualitySpec extends SparkSpecBase {
   }
 
   test("x_cur_shard's sizing probe is metadata-only: plan build adds no job") {
-    val tracker = spark.sparkContext.statusTracker
-    def jobsDuring(f: => Unit): Int = {
-      val before = tracker.getJobIdsForGroup(null).length
-      f
-      Thread.sleep(300) // status tracker is listener-fed; let it drain
-      tracker.getJobIdsForGroup(null).length - before
-    }
     // opening the table itself costs a fixed schema-inference job
     // (mergeSchemasInParallel runs one even for a single file) — the
     // relevant pin is that the shard-count probe adds NOTHING on top:
@@ -367,13 +384,6 @@ class PlanQualitySpec extends SparkSpecBase {
     // pack chunking, shard count — must come from footer metadata
     graft.queries.Dedup.clusterLabels(spark, sf).count()
     Curation.queries("x_cur_shard")(spark, sf) // warms textBytes/docIdBounds memos
-    val tracker = spark.sparkContext.statusTracker
-    def jobsDuring(f: => Unit): Int = {
-      val before = tracker.getJobIdsForGroup(null).length
-      f
-      Thread.sleep(300)
-      tracker.getJobIdsForGroup(null).length - before
-    }
     val baseline = jobsDuring { spark.read.parquet(s"$sf/documents.parquet"); () }
     val built = jobsDuring { Curation.queries("x_cur_pipeline")(spark, sf); () }
     assert(built <= baseline,
