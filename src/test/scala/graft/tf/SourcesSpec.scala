@@ -46,6 +46,75 @@ class SourcesSpec extends SparkSpecBase {
       S3Glob("s3a://bucket/**/*.tfstate"))
   }
 
+  test("parse: http(s)/file archive URLs classify with kind and glob; non-archives stay local") {
+    assert(parse("https://example.com/modules/pkg.zip//*.tf") ==
+      ArchiveGlob("https://example.com/modules/pkg.zip", "zip", "*.tf"))
+    assert(parse("https://example.com/pkg.tar.gz//mod/sub//*.tf") ==
+      ArchiveGlob("https://example.com/pkg.tar.gz", "tar.gz", "mod/sub/*.tf"))
+    assert(parse("https://example.com/pkg.tgz") ==
+      ArchiveGlob("https://example.com/pkg.tgz", "tar.gz", "**"))
+    // go-getter's explicit ?archive= override beats the extension
+    assert(parse("https://example.com/download//*.tf?archive=zip") ==
+      ArchiveGlob("https://example.com/download", "zip", "*.tf"))
+    // host-less file:/// archives split at the GLOB //, not the scheme's
+    assert(parse("file:///tmp/x/pkg.zip//*.tf") ==
+      ArchiveGlob("file:///tmp/x/pkg.zip", "zip", "*.tf"))
+    // a plain https URL without an archive form stays a local glob
+    assert(parse("https://example.com/page") == LocalGlob("https://example.com/page"))
+  }
+
+  test("resolve: archive source unpacks once into the cache and globs the root") {
+    def writeZip(to: java.io.File, entries: (String, Array[Byte])*): Unit = {
+      val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(to))
+      entries.foreach { case (name, bytes) =>
+        zo.putNextEntry(new java.util.zip.ZipEntry(name))
+        zo.write(bytes)
+        zo.closeEntry()
+      }
+      zo.close()
+    }
+    val tf = Files.readAllBytes(JPaths.get("fixtures/main.tf"))
+    val src = Files.createTempDirectory("arcsrc")
+    val zipFile = src.resolve("pkg.zip").toFile
+    writeZip(zipFile, "mod/main.tf" -> tf, "README.md" -> "hi".getBytes)
+    val Seq(glob) = resolve(Seq(s"file://${zipFile.getPath}//mod/*.tf"))
+    val matched = new java.io.File(glob).getParentFile.listFiles()
+      .filter(_.getName.endsWith(".tf"))
+    assert(matched.map(_.getName).toSeq == Seq("main.tf"),
+      s"unpacked glob root wrong: $glob")
+    assert(java.util.Arrays.equals(Files.readAllBytes(matched.head.toPath), tf))
+    // cache hit: a second resolve works even after the source vanishes
+    assert(zipFile.delete())
+    val Seq(again) = resolve(Seq(s"file://${zipFile.getPath}//mod/*.tf"))
+    assert(again == glob, "second resolve must reuse the unpacked cache")
+
+    // tar.gz through the same path
+    val tgz = src.resolve("pkg.tar.gz").toFile
+    val to = new org.apache.commons.compress.archivers.tar.TarArchiveOutputStream(
+      new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(tgz)))
+    val e = new org.apache.commons.compress.archivers.tar.TarArchiveEntry("main.tf")
+    e.setSize(tf.length.toLong)
+    to.putArchiveEntry(e); to.write(tf); to.closeArchiveEntry(); to.close()
+    val Seq(tglob) = resolve(Seq(s"file://${tgz.getPath}//*.tf"))
+    val tmatched = new java.io.File(tglob).getParentFile.listFiles()
+      .filter(_.getName.endsWith(".tf"))
+    assert(tmatched.map(_.getName).toSeq == Seq("main.tf"))
+  }
+
+  test("resolve: a zip-slip entry fails the unpack instead of escaping the cache") {
+    val src = Files.createTempDirectory("arcevil")
+    val zipFile = src.resolve("evil.zip").toFile
+    val zo = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zipFile))
+    zo.putNextEntry(new java.util.zip.ZipEntry("../evil.tf"))
+    zo.write("resource \"x\" \"y\" {}".getBytes)
+    zo.closeEntry(); zo.close()
+    val err = intercept[IllegalArgumentException](
+      resolve(Seq(s"file://${zipFile.getPath}//*.tf")))
+    assert(err.getMessage.contains("escapes"), s"wrong failure: ${err.getMessage}")
+    assert(!new java.io.File(
+      JPaths.get(sys.props("java.io.tmpdir"), "graft-archive-cache").toFile, "evil.tf").exists())
+  }
+
   test("resolve: git source clones once into the cache and globs the checkout") {
     // an offline "remote": a local git repo served over file://
     val repoDir = Files.createTempDirectory("gitsrc").toFile
