@@ -64,6 +64,16 @@ object LshTuning {
     (kc, kf)
   }
 
+  /** PQ centroids-per-subspace: grows with corpus size so per-subspace
+    * quantization error keeps shrinking as more data funds a finer
+    * codebook, capped at 256 — the classic one-byte-per-subspace code.
+    * 500 → 16 (gate — the static x_sim_pq_md5 / x_sim_ivfpq_md5 oracles
+    * are generated with it), 2000 → 63, ≥ 8,192 → 256. The codebook is
+    * always ≤ M × 256 rows — broadcast-sized at any scale. */
+  def pqCentroids(corpus: Long, minK: Int = 8, maxK: Int = 256): Int =
+    math.min(maxK.toLong,
+      math.max(minK.toLong, math.ceil(corpus.toDouble / 32.0).toLong)).toInt
+
   /** Bands paired with [[minhashRowsPerBand]]: b = 2^(r-1) keeps the
     * S-curve threshold (1/b)^(1/r) pinned near 0.55–0.6 at every scale
     * (r=4,b=8 → 0.59; r=5,b=16 → 0.57; r=7,b=64 → 0.55), matching the

@@ -1,0 +1,356 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for ANN serving — the compression step past
+  * scalar int8 (x_sim_quantize): the 64-dim embedding splits into M = 8
+  * subspaces of 8 dims, each subspace gets its own ks-centroid codebook
+  * (portable Lloyd, the [[Similarity.kmeansCentroidsPortable]] arithmetic),
+  * and a vector is stored as M one-byte codes — 8 bytes instead of 256,
+  * the 32× memory cut behind IVF-PQ at billion scale.
+  *
+  * Search is ADC (asymmetric distance computation): a query precomputes a
+  * lookup table LUT[m][code] = dot(query-subvector, codebook centroid) —
+  * M × ks doubles, built once per query against the BROADCAST codebook —
+  * and every candidate's approximate dot product is then M array lookups
+  * + adds over its codes, never touching the raw vector. The shortlist
+  * the ADC score cuts pays the exact float re-rank, exactly the
+  * x_sim_ivfq_md5 contract.
+  *
+  * Scale shape: the codebook is M × ks ≤ 8 × 256 rows (always broadcast);
+  * code assignment is a broadcast-argmin partial aggregate over one
+  * corpus scan (the [[Similarity.assignCells]] shape per subspace); the
+  * candidate join in IVF-PQ search is key-equi on the probed cell id. At
+  * 10¹⁰ vectors the codes table is the only corpus-sized artifact — 8
+  * bytes/vector — and nothing corpus-sized is ever broadcast or
+  * driver-collected.
+  *
+  * Portability: md5 seed draw per subspace, exact scaled-integer DECIMAL
+  * means, L2 argmin with index-ordered double arithmetic and cid
+  * tie-break — the whole fit, code assignment, LUT build and ADC
+  * shortlist reproduce bit-for-bit in the DuckDB oracles.
+  */
+object ProductQuant {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Subspace width: 64 contract dims → M = 8 subspaces of 8. A multiple
+    * of the SIMD lane the exact re-rank's float_dot loops over, and small
+    * enough that ks ≤ 256 keeps per-subspace quantization error low. */
+  val SubDim = 8
+
+  /** Number of subspaces for the [[Similarity.EmbeddingDims]] contract. */
+  val M: Int = Similarity.EmbeddingDims / SubDim
+
+  val queries: Map[String, Q] = Map(
+    // -- PQ codebook fit + full-corpus code assignment, md5-portable
+    //    end-to-end: the (vec_id, m, code) triples ARE the compressed
+    //    corpus representation (M bytes per vector at scale). Hash-gated:
+    //    seed draw, Lloyd means, and L2 argmin all reproduce in DuckDB.
+    "x_sim_pq_md5" -> ((s, d) => {
+      val cb = codebook(s, d)
+      val codes = assignSub(subVecs(Similarity.withNorm(s, d)), cb)
+      codes.select(col("vec_id"), col("m"), col("code")).orderBy("vec_id", "m")
+    }),
+
+    // -- IVF-PQ: the canonical billion-scale ANN layout — coarse IVF
+    //    probing (broadcast centroids, key-equi candidate join) + ADC
+    //    scoring from the PQ codes (LUT lookups instead of raw-vector
+    //    dots) + exact float re-rank of the top-20 shortlist. Every stage
+    //    is md5-portable, so the full composition hash-gates.
+    "x_sim_ivfpq_md5" -> ((s, d) => ivfPqSearch(s, d, nprobe = 4, shortlist = 20))
+  )
+
+  /** (vec_id, m, sv) sub-vector fan-out: one narrow projection, no
+    * shuffle — `m` is typed long to match the oracle's range(). */
+  private[queries] def subVecs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        explode(expr(s"sequence(0L, ${M - 1}L)")).as("m"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(embedding, CAST(m * $SubDim + 1 AS INT), $SubDim)").as("sv"))
+
+  /** Index-ordered double L2 between the row's `sv` and the codebook
+    * row's `ce` — the same sequential fold [[Similarity.dotSql]]'s
+    * engines share, so argmin verdicts are bit-identical. */
+  private val l2 = expr(
+    "aggregate(zip_with(sv, ce, (a, b) -> (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * " +
+      "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+  /** Nearest-sub-centroid assignment: broadcast the (≤ 8 × 256)-row
+    * codebook, min(struct(d, cid)) partial-agg argmin — deterministic
+    * cid tie-break, map-side combinable, never a corpus window. Returns
+    * (vec_id, m, sv, cid, code). */
+  private[queries] def assignSub(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sv"),
+        struct(l2.as("d"), col("cid"), col("code")).as("sc"))
+      .groupBy("vec_id", "m")
+      .agg(min("sc").as("mn"), first("sv").as("sv"))
+      .select(col("vec_id"), col("m"), col("sv"),
+        col("mn.cid").as("cid"), col("mn.code").as("code"))
+
+  /** Memoized per-(session, corpus, M, ks) codebook — index-build-once
+    * semantics, the [[Similarity]] memo pattern. Codebooks are M × ks
+    * rows (broadcast-sized by construction), so driver-collecting them
+    * is free at any corpus scale. */
+  private val fittedCodebooks = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[
+      String, Array[(Long, Long, Long, Array[Float])]]]()
+
+  private def purgeStopped(): Unit =
+    fittedCodebooks.keySet.removeIf(sess => sess.sparkContext.isStopped)
+
+  /** Drop memoized PQ codebooks for (session, corpus dir) — invoked by
+    * [[Similarity.invalidateIvfIndex]] so one corpus-invalidation call
+    * covers every ANN memo. */
+  def invalidate(s: SparkSession, d: String): Unit = {
+    val inner = fittedCodebooks.get(s)
+    if (inner != null) inner.keySet.removeIf(_.startsWith(d + "\u0000"))
+  }
+
+  /** Spec hook: memoized codebook count for the session. */
+  private[queries] def memoizedCodebookCount(s: SparkSession): Int = {
+    val inner = fittedCodebooks.get(s)
+    if (inner == null) 0 else inner.size
+  }
+
+  /** The fitted codebook (m, cid, code, ce): per-subspace portable Lloyd
+    * over the modulo sample, 2 iterations, then codes densified to
+    * 0..ks-1 by cid rank within each subspace (row_number over ≤ M × ks
+    * rows — trivially small). Memoized per (session, corpus, M, ks). */
+  private[queries] def codebook(s: SparkSession, d: String): DataFrame = {
+    val ks = pqK(s, d)
+    purgeStopped()
+    val perSession = fittedCodebooks.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[
+        String, Array[(Long, Long, Long, Array[Float])]]())
+    // fit OUTSIDE the mapping function (the memoizedCentroids contract
+    // note): racing fitters may duplicate work, the winner's entry wins
+    val mapKey = d + "\u0000" + s"pq-$M-$ks"
+    val arr = {
+      val cached = perSession.get(mapKey)
+      if (cached != null) cached
+      else {
+        val built = fitCodebook(s, d, ks)
+          .select(col("m"), col("cid"), col("code"), col("ce")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getSeq[Float](3).toArray))
+        val prev = perSession.putIfAbsent(mapKey, built)
+        if (prev != null) prev else built
+      }
+    }
+    import s.implicits._
+    arr.toSeq.toDF("m", "cid", "code", "ce")
+  }
+
+  private def fitCodebook(s: SparkSession, d: String, ks: Int): DataFrame = {
+    val sub = subVecs(Similarity.withNorm(s, d).filter(col("vec_id") % 5 === 0))
+    // md5 seed draw PER SUBSPACE — the fineFitPortable pattern; the
+    // window runs over the 20% sample only, and only at fit time
+    val wSeed = Window.partitionBy("m").orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    var cb = sub.withColumn("rn", row_number().over(wSeed)).filter(col("rn") <= ks)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("ce"), lit(0L).as("code"))
+    for (_ <- 0 until 2) {
+      cb = assignSub(sub, cb)
+        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .withColumn("q", floor(col("x").cast("double") * lit(1e9)).cast("decimal(38,0)"))
+        .groupBy("m", "cid", "pos")
+        .agg((sum("q").cast("double") / (lit(1e9) * count(lit(1)))).cast("float").as("mv"))
+        .groupBy("m", "cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mv))), p -> p.mv)").as("ce"))
+        .withColumn("code", lit(0L))
+    }
+    // densify codes: rank by cid within each subspace so codes index the
+    // LUT arrays directly (empty cells dropped by Lloyd leave no holes)
+    val wCode = Window.partitionBy("m").orderBy("cid")
+    cb.withColumn("code", (row_number().over(wCode) - 1).cast("long"))
+  }
+
+  /** Corpus-derived centroids-per-subspace (one metadata-cheap count
+    * probe, the [[Similarity.ivfK]] pattern). */
+  private[queries] def pqK(s: SparkSession, d: String): Int =
+    LshTuning.pqCentroids(graft.Engine.rowCountFast(table(s, d, "embeddings")))
+
+  /** IVF-PQ search: coarse probe from the portable flat-IVF fit (probes
+    * its `nprobe` nearest cells — broadcast centroids, key-equi
+    * candidate join), ADC-score every probed-cell candidate from its PQ
+    * codes via the query's LUT, cut a `shortlist`, exact-re-rank top-5.
+    * The only corpus-sized operands are the cell assignment and the
+    * packed codes; both join key-equi (cid / vec_id) and neither is
+    * broadcast or driver-collected. */
+  private def ivfPqSearch(s: SparkSession, d: String, nprobe: Int, shortlist: Int): DataFrame = {
+    val e = Similarity.withNorm(s, d)
+    val cents = Similarity.ivfCentroidsPortable(s, d, Similarity.ivfK(s, d))
+    val assigned = Similarity.assignCells(e, cents)
+    val cb = codebook(s, d)
+    // packed per-vector code array (m-ascending): M bytes/vector at scale
+    val codesArr = assignSub(subVecs(e), cb)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), p -> p.code)").as("cd"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    // coarse probe: nprobe nearest cells per query (the ivfSearch shape)
+    val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    val probes = broadcast(q).join(broadcast(cents), lit(true))
+      .select(col("qid"),
+        (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"), col("cid"))
+      .withColumn("rnk", row_number().over(wp))
+      .filter(col("rnk") <= nprobe)
+      .select(col("qid"), col("cid"))
+    // ADC lookup table: LUT[m][code] = index-ordered double dot of the
+    // query's m-th subvector with the codebook centroid — M × ks doubles
+    // per query, built against the broadcast codebook, nested m-major
+    val lutRows = broadcast(q).join(broadcast(cb), lit(true))
+      .select(col("qid"), col("m"), col("code"),
+        expr(s"aggregate(zip_with(slice(qe, CAST(m * $SubDim + 1 AS INT), $SubDim), ce, " +
+          "(a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
+          "(acc, x) -> acc + x)").as("ip"))
+    val lut = lutRows
+      .groupBy("qid", "m")
+      .agg(expr("transform(array_sort(collect_list(struct(code, ip))), p -> p.ip)").as("lutm"))
+      .groupBy("qid")
+      .agg(expr("transform(array_sort(collect_list(struct(m, lutm))), p -> p.lutm)").as("lut"))
+      .join(q, Seq("qid"))
+    // candidates: key-equi on the probed cell, codes joined key-equi on
+    // vec_id; approximate ip = M LUT lookups + adds (never the raw vector)
+    val cand = broadcast(probes)
+      .join(assigned, Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .join(codesArr, Seq("vec_id"))
+      .join(broadcast(lut), Seq("qid"))
+      .select(col("qid"), col("vec_id"), col("embedding"), col("nrm"),
+        col("qe"), col("qn"),
+        expr(s"aggregate(sequence(0, ${M - 1}), CAST(0.0 AS DOUBLE), " +
+          "(acc, mi) -> acc + lut[mi][CAST(cd[mi] AS INT)])").as("ip"))
+      .withColumn("qcos", col("ip") / (col("qn") * col("nrm")))
+    val wShort = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
+    val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    cand.withColumn("rns", row_number().over(wShort)).filter(col("rns") <= shortlist)
+      .select(col("qid"), col("vec_id"),
+        (expr("float_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB L2 between two [[SubDim]]-wide lists — the same index-ordered
+    * double fold as the Spark `l2` expression. */
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $SubDim), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  /** Sub-centroid argmin assignment (CTE text): mirrors [[assignSub]] —
+    * L2 ascending, cid tie-break. `src` carries (vec_id, m, sv). */
+  private def pqAssignSql(src: String, cb: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, m, sv, cid, code FROM (
+       |    SELECT s.vec_id, s.m, s.sv, c.cid, c.code,
+       |           row_number() OVER (PARTITION BY s.vec_id, s.m
+       |             ORDER BY ${l2Sql("s.sv", "c.ce")} ASC, c.cid ASC) rn
+       |    FROM $src s JOIN $cb c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+
+  /** Codebook update: exact scaled-integer mean per (m, cid, pos). */
+  private def pqUpdateSql(asg: String, n: Int): String =
+    s"""px$n AS (
+       |  SELECT a.m, a.cid, t.i AS pos,
+       |         CAST(floor(CAST(a.sv[t.i] AS DOUBLE) * 1000000000.0) AS DECIMAL(38,0)) AS q
+       |  FROM $asg a, range(1, ${SubDim + 1}) t(i)),
+       |pm$n AS (
+       |  SELECT m, cid, pos,
+       |         CAST(CAST(sum(q) AS DOUBLE) / (1000000000.0 * count(*)) AS REAL) AS mv
+       |  FROM px$n GROUP BY m, cid, pos),
+       |pk$n AS (SELECT m, cid, list(mv ORDER BY pos) AS ce, CAST(0 AS BIGINT) AS code
+       |         FROM pm$n GROUP BY m, cid)""".stripMargin
+
+  /** The md5-portable PQ chain (CTE text), appended after
+    * [[Similarity.portableIvfCtes]]'s `e`/`samp`: sub-vector fan-out,
+    * per-subspace md5 seed draw, the unrolled 2-iteration Lloyd fit,
+    * cid-rank code densification (`cb`), and full-corpus code assignment
+    * (`codes`). ks interpolates from the SAME derivation the Spark side
+    * runs (LshTuning.pqCentroids at the 500-vector gate corpus). */
+  private[queries] def pqCtes: String = {
+    val ks = LshTuning.pqCentroids(500)
+    s"""sub AS (
+       |  SELECT vec_id, t.m,
+       |         list_transform(generate_series(1, $SubDim),
+       |                        i -> embedding[t.m * $SubDim + i]) AS sv
+       |  FROM samp, range(0, $M) t(m)),
+       |p0 AS (
+       |  SELECT m, vec_id AS cid, sv AS ce, CAST(0 AS BIGINT) AS code FROM (
+       |    SELECT vec_id, m, sv,
+       |           row_number() OVER (PARTITION BY m
+       |             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) rn
+       |    FROM sub) WHERE rn <= $ks),
+       |${pqAssignSql("sub", "p0", "pa1")},
+       |${pqUpdateSql("pa1", 1)},
+       |${pqAssignSql("sub", "pk1", "pa2")},
+       |${pqUpdateSql("pa2", 2)},
+       |cb AS (SELECT m, cid,
+       |              CAST(row_number() OVER (PARTITION BY m ORDER BY cid) - 1 AS BIGINT) AS code,
+       |              ce
+       |       FROM pk2),
+       |subf AS (
+       |  SELECT vec_id, t.m,
+       |         list_transform(generate_series(1, $SubDim),
+       |                        i -> embedding[t.m * $SubDim + i]) AS sv
+       |  FROM e, range(0, $M) t(m)),
+       |${pqAssignSql("subf", "cb", "codes")}""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    // The unreferenced flat-IVF CTEs in the shared prefix (c0..asgf) are
+    // pruned by DuckDB; only e/samp + the PQ chain run here.
+    "x_sim_pq_md5" ->
+      s"""WITH ${Similarity.portableIvfCtes},
+         |$pqCtes
+         |SELECT vec_id, m, code FROM codes ORDER BY vec_id, m""".stripMargin,
+
+    // IVF-PQ end-to-end: coarse probe over the hash-gated flat-IVF fit,
+    // ADC scoring via the query LUT over the hash-gated codes, top-20
+    // shortlist, exact re-rank — every stage shares the CTEs its
+    // standalone query gates.
+    "x_sim_ivfpq_md5" -> {
+      val dotq = Similarity.dotSql _
+      s"""WITH ${Similarity.portableIvfCtes},
+         |$pqCtes,
+         |cdv AS (SELECT vec_id, list(code ORDER BY m) AS cd FROM codes GROUP BY vec_id),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.vec_id qid, c.cid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotq("q.embedding", "c.ce")} / (q.nrm * c.cn) DESC, c.cid ASC) rn
+         |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rn <= 4),
+         |lutr AS (
+         |  SELECT q.vec_id AS qid, c.m, c.code,
+         |         list_sum(list_transform(generate_series(1, $SubDim),
+         |           i -> CAST(q.embedding[c.m * $SubDim + i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))) AS ip
+         |  FROM e q CROSS JOIN cb c WHERE q.vec_id < 10),
+         |lutm AS (SELECT qid, m, list(ip ORDER BY code) AS lm FROM lutr GROUP BY qid, m),
+         |lut AS (SELECT qid, list(lm ORDER BY m) AS lut FROM lutm GROUP BY qid),
+         |cand AS (
+         |  SELECT p.qid, t.vec_id, t.embedding, t.nrm, q.embedding AS qe, q.nrm AS qn,
+         |         list_sum(list_transform(generate_series(1, $M),
+         |           mi -> l.lut[mi][t2.cd[mi] + 1])) AS ip
+         |  FROM probes p
+         |  JOIN asgf t ON p.cid = t.cid AND p.qid != t.vec_id
+         |  JOIN cdv t2 ON t.vec_id = t2.vec_id
+         |  JOIN lut l ON p.qid = l.qid
+         |  JOIN e q ON p.qid = q.vec_id),
+         |short AS (
+         |  SELECT qid, vec_id, embedding, nrm, qe, qn FROM (
+         |    SELECT cand.*, ip / (qn * nrm) AS qcos,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY ip / (qn * nrm) DESC, vec_id ASC) rns
+         |    FROM cand) WHERE rns <= 20),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+         |  FROM (SELECT qid, vec_id, ${dotq("qe", "embedding")} / (qn * nrm) AS cos FROM short))
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    }
+  )
+}

@@ -292,6 +292,7 @@ object Similarity {
   /** Drop the memoized IVF indexes for (session, corpus dir) — call after
     * the corpus at `d` changes; the next IVF query re-fits. */
   def invalidateIvfIndex(s: SparkSession, d: String): Unit = {
+    ProductQuant.invalidate(s, d) // one corpus-invalidation call covers every ANN memo
     val inner = fittedCentroids.get(s)
     if (inner != null) inner.keySet.removeIf(_.startsWith(d + "\u0000"))
     val fins = fittedFine.get(s)
