@@ -157,6 +157,23 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // -- blocklist REDACTION twin: instead of dropping a hit-bearing
+    //    document (x_cur_blocklist), replace each blocked token with a
+    //    fixed mask — the PII-scrub shape of a curation pipeline (real
+    //    deployments swap the term list for PII patterns; the Spark-side
+    //    plumbing — token-level rewrite, no explode, no shuffle, hit
+    //    accounting — is what's exercised). A pure narrow map over the
+    //    split array; the rewritten text itself is hash-gated.
+    "x_cur_redact" -> ((s, d) => {
+      val masked = transform(col("ws"), w =>
+        when(array_contains(array(Blocklist.map(lit): _*), w), lit(RedactMask)).otherwise(w))
+      toks(s, d)
+        .select(col("doc_id"),
+          size(blocklistHits).cast("long").as("n_redacted"),
+          concat_ws(" ", masked).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     // -- deterministic training shard assignment + within-shard order:
     //    the "global shuffle" step before packing/serving. shard =
     //    md5(doc_id) mod N decorrelates neighboring doc_ids; the
@@ -410,6 +427,9 @@ object Curation {
     * (real deployments load the published bad-words list). */
   private[graft] val Blocklist: Seq[String] = Seq("slow", "spam", "lorem")
 
+  /** Mask token the redaction twin substitutes for blocked terms. */
+  private[graft] val RedactMask: String = "[REDACTED]"
+
   /** THE blocklist hit extractor — single source of truth shared by the
     * batch audit (`x_cur_blocklist`) and the streaming filter
     * (`Streams.blocklistFilter`): the blocked tokens found in `ws`
@@ -659,6 +679,17 @@ object Curation {
          |       -- array_to_string is NULL (not '') on an empty list
          |       coalesce(array_to_string(list_sort(list_distinct(hits)), ','), '') AS terms,
          |       len(hits) = 0 AS keep
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x_cur_redact" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(list_filter(ws,
+         |         w -> list_contains([${Blocklist.map(t => s"'$t'").mkString(", ")}], w))) AS BIGINT)
+         |         AS n_redacted,
+         |       array_to_string(list_transform(ws,
+         |         w -> CASE WHEN list_contains([${Blocklist.map(t => s"'$t'").mkString(", ")}], w)
+         |                   THEN '$RedactMask' ELSE w END), ' ') AS redacted
          |FROM t ORDER BY doc_id""".stripMargin,
 
     // the modulus is interpolated from the SAME targetShards derivation

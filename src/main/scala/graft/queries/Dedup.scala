@@ -298,6 +298,29 @@ object Dedup {
     "x_dedup_minhash_md5" -> ((s, d) =>
       md5MinhashPairs(s, d).orderBy(col("est_j").desc, col("da"), col("db"))),
 
+    // -- edit-distance-VERIFIED near-dup: the md5-MinHash LSH candidates
+    //    (the hash-gated discovery pipeline above) re-checked by exact
+    //    character-level Levenshtein distance — the classic fuzzy-dedup
+    //    verify stage for when a signature estimate alone is not evidence
+    //    enough to delete data. Every candidate pair is kept with its
+    //    distance, relative distance and verdict (both verdicts occur at
+    //    gate scale), so the gate is non-vacuous wherever the threshold
+    //    lands. Scale shape: the quadratic-DP verify runs ONLY on the
+    //    LSH-surviving pairs (output-sized, broadcast); the two text
+    //    lookups are key-equi joins against the corpus.
+    "x_dedup_editdist" -> ((s, d) => {
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      val rel = col("dist").cast("double") /
+        greatest(length(col("ta")), length(col("tb"))).cast("double")
+      broadcast(md5MinhashPairs(s, d))
+        .join(docs.select(col("doc_id").as("da"), col("text").as("ta")), Seq("da"))
+        .join(docs.select(col("doc_id").as("db"), col("text").as("tb")), Seq("db"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+        .select(col("da"), col("db"), col("est_j"), col("dist"), rel.as("rel"),
+          (rel <= 0.3).as("dup"))
+        .orderBy("da", "db")
+    }),
+
     // -- incremental dedup against an existing index: docs ≥ 400 play
     //    the "new batch", docs < 400 the historical index (the split is
     //    non-vacuous at every driver scale — planted cross-boundary
@@ -997,6 +1020,18 @@ object Dedup {
       s"""WITH $md5MinhashCte
         |SELECT da, db, est_j FROM est WHERE est_j >= 0.5
         |ORDER BY est_j DESC, da, db""".stripMargin,
+
+    "x_dedup_editdist" ->
+      s"""WITH $md5MinhashCte,
+        |p AS (SELECT da, db, est_j FROM est WHERE est_j >= 0.5),
+        |j AS (SELECT p.da, p.db, p.est_j,
+        |        CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+        |        CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |          / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS rel
+        |      FROM p JOIN documents a ON a.doc_id = p.da
+        |             JOIN documents b ON b.doc_id = p.db)
+        |SELECT da, db, est_j, dist, rel, rel <= 0.3 AS dup
+        |FROM j ORDER BY da, db""".stripMargin,
 
     // the full pair table restricted to index×batch and grouped per new
     // doc — the incremental query must find exactly these

@@ -183,14 +183,32 @@ object ProductQuant {
   private def ivfPqSearch(s: SparkSession, d: String, nprobe: Int, shortlist: Int): DataFrame = {
     val e = Similarity.withNorm(s, d)
     val cents = Similarity.ivfCentroidsPortable(s, d, Similarity.ivfK(s, d))
-    val assigned = Similarity.assignCells(e, cents)
     val cb = codebook(s, d)
-    // packed per-vector code array (m-ascending): M bytes/vector at scale
-    val codesArr = assignSub(subVecs(e), cb)
-      .groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(m, code))), p -> p.code)").as("cd"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    ivfPqCore(q, cents, cb, postingsFor(e, cents, cb), nprobe, shortlist)
+  }
+
+  /** The fully-compressed corpus representation the serving index stores:
+    * coarse cell assignment + packed m-ascending code array per vector
+    * (M bytes at scale) next to the raw vector the exact re-rank reads.
+    * One corpus scan; assignment and code argmin are broadcast partial
+    * aggregates; the codes join is key-equi on vec_id. */
+  private def postingsFor(e: DataFrame, cents: DataFrame, cb: DataFrame): DataFrame = {
+    val assigned = Similarity.assignCells(e, cents)
+    val codes = assignSub(subVecs(e), cb)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), p -> p.code)").as("cd"))
+    assigned.join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"), col("cd"))
+  }
+
+  /** The IVF-PQ probe/score/re-rank core, shared by the in-memory query
+    * and the persisted-index path. `cand0` carries (vec_id, embedding,
+    * nrm, cid, cd) — in-memory it is [[postingsFor]] over the corpus,
+    * against the index it is the (bucket-pruned) postings table. */
+  private def ivfPqCore(q: DataFrame, cents: DataFrame, cb: DataFrame,
+      cand0: DataFrame, nprobe: Int, shortlist: Int): DataFrame = {
     // coarse probe: nprobe nearest cells per query (the ivfSearch shape)
     val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
     val probes = broadcast(q).join(broadcast(cents), lit(true))
@@ -213,12 +231,11 @@ object ProductQuant {
       .groupBy("qid")
       .agg(expr("transform(array_sort(collect_list(struct(m, lutm))), p -> p.lutm)").as("lut"))
       .join(q, Seq("qid"))
-    // candidates: key-equi on the probed cell, codes joined key-equi on
-    // vec_id; approximate ip = M LUT lookups + adds (never the raw vector)
+    // candidates: key-equi on the probed cell; approximate ip = M LUT
+    // lookups + adds (never the raw vector)
     val cand = broadcast(probes)
-      .join(assigned, Seq("cid"))
+      .join(cand0, Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
-      .join(codesArr, Seq("vec_id"))
       .join(broadcast(lut), Seq("qid"))
       .select(col("qid"), col("vec_id"), col("embedding"), col("nrm"),
         col("qe"), col("qn"),
@@ -234,6 +251,91 @@ object ProductQuant {
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
       .orderBy("qid", "rank")
+  }
+
+  /** Persist the IVF-PQ serving index: `{prefix}_codebook` and
+    * `{prefix}_cents` (both broadcast-sized), `{prefix}_postings`
+    * (vec_id, embedding, nrm, cid, cd) bucketed + sorted on the coarse
+    * cell id so probe-time restriction bucket-prunes the scan — the
+    * [[Similarity.writeIvf2Index]] layout with PQ codes riding next to
+    * the vectors. At 10¹⁰ vectors a probe reads ~nprobe/cells of the
+    * postings bytes, and the ADC stage touches only the M-byte codes. */
+  def writePqIndex(s: SparkSession, d: String, tablePrefix: String,
+      buckets: Int = 32): Unit = {
+    val cb = codebook(s, d)
+    val cents = Similarity.ivfCentroidsPortable(s, d, Similarity.ivfK(s, d))
+    cb.write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_codebook")
+    cents.write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_cents")
+    postingsFor(Similarity.withNorm(s, d), cents, cb)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(s"${tablePrefix}_postings")
+  }
+
+  /** Append NEW vectors into a persisted IVF-PQ index without re-fitting
+    * or rewriting existing postings — the [[Similarity.appendIvf2Postings]]
+    * maintenance contract: cells and codes are assigned against the
+    * FROZEN persisted centroids/codebook and appended with the postings
+    * table's own bucket spec, so a daily increment costs O(increment).
+    * Same recall-drift contract (re-fit offline when the appended mass
+    * warrants); caller guarantees `newVectors` are not already indexed. */
+  def appendPqCodes(s: SparkSession, tablePrefix: String, newVectors: DataFrame): Unit = {
+    graft.functions.CosineSimilarity.register(s)
+    val catalog = s.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${tablePrefix}_postings")
+    // bootstrap: a frozen fit ({prefix}_cents/{prefix}_codebook) with no
+    // postings yet accepts its first increment, creating the bucketed
+    // table; thereafter appends must ride the existing bucket spec
+    val buckets =
+      if (!catalog.tableExists(ident)) 32
+      else catalog.getTableMetadata(ident).bucketSpec.map(_.numBuckets)
+        .getOrElse(throw new IllegalStateException(
+          s"${tablePrefix}_postings is not bucketed — not a PQ serving index"))
+    val e = newVectors.select(col("vec_id"), col("embedding"),
+      sqrt(expr("float_dot(embedding, embedding)")).as("nrm"))
+    postingsFor(e, s.table(s"${tablePrefix}_cents"), s.table(s"${tablePrefix}_codebook"))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "cid").sortBy("cid")
+      .saveAsTable(s"${tablePrefix}_postings")
+  }
+
+  /** Query the persisted IVF-PQ index — same verdicts as the in-memory
+    * path over the same (centroids, codebook, corpus). The postings scan
+    * is restricted to the probed cells via [[Similarity.pruneToProbed]]'s
+    * two regimes (literal IN bucket pruning under the cap, broadcast
+    * semi-join for bulk query batches). */
+  def ivfPqSearchAgainstIndex(s: SparkSession, d: String, tablePrefix: String,
+      nprobe: Int, shortlist: Int, maxQid: Long = 10L,
+      literalProbeCap: Int = 1000): DataFrame =
+    ivfPqSearchOf(
+      table(s, d, "embeddings").filter(col("vec_id") < maxQid)
+        .select(col("vec_id"), col("embedding")),
+      tablePrefix, nprobe, shortlist, literalProbeCap)
+
+  /** [[ivfPqSearchAgainstIndex]] over an arbitrary `(vec_id, embedding)`
+    * query relation — the streaming micro-batch form; per-query verdicts
+    * are pure functions of (query, frozen index). */
+  def ivfPqSearchOf(queries: DataFrame, tablePrefix: String,
+      nprobe: Int, shortlist: Int, literalProbeCap: Int = 1000): DataFrame = {
+    val s = queries.sparkSession
+    graft.functions.CosineSimilarity.register(s)
+    val cents = s.table(s"${tablePrefix}_cents")
+    val cb = s.table(s"${tablePrefix}_codebook")
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      sqrt(expr("float_dot(embedding, embedding)")).as("qn"))
+    // the probed-cell restriction replays the coarse probe's argmax on
+    // the broadcast centroids — cheap (queries × cents) — so the
+    // postings scan prunes BEFORE the candidate join
+    val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
+    val probedIds = broadcast(q).join(broadcast(cents), lit(true))
+      .select(col("qid"),
+        (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"), col("cid"))
+      .withColumn("rnk", row_number().over(wp))
+      .filter(col("rnk") <= nprobe)
+      .select(col("cid")).distinct()
+    val postings = Similarity.pruneToProbed(
+      s.table(s"${tablePrefix}_postings"), "cid", probedIds, literalProbeCap)
+    ivfPqCore(q, cents, cb, postings, nprobe, shortlist)
   }
 
   /** DuckDB L2 between two [[SubDim]]-wide lists — the same index-ordered

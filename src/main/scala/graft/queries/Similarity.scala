@@ -707,7 +707,7 @@ object Similarity {
     *
     * Both regimes emit identical rows (a semi-join on ids ≡ an
     * IN-filter); PlanQualitySpec pins plan shape and result equality. */
-  private def pruneToProbed(tbl: DataFrame, idCol: String, probedIds: DataFrame,
+  private[queries] def pruneToProbed(tbl: DataFrame, idCol: String, probedIds: DataFrame,
       cap: Int): DataFrame = {
     val sample = probedIds.limit(cap + 1).collect().map(_.getLong(0))
     if (sample.length <= cap) tbl.filter(col(idCol).isin(sample.toIndexedSeq: _*))

@@ -37,6 +37,17 @@ object TextAnalysis {
         expr("transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")).as("pair"))
 
   val queries: Map[String, Q] = Map(
+    // -- Okapi BM25 top-10 retrieval: the lexical-retrieval standard a
+    //    RAG / data-curation pipeline runs next to ANN. Query terms are
+    //    corpus-derived (each query doc's first 3 tokens), so the gate is
+    //    non-vacuous at every scale. Scale shape: tf is one explode +
+    //    partial-agg pass; query terms and their df relation are
+    //    vocabulary-bounded and BROADCAST; the only corpus-sized joins
+    //    (tf ⋈ terms, ⋈ dl) are key-equi; per-term contributions sum in
+    //    w-order (a bounded ordered fold) so the double score reproduces
+    //    bit-for-bit in DuckDB — ln() inputs are identical doubles.
+    "x_text_bm25" -> ((s, d) => bm25(s, d)),
+
     // -- language ID: stopword-profile scores + zh via CJK codepoints;
     //    prediction = argmax with deterministic tie-break order
     "x_text_langid" -> ((s, d) => {
@@ -265,7 +276,81 @@ object TextAnalysis {
     })
   )
 
+  /** Okapi BM25 (k1 = 1.2, b = 0.75) top-10 per query — see the
+    * x_text_bm25 entry. All constants appear as the same decimal
+    * literals in both engines (never pre-folded in Scala, where e.g.
+    * 1.2 + 1.0 rounds differently than the literal 2.2), and the score
+    * sums per-term contributions in term order via a bounded fold, so
+    * the gate is hash-exact. */
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = table(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val tf = t.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dl = t.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    // exact global doc count + token mass: dl is integral, so the long
+    // sum is order-independent; the double division happens once
+    val g = dl.agg(count(lit(1)).cast("double").as("nn"), sum("dl").as("sdl"))
+    val q = t.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), explode(expr("slice(ws, 1, 3)")).as("w"))
+      .distinct()
+    val qw = q.select("w").distinct()
+    val tfq = tf.join(broadcast(qw), Seq("w"))
+    val dft = tfq.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    val avgdl = col("sdl").cast("double") / col("nn")
+    // idf is the pipeline's one transcendental: Java Math.log and C
+    // libm log can disagree by 1 ulp on the same input, so the value is
+    // floor-quantized to 1e-6 (the portable-Lloyd 1e-9-mean pattern) —
+    // every downstream op is exact arithmetic on identical doubles. A
+    // 1-ulp input drift only flips the floor when ln·1e6 sits within
+    // ~2e-10 of an integer; the fixed gate corpora verify it does not.
+    val idf = floor(
+      log(lit(1.0) + (col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        * lit(1000000.0)) / lit(1000000.0)
+    val contrib = tfq
+      .join(broadcast(q), Seq("w"))
+      .join(broadcast(dft), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(g))
+      .select(col("qid"), col("doc_id"), col("w"),
+        (idf * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl))).as("c"))
+    val scored = contrib.groupBy("qid", "doc_id")
+      .agg(expr("aggregate(transform(array_sort(collect_list(struct(w, c))), p -> p.c), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("score"))
+    val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+      .orderBy("qid", "rank")
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_text_bm25" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |tfc AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM t),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS nn, sum(dl) AS sdl FROM dl),
+        |q AS (SELECT DISTINCT doc_id AS qid, unnest(ws[1:3]) AS w FROM t WHERE doc_id < 5),
+        |dft AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tfc
+        |        WHERE w IN (SELECT w FROM q) GROUP BY w),
+        |contrib AS (
+        |  SELECT q.qid, x.doc_id, x.w,
+        |         floor(ln(1.0 + (g.nn - f.df + 0.5) / (f.df + 0.5)) * 1000000.0)
+        |           / 1000000.0 * x.tf * 2.2 /
+        |           (x.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+        |              / (CAST(g.sdl AS DOUBLE) / g.nn))) AS c
+        |  FROM tfc x JOIN q ON x.w = q.w JOIN dft f ON x.w = f.w
+        |  JOIN dl l ON x.doc_id = l.doc_id CROSS JOIN g),
+        |scored AS (SELECT qid, doc_id, list_sum(list(c ORDER BY w)) AS score
+        |           FROM contrib GROUP BY qid, doc_id),
+        |ranked AS (SELECT qid, doc_id, score,
+        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) rank
+        |           FROM scored)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
+        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     "x_text_bpe_pairs" ->
       """WITH t AS (SELECT string_split(text, ' ') ws FROM documents),
         |p AS (SELECT unnest(list_transform(generate_series(2, len(ws)),

@@ -391,4 +391,22 @@ class CurationSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(manifest == expect, s"manifest $manifest != assignment rollup $expect")
   }
+
+  test("redaction twin: counts match the blocklist audit, masked text carries no blocked token") {
+    val red = Curation.queries("x_cur_redact")(spark, sf).collect()
+    val nDocs = graft.Engine.table(spark, sf, "documents").count()
+    assert(red.length == nDocs, "redaction must keep every document")
+    val audit = Curation.queries("x_cur_blocklist")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blocked = Curation.Blocklist.toSet
+    red.foreach { r =>
+      val (id, nr, txt) = (r.getLong(0), r.getLong(1), r.getString(2))
+      assert(nr == audit(id), s"doc $id: redacted $nr != audited hits ${audit(id)}")
+      val ws = txt.split(" ", -1)
+      assert(!ws.exists(blocked), s"doc $id still carries a blocked token")
+      assert(ws.count(_ == Curation.RedactMask) == nr,
+        s"doc $id: ${ws.count(_ == Curation.RedactMask)} masks != $nr hits")
+    }
+    assert(red.exists(_.getLong(1) > 0), "vacuous: no redactions at gate scale")
+  }
 }

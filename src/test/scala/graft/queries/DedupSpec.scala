@@ -326,4 +326,38 @@ class DedupSpec extends SparkSpecBase {
     case other => fail(s"pruned row without dup_of: $other")
     }
   }
+
+  test("edit-distance verify: exactly the LSH pairs, exact dups at 0, driver-side DP recompute") {
+    val rows = Dedup.queries("x_dedup_editdist")(spark, sf).collect()
+    val mh = Dedup.queries("x_dedup_minhash_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == mh.keySet,
+      "verify stage must keep exactly the discovery stage's pairs")
+    val texts = graft.Engine.table(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    rows.foreach { r =>
+      val (da, db) = (r.getLong(0), r.getLong(1))
+      val (dist, rel, dup) = (r.getLong(3), r.getDouble(4), r.getBoolean(5))
+      assert(r.getDouble(2) == mh((da, db)), "est_j must carry over unchanged")
+      assert(rel >= 0.0 && rel <= 1.0)
+      assert((dist == 0L) == (texts(da) == texts(db)),
+        s"($da,$db): dist $dist vs text equality ${texts(da) == texts(db)}")
+      assert(dup == (rel <= 0.3))
+      assert(dist == lev(texts(da), texts(db)).toLong,
+        s"($da,$db): engine distance $dist != DP recompute")
+    }
+    assert(rows.exists(_.getBoolean(5)), "vacuous: no verified duplicate at gate scale")
+  }
 }

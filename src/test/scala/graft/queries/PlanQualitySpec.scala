@@ -70,6 +70,34 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("BM25: no cartesian, query/df sides broadcast, tf partially aggregated") {
+    val p = planStr("x_text_bm25")
+    assert(!p.contains("CartesianProduct"), s"bm25 degenerated:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"query-term joins must broadcast:\n$p")
+    assert(p.contains("partial_count"), s"tf not partially aggregated:\n$p")
+    // the only permitted nested-loop is the 1-row global-stats crossJoin
+    val nl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nl <= 1, s"$nl nested-loop joins — only the 1-row stats join may:\n$p")
+  }
+
+  test("IVF-PQ: no cartesian; code argmin partially aggregated; broadcast probes") {
+    val p = planStr("x_sim_ivfpq_md5")
+    assert(!p.contains("CartesianProduct"), s"ivfpq degenerated:\n$p")
+    // candidate join (probed cell) and code join (vec_id) are hash joins
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"candidate/code joins must be equi:\n$p")
+    // nearest-sub-centroid assignment is a map-side-combinable argmin,
+    // not a corpus window
+    assert(p.contains("partial_min"), s"code argmin not partially aggregated:\n$p")
+  }
+
+  test("profiler: one Expand-based pass, no join, partial aggregation") {
+    val p = planStr("x_prof_documents")
+    assert(p.contains("Expand"), s"distinct counts must compile to Expand:\n$p")
+    assert(!p.contains("Join"), s"profile must be a single-table pass:\n$p")
+    assert(p.contains("partial_count"), s"profile not partially aggregated:\n$p")
+  }
+
   test("bucketed range join is an equi-join, never a nested loop") {
     val p = planStr("x_events_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

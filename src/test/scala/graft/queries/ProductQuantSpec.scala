@@ -85,6 +85,59 @@ class ProductQuantSpec extends SparkSpecBase {
       s"mean sub-vector quantization error ${err.getDouble(0)} not below mean sub-vector norm ${err.getDouble(1)}")
   }
 
+  test("persisted PQ index over the gate corpus matches the in-memory query") {
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("pqidx_codebook", "pqidx_cents", "pqidx_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    ProductQuant.writePqIndex(spark, sf, "pqidx")
+    val got = ProductQuant.ivfPqSearchAgainstIndex(spark, sf, "pqidx", 4, 20).collect().toSeq
+    val mem = ProductQuant.queries("x_sim_ivfpq_md5")(spark, sf).collect().toSeq
+    assert(got == mem, "indexed search must emit the in-memory verdicts")
+  }
+
+  test("persisted PQ index: indexed search == in-memory verdicts; append == frozen-fit union") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("pqapp_codebook", "pqapp_cents", "pqapp_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    def postingsFiles(): Set[String] = {
+      val dir = new java.io.File(warehouse, "pqapp_postings")
+      dir.listFiles().filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    // freeze the fit over a strict subset; the increment is the remainder
+    val base = java.nio.file.Files.createTempDirectory("graft-pqapp").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 400)
+      .write.parquet(s"$base/embeddings.parquet")
+    ProductQuant.writePqIndex(spark, base, "pqapp")
+    val before = postingsFiles()
+    val inc = spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") >= 400)
+      .select("vec_id", "embedding")
+    assert(inc.count() > 0, "test needs a non-empty increment")
+    ProductQuant.appendPqCodes(spark, "pqapp", inc)
+    val after = postingsFiles()
+    assert(before.subsetOf(after), s"append rewrote existing postings files: ${before -- after}")
+    assert(after.size > before.size, "append must add posting files")
+    // base+appended search == an index REBUILT over the union at the same
+    // frozen fit (postings are per-vector functions of (vector, frozen
+    // centroids/codebook), so batching cannot change them)
+    for (t <- Seq("pqfull_codebook", "pqfull_cents", "pqfull_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    spark.table("pqapp_codebook").write.format("parquet").saveAsTable("pqfull_codebook")
+    spark.table("pqapp_cents").write.format("parquet").saveAsTable("pqfull_cents")
+    ProductQuant.appendPqCodes(spark, "pqfull", // bootstrap append = rebuild
+      spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding"))
+    val got = ProductQuant.ivfPqSearchAgainstIndex(spark, sf, "pqapp", 4, 20).collect().toSeq
+    val want = ProductQuant.ivfPqSearchAgainstIndex(spark, sf, "pqfull", 4, 20).collect().toSeq
+    assert(got == want, "appended-index search must equal the frozen-fit union search")
+    assert(got.nonEmpty && got.groupBy(_.getLong(0)).size == 10)
+  }
+
   test("derived PQ sizing: gate corpus reproduces the oracle's ks=16, larger corpora refine") {
     assert(LshTuning.pqCentroids(500) == 16) // gate corpus — static oracle value
     assert(LshTuning.pqCentroids(2000) == 63) // sf0.1

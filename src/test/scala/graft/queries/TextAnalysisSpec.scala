@@ -130,4 +130,41 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(byId(8L) > 0.5 && byId(12L) > 0.5,
       s"planted near-dups should be known: ${byId(8L)}, ${byId(12L)}")
   }
+
+  test("BM25: dense ranks, descending scores, self-retrieval, driver-side recompute") {
+    val rows = TextAnalysis.queries("x_text_bm25")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to rs.length).toSeq, "ranks not dense")
+      val sc = sorted.map(_.getDouble(3))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b }, s"scores not sorted: ${sc.toSeq}")
+      // the gate vocabulary is dense: every query fills its top-10
+      assert(rs.length == 10, s"query $qid returned ${rs.length} rows")
+    }
+    // driver-side recompute of query 0's scores from raw text (tolerance:
+    // the recompute associates the arithmetic differently)
+    val toks = graft.Engine.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.length.toLong).sum.toDouble / n
+    val qterms = toks(0L).take(3).distinct
+    def score(id: Long): Double = qterms.map { w =>
+      val tf = toks(id).count(_ == w).toDouble
+      if (tf == 0) 0.0
+      else {
+        val df = toks.values.count(_.contains(w)).toDouble
+        val idf = math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) * 1e6) / 1e6
+        idf * tf * 2.2 /
+          (tf + 1.2 * (0.25 + 0.75 * toks(id).length / avgdl))
+      }
+    }.sum
+    byQ(0L).foreach { r =>
+      val want = score(r.getLong(2))
+      assert(math.abs(r.getDouble(3) - want) < 1e-9,
+        s"doc ${r.getLong(2)}: engine ${r.getDouble(3)} vs recompute $want")
+    }
+  }
 }
