@@ -48,6 +48,18 @@ object TextAnalysis {
     //    bit-for-bit in DuckDB — ln() inputs are identical doubles.
     "x_text_bm25" -> ((s, d) => bm25(s, d)),
 
+    // -- BPE tokenizer TRAINING: the first 3 merge iterations of the
+    //    byte-pair-encoding loop (x_text_bpe_pairs counts only the first
+    //    merge's candidates; this RUNS the loop). The corpus is scanned
+    //    ONCE for word counts; every merge iteration then works on the
+    //    vocabulary-sized relation — pair counting is a partial
+    //    aggregate, the argmax is one bounded driver row per step (the
+    //    training control decision), and the merge itself is a string
+    //    replace whose left-to-right non-overlap IS BPE's merge rule in
+    //    both engines. Integer counts + exact strings → hash-gated with
+    //    no floating point at all.
+    "x_text_bpe_train" -> ((s, d) => bpeTrain(s, d, steps = 3)),
+
     // -- language ID: stopword-profile scores + zh via CJK codepoints;
     //    prediction = argmax with deterministic tie-break order
     "x_text_langid" -> ((s, d) => {
@@ -325,7 +337,64 @@ object TextAnalysis {
       .orderBy("qid", "rank")
   }
 
+  /** BPE merge loop (see the x_text_bpe_train entry). Symbols are kept
+    * as a `<s1><s2>…` encoded string: the bracket delimiters make
+    * `replace(v, '<a><b>', '<ab>')` match exactly full-symbol pairs, and
+    * engine `replace` semantics (left-to-right, non-overlapping) are
+    * precisely BPE's merge-application rule — including the `xx` run
+    * case. The corpus vocabulary is [a-z] words, so the delimiters can
+    * never collide with symbol text. */
+  private def bpeTrain(s: SparkSession, d: String, steps: Int): DataFrame = {
+    import s.implicits._
+    var vocab = table(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(expr("concat_ws('', transform(split(w, ''), c -> concat('<', c, '>')))").as("v"),
+        col("n"))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to steps) {
+      val pairs = vocab
+        .select(col("n"), expr("split(substring(v, 2, length(v) - 2), '><')").as("syms"))
+        .filter(size(col("syms")) >= 2) // Spark's sequence(1, 0) steps DOWN, not empty
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy("p.a", "p.b").agg(sum("n").as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((step.toLong, a, b, cnt))
+      vocab = vocab.select(expr(s"replace(v, '<$a><$b>', '<$a$b>')").as("v"), col("n"))
+    }
+    merges.result().toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_text_bpe_train" -> {
+      def pairStep(i: Int): String =
+        s"""p$i AS (SELECT u.a AS a, u.b AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |  SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+           |           i -> {'a': s[i], 'b': s[i+1]})) AS u
+           |  FROM (SELECT string_split(substr(v, 2, length(v) - 2), '><') AS s, n FROM v${i - 1}))
+           |  GROUP BY u.a, u.b),
+           |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      def mergeStep(i: Int): String =
+        s"""v$i AS (SELECT replace(v, '<' || b$i.a || '><' || b$i.b || '>',
+           |                 '<' || b$i.a || b$i.b || '>') AS v, n
+           |       FROM v${i - 1}, b$i)""".stripMargin
+      s"""WITH t AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+         |v0 AS (SELECT array_to_string(list_transform(string_split(w, ''),
+         |               c -> '<' || c || '>'), '') AS v, n FROM t),
+         |${pairStep(1)},
+         |${mergeStep(1)},
+         |${pairStep(2)},
+         |${mergeStep(2)},
+         |${pairStep(3)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM b1
+         |  UNION ALL SELECT 2, a, b, cnt FROM b2
+         |  UNION ALL SELECT 3, a, b, cnt FROM b3) ORDER BY step""".stripMargin
+    },
+
     "x_text_bm25" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
         |tfc AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf

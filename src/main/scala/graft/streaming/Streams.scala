@@ -159,6 +159,20 @@ object Streams {
         nprobeC, nprobeF), batchId)
     }
 
+  /** Streaming IVF-PQ serving — the [[annSearch]] twin over the persisted
+    * PQ index (ProductQuant.writePqIndex): micro-batched query vectors
+    * probe the frozen centroids, ADC-score the probed cells' codes, and
+    * exact-re-rank the shortlist. Per-query verdicts are pure functions
+    * of (query, frozen index), so stream == one-shot batch; pairs with
+    * ProductQuant.appendPqCodes for the full serving lifecycle. */
+  def pqSearch(queries: DataFrame, tablePrefix: String,
+      nprobe: Int, shortlist: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.queries.ProductQuant.ivfPqSearchOf(batch.toDF(), tablePrefix,
+        nprobe, shortlist), batchId)
+    }
+
   /** Streaming curation ingest — the continuous-ingest composition of
     * the batch pipeline's PER-DOC stages: blocklist → not-a-duplicate
     * against the persisted minhash index → α-mixture keep, run per

@@ -131,6 +131,38 @@ class TextAnalysisSpec extends SparkSpecBase {
       s"planted near-dups should be known: ${byId(8L)}, ${byId(12L)}")
   }
 
+  test("BPE training: 3 merges match a first-principles driver implementation") {
+    val rows = TextAnalysis.queries("x_text_bpe_train")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // reference: the textbook BPE loop (explicit left-to-right merge walk,
+    // no string-encoding trick) over the same word counts
+    var vocab: Map[Seq[String], Long] = graft.Engine.table(spark, sf, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" "))
+      .groupBy(identity).map { case (w, g) => w.split("").toSeq -> g.length.toLong }
+    val want = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to 3) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- vocab if syms.length >= 2; Seq(x, y) <- syms.sliding(2))
+        pc((x, y)) = pc.getOrElse((x, y), 0L) + n
+      val ((a, b), cnt) = pc.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head
+      want += ((a, b, cnt))
+      def mergeSeq(s: Seq[String]): Seq[String] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        out.toSeq
+      }
+      vocab = vocab.toSeq.map { case (sy, n) => mergeSeq(sy) -> n }
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    }
+    assert(rows.map(r => (r._2, r._3, r._4)).toSeq == want.toSeq,
+      s"merges ${rows.toSeq} != reference ${want.toSeq}")
+  }
+
   test("BM25: dense ranks, descending scores, self-retrieval, driver-side recompute") {
     val rows = TextAnalysis.queries("x_text_bm25")(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -357,6 +357,44 @@ class StreamsSpec extends SparkSpecBase {
     assert(got.size == expected.size, "a verdict was emitted twice across batches")
   }
 
+  test("streaming IVF-PQ serving: micro-batched queries emit the one-shot batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("stx_pq_codebook", "stx_pq_cents", "stx_pq_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    graft.queries.ProductQuant.writePqIndex(spark, sf, "stx_pq")
+    val queries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+    val expected = graft.queries.ProductQuant
+      .ivfPqSearchOf(queries, "stx_pq", nprobe = 4, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.size == 50, s"10 queries x top-5 expected, got ${expected.size}")
+
+    val rows = queries.as[(Long, Array[Float])].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    assert(b1.nonEmpty && b2.nonEmpty, "need two non-trivial micro-batches")
+    val in = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = Streams.pqSearch(in.toDF().toDF("vec_id", "embedding"), "stx_pq",
+      nprobe = 4, shortlist = 20) { (verdicts, _) =>
+      got.synchronized {
+        got ++= verdicts.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+      ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected,
+      s"stream-only: ${got.toSet.diff(expected)}; batch-only: ${expected.diff(got.toSet)}")
+    assert(got.size == expected.size, "a verdict was emitted twice across batches")
+  }
+
   test("incremental dedup: streamed micro-batches emit the backfill's verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
