@@ -44,6 +44,32 @@ object Profiling {
         .select(col("col_name"), col("n"), col("nulls"), col("n_distinct"),
           col("min_v"), col("max_v"))
         .orderBy("col_name")
+    }),
+
+    // -- array-column profile for the embeddings table: the vector-
+    //    specific invariants a serving pipeline must audit before an
+    //    index build — dimensionality drift (distinct/min/max dims),
+    //    NaN poisoning, and the corpus norm mass (an exact scaled-
+    //    integer DECIMAL sum — order-independent, partial-aggregatable
+    //    — so re-profiles byte-agree; the double division happens once
+    //    on the final scalar). One aggregation pass, no shuffle beyond
+    //    the 1-row reduce.
+    "x_prof_embeddings" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      table(s, d, "embeddings")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("embedding")).as("n_nonnull"),
+          countDistinct(size(col("embedding"))).as("n_dims_distinct"),
+          min(size(col("embedding"))).cast("long").as("dims_min"),
+          max(size(col("embedding"))).cast("long").as("dims_max"),
+          sum(when(expr("exists(embedding, x -> isnan(CAST(x AS DOUBLE)))"), 1L)
+            .otherwise(0L)).as("n_nan"),
+          (sum(floor(expr("float_dot(embedding, embedding)") * lit(1000000.0))
+            .cast("decimal(38,0)")).cast("double") / lit(1000000.0)).as("norm_sq_mass"))
+        .select(col("n"), (col("n") - col("n_nonnull")).as("nulls"),
+          col("n_dims_distinct"), col("dims_min"), col("dims_max"),
+          col("n_nan"), col("norm_sq_mass"))
     })
   )
 
@@ -54,6 +80,18 @@ object Profiling {
          |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
          |       CAST(min($c) AS VARCHAR) AS min_v, CAST(max($c) AS VARCHAR) AS max_v
          |FROM documents""".stripMargin)
-      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "x_prof_embeddings" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) - count(embedding) AS BIGINT) AS nulls,
+         |  CAST(count(DISTINCT len(embedding)) AS BIGINT) AS n_dims_distinct,
+         |  CAST(min(len(embedding)) AS BIGINT) AS dims_min,
+         |  CAST(max(len(embedding)) AS BIGINT) AS dims_max,
+         |  CAST(sum(CASE WHEN len(list_filter(embedding,
+         |         x -> isnan(CAST(x AS DOUBLE)))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+         |  CAST(sum(CAST(floor(${Similarity.dotSql("embedding", "embedding")} * 1000000.0)
+         |         AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS norm_sq_mass
+         |FROM embeddings""".stripMargin
   )
 }

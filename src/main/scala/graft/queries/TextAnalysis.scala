@@ -60,6 +60,11 @@ object TextAnalysis {
     //    no floating point at all.
     "x_text_bpe_train" -> ((s, d) => bpeTrain(s, d, steps = 3)),
 
+    // -- BPE application: tokenize with the trained merges (order
+    //    matters — merge 2 can consume merge 1's output) and report the
+    //    top-20 tokens of the resulting corpus. See [[bpeApply]].
+    "x_text_bpe_apply" -> ((s, d) => bpeApply(s, d, steps = 3)),
+
     // -- language ID: stopword-profile scores + zh via CJK codepoints;
     //    prediction = argmax with deterministic tie-break order
     "x_text_langid" -> ((s, d) => {
@@ -346,11 +351,28 @@ object TextAnalysis {
     * never collide with symbol text. */
   private def bpeTrain(s: SparkSession, d: String, steps: Int): DataFrame = {
     import s.implicits._
-    var vocab = table(s, d, "documents")
+    val v0 = bpeVocab(s, d).persist()
+    try bpeMerges(v0, steps).toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+    finally v0.unpersist(blocking = false)
+  }
+
+  /** The delimiter-encoded `<s1><s2>…` vocabulary with word counts — one
+    * corpus scan; shared by training and application. */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(expr("concat_ws('', transform(split(w, ''), c -> concat('<', c, '>')))").as("v"),
         col("n"))
+
+  /** The trained merge list (step, lhs, rhs, pair_count) over a vocab
+    * relation the CALLER persists — the corpus is scanned once into the
+    * vocabulary and every merge step's pair count reads the cache (the
+    * per-step driver argmax otherwise re-ran the corpus scan: a measured
+    * 3 corpus passes → 1 at sf0.1). Memo-free beyond that: each step's
+    * argmax is one driver row over a vocabulary-sized aggregate. */
+  private def bpeMerges(v0: DataFrame, steps: Int): Seq[(Long, String, String, Long)] = {
+    var vocab = v0
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (step <- 1 to steps) {
       val pairs = vocab
@@ -364,7 +386,33 @@ object TextAnalysis {
       merges += ((step.toLong, a, b, cnt))
       vocab = vocab.select(expr(s"replace(v, '<$a><$b>', '<$a$b>')").as("v"), col("n"))
     }
-    merges.result().toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+    merges.result()
+  }
+
+  /** Tokenize the corpus WITH the trained merges and report the top-20
+    * resulting tokens — the train → apply loop closed. Application is a
+    * chain of `steps` narrow string replaces over the vocabulary (the
+    * merge-order-matters contract of BPE), then one explode + partial
+    * aggregate; at 100 TB the replace chain maps over the corpus scan
+    * and only (token, count) rows shuffle. */
+  private def bpeApply(s: SparkSession, d: String, steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v0 = bpeVocab(s, d).persist()
+    val merges = try bpeMerges(v0, steps) finally v0.unpersist(blocking = false)
+    // the returned plan is LAZY, so it folds over a fresh (uncached)
+    // vocab lineage: one corpus scan at training (cached across the 3
+    // argmax steps) + one when the result executes
+    val applied = merges.foldLeft(bpeVocab(s, d)) { case (v, (_, a, b, _)) =>
+      v.select(expr(s"replace(v, '<$a><$b>', '<$a$b>')").as("v"), col("n"))
+    }
+    val wr = Window.orderBy(col("cnt").desc, col("token"))
+    applied
+      .select(col("n"), explode(expr("split(substring(v, 2, length(v) - 2), '><')")).as("token"))
+      .groupBy("token").agg(sum("n").as("cnt"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("token"), col("cnt"))
+      .orderBy("rank")
   }
 
   val oracle: Map[String, String] = Map(
@@ -393,6 +441,39 @@ object TextAnalysis {
          |  SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM b1
          |  UNION ALL SELECT 2, a, b, cnt FROM b2
          |  UNION ALL SELECT 3, a, b, cnt FROM b3) ORDER BY step""".stripMargin
+    },
+
+    // the same unrolled chain carried one merge further (v3), then the
+    // applied corpus's token counts
+    "x_text_bpe_apply" -> {
+      def pairStep(i: Int): String =
+        s"""p$i AS (SELECT u.a AS a, u.b AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+           |  SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+           |           i -> {'a': s[i], 'b': s[i+1]})) AS u
+           |  FROM (SELECT string_split(substr(v, 2, length(v) - 2), '><') AS s, n FROM v${i - 1}))
+           |  GROUP BY u.a, u.b),
+           |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      def mergeStep(i: Int): String =
+        s"""v$i AS (SELECT replace(v, '<' || b$i.a || '><' || b$i.b || '>',
+           |                 '<' || b$i.a || b$i.b || '>') AS v, n
+           |       FROM v${i - 1}, b$i)""".stripMargin
+      s"""WITH t AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+         |v0 AS (SELECT array_to_string(list_transform(string_split(w, ''),
+         |               c -> '<' || c || '>'), '') AS v, n FROM t),
+         |${pairStep(1)},
+         |${mergeStep(1)},
+         |${pairStep(2)},
+         |${mergeStep(2)},
+         |${pairStep(3)},
+         |${mergeStep(3)},
+         |tok AS (SELECT token, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |  SELECT n, unnest(string_split(substr(v, 2, length(v) - 2), '><')) AS token
+         |  FROM v3) GROUP BY token),
+         |ranked AS (SELECT token, cnt,
+         |             row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM tok)
+         |SELECT CAST(rank AS BIGINT) AS rank, token, cnt
+         |FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin
     },
 
     "x_text_bm25" ->

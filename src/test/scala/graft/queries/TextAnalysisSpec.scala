@@ -131,22 +131,21 @@ class TextAnalysisSpec extends SparkSpecBase {
       s"planted near-dups should be known: ${byId(8L)}, ${byId(12L)}")
   }
 
-  test("BPE training: 3 merges match a first-principles driver implementation") {
-    val rows = TextAnalysis.queries("x_text_bpe_train")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
-    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
-    // reference: the textbook BPE loop (explicit left-to-right merge walk,
-    // no string-encoding trick) over the same word counts
+  /** The textbook BPE loop (explicit left-to-right merge walk, no
+    * string-encoding trick): returns the merge list and the tokenized
+    * vocabulary after `steps` merges — the reference both BPE tests
+    * compare the engine against. */
+  private def refBpe(steps: Int): (Seq[(String, String, Long)], Map[Seq[String], Long]) = {
     var vocab: Map[Seq[String], Long] = graft.Engine.table(spark, sf, "documents")
       .select("text").collect().flatMap(_.getString(0).split(" "))
       .groupBy(identity).map { case (w, g) => w.split("").toSeq -> g.length.toLong }
-    val want = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    for (_ <- 1 to 3) {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to steps) {
       val pc = scala.collection.mutable.Map.empty[(String, String), Long]
       for ((syms, n) <- vocab if syms.length >= 2; Seq(x, y) <- syms.sliding(2))
         pc((x, y)) = pc.getOrElse((x, y), 0L) + n
       val ((a, b), cnt) = pc.toSeq.sortBy { case ((x, y), c) => (-c, x, y) }.head
-      want += ((a, b, cnt))
+      merges += ((a, b, cnt))
       def mergeSeq(s: Seq[String]): Seq[String] = {
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var i = 0
@@ -159,8 +158,30 @@ class TextAnalysisSpec extends SparkSpecBase {
       vocab = vocab.toSeq.map { case (sy, n) => mergeSeq(sy) -> n }
         .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
     }
-    assert(rows.map(r => (r._2, r._3, r._4)).toSeq == want.toSeq,
-      s"merges ${rows.toSeq} != reference ${want.toSeq}")
+    (merges.toSeq, vocab)
+  }
+
+  test("BPE training: 3 merges match a first-principles driver implementation") {
+    val rows = TextAnalysis.queries("x_text_bpe_train")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val (want, _) = refBpe(3)
+    assert(rows.map(r => (r._2, r._3, r._4)).toSeq == want,
+      s"merges ${rows.toSeq} != reference $want")
+  }
+
+  test("BPE apply: top-20 tokens match the reference tokenization") {
+    val rows = TextAnalysis.queries("x_text_bpe_apply")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (1L to 20L).toSeq, "ranks not dense")
+    val (_, vocab) = refBpe(3)
+    val counts = vocab.toSeq.flatMap { case (syms, n) => syms.map(_ -> n) }
+      .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sum }
+    val want = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+      .zipWithIndex.map { case ((t, c), i) => (i + 1L, t, c) }
+    assert(rows.toSeq == want, s"top tokens ${rows.toSeq} != reference $want")
+    // a trained merge actually fires: some multi-char token ranks top-20
+    assert(rows.exists(_._2.length > 1), "no merged token in the applied top-20")
   }
 
   test("BM25: dense ranks, descending scores, self-retrieval, driver-side recompute") {
