@@ -41,6 +41,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("md5long60"),
       new ExpressionInfo(classOf[Md5Long60].getName, "md5long60"),
       Md5Long60.builder))
+    ext.injectFunction((FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      graft.functions.Bloom.aggBuilder))
+    ext.injectFunction((FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      graft.functions.Bloom.containsBuilder))
   }
 }
 
@@ -58,6 +68,7 @@ object GraftExtensions {
     SimHash64.register(spark)
     Md5Long60.register(spark)
     graft.functions.MinHashAgg.register(spark, minhashPerms)
+    graft.functions.Bloom.register(spark)
     graft.tf.Terraform.registerFunctions(spark)
   }
 }

@@ -321,6 +321,37 @@ object Dedup {
         .orderBy("da", "db")
     }),
 
+    // -- sketch-ACCELERATED incremental exact dedup: the recrawl batch
+    //    (the withRecrawl increment, doc_id ≥ 1e6) builds a Bloom filter
+    //    over its text hashes — INCREMENT-sized, KBs even for a 10⁶-doc
+    //    daily batch — and the HISTORY scan (the 10¹⁰-row side at scale)
+    //    is pre-filtered by bloom_contains BEFORE the join: Spark's
+    //    runtime semi-join reduction made an explicit operator (Catalyst
+    //    ships the expressions for its optimizer only; graft registers
+    //    them as bloom_agg/bloom_contains — functions/Bloom.scala). The
+    //    sketch has NO false negatives, so the exact verify join over
+    //    the surviving rows emits exactly the unfiltered join's verdicts
+    //    — the sketch accelerates without entering the answer, and the
+    //    query stays hash-gated by a plain SQL oracle. The filter binary
+    //    round-trips the driver ONCE, bounded by numBits (the broadcast
+    //    a production job ships anyway).
+    "x_dedup_bloom_exact" -> ((s, d) => {
+      graft.functions.Bloom.register(s)
+      val corpus = withRecrawl(table(s, d, "documents")).select(col("doc_id"), col("text"))
+      val inc = corpus.filter(col("doc_id") >= 1000000L)
+      // increment ≈ corpus/50 (the recrawl rate); ~10 bits/item ≈ 1% fp
+      val items = math.max(16L, graft.Engine.rowCountFast(table(s, d, "documents")) / 50)
+      val bf = inc.agg(expr(
+        s"bloom_agg(xxhash64(text), CAST($items AS BIGINT), CAST(${math.max(4096L, items * 10)} AS BIGINT))"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val hist = corpus.filter(col("doc_id") < 1000000L)
+        .filter(expr(s"bloom_contains(X'${bf.map("%02x".format(_)).mkString}', xxhash64(text))"))
+      inc.as("n").join(hist.as("h"), col("n.text") === col("h.text"))
+        .groupBy(col("n.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_matches"), min(col("h.doc_id")).as("dup_of"))
+        .orderBy("doc_id")
+    }),
+
     // -- incremental dedup against an existing index: docs ≥ 400 play
     //    the "new batch", docs < 400 the historical index (the split is
     //    non-vacuous at every driver scale — planted cross-boundary
@@ -1020,6 +1051,19 @@ object Dedup {
       s"""WITH $md5MinhashCte
         |SELECT da, db, est_j FROM est WHERE est_j >= 0.5
         |ORDER BY est_j DESC, da, db""".stripMargin,
+
+    // the sketch never enters the answer (no false negatives), so the
+    // oracle is the plain exact cross-boundary join over the same
+    // recrawl corpus
+    "x_dedup_bloom_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0)
+        |SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_matches, min(h.doc_id) AS dup_of
+        |FROM corpus n JOIN corpus h ON n.text = h.text
+        |  AND n.doc_id >= 1000000 AND h.doc_id < 1000000
+        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
 
     "x_dedup_editdist" ->
       s"""WITH $md5MinhashCte,

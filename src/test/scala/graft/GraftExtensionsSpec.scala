@@ -29,6 +29,19 @@ class GraftExtensionsSpec extends SparkSpecBase {
       assert(r.getDouble(1) == 6.0)
       assert(r.getLong(2) == 23L)
       assert(r.getInt(3) == 8)
+      // the Bloom sketch pair (Catalyst internals surfaced as functions):
+      // build over 3 values, then membership — present hits, absent may
+      // only false-positive (assert the definite-negative direction via
+      // a filter sized to make fp unlikely)
+      val bloom = s2.sql(
+        """SELECT hex(bloom_agg(xxhash64(v), CAST(3 AS BIGINT), CAST(8192 AS BIGINT))) AS bf
+          |FROM VALUES ('a'), ('b'), ('c') t(v)""".stripMargin).collect().head.getString(0)
+      val mc = s2.sql(
+        s"""SELECT bloom_contains(X'$bloom', xxhash64('a')),
+           |       bloom_contains(X'$bloom', xxhash64('definitely-absent-key'))""".stripMargin)
+        .collect().head
+      assert(mc.getBoolean(0), "bloom must contain an inserted key (no false negatives)")
+      assert(!mc.getBoolean(1), "8192-bit filter over 3 items must reject an absent key")
       // parity with the register()-path expression on the same input
       graft.functions.SimHash64.register(base)
       val want = base.sql("SELECT simhash64(array('x', 'y'))").collect().head.getLong(0)

@@ -327,6 +327,34 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("bloom-accelerated exact dedup: sketch never changes the verdicts, and it prunes") {
+    import org.apache.spark.sql.functions._
+    val rows = Dedup.queries("x_dedup_bloom_exact")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // ground truth: the unfiltered exact cross-boundary join
+    val docs = graft.Engine.table(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val history = docs.toMap
+    val want = docs.filter(_._1 % 50 == 0).map { case (id, t) =>
+      val matches = history.filter(_._2 == t).keys
+      (id + 1000000L, matches.size.toLong, matches.min)
+    }.toSet
+    assert(rows == want, s"bloom path diverged: only=${rows -- want} missing=${want -- rows}")
+    assert(rows.nonEmpty, "vacuous: the recrawl increment must duplicate history")
+    // the sketch actually prunes: replay the filter over history and
+    // count survivors — far fewer than the full history scan
+    graft.functions.Bloom.register(spark)
+    val inc = graft.Engine.table(spark, sf, "documents")
+      .filter(col("doc_id") % 50 === 0).select(col("text"))
+    val bf = inc.agg(expr("bloom_agg(xxhash64(text), CAST(16 AS BIGINT), CAST(4096 AS BIGINT))"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val survivors = graft.Engine.table(spark, sf, "documents")
+      .filter(expr(s"bloom_contains(X'${bf.map("%02x".format(_)).mkString}', xxhash64(text))"))
+      .count()
+    assert(survivors < docs.length / 2,
+      s"filter passed $survivors of ${docs.length} history rows — not pruning")
+  }
+
   test("edit-distance verify: exactly the LSH pairs, exact dups at 0, driver-side DP recompute") {
     val rows = Dedup.queries("x_dedup_editdist")(spark, sf).collect()
     val mh = Dedup.queries("x_dedup_minhash_md5")(spark, sf).collect()

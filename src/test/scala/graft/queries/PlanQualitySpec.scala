@@ -91,6 +91,13 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(p.contains("partial_min"), s"code argmin not partially aggregated:\n$p")
   }
 
+  test("bloom dedup: the sketch filter sits on the history scan, join stays hash-equi") {
+    val p = planStr("x_dedup_bloom_exact")
+    assert(p.contains("might_contain"), s"history scan not bloom-prefiltered:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"exact-verify join degenerated:\n$p")
+  }
+
   test("profiler: one Expand-based pass, no join, partial aggregation") {
     val p = planStr("x_prof_documents")
     assert(p.contains("Expand"), s"distinct counts must compile to Expand:\n$p")
