@@ -121,6 +121,37 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // -- hard-negative mining for retrieval training: for each query
+    //    doc, the nearest embedding-cosine neighbors that are NOT
+    //    near-duplicates of it (different dedup cluster) — the standard
+    //    contrastive-training pair miner, composed from two already
+    //    hash-gated stages: exact cosine ranking (x_sim_topk) and the
+    //    md5-MinHash → star-cluster labels (x_dedup_clusters_full).
+    //    Excluding by CLUSTER, not by id, keeps recrawl copies and
+    //    near-dups out of the negative set — false negatives poison a
+    //    contrastive objective. Scale shape: queries broadcast against
+    //    one corpus scan (swap the IVF probe in for 10¹⁰ corpora); the
+    //    label joins are key-equi against the memoized cluster index.
+    "x_cur_hard_negatives" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Similarity.withNorm(s, d)
+      val labels = Dedup.clusterLabels(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      broadcast(q).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          (expr("float_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cos"))
+        .join(labels.select(col("doc_id").as("qid"), col("cluster").as("qc")), Seq("qid"))
+        .join(labels.select(col("doc_id").as("vec_id"), col("cluster").as("vc")), Seq("vec_id"))
+        .filter(col("qc") =!= col("vc"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"),
+          col("cos"), col("vc").as("neg_cluster"))
+        .orderBy("qid", "rank")
+    }),
+
     // -- per-language embedding centroids: documents ⨝ embeddings, then
     //    an EXACT per-(lang, dim) mean via the scaled-integer trick
     //    (floor(x·10⁹) summed as DECIMAL — order-independent, partial-
@@ -657,6 +688,37 @@ object Curation {
         |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < '2'
         |       THEN 'val' ELSE 'train' END AS split
         |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // composition of the brute-force cosine oracle and the recursive
+    // cluster chain — both already gated standalone
+    "x_cur_hard_negatives" ->
+      s"""WITH RECURSIVE ${Dedup.md5MinhashCte},
+        |pp AS (SELECT da, db FROM est WHERE est_j >= 0.5),
+        |edges AS (SELECT da ea, db eb FROM pp UNION ALL SELECT db, da FROM pp),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+        |cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+        |ev AS (SELECT vec_id, embedding,
+        |         sqrt(${Similarity.dotSql("embedding", "embedding")}) AS nrm
+        |       FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, x.vec_id,
+        |         ${Similarity.dotSql("q.embedding", "x.embedding")} / (q.nrm * x.nrm) AS cos
+        |  FROM ev q, ev x WHERE q.vec_id < 5 AND q.vec_id != x.vec_id),
+        |flt AS (
+        |  SELECT s.qid, s.vec_id, s.cos, cb.cluster AS neg_cluster
+        |  FROM scored s
+        |  JOIN cl ca ON ca.doc_id = s.qid
+        |  JOIN cl cb ON cb.doc_id = s.vec_id
+        |  WHERE ca.cluster != cb.cluster),
+        |ranked AS (
+        |  SELECT qid, vec_id, cos, neg_cluster,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+        |  FROM flt)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos, neg_cluster
+        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "x_cur_embed_centroids" ->
       """WITH j AS (

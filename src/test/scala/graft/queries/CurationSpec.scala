@@ -392,6 +392,35 @@ class CurationSpec extends SparkSpecBase {
     assert(manifest == expect, s"manifest $manifest != assignment rollup $expect")
   }
 
+  test("hard negatives: driver-recomputed ranking, no negative shares the query's cluster") {
+    val rows = Curation.queries("x_cur_hard_negatives")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val clusters = Dedup.clusterLabels(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emb = graft.Engine.table(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+        acc
+      }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val want = (0L until 5L).flatMap { qid =>
+      emb.keys.filter(v => v != qid && clusters(v) != clusters(qid)).toSeq
+        .map(v => (v, cos(emb(qid), emb(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(3).zipWithIndex
+        .map { case ((v, c), i) => (qid, i + 1L, v, c, clusters(v)) }
+    }
+    assert(rows.toSeq.sorted == want.sorted,
+      s"miner diverged from the driver recompute")
+    rows.foreach { case (qid, _, v, _, vc) =>
+      assert(clusters(v) == vc && vc != clusters(qid),
+        s"negative $v shares query $qid's cluster")
+    }
+  }
+
   test("redaction twin: counts match the blocklist audit, masked text carries no blocked token") {
     val red = Curation.queries("x_cur_redact")(spark, sf).collect()
     val nDocs = graft.Engine.table(spark, sf, "documents").count()
