@@ -61,7 +61,19 @@ object ProductQuant {
     //    scoring from the PQ codes (LUT lookups instead of raw-vector
     //    dots) + exact float re-rank of the top-20 shortlist. Every stage
     //    is md5-portable, so the full composition hash-gates.
-    "x_sim_ivfpq_md5" -> ((s, d) => ivfPqSearch(s, d, nprobe = 4, shortlist = 20))
+    "x_sim_ivfpq_md5" -> ((s, d) => ivfPqSearch(s, d, nprobe = 4, shortlist = 20)),
+
+    // -- IVF2-PQ: the full billion-scale matrix cell — two-level
+    //    coarse→fine probing (coarse broadcast, fine key-equi, the
+    //    10¹⁰-vector layout) + PQ ADC candidate scoring (M lookup-adds
+    //    per candidate, 32× less bandwidth than raw vectors) + exact
+    //    re-rank. Composes [[Similarity.ivf2CentroidsPortable]]'s
+    //    hash-gated fit with the hash-gated codes; every stage reuses
+    //    the structure its standalone query gates.
+    "x_sim_ivf2pq_md5" -> ((s, d) => {
+      val (coarse, fine) = Similarity.ivf2CentroidsPortable(s, d)
+      ivf2PqSearch(s, d, coarse, fine, nprobeC = 2, nprobeF = 4, shortlist = 20)
+    })
   )
 
   /** (vec_id, m, sv) sub-vector fan-out: one narrow projection, no
@@ -189,7 +201,7 @@ object ProductQuant {
     val cb = codebook(s, d)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    ivfPqCore(q, cents, cb, postingsFor(e, cents, cb), nprobe, shortlist)
+    ivfPqCore(q, coarseProbes(q, cents, nprobe), cb, postingsFor(e, cents, cb), shortlist)
   }
 
   /** The fully-compressed corpus representation the serving index stores:
@@ -206,20 +218,25 @@ object ProductQuant {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"), col("cd"))
   }
 
-  /** The IVF-PQ probe/score/re-rank core, shared by the in-memory query
-    * and the persisted-index path. `cand0` carries (vec_id, embedding,
-    * nrm, cid, cd) — in-memory it is [[postingsFor]] over the corpus,
-    * against the index it is the (bucket-pruned) postings table. */
-  private def ivfPqCore(q: DataFrame, cents: DataFrame, cb: DataFrame,
-      cand0: DataFrame, nprobe: Int, shortlist: Int): DataFrame = {
-    // coarse probe: nprobe nearest cells per query (the ivfSearch shape)
+  /** Coarse probe: `nprobe` nearest cells per query against broadcast
+    * centroids (the ivfSearch shape) → (qid, cid). */
+  private def coarseProbes(q: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
-    val probes = broadcast(q).join(broadcast(cents), lit(true))
+    broadcast(q).join(broadcast(cents), lit(true))
       .select(col("qid"),
         (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"), col("cid"))
       .withColumn("rnk", row_number().over(wp))
       .filter(col("rnk") <= nprobe)
       .select(col("qid"), col("cid"))
+  }
+
+  /** The ADC score/shortlist/re-rank core, shared by flat IVF-PQ
+    * (in-memory and persisted-index) and two-level IVF2-PQ. `probes`
+    * carries (qid, cid) — coarse cell ids for the flat layout, FINE
+    * cell ids for the two-level one; `cand0` carries (vec_id,
+    * embedding, nrm, cid, cd) keyed by the same cell notion. */
+  private def ivfPqCore(q: DataFrame, probes: DataFrame, cb: DataFrame,
+      cand0: DataFrame, shortlist: Int): DataFrame = {
     // ADC lookup table: LUT[m][code] = index-ordered double dot of the
     // query's m-th subvector with the codebook centroid — M × ks doubles
     // per query, built against the broadcast codebook, nested m-major
@@ -254,6 +271,38 @@ object ProductQuant {
       .filter(col("rank") <= 5)
       .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
       .orderBy("qid", "rank")
+  }
+
+  /** Two-level IVF-PQ search: corpus assigned coarse→fine once and
+    * keyed by FINE cell next to its codes; queries probe coarse
+    * (broadcast) then refine fine (key-equi on ccid, fallback-aware via
+    * [[Similarity.probeFine]]); the ADC core then scores the probed
+    * fine cells' candidates. */
+  private def ivf2PqSearch(s: SparkSession, d: String, coarse: DataFrame, fine: DataFrame,
+      nprobeC: Int, nprobeF: Int, shortlist: Int): DataFrame = {
+    val e = Similarity.withNorm(s, d)
+    val cb = codebook(s, d)
+    val asgF = Similarity.assignFine(
+      Similarity.assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+        .withColumnRenamed("cid", "ccid"),
+      fine)
+    val codes = assignSub(subVecs(e), cb)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(m, code))), p -> p.code)").as("cd"))
+    val cand0 = asgF.join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("fcid").as("cid"), col("cd"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("ccid").asc)
+    val probesC = broadcast(q).join(broadcast(coarse), lit(true))
+      .select(col("qid"), col("qe"), col("qn"), col("ccid"),
+        (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= nprobeC)
+      .select(col("qid"), col("qe"), col("qn"), col("ccid"))
+    val probes = Similarity.probeFine(probesC, fine, Seq("qid", "qe", "qn"), nprobeF)
+      .select(col("qid"), col("fcid").as("cid"))
+    ivfPqCore(q, probes, cb, cand0, shortlist)
   }
 
   /** Persist the IVF-PQ serving index: `{prefix}_codebook` and
@@ -326,19 +375,13 @@ object ProductQuant {
     val cb = s.table(s"${tablePrefix}_codebook")
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
       sqrt(expr("float_dot(embedding, embedding)")).as("qn"))
-    // the probed-cell restriction replays the coarse probe's argmax on
-    // the broadcast centroids — cheap (queries × cents) — so the
-    // postings scan prunes BEFORE the candidate join
-    val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
-    val probedIds = broadcast(q).join(broadcast(cents), lit(true))
-      .select(col("qid"),
-        (expr("float_dot(qe, ce)") / (col("qn") * col("cn"))).as("ccos"), col("cid"))
-      .withColumn("rnk", row_number().over(wp))
-      .filter(col("rnk") <= nprobe)
-      .select(col("cid")).distinct()
+    // the probed-cell set restricts the postings scan BEFORE the
+    // candidate join (bucket pruning in the literal regime)
+    val probes = coarseProbes(q, cents, nprobe)
     val postings = Similarity.pruneToProbed(
-      s.table(s"${tablePrefix}_postings"), "cid", probedIds, literalProbeCap)
-    ivfPqCore(q, cents, cb, postings, nprobe, shortlist)
+      s.table(s"${tablePrefix}_postings"), "cid",
+      probes.select("cid").distinct(), literalProbeCap)
+    ivfPqCore(q, probes, cb, postings, shortlist)
   }
 
   /** DuckDB [[SubDim]]-wide index-ordered double dot — the same fold as
@@ -443,6 +486,58 @@ object ProductQuant {
          |           mi -> l.lut[mi][t2.cd[mi] + 1])) AS ip
          |  FROM probes p
          |  JOIN asgf t ON p.cid = t.cid AND p.qid != t.vec_id
+         |  JOIN cdv t2 ON t.vec_id = t2.vec_id
+         |  JOIN lut l ON p.qid = l.qid
+         |  JOIN e q ON p.qid = q.vec_id),
+         |short AS (
+         |  SELECT qid, vec_id, embedding, nrm, qe, qn FROM (
+         |    SELECT cand.*, ip / (qn * nrm) AS qcos,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY ip / (qn * nrm) DESC, vec_id ASC) rns
+         |    FROM cand) WHERE rns <= 20),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+         |  FROM (SELECT qid, vec_id, ${dotq("qe", "embedding")} / (qn * nrm) AS cos FROM short))
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    // IVF2-PQ: the two-level probe CTEs (x_sim_ivf2_md5's pc/pf incl.
+    // the fallback fine cell) + the PQ LUT/ADC CTEs (x_sim_ivfpq_md5's),
+    // candidates keyed by the fine cell — each piece gated standalone,
+    // the composition stays bit-for-bit.
+    "x_sim_ivf2pq_md5" -> {
+      val dotq = Similarity.dotSql _
+      s"""WITH ${Similarity.portableIvf2Ctes},
+         |$pqCtes,
+         |cdv AS (SELECT vec_id, list(code ORDER BY m) AS cd FROM codes GROUP BY vec_id),
+         |pc AS (
+         |  SELECT qid, qe, qn, ccid FROM (
+         |    SELECT q.vec_id qid, q.embedding qe, q.nrm qn, c.cid ccid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotq("q.embedding", "c.ce")} / (q.nrm * c.cn) DESC, c.cid ASC) rn
+         |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rn <= 2),
+         |pf AS (
+         |  SELECT qid, fcid FROM (
+         |    SELECT p.qid, COALESCE(f.fcid, -1 - p.ccid) AS fcid,
+         |           row_number() OVER (PARTITION BY p.qid
+         |             ORDER BY COALESCE(${dotq("p.qe", "f.fe")} / (p.qn * f.fn), 2.0) DESC,
+         |                      COALESCE(f.fcid, -1 - p.ccid) ASC) rn
+         |    FROM pc p LEFT JOIN f2 f ON p.ccid = f.ccid) WHERE rn <= 4),
+         |lutr AS (
+         |  SELECT q.vec_id AS qid, c.m, c.code,
+         |         list_sum(list_transform(generate_series(1, $SubDim),
+         |           i -> CAST(q.embedding[c.m * $SubDim + i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))) AS ip
+         |  FROM e q CROSS JOIN cb c WHERE q.vec_id < 10),
+         |lutm AS (SELECT qid, m, list(ip ORDER BY code) AS lm FROM lutr GROUP BY qid, m),
+         |lut AS (SELECT qid, list(lm ORDER BY m) AS lut FROM lutm GROUP BY qid),
+         |cand AS (
+         |  SELECT p.qid, t.vec_id, t.embedding, t.nrm, q.embedding AS qe, q.nrm AS qn,
+         |         list_sum(list_transform(generate_series(1, $M),
+         |           mi -> l.lut[mi][t2.cd[mi] + 1])) AS ip
+         |  FROM pf p
+         |  JOIN faf t ON p.fcid = t.fcid AND p.qid != t.vec_id
          |  JOIN cdv t2 ON t.vec_id = t2.vec_id
          |  JOIN lut l ON p.qid = l.qid
          |  JOIN e q ON p.qid = q.vec_id),

@@ -445,7 +445,7 @@ object Similarity {
     * oracle's LEFT JOIN + COALESCE: per (qid, ccid) either real matches
     * exist (inner leg) or exactly one fallback row (anti leg).
     * `carry`: the probe columns to thread through (qid first). */
-  private def probeFine(probesC: DataFrame, fine: DataFrame, carry: Seq[String],
+  private[queries] def probeFine(probesC: DataFrame, fine: DataFrame, carry: Seq[String],
       nprobeF: Int): DataFrame = {
     val keep = carry.map(col)
     val real = broadcast(probesC).join(fine, Seq("ccid"))

@@ -85,6 +85,30 @@ class ProductQuantSpec extends SparkSpecBase {
       s"mean sub-vector quantization error ${err.getDouble(0)} not below mean sub-vector norm ${err.getDouble(1)}")
   }
 
+  test("IVF2-PQ: ranked output, useful recall, probe agreement with the exact two-level twin") {
+    val rows = ProductQuant.queries("x_sim_ivf2pq_md5")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val cos = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    val truth = Similarity.queries("x_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(recall >= 0.2, s"ivf2pq recall $recall too low")
+    // the PQ stage changes scoring, not probing: high overlap with the
+    // exact two-level twin that probes the same cells
+    val twin = Similarity.queries("x_sim_ivf2_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (twin & approx).size.toDouble / twin.size
+    assert(overlap >= 0.5, s"two-level probe agreement too low: $overlap")
+    val again = ProductQuant.queries("x_sim_ivf2pq_md5")(spark, sf).collect()
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("persisted PQ index over the gate corpus matches the in-memory query") {
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
     for (t <- Seq("pqidx_codebook", "pqidx_cents", "pqidx_postings")) {
