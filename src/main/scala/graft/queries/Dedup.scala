@@ -542,6 +542,35 @@ object Dedup {
     if (prev != null) { built.unpersist(); prev } else built
   }
 
+  /** Incremental cluster-label maintenance — the daily-crawl path for
+    * the clustering stage, closing the lifecycle triangle the dup
+    * DETECTION side already has (persisted minhash index + incremental
+    * verdicts): fold a batch of new documents and their discovered
+    * near-dup pairs (new↔index from [[incrementalDupsAgainstIndex]]'s
+    * candidate machinery, plus new↔new) into EXISTING labels without
+    * re-running pair discovery over history.
+    *
+    * Correctness: a label table IS a star edge set (doc → its component
+    * root), and star edges preserve the connectivity of the original
+    * graph — so components of (G_old ∪ E_new) equal components of
+    * (starEdges(labels_old) ∪ E_new), which [[starClusters]] computes.
+    * Cost: the expensive stage skipped is history's shingle→signature→
+    * banding→candidate discovery (a full corpus scan + shuffle); the
+    * star fixpoint here iterates over DUP-EDGE-sized relations only,
+    * and components untouched by new edges are already stars, so they
+    * are fixpoints from round one. Returns labels for old ∪ new docs. */
+  def appendClusterLabels(oldLabels: DataFrame, newDocs: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    // labels are (doc_id, cluster ≤ doc_id): orient as (da=cluster < db=doc)
+    val labelEdges = oldLabels.filter(col("doc_id") =!= col("cluster"))
+      .select(col("cluster").as("da"), col("doc_id").as("db"))
+    val normNew = newPairs
+      .select(least(col("da"), col("db")).as("da"), greatest(col("da"), col("db")).as("db"))
+      .filter(col("da") =!= col("db"))
+    val docsAll = oldLabels.select("doc_id").unionByName(newDocs.select("doc_id"))
+    starClusters(docsAll, labelEdges.unionByName(normNew).distinct())._1
+  }
+
   /** Drop (and unpersist) the memoized cluster labels for a corpus dir.
     * Advisory with respect to IN-FLIGHT builds: a build that started
     * before the invalidation may still install labels computed from the

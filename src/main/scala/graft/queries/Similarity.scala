@@ -709,7 +709,9 @@ object Similarity {
     * IN-filter); PlanQualitySpec pins plan shape and result equality. */
   private[queries] def pruneToProbed(tbl: DataFrame, idCol: String, probedIds: DataFrame,
       cap: Int): DataFrame = {
-    val sample = probedIds.limit(cap + 1).collect().map(_.getLong(0))
+    // id values are opaque here (long cell ids, string terms): isin
+    // takes them as-is, so both regimes work for any key type
+    val sample = probedIds.limit(cap + 1).collect().map(_.get(0))
     if (sample.length <= cap) tbl.filter(col(idCol).isin(sample.toIndexedSeq: _*))
     else tbl.join(broadcast(probedIds), Seq(idCol), "left_semi")
   }

@@ -300,17 +300,34 @@ object TextAnalysis {
     * sums per-term contributions in term order via a bounded fold, so
     * the gate is hash-exact. */
   private def bm25(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = table(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val tf = t.select(col("doc_id"), explode(col("ws")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
-    val dl = t.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
-    // exact global doc count + token mass: dl is integral, so the long
-    // sum is order-independent; the double division happens once
-    val g = dl.agg(count(lit(1)).cast("double").as("nn"), sum("dl").as("sdl"))
     val q = t.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), explode(expr("slice(ws, 1, 3)")).as("w"))
       .distinct()
+    bm25Core(q, bm25Tf(t), bm25Dl(t), bm25Stats(bm25Dl(t)), k = 10)
+  }
+
+  /** (doc_id, w, tf) — the postings relation, one partial-agg pass. */
+  private[graft] def bm25Tf(t: DataFrame): DataFrame =
+    t.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+
+  private[graft] def bm25Dl(t: DataFrame): DataFrame =
+    t.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+
+  /** 1-row (nn, sdl): exact global doc count + token mass — dl is
+    * integral, so the long sum is order-independent; the double
+    * division happens once downstream. */
+  private[graft] def bm25Stats(dl: DataFrame): DataFrame =
+    dl.agg(count(lit(1)).cast("double").as("nn"), sum("dl").as("sdl"))
+
+  /** The BM25 scoring core over a (qid, w) query relation and the
+    * tf/dl/stats relations — shared verbatim by the in-memory query,
+    * the persisted-index search ([[bm25SearchOf]]) and its streaming
+    * twin, so every path scores bit-identically. */
+  private[graft] def bm25Core(q: DataFrame, tf: DataFrame, dl: DataFrame,
+      g: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qw = q.select("w").distinct()
     val tfq = tf.join(broadcast(qw), Seq("w"))
     val dft = tfq.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
@@ -337,9 +354,67 @@ object TextAnalysis {
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("score"))
     val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("doc_id"), col("score"))
       .orderBy("qid", "rank")
+  }
+
+  /** Persist the BM25 serving index: `{prefix}_tf` — the postings —
+    * bucketed + sorted on the TERM so query-term restriction
+    * bucket-prunes the scan (the inverted-index layout); `{prefix}_dl`
+    * bucketed on doc_id (the contribution join's key); `{prefix}_stats`
+    * one row. df is NOT materialized: it derives from the (pruned)
+    * postings at query time, which is what makes [[appendBm25Postings]]
+    * exact rather than approximately-stale. */
+  def writeBm25Index(s: SparkSession, d: String, tablePrefix: String,
+      buckets: Int = 32): Unit = {
+    val t = table(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+    bm25Tf(t).write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "w").sortBy("w").saveAsTable(s"${tablePrefix}_tf")
+    bm25Dl(t).write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "doc_id").saveAsTable(s"${tablePrefix}_dl")
+    bm25Stats(bm25Dl(t)).write.mode("overwrite").format("parquet")
+      .saveAsTable(s"${tablePrefix}_stats")
+  }
+
+  /** Append new documents into a persisted BM25 index: postings and
+    * lengths shuffle INTO the existing bucket layouts (existing files
+    * never rewritten), and the 1-ROW stats table is recomputed from the
+    * union lengths (a metadata-cheap aggregate over `{prefix}_dl`).
+    * Because df derives from the postings at query time, a search after
+    * append scores EXACTLY like an index rebuilt over the union corpus
+    * — no drift contract needed, unlike the ANN fits. Caller contract:
+    * `docs` (doc_id, text) are not already indexed. */
+  def appendBm25Postings(s: SparkSession, tablePrefix: String, docs: DataFrame): Unit = {
+    val catalog = s.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${tablePrefix}_tf")
+    val buckets = catalog.getTableMetadata(ident).bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"${tablePrefix}_tf is not bucketed — not a BM25 serving index"))
+    val t = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    bm25Tf(t).write.mode("append").format("parquet")
+      .bucketBy(buckets, "w").sortBy("w").saveAsTable(s"${tablePrefix}_tf")
+    bm25Dl(t).write.mode("append").format("parquet")
+      .bucketBy(buckets, "doc_id").saveAsTable(s"${tablePrefix}_dl")
+    bm25Stats(s.table(s"${tablePrefix}_dl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_stats")
+  }
+
+  /** Search the persisted BM25 index with a (qid, terms array<string>)
+    * query relation: the postings scan is restricted to the query terms
+    * via [[Similarity.pruneToProbed]]'s two regimes (literal IN → bucket
+    * pruning for interactive term sets, broadcast semi-join for bulk
+    * batches); scoring is [[bm25Core]] verbatim. Per-query verdicts are
+    * pure functions of (query, index state), so any micro-batching of
+    * the query set emits identical rows — the streaming twin
+    * (Streams.bm25Search) relies on exactly this. */
+  def bm25SearchOf(queries: DataFrame, tablePrefix: String, k: Int = 10,
+      literalProbeCap: Int = 1000): DataFrame = {
+    val s = queries.sparkSession
+    val q = queries.select(col("qid"), explode(col("terms")).as("w")).distinct()
+    val tf = graft.queries.Similarity.pruneToProbed(
+      s.table(s"${tablePrefix}_tf"), "w", q.select("w").distinct(), literalProbeCap)
+    bm25Core(q, tf, s.table(s"${tablePrefix}_dl"), s.table(s"${tablePrefix}_stats"), k)
   }
 
   /** BPE merge loop (see the x_text_bpe_train entry). Symbols are kept

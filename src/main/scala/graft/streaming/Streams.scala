@@ -173,6 +173,18 @@ object Streams {
         nprobe, shortlist), batchId)
     }
 
+  /** Streaming BM25 serving over the persisted lexical index
+    * (TextAnalysis.writeBm25Index): micro-batched (qid, terms) query
+    * rows score against the term-bucketed postings. Per-query verdicts
+    * are pure functions of (query, index state), so stream == one-shot
+    * batch; pairs with appendBm25Postings — which keeps scoring EXACT
+    * for the union corpus — for the full lexical serving lifecycle. */
+  def bm25Search(queries: DataFrame, tablePrefix: String, k: Int = 10)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.queries.TextAnalysis.bm25SearchOf(batch.toDF(), tablePrefix, k), batchId)
+    }
+
   /** Streaming curation ingest — the continuous-ingest composition of
     * the batch pipeline's PER-DOC stages: blocklist → not-a-duplicate
     * against the persisted minhash index → α-mixture keep, run per

@@ -327,6 +327,24 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("incremental cluster labels: append over old labels == full rebuild") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Engine.table(spark, sf, "documents").select("doc_id")
+    val allPairs = Dedup.queries("x_dedup_minhash_md5")(spark, sf).select("da", "db")
+    val oldPairs = allPairs.filter(col("db") < 400)
+    val newPairs = allPairs.filter(col("db") >= 400)
+    assert(newPairs.count() > 0, "vacuous: the increment must bring new edges")
+    val (oldLabels, _) = Dedup.starClusters(docs.filter(col("doc_id") < 400), oldPairs)
+    val got = Dedup.appendClusterLabels(
+      oldLabels, docs.filter(col("doc_id") >= 400), newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.starClusters(docs, allPairs)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"append-only=${got -- want}; rebuild-only=${want -- got}")
+    // totality over the union corpus
+    assert(got.map(_._1) == (0L until docs.count()).toSet)
+  }
+
   test("bloom-accelerated exact dedup: sketch never changes the verdicts, and it prunes") {
     import org.apache.spark.sql.functions._
     val rows = Dedup.queries("x_dedup_bloom_exact")(spark, sf).collect()

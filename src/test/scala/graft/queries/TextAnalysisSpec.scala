@@ -184,6 +184,37 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(rows.exists(_._2.length > 1), "no merged token in the applied top-20")
   }
 
+  test("persisted BM25 index: indexed == in-memory; append scores exactly like a rebuild") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (p <- Seq("bm25idx", "bm25app"); t <- Seq("_tf", "_dl", "_stats")) {
+      spark.sql(s"DROP TABLE IF EXISTS $p$t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, p + t))
+    }
+    TextAnalysis.writeBm25Index(spark, sf, "bm25idx")
+    val queries = graft.Engine.table(spark, sf, "documents").filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), expr("slice(split(text, ' '), 1, 3)").as("terms"))
+    val got = TextAnalysis.bm25SearchOf(queries, "bm25idx").collect().toSeq
+    val mem = TextAnalysis.queries("x_text_bm25")(spark, sf).collect().toSeq
+    assert(got == mem, "indexed search must emit the in-memory query's rows")
+    // append path: index the first 400 docs, append the rest; because df
+    // and stats derive from the union postings, scoring is EXACT — equal
+    // to the full index, not approximately stale
+    val base = java.nio.file.Files.createTempDirectory("graft-bm25app").toString
+    graft.Engine.table(spark, sf, "documents").filter(col("doc_id") < 400)
+      .write.parquet(s"$base/documents.parquet")
+    TextAnalysis.writeBm25Index(spark, base, "bm25app")
+    def tfFiles(): Set[String] = new java.io.File(warehouse, "bm25app_tf")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = tfFiles()
+    TextAnalysis.appendBm25Postings(spark, "bm25app",
+      graft.Engine.table(spark, sf, "documents").filter(col("doc_id") >= 400)
+        .select("doc_id", "text"))
+    assert(before.subsetOf(tfFiles()), "append must not rewrite existing postings files")
+    val appended = TextAnalysis.bm25SearchOf(queries, "bm25app").collect().toSeq
+    assert(appended == got, "append must score exactly like the full-corpus index")
+  }
+
   test("BM25: dense ranks, descending scores, self-retrieval, driver-side recompute") {
     val rows = TextAnalysis.queries("x_text_bm25")(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))

@@ -395,6 +395,42 @@ class StreamsSpec extends SparkSpecBase {
     assert(got.size == expected.size, "a verdict was emitted twice across batches")
   }
 
+  test("streaming BM25 serving: micro-batched queries emit the one-shot batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("stx_bm25_tf", "stx_bm25_dl", "stx_bm25_stats")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    graft.queries.TextAnalysis.writeBm25Index(spark, sf, "stx_bm25")
+    val queries = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), expr("slice(split(text, ' '), 1, 3)").as("terms"))
+    val expected = graft.queries.TextAnalysis.bm25SearchOf(queries, "stx_bm25")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.size == 50, s"5 queries x top-10 expected, got ${expected.size}")
+
+    val rows = queries.as[(Long, Seq[String])].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val in = MemoryStream[(Long, Seq[String])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = Streams.bm25Search(in.toDF().toDF("qid", "terms"), "stx_bm25") { (verdicts, _) =>
+      got.synchronized {
+        got ++= verdicts.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+      ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected,
+      s"stream-only: ${got.toSet.diff(expected)}; batch-only: ${expected.diff(got.toSet)}")
+    assert(got.size == expected.size, "a verdict was emitted twice across batches")
+  }
+
   test("incremental dedup: streamed micro-batches emit the backfill's verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
