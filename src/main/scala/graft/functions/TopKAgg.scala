@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** A scored hit — `topk_agg_<k>`'s output element (best-first). */
+final case class TopHit(cos: Double, id: Long)
+
+/** Top-k-per-key as a TRUE partial aggregate: `topk_agg_<k>(cos, id)`
+  * keeps each group's k best (cos DESC, id ASC) hits in a bounded
+  * buffer.
+  *
+  * Scale shape — why this beats the `row_number() OVER (PARTITION BY
+  * key ORDER BY …) <= k` idiom: the window shuffles EVERY candidate row
+  * to its key's partition and sorts them all, so a 10¹⁰-candidate
+  * re-rank moves 10¹⁰ rows. This aggregate's state is k rows; map-side
+  * combine reduces each partition's candidates to one k-buffer per key
+  * before the shuffle, making the exchange O(keys × k) — independent of
+  * candidate count — and no sort ever sees more than 2k rows.
+  *
+  * Result parity: selection by the TOTAL order (cos DESC, id ASC) is
+  * input-order-independent and tie-free, so the output is row-identical
+  * to the window form (pinned in TopKAggSpec and by x_sim_topk's
+  * unchanged DuckDB hash gate).
+  */
+final case class TopKAgg(k: Int)
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[TopHit]] {
+
+  /** (cos DESC, id ASC): is `a` a strictly better hit than `b`? */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: Seq[(Double, Long)] = Vector.empty
+
+  // buffer kept sorted best-first and bounded at k: with serving-sized
+  // k (5..100) linear insertion beats heap constant factors
+  override def reduce(buf: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+    if (buf.size >= k && !better(x, buf.last)) buf
+    else {
+      val i = buf.indexWhere(better(x, _)) match { case -1 => buf.size; case j => j }
+      (buf.take(i) :+ x) ++ buf.drop(i).take(k - i - 1)
+    }
+
+  override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+    b.foldLeft(a)(reduce)
+
+  override def finish(buf: Seq[(Double, Long)]): Seq[TopHit] =
+    buf.map { case (c, i) => TopHit(c, i) }
+
+  override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[TopHit]] = ExpressionEncoder[Seq[TopHit]]()
+}
+
+object TopKAgg {
+  /** Register the k-specific `topk_agg_<k>(cos, id)` and return the
+    * name — only the sized name exists, for the same cross-build-race
+    * reason as [[MinHashAgg.register]]. */
+  def register(spark: SparkSession, k: Int): String = {
+    val name = s"topk_agg_$k"
+    spark.udf.register(name, udaf(TopKAgg(k)))
+    name
+  }
+}

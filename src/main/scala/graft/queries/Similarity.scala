@@ -59,17 +59,24 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
-    // -- brute-force cosine top-5 for 10 query vectors
+    // -- brute-force cosine top-5 for 10 query vectors. The re-rank is
+    //    the topk_agg partial aggregate, NOT a row_number window: the
+    //    window form shuffles and sorts every (query, candidate) row,
+    //    while the aggregate's map-side combine reduces each partition
+    //    to a k-buffer per query before the shuffle — O(queries × k)
+    //    exchanged at ANY corpus size. Row-identical to the window form
+    //    (same total order; the DuckDB hash gate is unchanged).
     "x_sim_topk" -> ((s, d) => {
       val e = withNorm(s, d)
+      val topk = graft.functions.TopKAgg.register(s, 5)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
       broadcast(q).join(e, col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+        .groupBy("qid").agg(expr(s"$topk(cos, vec_id)").as("tk"))
+        .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "hit")))
+        .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("vec_id"), col("hit.cos").as("cos"))
         .orderBy("qid", "rank")
     }),
 

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKAggSpec extends SparkSpecBase {
+
+  test("topk_agg == the row_number window form, incl. ties, duplicates and short groups") {
+    import spark.implicits._
+    val name = TopKAgg.register(spark, 3)
+    // adversarial: cos collapses to 10 distinct values (many exact ties),
+    // ids collide within groups (duplicate (cos, id) rows), and group 7
+    // is shorter than k
+    val rows = (for { g <- 0 until 7; i <- 0 until 50 } yield
+      (g.toLong, (i * 2654435761L + g) % 97L, ((i * 31 + g * 7) % 10).toDouble / 10.0)) ++
+      Seq((7L, 1L, 0.5), (7L, 2L, 0.5))
+    val df = rows.toDF("key", "id", "cos")
+    val viaAgg = df.groupBy("key").agg(expr(s"$name(cos, id)").as("tk"))
+      .select(col("key"), posexplode(col("tk")).as(Seq("pos", "hit")))
+      .select(col("key"), col("pos"), col("hit.cos"), col("hit.id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSeq.sorted
+    val w = Window.partitionBy("key").orderBy(col("cos").desc, col("id").asc)
+    val viaWin = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("key"), (col("rn") - 1).cast("int").as("pos"), col("cos"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(viaAgg == viaWin, s"agg $viaAgg != window $viaWin")
+    // the short group yields its whole membership
+    assert(viaAgg.count(_._1 == 7L) == 2)
+  }
+
+  test("topk_agg aggregates partially — no window, map-side combine in the plan") {
+    import spark.implicits._
+    val name = TopKAgg.register(spark, 3)
+    val df = (0 until 100).map(i => (i % 5L, i.toLong, i / 100.0)).toDF("key", "id", "cos")
+      .groupBy("key").agg(expr(s"$name(cos, id)").as("tk"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"top-k must not plan a window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"UDAF must plan as a (partial-capable) aggregate:\n$p")
+  }
+}

@@ -70,6 +70,14 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("brute-force top-k re-ranks via the partial top-k aggregate, not a corpus window") {
+    val p = planStr("x_sim_topk")
+    assert(!p.contains("Window"),
+      s"x_sim_topk must not shuffle+sort all candidates through a window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"top-k must plan as an aggregate:\n$p")
+  }
+
   test("BM25: no cartesian, query/df sides broadcast, tf partially aggregated") {
     val p = planStr("x_text_bm25")
     assert(!p.contains("CartesianProduct"), s"bm25 degenerated:\n$p")
