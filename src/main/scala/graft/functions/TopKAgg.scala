@@ -63,4 +63,20 @@ object TopKAgg {
     spark.udf.register(name, udaf(TopKAgg(k)))
     name
   }
+
+  /** The shared final-re-rank shape: `scored` (key, id, score, …) →
+    * (key, rank 1..k, id, score), row-identical to
+    * `row_number() OVER (PARTITION BY key ORDER BY score DESC, id ASC)
+    * <= k` but via the partial aggregate — every ANN/BM25 serving path
+    * ends in this call, so none of them shuffles its full candidate set
+    * through a window. */
+  def topkOf(scored: org.apache.spark.sql.DataFrame, key: String, id: String,
+      score: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val name = register(scored.sparkSession, k)
+    scored.groupBy(key).agg(expr(s"$name($score, $id)").as("tk"))
+      .select(col(key), posexplode(col("tk")).as(Seq("pos", "hit")))
+      .select(col(key), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.id").as(id), col("hit.cos").as(score))
+  }
 }

@@ -263,13 +263,10 @@ object ProductQuant {
           "(acc, mi) -> acc + lut[mi][CAST(cd[mi] AS INT)])").as("ip"))
       .withColumn("qcos", col("ip") / (col("qn") * col("nrm")))
     val wShort = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
-    val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     cand.withColumn("rns", row_number().over(wShort)).filter(col("rns") <= shortlist)
       .select(col("qid"), col("vec_id"),
         (expr("float_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cos"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+      .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))
       .orderBy("qid", "rank")
   }
 

@@ -132,13 +132,10 @@ object Similarity {
           col("nrm").as("qn"),
           explode(expr(s"concat(array(bucket), transform(sequence(0, ${planes - 1}), " +
             "b -> bucket ^ shiftleft(1L, b)))")).as("qbucket"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
       broadcast(q)
         .join(sig, col("qbucket") === col("bucket") && col("qid") =!= col("vec_id"))
         .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+        .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))
         .orderBy("qid", "rank")
     }),
 
@@ -241,13 +238,10 @@ object Similarity {
       .withColumn("rnk", row_number().over(wp))
       .filter(col("rnk") <= nprobe)
       .select(col("qid"), col("qe"), col("qn"), col("cid"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(probes)
       .join(assigned, probes("cid") === assigned("cid") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+      .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))
       .orderBy("qid", "rank")
   }
 
@@ -517,13 +511,10 @@ object Similarity {
       .filter(col("rn") <= nprobeC)
       .select(col("qid"), col("qe"), col("qn"), col("ccid"))
     val probesF = probeFine(probesC, fine, Seq("qid", "qe", "qn"), nprobeF)
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(probesF)
       .join(assigned, probesF("fcid") === assigned("fcid") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+      .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))
       .orderBy("qid", "rank")
   }
 
@@ -562,7 +553,6 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qe"), col("qn"), col("qqs"), col("qq"), col("cid"))
     val wq = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(probes)
       .join(assigned, probes("cid") === assigned("cid") && col("qid") =!= col("vec_id"))
       // int_dot: the codegen'd fused loop (graft.functions.IntDot) —
@@ -576,9 +566,7 @@ object Similarity {
       .withColumn("rnq", row_number().over(wq))
       .filter(col("rnq") <= shortlist)
       .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+      .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))
       .orderBy("qid", "rank")
   }
 
@@ -609,7 +597,6 @@ object Similarity {
       .select(col("qid"), col("qe"), col("qn"), col("qqs"), col("qq"), col("ccid"))
     val probesF = probeFine(probesC, fine, Seq("qid", "qe", "qn", "qqs", "qq"), nprobeF)
     val wq = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(probesF)
       .join(assigned, probesF("fcid") === assigned("fcid") && col("qid") =!= col("vec_id"))
       .withColumn("ip", expr("int_dot(qq, q)"))
@@ -620,9 +607,7 @@ object Similarity {
       .withColumn("rnq", row_number().over(wq))
       .filter(col("rnq") <= shortlist)
       .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+      .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))
       .orderBy("qid", "rank")
   }
 
@@ -771,15 +756,12 @@ object Similarity {
       pruneToProbed(s.table(s"${tablePrefix}_fine"), "ccid",
         probesC.select("ccid").distinct(), literalProbeCap),
       Seq("qid", "qe", "qn"), nprobeF)
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     val postings = pruneToProbed(s.table(s"${tablePrefix}_postings"), "fcid",
       probesF.select("fcid").distinct(), literalProbeCap)
     broadcast(probesF)
       .join(postings, probesF("fcid") === postings("fcid") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id"), col("cos"))
+      .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))
       .orderBy("qid", "rank")
   }
 

@@ -352,10 +352,7 @@ object TextAnalysis {
     val scored = contrib.groupBy("qid", "doc_id")
       .agg(expr("aggregate(transform(array_sort(collect_list(struct(w, c))), p -> p.c), " +
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("score"))
-    val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(wr).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+    graft.functions.TopKAgg.topkOf(scored, "qid", "doc_id", "score", k)
       .orderBy("qid", "rank")
   }
 
