@@ -251,19 +251,23 @@ object ProductQuant {
       .groupBy("qid")
       .agg(expr("transform(array_sort(collect_list(struct(m, lutm))), p -> p.lutm)").as("lut"))
       .join(q, Seq("qid"))
-    // candidates: key-equi on the probed cell; approximate ip = M LUT
-    // lookups + adds (never the raw vector)
-    val cand = broadcast(probes)
-      .join(cand0, Seq("cid"))
+    // ADC stage: key-equi on the probed cell, M LUT lookups + adds per
+    // candidate over codes + norms — no raw vector crosses this join
+    val adc = broadcast(probes)
+      .join(cand0.select(col("vec_id"), col("nrm"), col("cid"), col("cd")), Seq("cid"))
       .filter(col("qid") =!= col("vec_id"))
-      .join(broadcast(lut), Seq("qid"))
-      .select(col("qid"), col("vec_id"), col("embedding"), col("nrm"),
-        col("qe"), col("qn"),
+      .join(broadcast(lut.select(col("qid"), col("lut"), col("qn"))), Seq("qid"))
+      .select(col("qid"), col("vec_id"), col("nrm"), col("qn"),
         expr(s"aggregate(sequence(0, ${M - 1}), CAST(0.0 AS DOUBLE), " +
           "(acc, mi) -> acc + lut[mi][CAST(cd[mi] AS INT)])").as("ip"))
-      .withColumn("qcos", col("ip") / (col("qn") * col("nrm")))
-    val wShort = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
-    cand.withColumn("rns", row_number().over(wShort)).filter(col("rns") <= shortlist)
+      .select(col("qid"), col("vec_id"),
+        (col("ip") / (col("qn") * col("nrm"))).as("qcos"))
+    // shortlist via the partial top-k aggregate; only the survivors
+    // FETCH their raw vectors (key-equi on vec_id) for the exact re-rank
+    graft.functions.TopKAgg.topkOf(adc, "qid", "vec_id", "qcos", shortlist)
+      .select(col("qid"), col("vec_id"))
+      .join(cand0.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         (expr("float_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cos"))
       .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))

@@ -552,19 +552,32 @@ object Similarity {
       .withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qe"), col("qn"), col("qqs"), col("qq"), col("cid"))
-    val wq = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
-    broadcast(probes)
+    // ADC stage: codes + norms only — no raw vectors cross this join.
+    // int_dot: the codegen'd fused loop (graft.functions.IntDot) —
+    // bit-identical to the composed aggregate/zip_with fold, which
+    // would interpret two lambdas per candidate pair in the hot path
+    val adc = broadcast(probes)
       .join(assigned, probes("cid") === assigned("cid") && col("qid") =!= col("vec_id"))
-      // int_dot: the codegen'd fused loop (graft.functions.IntDot) —
-      // bit-identical to the composed aggregate/zip_with fold, which
-      // would interpret two lambdas per candidate pair in the hot path
       .withColumn("ip", expr("int_dot(qq, q)"))
       .withColumn("qcos",
         when(col("qqs") * col("qscale") === 0 || col("qn") * col("nrm") === 0, lit(-2.0))
           .otherwise(col("ip").cast("double") / (col("qqs") * col("qscale")) /
             (col("qn") * col("nrm"))))
-      .withColumn("rnq", row_number().over(wq))
-      .filter(col("rnq") <= shortlist)
+      .select(col("qid"), col("vec_id"), col("qcos"))
+    rerankShortlist(e, qz, graft.functions.TopKAgg
+      .topkOf(adc, "qid", "vec_id", "qcos", shortlist))
+  }
+
+  /** Exact re-rank of a (qid, vec_id) shortlist: the few surviving rows
+    * FETCH their raw vectors by key-equi id join — the serving pattern
+    * where the ADC/shortlist stages never move raw vectors at all — and
+    * the top-5 comes from the partial top-k aggregate, not a window. */
+  private def rerankShortlist(e: DataFrame, qz: DataFrame, short: DataFrame): DataFrame = {
+    val qinfo = qz.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    short.select(col("qid"), col("vec_id"))
+      .join(e.select(col("vec_id"), col("embedding"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(qinfo), Seq("qid"))
       .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
       .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))
       .orderBy("qid", "rank")
@@ -596,19 +609,18 @@ object Similarity {
       .filter(col("rn") <= nprobeC)
       .select(col("qid"), col("qe"), col("qn"), col("qqs"), col("qq"), col("ccid"))
     val probesF = probeFine(probesC, fine, Seq("qid", "qe", "qn", "qqs", "qq"), nprobeF)
-    val wq = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
-    broadcast(probesF)
+    // ADC stage over codes + norms only; shortlist survivors fetch
+    // their raw vectors in [[rerankShortlist]]
+    val adc = broadcast(probesF)
       .join(assigned, probesF("fcid") === assigned("fcid") && col("qid") =!= col("vec_id"))
       .withColumn("ip", expr("int_dot(qq, q)"))
       .withColumn("qcos",
         when(col("qqs") * col("qscale") === 0 || col("qn") * col("nrm") === 0, lit(-2.0))
           .otherwise(col("ip").cast("double") / (col("qqs") * col("qscale")) /
             (col("qn") * col("nrm"))))
-      .withColumn("rnq", row_number().over(wq))
-      .filter(col("rnq") <= shortlist)
-      .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
-      .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))
-      .orderBy("qid", "rank")
+      .select(col("qid"), col("vec_id"), col("qcos"))
+    rerankShortlist(e, qz, graft.functions.TopKAgg
+      .topkOf(adc, "qid", "vec_id", "qcos", shortlist))
   }
 
   /** Persist the two-level IVF index as durable tables — the ANN
