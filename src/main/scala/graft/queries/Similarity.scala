@@ -66,18 +66,46 @@ object Similarity {
     //    to a k-buffer per query before the shuffle — O(queries × k)
     //    exchanged at ANY corpus size. Row-identical to the window form
     //    (same total order; the DuckDB hash gate is unchanged).
-    "x_sim_topk" -> ((s, d) => {
+    "x_sim_topk" -> ((s, d) => bruteTopk(withNorm(s, d), 5).orderBy("qid", "rank")),
+
+    // -- k-NN CLASSIFICATION over the gated neighbor search: predict each
+    //    query's label by majority vote over its 5 nearest neighbors'
+    //    labels (ties broken toward the smallest label — a total order,
+    //    so the prediction is deterministic). The vote is a two-stage
+    //    partial aggregate over the O(queries × k) hit relation — count
+    //    per (query, label), then an argmax via max(struct) — so nothing
+    //    scales with the corpus past the gated neighbor search itself.
+    //    The same vote applies unchanged to ANY hit relation: serving
+    //    composes [[knnClassifyOf]] with the persisted-index ANN search
+    //    (SimilaritySpec pins that composition).
+    "x_sim_knn_classify" -> ((s, d) => {
       val e = withNorm(s, d)
-      val topk = graft.functions.TopKAgg.register(s, 5)
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-      broadcast(q).join(e, col("qid") =!= col("vec_id"))
-        .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
-        .groupBy("qid").agg(expr(s"$topk(cos, vec_id)").as("tk"))
-        .select(col("qid"), posexplode(col("tk")).as(Seq("pos", "hit")))
-        .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
-          col("hit.id").as("vec_id"), col("hit.cos").as("cos"))
-        .orderBy("qid", "rank")
+      val labels = table(s, d, "embeddings").select(col("vec_id"), col("label"))
+      knnClassifyOf(bruteTopk(e, 5), labels)
+        .join(broadcast(labels.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("label").cast("long").as("label_true"))),
+          Seq("qid"))
+        .select(col("qid"), col("label_true"), col("label_pred"), col("votes"))
+        .orderBy("qid")
+    }),
+
+    // -- ANN RECALL EVALUATION: recall@5 of the hash-gated portable IVF
+    //    path against the brute-force truth, per query. The evaluation
+    //    harness every ANN deployment needs before tuning nprobe/cells:
+    //    both sides are the already-gated relations, the comparison is a
+    //    key-equi left join on (qid, vec_id) over O(queries × k) rows,
+    //    and hits/recall are exact integers / exact 0.2-step doubles, so
+    //    the whole report hash-gates.
+    "x_sim_recall_eval" -> ((s, d) => {
+      val e = withNorm(s, d)
+      val truth = bruteTopk(e, 5).select(col("qid"), col("vec_id"))
+      val approx = ivfSearch(e, ivfCentroidsPortable(s, d, k = ivfK(s, d)), nprobe = 4)
+        .select(col("qid"), col("vec_id")).withColumn("hit", lit(1L))
+      truth.join(approx, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(coalesce(sum("hit"), lit(0L)).as("hits"))
+        .select(col("qid"), col("hits"), (col("hits") / lit(5.0)).as("recall"))
+        .orderBy("qid")
     }),
 
     // -- LSH-bucketed ANN (sign random projection) with Hamming-1
@@ -203,6 +231,38 @@ object Similarity {
 
     "x_sim_quantize" -> ((s, d) => quantizeQuery(s, d).filter(col("vec_id") < 100))
   )
+
+  /** Brute-force cosine top-k for the vec_id < 10 query set:
+    * (qid, rank 1..k, vec_id, cos). The re-rank is the topk_agg partial
+    * aggregate, NOT a row_number window: the window form shuffles and
+    * sorts every (query, candidate) row, while the aggregate's map-side
+    * combine reduces each partition to a k-buffer per query before the
+    * shuffle — O(queries × k) exchanged at ANY corpus size. Row-identical
+    * to the window form (same total order). */
+  private def bruteTopk(e: DataFrame, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+    broadcast(q).join(e, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
+      .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", k))
+  }
+
+  /** Majority-vote label prediction over a `(qid, vec_id)` neighbor-hit
+    * relation against a `(vec_id, label)` relation → one
+    * `(qid, label_pred, votes)` row per query. Ties break toward the
+    * SMALLEST label (cnt DESC, label ASC — a total order), via a
+    * partial-aggregatable max(struct) argmax: the label join is key-equi
+    * on vec_id and everything downstream is O(queries × k) rows. Public
+    * because serving composes this with any of the gated ANN hit
+    * relations (brute, IVF, persisted-index). */
+  def knnClassifyOf(hits: DataFrame, labels: DataFrame): DataFrame =
+    hits.select(col("qid"), col("vec_id"))
+      .join(labels.select(col("vec_id"), col("label").cast("long").as("label")), Seq("vec_id"))
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("qid")
+      .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("w"))
+      .select(col("qid"), (-col("w.nl")).as("label_pred"), col("w.cnt").as("votes"))
 
   /** Symmetric int8 quantization of the embedding column — the standard
     * 4× storage/bandwidth shrink before ANN serving. Per-vector scale =
@@ -941,6 +1001,40 @@ object Similarity {
        |${updateSql("a2", 2)},
        |${assignSql("e", "c2", "asgf")}""".stripMargin
 
+  /** Flat-IVF probe→score→rank CTE chain over [[portableIvfCtes]]'s
+    * `e` / `c2` / `asgf` relations — `ranked` is the portable IVF top-k
+    * (rank 1..), shared by the x_sim_ivf_md5 gate and the recall
+    * evaluation so both sides of the comparison come from ONE
+    * definition. */
+  private def ivfRankSql: String =
+    s"""probes AS (
+       |  SELECT qid, qe, qn, cid FROM (
+       |    SELECT q.vec_id qid, q.embedding qe, q.nrm qn, c.cid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${dotSql("q.embedding", "c.ce")} / (q.nrm * c.cn) DESC, c.cid ASC) rn
+       |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rn <= 4),
+       |scored AS (
+       |  SELECT p.qid, t.vec_id, ${dotSql("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
+       |  FROM probes p JOIN asgf t ON p.cid = t.cid AND p.qid != t.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, cos,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+       |  FROM scored)""".stripMargin
+
+  /** Brute-force top-5 truth CTE chain over a normed `e` relation —
+    * `truth` is (qid, vec_id) for rank ≤ 5, shared by the
+    * knn-classification and recall-evaluation oracles. */
+  private def bruteTruthSql: String =
+    s"""bscored AS (
+       |  SELECT q.vec_id qid, t.vec_id, ${dotSql("q.embedding", "t.embedding")}
+       |      / (q.nrm * t.nrm) AS cos
+       |  FROM e q, e t WHERE q.vec_id < 10 AND q.vec_id != t.vec_id),
+       |branked AS (
+       |  SELECT qid, vec_id,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+       |  FROM bscored),
+       |truth AS (SELECT qid, vec_id FROM branked WHERE rank <= 5)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
@@ -1006,25 +1100,11 @@ object Similarity {
     // Lloyd fit as CTEs: every step (md5 seed draw, cosine argmax
     // assignment, exact scaled-integer means) mirrors the Spark side
     // bit-for-bit.
-    "x_sim_ivf_md5" -> {
-      val dotq = dotSql _
+    "x_sim_ivf_md5" ->
       s"""WITH $portableIvfCtes,
-         |probes AS (
-         |  SELECT qid, qe, qn, cid FROM (
-         |    SELECT q.vec_id qid, q.embedding qe, q.nrm qn, c.cid,
-         |           row_number() OVER (PARTITION BY q.vec_id
-         |             ORDER BY ${dotq("q.embedding", "c.ce")} / (q.nrm * c.cn) DESC, c.cid ASC) rn
-         |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rn <= 4),
-         |scored AS (
-         |  SELECT p.qid, t.vec_id, ${dotq("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
-         |  FROM probes p JOIN asgf t ON p.cid = t.cid AND p.qid != t.vec_id),
-         |ranked AS (
-         |  SELECT qid, vec_id, cos,
-         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
-         |  FROM scored)
+         |$ivfRankSql
          |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
-         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
-    },
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // IVF + int8 asymmetric scoring: the quantization CTE is the
     // hash-gated x_sim_quantize formula (unexploded), the integer code
@@ -1173,6 +1253,36 @@ object Similarity {
         |  CAST(unnest(generate_series(1, len(embedding))) - 1 AS BIGINT) AS pos,
         |  CAST(floor(CAST(unnest(embedding) AS DOUBLE) * qscale + 0.5) AS BIGINT) AS q,
         |  qscale
-        |FROM sc ORDER BY vec_id, pos""".stripMargin
+        |FROM sc ORDER BY vec_id, pos""".stripMargin,
+
+    // k-NN classification: the brute-force truth chain + a plain
+    // count/argmax vote — every step (neighbor set, counts, the
+    // cnt DESC / label ASC tie-break) is exact integer arithmetic, so
+    // the predictions hash-gate.
+    "x_sim_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings),
+         |$bruteTruthSql,
+         |v AS (SELECT nb.qid, CAST(t.label AS BIGINT) AS label, count(*) AS cnt
+         |      FROM truth nb JOIN embeddings t ON t.vec_id = nb.vec_id GROUP BY 1, 2),
+         |w AS (SELECT qid, label, cnt,
+         |        row_number() OVER (PARTITION BY qid ORDER BY cnt DESC, label ASC) rn
+         |      FROM v)
+         |SELECT w.qid, CAST(q.label AS BIGINT) AS label_true, w.label AS label_pred,
+         |       CAST(w.cnt AS BIGINT) AS votes
+         |FROM w JOIN embeddings q ON q.vec_id = w.qid WHERE rn = 1 ORDER BY qid""".stripMargin,
+
+    // Recall@5 of the portable IVF path vs brute force: both sides are
+    // the SAME CTE chains their own gates use (ivfRankSql /
+    // bruteTruthSql), so this oracle re-derives the comparison rather
+    // than trusting either side.
+    "x_sim_recall_eval" ->
+      s"""WITH $portableIvfCtes,
+         |$ivfRankSql,
+         |ivf AS (SELECT qid, vec_id FROM ranked WHERE rank <= 5),
+         |$bruteTruthSql
+         |SELECT t.qid AS qid, count(i.vec_id) AS hits, count(i.vec_id) / 5.0 AS recall
+         |FROM truth t LEFT JOIN ivf i ON i.qid = t.qid AND i.vec_id = t.vec_id
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin
   )
 }

@@ -366,4 +366,52 @@ class SimilaritySpec extends SparkSpecBase {
       .count()
     assert(bad == 0, s"$bad dequantized values off by more than half a step")
   }
+
+  test("knn classify: vote matches a driver-side recompute; one prediction per query") {
+    val rows = Similarity.queries("x_sim_knn_classify")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet.size == 10 && rows.length == 10)
+    val labelOf = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val hits = Similarity.queries("x_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val expect = hits.groupBy(_._1).map { case (qid, hs) =>
+      val counts = hs.map(h => labelOf(h._2)).groupBy(identity).map { case (l, g) => (l, g.size) }
+      // cnt DESC, label ASC — the query's documented tie-break
+      val (pred, votes) = counts.toSeq.minBy { case (l, c) => (-c, l) }
+      qid -> ((labelOf(qid), pred, votes.toLong))
+    }
+    rows.foreach { r =>
+      val (lt, lp, v) = expect(r.getLong(0))
+      assert(r.getLong(1) == lt && r.getLong(2) == lp && r.getLong(3) == v,
+        s"qid ${r.getLong(0)}: got (${r.getLong(1)}, ${r.getLong(2)}, ${r.getLong(3)}), want ($lt, $lp, $v)")
+    }
+  }
+
+  test("knn classify composes with ANN hit relations: total, bounded votes") {
+    import org.apache.spark.sql.functions._
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "label")
+    val annHits = Similarity.queries("x_sim_ivf_md5")(spark, sf)
+    val preds = Similarity.knnClassifyOf(annHits, labels).collect()
+    assert(preds.length == 10, "one prediction per query from the ANN hit relation")
+    assert(preds.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 5), "votes within 1..k")
+    val domain = labels.select(col("label").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(preds.forall(r => domain.contains(r.getLong(1))), "predicted labels from the domain")
+  }
+
+  test("recall eval: per-query hits equal the truth∩ivf intersection, recall in [0,1]") {
+    val rows = Similarity.queries("x_sim_recall_eval")(spark, sf).collect()
+    assert(rows.length == 10)
+    val truth = Similarity.queries("x_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.queries("x_sim_ivf_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    rows.foreach { r =>
+      val qid = r.getLong(0)
+      val want = (truth & ivf).count(_._1 == qid)
+      assert(r.getLong(1) == want, s"qid $qid hits ${r.getLong(1)} != $want")
+      assert(r.getDouble(2) == want / 5.0)
+    }
+  }
 }
