@@ -233,6 +233,51 @@ object Dedup {
         .orderBy("doc_id", "span_start")
     }),
 
+    // -- exact-substring dedup REWRITE (the RefinedWeb recipe's removal
+    //    step): every word position covered by a cross-document-duplicated
+    //    8-gram is CUT from the text, remaining words reassemble in order.
+    //    Scale shape: dup discovery is a partial min/max aggregate on the
+    //    gram hash (no window), coverage is O(dup grams × K) skinny rows,
+    //    and only AFFECTED documents pay the explode/regroup — untouched
+    //    docs pass through byte-identical with zero per-word work, so at
+    //    a 100 TB corpus with a few-% dup rate the rewrite cost tracks
+    //    the dup mass, not the corpus. Hash-gated end-to-end: the md5
+    //    gram hashes, coverage arithmetic and reassembly all reproduce in
+    //    DuckDB.
+    "x_dedup_rewrite" -> ((s, d) => {
+      graft.functions.Md5Long60.register(s)
+      val K = 8
+      val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
+      val words = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val grams = words.filter(size(col("ws")) >= K)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(1, size(ws) - ${K - 1}), i -> concat_ws(' ', slice(ws, i, $K)))")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          expr("md5long60(col)").as("h"))
+      val dup = grams.groupBy("h")
+        .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+        .filter(col("mn") =!= col("mx")).select("h")
+      // covered word positions: union of [pos, pos+K-1] per dup-gram hit
+      val cov = grams.join(dup, Seq("h"))
+        .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${K - 1})")).as("idx"))
+        .distinct()
+      val nrem = cov.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+      val kept = words.join(nrem.select("doc_id"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "w")))
+        .withColumn("idx", col("idx").cast("long"))
+        .join(cov, Seq("doc_id", "idx"), "left_anti")
+        .groupBy("doc_id")
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(idx, w))), p -> p.w), ' ')")
+          .as("text_clean"))
+      val rewritten = nrem.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_removed"),
+          coalesce(col("text_clean"), lit("")).as("text_clean"))
+      val untouched = docs.join(nrem.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(0L).as("n_removed"), col("text").as("text_clean"))
+      rewritten.unionByName(untouched).orderBy("doc_id")
+    }),
+
     // -- MinHash + LSH banding. Sizing is corpus-derived (LshTuning): the
     //    gate corpus (500 docs) gives 8 bands × 4 rows = 32 permutations;
     //    a 10⁸-doc corpus tightens to 7 rows × 64 bands so the candidate
@@ -1062,6 +1107,37 @@ object Dedup {
         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
         |       CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
         |FROM sp GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin,
+
+    // Same gram/hash chain as the spans oracle, then coverage expansion
+    // and in-order reassembly; untouched docs pass their original text
+    // through on BOTH sides, so the gate is spacing-robust.
+    "x_dedup_rewrite" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |g0 AS (SELECT doc_id, unnest(generate_series(8, len(ws))) AS i, ws
+        |       FROM t WHERE len(ws) >= 8),
+        |g AS (SELECT doc_id, CAST(i - 8 AS BIGINT) AS pos,
+        |        ('0x' || substr(md5(ws[i-7]||' '||ws[i-6]||' '||ws[i-5]||' '||ws[i-4]||' '||
+        |                            ws[i-3]||' '||ws[i-2]||' '||ws[i-1]||' '||ws[i]), 1, 15))::BIGINT AS h
+        |      FROM g0),
+        |dup AS (SELECT h FROM (SELECT h, min(doc_id) mn, max(doc_id) mx FROM g GROUP BY h)
+        |        WHERE mn != mx),
+        |cov AS (SELECT DISTINCT hits.doc_id, hits.pos + u.i AS idx
+        |        FROM (SELECT doc_id, pos FROM g JOIN dup USING (h)) hits,
+        |             (SELECT unnest(generate_series(0, 7)) AS i) u),
+        |nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+        |w AS (SELECT t.doc_id, CAST(unnest(generate_series(1, len(ws))) - 1 AS BIGINT) AS idx, ws
+        |      FROM t JOIN (SELECT doc_id FROM nrem) USING (doc_id)),
+        |kept AS (SELECT doc_id, idx, ws[idx + 1] AS word FROM w
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov
+        |                           WHERE cov.doc_id = w.doc_id AND cov.idx = w.idx)),
+        |re AS (SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS txt
+        |       FROM kept GROUP BY doc_id),
+        |aff AS (SELECT n.doc_id, CAST(n.n_removed AS BIGINT) AS n_removed,
+        |               coalesce(re.txt, '') AS text_clean
+        |        FROM nrem n LEFT JOIN re USING (doc_id))
+        |SELECT d.doc_id, coalesce(a.n_removed, 0) AS n_removed,
+        |       CASE WHEN a.doc_id IS NULL THEN d.text ELSE a.text_clean END AS text_clean
+        |FROM documents d LEFT JOIN aff a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "x_dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 60),

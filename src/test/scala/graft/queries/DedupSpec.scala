@@ -406,4 +406,39 @@ class DedupSpec extends SparkSpecBase {
     }
     assert(rows.exists(_.getBoolean(5)), "vacuous: no verified duplicate at gate scale")
   }
+
+  test("substring rewrite: matches a driver-side gram-coverage recompute, total") {
+    val rows = Dedup.queries("x_dedup_rewrite")(spark, sf).collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size, "one output row per document")
+    // ground truth on gram STRINGS (collision-free by construction, so
+    // it cross-checks the engine's md5long60 hashing too)
+    val K = 8
+    val ws = texts.map { case (id, t) => id -> t.split(" ") }
+    val gramDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    ws.foreach { case (id, w) =>
+      w.sliding(K).filter(_.length == K)
+        .foreach(g => gramDocs.getOrElseUpdate(g.mkString(" "),
+          scala.collection.mutable.Set.empty) += id)
+    }
+    val dup = gramDocs.collect { case (g, ds) if ds.size >= 2 => g }.toSet
+    val expected = ws.map { case (id, w) =>
+      val covered = w.sliding(K).zipWithIndex
+        .collect { case (g, i) if g.length == K && dup(g.mkString(" ")) => i }
+        .flatMap(i => i until i + K).toSet
+      val clean =
+        if (covered.isEmpty) texts(id)
+        else w.zipWithIndex.collect { case (x, i) if !covered(i) => x }.mkString(" ")
+      id -> ((covered.size.toLong, clean))
+    }
+    rows.foreach { r =>
+      val (want, wantText) = expected(r.getLong(0))
+      assert(r.getLong(1) == want, s"doc ${r.getLong(0)}: n_removed ${r.getLong(1)} != $want")
+      assert(r.getString(2) == wantText, s"doc ${r.getLong(0)}: rewritten text diverges")
+    }
+    assert(rows.exists(_.getLong(1) > 0), "vacuous: nothing removed at gate scale")
+    assert(rows.exists(_.getLong(1) == 0), "vacuous: no untouched passthrough doc")
+  }
 }
