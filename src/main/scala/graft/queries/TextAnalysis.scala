@@ -102,6 +102,55 @@ object TextAnalysis {
           (expr("aggregate(ws, 0L, (a, w) -> a + length(w))").cast("double") / size(col("ws"))).as("avg_token_len"))
         .orderBy("doc_id")),
 
+    // -- Gopher-style rule filter: the published heuristic battery
+    //    (word-count bounds, mean-word-length band, minimum stopword
+    //    evidence, top-bigram repetition cap) as ONE narrow projection —
+    //    every statistic, including the per-doc top-bigram count (a
+    //    sorted-run fold over the bigram array), is computed inside the
+    //    row, so the whole battery is a zero-shuffle scan pass at any
+    //    corpus size. Rule verdicts compare in INTEGER arithmetic
+    //    (sumlen*10 vs 40*n, best*100 vs 6*nbg) so the booleans are
+    //    engine-portable regardless of double rounding; the reported
+    //    ratio columns are single fixed-order divisions, exact in both
+    //    engines.
+    "x_text_gopher" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n", size(col("ws")).cast("long"))
+        .withColumn("sumlen", expr("aggregate(ws, 0L, (a, w) -> a + length(w))"))
+        .withColumn("n_stop", size(expr(
+          "filter(ws, w -> array_contains(array('the','a','of','to','and','in','is'), w))"))
+          .cast("long"))
+        .withColumn("nbg", greatest(col("n") - 1, lit(0L)))
+        // top-bigram occurrence count: sort the bigram array, fold a
+        // (prev, run, best) accumulator — longest equal-run of a sorted
+        // array IS the mode count; per-row, no explode, no shuffle
+        .withColumn("best", expr(
+          """aggregate(
+            |  array_sort(transform(sequence(1, greatest(size(ws) - 1, 0)),
+            |    i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))),
+            |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+            |  (acc, x) -> named_struct(
+            |    'prev', x,
+            |    'run', IF(acc.prev <=> x, acc.run + 1L, 1L),
+            |    'best', greatest(acc.best, IF(acc.prev <=> x, acc.run + 1L, 1L))),
+            |  acc -> acc.best)""".stripMargin))
+        .select(
+          col("doc_id"),
+          col("n").as("n_words"),
+          (col("sumlen").cast("double") / col("n")).as("mean_word_len"),
+          col("n_stop"),
+          when(col("nbg") > 0, col("best").cast("double") / col("nbg"))
+            .otherwise(lit(0.0)).as("top_bigram_share"),
+          (col("n") >= 25 && col("n") <= 90).as("r_nwords"),
+          (col("sumlen") * 10 >= col("n") * 40 && col("sumlen") * 10 <= col("n") * 49)
+            .as("r_wordlen"),
+          (col("n_stop") >= 2).as("r_stopword"),
+          (col("best") * 100 <= col("nbg") * 6).as("r_repetition"))
+        .withColumn("pass",
+          col("r_nwords") && col("r_wordlen") && col("r_stopword") && col("r_repetition"))
+        .orderBy("doc_id")),
+
     // -- token counting: whitespace tokens + a BPE-ish regex token count
     "x_text_tokens" -> ((s, d) =>
       table(s, d, "documents")
@@ -626,6 +675,38 @@ object TextAnalysis {
         |FROM (SELECT doc_id, n_chars, string_split(text, ' ') ws
         |      FROM documents WHERE doc_id < 100)
         |ORDER BY doc_id""".stripMargin,
+
+    // Rule verdicts in integer arithmetic on both sides; the oracle
+    // computes the top-bigram count by explode/group (correctness only —
+    // the Spark side's sorted-run fold is the scale shape).
+    "x_text_gopher" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |st AS (SELECT doc_id, ws,
+        |  CAST(len(ws) AS BIGINT) n,
+        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) sumlen,
+        |  CAST(len(list_filter(ws,
+        |    w -> list_contains(['the','a','of','to','and','in','is'], w))) AS BIGINT) n_stop,
+        |  CAST(greatest(len(ws) - 1, 0) AS BIGINT) nbg
+        |  FROM t),
+        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+        |       FROM st, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+        |       WHERE len(ws) >= 2),
+        |bc AS (SELECT doc_id, b, count(*) c FROM bg GROUP BY 1, 2),
+        |tp AS (SELECT doc_id, CAST(max(c) AS BIGINT) best FROM bc GROUP BY 1)
+        |SELECT s.doc_id, s.n AS n_words,
+        |  CAST(s.sumlen AS DOUBLE) / s.n AS mean_word_len,
+        |  s.n_stop,
+        |  CASE WHEN s.nbg > 0 THEN CAST(coalesce(tp.best, 0) AS DOUBLE) / s.nbg
+        |       ELSE 0.0 END AS top_bigram_share,
+        |  s.n >= 25 AND s.n <= 90 AS r_nwords,
+        |  s.sumlen * 10 >= s.n * 40 AND s.sumlen * 10 <= s.n * 49 AS r_wordlen,
+        |  s.n_stop >= 2 AS r_stopword,
+        |  coalesce(tp.best, 0) * 100 <= s.nbg * 6 AS r_repetition,
+        |  (s.n >= 25 AND s.n <= 90
+        |   AND s.sumlen * 10 >= s.n * 40 AND s.sumlen * 10 <= s.n * 49
+        |   AND s.n_stop >= 2
+        |   AND coalesce(tp.best, 0) * 100 <= s.nbg * 6) AS pass
+        |FROM st s LEFT JOIN tp USING (doc_id) ORDER BY s.doc_id""".stripMargin,
 
     "x_text_tokens" ->
       """SELECT lang,

@@ -251,4 +251,39 @@ class TextAnalysisSpec extends SparkSpecBase {
         s"doc ${r.getLong(2)}: engine ${r.getDouble(3)} vs recompute $want")
     }
   }
+
+  test("gopher rules: driver-side recompute, every rule non-vacuous both ways") {
+    val rows = TextAnalysis.queries("x_text_gopher")(spark, sf).collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    val stop = Set("the", "a", "of", "to", "and", "in", "is")
+    rows.foreach { r =>
+      val w = texts(r.getLong(0)).split(" ")
+      val n = w.length.toLong
+      val sumlen = w.map(_.length.toLong).sum
+      val nStop = w.count(stop).toLong
+      val nbg = math.max(n - 1, 0L)
+      val best =
+        if (n < 2) 0L
+        else w.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getLong(1) == n && r.getLong(3) == nStop)
+      assert(r.getDouble(2) == sumlen.toDouble / n)
+      assert(r.getDouble(4) == (if (nbg > 0) best.toDouble / nbg else 0.0))
+      assert(r.getBoolean(5) == (n >= 25 && n <= 90), "r_nwords")
+      assert(r.getBoolean(6) == (sumlen * 10 >= n * 40 && sumlen * 10 <= n * 49), "r_wordlen")
+      assert(r.getBoolean(7) == (nStop >= 2), "r_stopword")
+      assert(r.getBoolean(8) == (best * 100 <= nbg * 6), "r_repetition")
+      assert(r.getBoolean(9) ==
+        (r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8)))
+    }
+    // each rule must actually discriminate on the gate corpus — a rule
+    // that never fires (or always fires) is untested plumbing
+    (5 to 8).foreach { i =>
+      assert(rows.exists(_.getBoolean(i)) && rows.exists(!_.getBoolean(i)),
+        s"rule column $i is vacuous on the gate corpus")
+    }
+  }
 }
