@@ -80,3 +80,65 @@ object TopKAgg {
         col("hit.id").as(id), col("hit.cos").as(score))
   }
 }
+
+/** An ordered hit — `mink_agg_<k>`'s output element (smallest-first). */
+final case class MinHit(h: Long, id: Long)
+
+/** k-smallest-per-key by the TOTAL order (h ASC, id ASC) as a TRUE
+  * partial aggregate — [[TopKAgg]]'s integer-keyed sibling for
+  * cap-per-key selection (e.g. "keep N docs per domain in deterministic
+  * md5 order"). Same scale shape: bounded k-row state, map-side combine,
+  * the exchange is O(keys × k) however many rows each key holds — a
+  * per-key `row_number()` window would shuffle AND sort every row of the
+  * biggest domain instead. Keeping the order key an exact Long (not a
+  * Double score) matters: 60-bit hashes don't fit a double mantissa, so
+  * a TopKAgg reuse would tie-break wrongly on hash pairs closer than
+  * 2^-53 of each other. */
+final case class MinKAgg(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[MinHit]] {
+
+  /** (h ASC, id ASC): is `a` strictly ahead of `b`? */
+  private def ahead(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  override def zero: Seq[(Long, Long)] = Vector.empty
+
+  override def reduce(buf: Seq[(Long, Long)], x: (Long, Long)): Seq[(Long, Long)] =
+    if (buf.size >= k && !ahead(x, buf.last)) buf
+    else {
+      val i = buf.indexWhere(ahead(x, _)) match { case -1 => buf.size; case j => j }
+      (buf.take(i) :+ x) ++ buf.drop(i).take(k - i - 1)
+    }
+
+  override def merge(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    b.foldLeft(a)(reduce)
+
+  override def finish(buf: Seq[(Long, Long)]): Seq[MinHit] =
+    buf.map { case (h, i) => MinHit(h, i) }
+
+  override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[MinHit]] = ExpressionEncoder[Seq[MinHit]]()
+}
+
+object MinKAgg {
+  /** Register the k-specific `mink_agg_<k>(h, id)` and return the name. */
+  def register(spark: SparkSession, k: Int): String = {
+    val name = s"mink_agg_$k"
+    spark.udf.register(name, udaf(MinKAgg(k)))
+    name
+  }
+
+  /** (key, rank 1..k, id, ord) — row-identical to `row_number() OVER
+    * (PARTITION BY key ORDER BY ord ASC, id ASC) <= k` via the partial
+    * aggregate. */
+  def minkOf(df: org.apache.spark.sql.DataFrame, key: String, id: String,
+      ord: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val name = register(df.sparkSession, k)
+    df.groupBy(key).agg(expr(s"$name($ord, $id)").as("mk"))
+      .select(col(key), posexplode(col("mk")).as(Seq("pos", "hit")))
+      .select(col(key), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.id").as(id), col("hit.h").as(ord))
+  }
+}

@@ -234,6 +234,26 @@ object Curation {
         .orderBy("shard", "pos")
     }),
 
+    // -- per-source document caps (the per-domain cap every web-crawl
+    //    curation applies so no single domain dominates the mixture):
+    //    keep the 20 deterministically-first docs per source in
+    //    md5(doc_id) order — backfill-stable, recrawl-stable. Scale
+    //    shape: selection is the mink_agg bounded partial aggregate, so
+    //    the exchange is O(sources × cap) however many billions of docs
+    //    the biggest domain holds; the per-key row_number() window form
+    //    would shuffle AND sort every row of that domain. The exact-Long
+    //    order key matters at gate time too: 60-bit hashes don't fit a
+    //    double mantissa, so a score-typed top-k would tie-break wrongly.
+    "x_cur_source_cap" -> ((s, d) => {
+      graft.functions.Md5Long60.register(s)
+      val docs = table(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("md5long60(CAST(doc_id AS STRING))").as("h"))
+      graft.functions.MinKAgg.minkOf(docs, "source", "doc_id", "h", 20)
+        .select(col("source"), col("rank"), col("doc_id"))
+        .orderBy("source", "rank")
+    }),
+
     // -- α-sampling domain mixture (the multilingual/UniMax temperature
     //    recipe): per-source sampling rate ∝ tokens^α / tokens with
     //    α = 0.5 — upweighting small sources — scaled so expected kept
@@ -766,6 +786,16 @@ object Curation {
         |              ORDER BY h, doc_id) - 1
         |            AS BIGINT) AS pos
         |FROM t ORDER BY shard, pos""".stripMargin,
+
+    "x_cur_source_cap" ->
+      """WITH t AS (SELECT doc_id, source,
+        |             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |           FROM documents),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC) rank
+        |      FROM t)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id
+        |FROM r WHERE rank <= 20 ORDER BY source, rank""".stripMargin,
 
     "x_cur_mixture" ->
       """WITH t AS (SELECT doc_id, source,

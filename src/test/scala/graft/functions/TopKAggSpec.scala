@@ -41,4 +41,27 @@ class TopKAggSpec extends SparkSpecBase {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       s"UDAF must plan as a (partial-capable) aggregate:\n$p")
   }
+
+  test("mink_agg == the ascending row_number window form, exact on sub-double-precision hashes") {
+    import spark.implicits._
+    // hash pairs differing only in the low bits — below double-mantissa
+    // resolution, the exact failure mode a score-typed top-k would hit
+    val base = 1L << 59
+    val rows = (for { g <- 0 until 5; i <- 0 until 40 } yield
+      (g.toLong, (i * 2654435761L + g) % 97L, base + (i % 7).toLong)) ++
+      Seq((5L, 1L, base), (5L, 2L, base))
+    val df = rows.toDF("key", "id", "h")
+    val got = MinKAgg.minkOf(df, "key", "id", "h", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val w = Window.partitionBy("key").orderBy(col("h").asc, col("id").asc)
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3).select("key", "rank", "id", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(got == want, s"mink $got != window $want")
+    assert(got.count(_._1 == 5L) == 2, "short group yields its whole membership")
+    val p = MinKAgg.minkOf(df, "key", "id", "h", 3).queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"cap-per-key must not plan a window:\n$p")
+  }
 }

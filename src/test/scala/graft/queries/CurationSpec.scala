@@ -438,4 +438,21 @@ class CurationSpec extends SparkSpecBase {
     }
     assert(red.exists(_.getLong(1) > 0), "vacuous: no redactions at gate scale")
   }
+
+  test("source cap: keeps exactly the 20 md5-first docs per source, driver-recomputed") {
+    val rows = Curation.queries("x_cur_source_cap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.Engine.table(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def h(id: Long): Long = graft.functions.Md5Long60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString))
+    val expect = docs.toSeq.groupBy(_._2).flatMap { case (src, ds) =>
+      ds.map(_._1).sortBy(id => (h(id), id)).take(20).zipWithIndex
+        .map { case (id, i) => (src, i + 1L, id) }
+    }.toSet
+    assert(rows.toSet == expect, "capped membership/order diverges from the md5 recompute")
+    // the cap must actually bind at gate scale (25 docs/source -> 20)
+    assert(docs.groupBy(_._2).values.exists(_.size > 20), "vacuous: no source over the cap")
+  }
 }
