@@ -114,42 +114,7 @@ object TextAnalysis {
     //    ratio columns are single fixed-order divisions, exact in both
     //    engines.
     "x_text_gopher" -> ((s, d) =>
-      table(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .withColumn("n", size(col("ws")).cast("long"))
-        .withColumn("sumlen", expr("aggregate(ws, 0L, (a, w) -> a + length(w))"))
-        .withColumn("n_stop", size(expr(
-          "filter(ws, w -> array_contains(array('the','a','of','to','and','in','is'), w))"))
-          .cast("long"))
-        .withColumn("nbg", greatest(col("n") - 1, lit(0L)))
-        // top-bigram occurrence count: sort the bigram array, fold a
-        // (prev, run, best) accumulator — longest equal-run of a sorted
-        // array IS the mode count; per-row, no explode, no shuffle
-        .withColumn("best", expr(
-          """aggregate(
-            |  array_sort(transform(sequence(1, greatest(size(ws) - 1, 0)),
-            |    i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))),
-            |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
-            |  (acc, x) -> named_struct(
-            |    'prev', x,
-            |    'run', IF(acc.prev <=> x, acc.run + 1L, 1L),
-            |    'best', greatest(acc.best, IF(acc.prev <=> x, acc.run + 1L, 1L))),
-            |  acc -> acc.best)""".stripMargin))
-        .select(
-          col("doc_id"),
-          col("n").as("n_words"),
-          (col("sumlen").cast("double") / col("n")).as("mean_word_len"),
-          col("n_stop"),
-          when(col("nbg") > 0, col("best").cast("double") / col("nbg"))
-            .otherwise(lit(0.0)).as("top_bigram_share"),
-          (col("n") >= 25 && col("n") <= 90).as("r_nwords"),
-          (col("sumlen") * 10 >= col("n") * 40 && col("sumlen") * 10 <= col("n") * 49)
-            .as("r_wordlen"),
-          (col("n_stop") >= 2).as("r_stopword"),
-          (col("best") * 100 <= col("nbg") * 6).as("r_repetition"))
-        .withColumn("pass",
-          col("r_nwords") && col("r_wordlen") && col("r_stopword") && col("r_repetition"))
-        .orderBy("doc_id")),
+      gopherRules(table(s, d, "documents")).orderBy("doc_id")),
 
     // -- token counting: whitespace tokens + a BPE-ish regex token count
     "x_text_tokens" -> ((s, d) =>
@@ -535,6 +500,48 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("cnt"))
       .orderBy("rank")
   }
+
+  /** The Gopher rule battery over a `(doc_id, text, …)` relation — a
+    * pure per-row projection (every statistic, including the top-bigram
+    * mode count via a sorted-run fold, is computed inside the row), so
+    * the SAME function is the batch query body and the streaming gate
+    * (`Streams.gopherGate`): stateless ⇒ stream == batch by
+    * construction, no watermark or state store involved. */
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("sumlen", expr("aggregate(ws, 0L, (a, w) -> a + length(w))"))
+      .withColumn("n_stop", size(expr(
+        "filter(ws, w -> array_contains(array('the','a','of','to','and','in','is'), w))"))
+        .cast("long"))
+      .withColumn("nbg", greatest(col("n") - 1, lit(0L)))
+      // top-bigram occurrence count: sort the bigram array, fold a
+      // (prev, run, best) accumulator — longest equal-run of a sorted
+      // array IS the mode count; per-row, no explode, no shuffle
+      .withColumn("best", expr(
+        """aggregate(
+          |  array_sort(transform(sequence(1, greatest(size(ws) - 1, 0)),
+          |    i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)))),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(acc.prev <=> x, acc.run + 1L, 1L),
+          |    'best', greatest(acc.best, IF(acc.prev <=> x, acc.run + 1L, 1L))),
+          |  acc -> acc.best)""".stripMargin))
+      .select(
+        col("doc_id"),
+        col("n").as("n_words"),
+        (col("sumlen").cast("double") / col("n")).as("mean_word_len"),
+        col("n_stop"),
+        when(col("nbg") > 0, col("best").cast("double") / col("nbg"))
+          .otherwise(lit(0.0)).as("top_bigram_share"),
+        (col("n") >= 25 && col("n") <= 90).as("r_nwords"),
+        (col("sumlen") * 10 >= col("n") * 40 && col("sumlen") * 10 <= col("n") * 49)
+          .as("r_wordlen"),
+        (col("n_stop") >= 2).as("r_stopword"),
+        (col("best") * 100 <= col("nbg") * 6).as("r_repetition"))
+      .withColumn("pass",
+        col("r_nwords") && col("r_wordlen") && col("r_stopword") && col("r_repetition"))
 
   val oracle: Map[String, String] = Map(
     "x_text_bpe_train" -> {

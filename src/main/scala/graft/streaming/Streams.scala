@@ -90,6 +90,15 @@ object Streams {
     docs.filter(
       size(graft.queries.Curation.blocklistHitsIn(split(col("text"), " "))) === 0)
 
+  /** Streaming Gopher-rule quality gate — continuous twin of
+    * `x_text_gopher`, keeping only passing documents. The rule battery
+    * is a stateless per-row projection (the SAME
+    * [[graft.queries.TextAnalysis.gopherRules]] the batch query runs),
+    * so stream == batch holds by construction on any micro-batch split:
+    * no state store, no watermark, Append mode. */
+  def gopherGate(docs: DataFrame): DataFrame =
+    graft.queries.TextAnalysis.gopherRules(docs).filter(col("pass"))
+
   /** Streaming contamination counts — continuous twin of
     * `x_cur_contamination`: incoming documents' word-3-gram shingles
     * semi-join the (static, broadcast) benchmark shingle set; per-doc

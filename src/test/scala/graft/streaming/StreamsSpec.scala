@@ -464,4 +464,27 @@ class StreamsSpec extends SparkSpecBase {
     assert(got.toSet == expected,
       s"stream-only: ${got.toSet.diff(expected)}; backfill-only: ${expected.diff(got.toSet)}")
   }
+
+  test("streaming gopher gate passes exactly the batch battery's passing docs across a split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (b1, b2) = docs.splitAt(docs.size / 2)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.gopherGate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("gopher_out").collect().map(_.getLong(0)).toSet
+    val batch = graft.queries.TextAnalysis.queries("x_text_gopher")(spark, sf)
+      .filter($"pass").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch)}; batch-only: ${batch.diff(streamed)}")
+    assert(streamed.nonEmpty && streamed.size < docs.size, "gate must be non-vacuous")
+  }
 }
