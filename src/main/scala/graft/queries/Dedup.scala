@@ -245,37 +245,13 @@ object Dedup {
     //    gram hashes, coverage arithmetic and reassembly all reproduce in
     //    DuckDB.
     "x_dedup_rewrite" -> ((s, d) => {
-      graft.functions.Md5Long60.register(s)
-      val K = 8
       val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
-      val words = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val grams = words.filter(size(col("ws")) >= K)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(1, size(ws) - ${K - 1}), i -> concat_ws(' ', slice(ws, i, $K)))")))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          expr("md5long60(col)").as("h"))
+      val grams = gramStream(docs)
       val dup = grams.groupBy("h")
         .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
         .filter(col("mn") =!= col("mx")).select("h")
-      // covered word positions: union of [pos, pos+K-1] per dup-gram hit
-      val cov = grams.join(dup, Seq("h"))
-        .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${K - 1})")).as("idx"))
-        .distinct()
-      val nrem = cov.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
-      val kept = words.join(nrem.select("doc_id"), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "w")))
-        .withColumn("idx", col("idx").cast("long"))
-        .join(cov, Seq("doc_id", "idx"), "left_anti")
-        .groupBy("doc_id")
-        .agg(expr(
-          "array_join(transform(array_sort(collect_list(struct(idx, w))), p -> p.w), ' ')")
-          .as("text_clean"))
-      val rewritten = nrem.join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_removed"),
-          coalesce(col("text_clean"), lit("")).as("text_clean"))
-      val untouched = docs.join(nrem.select("doc_id"), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), lit(0L).as("n_removed"), col("text").as("text_clean"))
-      rewritten.unionByName(untouched).orderBy("doc_id")
+      rewriteWithCoverage(docs, gramCoverage(grams.join(dup, Seq("h"))))
+        .orderBy("doc_id")
     }),
 
     // -- MinHash + LSH banding. Sizing is corpus-derived (LshTuning): the
@@ -1066,6 +1042,117 @@ object Dedup {
       |sig AS (SELECT doc_id,
       |         $sig AS sh
       |       FROM cs)""".stripMargin
+  }
+
+  /** Gram width of the exact-substring operators (x_dedup_substring_spans,
+    * x_dedup_rewrite, the persisted gram index). */
+  private val GramK = 8
+
+  /** (doc_id, pos, h) — the md5long60 hashes of every [[GramK]]-word
+    * gram of a `(doc_id, text)` relation. One narrow generator fan-out
+    * over the scan; shared by the corpus rewrite and the index paths so
+    * the hash definition cannot drift between them. */
+  private def gramStream(docs: DataFrame): DataFrame = {
+    graft.functions.Md5Long60.register(docs.sparkSession)
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= GramK)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ws) - ${GramK - 1}), i -> concat_ws(' ', slice(ws, i, $GramK)))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        expr("md5long60(col)").as("h"))
+  }
+
+  /** Covered word positions of a `(doc_id, pos, …)` dup-gram hit
+    * relation: the distinct union of [pos, pos+K-1] intervals. */
+  private def gramCoverage(hits: DataFrame): DataFrame =
+    hits.select(col("doc_id"),
+      explode(expr(s"sequence(pos, pos + ${GramK - 1})")).as("idx"))
+      .distinct()
+
+  /** Reassemble `(doc_id, n_removed, text_clean)` from a `(doc_id, idx)`
+    * covered-position relation over `docs`: only AFFECTED documents pay
+    * the explode/regroup, untouched docs pass through byte-identical —
+    * at a few-% dup rate the rewrite cost tracks dup mass, not corpus
+    * size. */
+  private def rewriteWithCoverage(docs: DataFrame, cov: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val nrem = cov.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    val kept = words.join(nrem.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "w")))
+      .withColumn("idx", col("idx").cast("long"))
+      .join(cov, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(idx, w))), p -> p.w), ' ')")
+        .as("text_clean"))
+    val rewritten = nrem.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+    val untouched = docs.join(nrem.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(0L).as("n_removed"), col("text").as("text_clean"))
+    rewritten.unionByName(untouched)
+  }
+
+  /** Persist the exact-substring gram index: the corpus's DISTINCT
+    * 8-gram hashes as `{prefix}_grams`, bucketed+sorted on `h`. The
+    * cheapest serving index in the shop — 8 bytes per distinct gram, no
+    * positions, no doc ids — because increment rewriting only needs
+    * MEMBERSHIP: any index hit is a cross-document duplicate under the
+    * disjoint-id contract (see [[rewriteAgainstGramIndex]]). Probe joins
+    * are key-equi on `h` and the index side rides its bucketing — never
+    * an exchange, however large history grows. */
+  def writeGramIndex(s: SparkSession, d: String, tablePrefix: String,
+      buckets: Int = 32, docFilter: Column = lit(true)): Unit =
+    gramStream(table(s, d, "documents").filter(docFilter)
+        .select(col("doc_id"), col("text")))
+      .select("h").distinct()
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "h").sortBy("h")
+      .saveAsTable(s"${tablePrefix}_grams")
+
+  /** Fold an increment's grams into the persisted index: the NEW distinct
+    * hashes (anti-joined against the index, key-equi, exchange-free on
+    * the index side) append INTO the existing bucket spec — existing
+    * files are never rewritten. After the append, the index equals a
+    * full rebuild over the union corpus bit-for-bit (DedupSpec pins it):
+    * unlike the ANN fits there is no drift contract, because the index
+    * IS the exact distinct-hash set. */
+  def appendGramIndex(docs: DataFrame, tablePrefix: String): Unit = {
+    val s = docs.sparkSession
+    val buckets = s.sessionState.catalog
+      .getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${tablePrefix}_grams"))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"${tablePrefix}_grams is not bucketed — not a gram index"))
+    gramStream(docs).select("h").distinct()
+      .join(s.table(s"${tablePrefix}_grams"), Seq("h"), "left_anti")
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "h").sortBy("h")
+      .saveAsTable(s"${tablePrefix}_grams")
+  }
+
+  /** Rewrite an increment against the persisted gram index — the
+    * daily-crawl form of `x_dedup_rewrite`: a gram is cut when its hash
+    * is IN THE INDEX (a history cross-document duplicate, since ids are
+    * disjoint across crawls) or duplicated ACROSS the increment itself.
+    * That is exactly the gram set the full-corpus rewrite would cut for
+    * these documents, so increment verdicts equal a full rebuild
+    * restricted to the increment — provably, not approximately
+    * (DedupSpec pins the equality). History documents are immutable by
+    * contract (rewriting them would require the reverse probe); only the
+    * increment is gram-hashed, and the only corpus-scale operand — the
+    * index — is read with its bucketing, no exchange. */
+  def rewriteAgainstGramIndex(docs: DataFrame, tablePrefix: String): DataFrame = {
+    val s = docs.sparkSession
+    val grams = gramStream(docs)
+    val inIndex = grams.join(s.table(s"${tablePrefix}_grams"), Seq("h"), "left_semi")
+    val dupInBatch = grams.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
+    val inBatch = grams.join(dupInBatch, Seq("h"))
+    rewriteWithCoverage(docs, gramCoverage(
+      inIndex.select("doc_id", "pos").unionByName(inBatch.select("doc_id", "pos"))))
   }
 
   val oracle: Map[String, String] = Map(

@@ -145,6 +145,25 @@ object Streams {
       sink(graft.queries.Dedup.incrementalDupsOf(batch.toDF(), indexPath), batchId)
     }
 
+  /** Streaming exact-substring rewrite — the continuous twin of
+    * `Dedup.rewriteAgainstGramIndex`: each micro-batch of `(doc_id,
+    * text)` documents is rewritten against the PERSISTED gram index
+    * plus its own batch-mates — one incremental call per batch, which
+    * IS the daily-crawl contract. foreachBatch, not a continuous plan
+    * (dup rollup + reassembly are chained aggregations). Batch-boundary
+    * semantics mirrors sequential increments exactly: within-batch
+    * duplicates are cut in both documents, cross-batch duplicates only
+    * in the later one (history is immutable). With `foldIn` the sink
+    * folds each batch's grams into the index before the next batch, so
+    * a stream equals the same increments applied sequentially
+    * (StreamsSpec pins the equivalence). */
+  def substringRewrite(docs: DataFrame, tablePrefix: String, foldIn: Boolean = false)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.queries.Dedup.rewriteAgainstGramIndex(batch.toDF(), tablePrefix), batchId)
+      if (foldIn) graft.queries.Dedup.appendGramIndex(batch.toDF(), tablePrefix)
+    }
+
   /** Streaming ANN serving — the continuous twin of
     * `Similarity.ivf2SearchAgainstIndex`: each micro-batch of query
     * vectors `(vec_id, embedding)` probes the PERSISTED two-level IVF

@@ -441,4 +441,30 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.exists(_.getLong(1) > 0), "vacuous: nothing removed at gate scale")
     assert(rows.exists(_.getLong(1) == 0), "vacuous: no untouched passthrough doc")
   }
+
+  test("gram index: increment rewrite == full rebuild on the increment; append == rebuilt index") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val inc = docs.filter(col("doc_id") >= 400)
+    Dedup.writeGramIndex(spark, sf, "t_subidx", docFilter = col("doc_id") < 400)
+    val viaIndex = Dedup.rewriteAgainstGramIndex(inc, "t_subidx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val viaFull = Dedup.queries("x_dedup_rewrite")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .filter(_._1 >= 400).sortBy(_._1).toSeq
+    assert(viaIndex == viaFull,
+      "increment rewrite against the frozen index must equal the full-corpus rewrite " +
+        s"restricted to the increment (first diff: ${
+          viaIndex.zip(viaFull).find { case (a, b) => a != b }})")
+    assert(viaIndex.exists(_._2 > 0), "vacuous: increment removed nothing")
+    // append: the folded index equals a rebuilt full-corpus index exactly
+    val before = spark.table("t_subidx_grams").inputFiles.toSet
+    Dedup.appendGramIndex(inc, "t_subidx")
+    assert(spark.table("t_subidx_grams").inputFiles.toSet.intersect(before) == before,
+      "append must never rewrite existing index files")
+    Dedup.writeGramIndex(spark, sf, "t_subidx_full")
+    val appended = spark.table("t_subidx_grams").collect().map(_.getLong(0)).toSet
+    val rebuilt = spark.table("t_subidx_full_grams").collect().map(_.getLong(0)).toSet
+    assert(appended == rebuilt, "appended index must equal a full rebuild bit-for-bit")
+  }
 }

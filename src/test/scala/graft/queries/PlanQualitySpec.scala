@@ -367,6 +367,45 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("gram index: rewrite probe rides the index bucketing, never an exchange") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    spark.sql("DROP TABLE IF EXISTS pqx_sub_grams")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, "pqx_sub_grams"))
+    graft.queries.Dedup.writeGramIndex(spark, sf, "pqx_sub",
+      buckets = 32, docFilter = col("doc_id") < 400)
+    // broadcasts off: the bucketed layout must carry backfill-sized
+    // increments, so the pin holds under pure shuffle joins
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val inc = graft.Engine.table(spark, sf, "documents")
+        .filter(col("doc_id") >= 400).select(col("doc_id"), col("text"))
+      val p = graft.queries.Dedup.rewriteAgainstGramIndex(inc, "pqx_sub")
+        .queryExecution.executedPlan
+      assert(p.collectLeaves().exists(_.toString.contains("pqx_sub")),
+        s"gram index never scanned:\n$p")
+      def rawIndexBelow(n: SparkPlan): Boolean = n match {
+        case leaf if leaf.children.isEmpty => leaf.toString.contains("pqx_sub")
+        case _: BroadcastHashJoinExec | _: SortMergeJoinExec | _: ShuffledHashJoinExec => false
+        case other => other.children.exists(rawIndexBelow)
+      }
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!rawIndexBelow(e.child), s"gram index re-shuffled under:\n$e"))
+      p.collect { case b: BroadcastExchangeExec => b }.foreach(b =>
+        assert(!rawIndexBelow(b.child), s"gram index broadcast raw:\n$b"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS pqx_sub_grams")
+    }
+  }
+
   /** Count Spark jobs started while `f` runs, via a SparkListener's
     * onJobStart — visible to EVERY job regardless of its job group
     * (statusTracker.getJobIdsForGroup(null) is blind to jobs submitted

@@ -465,6 +465,46 @@ class StreamsSpec extends SparkSpecBase {
       s"stream-only: ${got.toSet.diff(expected)}; backfill-only: ${expected.diff(got.toSet)}")
   }
 
+  test("streaming substring rewrite with fold-in == the same increments applied sequentially") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two fresh indexes from the same history so stream and sequential
+    // paths evolve independently
+    for (t <- Seq("st_sub_grams", "sq_sub_grams")) spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.queries.Dedup.writeGramIndex(spark, sf, "st_sub", docFilter = col("doc_id") < 400)
+    graft.queries.Dedup.writeGramIndex(spark, sf, "sq_sub", docFilter = col("doc_id") < 400)
+    val newDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") >= 400).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+    // sequential reference: rewrite b1, fold b1 in, rewrite b2
+    def seqRewrite(batch: Seq[(Long, String)]) = {
+      val df = batch.toDF("doc_id", "text")
+      val out = graft.queries.Dedup.rewriteAgainstGramIndex(df, "sq_sub")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      graft.queries.Dedup.appendGramIndex(df, "sq_sub")
+      out
+    }
+    val expected = (seqRewrite(b1.toIndexedSeq) ++ seqRewrite(b2.toIndexedSeq)).toSet
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = Streams.substringRewrite(in.toDF().toDF("doc_id", "text"), "st_sub",
+      foldIn = true) { (out, _) =>
+      got.synchronized {
+        got ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      }
+      ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected,
+      s"stream-only: ${got.toSet.diff(expected).take(3)}; seq-only: ${expected.diff(got.toSet).take(3)}")
+    assert(got.exists(_._2 > 0), "vacuous: stream removed nothing")
+    for (t <- Seq("st_sub_grams", "sq_sub_grams")) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("streaming gopher gate passes exactly the batch battery's passing docs across a split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
