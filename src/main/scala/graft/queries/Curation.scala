@@ -56,6 +56,22 @@ object Curation {
           (sum("kept").cast("double") / count(lit(1))).as("rate"))
         .orderBy("lang")),
 
+    // -- DSIR importance resampling (Xie et al. 2023): select the docs
+    //    whose hashed-n-gram feature distribution looks most like a
+    //    TARGET domain (here lang='en' as the quality proxy, raw = the
+    //    whole corpus). Per-doc log importance weight = Σ_features
+    //    ln p_target(b) − ln p_raw(b) over 64 md5-hashed unigram buckets
+    //    (Laplace-smoothed), then Gumbel-top-k resampling with md5-seeded
+    //    noise — the published algorithm, deterministic end-to-end.
+    //    Scale shape: both feature distributions are 64-ROW broadcast
+    //    relations (partial-agg bucket counts); the corpus pays one
+    //    explode + groupBy(doc, bucket) pass — the exchange is
+    //    O(docs × 64) at any corpus size — and selection is a global
+    //    top-k (TakeOrderedAndProject), never a full sort. ln() is
+    //    floor-quantized and per-bucket contributions sum in bucket
+    //    order, so the double keys reproduce bit-for-bit in DuckDB.
+    "x_cur_dsir" -> ((s, d) => dsir(s, d)),
+
     // -- benchmark contamination: word-3-gram overlap between each corpus
     //    document and a held-out benchmark set (docs 0..19 here). The
     //    benchmark shingle set is tiny → broadcast; the corpus side stays
@@ -368,6 +384,51 @@ object Curation {
     * flip the oracle hash). A production deployment passes its real
     * per-file budget (e.g. ~500 MB of shard). Pinned at four corpus
     * sizes + a production budget in CurationSpec. */
+  private def lnq(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(log(x) * lit(1000000.0)) / lit(1000000.0)
+
+  /** DSIR — see the x_cur_dsir entry. The importance weight uses
+    * hashed word-unigram features (md5long60(w) % 64; DSIR's paper uses
+    * hashed bigrams over a 10^4 space — the bucket count is a corpus-
+    * scale knob, the mechanism is identical). Gumbel keys: u is the
+    * md5-60-bit doc hash mapped into (0,1) with a +0.5 offset so
+    * neither ln can hit 0 or -inf; each ln floor-quantizes BEFORE
+    * negation, so the inner value is strictly negative (≤ -1e-6) for
+    * every u < 1 and the outer ln is always finite. Top-64 selected. */
+  private def dsir(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Md5Long60.register(s)
+    val docs = table(s, d, "documents")
+    val tok = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("lang"), expr("md5long60(w) % 64").as("b"))
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
+    val totr = raw.agg(coalesce(sum("cr"), lit(0L)).as("tr"))
+    val tott = tgt.agg(coalesce(sum("ct"), lit(0L)).as("tt"))
+    // 64-row broadcast log-ratio relation; target ⊆ raw buckets, so
+    // anchoring on raw keeps scoring total
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(totr)).crossJoin(broadcast(tott))
+      .select(col("b"),
+        (lnq((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("tt") + lit(64.0))) -
+          lnq((col("cr") + lit(1.0)) / (col("tr") + lit(64.0)))).as("lr"))
+    val lw = tok.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      .join(broadcast(lr), Seq("b"))
+      .select(col("doc_id"), col("b"), (col("tf").cast("double") * col("lr")).as("c"))
+      .groupBy("doc_id")
+      .agg(expr("aggregate(transform(array_sort(collect_list(struct(b, c))), p -> p.c), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("lw"))
+    val u = (expr("md5long60(CAST(doc_id AS STRING))").cast("double") + lit(0.5)) /
+      lit(1152921504606846976.0)
+    docs.select(col("doc_id"), col("lang"))
+      .join(lw, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), coalesce(col("lw"), lit(0.0)).as("lw"),
+        (-lnq(-lnq(u))).as("g"))
+      .withColumn("gkey", col("lw") + col("g"))
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(64)
+  }
+
   private[queries] def targetShards(textByteMass: Long, byteBudget: Long = 20500L): Long =
     math.max(1L, math.ceil(textByteMass.toDouble / byteBudget).toLong)
 
@@ -655,6 +716,37 @@ object Curation {
         |      (CASE WHEN lang = 'en' THEN '4' ELSE '8' END) THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*) AS rate
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the same quantized-ln / bucket-ordered-fold arithmetic re-derived;
+    // Gumbel keys from the identical md5-60-bit draw
+    "x_cur_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |               ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b
+        |             FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |                   FROM documents)),
+        |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY b),
+        |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tok
+        |        WHERE lang = 'en' GROUP BY b),
+        |totr AS (SELECT coalesce(CAST(sum(cr) AS BIGINT), 0) AS tr FROM raw),
+        |tott AS (SELECT coalesce(CAST(sum(ct) AS BIGINT), 0) AS tt FROM tgt),
+        |lr AS (SELECT raw.b,
+        |         floor(ln((coalesce(tgt.ct, 0) + 1.0) / (tott.tt + 64.0))
+        |               * 1000000.0) / 1000000.0 -
+        |         floor(ln((raw.cr + 1.0) / (totr.tr + 64.0))
+        |               * 1000000.0) / 1000000.0 AS lr
+        |       FROM raw LEFT JOIN tgt USING (b) CROSS JOIN totr CROSS JOIN tott),
+        |tf AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, b),
+        |lw AS (SELECT tf.doc_id,
+        |         list_sum(list(CAST(tf.tf AS DOUBLE) * lr.lr ORDER BY tf.b)) AS lw
+        |       FROM tf JOIN lr USING (b) GROUP BY tf.doc_id),
+        |gk AS (SELECT d.doc_id, d.lang, coalesce(lw.lw, 0.0) AS lw,
+        |         -(floor(ln(-(floor(ln(
+        |             (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+        |               / 1152921504606846976.0) * 1000000.0) / 1000000.0))
+        |           * 1000000.0) / 1000000.0) AS g
+        |       FROM documents d LEFT JOIN lw ON lw.doc_id = d.doc_id)
+        |SELECT doc_id, lang, lw, g, lw + g AS gkey
+        |FROM gk ORDER BY gkey DESC, doc_id LIMIT 64""".stripMargin,
 
     "x_cur_contamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),

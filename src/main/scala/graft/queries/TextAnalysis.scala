@@ -288,6 +288,20 @@ object TextAnalysis {
     //    FOUR stages aggregate in ONE scan (conditional counts + a
     //    count(distinct md5) over the survivors), then unpivot via
     //    stack(); the only shuffled key is the 16-byte content hash
+    // -- Multinomial Naive Bayes classifier, TRAIN + APPLY as one plan:
+    //    the fastText-style linear bag-of-words classifier behind
+    //    model-based quality/domain filtering (GPT-3 / LLaMA data
+    //    pipelines). Train on the md5-split half of the corpus with
+    //    labels from `embeddings`, apply to every document. Scale shape:
+    //    the MODEL (vocab × labels likelihood grid + priors) is
+    //    vocabulary-bounded and BROADCAST; the corpus pays one
+    //    explode+partial-agg tf pass, a key-equi join against the
+    //    broadcast grid, and a per-(doc,label) ordered fold — nothing
+    //    corpus-sized is ever on the build side. ln() is floor-quantized
+    //    (the BM25 pattern) and per-term contributions sum in w-order,
+    //    so the double scores reproduce bit-for-bit in DuckDB.
+    "x_text_nb_classify" -> ((s, d) => nbClassify(s, d)),
+
     "x_text_funnel" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val alpha = (length(regexp_replace(col("text"), "[^A-Za-z ]", "")).cast("double") /
@@ -319,6 +333,77 @@ object TextAnalysis {
       .select(col("doc_id").as("qid"), explode(expr("slice(ws, 1, 3)")).as("w"))
       .distinct()
     bm25Core(q, bm25Tf(t), bm25Dl(t), bm25Stats(bm25Dl(t)), k = 10)
+  }
+
+  /** Multinomial Naive Bayes train + apply — see the x_text_nb_classify
+    * entry. Labels come from `embeddings` (vec_id aligns with doc_id);
+    * the train split is the stable md5-hex threshold (backfill- and
+    * recrawl-deterministic, the x_cur_split rule). Out-of-vocabulary
+    * apply-time tokens are IGNORED (the standard multinomial-NB choice;
+    * every label drops the same tokens, so the argmax is unaffected by
+    * any per-label constant for them). Output bounded to doc_id < 150. */
+  private def nbClassify(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    val labels = table(s, d, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
+    val train = labels.filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+    nbPredictOf(docs, labels, nbFit(docs, train))
+      .filter(col("doc_id") < 150).orderBy("doc_id")
+  }
+
+  /** The broadcastable NB model: a dense (label, w, lw) log-likelihood
+    * grid over the TRAIN vocabulary — Laplace add-one, lw floor-quantized
+    * — plus (label, lp) log-priors. Dense matters: a label that never
+    * saw w still scores ln(1/(toks+V)) for it, which the grid's left
+    * join + coalesce(c, 0) materializes; with a sparse grid those rows
+    * would silently vanish from the fold. */
+  private[graft] case class NbModel(grid: DataFrame, priors: DataFrame)
+
+  private def lnq(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(log(x) * lit(1000000.0)) / lit(1000000.0)
+
+  private[graft] def nbFit(docs: DataFrame, train: DataFrame): NbModel = {
+    val tf = bm25Tf(docs.select(col("doc_id"), split(col("text"), " ").as("ws")))
+    val ttf = tf.join(train, Seq("doc_id"))
+      .groupBy("label", "w").agg(sum(col("tf").cast("long")).as("c"))
+    val vocab = ttf.select("w").distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val lstats = ttf.groupBy("label").agg(sum("c").as("toks"))
+    val grid = vocab.crossJoin(broadcast(lstats)).crossJoin(broadcast(vsize))
+      .join(ttf, Seq("label", "w"), "left")
+      .select(col("label"), col("w"),
+        lnq((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("toks") + col("v")).cast("double")).as("lw"))
+    val nd = train.groupBy("label").agg(count(lit(1)).as("ndocs"))
+    val nt = train.agg(count(lit(1)).as("n"))
+    val priors = nd.crossJoin(broadcast(nt))
+      .select(col("label"), lnq(col("ndocs").cast("double") / col("n")).as("lp"))
+    NbModel(grid, priors)
+  }
+
+  /** Score + argmax every document against a frozen [[NbModel]]. TOTAL:
+    * starts from the documents relation, so a doc with zero in-vocab
+    * tokens still gets the prior-only argmax. Per-doc verdicts are pure
+    * functions of (doc, model) — micro-batching the docs cannot change
+    * them, which the streaming twin relies on. */
+  private[graft] def nbPredictOf(docs: DataFrame, labels: DataFrame,
+      m: NbModel): DataFrame = {
+    val tf = bm25Tf(docs.select(col("doc_id"), split(col("text"), " ").as("ws")))
+    val folded = tf.join(broadcast(m.grid), Seq("w"))
+      .select(col("doc_id"), col("label"), col("w"),
+        (col("tf").cast("double") * col("lw")).as("c"))
+      .groupBy("doc_id", "label")
+      .agg(expr("aggregate(transform(array_sort(collect_list(struct(w, c))), p -> p.c), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("ll"))
+    val scored = docs.select("doc_id").crossJoin(broadcast(m.priors))
+      .join(folded, Seq("doc_id", "label"), "left")
+      .select(col("doc_id"), col("label"),
+        (col("lp") + coalesce(col("ll"), lit(0.0))).as("score"))
+    scored.groupBy("doc_id")
+      .agg(max(struct(col("score").as("s"), (-col("label")).as("nl"))).as("m"))
+      .select(col("doc_id"), (-col("m.nl")).as("pred"), col("m.s").as("score"))
+      .join(labels, Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("pred"), col("score"))
   }
 
   /** (doc_id, w, tf) — the postings relation, one partial-agg pass. */
@@ -628,6 +713,45 @@ object TextAnalysis {
         |           FROM scored)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // the same model arithmetic re-derived end-to-end: quantized ln,
+    // dense vocab×label grid, w-ordered contribution sums, argmax with
+    // the label-ASC tie-break that mirrors max(struct(score, -label))
+    "x_text_nb_classify" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |tfc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |        FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w),
+        |lab AS (SELECT vec_id AS doc_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |tr AS (SELECT doc_id, label FROM lab
+        |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        |ttf AS (SELECT label, w, CAST(sum(tf) AS BIGINT) AS c
+        |        FROM tfc JOIN tr USING (doc_id) GROUP BY label, w),
+        |voc AS (SELECT DISTINCT w FROM ttf),
+        |vc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+        |ls AS (SELECT label, CAST(sum(c) AS BIGINT) AS toks FROM ttf GROUP BY label),
+        |grid AS (SELECT ls.label, voc.w,
+        |           floor(ln((coalesce(ttf.c, 0) + 1.0) / CAST(ls.toks + vc.v AS DOUBLE))
+        |                 * 1000000.0) / 1000000.0 AS lw
+        |         FROM voc CROSS JOIN ls CROSS JOIN vc
+        |         LEFT JOIN ttf ON ttf.label = ls.label AND ttf.w = voc.w),
+        |nd AS (SELECT label, CAST(count(*) AS BIGINT) AS ndocs FROM tr GROUP BY label),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+        |pri AS (SELECT nd.label,
+        |          floor(ln(CAST(nd.ndocs AS DOUBLE) / CAST(nt.n AS DOUBLE))
+        |                * 1000000.0) / 1000000.0 AS lp
+        |        FROM nd CROSS JOIN nt),
+        |folded AS (SELECT tfc.doc_id, g.label, list_sum(list(CAST(tfc.tf AS DOUBLE) * g.lw
+        |                    ORDER BY tfc.w)) AS ll
+        |           FROM tfc JOIN grid g ON tfc.w = g.w GROUP BY tfc.doc_id, g.label),
+        |scored AS (SELECT dd.doc_id, p.label, p.lp + coalesce(f.ll, 0.0) AS score
+        |           FROM (SELECT doc_id FROM documents) dd CROSS JOIN pri p
+        |           LEFT JOIN folded f ON f.doc_id = dd.doc_id AND f.label = p.label),
+        |ranked AS (SELECT doc_id, label, score,
+        |             row_number() OVER (PARTITION BY doc_id
+        |               ORDER BY score DESC, label ASC) AS rk FROM scored)
+        |SELECT r.doc_id, lab.label, r.label AS pred, r.score
+        |FROM ranked r JOIN lab ON lab.doc_id = r.doc_id
+        |WHERE r.rk = 1 AND r.doc_id < 150 ORDER BY r.doc_id""".stripMargin,
 
     "x_text_bpe_pairs" ->
       """WITH t AS (SELECT string_split(text, ' ') ws FROM documents),

@@ -439,6 +439,49 @@ class CurationSpec extends SparkSpecBase {
     assert(red.exists(_.getLong(1) > 0), "vacuous: no redactions at gate scale")
   }
 
+  test("dsir: selection matches a driver-side recompute of weights and Gumbel keys") {
+    val rows = Curation.queries("x_cur_dsir")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 64)
+
+    def lnq(x: Double): Double = math.floor(math.log(x) * 1000000.0) / 1000000.0
+    def h(s: String): Long = graft.functions.Md5Long60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    val docs = graft.Engine.table(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val tok = docs.flatMap { case (id, lang, text) =>
+      text.split(" ").map(w => (id, lang, h(w) % 64)) }
+    val raw = tok.groupBy(_._3).map { case (b, g) => b -> g.length.toLong }
+    val tgt = tok.filter(_._2 == "en").groupBy(_._3).map { case (b, g) => b -> g.length.toLong }
+    val (tr, tt) = (raw.values.sum, tgt.values.sum)
+    val lr = raw.map { case (b, cr) =>
+      b -> (lnq((tgt.getOrElse(b, 0L) + 1.0) / (tt + 64.0)) -
+        lnq((cr + 1.0) / (tr + 64.0))) }
+    val keyed = docs.map { case (id, lang, text) =>
+      val tf = text.split(" ").map(w => h(w) % 64)
+        .groupBy(identity).map { case (b, g) => b -> g.length.toLong }
+      val lw = tf.toSeq.sortBy(_._1)
+        .foldLeft(0.0) { case (a, (b, n)) => a + n.toDouble * lr(b) }
+      val g = -lnq(-lnq((h(id.toString).toDouble + 0.5) / 1152921504606846976.0))
+      (id, lang, lw, g, lw + g)
+    }
+    val expect = keyed.sortBy { case (id, _, _, _, k) => (-k, id) }.take(64)
+    assert(rows.map(_._1).toSet == expect.map(_._1).toSet,
+      "selected top-64 diverges from the driver recompute")
+    val byId = keyed.map(t => t._1 -> t).toMap
+    rows.foreach { case (id, lang, lw, g, k) =>
+      val e = byId(id)
+      assert(lang == e._2 && lw == e._3 && g == e._4 && k == e._5,
+        s"doc $id: ($lw, $g, $k) vs driver (${e._3}, ${e._4}, ${e._5})")
+    }
+    // non-vacuous: the target distribution must pull en docs upward
+    val enLw = keyed.filter(_._2 == "en").map(_._3)
+    val otherLw = keyed.filter(_._2 != "en").map(_._3)
+    assert(enLw.sum / enLw.length > otherLw.sum / otherLw.length,
+      "en docs not upweighted — the importance weight is vacuous")
+  }
+
   test("source cap: keeps exactly the 20 md5-first docs per source, driver-recomputed") {
     val rows = Curation.queries("x_cur_source_cap")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

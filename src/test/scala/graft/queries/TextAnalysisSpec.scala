@@ -74,6 +74,50 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("naive bayes: predictions and scores match a full driver-side recompute") {
+    val got = TextAnalysis.queries("x_text_nb_classify")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+
+    def lnq(x: Double): Double = math.floor(math.log(x) * 1000000.0) / 1000000.0
+    def md5hex1(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x".substring(0, 1)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("text")).split(" ").toSeq).toMap
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getInt(r.fieldIndex("label")).toLong).toMap
+    val train = labels.filter { case (id, _) => md5hex1(id.toString) < "8" }
+    // model: per-(label, w) counts over train docs, dense over the vocab
+    val ttf = train.toSeq.flatMap { case (id, y) => docs(id).map(w => (y, w)) }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val vocab = ttf.keySet.map(_._2)
+    val toks = ttf.groupBy(_._1._1).map { case (y, g) => y -> g.values.sum }
+    val ls = toks.keys.toSeq.sorted
+    val priors = train.groupBy(_._2).map { case (y, g) =>
+      y -> lnq(g.size.toDouble / train.size.toDouble) }
+    def lw(y: Long, w: String): Double =
+      lnq((ttf.getOrElse((y, w), 0L) + 1.0) / (toks(y) + vocab.size).toDouble)
+    for ((id, (lab, pred, score)) <- got) {
+      assert(lab == labels(id))
+      val tf = docs(id).groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val scores = ls.map { y =>
+        val fold = tf.filter(v => vocab(v._1)).toSeq.sortBy(_._1)
+          .foldLeft(0.0) { case (a, (w, n)) => a + n.toDouble * lw(y, w) }
+        y -> (priors(y) + fold)
+      }
+      val best = scores.maxBy { case (y, sc) => (sc, -y) }
+      assert(pred == best._1, s"doc $id: pred $pred vs driver ${best._1}")
+      assert(score == best._2, s"doc $id: score $score vs driver ${best._2}")
+    }
+    // non-vacuous: above uniform chance on the gate corpus (labels are
+    // embedding-space cluster ids — the text signal is weak by design;
+    // the mechanism, not the synthetic signal strength, is what's gated)
+    val acc = got.values.count { case (lab, pred, _) => lab == pred }.toDouble / got.size
+    assert(acc > 1.0 / ls.size, s"accuracy $acc not above uniform chance (${ls.size} labels)")
+  }
+
   test("bpe pair counts match a driver-side recompute from the raw text") {
     val got = TextAnalysis.queries("x_text_bpe_pairs")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
