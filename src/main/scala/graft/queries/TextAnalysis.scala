@@ -302,6 +302,21 @@ object TextAnalysis {
     //    so the double scores reproduce bit-for-bit in DuckDB.
     "x_text_nb_classify" -> ((s, d) => nbClassify(s, d)),
 
+    // -- CCNet-style LM perplexity filter: a char-trigram language model
+    //    per LANGUAGE, trained on the md5-split half, scores every
+    //    document's cross-entropy; docs bucket into head/middle/tail by
+    //    per-language tertile thresholds (CCNet's split, used to keep
+    //    head+middle for training). Scale shape: the LM (per-lang
+    //    trigram/bigram-context counts + vocab sizes) is
+    //    vocabulary-bounded and BROADCAST; the corpus pays one in-row
+    //    trigram expansion + partial-agg tf pass per side (fit + apply —
+    //    the two inherent passes); thresholds are rank arithmetic over
+    //    the SKINNY (doc, lang, H) relation windowed per language (the
+    //    x_text_percentiles shape — swap approx_percentile in at
+    //    petabyte scale, the gated sketch precedent). Quantized ln +
+    //    tri-ordered folds ⇒ hash-exact in DuckDB.
+    "x_text_ccnet_ppl" -> ((s, d) => ccnetPpl(s, d)),
+
     "x_text_funnel" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val alpha = (length(regexp_replace(col("text"), "[^A-Za-z ]", "")).cast("double") /
@@ -404,6 +419,60 @@ object TextAnalysis {
       .select(col("doc_id"), (-col("m.nl")).as("pred"), col("m.s").as("score"))
       .join(labels, Seq("doc_id"))
       .select(col("doc_id"), col("label"), col("pred"), col("score"))
+  }
+
+  /** CCNet-style perplexity bucketing — see the x_text_ccnet_ppl entry.
+    * Add-one smoothing over the per-language train-trigram vocabulary:
+    * logp(tri) = lnq((c(lang,tri)+1)/(c(lang,bi)+V_lang)) where the
+    * bigram-context count derives from the trigram counts (no second
+    * fit pass) and unseen trigrams/contexts coalesce to 0 — every
+    * apply-time trigram scores, nothing silently drops. H(d) =
+    * -(Σ tf·logp)/n_tri, folded in trigram order. Docs shorter than 3
+    * chars stay TOTAL via the anchor left join (H = 0, n_tri = 0). */
+  private def ccnetPpl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, d, "documents")
+    val tris = docs.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(
+        expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
+    val train = tris.filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+    val tm = train.groupBy("lang", "tri").agg(count(lit(1)).as("ct"))
+    val bm = tm.groupBy(col("lang"), substring(col("tri"), 1, 2).as("bi"))
+      .agg(sum("ct").as("cb"))
+    val vs = tm.groupBy("lang").agg(count(lit(1)).as("v"))
+    val contrib = tris.groupBy("doc_id", "lang", "tri").agg(count(lit(1)).as("tf"))
+      .withColumn("bi", substring(col("tri"), 1, 2))
+      .join(broadcast(tm), Seq("lang", "tri"), "left")
+      .join(broadcast(bm), Seq("lang", "bi"), "left")
+      .join(broadcast(vs), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("tri"), col("tf"),
+        (col("tf").cast("double") *
+          lnq((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("cb"), lit(0L)) + col("v")).cast("double"))).as("c"))
+    val h = contrib.groupBy("doc_id", "lang")
+      .agg(
+        expr("aggregate(transform(array_sort(collect_list(struct(tri, c))), p -> p.c), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("ll"),
+        sum("tf").as("n_tri"))
+    val anchored = docs.select("doc_id", "lang").join(h, Seq("doc_id", "lang"), "left")
+      .select(col("doc_id"), col("lang"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(coalesce(col("n_tri"), lit(0L)) > 0, -col("ll") / col("n_tri"))
+          .otherwise(lit(0.0)).as("h"))
+    val thr = anchored
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+      .groupBy("lang")
+      .agg(
+        max(when(col("rn") === expr("1L + (cnt - 1L) div 3L"), col("h"))).as("t1"),
+        max(when(col("rn") === expr("1L + ((cnt - 1L) * 2L) div 3L"), col("h"))).as("t2"))
+    anchored.join(broadcast(thr), Seq("lang"))
+      .withColumn("bucket",
+        when(col("h") <= col("t1"), "head")
+          .when(col("h") <= col("t2"), "middle").otherwise("tail"))
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"), col("lang"), col("n_tri"), col("h"), col("bucket"))
+      .orderBy("doc_id")
   }
 
   /** (doc_id, w, tf) — the postings relation, one partial-agg pass. */
@@ -713,6 +782,46 @@ object TextAnalysis {
         |           FROM scored)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // the same LM arithmetic re-derived: per-lang trigram/context
+    // counts on the md5 train half, quantized ln, tri-ordered folds,
+    // rank-arithmetic tertile thresholds per language
+    "x_text_ccnet_ppl" ->
+      """WITH tris AS (SELECT doc_id, lang, unnest(list_transform(
+        |         generate_series(1, length(text) - 2), i -> substr(text, i, 3))) AS tri
+        |       FROM documents WHERE length(text) >= 3),
+        |tr AS (SELECT * FROM tris
+        |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+        |tm AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS ct FROM tr GROUP BY lang, tri),
+        |bm AS (SELECT lang, substr(tri, 1, 2) AS bi, CAST(sum(ct) AS BIGINT) AS cb
+        |       FROM tm GROUP BY lang, substr(tri, 1, 2)),
+        |vs AS (SELECT lang, CAST(count(*) AS BIGINT) AS v FROM tm GROUP BY lang),
+        |tf AS (SELECT doc_id, lang, tri, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tris GROUP BY doc_id, lang, tri),
+        |contrib AS (SELECT tf.doc_id, tf.lang, tf.tri, tf.tf,
+        |    CAST(tf.tf AS DOUBLE) * (floor(ln((coalesce(tm.ct, 0) + 1.0) /
+        |       CAST(coalesce(bm.cb, 0) + vs.v AS DOUBLE)) * 1000000.0) / 1000000.0) AS c
+        |  FROM tf LEFT JOIN tm ON tm.lang = tf.lang AND tm.tri = tf.tri
+        |  LEFT JOIN bm ON bm.lang = tf.lang AND bm.bi = substr(tf.tri, 1, 2)
+        |  JOIN vs ON vs.lang = tf.lang),
+        |hh AS (SELECT doc_id, lang, list_sum(list(c ORDER BY tri)) AS ll,
+        |         CAST(sum(tf) AS BIGINT) AS n_tri
+        |       FROM contrib GROUP BY doc_id, lang),
+        |anch AS (SELECT d.doc_id, d.lang, coalesce(hh.n_tri, 0) AS n_tri,
+        |    CASE WHEN coalesce(hh.n_tri, 0) > 0 THEN -hh.ll / hh.n_tri
+        |         ELSE 0.0 END AS h
+        |  FROM documents d LEFT JOIN hh ON hh.doc_id = d.doc_id AND hh.lang = d.lang),
+        |r AS (SELECT lang, doc_id, h,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS cnt FROM anch),
+        |thr AS (SELECT lang, max(CASE WHEN rn = 1 + (cnt - 1) // 3 THEN h END) AS t1,
+        |          max(CASE WHEN rn = 1 + ((cnt - 1) * 2) // 3 THEN h END) AS t2
+        |        FROM r GROUP BY lang)
+        |SELECT a.doc_id, a.lang, a.n_tri, a.h,
+        |  CASE WHEN a.h <= t.t1 THEN 'head'
+        |       WHEN a.h <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM anch a JOIN thr t USING (lang)
+        |WHERE a.doc_id < 150 ORDER BY a.doc_id""".stripMargin,
 
     // the same model arithmetic re-derived end-to-end: quantized ln,
     // dense vocab×label grid, w-ordered contribution sums, argmax with

@@ -118,6 +118,55 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(acc > 1.0 / ls.size, s"accuracy $acc not above uniform chance (${ls.size} labels)")
   }
 
+  test("ccnet perplexity: entropy and buckets match a full driver-side recompute") {
+    val got = TextAnalysis.queries("x_text_ccnet_ppl")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .toMap
+    assert(got.size == 150)
+
+    def lnq(x: Double): Double = math.floor(math.log(x) * 1000000.0) / 1000000.0
+    def md5hex1(s: String): String = {
+      val dg = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      f"${dg(0) & 0xff}%02x".substring(0, 1)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => (r.getLong(0), r.getString(r.fieldIndex("lang")),
+        r.getString(r.fieldIndex("text"))))
+    def trisOf(t: String): Seq[String] =
+      if (t.length < 3) Seq.empty else (1 to t.length - 2).map(i => t.substring(i - 1, i + 2))
+    val train = docs.filter(d => md5hex1(d._1.toString) < "8")
+    val tm = train.flatMap { case (_, lang, t) => trisOf(t).map(tri => (lang, tri)) }
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val bm = tm.groupBy { case ((lang, tri), _) => (lang, tri.substring(0, 2)) }
+      .map { case (k, g) => k -> g.values.sum }
+    val vs = tm.keys.groupBy(_._1).map { case (lang, g) => lang -> g.size.toLong }
+    val hAll = docs.map { case (id, lang, t) =>
+      val tf = trisOf(t).groupBy(identity).map { case (tri, g) => tri -> g.size.toLong }
+      val n = tf.values.sum
+      val ll = tf.toSeq.sortBy(_._1).foldLeft(0.0) { case (a, (tri, c)) =>
+        a + c.toDouble * lnq((tm.getOrElse((lang, tri), 0L) + 1.0) /
+          (bm.getOrElse((lang, tri.substring(0, 2)), 0L) + vs(lang)).toDouble)
+      }
+      (id, lang, n, if (n > 0) -ll / n else 0.0)
+    }
+    val thr = hAll.groupBy(_._2).map { case (lang, g) =>
+      val sorted = g.sortBy(x => (x._4, x._1)).map(_._4)
+      val cnt = sorted.length.toLong
+      lang -> (sorted((1 + (cnt - 1) / 3).toInt - 1),
+        sorted((1 + (cnt - 1) * 2 / 3).toInt - 1))
+    }
+    for ((id, lang, n, hExp) <- hAll if id < 150) {
+      val (glang, gn, gh, gbucket) = got(id)
+      assert(glang == lang && gn == n, s"doc $id meta")
+      assert(gh == hExp, s"doc $id: h $gh vs driver $hExp")
+      val (t1, t2) = thr(lang)
+      val bExp = if (hExp <= t1) "head" else if (hExp <= t2) "middle" else "tail"
+      assert(gbucket == bExp, s"doc $id: bucket $gbucket vs driver $bExp")
+    }
+    // non-vacuous: tertile split realizes all three buckets
+    assert(got.values.map(_._4).toSet == Set("head", "middle", "tail"))
+  }
+
   test("bpe pair counts match a driver-side recompute from the raw text") {
     val got = TextAnalysis.queries("x_text_bpe_pairs")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
