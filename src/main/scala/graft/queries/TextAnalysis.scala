@@ -372,7 +372,7 @@ object TextAnalysis {
     * saw w still scores ln(1/(toks+V)) for it, which the grid's left
     * join + coalesce(c, 0) materializes; with a sparse grid those rows
     * would silently vanish from the fold. */
-  private[graft] case class NbModel(grid: DataFrame, priors: DataFrame)
+  case class NbModel(grid: DataFrame, priors: DataFrame)
 
   private def lnq(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(log(x) * lit(1000000.0)) / lit(1000000.0)
@@ -396,13 +396,13 @@ object TextAnalysis {
     NbModel(grid, priors)
   }
 
-  /** Score + argmax every document against a frozen [[NbModel]]. TOTAL:
-    * starts from the documents relation, so a doc with zero in-vocab
-    * tokens still gets the prior-only argmax. Per-doc verdicts are pure
-    * functions of (doc, model) — micro-batching the docs cannot change
-    * them, which the streaming twin relies on. */
-  private[graft] def nbPredictOf(docs: DataFrame, labels: DataFrame,
-      m: NbModel): DataFrame = {
+  /** Score + argmax every document against a frozen [[NbModel]] —
+    * (doc_id, pred, score). TOTAL: starts from the documents relation,
+    * so a doc with zero in-vocab tokens still gets the prior-only
+    * argmax. Per-doc verdicts are pure functions of (doc, model) —
+    * micro-batching the docs cannot change them, which the streaming
+    * twin (Streams.nbClassify) relies on. */
+  private[graft] def nbScoreOf(docs: DataFrame, m: NbModel): DataFrame = {
     val tf = bm25Tf(docs.select(col("doc_id"), split(col("text"), " ").as("ws")))
     val folded = tf.join(broadcast(m.grid), Seq("w"))
       .select(col("doc_id"), col("label"), col("w"),
@@ -417,9 +417,13 @@ object TextAnalysis {
     scored.groupBy("doc_id")
       .agg(max(struct(col("score").as("s"), (-col("label")).as("nl"))).as("m"))
       .select(col("doc_id"), (-col("m.nl")).as("pred"), col("m.s").as("score"))
+  }
+
+  private[graft] def nbPredictOf(docs: DataFrame, labels: DataFrame,
+      m: NbModel): DataFrame =
+    nbScoreOf(docs, m)
       .join(labels, Seq("doc_id"))
       .select(col("doc_id"), col("label"), col("pred"), col("score"))
-  }
 
   /** CCNet-style perplexity bucketing — see the x_text_ccnet_ppl entry.
     * Add-one smoothing over the per-language train-trigram vocabulary:

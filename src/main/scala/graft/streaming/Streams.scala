@@ -213,6 +213,22 @@ object Streams {
       sink(graft.queries.TextAnalysis.bm25SearchOf(batch.toDF(), tablePrefix, k), batchId)
     }
 
+  /** Streaming model-based classification — the continuous twin of
+    * x_text_nb_classify's APPLY stage: each micro-batch of documents
+    * scores against a FROZEN Naive Bayes model (fit once on the
+    * backfill — TextAnalysis.nbFit — exactly like the mixture's
+    * two-pass rate fit) and emits (doc_id, pred, score). Per-doc
+    * verdicts are pure functions of (doc, model): the model grid is a
+    * static broadcast relation, so batch boundaries cannot change any
+    * verdict — stream == one-shot batch (StreamsSpec pins it). This is
+    * the serving shape of a quality/domain classifier gate in a
+    * continuous-ingest pipeline. */
+  def nbClassify(docs: DataFrame, model: graft.queries.TextAnalysis.NbModel)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.queries.TextAnalysis.nbScoreOf(batch.toDF(), model), batchId)
+    }
+
   /** Streaming curation ingest — the continuous-ingest composition of
     * the batch pipeline's PER-DOC stages: blocklist → not-a-duplicate
     * against the persisted minhash index → α-mixture keep, run per

@@ -581,4 +581,38 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(semi.collect().toSeq == lit.collect().toSeq,
       "semi-join regime must emit exactly the literal regime's verdicts")
   }
+
+  test("nb classify: model joins broadcast, argmax by aggregate — no window, no cartesian") {
+    val p = planStr("x_text_nb_classify")
+    assert(!p.contains("Window"),
+      s"per-doc argmax must be max(struct), not a corpus window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degenerate join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocab×label grid must broadcast against the corpus tf:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"tf/model counts not partially aggregated:\n$p")
+  }
+
+  test("dsir: global selection is a top-k, never a full sort; ratio relation broadcasts") {
+    val p = planStr("x_cur_dsir")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Gumbel top-64 must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Window"), s"no corpus window belongs here:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degenerate join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 64-row log-ratio relation must broadcast:\n$p")
+  }
+
+  test("ccnet ppl: tertile windows partition by language, never the whole corpus") {
+    val df = graft.SparkEntry.queries("x_text_ccnet_ppl")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"degenerate join:\n$p")
+    // every window must carry the lang partition spec — a partition-less
+    // window would funnel the corpus through a single partition
+    val specs = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected threshold windows in:\n$p")
+    assert(specs.forall(_.startsWith("lang")),
+      s"window not partitioned by lang: $specs\n$p")
+  }
 }

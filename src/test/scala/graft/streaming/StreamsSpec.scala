@@ -431,6 +431,42 @@ class StreamsSpec extends SparkSpecBase {
     assert(got.size == expected.size, "a verdict was emitted twice across batches")
   }
 
+  test("streaming nb classification: micro-batched docs emit the one-shot batch verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
+    val train = labels.filter(
+      org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5($"doc_id".cast("string")), 1, 1) < "8")
+    // model fit ONCE on the backfill; the stream applies it frozen
+    val model = graft.queries.TextAnalysis.nbFit(docs, train)
+    val expected = graft.queries.TextAnalysis.nbScoreOf(docs, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.size == docs.count())
+
+    val rows = docs.as[(Long, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = Streams.nbClassify(in.toDF().toDF("doc_id", "text"), model) { (verdicts, _) =>
+      got.synchronized {
+        got ++= verdicts.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+      ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected,
+      s"stream-only: ${got.toSet.diff(expected).take(3)}; batch-only: ${expected.diff(got.toSet).take(3)}")
+    assert(got.size == expected.size, "a verdict was emitted twice across batches")
+    // non-vacuous: more than one class is actually predicted
+    assert(got.map(_._2).toSet.size > 1, "degenerate single-class predictions")
+  }
+
   test("incremental dedup: streamed micro-batches emit the backfill's verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
