@@ -377,10 +377,27 @@ object TextAnalysis {
   private def lnq(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(log(x) * lit(1000000.0)) / lit(1000000.0)
 
-  private[graft] def nbFit(docs: DataFrame, train: DataFrame): NbModel = {
-    val tf = bm25Tf(docs.select(col("doc_id"), split(col("text"), " ").as("ws")))
-    val ttf = tf.join(train, Seq("doc_id"))
+  private[graft] def nbFit(docs: DataFrame, train: DataFrame): NbModel =
+    nbModelFromCounts(nbCounts(docs, train),
+      train.groupBy("label").agg(count(lit(1)).as("ndocs")))
+
+  /** (label, w, c) token counts of the labeled train slice — the ONLY
+    * corpus-derived model state. Additive: counts of a doc increment are
+    * exactly the increment's own counts, which is what makes the
+    * persisted-model append path EXACT rather than a drift contract. */
+  private[graft] def nbCounts(docs: DataFrame, train: DataFrame): DataFrame =
+    bm25Tf(docs.select(col("doc_id"), split(col("text"), " ").as("ws")))
+      .join(train, Seq("doc_id"))
       .groupBy("label", "w").agg(sum(col("tf").cast("long")).as("c"))
+
+  /** Derive the broadcastable model from (possibly multi-segment)
+    * counts: vocabulary, per-label token masses and the smoothing
+    * denominator all RE-DERIVE from the counts at build time — so a
+    * model over base+appended counts equals a model refit on the union
+    * corpus, bit for bit. `nd` may likewise carry one row per append
+    * segment; priors re-sum it. */
+  private[graft] def nbModelFromCounts(counts: DataFrame, nd: DataFrame): NbModel = {
+    val ttf = counts.groupBy("label", "w").agg(sum("c").as("c"))
     val vocab = ttf.select("w").distinct()
     val vsize = vocab.agg(count(lit(1)).as("v"))
     val lstats = ttf.groupBy("label").agg(sum("c").as("toks"))
@@ -389,12 +406,55 @@ object TextAnalysis {
       .select(col("label"), col("w"),
         lnq((coalesce(col("c"), lit(0L)) + lit(1.0)) /
           (col("toks") + col("v")).cast("double")).as("lw"))
-    val nd = train.groupBy("label").agg(count(lit(1)).as("ndocs"))
-    val nt = train.agg(count(lit(1)).as("n"))
-    val priors = nd.crossJoin(broadcast(nt))
+    val ndocs = nd.groupBy("label").agg(sum("ndocs").as("ndocs"))
+    val nt = ndocs.agg(sum("ndocs").as("n"))
+    val priors = ndocs.crossJoin(broadcast(nt))
       .select(col("label"), lnq(col("ndocs").cast("double") / col("n")).as("lp"))
     NbModel(grid, priors)
   }
+
+  /** Persist the NB model's ADDITIVE state: `{prefix}_counts` (label, w,
+    * c) bucketed on the term — the only corpus-derived relation — and
+    * `{prefix}_ndocs` (label, ndocs), one row per label per segment.
+    * Everything else (vocab size, token masses, priors) derives at
+    * model-build time, so [[appendNbModel]] stays exact. Train slice =
+    * the same md5-half rule the gated query uses. */
+  def writeNbModel(s: SparkSession, d: String, tablePrefix: String,
+      buckets: Int = 32): Unit = {
+    val docs = table(s, d, "documents").select("doc_id", "text")
+    val train = table(s, d, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+    nbCounts(docs, train).write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "w").saveAsTable(s"${tablePrefix}_counts")
+    train.groupBy("label").agg(count(lit(1)).as("ndocs"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_ndocs")
+  }
+
+  /** Fold a labeled increment into the persisted model: the increment's
+    * own (label, w, c) counts shuffle INTO the counts table's bucket
+    * layout (existing files never rewritten) and its per-label doc
+    * counts append as new `{prefix}_ndocs` rows. Because counts are
+    * additive and everything else re-derives, scoring after append is
+    * EXACTLY a refit on the union corpus. Caller contract: `docs` are
+    * not already folded in. */
+  def appendNbModel(s: SparkSession, tablePrefix: String, docs: DataFrame,
+      train: DataFrame): Unit = {
+    val catalog = s.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${tablePrefix}_counts")
+    val buckets = catalog.getTableMetadata(ident).bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"${tablePrefix}_counts is not bucketed — not a persisted NB model"))
+    nbCounts(docs, train).write.mode("append").format("parquet")
+      .bucketBy(buckets, "w").saveAsTable(s"${tablePrefix}_counts")
+    train.groupBy("label").agg(count(lit(1)).as("ndocs"))
+      .write.mode("append").format("parquet").saveAsTable(s"${tablePrefix}_ndocs")
+  }
+
+  /** Build the scoring model from the persisted state — hand to
+    * [[nbScoreOf]] / Streams.nbClassify for serving. */
+  def nbModelOf(s: SparkSession, tablePrefix: String): NbModel =
+    nbModelFromCounts(s.table(s"${tablePrefix}_counts"), s.table(s"${tablePrefix}_ndocs"))
 
   /** Score + argmax every document against a frozen [[NbModel]] —
     * (doc_id, pred, score). TOTAL: starts from the documents relation,

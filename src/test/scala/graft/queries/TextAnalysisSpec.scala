@@ -308,6 +308,46 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(appended == got, "append must score exactly like the full-corpus index")
   }
 
+  test("persisted NB model: indexed == in-memory; append scores exactly like a refit") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (p <- Seq("nbm", "nbapp"); t <- Seq("_counts", "_ndocs")) {
+      spark.sql(s"DROP TABLE IF EXISTS $p$t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, p + t))
+    }
+    val docs = graft.Engine.table(spark, sf, "documents").select("doc_id", "text")
+    val labels = graft.Engine.table(spark, sf, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
+    val train = labels.filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+
+    TextAnalysis.writeNbModel(spark, sf, "nbm")
+    val mem = TextAnalysis.nbScoreOf(docs, TextAnalysis.nbFit(docs, train))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val idx = TextAnalysis.nbScoreOf(docs, TextAnalysis.nbModelOf(spark, "nbm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(idx == mem, "persisted-model scoring must equal the in-memory fit")
+
+    // append path: fit on the first half's train docs, fold in the rest;
+    // because counts are additive and everything else re-derives, the
+    // appended model must score EXACTLY like a refit on the union
+    val base = java.nio.file.Files.createTempDirectory("graft-nbapp").toString
+    docs.filter(col("doc_id") < 250).write.parquet(s"$base/documents.parquet")
+    labels.filter(col("doc_id") < 250).withColumnRenamed("doc_id", "vec_id")
+      .withColumn("embedding", array(lit(0.0f)))
+      .select("vec_id", "embedding", "label")
+      .write.parquet(s"$base/embeddings.parquet")
+    TextAnalysis.writeNbModel(spark, base, "nbapp")
+    def countFiles(): Set[String] = new java.io.File(warehouse, "nbapp_counts")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = countFiles()
+    TextAnalysis.appendNbModel(spark, "nbapp",
+      docs.filter(col("doc_id") >= 250), train.filter(col("doc_id") >= 250))
+    assert(before.subsetOf(countFiles()), "append must not rewrite existing count files")
+    val appended = TextAnalysis.nbScoreOf(docs, TextAnalysis.nbModelOf(spark, "nbapp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(appended == mem, "appended model must score exactly like the union refit")
+  }
+
   test("BM25: dense ranks, descending scores, self-retrieval, driver-side recompute") {
     val rows = TextAnalysis.queries("x_text_bm25")(spark, sf).collect()
     val byQ = rows.groupBy(_.getLong(0))
