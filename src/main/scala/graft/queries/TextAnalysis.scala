@@ -67,25 +67,10 @@ object TextAnalysis {
 
     // -- language ID: stopword-profile scores + zh via CJK codepoints;
     //    prediction = argmax with deterministic tie-break order
-    "x_text_langid" -> ((s, d) => {
-      val ws = split(col("text"), " ")
-      def score(lang: String) =
-        size(array_intersect(ws, array(markers(lang).map(lit): _*))).cast("long")
-      val zh = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")).cast("long")
-      table(s, d, "documents")
-        .select(col("doc_id"), col("lang"),
-          score("en").as("s_en"), score("fr").as("s_fr"),
-          score("de").as("s_de"), score("es").as("s_es"), zh.as("s_zh"))
-        .withColumn("predicted",
-          when(greatest(col("s_en"), col("s_fr"), col("s_de"), col("s_es"), col("s_zh")) === 0, "und")
-            .when(col("s_zh") >= greatest(col("s_en"), col("s_fr"), col("s_de"), col("s_es")), "zh")
-            .when(col("s_en") >= greatest(col("s_fr"), col("s_de"), col("s_es")), "en")
-            .when(col("s_fr") >= greatest(col("s_de"), col("s_es")), "fr")
-            .when(col("s_de") >= col("s_es"), "de")
-            .otherwise("es"))
+    "x_text_langid" -> ((s, d) =>
+      langidPred(table(s, d, "documents"))
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
-        .orderBy("lang", "predicted")
-    }),
+        .orderBy("lang", "predicted")),
 
     // -- quality scoring: exact per-doc stats on a bounded sample
     "x_text_quality" -> ((s, d) =>
@@ -317,6 +302,20 @@ object TextAnalysis {
     //    tri-ordered folds ⇒ hash-exact in DuckDB.
     "x_text_ccnet_ppl" -> ((s, d) => ccnetPpl(s, d)),
 
+    // -- Dolma-style per-doc quality ATTRIBUTES: the composed annotation
+    //    pass a curation pipeline materializes before filtering — every
+    //    signal tagged side by side (Gopher rule verdict, CCNet
+    //    perplexity bucket, NB class, language ID) plus the composite
+    //    keep rule, as ONE declarative plan. Every stage IS its gated
+    //    standalone core (gopherRules / ccnetBuckets / nbScoreOf /
+    //    langidPred — no re-implementation drift), composed by key-equi
+    //    doc_id joins. Corpus passes: the two scan-side signals fuse
+    //    into narrow projections; the two model stages add their
+    //    inherent fit + apply aggregation passes — nothing else touches
+    //    the corpus, and the oracle recomposes the SAME shared CTE
+    //    fragments the standalone oracles select from.
+    "x_text_attributes" -> ((s, d) => attributes(s, d)),
+
     "x_text_funnel" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val alpha = (length(regexp_replace(col("text"), "[^A-Za-z ]", "")).cast("double") /
@@ -348,6 +347,46 @@ object TextAnalysis {
       .select(col("doc_id").as("qid"), explode(expr("slice(ws, 1, 3)")).as("w"))
       .distinct()
     bm25Core(q, bm25Tf(t), bm25Dl(t), bm25Stats(bm25Dl(t)), k = 10)
+  }
+
+  /** The composed attributes pass — see the x_text_attributes entry. */
+  private def attributes(s: SparkSession, d: String): DataFrame = {
+    val docs = table(s, d, "documents")
+    val train = table(s, d, "embeddings")
+      .select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+    val go = gopherRules(docs).select(col("doc_id"), col("pass").as("gopher_pass"))
+    val cc = ccnetBuckets(s, d).select(col("doc_id"), col("bucket").as("ppl_bucket"))
+    val nb = nbScoreOf(docs.select("doc_id", "text"), nbFit(docs, train))
+      .select(col("doc_id"), col("pred").as("nb_pred"))
+    val li = langidPred(docs).select(col("doc_id"), col("predicted").as("lang_pred"))
+    docs.select("doc_id")
+      .join(go, Seq("doc_id")).join(cc, Seq("doc_id"))
+      .join(nb, Seq("doc_id")).join(li, Seq("doc_id"))
+      .withColumn("keep", col("gopher_pass") && col("ppl_bucket") =!= "tail")
+      .filter(col("doc_id") < 150)
+      .orderBy("doc_id")
+  }
+
+  /** Per-doc n-gram-heuristic language prediction — the projection
+    * behind x_text_langid, exposed unaggregated so the composed
+    * attributes query can join it. Zero-shuffle scan pass. */
+  private[graft] def langidPred(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    def score(lang: String) =
+      size(array_intersect(ws, array(markers(lang).map(lit): _*))).cast("long")
+    val zh = length(regexp_replace(col("text"), "[^\\x{4e00}-\\x{9fff}]", "")).cast("long")
+    docs
+      .select(col("doc_id"), col("lang"),
+        score("en").as("s_en"), score("fr").as("s_fr"),
+        score("de").as("s_de"), score("es").as("s_es"), zh.as("s_zh"))
+      .withColumn("predicted",
+        when(greatest(col("s_en"), col("s_fr"), col("s_de"), col("s_es"), col("s_zh")) === 0, "und")
+          .when(col("s_zh") >= greatest(col("s_en"), col("s_fr"), col("s_de"), col("s_es")), "zh")
+          .when(col("s_en") >= greatest(col("s_fr"), col("s_de"), col("s_es")), "en")
+          .when(col("s_fr") >= greatest(col("s_de"), col("s_es")), "fr")
+          .when(col("s_de") >= col("s_es"), "de")
+          .otherwise("es"))
   }
 
   /** Multinomial Naive Bayes train + apply — see the x_text_nb_classify
@@ -493,7 +532,16 @@ object TextAnalysis {
     * apply-time trigram scores, nothing silently drops. H(d) =
     * -(Σ tf·logp)/n_tri, folded in trigram order. Docs shorter than 3
     * chars stay TOTAL via the anchor left join (H = 0, n_tri = 0). */
-  private def ccnetPpl(s: SparkSession, d: String): DataFrame = {
+  private def ccnetPpl(s: SparkSession, d: String): DataFrame =
+    ccnetBuckets(s, d)
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id"), col("lang"), col("n_tri"), col("h"), col("bucket"))
+      .orderBy("doc_id")
+
+  /** The full per-doc (doc_id, lang, n_tri, h, bucket) relation behind
+    * x_text_ccnet_ppl — unfiltered so the composed attributes query can
+    * join it. */
+  private[graft] def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = table(s, d, "documents")
     val tris = docs.filter(length(col("text")) >= 3)
@@ -534,9 +582,6 @@ object TextAnalysis {
       .withColumn("bucket",
         when(col("h") <= col("t1"), "head")
           .when(col("h") <= col("t2"), "middle").otherwise("tail"))
-      .filter(col("doc_id") < 150)
-      .select(col("doc_id"), col("lang"), col("n_tri"), col("h"), col("bucket"))
-      .orderBy("doc_id")
   }
 
   /** (doc_id, w, tf) — the postings relation, one partial-agg pass. */
@@ -761,7 +806,153 @@ object TextAnalysis {
       .withColumn("pass",
         col("r_nwords") && col("r_wordlen") && col("r_stopword") && col("r_repetition"))
 
+  // ---- shared oracle CTE fragments -------------------------------------
+  // The composed attributes oracle recomposes EXACTLY the fragments the
+  // standalone oracles select from, so the two gates can never drift.
+
+  /** Gopher battery → `go_out(doc_id, n_words, mean_word_len, n_stop,
+    * top_bigram_share, r_*, pass)`. */
+  private val goCtes: String =
+    """go_t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |go_st AS (SELECT doc_id, ws,
+      |  CAST(len(ws) AS BIGINT) n,
+      |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) sumlen,
+      |  CAST(len(list_filter(ws,
+      |    w -> list_contains(['the','a','of','to','and','in','is'], w))) AS BIGINT) n_stop,
+      |  CAST(greatest(len(ws) - 1, 0) AS BIGINT) nbg
+      |  FROM go_t),
+      |go_bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
+      |       FROM go_st, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+      |       WHERE len(ws) >= 2),
+      |go_bc AS (SELECT doc_id, b, count(*) c FROM go_bg GROUP BY 1, 2),
+      |go_tp AS (SELECT doc_id, CAST(max(c) AS BIGINT) best FROM go_bc GROUP BY 1),
+      |go_out AS (SELECT s.doc_id, s.n AS n_words,
+      |  CAST(s.sumlen AS DOUBLE) / s.n AS mean_word_len,
+      |  s.n_stop,
+      |  CASE WHEN s.nbg > 0 THEN CAST(coalesce(tp.best, 0) AS DOUBLE) / s.nbg
+      |       ELSE 0.0 END AS top_bigram_share,
+      |  s.n >= 25 AND s.n <= 90 AS r_nwords,
+      |  s.sumlen * 10 >= s.n * 40 AND s.sumlen * 10 <= s.n * 49 AS r_wordlen,
+      |  s.n_stop >= 2 AS r_stopword,
+      |  coalesce(tp.best, 0) * 100 <= s.nbg * 6 AS r_repetition,
+      |  (s.n >= 25 AND s.n <= 90
+      |   AND s.sumlen * 10 >= s.n * 40 AND s.sumlen * 10 <= s.n * 49
+      |   AND s.n_stop >= 2
+      |   AND coalesce(tp.best, 0) * 100 <= s.nbg * 6) AS pass
+      |FROM go_st s LEFT JOIN go_tp tp USING (doc_id))""".stripMargin
+
+  /** CCNet LM chain → `cc_out(doc_id, lang, n_tri, h, bucket)`. */
+  private val ccCtes: String =
+    """cc_tris AS (SELECT doc_id, lang, unnest(list_transform(
+      |         generate_series(1, length(text) - 2), i -> substr(text, i, 3))) AS tri
+      |       FROM documents WHERE length(text) >= 3),
+      |cc_tr AS (SELECT * FROM cc_tris
+      |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+      |cc_tm AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS ct FROM cc_tr GROUP BY lang, tri),
+      |cc_bm AS (SELECT lang, substr(tri, 1, 2) AS bi, CAST(sum(ct) AS BIGINT) AS cb
+      |       FROM cc_tm GROUP BY lang, substr(tri, 1, 2)),
+      |cc_vs AS (SELECT lang, CAST(count(*) AS BIGINT) AS v FROM cc_tm GROUP BY lang),
+      |cc_tf AS (SELECT doc_id, lang, tri, CAST(count(*) AS BIGINT) AS tf
+      |       FROM cc_tris GROUP BY doc_id, lang, tri),
+      |cc_contrib AS (SELECT tf.doc_id, tf.lang, tf.tri, tf.tf,
+      |    CAST(tf.tf AS DOUBLE) * (floor(ln((coalesce(tm.ct, 0) + 1.0) /
+      |       CAST(coalesce(bm.cb, 0) + vs.v AS DOUBLE)) * 1000000.0) / 1000000.0) AS c
+      |  FROM cc_tf tf LEFT JOIN cc_tm tm ON tm.lang = tf.lang AND tm.tri = tf.tri
+      |  LEFT JOIN cc_bm bm ON bm.lang = tf.lang AND bm.bi = substr(tf.tri, 1, 2)
+      |  JOIN cc_vs vs ON vs.lang = tf.lang),
+      |cc_hh AS (SELECT doc_id, lang, list_sum(list(c ORDER BY tri)) AS ll,
+      |         CAST(sum(tf) AS BIGINT) AS n_tri
+      |       FROM cc_contrib GROUP BY doc_id, lang),
+      |cc_anch AS (SELECT d.doc_id, d.lang, coalesce(hh.n_tri, 0) AS n_tri,
+      |    CASE WHEN coalesce(hh.n_tri, 0) > 0 THEN -hh.ll / hh.n_tri
+      |         ELSE 0.0 END AS h
+      |  FROM documents d LEFT JOIN cc_hh hh ON hh.doc_id = d.doc_id AND hh.lang = d.lang),
+      |cc_r AS (SELECT lang, doc_id, h,
+      |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY lang) AS cnt FROM cc_anch),
+      |cc_thr AS (SELECT lang, max(CASE WHEN rn = 1 + (cnt - 1) // 3 THEN h END) AS t1,
+      |          max(CASE WHEN rn = 1 + ((cnt - 1) * 2) // 3 THEN h END) AS t2
+      |        FROM cc_r GROUP BY lang),
+      |cc_out AS (SELECT a.doc_id, a.lang, a.n_tri, a.h,
+      |  CASE WHEN a.h <= t.t1 THEN 'head'
+      |       WHEN a.h <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM cc_anch a JOIN cc_thr t USING (lang))""".stripMargin
+
+  /** NB chain → `nb_out(doc_id, label, pred, score)`. */
+  private val nbCtes: String =
+    """nb_t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |nb_tfc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      |        FROM (SELECT doc_id, unnest(ws) AS w FROM nb_t) GROUP BY doc_id, w),
+      |nb_lab AS (SELECT vec_id AS doc_id, CAST(label AS BIGINT) AS label FROM embeddings),
+      |nb_tr AS (SELECT doc_id, label FROM nb_lab
+      |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
+      |nb_ttf AS (SELECT label, w, CAST(sum(tf) AS BIGINT) AS c
+      |        FROM nb_tfc JOIN nb_tr USING (doc_id) GROUP BY label, w),
+      |nb_voc AS (SELECT DISTINCT w FROM nb_ttf),
+      |nb_vc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM nb_voc),
+      |nb_ls AS (SELECT label, CAST(sum(c) AS BIGINT) AS toks FROM nb_ttf GROUP BY label),
+      |nb_grid AS (SELECT ls.label, voc.w,
+      |           floor(ln((coalesce(ttf.c, 0) + 1.0) / CAST(ls.toks + vc.v AS DOUBLE))
+      |                 * 1000000.0) / 1000000.0 AS lw
+      |         FROM nb_voc voc CROSS JOIN nb_ls ls CROSS JOIN nb_vc vc
+      |         LEFT JOIN nb_ttf ttf ON ttf.label = ls.label AND ttf.w = voc.w),
+      |nb_nd AS (SELECT label, CAST(count(*) AS BIGINT) AS ndocs FROM nb_tr GROUP BY label),
+      |nb_nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nb_tr),
+      |nb_pri AS (SELECT nd.label,
+      |          floor(ln(CAST(nd.ndocs AS DOUBLE) / CAST(nt.n AS DOUBLE))
+      |                * 1000000.0) / 1000000.0 AS lp
+      |        FROM nb_nd nd CROSS JOIN nb_nt nt),
+      |nb_folded AS (SELECT tfc.doc_id, g.label, list_sum(list(CAST(tfc.tf AS DOUBLE) * g.lw
+      |                    ORDER BY tfc.w)) AS ll
+      |           FROM nb_tfc tfc JOIN nb_grid g ON tfc.w = g.w GROUP BY tfc.doc_id, g.label),
+      |nb_scored AS (SELECT dd.doc_id, p.label, p.lp + coalesce(f.ll, 0.0) AS score
+      |           FROM (SELECT doc_id FROM documents) dd CROSS JOIN nb_pri p
+      |           LEFT JOIN nb_folded f ON f.doc_id = dd.doc_id AND f.label = p.label),
+      |nb_ranked AS (SELECT doc_id, label, score,
+      |             row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY score DESC, label ASC) AS rk FROM nb_scored),
+      |nb_out AS (SELECT r.doc_id, nb_lab.label, r.label AS pred, r.score
+      |FROM nb_ranked r JOIN nb_lab ON nb_lab.doc_id = r.doc_id
+      |WHERE r.rk = 1)""".stripMargin
+
+  /** Language-ID heuristic → `li_out(doc_id, lang, predicted)`. */
+  private val liCtes: String =
+    """li_sc AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_intersect(string_split(text,' '), ['the','a','of','and'])) AS BIGINT) s_en,
+      |    CAST(len(list_intersect(string_split(text,' '), ['le','la','et','les'])) AS BIGINT) s_fr,
+      |    CAST(len(list_intersect(string_split(text,' '), ['der','und','die','das'])) AS BIGINT) s_de,
+      |    CAST(len(list_intersect(string_split(text,' '), ['el','y','los','que'])) AS BIGINT) s_es,
+      |    CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS BIGINT) s_zh
+      |  FROM documents),
+      |li_out AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN greatest(s_en, s_fr, s_de, s_es, s_zh) = 0 THEN 'und'
+      |         WHEN s_zh >= greatest(s_en, s_fr, s_de, s_es) THEN 'zh'
+      |         WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
+      |         WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
+      |         WHEN s_de >= s_es THEN 'de'
+      |         ELSE 'es' END AS predicted
+      |  FROM li_sc)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    // the four standalone gates select from the SAME fragments the
+    // composed attributes oracle joins — shared single source of truth
+    "x_text_attributes" ->
+      s"""WITH $goCtes,
+         |$ccCtes,
+         |$nbCtes,
+         |$liCtes
+         |SELECT d.doc_id, go.pass AS gopher_pass, cc.bucket AS ppl_bucket,
+         |       nb.pred AS nb_pred, li.predicted AS lang_pred,
+         |       (go.pass AND cc.bucket <> 'tail') AS keep
+         |FROM documents d
+         |JOIN go_out go ON go.doc_id = d.doc_id
+         |JOIN cc_out cc ON cc.doc_id = d.doc_id
+         |JOIN nb_out nb ON nb.doc_id = d.doc_id
+         |JOIN li_out li ON li.doc_id = d.doc_id
+         |WHERE d.doc_id < 150 ORDER BY d.doc_id""".stripMargin,
+
     "x_text_bpe_train" -> {
       def pairStep(i: Int): String =
         s"""p$i AS (SELECT u.a AS a, u.b AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
@@ -851,80 +1042,17 @@ object TextAnalysis {
     // counts on the md5 train half, quantized ln, tri-ordered folds,
     // rank-arithmetic tertile thresholds per language
     "x_text_ccnet_ppl" ->
-      """WITH tris AS (SELECT doc_id, lang, unnest(list_transform(
-        |         generate_series(1, length(text) - 2), i -> substr(text, i, 3))) AS tri
-        |       FROM documents WHERE length(text) >= 3),
-        |tr AS (SELECT * FROM tris
-        |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
-        |tm AS (SELECT lang, tri, CAST(count(*) AS BIGINT) AS ct FROM tr GROUP BY lang, tri),
-        |bm AS (SELECT lang, substr(tri, 1, 2) AS bi, CAST(sum(ct) AS BIGINT) AS cb
-        |       FROM tm GROUP BY lang, substr(tri, 1, 2)),
-        |vs AS (SELECT lang, CAST(count(*) AS BIGINT) AS v FROM tm GROUP BY lang),
-        |tf AS (SELECT doc_id, lang, tri, CAST(count(*) AS BIGINT) AS tf
-        |       FROM tris GROUP BY doc_id, lang, tri),
-        |contrib AS (SELECT tf.doc_id, tf.lang, tf.tri, tf.tf,
-        |    CAST(tf.tf AS DOUBLE) * (floor(ln((coalesce(tm.ct, 0) + 1.0) /
-        |       CAST(coalesce(bm.cb, 0) + vs.v AS DOUBLE)) * 1000000.0) / 1000000.0) AS c
-        |  FROM tf LEFT JOIN tm ON tm.lang = tf.lang AND tm.tri = tf.tri
-        |  LEFT JOIN bm ON bm.lang = tf.lang AND bm.bi = substr(tf.tri, 1, 2)
-        |  JOIN vs ON vs.lang = tf.lang),
-        |hh AS (SELECT doc_id, lang, list_sum(list(c ORDER BY tri)) AS ll,
-        |         CAST(sum(tf) AS BIGINT) AS n_tri
-        |       FROM contrib GROUP BY doc_id, lang),
-        |anch AS (SELECT d.doc_id, d.lang, coalesce(hh.n_tri, 0) AS n_tri,
-        |    CASE WHEN coalesce(hh.n_tri, 0) > 0 THEN -hh.ll / hh.n_tri
-        |         ELSE 0.0 END AS h
-        |  FROM documents d LEFT JOIN hh ON hh.doc_id = d.doc_id AND hh.lang = d.lang),
-        |r AS (SELECT lang, doc_id, h,
-        |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
-        |        count(*) OVER (PARTITION BY lang) AS cnt FROM anch),
-        |thr AS (SELECT lang, max(CASE WHEN rn = 1 + (cnt - 1) // 3 THEN h END) AS t1,
-        |          max(CASE WHEN rn = 1 + ((cnt - 1) * 2) // 3 THEN h END) AS t2
-        |        FROM r GROUP BY lang)
-        |SELECT a.doc_id, a.lang, a.n_tri, a.h,
-        |  CASE WHEN a.h <= t.t1 THEN 'head'
-        |       WHEN a.h <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM anch a JOIN thr t USING (lang)
-        |WHERE a.doc_id < 150 ORDER BY a.doc_id""".stripMargin,
+      s"""WITH $ccCtes
+         |SELECT doc_id, lang, n_tri, h, bucket
+         |FROM cc_out WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // the same model arithmetic re-derived end-to-end: quantized ln,
     // dense vocab×label grid, w-ordered contribution sums, argmax with
     // the label-ASC tie-break that mirrors max(struct(score, -label))
     "x_text_nb_classify" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-        |tfc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-        |        FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w),
-        |lab AS (SELECT vec_id AS doc_id, CAST(label AS BIGINT) AS label FROM embeddings),
-        |tr AS (SELECT doc_id, label FROM lab
-        |       WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'),
-        |ttf AS (SELECT label, w, CAST(sum(tf) AS BIGINT) AS c
-        |        FROM tfc JOIN tr USING (doc_id) GROUP BY label, w),
-        |voc AS (SELECT DISTINCT w FROM ttf),
-        |vc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
-        |ls AS (SELECT label, CAST(sum(c) AS BIGINT) AS toks FROM ttf GROUP BY label),
-        |grid AS (SELECT ls.label, voc.w,
-        |           floor(ln((coalesce(ttf.c, 0) + 1.0) / CAST(ls.toks + vc.v AS DOUBLE))
-        |                 * 1000000.0) / 1000000.0 AS lw
-        |         FROM voc CROSS JOIN ls CROSS JOIN vc
-        |         LEFT JOIN ttf ON ttf.label = ls.label AND ttf.w = voc.w),
-        |nd AS (SELECT label, CAST(count(*) AS BIGINT) AS ndocs FROM tr GROUP BY label),
-        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
-        |pri AS (SELECT nd.label,
-        |          floor(ln(CAST(nd.ndocs AS DOUBLE) / CAST(nt.n AS DOUBLE))
-        |                * 1000000.0) / 1000000.0 AS lp
-        |        FROM nd CROSS JOIN nt),
-        |folded AS (SELECT tfc.doc_id, g.label, list_sum(list(CAST(tfc.tf AS DOUBLE) * g.lw
-        |                    ORDER BY tfc.w)) AS ll
-        |           FROM tfc JOIN grid g ON tfc.w = g.w GROUP BY tfc.doc_id, g.label),
-        |scored AS (SELECT dd.doc_id, p.label, p.lp + coalesce(f.ll, 0.0) AS score
-        |           FROM (SELECT doc_id FROM documents) dd CROSS JOIN pri p
-        |           LEFT JOIN folded f ON f.doc_id = dd.doc_id AND f.label = p.label),
-        |ranked AS (SELECT doc_id, label, score,
-        |             row_number() OVER (PARTITION BY doc_id
-        |               ORDER BY score DESC, label ASC) AS rk FROM scored)
-        |SELECT r.doc_id, lab.label, r.label AS pred, r.score
-        |FROM ranked r JOIN lab ON lab.doc_id = r.doc_id
-        |WHERE r.rk = 1 AND r.doc_id < 150 ORDER BY r.doc_id""".stripMargin,
+      s"""WITH $nbCtes
+         |SELECT doc_id, label, pred, score
+         |FROM nb_out WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     "x_text_bpe_pairs" ->
       """WITH t AS (SELECT string_split(text, ' ') ws FROM documents),
@@ -949,25 +1077,9 @@ object TextAnalysis {
         |WHERE pd.doc_id < 200 ORDER BY pd.doc_id""".stripMargin,
 
     "x_text_langid" ->
-      """WITH sc AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_intersect(string_split(text,' '), ['the','a','of','and'])) AS BIGINT) s_en,
-        |    CAST(len(list_intersect(string_split(text,' '), ['le','la','et','les'])) AS BIGINT) s_fr,
-        |    CAST(len(list_intersect(string_split(text,' '), ['der','und','die','das'])) AS BIGINT) s_de,
-        |    CAST(len(list_intersect(string_split(text,' '), ['el','y','los','que'])) AS BIGINT) s_es,
-        |    CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS BIGINT) s_zh
-        |  FROM documents),
-        |p AS (
-        |  SELECT lang,
-        |    CASE WHEN greatest(s_en, s_fr, s_de, s_es, s_zh) = 0 THEN 'und'
-        |         WHEN s_zh >= greatest(s_en, s_fr, s_de, s_es) THEN 'zh'
-        |         WHEN s_en >= greatest(s_fr, s_de, s_es) THEN 'en'
-        |         WHEN s_fr >= greatest(s_de, s_es) THEN 'fr'
-        |         WHEN s_de >= s_es THEN 'de'
-        |         ELSE 'es' END AS predicted
-        |  FROM sc)
-        |SELECT lang, predicted, count(*) AS n FROM p
-        |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+      s"""WITH $liCtes
+         |SELECT lang, predicted, count(*) AS n FROM li_out
+         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
 
     "x_text_quality" ->
       """SELECT doc_id, n_chars,
@@ -984,33 +1096,8 @@ object TextAnalysis {
     // computes the top-bigram count by explode/group (correctness only —
     // the Spark side's sorted-run fold is the scale shape).
     "x_text_gopher" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-        |st AS (SELECT doc_id, ws,
-        |  CAST(len(ws) AS BIGINT) n,
-        |  CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) sumlen,
-        |  CAST(len(list_filter(ws,
-        |    w -> list_contains(['the','a','of','to','and','in','is'], w))) AS BIGINT) n_stop,
-        |  CAST(greatest(len(ws) - 1, 0) AS BIGINT) nbg
-        |  FROM t),
-        |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS b
-        |       FROM st, unnest(generate_series(1, len(ws) - 1)) AS u(i)
-        |       WHERE len(ws) >= 2),
-        |bc AS (SELECT doc_id, b, count(*) c FROM bg GROUP BY 1, 2),
-        |tp AS (SELECT doc_id, CAST(max(c) AS BIGINT) best FROM bc GROUP BY 1)
-        |SELECT s.doc_id, s.n AS n_words,
-        |  CAST(s.sumlen AS DOUBLE) / s.n AS mean_word_len,
-        |  s.n_stop,
-        |  CASE WHEN s.nbg > 0 THEN CAST(coalesce(tp.best, 0) AS DOUBLE) / s.nbg
-        |       ELSE 0.0 END AS top_bigram_share,
-        |  s.n >= 25 AND s.n <= 90 AS r_nwords,
-        |  s.sumlen * 10 >= s.n * 40 AND s.sumlen * 10 <= s.n * 49 AS r_wordlen,
-        |  s.n_stop >= 2 AS r_stopword,
-        |  coalesce(tp.best, 0) * 100 <= s.nbg * 6 AS r_repetition,
-        |  (s.n >= 25 AND s.n <= 90
-        |   AND s.sumlen * 10 >= s.n * 40 AND s.sumlen * 10 <= s.n * 49
-        |   AND s.n_stop >= 2
-        |   AND coalesce(tp.best, 0) * 100 <= s.nbg * 6) AS pass
-        |FROM st s LEFT JOIN tp USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+      s"""WITH $goCtes
+         |SELECT * FROM go_out ORDER BY doc_id""".stripMargin,
 
     "x_text_tokens" ->
       """SELECT lang,

@@ -308,6 +308,29 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(appended == got, "append must score exactly like the full-corpus index")
   }
 
+  test("attributes: every composed signal equals its standalone gated query") {
+    val at = TextAnalysis.queries("x_text_attributes")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getString(2), r.getLong(3), r.getString(4), r.getBoolean(5)))
+      .toMap
+    assert(at.size == 150)
+    val go = TextAnalysis.queries("x_text_gopher")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("pass"))).toMap
+    val cc = TextAnalysis.queries("x_text_ccnet_ppl")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("bucket"))).toMap
+    val nb = TextAnalysis.queries("x_text_nb_classify")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(r.fieldIndex("pred"))).toMap
+    val li = TextAnalysis.langidPred(spark.read.parquet(s"$sf/documents.parquet"))
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("predicted"))).toMap
+    for ((id, (gp, bucket, pred, lp, keep)) <- at) {
+      assert(gp == go(id) && bucket == cc(id) && pred == nb(id) && lp == li(id),
+        s"doc $id: composed signals diverge from the standalone queries")
+      assert(keep == (gp && bucket != "tail"), s"doc $id: keep rule")
+    }
+    // non-vacuous: the composite keep rule splits the corpus
+    assert(at.values.map(_._5).toSet == Set(true, false))
+  }
+
   test("persisted NB model: indexed == in-memory; append scores exactly like a refit") {
     import org.apache.spark.sql.functions._
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
