@@ -108,6 +108,50 @@ object Similarity {
         .orderBy("qid")
     }),
 
+    // -- Johnson–Lindenstrauss REDUCTION (Achlioptas ±1 projection):
+    //    64-dim embeddings project onto RpDims md5-derived ±1
+    //    hyperplanes — the dimensionality cut billion-scale ANN runs
+    //    before indexing (smaller vectors ⇒ proportionally more memory
+    //    bandwidth). RpDims is the corpus knob: JL distortion ε ~
+    //    √(ln n / k), and the synthetic gate corpus is ISOTROPIC —
+    //    near-tie cosine margins, JL's worst case — so it keeps k = 32
+    //    (2×); clustered real corpora tolerate 4–8× cuts. The sign
+    //    matrix is generated ONCE driver-side (the literal-hyperplane
+    //    sign-LSH precedent) and inlined, so the reduction is a
+    //    zero-shuffle in-row fold over the scan — no join, no explode,
+    //    one pass at any corpus size. j-ordered double folds ⇒ the
+    //    projected values reproduce bit-for-bit in DuckDB.
+    "x_sim_rp" -> ((s, d) => {
+      val rv = rpVectors(table(s, d, "embeddings")).filter(col("vec_id") < 50)
+      rv.select(col("vec_id"), posexplode(col("rvec")))
+        .select(col("vec_id"), col("pos").cast("long").as("k"), col("col").as("rv"))
+        .orderBy("vec_id", "k")
+    }),
+
+    // -- recall@5 of brute-force search IN THE REDUCED SPACE against the
+    //    full-space truth — the harness that justifies a JL cut before
+    //    quantization/IVF: both sides are exact chains (the reduced side
+    //    reuses the projected vectors above), the comparison is the
+    //    recall_eval shape. Hash-exact end to end.
+    "x_sim_rp_recall" -> ((s, d) => {
+      val e = withNorm(s, d)
+      val truth = bruteTopk(e, 5).select(col("qid"), col("vec_id"))
+      val rp = rpVectors(table(s, d, "embeddings"))
+        .withColumn("rn", sqrt(expr("float_dot(rvec, rvec)")))
+      val q = rp.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("rvec").as("qv"), col("rn").as("qn"))
+      val red = broadcast(q).join(rp, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          (expr("float_dot(qv, rvec)") / (col("qn") * col("rn"))).as("cos"))
+        .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))
+        .select(col("qid"), col("vec_id")).withColumn("hit", lit(1L))
+      truth.join(red, Seq("qid", "vec_id"), "left")
+        .groupBy("qid")
+        .agg(coalesce(sum("hit"), lit(0L)).as("hits"))
+        .select(col("qid"), col("hits"), (col("hits") / lit(5.0)).as("recall"))
+        .orderBy("qid")
+    }),
+
     // -- LSH-bucketed ANN (sign random projection) with Hamming-1
     //    multi-probe: the query probes its own bucket plus every
     //    one-bit-flipped bucket, then exact cosine re-ranks candidates.
@@ -887,6 +931,35 @@ object Similarity {
     cents
   }
 
+  /** JL reduced dimension count — 64 → 16 (the 4× cut). */
+  val RpDims = 32
+
+  /** Achlioptas ±1 sign for reduced axis k, input dim j (1-based):
+    * md5-derived, so both engines regenerate the identical matrix. */
+  private[graft] def rpSign(k: Int, j: Int): Int =
+    if (graft.functions.Md5Long60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"rp_${k}_$j")) % 2 == 0) 1 else -1
+
+  /** (vec_id, rvec array<double>[RpDims]) — the projection as ONE in-row
+    * fold per axis over literal sign arrays (no join/explode/shuffle).
+    * j ascends inside each fold, so every double reproduces in DuckDB. */
+  private[graft] def rpVectors(emb: DataFrame): DataFrame = {
+    val axes = (0 until RpDims).map { k =>
+      val signs = (1 to EmbeddingDims).map(j => rpSign(k, j)).mkString("array(", ",", ")")
+      expr(s"""aggregate(transform(sequence(1, $EmbeddingDims),
+        | j -> CASE WHEN element_at($signs, j) = 1
+        |           THEN CAST(element_at(embedding, j) AS DOUBLE)
+        |           ELSE -CAST(element_at(embedding, j) AS DOUBLE) END),
+        | CAST(0.0 AS DOUBLE), (a, x) -> a + x)""".stripMargin)
+    }
+    emb.select(col("vec_id"), array(axes: _*).as("rvec"))
+  }
+
+  /** The same ±1 matrix as a DuckDB list-of-lists literal (m[k+1][j]). */
+  private def rpSignsSql: String =
+    (0 until RpDims).map(k => (1 to EmbeddingDims).map(j => rpSign(k, j))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+
   /** DuckDB double dot product over the first [[EmbeddingDims]] components
     * — the same index-ordered double fold as the native float_dot. */
   private[queries] def dotSql(a: String, b: String): String =
@@ -1036,6 +1109,44 @@ object Similarity {
        |truth AS (SELECT qid, vec_id FROM branked WHERE rank <= 5)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the identical md5-derived ±1 matrix inlined as a list-of-lists;
+    // the same j-ordered double folds
+    "x_sim_rp" ->
+      s"""WITH s AS (SELECT $rpSignsSql AS m),
+         |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+         |x AS (SELECT vec_id, k,
+         |        list_sum(list_transform(generate_series(1, $EmbeddingDims),
+         |          j -> CASE WHEN m[k+1][j] = 1 THEN CAST(embedding[j] AS DOUBLE)
+         |                    ELSE -CAST(embedding[j] AS DOUBLE) END)) AS rv
+         |      FROM e CROSS JOIN s, unnest(generate_series(0, ${RpDims - 1})) AS u(k))
+         |SELECT vec_id, CAST(k AS BIGINT) AS k, rv FROM x ORDER BY vec_id, k""".stripMargin,
+
+    "x_sim_rp_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  sqrt(${dotSql("embedding", "embedding")}) nrm FROM embeddings),
+         |$bruteTruthSql,
+         |s AS (SELECT $rpSignsSql AS m),
+         |rp AS (SELECT vec_id, list_transform(generate_series(0, ${RpDims - 1}),
+         |         k -> list_sum(list_transform(generate_series(1, $EmbeddingDims),
+         |           j -> CASE WHEN m[k+1][j] = 1 THEN CAST(embedding[j] AS DOUBLE)
+         |                     ELSE -CAST(embedding[j] AS DOUBLE) END))) AS rvec
+         |       FROM embeddings CROSS JOIN s),
+         |rpn AS (SELECT vec_id, rvec,
+         |          sqrt(list_sum(list_transform(generate_series(1, $RpDims),
+         |            i -> rvec[i] * rvec[i]))) rn
+         |        FROM rp),
+         |rsc AS (SELECT q.vec_id qid, t.vec_id,
+         |          list_sum(list_transform(generate_series(1, $RpDims),
+         |            i -> q.rvec[i] * t.rvec[i])) / (q.rn * t.rn) AS cos
+         |        FROM rpn q, rpn t WHERE q.vec_id < 10 AND q.vec_id != t.vec_id),
+         |rrk AS (SELECT qid, vec_id,
+         |          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+         |        FROM rsc),
+         |red AS (SELECT qid, vec_id FROM rrk WHERE rank <= 5)
+         |SELECT t.qid AS qid, count(r.vec_id) AS hits, count(r.vec_id) / 5.0 AS recall
+         |FROM truth t LEFT JOIN red r ON r.qid = t.qid AND r.vec_id = t.vec_id
+         |GROUP BY t.qid ORDER BY t.qid""".stripMargin,
+
     "x_sim_topk" ->
       """WITH e AS (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(generate_series(1, len(embedding)),

@@ -400,6 +400,34 @@ class SimilaritySpec extends SparkSpecBase {
     assert(preds.forall(r => domain.contains(r.getLong(1))), "predicted labels from the domain")
   }
 
+  test("JL projection: driver-recomputed values, zero-shuffle scan shape, useful recall") {
+    val rows = Similarity.queries("x_sim_rp")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(rows.size == 50 * Similarity.RpDims)
+    // driver recompute: same md5 signs, same j-ascending double fold
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("embedding")))
+    for ((id, v) <- emb; k <- 0 until Similarity.RpDims) {
+      val want = (1 to Similarity.EmbeddingDims).foldLeft(0.0) { (a, j) =>
+        a + (if (Similarity.rpSign(k, j) == 1) v(j - 1).toDouble else -v(j - 1).toDouble)
+      }
+      assert(rows((id, k.toLong)) == want, s"vec $id axis $k")
+    }
+    // the projection is one scan pass: no join operator in the plan
+    val p = graft.SparkEntry.queries("x_sim_rp")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange hashpartitioning"),
+      s"JL reduction must stay an in-row fold over the scan:\n$p")
+    // reduced-space search still finds a useful share of the true top-5
+    // (the gate corpus is isotropic — JL's worst case — hence the modest floor)
+    val rec = Similarity.queries("x_sim_rp_recall")(spark, sf).collect()
+    assert(rec.length == 10)
+    val mean = rec.map(_.getDouble(2)).sum / rec.length
+    assert(mean >= 0.1, s"mean reduced-space recall $mean below floor")
+    assert(rec.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 5))
+  }
+
   test("recall eval: per-query hits equal the truth∩ivf intersection, recall in [0,1]") {
     val rows = Similarity.queries("x_sim_recall_eval")(spark, sf).collect()
     assert(rows.length == 10)
