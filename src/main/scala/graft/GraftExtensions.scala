@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         "bloom_contains"),
       graft.functions.Bloom.containsBuilder))
+    ext.injectFunction((FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[graft.functions.CmsEstimate].getName, "cms_estimate"),
+      graft.functions.Cms.estimateBuilder))
   }
 }
 
@@ -69,6 +72,7 @@ object GraftExtensions {
     Md5Long60.register(spark)
     graft.functions.MinHashAgg.register(spark, minhashPerms)
     graft.functions.Bloom.register(spark)
+    graft.functions.Cms.register(spark)
     graft.tf.Terraform.registerFunctions(spark)
   }
 }

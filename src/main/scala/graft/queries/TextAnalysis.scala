@@ -316,6 +316,32 @@ object TextAnalysis {
     //    fragments the standalone oracles select from.
     "x_text_attributes" -> ((s, d) => attributes(s, d)),
 
+    // -- CMS heavy hitters: the 100 TB path for frequent-term detection.
+    //    Spark's built-in count_min_sketch aggregate compresses the
+    //    whole token stream into a fixed-size sketch (a TRUE partial
+    //    aggregate — map-side sketches merge), but ships no SQL way to
+    //    QUERY it; graft's cms_estimate expression closes the loop, so
+    //    build + broadcast + estimate stays one declarative plan. The
+    //    exact counts ride alongside for the candidate top-20 — at
+    //    petabyte scale only the sketch pass survives and candidates
+    //    come from a sample, so estimates are rows-only (sketch
+    //    internals are engine-specific); the spec pins the CMS
+    //    guarantee: never under the exact count, bounded over.
+    "x_text_heavy_hitters" -> ((s, d) => {
+      graft.functions.Cms.register(s)
+      val toks = table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .select(col("w"), xxhash64(col("w")).as("h"))
+      val sk = toks.agg(expr(
+        "count_min_sketch(h, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("sk"))
+      val exact = toks.groupBy("w").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("w")).limit(20)
+      exact.crossJoin(broadcast(sk))
+        .select(col("w"), col("n_exact"),
+          expr("cms_estimate(sk, xxhash64(w))").as("n_est"))
+        .orderBy(col("n_exact").desc, col("w"))
+    }),
+
     "x_text_funnel" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val alpha = (length(regexp_replace(col("text"), "[^A-Za-z ]", "")).cast("double") /

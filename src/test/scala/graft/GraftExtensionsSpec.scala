@@ -42,6 +42,16 @@ class GraftExtensionsSpec extends SparkSpecBase {
         .collect().head
       assert(mc.getBoolean(0), "bloom must contain an inserted key (no false negatives)")
       assert(!mc.getBoolean(1), "8192-bit filter over 3 items must reject an absent key")
+      // cms: build via the BUILTIN aggregate, query via graft's estimate
+      val cms = s2.sql(
+        """SELECT hex(count_min_sketch(xxhash64(v), CAST(0.01 AS DOUBLE),
+          |  CAST(0.99 AS DOUBLE), 42)) AS sk
+          |FROM VALUES ('a'), ('a'), ('b') t(v)""".stripMargin).collect().head.getString(0)
+      val est = s2.sql(
+        s"""SELECT cms_estimate(X'$cms', xxhash64('a')),
+           |       cms_estimate(X'$cms', xxhash64('b'))""".stripMargin).collect().head
+      assert(est.getLong(0) >= 2L && est.getLong(1) >= 1L,
+        "cms estimates must never undercount")
       // parity with the register()-path expression on the same input
       graft.functions.SimHash64.register(base)
       val want = base.sql("SELECT simhash64(array('x', 'y'))").collect().head.getLong(0)

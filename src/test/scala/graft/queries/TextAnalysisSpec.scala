@@ -308,6 +308,28 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(appended == got, "append must score exactly like the full-corpus index")
   }
 
+  test("cms heavy hitters: estimates never undercount, bounded over, sketch agg partial") {
+    val df = TextAnalysis.queries("x_text_heavy_hitters")(spark, sf)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    // exact side cross-checked against the raw corpus
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().flatMap(_.getString(0).split(" "))
+    val counts = toks.groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val n = toks.length.toLong
+    rows.foreach { case (w, exact, est) =>
+      assert(exact == counts(w), s"$w exact count")
+      assert(est >= exact, s"$w: CMS must never undercount ($est < $exact)")
+      // eps = 0.001 ⇒ over-estimate bounded by eps·N (w.h.p.; fixed seed)
+      assert(est - exact <= math.ceil(0.001 * n).toLong + 1,
+        s"$w: over-estimate ${est - exact} beyond the eps·N bound")
+    }
+    // the sketch is a TRUE partial aggregate — map-side sketches merge
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count_min_sketch"),
+      s"sketch must build map-side:\n$p")
+  }
+
   test("attributes: every composed signal equals its standalone gated query") {
     val at = TextAnalysis.queries("x_text_attributes")(spark, sf).collect()
       .map(r => r.getLong(0) ->
