@@ -65,6 +65,16 @@ object TextAnalysis {
     //    top-20 tokens of the resulting corpus. See [[bpeApply]].
     "x_text_bpe_apply" -> ((s, d) => bpeApply(s, d, steps = 3)),
 
+    // -- tokenizer FERTILITY per language (tokens/word, chars/token):
+    //    the fairness metric tokenizer papers report — a tokenizer
+    //    trained on a corpus-wide frequency mix spends more tokens per
+    //    word on the languages its merges serve worst. Merges train
+    //    once (corpus-wide, the gated chain); the per-language rollup
+    //    is a (lang, word) vocabulary relation — vocabulary-sized, one
+    //    extra corpus scan, partial-agg all the way. Integer masses +
+    //    two fixed-order divisions ⇒ hash-exact.
+    "x_text_bpe_fertility" -> ((s, d) => bpeFertility(s, d, steps = 3)),
+
     // -- language ID: stopword-profile scores + zh via CJK codepoints;
     //    prediction = argmax with deterministic tie-break order
     "x_text_langid" -> ((s, d) =>
@@ -731,6 +741,35 @@ object TextAnalysis {
     finally v0.unpersist(blocking = false)
   }
 
+  /** Per-language tokenizer fertility under the trained merges — see
+    * the x_text_bpe_fertility entry. The lang-aware vocabulary carries
+    * the RAW word alongside its encoding so char masses survive the
+    * merge chain; merges themselves come from the corpus-wide trained
+    * chain (one cached scan), applied as the same replace fold. */
+  private def bpeFertility(s: SparkSession, d: String, steps: Int): DataFrame = {
+    val v0 = bpeVocab(s, d).persist()
+    val merges = try bpeMerges(v0, steps) finally v0.unpersist(blocking = false)
+    val lv = table(s, d, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      .withColumn("v", expr("concat_ws('', transform(split(w, ''), c -> concat('<', c, '>')))"))
+    val applied = merges.foldLeft(lv) { case (v, (_, a, b, _)) =>
+      v.withColumn("v", expr(s"replace(v, '<$a><$b>', '<$a$b>')"))
+    }
+    applied
+      .select(col("lang"), col("n"),
+        size(expr("split(substring(v, 2, length(v) - 2), '><')")).cast("long").as("ntok"),
+        length(col("w")).cast("long").as("nchars"))
+      .groupBy("lang")
+      .agg(sum("n").as("words"),
+        sum(col("n") * col("ntok")).as("tokens"),
+        sum(col("n") * col("nchars")).as("chars"))
+      .select(col("lang"), col("words"), col("tokens"),
+        (col("tokens").cast("double") / col("words")).as("fertility"),
+        (col("chars").cast("double") / col("tokens")).as("chars_per_token"))
+      .orderBy("lang")
+  }
+
   /** The delimiter-encoded `<s1><s2>…` vocabulary with word counts — one
     * corpus scan; shared by training and application. */
   private def bpeVocab(s: SparkSession, d: String): DataFrame =
@@ -835,6 +874,22 @@ object TextAnalysis {
   // ---- shared oracle CTE fragments -------------------------------------
   // The composed attributes oracle recomposes EXACTLY the fragments the
   // standalone oracles select from, so the two gates can never drift.
+
+  /** BPE oracle steps, shared by the train / apply / fertility entries:
+    * pair counting + argmax (`p$i`/`b$i`) and the merge application
+    * (`v$i`), over the delimiter-encoded vocabulary chain `v0..`. */
+  private def bpePairStepSql(i: Int): String =
+    s"""p$i AS (SELECT u.a AS a, u.b AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+       |  SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+       |           i -> {'a': s[i], 'b': s[i+1]})) AS u
+       |  FROM (SELECT string_split(substr(v, 2, length(v) - 2), '><') AS s, n FROM v${i - 1}))
+       |  GROUP BY u.a, u.b),
+       |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+
+  private def bpeMergeStepSql(i: Int): String =
+    s"""v$i AS (SELECT replace(v, '<' || b$i.a || '><' || b$i.b || '>',
+       |                 '<' || b$i.a || b$i.b || '>') AS v, n
+       |       FROM v${i - 1}, b$i)""".stripMargin
 
   /** Gopher battery → `go_out(doc_id, n_words, mean_word_len, n_stop,
     * top_bigram_share, r_*, pass)`. */
@@ -980,26 +1035,15 @@ object TextAnalysis {
          |WHERE d.doc_id < 150 ORDER BY d.doc_id""".stripMargin,
 
     "x_text_bpe_train" -> {
-      def pairStep(i: Int): String =
-        s"""p$i AS (SELECT u.a AS a, u.b AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
-           |  SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
-           |           i -> {'a': s[i], 'b': s[i+1]})) AS u
-           |  FROM (SELECT string_split(substr(v, 2, length(v) - 2), '><') AS s, n FROM v${i - 1}))
-           |  GROUP BY u.a, u.b),
-           |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
-      def mergeStep(i: Int): String =
-        s"""v$i AS (SELECT replace(v, '<' || b$i.a || '><' || b$i.b || '>',
-           |                 '<' || b$i.a || b$i.b || '>') AS v, n
-           |       FROM v${i - 1}, b$i)""".stripMargin
       s"""WITH t AS (SELECT w, CAST(count(*) AS BIGINT) AS n
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
          |v0 AS (SELECT array_to_string(list_transform(string_split(w, ''),
          |               c -> '<' || c || '>'), '') AS v, n FROM t),
-         |${pairStep(1)},
-         |${mergeStep(1)},
-         |${pairStep(2)},
-         |${mergeStep(2)},
-         |${pairStep(3)}
+         |${bpePairStepSql(1)},
+         |${bpeMergeStepSql(1)},
+         |${bpePairStepSql(2)},
+         |${bpeMergeStepSql(2)},
+         |${bpePairStepSql(3)}
          |SELECT * FROM (
          |  SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM b1
          |  UNION ALL SELECT 2, a, b, cnt FROM b2
@@ -1009,27 +1053,16 @@ object TextAnalysis {
     // the same unrolled chain carried one merge further (v3), then the
     // applied corpus's token counts
     "x_text_bpe_apply" -> {
-      def pairStep(i: Int): String =
-        s"""p$i AS (SELECT u.a AS a, u.b AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
-           |  SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
-           |           i -> {'a': s[i], 'b': s[i+1]})) AS u
-           |  FROM (SELECT string_split(substr(v, 2, length(v) - 2), '><') AS s, n FROM v${i - 1}))
-           |  GROUP BY u.a, u.b),
-           |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
-      def mergeStep(i: Int): String =
-        s"""v$i AS (SELECT replace(v, '<' || b$i.a || '><' || b$i.b || '>',
-           |                 '<' || b$i.a || b$i.b || '>') AS v, n
-           |       FROM v${i - 1}, b$i)""".stripMargin
       s"""WITH t AS (SELECT w, CAST(count(*) AS BIGINT) AS n
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
          |v0 AS (SELECT array_to_string(list_transform(string_split(w, ''),
          |               c -> '<' || c || '>'), '') AS v, n FROM t),
-         |${pairStep(1)},
-         |${mergeStep(1)},
-         |${pairStep(2)},
-         |${mergeStep(2)},
-         |${pairStep(3)},
-         |${mergeStep(3)},
+         |${bpePairStepSql(1)},
+         |${bpeMergeStepSql(1)},
+         |${bpePairStepSql(2)},
+         |${bpeMergeStepSql(2)},
+         |${bpePairStepSql(3)},
+         |${bpeMergeStepSql(3)},
          |tok AS (SELECT token, CAST(sum(n) AS BIGINT) AS cnt FROM (
          |  SELECT n, unnest(string_split(substr(v, 2, length(v) - 2), '><')) AS token
          |  FROM v3) GROUP BY token),
@@ -1079,6 +1112,41 @@ object TextAnalysis {
       s"""WITH $nbCtes
          |SELECT doc_id, label, pred, score
          |FROM nb_out WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // the corpus-wide merge chain (shared steps), then the lang-aware
+    // vocabulary rolled up through the same replaces
+    "x_text_bpe_fertility" -> {
+      def langMergeStep(i: Int): String =
+        s"""lv$i AS (SELECT lang, w, n, replace(v, '<' || b$i.a || '><' || b$i.b || '>',
+           |                 '<' || b$i.a || b$i.b || '>') AS v
+           |       FROM lv${i - 1}, b$i)""".stripMargin
+      s"""WITH t AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+         |v0 AS (SELECT array_to_string(list_transform(string_split(w, ''),
+         |               c -> '<' || c || '>'), '') AS v, n FROM t),
+         |${bpePairStepSql(1)},
+         |${bpeMergeStepSql(1)},
+         |${bpePairStepSql(2)},
+         |${bpeMergeStepSql(2)},
+         |${bpePairStepSql(3)},
+         |lt AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY lang, w),
+         |lv0 AS (SELECT lang, w, n, array_to_string(list_transform(string_split(w, ''),
+         |               c -> '<' || c || '>'), '') AS v FROM lt),
+         |${langMergeStep(1)},
+         |${langMergeStep(2)},
+         |${langMergeStep(3)},
+         |ft AS (SELECT lang, n,
+         |         CAST(len(string_split(substr(v, 2, length(v) - 2), '><')) AS BIGINT) AS ntok,
+         |         CAST(length(w) AS BIGINT) AS nchars
+         |       FROM lv3)
+         |SELECT lang, CAST(sum(n) AS BIGINT) AS words,
+         |  CAST(sum(n * ntok) AS BIGINT) AS tokens,
+         |  CAST(sum(n * ntok) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS fertility,
+         |  CAST(sum(n * nchars) AS DOUBLE) / CAST(sum(n * ntok) AS DOUBLE) AS chars_per_token
+         |FROM ft GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "x_text_bpe_pairs" ->
       """WITH t AS (SELECT string_split(text, ' ') ws FROM documents),

@@ -444,6 +444,14 @@ class DedupSpec extends SparkSpecBase {
 
   test("gram index: increment rewrite == full rebuild on the increment; append == rebuilt index") {
     import org.apache.spark.sql.functions._
+    // the warehouse dir outlives the in-memory catalog across JVM runs —
+    // drop catalog entries AND orphaned locations (the r10 full-suite
+    // flake: a crashed prior run left t_subidx_grams on disk)
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("t_subidx_grams", "t_subidx_full_grams")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
     val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
     val inc = docs.filter(col("doc_id") >= 400)
     Dedup.writeGramIndex(spark, sf, "t_subidx", docFilter = col("doc_id") < 400)

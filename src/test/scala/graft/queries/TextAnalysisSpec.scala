@@ -254,6 +254,43 @@ class TextAnalysisSpec extends SparkSpecBase {
     (merges.toSeq, vocab)
   }
 
+  test("BPE fertility: per-language masses match a first-principles recompute") {
+    val rows = TextAnalysis.queries("x_text_bpe_fertility")(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (merges, _) = refBpe(3)
+    def tokenize(w: String): Seq[String] =
+      merges.foldLeft(w.split("").toSeq) { case (syms, (a, b, _)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        out.toSeq
+      }
+    val byLang = graft.Engine.table(spark, sf, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (lang, g) => lang -> g.flatMap(_._2.split(" ")).toSeq }
+    assert(rows.keySet == byLang.keySet)
+    for ((lang, words) <- byLang) {
+      val (gw, gt, fert, cpt) = rows(lang)
+      val toks = words.map(w => tokenize(w).length.toLong).sum
+      val chars = words.map(_.length.toLong).sum
+      assert(gw == words.length.toLong, s"$lang word mass")
+      assert(gt == toks, s"$lang token mass")
+      assert(fert == toks.toDouble / words.length.toDouble, s"$lang fertility")
+      assert(cpt == chars.toDouble / toks.toDouble, s"$lang chars/token")
+      assert(fert >= 1.0 && fert <= words.map(_.length).max.toDouble)
+    }
+    // non-vacuous: a merge actually compresses somewhere (fertility < raw chars/word)
+    assert(byLang.keys.exists { lang =>
+      val words = byLang(lang)
+      rows(lang)._3 < words.map(_.length.toLong).sum.toDouble / words.length
+    }, "no language shows any merge compression")
+  }
+
   test("BPE training: 3 merges match a first-principles driver implementation") {
     val rows = TextAnalysis.queries("x_text_bpe_train")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
