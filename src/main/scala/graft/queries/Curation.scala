@@ -168,6 +168,52 @@ object Curation {
         .orderBy("qid", "rank")
     }),
 
+    // -- CONTRASTIVE TRAINING PAIRS: the dataset a retriever/embedding
+    //    trainer consumes — per anchor, one positive and the top-3 hard
+    //    negatives, composed entirely from gated chains. Positive =
+    //    the anchor's nearest co-cluster doc (near-dups are natural
+    //    positives), falling back to the top-1 cosine neighbor when the
+    //    anchor's dedup cluster is a singleton (the self-supervised
+    //    choice), with the source tagged. Negatives = the gated
+    //    cluster-excluded hard-negative ranking. Scale shape inherited:
+    //    anchors broadcast, label joins key-equi vs the memoized
+    //    cluster index, top-1 via the partial top-k aggregate.
+    "x_cur_contrastive" -> ((s, d) => {
+      val e = Similarity.withNorm(s, d)
+      val labels = Dedup.clusterLabels(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val scored = broadcast(q).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          (expr("float_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cos"))
+      val knn1 = graft.functions.TopKAgg.topkOf(scored, "qid", "vec_id", "cos", 1)
+        .select(col("qid"), col("vec_id").as("knn_pos"))
+      val cpos = labels.select(col("doc_id").as("qid"), col("cluster"))
+        .filter(col("qid") < 5)
+        .join(labels.select(col("doc_id").as("positive"), col("cluster")), Seq("cluster"))
+        .filter(col("positive") =!= col("qid"))
+        .groupBy("qid").agg(min("positive").as("cluster_pos"))
+      val positives = knn1.join(cpos, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("cluster_pos"), col("knn_pos")).as("positive"),
+          when(col("cluster_pos").isNotNull, "cluster").otherwise("knn").as("pos_src"))
+      // negatives: cluster-excluded AND positive-excluded (a positive
+      // doubling as the hardest negative would cancel the training
+      // signal), ranked by the partial top-k aggregate
+      val negCands = scored
+        .join(labels.select(col("doc_id").as("qid"), col("cluster").as("qc")), Seq("qid"))
+        .join(labels.select(col("doc_id").as("vec_id"), col("cluster").as("vc")), Seq("vec_id"))
+        .filter(col("qc") =!= col("vc"))
+        .join(broadcast(positives.select("qid", "positive")), Seq("qid"))
+        .filter(col("vec_id") =!= col("positive"))
+        .select("qid", "vec_id", "cos")
+      graft.functions.TopKAgg.topkOf(negCands, "qid", "vec_id", "cos", 3)
+        .join(broadcast(positives), Seq("qid"))
+        .select(col("qid"), col("positive"), col("pos_src"),
+          col("rank"), col("vec_id").as("negative"), col("cos"))
+        .orderBy("qid", "rank")
+    }),
+
     // -- per-language embedding centroids: documents ⨝ embeddings, then
     //    an EXACT per-(lang, dim) mean via the scaled-integer trick
     //    (floor(x·10⁹) summed as DECIMAL — order-independent, partial-
@@ -831,6 +877,49 @@ object Curation {
         |  FROM flt)
         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos, neg_cluster
         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // the hard-negative chain extended with both positive sources
+    "x_cur_contrastive" ->
+      s"""WITH RECURSIVE ${Dedup.md5MinhashCte},
+        |pp AS (SELECT da, db FROM est WHERE est_j >= 0.5),
+        |edges AS (SELECT da ea, db eb FROM pp UNION ALL SELECT db, da FROM pp),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+        |cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src),
+        |ev AS (SELECT vec_id, embedding,
+        |         sqrt(${Similarity.dotSql("embedding", "embedding")}) AS nrm
+        |       FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, x.vec_id,
+        |         ${Similarity.dotSql("q.embedding", "x.embedding")} / (q.nrm * x.nrm) AS cos
+        |  FROM ev q, ev x WHERE q.vec_id < 5 AND q.vec_id != x.vec_id),
+        |knn1 AS (SELECT qid, vec_id AS knn_pos FROM (
+        |  SELECT qid, vec_id,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rn
+        |  FROM scored) WHERE rn = 1),
+        |cpos AS (SELECT a.doc_id AS qid, min(b.doc_id) AS cluster_pos
+        |  FROM cl a JOIN cl b ON a.cluster = b.cluster AND b.doc_id != a.doc_id
+        |  WHERE a.doc_id < 5 GROUP BY a.doc_id),
+        |pos AS (SELECT k.qid, coalesce(c.cluster_pos, k.knn_pos) AS positive,
+        |          CASE WHEN c.cluster_pos IS NOT NULL THEN 'cluster' ELSE 'knn' END AS pos_src
+        |        FROM knn1 k LEFT JOIN cpos c ON c.qid = k.qid),
+        |flt AS (
+        |  SELECT s.qid, s.vec_id, s.cos
+        |  FROM scored s
+        |  JOIN cl ca ON ca.doc_id = s.qid
+        |  JOIN cl cb ON cb.doc_id = s.vec_id
+        |  JOIN pos p ON p.qid = s.qid
+        |  WHERE ca.cluster != cb.cluster AND s.vec_id != p.positive),
+        |ranked AS (
+        |  SELECT qid, vec_id, cos,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+        |  FROM flt)
+        |SELECT r.qid, p.positive, p.pos_src,
+        |       CAST(r.rank AS BIGINT) AS rank, r.vec_id AS negative, r.cos
+        |FROM ranked r JOIN pos p ON p.qid = r.qid
+        |WHERE r.rank <= 3 ORDER BY r.qid, r.rank""".stripMargin,
 
     "x_cur_embed_centroids" ->
       """WITH j AS (

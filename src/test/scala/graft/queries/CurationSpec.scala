@@ -439,6 +439,35 @@ class CurationSpec extends SparkSpecBase {
     assert(red.exists(_.getLong(1) > 0), "vacuous: no redactions at gate scale")
   }
 
+  test("contrastive pairs: positive excluded from negatives, sources consistent, composed from gated chains") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation.queries("x_cur_contrastive")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.length == 15, "5 anchors x top-3 negatives")
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    val labels = Dedup.clusterLabels(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byQ.foreach { case (qid, rs) =>
+      val pos = rs.map(_._2).distinct
+      assert(pos.length == 1, s"anchor $qid: one positive")
+      assert(rs.forall(_._5 != pos.head), s"anchor $qid: positive leaked into negatives")
+      assert(rs.map(_._4).sorted.toSeq == Seq(1L, 2L, 3L), "dense negative ranks")
+      // negatives never share the anchor's dedup cluster
+      rs.foreach(r => assert(labels(r._5) != labels(qid),
+        s"anchor $qid: negative ${r._5} shares its cluster"))
+      // pos_src semantics: 'cluster' iff the anchor's cluster has a mate
+      val hasMate = labels.exists { case (id, c) => id != qid && c == labels(qid) }
+      assert((rs.head._3 == "cluster") == hasMate, s"anchor $qid: pos_src")
+      if (hasMate) assert(labels(pos.head) == labels(qid),
+        s"anchor $qid: cluster positive must co-cluster")
+      // descending hardness
+      val cs = rs.sortBy(_._4).map(_._6)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "negatives by cos desc")
+    }
+  }
+
   test("dsir: selection matches a driver-side recompute of weights and Gumbel keys") {
     val rows = Curation.queries("x_cur_dsir")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
