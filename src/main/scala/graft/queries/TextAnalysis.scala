@@ -391,17 +391,29 @@ object TextAnalysis {
     val train = table(s, d, "embeddings")
       .select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
       .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+    attributesOf(docs, nbFit(docs, train), ccnetFit(s, d))
+      .filter(col("doc_id") < 150)
+      .orderBy("doc_id")
+  }
+
+  /** Annotate any (doc_id, lang, text) relation against FROZEN models —
+    * the shared core of the gated batch query and the streaming
+    * annotate-at-ingest gate (Streams.attributesGate). Every signal is
+    * a pure per-doc function of (doc, models): the scan-side signals
+    * (Gopher, langid) carry no state at all, and the two model stages
+    * apply static broadcast relations — so micro-batch boundaries
+    * cannot change any verdict. */
+  private[graft] def attributesOf(docs: DataFrame, nb: NbModel,
+      cc: CcModel): DataFrame = {
     val go = gopherRules(docs).select(col("doc_id"), col("pass").as("gopher_pass"))
-    val cc = ccnetBuckets(s, d).select(col("doc_id"), col("bucket").as("ppl_bucket"))
-    val nb = nbScoreOf(docs.select("doc_id", "text"), nbFit(docs, train))
+    val ccb = ccnetScoreOf(docs, cc).select(col("doc_id"), col("bucket").as("ppl_bucket"))
+    val nbp = nbScoreOf(docs.select("doc_id", "text"), nb)
       .select(col("doc_id"), col("pred").as("nb_pred"))
     val li = langidPred(docs).select(col("doc_id"), col("predicted").as("lang_pred"))
     docs.select("doc_id")
-      .join(go, Seq("doc_id")).join(cc, Seq("doc_id"))
-      .join(nb, Seq("doc_id")).join(li, Seq("doc_id"))
+      .join(go, Seq("doc_id")).join(ccb, Seq("doc_id"))
+      .join(nbp, Seq("doc_id")).join(li, Seq("doc_id"))
       .withColumn("keep", col("gopher_pass") && col("ppl_bucket") =!= "tail")
-      .filter(col("doc_id") < 150)
-      .orderBy("doc_id")
   }
 
   /** Per-doc n-gram-heuristic language prediction — the projection
@@ -576,19 +588,47 @@ object TextAnalysis {
 
   /** The full per-doc (doc_id, lang, n_tri, h, bucket) relation behind
     * x_text_ccnet_ppl — unfiltered so the composed attributes query can
-    * join it. */
-  private[graft] def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = table(s, d, "documents")
-    val tris = docs.filter(length(col("text")) >= 3)
+    * join it. Fit + apply on the same corpus. */
+  private[graft] def ccnetBuckets(s: SparkSession, d: String): DataFrame =
+    ccnetScoreOf(table(s, d, "documents"), ccnetFit(s, d))
+
+  /** The frozen CCNet state a serving path broadcasts: per-language
+    * trigram counts, derived bigram contexts, vocab sizes — and the
+    * tertile THRESHOLDS, which are global two-pass facts of the
+    * backfill (exactly the mixture-rate pattern): a stream applies them
+    * statelessly rather than re-deriving them per batch. */
+  case class CcModel(tm: DataFrame, bm: DataFrame, vs: DataFrame, thr: DataFrame)
+
+  private def ccnetTris(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), explode(
         expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("tri"))
-    val train = tris.filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+
+  private[graft] def ccnetFit(s: SparkSession, d: String): CcModel = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(s, d, "documents")
+    val train = ccnetTris(docs)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
     val tm = train.groupBy("lang", "tri").agg(count(lit(1)).as("ct"))
     val bm = tm.groupBy(col("lang"), substring(col("tri"), 1, 2).as("bi"))
       .agg(sum("ct").as("cb"))
     val vs = tm.groupBy("lang").agg(count(lit(1)).as("v"))
-    val contrib = tris.groupBy("doc_id", "lang", "tri").agg(count(lit(1)).as("tf"))
+    val thr = ccnetH(docs, tm, bm, vs)
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
+      .groupBy("lang")
+      .agg(
+        max(when(col("rn") === expr("1L + (cnt - 1L) div 3L"), col("h"))).as("t1"),
+        max(when(col("rn") === expr("1L + ((cnt - 1L) * 2L) div 3L"), col("h"))).as("t2"))
+    CcModel(tm, bm, vs, thr)
+  }
+
+  /** Per-doc cross-entropy against the (broadcast) LM state — TOTAL via
+    * the anchor left join (H = 0, n_tri = 0 for sub-trigram docs). */
+  private def ccnetH(docs: DataFrame, tm: DataFrame, bm: DataFrame,
+      vs: DataFrame): DataFrame = {
+    val contrib = ccnetTris(docs).groupBy("doc_id", "lang", "tri").agg(count(lit(1)).as("tf"))
       .withColumn("bi", substring(col("tri"), 1, 2))
       .join(broadcast(tm), Seq("lang", "tri"), "left")
       .join(broadcast(bm), Seq("lang", "bi"), "left")
@@ -602,23 +642,20 @@ object TextAnalysis {
         expr("aggregate(transform(array_sort(collect_list(struct(tri, c))), p -> p.c), " +
           "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("ll"),
         sum("tf").as("n_tri"))
-    val anchored = docs.select("doc_id", "lang").join(h, Seq("doc_id", "lang"), "left")
+    docs.select("doc_id", "lang").join(h, Seq("doc_id", "lang"), "left")
       .select(col("doc_id"), col("lang"), coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         when(coalesce(col("n_tri"), lit(0L)) > 0, -col("ll") / col("n_tri"))
           .otherwise(lit(0.0)).as("h"))
-    val thr = anchored
-      .withColumn("rn", row_number()
-        .over(Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("lang")))
-      .groupBy("lang")
-      .agg(
-        max(when(col("rn") === expr("1L + (cnt - 1L) div 3L"), col("h"))).as("t1"),
-        max(when(col("rn") === expr("1L + ((cnt - 1L) * 2L) div 3L"), col("h"))).as("t2"))
-    anchored.join(broadcast(thr), Seq("lang"))
+  }
+
+  /** Score + bucket any (doc_id, lang, text) relation against a frozen
+    * [[CcModel]]. Per-doc verdicts are pure functions of (doc, model) —
+    * micro-batching cannot change them (Streams.attributesGate). */
+  private[graft] def ccnetScoreOf(docs: DataFrame, m: CcModel): DataFrame =
+    ccnetH(docs, m.tm, m.bm, m.vs).join(broadcast(m.thr), Seq("lang"))
       .withColumn("bucket",
         when(col("h") <= col("t1"), "head")
           .when(col("h") <= col("t2"), "middle").otherwise("tail"))
-  }
 
   /** (doc_id, w, tf) — the postings relation, one partial-agg pass. */
   private[graft] def bm25Tf(t: DataFrame): DataFrame =

@@ -229,6 +229,22 @@ object Streams {
       sink(graft.queries.TextAnalysis.nbScoreOf(batch.toDF(), model), batchId)
     }
 
+  /** Streaming quality ANNOTATION gate — the annotate-at-ingest form of
+    * x_text_attributes: each micro-batch of (doc_id, lang, text) rows
+    * is tagged with every signal (Gopher verdict, CCNet perplexity
+    * bucket, NB class, language ID, composite keep) against FROZEN
+    * models fit once on the backfill — including the CCNet tertile
+    * thresholds, which are global two-pass facts the stream applies
+    * statelessly (the mixture-rate pattern). Every signal is a pure
+    * per-doc function of (doc, models), so stream == one-shot batch
+    * (StreamsSpec pins it across a split). */
+  def attributesGate(docs: DataFrame, nb: graft.queries.TextAnalysis.NbModel,
+      cc: graft.queries.TextAnalysis.CcModel)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.queries.TextAnalysis.attributesOf(batch.toDF(), nb, cc), batchId)
+    }
+
   /** Streaming curation ingest — the continuous-ingest composition of
     * the batch pipeline's PER-DOC stages: blocklist → not-a-duplicate
     * against the persisted minhash index → α-mixture keep, run per

@@ -467,6 +467,43 @@ class StreamsSpec extends SparkSpecBase {
     assert(got.map(_._2).toSet.size > 1, "degenerate single-class predictions")
   }
 
+  test("streaming attributes gate: micro-batched docs emit the one-shot batch annotations") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang", "text")
+    val train = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
+      .filter(org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5($"doc_id".cast("string")), 1, 1) < "8")
+    // both models fit ONCE on the backfill; the stream applies them frozen
+    val nb = graft.queries.TextAnalysis.nbFit(docs, train)
+    val cc = graft.queries.TextAnalysis.ccnetFit(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getBoolean(1), r.getString(2), r.getLong(3), r.getString(4), r.getBoolean(5))
+    val expected = graft.queries.TextAnalysis.attributesOf(docs, nb, cc)
+      .collect().map(key).toSet
+    assert(expected.size == docs.count())
+
+    val rows = docs.as[(Long, String, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, String, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Boolean, String, Long, String, Boolean)]
+    val q = Streams.attributesGate(in.toDF().toDF("doc_id", "lang", "text"), nb, cc) {
+      (verdicts, _) => got.synchronized { got ++= verdicts.collect().map(key) }; ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected,
+      s"stream-only: ${got.toSet.diff(expected).take(3)}; batch-only: ${expected.diff(got.toSet).take(3)}")
+    assert(got.size == expected.size, "an annotation was emitted twice across batches")
+    // non-vacuous: both keep verdicts and >1 bucket appear
+    assert(got.map(_._6).toSet == Set(true, false))
+    assert(got.map(_._3).toSet.size > 1)
+  }
+
   test("incremental dedup: streamed micro-batches emit the backfill's verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
