@@ -214,6 +214,42 @@ object Curation {
         .orderBy("qid", "rank")
     }),
 
+    // -- PageRank doc-centrality over the cosine kNN graph: the
+    //    "representativeness" signal graph-based data-selection uses
+    //    (central docs anchor topics; isolated docs are outliers).
+    //    Three power iterations, damping 0.85, over each doc's top-3
+    //    cosine neighbors — bounded out-degree makes every iteration a
+    //    key-equi join + partial-agg over an O(docs × 3) edge relation,
+    //    the Pregel shape in plain DataFrames. Gate graph: docs < 200
+    //    all-pairs (bounded); at 100 TB the edge relation comes from
+    //    the persisted ANN index instead — the iterations are
+    //    unchanged. Contributions sum in src order (bounded fold), so
+    //    every double reproduces in DuckDB.
+    "x_cur_pagerank" -> ((s, d) => {
+      val e = Similarity.withNorm(s, d).filter(col("vec_id") < 200)
+      val q = e.select(col("vec_id").as("src"), col("embedding").as("qe"), col("nrm").as("qn"))
+      val scored = broadcast(q).join(e, col("src") =!= col("vec_id"))
+        .select(col("src"), col("vec_id").as("dst"),
+          (expr("float_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cos"))
+      val edges = graft.functions.TopKAgg.topkOf(scored, "src", "dst", "cos", 3)
+        .select("src", "dst")
+      val nD = e.count().toDouble
+      var pr = e.select(col("vec_id").as("v")).withColumn("pr", lit(1.0) / lit(nD))
+      for (_ <- 1 to 3) {
+        val in = edges.join(pr, col("src") === col("v"))
+          .select(col("dst"), col("src"), (col("pr") / lit(3.0)).as("c"))
+          .groupBy("dst")
+          .agg(expr("aggregate(transform(array_sort(collect_list(struct(src, c))), p -> p.c), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("m"))
+        pr = e.select(col("vec_id").as("v"))
+          .join(in, col("v") === col("dst"), "left")
+          .select(col("v"),
+            (lit(0.15) / lit(nD) + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
+      }
+      pr.orderBy(col("pr").desc, col("v")).limit(20)
+        .select(col("v").as("doc_id"), col("pr"))
+    }),
+
     // -- per-language embedding centroids: documents ⨝ embeddings, then
     //    an EXACT per-(lang, dim) mean via the scaled-integer trick
     //    (floor(x·10⁹) summed as DECIMAL — order-independent, partial-
@@ -920,6 +956,36 @@ object Curation {
         |       CAST(r.rank AS BIGINT) AS rank, r.vec_id AS negative, r.cos
         |FROM ranked r JOIN pos p ON p.qid = r.qid
         |WHERE r.rank <= 3 ORDER BY r.qid, r.rank""".stripMargin,
+
+    // the same kNN edges + three unrolled power iterations with
+    // src-ordered folds
+    "x_cur_pagerank" -> {
+      def iter(i: Int): String =
+        s"""s$i AS (SELECT e.dst, list_sum(list(p.pr / 3.0 ORDER BY e.src)) AS m
+           |  FROM edges e JOIN pr${i - 1} p ON e.src = p.v GROUP BY e.dst),
+           |pr$i AS (SELECT ev.vec_id AS v,
+           |    0.15 / (SELECT CAST(count(*) AS DOUBLE) FROM ev)
+           |      + 0.85 * coalesce(s$i.m, 0.0) AS pr
+           |  FROM ev LEFT JOIN s$i ON ev.vec_id = s$i.dst)""".stripMargin
+      s"""WITH ev AS (SELECT vec_id, embedding,
+         |  sqrt(${Similarity.dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings WHERE vec_id < 200),
+         |scored AS (
+         |  SELECT q.vec_id AS src, t.vec_id AS dst,
+         |    ${Similarity.dotSql("q.embedding", "t.embedding")} / (q.nrm * t.nrm) AS cos
+         |  FROM ev q, ev t WHERE q.vec_id != t.vec_id),
+         |edges AS (SELECT src, dst FROM (
+         |  SELECT src, dst,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) rn
+         |  FROM scored) WHERE rn <= 3),
+         |pr0 AS (SELECT vec_id AS v,
+         |    1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM ev) AS pr FROM ev),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT v AS doc_id, pr FROM pr3
+         |ORDER BY pr DESC, v LIMIT 20""".stripMargin
+    },
 
     "x_cur_embed_centroids" ->
       """WITH j AS (

@@ -439,6 +439,39 @@ class CurationSpec extends SparkSpecBase {
     assert(red.exists(_.getLong(1) > 0), "vacuous: no redactions at gate scale")
   }
 
+  test("pagerank: three power iterations match a driver recompute; mass conserved") {
+    val got = Curation.queries("x_cur_pagerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 20)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 200).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble))
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val nrm = emb.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val edges = emb.flatMap { case (src, vs) =>
+      emb.filter(_._1 != src)
+        .map { case (dst, vt) => (dst, dot(vs, vt) / (nrm(src) * nrm(dst))) }
+        .sortBy { case (dst, cos) => (-cos, dst) }.take(3)
+        .map { case (dst, _) => (src, dst) }
+    }
+    val n = emb.length.toDouble
+    var pr = emb.map(_._1 -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.map { case (src, dst) => (dst, src, pr(src) / 3.0) }
+        .groupBy(_._1).map { case (dst, g) =>
+          dst -> g.sortBy(_._2).foldLeft(0.0)((a, x) => a + x._3) }
+      pr = emb.map { case (id, _) => id -> (0.15 / n + 0.85 * in.getOrElse(id, 0.0)) }.toMap
+    }
+    val want = pr.toSeq.sortBy { case (v, p) => (-p, v) }.take(20)
+    assert(got.toSeq == want, s"top-20 centrality diverges from the driver recompute")
+    // a stochastic-ish sanity: total mass stays near 1 (no dangling loss here
+    // beyond damping redistribution)
+    val mass = pr.values.sum
+    assert(math.abs(mass - 1.0) < 0.05, s"pagerank mass drifted: $mass")
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse, "descending pr")
+  }
+
   test("contrastive pairs: positive excluded from negatives, sources consistent, composed from gated chains") {
     import org.apache.spark.sql.functions._
     val rows = Curation.queries("x_cur_contrastive")(spark, sf).collect()
