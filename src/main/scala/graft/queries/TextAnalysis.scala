@@ -75,6 +75,17 @@ object TextAnalysis {
     //    two fixed-order divisions ⇒ hash-exact.
     "x_text_bpe_fertility" -> ((s, d) => bpeFertility(s, d, steps = 3)),
 
+    // -- tokenizer LAST MILE: materialize each document's input_ids
+    //    under the trained merges — what a training job actually reads.
+    //    The word→symbols map and the token→id table are both
+    //    VOCABULARY-sized (broadcast; the id-assignment window orders
+    //    vocab rows, never corpus rows); the corpus pays one
+    //    posexplode + two broadcast joins + one per-doc reassembly
+    //    fold. Ids emit as a space-joined string (integer text — exact
+    //    in any engine, and immune to array-repr truncation in
+    //    comparison harnesses). Hash-exact end to end.
+    "x_text_tokenize_ids" -> ((s, d) => tokenizeIds(s, d, steps = 3)),
+
     // -- language ID: stopword-profile scores + zh via CJK codepoints;
     //    prediction = argmax with deterministic tie-break order
     "x_text_langid" -> ((s, d) =>
@@ -319,11 +330,14 @@ object TextAnalysis {
     //    keep rule, as ONE declarative plan. Every stage IS its gated
     //    standalone core (gopherRules / ccnetBuckets / nbScoreOf /
     //    langidPred — no re-implementation drift), composed by key-equi
-    //    doc_id joins. Corpus passes: the two scan-side signals fuse
-    //    into narrow projections; the two model stages add their
-    //    inherent fit + apply aggregation passes — nothing else touches
-    //    the corpus, and the oracle recomposes the SAME shared CTE
-    //    fragments the standalone oracles select from.
+    //    doc_id joins. Corpus passes: each tagger pays its own pass
+    //    (the Dolma attribute-file shape — independent taggers), and
+    //    the aggregates duplicated between a model's fit and its apply
+    //    (NB's tf relation, CCNet's per-doc entropy feeding both the
+    //    tertile thresholds and the bucketing probe) deduplicate at
+    //    runtime via AQE exchange reuse — PlanQualitySpec pins the
+    //    ReusedExchange nodes. The oracle recomposes the SAME shared
+    //    CTE fragments the standalone oracles select from.
     "x_text_attributes" -> ((s, d) => attributes(s, d)),
 
     // -- CMS heavy hitters: the 100 TB path for frequent-term detection.
@@ -807,6 +821,42 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Tokenize the corpus into input ids — see the x_text_tokenize_ids
+    * entry. Token ids rank by (corpus count DESC, token ASC) — the
+    * conventional frequency-ordered id assignment, deterministic. */
+  private def tokenizeIds(s: SparkSession, d: String, steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v0 = bpeVocab(s, d).persist()
+    val merges = try bpeMerges(v0, steps) finally v0.unpersist(blocking = false)
+    val wc = table(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val applied = merges.foldLeft(
+      wc.withColumn("v",
+        expr("concat_ws('', transform(split(w, ''), c -> concat('<', c, '>')))"))) {
+      case (v, (_, a, b, _)) => v.withColumn("v", expr(s"replace(v, '<$a><$b>', '<$a$b>')"))
+    }
+    val wmap = applied
+      .withColumn("syms", expr("split(substring(v, 2, length(v) - 2), '><')"))
+      .select("w", "n", "syms")
+    val ids = wmap.select(col("n"), explode(col("syms")).as("token"))
+      .groupBy("token").agg(sum("n").as("cnt"))
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long") - 1L)
+      .select("token", "id")
+    val docw = table(s, d, "documents").filter(col("doc_id") < 100)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    docw.join(broadcast(wmap.select("w", "syms")), Seq("w"))
+      .select(col("doc_id"), col("pos"), posexplode(col("syms")).as(Seq("j", "token")))
+      .join(broadcast(ids), Seq("token"))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, j, id))), p -> p.id)")
+        .as("idsArr"))
+      .select(col("doc_id"), size(col("idsArr")).cast("long").as("n_tokens"),
+        expr("array_join(transform(idsArr, i -> CAST(i AS STRING)), ' ')").as("ids_str"))
+      .orderBy("doc_id")
+  }
+
   /** The delimiter-encoded `<s1><s2>…` vocabulary with word counts — one
     * corpus scan; shared by training and application. */
   private def bpeVocab(s: SparkSession, d: String): DataFrame =
@@ -1149,6 +1199,50 @@ object TextAnalysis {
       s"""WITH $nbCtes
          |SELECT doc_id, label, pred, score
          |FROM nb_out WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // the corpus-wide merge chain (shared steps), the word→syms map,
+    // frequency-ordered id assignment, and per-doc (pos, j)-ordered
+    // reassembly
+    "x_text_tokenize_ids" -> {
+      def wmStep(i: Int): String =
+        s"""wm$i AS (SELECT w, n, replace(v, '<' || b$i.a || '><' || b$i.b || '>',
+           |                 '<' || b$i.a || b$i.b || '>') AS v
+           |       FROM wm${i - 1}, b$i)""".stripMargin
+      s"""WITH t AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+         |v0 AS (SELECT array_to_string(list_transform(string_split(w, ''),
+         |               c -> '<' || c || '>'), '') AS v, n FROM t),
+         |${bpePairStepSql(1)},
+         |${bpeMergeStepSql(1)},
+         |${bpePairStepSql(2)},
+         |${bpeMergeStepSql(2)},
+         |${bpePairStepSql(3)},
+         |wm0 AS (SELECT w, n, array_to_string(list_transform(string_split(w, ''),
+         |               c -> '<' || c || '>'), '') AS v FROM t),
+         |${wmStep(1)},
+         |${wmStep(2)},
+         |${wmStep(3)},
+         |wmap AS (SELECT w, n,
+         |           string_split(substr(v, 2, length(v) - 2), '><') AS syms FROM wm3),
+         |tok AS (SELECT u.sym AS token, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |  SELECT n, unnest(list_transform(generate_series(1, len(syms)),
+         |           j -> {'sym': syms[j]})) AS u FROM wmap) GROUP BY u.sym),
+         |ids AS (SELECT token,
+         |          CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS id
+         |        FROM tok),
+         |docw AS (SELECT doc_id, i AS pos, ws[i] AS w FROM
+         |  (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |   WHERE doc_id < 100), unnest(generate_series(1, len(ws))) AS u(i)),
+         |dsym AS (SELECT doc_id, pos, x.j AS j, x.sym AS sym FROM (
+         |  SELECT d.doc_id, d.pos, unnest(list_transform(generate_series(1, len(m.syms)),
+         |           j -> {'j': j, 'sym': m.syms[j]})) AS x
+         |  FROM docw d JOIN wmap m USING (w))),
+         |did AS (SELECT doc_id, list(CAST(i.id AS VARCHAR) ORDER BY pos, j) AS ids
+         |        FROM dsym JOIN ids i ON i.token = dsym.sym GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+         |       array_to_string(ids, ' ') AS ids_str
+         |FROM did ORDER BY doc_id""".stripMargin
+    },
 
     // the corpus-wide merge chain (shared steps), then the lang-aware
     // vocabulary rolled up through the same replaces

@@ -582,6 +582,20 @@ class PlanQualitySpec extends SparkSpecBase {
       "semi-join regime must emit exactly the literal regime's verdicts")
   }
 
+  test("attributes: fit/apply aggregates dedup via runtime exchange reuse; no cartesian") {
+    val df = graft.SparkEntry.queries("x_text_attributes")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"degenerate join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"model relations must broadcast against the corpus sides:\n$p")
+    // the aggregates duplicated between a model's fit and its apply (NB
+    // tf, CCNet per-doc entropy) must deduplicate at runtime — without
+    // reuse the composition would re-run those corpus passes
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    assert(reused >= 2, s"expected >=2 ReusedExchange nodes, got $reused:\n$p")
+  }
+
   test("nb classify: model joins broadcast, argmax by aggregate — no window, no cartesian") {
     val p = planStr("x_text_nb_classify")
     assert(!p.contains("Window"),

@@ -291,6 +291,40 @@ class TextAnalysisSpec extends SparkSpecBase {
     }, "no language shows any merge compression")
   }
 
+  test("tokenize ids: per-doc input_ids match a first-principles tokenizer walk") {
+    val rows = TextAnalysis.queries("x_text_tokenize_ids")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(rows.size == 100)
+    val (merges, _) = refBpe(3)
+    def tokenize(w: String): Seq[String] =
+      merges.foldLeft(w.split("").toSeq) { case (syms, (a, b, _)) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        out.toSeq
+      }
+    val texts = graft.Engine.table(spark, sf, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    // frequency-ordered id table over the FULL corpus
+    val tokCnt = texts.flatMap(_._2.split(" ")).flatMap(tokenize)
+      .groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val ids = tokCnt.toSeq.sortBy { case (t, c) => (-c, t) }
+      .zipWithIndex.map { case ((t, _), i) => t -> i.toLong }.toMap
+    for ((id, text) <- texts if id < 100) {
+      val want = text.split(" ").toSeq.flatMap(tokenize).map(ids)
+      val (n, s) = rows(id)
+      assert(n == want.length.toLong, s"doc $id token count")
+      assert(s == want.mkString(" "), s"doc $id ids")
+    }
+    // non-vacuous: a merged multi-char token occurs in some doc's stream
+    val idOf = ids.map(_.swap)
+    assert(rows.values.exists(_._2.split(" ").exists(t => idOf(t.toLong).length > 1)),
+      "no merged token ever appears in the tokenized docs")
+  }
+
   test("BPE training: 3 merges match a first-principles driver implementation") {
     val rows = TextAnalysis.queries("x_text_bpe_train")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
