@@ -121,6 +121,29 @@ object Curation {
     "x_cur_pack" -> ((s, d) =>
       pack(toks(s, d).select(col("doc_id"), size(col("ws")).cast("long").as("n")))),
 
+    // -- TRUE sequence packing: fixed 32-token training rows sliced from
+    //    the concatenated global token stream (docs cross row
+    //    boundaries — the manifest a packed-dataset loader replays).
+    //    Each doc GENERATES exactly the training rows it overlaps via a
+    //    bounded sequence-explode over its [offset, offset+n) interval
+    //    — equi by construction, never an interval join; output size is
+    //    O(total_tokens / 32 + docs). Offsets are x_cur_pack's gated
+    //    distributed prefix sum; spans are pure integer arithmetic, so
+    //    the manifest hash-gates.
+    "x_cur_pack_spans" -> ((s, d) => {
+      val packed = pack(toks(s, d).select(col("doc_id"), size(col("ws")).cast("long").as("n")))
+      packed.filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+          explode(expr("sequence(tok_offset div 32, (tok_offset + n_tokens - 1) div 32)"))
+            .as("seq"))
+        .select(col("seq"), col("doc_id"),
+          greatest(col("seq") * 32 - col("tok_offset"), lit(0L)).as("doc_start"),
+          (least(col("tok_offset") + col("n_tokens"), (col("seq") + 1L) * 32) -
+            greatest(col("tok_offset"), col("seq") * 32)).as("len"))
+        .filter(col("seq") < 200)
+        .orderBy("seq", "doc_id")
+    }),
+
     // -- leakage-safe train/validation split: assignment is decided per
     //    DEDUP CLUSTER (md5-MinHash discovery → star clustering, the same
     //    hash-gated pipeline as x_dedup_clusters_full), so near-duplicate
@@ -868,6 +891,22 @@ object Curation {
         |SELECT doc_id, n AS n_tokens, CAST(o AS BIGINT) AS tok_offset,
         |       CAST(o // 8192 AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the naive cumsum offsets + per-doc overlapped-row generation
+    "x_cur_pack_spans" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) n
+        |           FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        sum(n) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS o
+        |      FROM t),
+        |sp AS (SELECT doc_id, n, o, unnest(generate_series(
+        |         CAST(o // 32 AS BIGINT), CAST((o + n - 1) // 32 AS BIGINT))) AS seq
+        |       FROM c WHERE n > 0)
+        |SELECT CAST(seq AS BIGINT) AS seq, doc_id,
+        |       CAST(greatest(seq * 32 - o, 0) AS BIGINT) AS doc_start,
+        |       CAST(least(o + n, (seq + 1) * 32) - greatest(o, seq * 32) AS BIGINT) AS len
+        |FROM sp WHERE seq < 200 ORDER BY seq, doc_id""".stripMargin,
 
     "x_cur_split" ->
       s"""WITH RECURSIVE ${Dedup.md5MinhashCte},

@@ -439,6 +439,36 @@ class CurationSpec extends SparkSpecBase {
     assert(red.exists(_.getLong(1) > 0), "vacuous: no redactions at gate scale")
   }
 
+  test("pack spans: rows tile the token stream exactly; docs cross boundaries") {
+    val rows = Curation.queries("x_cur_pack_spans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val n = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length.toLong)
+      .sortBy(_._1)
+    val offsets = n.scanLeft(0L)(_ + _._2).init
+    val off = n.map(_._1).zip(offsets).toMap
+    val nMap = n.toMap
+    // every span sits inside its doc and inside its training row
+    rows.foreach { case (seq, id, start, len) =>
+      assert(len >= 1 && start >= 0 && start + len <= nMap(id), s"span bounds doc $id")
+      val gStart = off(id) + start
+      assert(gStart >= seq * 32 && gStart + len <= (seq + 1) * 32,
+        s"span leaves training row $seq")
+    }
+    // every complete training row is tiled exactly: lengths sum to 32
+    val bySeq = rows.groupBy(_._1)
+    val total = n.map(_._2).sum
+    bySeq.foreach { case (seq, sp) =>
+      val want = math.min(32L, total - seq * 32)
+      assert(sp.map(_._4).sum == want, s"row $seq not tiled: ${sp.map(_._4).sum} vs $want")
+    }
+    // non-vacuous: some doc crosses a row boundary (appears in >1 seq)
+    assert(rows.groupBy(_._2).values.exists(_.size > 1),
+      "no doc crosses a training-row boundary")
+  }
+
   test("pagerank: three power iterations match a driver recompute; mass conserved") {
     val got = Curation.queries("x_cur_pagerank")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
