@@ -824,37 +824,57 @@ object TextAnalysis {
   /** Tokenize the corpus into input ids — see the x_text_tokenize_ids
     * entry. Token ids rank by (corpus count DESC, token ASC) — the
     * conventional frequency-ordered id assignment, deterministic. */
-  private def tokenizeIds(s: SparkSession, d: String, steps: Int): DataFrame = {
+  private def tokenizeIds(s: SparkSession, d: String, steps: Int): DataFrame =
+    tokenizeOf(table(s, d, "documents").filter(col("doc_id") < 100),
+      bpeFit(s, d, steps)).orderBy("doc_id")
+
+  /** The frozen tokenizer: the ordered merge list (plain values — the
+    * training control decisions) and the frequency-ordered token→id
+    * table (vocabulary-sized, broadcast at apply time). */
+  case class BpeModel(merges: Seq[(Long, String, String, Long)], ids: DataFrame)
+
+  private[graft] def bpeFit(s: SparkSession, d: String, steps: Int): BpeModel = {
     import org.apache.spark.sql.expressions.Window
     val v0 = bpeVocab(s, d).persist()
     val merges = try bpeMerges(v0, steps) finally v0.unpersist(blocking = false)
     val wc = table(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    val applied = merges.foldLeft(
+    val ids = merges.foldLeft(
       wc.withColumn("v",
         expr("concat_ws('', transform(split(w, ''), c -> concat('<', c, '>')))"))) {
       case (v, (_, a, b, _)) => v.withColumn("v", expr(s"replace(v, '<$a><$b>', '<$a$b>')"))
     }
-    val wmap = applied
-      .withColumn("syms", expr("split(substring(v, 2, length(v) - 2), '><')"))
-      .select("w", "n", "syms")
-    val ids = wmap.select(col("n"), explode(col("syms")).as("token"))
+      .select(col("n"), explode(expr("split(substring(v, 2, length(v) - 2), '><')")).as("token"))
       .groupBy("token").agg(sum("n").as("cnt"))
       .withColumn("id",
         row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long") - 1L)
       .select("token", "id")
-    val docw = table(s, d, "documents").filter(col("doc_id") < 100)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-    docw.join(broadcast(wmap.select("w", "syms")), Seq("w"))
+    BpeModel(merges, ids)
+  }
+
+  /** Tokenize any (doc_id, text) relation against a frozen [[BpeModel]].
+    * The merge chain applies INLINE per word occurrence (a codegen'd
+    * replace fold — no vocabulary join), so apply-time words the
+    * training vocab never saw still decompose; symbols outside the id
+    * table (a truly unseen character) map to the conventional -1 unk
+    * id rather than silently dropping. Per-doc outputs are pure
+    * functions of (doc, model) — the streaming twin relies on it. */
+  private[graft] def tokenizeOf(docs: DataFrame, m: BpeModel): DataFrame = {
+    val enc = m.merges.foldLeft(
+      "concat_ws('', transform(split(w, ''), c -> concat('<', c, '>')))") {
+      case (e, (_, a, b, _)) => s"replace($e, '<$a><$b>', '<$a$b>')"
+    }
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("syms", expr(s"split(substring($enc, 2, length($enc) - 2), '><')"))
       .select(col("doc_id"), col("pos"), posexplode(col("syms")).as(Seq("j", "token")))
-      .join(broadcast(ids), Seq("token"))
+      .join(broadcast(m.ids), Seq("token"), "left")
+      .withColumn("id", coalesce(col("id"), lit(-1L)))
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(pos, j, id))), p -> p.id)")
         .as("idsArr"))
       .select(col("doc_id"), size(col("idsArr")).cast("long").as("n_tokens"),
         expr("array_join(transform(idsArr, i -> CAST(i AS STRING)), ' ')").as("ids_str"))
-      .orderBy("doc_id")
   }
 
   /** The delimiter-encoded `<s1><s2>…` vocabulary with word counts — one

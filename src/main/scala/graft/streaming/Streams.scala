@@ -245,6 +245,17 @@ object Streams {
       sink(graft.queries.TextAnalysis.attributesOf(batch.toDF(), nb, cc), batchId)
     }
 
+  /** Streaming tokenization — the annotate-at-ingest form of
+    * x_text_tokenize_ids: each micro-batch of (doc_id, text) rows
+    * tokenizes against a FROZEN BpeModel (merges applied inline per
+    * word, broadcast id table, -1 for truly unseen symbols). Pure
+    * per-doc function of (doc, model) ⇒ stream == one-shot batch. */
+  def tokenize(docs: DataFrame, model: graft.queries.TextAnalysis.BpeModel)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.queries.TextAnalysis.tokenizeOf(batch.toDF(), model), batchId)
+    }
+
   /** Streaming curation ingest — the continuous-ingest composition of
     * the batch pipeline's PER-DOC stages: blocklist → not-a-duplicate
     * against the persisted minhash index → α-mixture keep, run per

@@ -504,6 +504,37 @@ class StreamsSpec extends SparkSpecBase {
     assert(got.map(_._3).toSet.size > 1)
   }
 
+  test("streaming tokenization: micro-batched docs emit the one-shot batch ids; OOV maps to -1") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val model = graft.queries.TextAnalysis.bpeFit(spark, sf, steps = 3)
+    val expected = graft.queries.TextAnalysis.tokenizeOf(docs, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(expected.size == docs.count())
+
+    val rows = docs.as[(Long, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = Streams.tokenize(in.toDF().toDF("doc_id", "text"), model) { (out, _) =>
+      got.synchronized { got ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))) }
+      ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected, "stream and one-shot batch must tokenize identically")
+    assert(got.size == expected.size, "a doc was tokenized twice across batches")
+    // a word with a character the training vocab never saw: inline merge
+    // application still decomposes it, unseen symbols map to -1
+    val oov = graft.queries.TextAnalysis.tokenizeOf(
+      Seq((999L, "zzz ###")).toDF("doc_id", "text"), model).collect().head
+    assert(oov.getLong(1) >= 4L, "OOV words must still decompose into symbols")
+    assert(oov.getString(2).split(" ").contains("-1"), "unseen symbols must map to -1")
+  }
+
   test("incremental dedup: streamed micro-batches emit the backfill's verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
