@@ -90,6 +90,30 @@ object Events {
 
     // -- gap-based sessionization (30-min inactivity): one shuffle on
     //    user_id; session bounds via lag + running sum of gap flags
+    // -- rate-anomaly detection: flag hourly windows whose event count
+    //    sits beyond 2σ of the type's own hourly distribution — the
+    //    ops-side spike/outage detector over the same tumbling windows.
+    //    The z² > k² test CROSS-MULTIPLIES to integers ((nH − S)² >
+    //    k²(H·SS − S²), computed in DECIMAL(38,0)) so the verdict is
+    //    engine-portable with no float threshold; only the reported
+    //    mean is a (single-division) double. Two aggregation passes
+    //    over the skinny hourly relation; the per-type stats broadcast.
+    "x_events_anomaly" -> ((s, d) => {
+      val hourly = ev(s, d).withColumn("w", bucket(3600L * 1000000))
+        .groupBy("w", "event_type").agg(count(lit(1)).as("n"))
+      val stats = hourly.groupBy("event_type")
+        .agg(count(lit(1)).as("hh"), sum("n").as("ss"),
+          sum(col("n") * col("n")).as("ss2"))
+      val dev = (col("n") * col("hh") - col("ss")).cast("decimal(38,0)")
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .select(col("w"), col("event_type"), col("n"),
+          (col("ss").cast("double") / col("hh")).as("mu"),
+          (dev * dev >
+            lit(4) * (col("hh").cast("decimal(38,0)") * col("ss2") -
+              col("ss").cast("decimal(38,0)") * col("ss"))).as("anomaly"))
+        .orderBy("w", "event_type")
+    }),
+
     "x_events_sessions" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
       ev(s, d)
@@ -182,6 +206,23 @@ object Events {
         |  SELECT event_type, us, w0 - 1800000000 AS w FROM b)
         |SELECT w, event_type, count(*) AS n FROM x
         |GROUP BY w, event_type ORDER BY w, event_type""".stripMargin,
+
+    // the same hourly windows; the z² test in the same exact decimals
+    "x_events_anomaly" ->
+      """WITH h AS (SELECT (epoch_us(ts) - ((epoch_us(ts) % CAST(3600000000 AS BIGINT))
+        |        + CAST(3600000000 AS BIGINT)) % CAST(3600000000 AS BIGINT)) AS w,
+        |        event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS hh,
+        |         CAST(sum(n) AS BIGINT) AS ss, CAST(sum(n * n) AS BIGINT) AS ss2
+        |       FROM h GROUP BY 1)
+        |SELECT h.w, h.event_type, h.n,
+        |  CAST(st.ss AS DOUBLE) / st.hh AS mu,
+        |  CAST(h.n * st.hh - st.ss AS DECIMAL(38,0))
+        |    * CAST(h.n * st.hh - st.ss AS DECIMAL(38,0)) >
+        |  4 * (CAST(st.hh AS DECIMAL(38,0)) * st.ss2
+        |    - CAST(st.ss AS DECIMAL(38,0)) * st.ss) AS anomaly
+        |FROM h JOIN st USING (event_type) ORDER BY w, event_type""".stripMargin,
 
     "x_events_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) us FROM events),

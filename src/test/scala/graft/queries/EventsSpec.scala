@@ -65,4 +65,24 @@ class EventsSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("rate anomaly: integer z² verdicts match a driver recompute; both verdicts occur") {
+    val rows = Events.queries("x_events_anomaly")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_._2)
+    byType.foreach { case (_, g) =>
+      val hh = g.length.toLong
+      val ss = g.map(_._3).sum
+      val ss2 = g.map(n => n._3 * n._3).sum
+      g.foreach { case (w, t, n, mu, anomaly) =>
+        assert(mu == ss.toDouble / hh, s"($w,$t) mean")
+        val dev = BigInt(n * hh - ss)
+        val want = dev * dev > BigInt(4) * (BigInt(hh) * BigInt(ss2) - BigInt(ss) * BigInt(ss))
+        assert(anomaly == want, s"($w,$t) verdict")
+      }
+    }
+    // the 2σ cut is non-vacuous on the gate corpus — both verdicts occur
+    assert(rows.map(_._5).toSet == Set(true, false))
+  }
 }
