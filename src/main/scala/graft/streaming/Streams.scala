@@ -43,6 +43,31 @@ object Streams {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
 
+  /** Streaming rate-anomaly detection — the continuous twin of
+    * x_events_anomaly's verdict stage: a REAL watermarked streaming
+    * aggregation (tumbling 1-hour counts, the state store holds only
+    * open windows) joined against the per-type hourly baseline stats
+    * (hh, ss, ss2) fit ONCE on history — the global two-pass facts a
+    * stream applies statelessly, exactly the mixture-rate / CCNet-
+    * threshold pattern. The z² > k² verdict is the same exact
+    * DECIMAL(38,0) cross-multiplication, so a window finalized by the
+    * stream carries the verdict the batch query would assign it under
+    * the same baseline. */
+  def rateAnomaly(events: DataFrame, stats: DataFrame): DataFrame = {
+    val dev = (col("n") * col("hh") - col("ss")).cast("decimal(38,0)")
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("w_start"), col("event_type"), col("n"),
+        (col("ss").cast("double") / col("hh")).as("mu"),
+        (dev * dev >
+          lit(4) * (col("hh").cast("decimal(38,0)") * col("ss2") -
+            col("ss").cast("decimal(38,0)") * col("ss"))).as("anomaly"))
+  }
+
   /** Streaming exact dedup ON THE KEY COLUMNS within the watermark
     * horizon — the streaming twin of x_dedup_exact. Uses
     * dropDuplicatesWithinWatermark, so a retransmitted event whose retry

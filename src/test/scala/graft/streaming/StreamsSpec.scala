@@ -70,6 +70,34 @@ class StreamsSpec extends SparkSpecBase {
     assert(starts(1) - starts(0) == 30L * 60_000L)
   }
 
+  test("streaming rate anomaly: watermarked windows carry the batch verdict under frozen stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val events = in.toDF().toDF("ts", "user_id", "event_type", "value")
+    // baseline fit on "history": 3 hourly windows of count 2 each for
+    // clicks → mean 2, variance 0; any deviating window flags, a
+    // baseline-conforming one does not
+    val stats = Seq(("click", 3L, 6L, 12L)).toDF("event_type", "hh", "ss", "ss2")
+    // stream three windows with counts 2, 14, 2
+    val evs = (0 until 2).map(i => (ts(i), 1L, "click", 1.0)) ++
+      (0 until 14).map(i => (ts(60 + i), 1L, "click", 1.0)) ++
+      (0 until 2).map(i => (ts(120 + i), 1L, "click", 1.0))
+    in.addData(evs: _*)
+    runToMemory("anomaly_out", Streams.rateAnomaly(events, stats), OutputMode.Update())
+    val rows = spark.table("anomaly_out").orderBy("w_start").collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Double]("mu"), r.getAs[Boolean]("anomaly")))
+    assert(rows.map(_._1).toSeq == Seq(2L, 14L, 2L))
+    assert(rows.forall(_._2 == 2.0))
+    // driver recompute of the exact verdict per window
+    rows.foreach { case (n, _, anomaly) =>
+      val dev = BigInt(n * 3 - 6)
+      val want = dev * dev > BigInt(4) * (BigInt(3) * BigInt(12) - BigInt(6) * BigInt(6))
+      assert(anomaly == want, s"window n=$n")
+    }
+    assert(rows.map(_._3).toSeq == Seq(false, true, false), "only the spike flags")
+  }
+
   test("streaming dedup keys on the columns alone within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
