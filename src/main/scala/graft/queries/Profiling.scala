@@ -70,6 +70,39 @@ object Profiling {
         .select(col("n"), (col("n") - col("n_nonnull")).as("nulls"),
           col("n_dims_distinct"), col("dims_min"), col("dims_max"),
           col("n_nan"), col("norm_sq_mass"))
+    }),
+
+    // -- robust per-dimension OUTLIER detection: flag vectors with any
+    //    coordinate beyond 5×MAD of that dimension's median — the
+    //    poisoned-embedding audit (a corrupted encoder or bit-flipped
+    //    shard shows up as per-dim outliers long before it shifts a
+    //    mean). Medians are exact rank arithmetic in two window passes,
+    //    each PARTITIONED BY DIMENSION (64-way parallel; at petabyte
+    //    scale swap approx_percentile — the gated sketch precedent —
+    //    for the same report shape). The 5×MAD compare is exact double
+    //    arithmetic on identical inputs, so verdicts hash-gate.
+    "x_prof_embed_outliers" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val x = table(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("vec_id"), col("pos"), col("xf").cast("double").as("x"))
+      def medOf(df: DataFrame, valueCol: String, out: String): DataFrame = {
+        val w = Window.partitionBy("pos").orderBy(col(valueCol), col("vec_id"))
+        df.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("pos")))
+          .groupBy("pos")
+          .agg(max(when(col("rn") === expr("1L + (cnt - 1L) div 2L"), col(valueCol))).as(out))
+      }
+      val med = medOf(x, "x", "med")
+      val dev = x.join(broadcast(med), Seq("pos"))
+        .withColumn("adev", abs(col("x") - col("med")))
+      val mad = medOf(dev.select(col("vec_id"), col("pos"), col("adev")), "adev", "mad")
+      dev.join(broadcast(mad), Seq("pos"))
+        .select(col("vec_id"),
+          (col("adev") > lit(5.0) * col("mad")).cast("long").as("o"))
+        .groupBy("vec_id").agg(sum("o").as("n_out_dims"))
+        .withColumn("is_outlier", col("n_out_dims") > 0)
+        .orderBy("vec_id")
     })
   )
 
@@ -92,6 +125,27 @@ object Profiling {
          |         x -> isnan(CAST(x AS DOUBLE)))) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
          |  CAST(sum(CAST(floor(${Similarity.dotSql("embedding", "embedding")} * 1000000.0)
          |         AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0 AS norm_sq_mass
-         |FROM embeddings""".stripMargin
+         |FROM embeddings""".stripMargin,
+
+    // the same two rank-arithmetic median passes per dimension
+    "x_prof_embed_outliers" ->
+      """WITH x AS (SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+        |m1 AS (SELECT pos, max(CASE WHEN rn = 1 + (cnt - 1) // 2 THEN x END) AS med
+        |       FROM (SELECT pos, x,
+        |               row_number() OVER (PARTITION BY pos ORDER BY x, vec_id) AS rn,
+        |               count(*) OVER (PARTITION BY pos) AS cnt FROM x) GROUP BY pos),
+        |dv AS (SELECT x.vec_id, x.pos, abs(x.x - m1.med) AS adev
+        |       FROM x JOIN m1 USING (pos)),
+        |m2 AS (SELECT pos, max(CASE WHEN rn = 1 + (cnt - 1) // 2 THEN adev END) AS mad
+        |       FROM (SELECT pos, adev,
+        |               row_number() OVER (PARTITION BY pos ORDER BY adev, vec_id) AS rn,
+        |               count(*) OVER (PARTITION BY pos) AS cnt FROM dv) GROUP BY pos),
+        |f AS (SELECT dv.vec_id,
+        |        CASE WHEN dv.adev > 5.0 * m2.mad THEN 1 ELSE 0 END AS o
+        |      FROM dv JOIN m2 USING (pos))
+        |SELECT vec_id, CAST(sum(o) AS BIGINT) AS n_out_dims,
+        |       sum(o) > 0 AS is_outlier
+        |FROM f GROUP BY vec_id ORDER BY vec_id""".stripMargin
   )
 }

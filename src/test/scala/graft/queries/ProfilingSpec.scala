@@ -46,4 +46,27 @@ class ProfilingSpec extends SparkSpecBase {
     assert(math.abs(r.getDouble(6) - want) < 1e-9,
       s"norm mass ${r.getDouble(6)} != recompute $want")
   }
+
+  test("embed outliers: per-dim median/MAD verdicts match a driver recompute") {
+    val rows = Profiling.queries("x_prof_embed_outliers")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble))
+    assert(rows.size == emb.length)
+    val dims = emb.head._2.length
+    def medianBy(vals: Seq[(Double, Long)]): Double = {
+      val sorted = vals.sortBy(identity)
+      sorted((sorted.length - 1) / 2)._1
+    }
+    val med = (0 until dims).map { p =>
+      p -> medianBy(emb.map { case (id, v) => (v(p), id) }.toSeq) }.toMap
+    val mad = (0 until dims).map { p =>
+      p -> medianBy(emb.map { case (id, v) => (math.abs(v(p) - med(p)), id) }.toSeq) }.toMap
+    for ((id, v) <- emb) {
+      val n = (0 until dims).count(p => math.abs(v(p) - med(p)) > 5.0 * mad(p)).toLong
+      assert(rows(id) == (n, n > 0), s"vec $id: ${rows(id)} vs ($n, ${n > 0})")
+    }
+    // non-vacuous both ways at gate scale
+    assert(rows.values.map(_._2).toSet == Set(true, false))
+  }
 }
