@@ -169,6 +169,30 @@ object Mp4 {
       .getOrElse(throw new IllegalArgumentException(s"no $tpe box"))
 
   /** Read real container metadata back out of an MP4's box tree. */
+  /** The REAL per-frame size table: walk to stbl and read each stsz
+    * entry (or expand the fixed-size form) — what a bitrate/scene-cut
+    * analyzer consumes. Same fail-fast box-bound contract as [[parse]]. */
+  def sampleSizes(b: Array[Byte]): Array[Long] = {
+    val top = children(b, 0, b.length)
+    require(top.headOption.exists(_._1 == "ftyp"), "not an MP4: no leading ftyp")
+    val (moovS, moovE) = child(b, top, "moov")
+    val (trakS, trakE) = child(b, children(b, moovS, moovE), "trak")
+    val trak = children(b, trakS, trakE)
+    val (mdiaS, mdiaE) = child(b, trak, "mdia")
+    val (minfS, minfE) = child(b, children(b, mdiaS, mdiaE), "minf")
+    val (stblS, stblE) = child(b, children(b, minfS, minfE), "stbl")
+    val (stszS, stszE) = child(b, children(b, stblS, stblE), "stsz")
+    val fixedSize = u32(b, stszS + 4)
+    val nSamples = u32(b, stszS + 8)
+    require(nSamples <= Int.MaxValue, s"stsz declares $nSamples samples")
+    if (fixedSize != 0L) Array.fill(nSamples.toInt)(fixedSize)
+    else {
+      require(stszS + 12L + nSamples * 4L <= stszE,
+        s"stsz declares $nSamples samples beyond its box end")
+      Array.tabulate(nSamples.toInt)(k => u32(b, stszS + 12 + k * 4))
+    }
+  }
+
   def parse(b: Array[Byte]): Meta = {
     val top = children(b, 0, b.length)
     require(top.headOption.exists(_._1 == "ftyp"), "not an MP4: no leading ftyp")

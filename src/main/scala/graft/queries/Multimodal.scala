@@ -196,6 +196,18 @@ object Multimodal {
     }
   }
 
+  /** Per-asset REAL frame-size tables: each MP4's stsz entries, read by
+    * the same fail-fast box walk the metadata decode uses — the input
+    * to bitrate analysis and scene-cut heuristics. Same per-partition
+    * decode contract as [[decode]]; one row per asset carrying the
+    * size ARRAY, so downstream delta analysis is in-row (no shuffle). */
+  def frameSizes(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.mime == "video/mp4")
+      .map(a => (a.asset_id, Mp4.sampleSizes(a.media).toSeq))
+      .toDF("asset_id", "sizes")
+  }
+
   /** One image patch (the ViT tokenization unit). */
   final case class ImagePatch(asset_id: Long, px: Long, py: Long, n_pixels: Long, pix_sum: Long)
 
@@ -292,6 +304,27 @@ object Multimodal {
           explode(expr("sequence(0L, n_units - 1L, 5L)")).as("frame_no"))
         .select(col("asset_id"), col("frames"), col("frame_no"),
           expr("frame_no div 5").as("sample_idx"))
+        .orderBy("asset_id", "frame_no")),
+
+    // -- scene-cut detection on the REAL stsz frame-size table: flag
+    //    frames whose size delta exceeds the asset's mean frame size —
+    //    the I-frame-spike heuristic bitrate analyzers use for cut
+    //    candidates (a true codec keyframe detector slots into the same
+    //    plumbing). The size table decodes once per asset; deltas,
+    //    totals and verdicts are IN-ROW integer arithmetic over the
+    //    size array (delta·frames > total_bytes — no float threshold),
+    //    so the whole pass is shuffle-free and hash-gates against the
+    //    container's closed-form content.
+    "x_mm_scene_cuts" -> ((s, d) =>
+      frameSizes(assets(s, d, maxId = 200, onlyMime = Some("video/mp4")))
+        .select(col("asset_id"), size(col("sizes")).cast("long").as("frames"),
+          expr("aggregate(sizes, 0L, (a, x) -> a + x)").as("total_bytes"),
+          explode(expr("transform(sequence(1, size(sizes) - 1), i -> named_struct(" +
+            "'frame_no', CAST(i AS BIGINT), 'sz', sizes[i], " +
+            "'delta', abs(sizes[i] - sizes[i - 1])))")).as("f"))
+        .select(col("asset_id"), col("frames"), col("f.frame_no").as("frame_no"),
+          col("f.sz").as("sz"), col("f.delta").as("delta"),
+          (col("f.delta") * col("frames") > col("total_bytes")).as("cut"))
         .orderBy("asset_id", "frame_no"))
   )
 
@@ -429,6 +462,25 @@ object Multimodal {
         |         unnest(generate_series(0, frames - 1, 5)) AS frame_no
         |  FROM v)
         |SELECT asset_id, frames, frame_no, frame_no // 5 AS sample_idx
-        |FROM f ORDER BY asset_id, frame_no""".stripMargin
+        |FROM f ORDER BY asset_id, frame_no""".stripMargin,
+
+    // per-frame sizes in closed form ((id*7 + 3i) % 64 + 1 — what the
+    // writer put into stsz), deltas via the i-1 self-join
+    "x_mm_scene_cuts" ->
+      """WITH v AS (
+        |  SELECT doc_id AS asset_id, CAST(doc_id % 28 + 3 AS BIGINT) AS frames
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 200),
+        |sz AS (
+        |  SELECT asset_id, frames, i,
+        |         CAST((asset_id * 7 + 3 * i) % 64 + 1 AS BIGINT) AS sz
+        |  FROM v, unnest(generate_series(0, frames - 1)) AS u(i)),
+        |tot AS (SELECT asset_id, CAST(sum(sz) AS BIGINT) AS total_bytes
+        |        FROM sz GROUP BY asset_id)
+        |SELECT s.asset_id, s.frames, CAST(s.i AS BIGINT) AS frame_no, s.sz,
+        |       abs(s.sz - p.sz) AS delta,
+        |       abs(s.sz - p.sz) * s.frames > t.total_bytes AS cut
+        |FROM sz s JOIN sz p ON p.asset_id = s.asset_id AND p.i = s.i - 1
+        |JOIN tot t ON t.asset_id = s.asset_id
+        |ORDER BY s.asset_id, frame_no""".stripMargin
   )
 }

@@ -140,5 +140,29 @@ class MultimodalSpec extends SparkSpecBase {
     // 105 sample bytes, 5 frames × 40 ms = 200 ms
     assert(Mp4.parse(b) == Mp4.Meta(18L, 18L, 5L, 105L, 200L))
     assert(Mp4.frames(2L) == 5 && Mp4.dims(2L) == ((18, 18)))
+
+    // the per-frame size table reads the same stsz entries the writer
+    // emitted (asset 2: 15,18,21,24,27)
+    assert(Mp4.sampleSizes(b).toSeq == Seq(15L, 18L, 21L, 24L, 27L))
+  }
+
+  test("scene cuts: real stsz deltas, integer verdicts recomputed, both classes") {
+    val rows = Multimodal.queries("x_mm_scene_cuts")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, g) =>
+      val n = Mp4.frames(id).toLong
+      val sizes = (0 until n.toInt).map(i => Mp4.sampleSize(id, i).toLong)
+      val total = sizes.sum
+      assert(g.length == n - 1, s"asset $id: one delta per adjacent pair")
+      g.foreach { case (_, frames, fno, sz, delta, cut) =>
+        assert(frames == n && sz == sizes(fno.toInt))
+        val want = math.abs(sizes(fno.toInt) - sizes(fno.toInt - 1))
+        assert(delta == want, s"asset $id frame $fno delta")
+        assert(cut == (want * n > total), s"asset $id frame $fno verdict")
+      }
+    }
+    assert(rows.map(_._6).toSet == Set(true, false), "both verdict classes")
   }
 }
