@@ -237,6 +237,43 @@ object Curation {
         .orderBy("qid", "rank")
     }),
 
+    // -- the DATASET DATASHEET: the one-page corpus summary a release
+    //    ships (datasheets-for-datasets): volume, language spread,
+    //    exact-dup rate, Gopher pass rate, near-dup pair count and
+    //    benchmark contamination — every number derived from the SAME
+    //    gated chains its standalone queries run (gopherRules, the
+    //    md5-MinHash pipeline, the contamination shingles), joined as
+    //    1-ROW broadcast relations. One stacked (metric, value) row
+    //    each; integer-derived doubles ⇒ hash-exact.
+    "x_cur_datasheet" -> ((s, d) => {
+      val docs = table(s, d, "documents")
+      val base = docs.agg(
+        count(lit(1)).as("n"),
+        sum(size(split(col("text"), " "))).as("toks"),
+        countDistinct(col("lang")).as("langs"),
+        countDistinct(md5(col("text"))).as("uniq"))
+      val gp = graft.queries.TextAnalysis.gopherRules(docs)
+        .agg(sum(col("pass").cast("long")).as("gpass"))
+      val nd = Dedup.queries("x_dedup_minhash_md5")(s, d).agg(count(lit(1)).as("ndp"))
+      val bench = Dedup.shinglesOf(toks(s, d).filter(col("doc_id") < 20))
+        .select("s").distinct()
+      val ct = Dedup.shinglesOf(toks(s, d).filter(col("doc_id") >= 20))
+        .join(broadcast(bench), Seq("s"), "left_semi")
+        .agg(countDistinct(col("doc_id")).as("cdocs"))
+      base.crossJoin(broadcast(gp)).crossJoin(broadcast(nd)).crossJoin(broadcast(ct))
+        .selectExpr(
+          """stack(8,
+            | 'n_docs', CAST(n AS DOUBLE),
+            | 'n_tokens', CAST(toks AS DOUBLE),
+            | 'mean_tokens_per_doc', CAST(toks AS DOUBLE) / n,
+            | 'n_langs', CAST(langs AS DOUBLE),
+            | 'exact_dup_rate', 1.0 - CAST(uniq AS DOUBLE) / n,
+            | 'gopher_pass_rate', CAST(gpass AS DOUBLE) / n,
+            | 'near_dup_pairs', CAST(ndp AS DOUBLE),
+            | 'contaminated_docs', CAST(cdocs AS DOUBLE)) AS (metric, value)""".stripMargin)
+        .orderBy("metric")
+    }),
+
     // -- PageRank doc-centrality over the cosine kNN graph: the
     //    "representativeness" signal graph-based data-selection uses
     //    (central docs anchor topics; isolated docs are outliers).
@@ -995,6 +1032,38 @@ object Curation {
         |       CAST(r.rank AS BIGINT) AS rank, r.vec_id AS negative, r.cos
         |FROM ranked r JOIN pos p ON p.qid = r.qid
         |WHERE r.rank <= 3 ORDER BY r.qid, r.rank""".stripMargin,
+
+    // recomposed from the SAME shared fragments: the md5-minhash chain
+    // (near-dup pairs), the gopher battery, the contamination shingles
+    "x_cur_datasheet" ->
+      s"""WITH RECURSIVE ${Dedup.md5MinhashCte},
+        |${TextAnalysis.goCtes},
+        |ds_t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+        |ds_sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         generate_series(1, greatest(len(ws) - 2, 0)),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) s FROM ds_t),
+        |ds_bench AS (SELECT DISTINCT s FROM ds_sh WHERE doc_id < 20),
+        |cont AS (SELECT CAST(count(DISTINCT c.doc_id) AS BIGINT) AS cdocs
+        |         FROM ds_sh c JOIN ds_bench b ON c.s = b.s WHERE c.doc_id >= 20),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+        |           CAST(count(DISTINCT lang) AS BIGINT) AS langs,
+        |           CAST(count(DISTINCT md5(text)) AS BIGINT) AS uniq
+        |         FROM documents),
+        |gp AS (SELECT CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS gpass
+        |       FROM go_out),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS ndp FROM est WHERE est_j >= 0.5),
+        |m AS (
+        |  SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM base
+        |  UNION ALL SELECT 'n_tokens', CAST(toks AS DOUBLE) FROM base
+        |  UNION ALL SELECT 'mean_tokens_per_doc', CAST(toks AS DOUBLE) / n FROM base
+        |  UNION ALL SELECT 'n_langs', CAST(langs AS DOUBLE) FROM base
+        |  UNION ALL SELECT 'exact_dup_rate', 1.0 - CAST(uniq AS DOUBLE) / n FROM base
+        |  UNION ALL SELECT 'gopher_pass_rate', CAST(gpass AS DOUBLE) / base.n
+        |    FROM gp CROSS JOIN base
+        |  UNION ALL SELECT 'near_dup_pairs', CAST(ndp AS DOUBLE) FROM nd
+        |  UNION ALL SELECT 'contaminated_docs', CAST(cdocs AS DOUBLE) FROM cont)
+        |SELECT metric, value FROM m ORDER BY metric""".stripMargin,
 
     // the same kNN edges + three unrolled power iterations with
     // src-ordered folds

@@ -1000,7 +1000,7 @@ object TextAnalysis {
 
   /** Gopher battery → `go_out(doc_id, n_words, mean_word_len, n_stop,
     * top_bigram_share, r_*, pass)`. */
-  private val goCtes: String =
+  private[queries] val goCtes: String =
     """go_t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
       |go_st AS (SELECT doc_id, ws,
       |  CAST(len(ws) AS BIGINT) n,

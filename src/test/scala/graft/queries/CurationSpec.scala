@@ -439,6 +439,31 @@ class CurationSpec extends SparkSpecBase {
     assert(red.exists(_.getLong(1) > 0), "vacuous: no redactions at gate scale")
   }
 
+  test("datasheet: every metric reconciles with its standalone gated source") {
+    val m = Curation.queries("x_cur_datasheet")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.size == 8)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(m("n_docs") == docs.length.toDouble)
+    val toks = docs.map(_._3.split(" ").length.toLong).sum
+    assert(m("n_tokens") == toks.toDouble)
+    assert(m("mean_tokens_per_doc") == toks.toDouble / docs.length)
+    assert(m("n_langs") == docs.map(_._2).distinct.length.toDouble)
+    assert(m("exact_dup_rate") ==
+      1.0 - docs.map(_._3).distinct.length.toDouble / docs.length)
+    val gpass = graft.queries.TextAnalysis.queries("x_text_gopher")(spark, sf)
+      .collect().count(_.getBoolean(9))
+    assert(m("gopher_pass_rate") == gpass.toDouble / docs.length)
+    val pairs = Dedup.queries("x_dedup_minhash_md5")(spark, sf).count()
+    assert(m("near_dup_pairs") == pairs.toDouble)
+    val contaminated = Curation.queries("x_cur_contamination")(spark, sf)
+      .select("doc_id").distinct().count()
+    assert(m("contaminated_docs") >= contaminated.toDouble,
+      "datasheet count must cover at least the top-50 report's docs")
+  }
+
   test("pack spans: rows tile the token stream exactly; docs cross boundaries") {
     val rows = Curation.queries("x_cur_pack_spans")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
