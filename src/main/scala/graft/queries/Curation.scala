@@ -287,12 +287,7 @@ object Curation {
     //    every double reproduces in DuckDB.
     "x_cur_pagerank" -> ((s, d) => {
       val e = Similarity.withNorm(s, d).filter(col("vec_id") < 200)
-      val q = e.select(col("vec_id").as("src"), col("embedding").as("qe"), col("nrm").as("qn"))
-      val scored = broadcast(q).join(e, col("src") =!= col("vec_id"))
-        .select(col("src"), col("vec_id").as("dst"),
-          (expr("float_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cos"))
-      val edges = graft.functions.TopKAgg.topkOf(scored, "src", "dst", "cos", 3)
-        .select("src", "dst")
+      val edges = knnEdges(e)
       val nD = e.count().toDouble
       var pr = e.select(col("vec_id").as("v")).withColumn("pr", lit(1.0) / lit(nD))
       for (_ <- 1 to 3) {
@@ -308,6 +303,36 @@ object Curation {
       }
       pr.orderBy(col("pr").desc, col("v")).limit(20)
         .select(col("v").as("doc_id"), col("pr"))
+    }),
+
+    // -- LABEL PROPAGATION over the same kNN graph: semi-supervised
+    //    label completion (annotate a seed half, spread to the rest) —
+    //    with PageRank, the second classic Pregel algorithm, in plain
+    //    DataFrames. Seeds = the md5 train half's embedding labels,
+    //    held FIXED; two rounds of neighbor majority vote (ties toward
+    //    the smallest label — the knnClassify total order) label the
+    //    rest. Each round is a key-equi join + two partial aggregates
+    //    over the O(docs × 3) edge relation; integer votes ⇒ the
+    //    labels hash-gate exactly.
+    "x_cur_label_prop" -> ((s, d) => {
+      val e = Similarity.withNorm(s, d).filter(col("vec_id") < 200)
+      val edges = knnEdges(e)
+      val seeds = table(s, d, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id").as("v"),
+          when(substring(md5(col("vec_id").cast("string")), 1, 1) < "8",
+            col("label").cast("long")).as("seed"))
+      var lab = seeds.select(col("v"), col("seed").as("lab"))
+      for (_ <- 1 to 2) {
+        val votes = edges.join(lab, col("dst") === col("v"))
+          .filter(col("lab").isNotNull)
+          .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+          .groupBy("src")
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("src").as("v"), (-col("m.nl")).as("vlab"))
+        lab = seeds.join(votes, Seq("v"), "left")
+          .select(col("v"), coalesce(col("seed"), col("vlab")).as("lab"))
+      }
+      lab.select(col("v").as("vec_id"), col("lab").as("label_prop")).orderBy("vec_id")
     }),
 
     // -- per-language embedding centroids: documents ⨝ embeddings, then
@@ -528,6 +553,33 @@ object Curation {
     * sizes + a production budget in CurationSpec. */
   private def lnq(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(log(x) * lit(1000000.0)) / lit(1000000.0)
+
+  /** Top-3 cosine kNN edges over a normed embedding relation — the
+    * shared graph the PageRank and label-propagation operators iterate
+    * on (gate graphs bound the corpus side; at 100 TB the edge relation
+    * comes from the persisted ANN index, iterations unchanged). */
+  private def knnEdges(e: DataFrame): DataFrame = {
+    val q = e.select(col("vec_id").as("src"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(e, col("src") =!= col("vec_id"))
+      .select(col("src"), col("vec_id").as("dst"),
+        (expr("float_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cos"))
+    graft.functions.TopKAgg.topkOf(scored, "src", "dst", "cos", 3).select("src", "dst")
+  }
+
+  /** The same edges as DuckDB CTE text (`ev`/`scored`/`edges`), shared
+    * by the pagerank and label-propagation oracles. */
+  private def knnEdgesSql: String =
+    s"""ev AS (SELECT vec_id, embedding,
+       |  sqrt(${Similarity.dotSql("embedding", "embedding")}) AS nrm
+       |  FROM embeddings WHERE vec_id < 200),
+       |scored AS (
+       |  SELECT q.vec_id AS src, t.vec_id AS dst,
+       |    ${Similarity.dotSql("q.embedding", "t.embedding")} / (q.nrm * t.nrm) AS cos
+       |  FROM ev q, ev t WHERE q.vec_id != t.vec_id),
+       |edges AS (SELECT src, dst FROM (
+       |  SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) rn
+       |  FROM scored) WHERE rn <= 3)""".stripMargin
 
   /** DSIR — see the x_cur_dsir entry. The importance weight uses
     * hashed word-unigram features (md5long60(w) % 64; DSIR's paper uses
@@ -1065,6 +1117,29 @@ object Curation {
         |  UNION ALL SELECT 'contaminated_docs', CAST(cdocs AS DOUBLE) FROM cont)
         |SELECT metric, value FROM m ORDER BY metric""".stripMargin,
 
+    // the shared kNN edges + two unrolled majority-vote rounds with the
+    // same count-DESC/label-ASC tie order
+    "x_cur_label_prop" -> {
+      def round(i: Int): String =
+        s"""v$i AS (SELECT e.src, l.lab, CAST(count(*) AS BIGINT) AS c
+           |  FROM edges e JOIN l${i - 1} l ON e.dst = l.v
+           |  WHERE l.lab IS NOT NULL GROUP BY e.src, l.lab),
+           |b$i AS (SELECT src, lab FROM (
+           |  SELECT src, lab, row_number() OVER (PARTITION BY src
+           |    ORDER BY c DESC, lab ASC) AS rn FROM v$i) WHERE rn = 1),
+           |l$i AS (SELECT s.v, coalesce(s.seed, b$i.lab) AS lab
+           |  FROM l0s s LEFT JOIN b$i ON b$i.src = s.v)""".stripMargin
+      s"""WITH $knnEdgesSql,
+         |l0s AS (SELECT vec_id AS v,
+         |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+         |         THEN CAST(label AS BIGINT) END AS seed
+         |  FROM embeddings WHERE vec_id < 200),
+         |l0 AS (SELECT v, seed AS lab FROM l0s),
+         |${round(1)},
+         |${round(2)}
+         |SELECT v AS vec_id, lab AS label_prop FROM l2 ORDER BY vec_id""".stripMargin
+    },
+
     // the same kNN edges + three unrolled power iterations with
     // src-ordered folds
     "x_cur_pagerank" -> {
@@ -1075,17 +1150,7 @@ object Curation {
            |    0.15 / (SELECT CAST(count(*) AS DOUBLE) FROM ev)
            |      + 0.85 * coalesce(s$i.m, 0.0) AS pr
            |  FROM ev LEFT JOIN s$i ON ev.vec_id = s$i.dst)""".stripMargin
-      s"""WITH ev AS (SELECT vec_id, embedding,
-         |  sqrt(${Similarity.dotSql("embedding", "embedding")}) AS nrm
-         |  FROM embeddings WHERE vec_id < 200),
-         |scored AS (
-         |  SELECT q.vec_id AS src, t.vec_id AS dst,
-         |    ${Similarity.dotSql("q.embedding", "t.embedding")} / (q.nrm * t.nrm) AS cos
-         |  FROM ev q, ev t WHERE q.vec_id != t.vec_id),
-         |edges AS (SELECT src, dst FROM (
-         |  SELECT src, dst,
-         |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) rn
-         |  FROM scored) WHERE rn <= 3),
+      s"""WITH $knnEdgesSql,
          |pr0 AS (SELECT vec_id AS v,
          |    1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM ev) AS pr FROM ev),
          |${iter(1)},

@@ -494,6 +494,44 @@ class CurationSpec extends SparkSpecBase {
       "no doc crosses a training-row boundary")
   }
 
+  test("label propagation: two vote rounds match a driver recompute; seeds fixed") {
+    val got = Curation.queries("x_cur_label_prop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got.size == 200)
+    def md5hex1(s: String): String = {
+      val dg = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      f"${dg(0) & 0xff}%02x".substring(0, 1)
+    }
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 200).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble),
+        r.getInt(r.fieldIndex("label")).toLong))
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val nrm = emb.map { case (id, v, _) => id -> math.sqrt(dot(v, v)) }.toMap
+    val edges = emb.flatMap { case (src, vs, _) =>
+      emb.filter(_._1 != src)
+        .map { case (dst, vt, _) => (dst, dot(vs, vt) / (nrm(src) * nrm(dst))) }
+        .sortBy { case (dst, cos) => (-cos, dst) }.take(3)
+        .map { case (dst, _) => (src, dst) }
+    }
+    val seeds = emb.map { case (id, _, l) =>
+      id -> (if (md5hex1(id.toString) < "8") Some(l) else None) }.toMap
+    var lab = seeds
+    for (_ <- 1 to 2) {
+      val votes = edges.flatMap { case (src, dst) => lab(dst).map(l => (src, l)) }
+        .groupBy(_._1).map { case (src, g) =>
+          src -> g.groupBy(_._2).map { case (l, v) => (l, v.size.toLong) }
+            .toSeq.maxBy { case (l, c) => (c, -l) }._1 }
+      lab = seeds.map { case (v, s) => v -> s.orElse(votes.get(v)) }
+    }
+    assert(got == lab, "propagated labels diverge from the driver recompute")
+    // seeds held fixed; at least one non-seed actually got labeled by votes
+    seeds.foreach { case (v, s) => if (s.isDefined) assert(got(v) == s) }
+    assert(seeds.exists { case (v, s) => s.isEmpty && got(v).isDefined },
+      "vacuous: no non-seed was ever labeled")
+  }
+
   test("pagerank: three power iterations match a driver recompute; mass conserved") {
     val got = Curation.queries("x_cur_pagerank")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
