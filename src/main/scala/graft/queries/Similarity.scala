@@ -108,6 +108,28 @@ object Similarity {
         .orderBy("qid")
     }),
 
+    // -- nDCG@5 of the portable IVF ranking against the brute-force
+    //    ideal, with the TRUE cosine as graded relevance — the
+    //    rank-weighted eval (recall@k treats all 5 slots equally; nDCG
+    //    pays more for getting the top slots right). Discounts
+    //    log2(rank+1) are floor-quantized (the lnq pattern) and
+    //    per-rank terms fold in rank order, so the report hash-gates.
+    //    Same O(queries × k) comparison shape as x_sim_recall_eval.
+    "x_sim_ndcg_eval" -> ((s, d) => {
+      val e = withNorm(s, d)
+      def dcgOf(ranked: DataFrame, out: String): DataFrame =
+        ranked.select(col("qid"), col("rank"),
+          (col("cos") / (floor(log2(col("rank") + 1) * lit(1000000.0)) / lit(1000000.0))).as("g"))
+          .groupBy("qid")
+          .agg(expr("aggregate(transform(array_sort(collect_list(struct(rank, g))), p -> p.g), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as(out))
+      val ivf = ivfSearch(e, ivfCentroidsPortable(s, d, k = ivfK(s, d)), nprobe = 4)
+      dcgOf(bruteTopk(e, 5), "idcg").join(dcgOf(ivf, "dcg"), Seq("qid"))
+        .select(col("qid"), col("dcg"), col("idcg"),
+          (col("dcg") / col("idcg")).as("ndcg"))
+        .orderBy("qid")
+    }),
+
     // -- Johnson–Lindenstrauss REDUCTION (Achlioptas ±1 projection):
     //    64-dim embeddings project onto RpDims md5-derived ±1
     //    hyperplanes — the dimensionality cut billion-scale ANN runs
@@ -1387,6 +1409,22 @@ object Similarity {
     // the SAME CTE chains their own gates use (ivfRankSql /
     // bruteTruthSql), so this oracle re-derives the comparison rather
     // than trusting either side.
+    // the shared ivf/brute chains; quantized log2 discounts, rank-order
+    // folds
+    "x_sim_ndcg_eval" ->
+      s"""WITH $portableIvfCtes,
+         |$ivfRankSql,
+         |$bruteTruthSql,
+         |d1 AS (SELECT qid, list_sum(list(cos /
+         |         (floor(log2(rank + 1) * 1000000.0) / 1000000.0) ORDER BY rank)) AS dcg
+         |       FROM ranked WHERE rank <= 5 GROUP BY qid),
+         |d0 AS (SELECT b.qid, list_sum(list(s.cos /
+         |         (floor(log2(b.rank + 1) * 1000000.0) / 1000000.0) ORDER BY b.rank)) AS idcg
+         |       FROM branked b JOIN bscored s ON s.qid = b.qid AND s.vec_id = b.vec_id
+         |       WHERE b.rank <= 5 GROUP BY b.qid)
+         |SELECT d0.qid, d1.dcg, d0.idcg, d1.dcg / d0.idcg AS ndcg
+         |FROM d0 JOIN d1 USING (qid) ORDER BY qid""".stripMargin,
+
     "x_sim_recall_eval" ->
       s"""WITH $portableIvfCtes,
          |$ivfRankSql,

@@ -428,6 +428,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rec.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 5))
   }
 
+  test("ndcg eval: dcg bounded by ideal, consistent with the gated rankings") {
+    val rows = Similarity.queries("x_sim_ndcg_eval")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 10)
+    def l2q(r: Long): Double = math.floor(math.log(r + 1.0) / math.log(2.0) * 1e6) / 1e6
+    val truth = Similarity.queries("x_sim_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val ivf = Similarity.queries("x_sim_ivf_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    def dcg(g: Seq[(Long, Long, Double)], qid: Long): Double =
+      g.filter(_._1 == qid).sortBy(_._2).foldLeft(0.0) { case (a, (_, r, c)) => a + c / l2q(r) }
+    rows.foreach { case (qid, d, i, n) =>
+      assert(d == dcg(ivf, qid), s"qid $qid dcg")
+      assert(i == dcg(truth, qid), s"qid $qid idcg")
+      assert(n == d / i && n > 0.0 && n <= 1.0 + 1e-12, s"qid $qid ndcg $n")
+    }
+  }
+
   test("recall eval: per-query hits equal the truth∩ivf intersection, recall in [0,1]") {
     val rows = Similarity.queries("x_sim_recall_eval")(spark, sf).collect()
     assert(rows.length == 10)
