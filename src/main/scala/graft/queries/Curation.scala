@@ -305,6 +305,37 @@ object Curation {
         .select(col("v").as("doc_id"), col("pr"))
     }),
 
+    // -- PERSONALIZED PageRank: teleport to the target-domain seed set
+    //    (lang='en') instead of uniformly — graph-walk domain EXPANSION,
+    //    the data-selection move that pulls in docs proximal to a seed
+    //    domain in the similarity graph even when their own features
+    //    miss the target (complements DSIR's per-doc feature ratio).
+    //    Same iteration shape and cost as x_cur_pagerank over the
+    //    shared kNN edges; src-ordered folds keep the doubles portable.
+    "x_cur_ppr" -> ((s, d) => {
+      val e = Similarity.withNorm(s, d).filter(col("vec_id") < 200)
+      val edges = knnEdges(e)
+      val langs = table(s, d, "documents")
+        .filter(col("doc_id") < 200).select(col("doc_id").as("v"), col("lang"))
+      val nSeed = langs.filter(col("lang") === "en").count().toDouble
+      val tele = langs.select(col("v"), col("lang"),
+        when(col("lang") === "en", lit(1.0) / lit(nSeed)).otherwise(lit(0.0)).as("tele"))
+      var pr = tele.select(col("v"), col("tele").as("pr"))
+      for (_ <- 1 to 3) {
+        val in = edges.join(pr, col("src") === col("v"))
+          .select(col("dst"), col("src"), (col("pr") / lit(3.0)).as("c"))
+          .groupBy("dst")
+          .agg(expr("aggregate(transform(array_sort(collect_list(struct(src, c))), p -> p.c), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("m"))
+        pr = tele.join(in, col("v") === col("dst"), "left")
+          .select(col("v"),
+            (lit(0.15) * col("tele") + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
+      }
+      pr.join(broadcast(tele.select("v", "lang")), Seq("v"))
+        .orderBy(col("pr").desc, col("v")).limit(20)
+        .select(col("v").as("doc_id"), col("lang"), col("pr"))
+    }),
+
     // -- LABEL PROPAGATION over the same kNN graph: semi-supervised
     //    label completion (annotate a seed half, spread to the rest) —
     //    with PageRank, the second classic Pregel algorithm, in plain
@@ -1116,6 +1147,28 @@ object Curation {
         |  UNION ALL SELECT 'near_dup_pairs', CAST(ndp AS DOUBLE) FROM nd
         |  UNION ALL SELECT 'contaminated_docs', CAST(cdocs AS DOUBLE) FROM cont)
         |SELECT metric, value FROM m ORDER BY metric""".stripMargin,
+
+    // the shared kNN edges + the seed-teleport iterations
+    "x_cur_ppr" -> {
+      def iter(i: Int): String =
+        s"""s$i AS (SELECT e.dst, list_sum(list(p.pr / 3.0 ORDER BY e.src)) AS m
+           |  FROM edges e JOIN pr${i - 1} p ON e.src = p.v GROUP BY e.dst),
+           |pr$i AS (SELECT t.v, 0.15 * t.tele + 0.85 * coalesce(s$i.m, 0.0) AS pr
+           |  FROM tele t LEFT JOIN s$i ON t.v = s$i.dst)""".stripMargin
+      s"""WITH $knnEdgesSql,
+         |tele AS (SELECT doc_id AS v, lang,
+         |    CASE WHEN lang = 'en' THEN 1.0 /
+         |      (SELECT CAST(count(*) AS DOUBLE) FROM documents
+         |       WHERE doc_id < 200 AND lang = 'en')
+         |    ELSE 0.0 END AS tele
+         |  FROM documents WHERE doc_id < 200),
+         |pr0 AS (SELECT v, tele AS pr FROM tele),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT p.v AS doc_id, t.lang, p.pr FROM pr3 p JOIN tele t ON t.v = p.v
+         |ORDER BY p.pr DESC, p.v LIMIT 20""".stripMargin
+    },
 
     // the shared kNN edges + two unrolled majority-vote rounds with the
     // same count-DESC/label-ASC tie order

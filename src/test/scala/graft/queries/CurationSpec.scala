@@ -494,6 +494,45 @@ class CurationSpec extends SparkSpecBase {
       "no doc crosses a training-row boundary")
   }
 
+  test("personalized pagerank: seed-teleport iterations match a driver recompute; domain expands") {
+    val got = Curation.queries("x_cur_ppr")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.length == 20)
+    val langOf = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 200)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 200).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble))
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val nrm = emb.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val edges = emb.flatMap { case (src, vs) =>
+      emb.filter(_._1 != src)
+        .map { case (dst, vt) => (dst, dot(vs, vt) / (nrm(src) * nrm(dst))) }
+        .sortBy { case (dst, cos) => (-cos, dst) }.take(3)
+        .map { case (dst, _) => (src, dst) }
+    }
+    val nSeed = langOf.count(_._2 == "en").toDouble
+    val tele = langOf.map { case (v, l) => v -> (if (l == "en") 1.0 / nSeed else 0.0) }
+    var pr = tele
+    for (_ <- 1 to 3) {
+      val in = edges.map { case (src, dst) => (dst, src, pr(src) / 3.0) }
+        .groupBy(_._1).map { case (dst, g) =>
+          dst -> g.sortBy(_._2).foldLeft(0.0)((a, x) => a + x._3) }
+      pr = tele.map { case (v, t) => v -> (0.15 * t + 0.85 * in.getOrElse(v, 0.0)) }
+    }
+    val want = pr.toSeq.sortBy { case (v, p) => (-p, v) }.take(20)
+      .map { case (v, p) => (v, langOf(v), p) }
+    assert(got.toSeq == want, "ppr top-20 diverges from the driver recompute")
+    // the walk concentrates on the seed domain yet expands beyond it
+    val enShare = got.count(_._2 == "en").toDouble / got.length
+    val corpusShare = langOf.values.count(_ == "en").toDouble / langOf.size
+    assert(enShare > corpusShare, s"seed domain not concentrated: $enShare vs $corpusShare")
+    assert(got.exists(_._2 != "en"), "vacuous: no proximal non-seed doc pulled in")
+  }
+
   test("label propagation: two vote rounds match a driver recompute; seeds fixed") {
     val got = Curation.queries("x_cur_label_prop")(spark, sf).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
