@@ -36,6 +36,23 @@ object Engine {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Crash-safe managed-table overwrite: a JVM that died between
+    * materializing a managed table's files and registering it leaves an
+    * orphaned warehouse location, and the NEXT overwrite then fails with
+    * LOCATION_ALREADY_EXISTS (the in-memory catalog forgot the table,
+    * the directory survived). Every index/model writer reclaims — drop
+    * any catalog entry AND the orphaned location — before rewriting, so
+    * a rebuild always succeeds regardless of how its predecessor died. */
+  def reclaimManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table.toLowerCase(java.util.Locale.ROOT))
+    if (loc.exists()) {
+      org.apache.hadoop.fs.FileUtil.fullyDelete(loc)
+      ()
+    }
+  }
+
   /** Row count for plan-build sizing probes (LSH banding, ANN planes):
     * plan statistics when they are EXACT by construction — Range, a
     * MATERIALIZED cache (whose stats come from its row-count accumulator),

@@ -878,6 +878,7 @@ object Curation {
     * row count. */
   def writeCuratedBucketed(s: SparkSession, d: String, tableName: String,
       buckets: Int = 32): Long = {
+    graft.Engine.reclaimManagedTable(s, tableName)
     curated(s, d)
       .write
       .bucketBy(buckets, "doc_id")

@@ -777,6 +777,8 @@ object Dedup {
       buckets: Int = 32, docFilter: Column = lit(true), cap: Long = hotBucketCap): Unit = {
     val (sig, keysBn) = md5SigKeysCounted(toks(s, d).filter(docFilter))
     val kept = keysBn.filter(col("bn") <= cap)
+    for (t <- Seq("_sig", "_keys", "_counts"))
+      graft.Engine.reclaimManagedTable(s, tablePrefix + t)
     sig.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${tablePrefix}_sig")
@@ -1102,13 +1104,15 @@ object Dedup {
     * are key-equi on `h` and the index side rides its bucketing — never
     * an exchange, however large history grows. */
   def writeGramIndex(s: SparkSession, d: String, tablePrefix: String,
-      buckets: Int = 32, docFilter: Column = lit(true)): Unit =
+      buckets: Int = 32, docFilter: Column = lit(true)): Unit = {
+    graft.Engine.reclaimManagedTable(s, s"${tablePrefix}_grams")
     gramStream(table(s, d, "documents").filter(docFilter)
         .select(col("doc_id"), col("text")))
       .select("h").distinct()
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "h").sortBy("h")
       .saveAsTable(s"${tablePrefix}_grams")
+  }
 
   /** Fold an increment's grams into the persisted index: the NEW distinct
     * hashes (anti-joined against the index, key-equi, exchange-free on

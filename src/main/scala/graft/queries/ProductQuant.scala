@@ -317,6 +317,8 @@ object ProductQuant {
       buckets: Int = 32): Unit = {
     val cb = codebook(s, d)
     val cents = Similarity.ivfCentroidsPortable(s, d, Similarity.ivfK(s, d))
+    for (t <- Seq("_codebook", "_cents", "_postings"))
+      graft.Engine.reclaimManagedTable(s, tablePrefix + t)
     cb.write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_codebook")
     cents.write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_cents")
     postingsFor(Similarity.withNorm(s, d), cents, cb)

@@ -764,6 +764,8 @@ object Similarity {
   def writeIvf2Index(s: SparkSession, d: String, tablePrefix: String,
       buckets: Int = 32): Unit = {
     val (coarse, fine) = ivf2CentroidsPortable(s, d)
+    for (t <- Seq("_coarse", "_fine", "_postings"))
+      graft.Engine.reclaimManagedTable(s, tablePrefix + t)
     coarse.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${tablePrefix}_coarse")
     fine.write.mode("overwrite").format("parquet")

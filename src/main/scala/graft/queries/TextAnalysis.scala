@@ -526,6 +526,8 @@ object TextAnalysis {
     val train = table(s, d, "embeddings")
       .select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
       .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "8")
+    for (t <- Seq("_counts", "_ndocs"))
+      graft.Engine.reclaimManagedTable(s, tablePrefix + t)
     nbCounts(docs, train).write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "w").saveAsTable(s"${tablePrefix}_counts")
     train.groupBy("label").agg(count(lit(1)).as("ndocs"))
@@ -730,6 +732,8 @@ object TextAnalysis {
   def writeBm25Index(s: SparkSession, d: String, tablePrefix: String,
       buckets: Int = 32): Unit = {
     val t = table(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
+    for (tbl <- Seq("_tf", "_dl", "_stats"))
+      graft.Engine.reclaimManagedTable(s, tablePrefix + tbl)
     bm25Tf(t).write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "w").sortBy("w").saveAsTable(s"${tablePrefix}_tf")
     bm25Dl(t).write.mode("overwrite").format("parquet")

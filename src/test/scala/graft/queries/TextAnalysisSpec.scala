@@ -424,6 +424,23 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(at.values.map(_._5).toSet == Set(true, false))
   }
 
+  test("index writers reclaim crash-orphaned warehouse locations") {
+    // simulate a JVM that died between materializing files and
+    // registering the table: directory exists, catalog has no entry —
+    // the rebuild must reclaim and succeed, not LOCATION_ALREADY_EXISTS
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("nbct_counts", "nbct_ndocs")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+      val orphan = new java.io.File(warehouse, t)
+      assert(orphan.mkdirs(), s"failed to plant orphan $t")
+      java.nio.file.Files.writeString(orphan.toPath.resolve("junk"), "stale")
+    }
+    TextAnalysis.writeNbModel(spark, sf, "nbct")
+    assert(spark.table("nbct_counts").count() > 0)
+    assert(spark.table("nbct_ndocs").count() > 0)
+  }
+
   test("persisted NB model: indexed == in-memory; append scores exactly like a refit") {
     import org.apache.spark.sql.functions._
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
