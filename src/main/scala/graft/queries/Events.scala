@@ -90,6 +90,32 @@ object Events {
 
     // -- gap-based sessionization (30-min inactivity): one shuffle on
     //    user_id; session bounds via lag + running sum of gap flags
+    // -- CONVERSION ATTRIBUTION: the FORWARD as-of — for every view,
+    //    the user's first subsequent purchase and whether it landed
+    //    inside the 1-hour conversion window (the outcome-labeling
+    //    join behind funnel metrics and training-label construction;
+    //    x_events_asof is its backward twin). Single shuffle: one
+    //    user-partitioned window over the tagged view∪purchase stream,
+    //    a RANGE frame (us strictly greater) carrying a running
+    //    min(struct(us, id)) — so "first later purchase" is exact
+    //    integer-µs arithmetic with the (us, id) total order, and the
+    //    whole label hash-gates.
+    "x_events_conversion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, d).select(col("event_id"), col("user_id"), col("event_type"), col("us"))
+      val w = Window.partitionBy("user_id").orderBy(col("us").desc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      e.filter(col("event_type").isin("view", "purchase"))
+        .withColumn("np", min(when(col("event_type") === "purchase",
+          struct(col("us"), col("event_id")))).over(w))
+        .filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("us").as("v_us"),
+          col("np.us").as("p_us"), col("np.event_id").as("purchase_id"))
+        .withColumn("converted",
+          col("p_us").isNotNull && col("p_us") <= col("v_us") + lit(3600000000L))
+        .orderBy("event_id")
+    }),
+
     // -- rate-anomaly detection: flag hourly windows whose event count
     //    sits beyond 2σ of the type's own hourly distribution — the
     //    ops-side spike/outage detector over the same tumbling windows.
@@ -206,6 +232,20 @@ object Events {
         |  SELECT event_type, us, w0 - 1800000000 AS w FROM b)
         |SELECT w, event_type, count(*) AS n FROM x
         |GROUP BY w, event_type ORDER BY w, event_type""".stripMargin,
+
+    // first-later-purchase via the same (us, id) struct min, spelled as
+    // a grouped left join
+    "x_events_conversion" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT * FROM e WHERE event_type = 'view'),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |np AS (SELECT v.event_id, v.user_id, v.us AS v_us,
+        |         min({'us': p.us, 'pid': p.event_id}) AS m
+        |       FROM v LEFT JOIN p ON p.user_id = v.user_id AND p.us > v.us
+        |       GROUP BY v.event_id, v.user_id, v.us)
+        |SELECT event_id, user_id, v_us, m.us AS p_us, m.pid AS purchase_id,
+        |  m.us IS NOT NULL AND m.us <= v_us + 3600000000 AS converted
+        |FROM np ORDER BY event_id""".stripMargin,
 
     // the same hourly windows; the z² test in the same exact decimals
     "x_events_anomaly" ->

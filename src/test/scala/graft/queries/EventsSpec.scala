@@ -66,6 +66,34 @@ class EventsSpec extends SparkSpecBase {
     }
   }
 
+  test("conversion attribution: first later purchase per view, brute-force proof") {
+    val rows = Events.queries("x_events_conversion")(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val raw = graft.Engine.table(spark, sf, "events")
+    val us = raw.withColumn("us", Events.usFor(raw))
+      .select("event_id", "user_id", "event_type", "us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = us.filter(_._3 == "view")
+    val purch = us.filter(_._3 == "purchase")
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId.size == views.length, "one row per view")
+    views.foreach { case (vid, u, _, vus) =>
+      val later = purch.filter(p => p._2 == u && p._4 > vus)
+      val want = if (later.isEmpty) None
+        else Some(later.minBy(p => (p._4, p._1))._1)
+      val (_, gotP, conv) = byId(vid)
+      assert(gotP == want, s"view $vid: first later purchase")
+      val wantConv = later.nonEmpty &&
+        later.minBy(p => (p._4, p._1))._4 <= vus + 3600000000L
+      assert(conv == wantConv, s"view $vid: conversion label")
+    }
+    // both labels and the no-purchase case all occur at gate scale
+    assert(rows.map(_._3).toSet == Set(true, false))
+    assert(rows.exists(_._2.isEmpty), "some view should have no later purchase")
+  }
+
   test("rate anomaly: integer z² verdicts match a driver recompute; both verdicts occur") {
     val rows = Events.queries("x_events_anomaly")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
