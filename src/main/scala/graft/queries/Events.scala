@@ -45,7 +45,7 @@ object Events {
   /** Epoch-µs extraction dispatched on the PHYSICAL layout `ts` arrived
     * in — long ns, naive timestamp, or zoned timestamp (instant
     * semantics → unix_micros). */
-  private[queries] def usFor(df: DataFrame): org.apache.spark.sql.Column =
+  private[graft] def usFor(df: DataFrame): org.apache.spark.sql.Column =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType         => expr(nsToUs)
       case org.apache.spark.sql.types.TimestampNTZType => expr(ntzToUs)
@@ -88,8 +88,6 @@ object Events {
         .orderBy("w", "event_type")
     }),
 
-    // -- gap-based sessionization (30-min inactivity): one shuffle on
-    //    user_id; session bounds via lag + running sum of gap flags
     // -- CONVERSION ATTRIBUTION: the FORWARD as-of — for every view,
     //    the user's first subsequent purchase and whether it landed
     //    inside the 1-hour conversion window (the outcome-labeling
@@ -140,6 +138,8 @@ object Events {
         .orderBy("w", "event_type")
     }),
 
+    // -- gap-based sessionization (30-min inactivity): one shuffle on
+    //    user_id; session bounds via lag + running sum of gap flags
     "x_events_sessions" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
       ev(s, d)

@@ -364,6 +364,58 @@ object Streams {
       }
   }
 
+  /** One resolved conversion label (the forward-as-of outcome). */
+  final case class ConversionLabel(event_id: Long, user_id: Long, v_us: Long,
+      purchase_id: Option[Long], converted: Boolean)
+
+  /** Streaming CONVERSION labeling — the stateful forward-as-of twin of
+    * x_events_conversion: per-user state holds the views still awaiting
+    * an outcome; a purchase resolves every pending earlier view
+    * (converted, with the resolving purchase's id — necessarily the
+    * FIRST later purchase, since an earlier one would already have
+    * resolved them), and ANY later event advances the user's frontier,
+    * resolving views whose 1-hour window it has passed as
+    * not-converted. Labels therefore resolve on the user's own
+    * event-time frontier (the sessionization-style per-key choice — no
+    * global watermark plumbing needed); a view's label is a pure
+    * function of the user's event sequence, so batch boundaries cannot
+    * change it and the resolved set equals the batch query's
+    * window-restricted labels (StreamsSpec). State is O(pending views
+    * per user); pass `idleTimeout` to evict abandoned users. */
+  def conversionLabels(events: Dataset[(Long, Long, Long, String)],
+      windowUs: Long = 3600000000L,
+      idleTimeout: Option[String] = None): Dataset[ConversionLabel] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_._2)
+      .flatMapGroupsWithState[List[(Long, Long)], ConversionLabel](
+        OutputMode.Append, timeoutConf) {
+        case (uid, rows, state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var pending = state.getOption.getOrElse(Nil)
+            val out = Seq.newBuilder[ConversionLabel]
+            rows.toSeq.sortBy(r => (r._3, r._1)).foreach { case (eid, _, eus, tpe) =>
+              val (expired, live) = pending.partition { case (_, vus) => eus > vus + windowUs }
+              expired.foreach { case (vid, vus) =>
+                out += ConversionLabel(vid, uid, vus, None, converted = false) }
+              pending = live
+              if (tpe == "purchase") {
+                val (hit, rest) = pending.partition { case (_, vus) => vus < eus }
+                hit.foreach { case (vid, vus) =>
+                  out += ConversionLabel(vid, uid, vus, Some(eid), converted = true) }
+                pending = rest
+              }
+              if (tpe == "view") pending = (eid, eus) :: pending
+            }
+            state.update(pending)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user totals
     * (the pattern for bespoke state the built-in aggs can't express).
     * State here IS the product — a total must survive arbitrarily long

@@ -98,6 +98,47 @@ class StreamsSpec extends SparkSpecBase {
     assert(rows.map(_._3).toSeq == Seq(false, true, false), "only the spike flags")
   }
 
+  test("streaming conversion labels: resolved set equals the batch query's window labels") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = graft.Engine.table(spark, "/root/testdata/sf0.001", "events")
+    val evs = raw.withColumn("us", graft.queries.Events.usFor(raw))
+      .select("event_id", "user_id", "us", "event_type")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._3)
+    // flush: one far-future non-purchase per user pushes every frontier
+    // past any pending view's window
+    val maxUs = evs.map(_._3).max
+    val flush = evs.map(_._2).distinct.zipWithIndex.map { case (u, i) =>
+      (1000000L + i, u, maxUs + 3600000001L, "click") }
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.conversionLabels(in.toDS())
+      .writeStream.format("memory").queryName("conv_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(flush.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("conv_out").collect()
+      .map(r => r.getLong(0) -> (Option(r.getAs[Any]("purchase_id"))
+        .map(_.asInstanceOf[Long]), r.getAs[Boolean]("converted"))).toMap
+    // the batch query's labels, window-restricted (the stream resolves
+    // within the 1h window; a first-later-purchase beyond it is the
+    // batch's converted=false with the id outside the stream's contract)
+    val batch = graft.queries.Events.queries("x_events_conversion")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map { r =>
+        val conv = r.getBoolean(5)
+        r.getLong(0) -> (if (conv) Some(r.getLong(4)) else None, conv)
+      }.toMap
+    assert(got.keySet == batch.keySet, "every view resolved after the flush")
+    got.foreach { case (vid, lab) =>
+      assert(lab == batch(vid), s"view $vid: stream $lab vs batch ${batch(vid)}")
+    }
+    assert(got.values.exists(_._2) && got.values.exists(!_._2), "both labels occur")
+  }
+
   test("streaming dedup keys on the columns alone within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
