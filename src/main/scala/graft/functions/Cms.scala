@@ -20,11 +20,17 @@ import org.apache.spark.util.sketch.CountMinSketch
   * declarative plan: aggregate → broadcast the one-row sketch → estimate
   * per candidate.
   *
-  * The deserialized sketch is cached per expression instance keyed on
-  * the binary's reference (the broadcast hands every row the same byte
-  * array), so a candidate relation of any size pays ONE deserialization
-  * per task, not per row. CodegenFallback: the estimate path is
-  * candidate-sized (vocabulary-bounded), never the corpus-sized side.
+  * The deserialized sketch is cached per expression instance keyed on a
+  * cheap content fingerprint (length + first/last 8 bytes) with a full
+  * `Arrays.equals` confirm on fingerprint hit. Reference equality alone
+  * is NOT enough: BinaryType values read out of UnsafeRow-backed rows
+  * (e.g. the broadcast join's build row) are fresh copies on every
+  * `getBinary`, so an `eq` check would miss per row and deserialize the
+  * sketch per row. With the content key, a candidate relation of any
+  * size pays ONE deserialization per distinct sketch per task plus an
+  * O(len) memcmp per row — cheap next to per-row readFrom.
+  * CodegenFallback: the estimate path is candidate-sized
+  * (vocabulary-bounded), never the corpus-sized side.
   *
   * CMS guarantees estimate >= true count (never under), and
   * overestimates by at most eps·N with the aggregate's configured
@@ -41,12 +47,31 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def dataType: DataType = LongType
 
   @transient private var bytesRef: Array[Byte] = _
+  @transient private var fpLen: Int = -1
+  @transient private var fpHead: Long = _
+  @transient private var fpTail: Long = _
   @transient private var sketch: CountMinSketch = _
+
+  private def longAt(b: Array[Byte], off: Int): Long = {
+    var x = 0L; var i = 0
+    while (i < 8 && off + i < b.length) { x = (x << 8) | (b(off + i) & 0xffL); i += 1 }
+    x
+  }
 
   override protected def nullSafeEval(bin: Any, v: Any): Any = {
     val bytes = bin.asInstanceOf[Array[Byte]]
+    // Fast path: same reference (non-Unsafe rows). Slow-but-cheap path:
+    // content fingerprint, then full equals before trusting the cache —
+    // UnsafeRow.getBinary returns a fresh copy per row, defeating `eq`.
     if (!(bytes eq bytesRef)) {
-      sketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+      val head = longAt(bytes, 0)
+      val tail = longAt(bytes, math.max(0, bytes.length - 8))
+      val fpHit = bytes.length == fpLen && head == fpHead && tail == fpTail &&
+        bytesRef != null && java.util.Arrays.equals(bytes, bytesRef)
+      if (!fpHit) {
+        sketch = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+        fpLen = bytes.length; fpHead = head; fpTail = tail
+      }
       bytesRef = bytes
     }
     sketch.estimateCount(v.asInstanceOf[Long])

@@ -184,7 +184,11 @@ object Mp4 {
     val (stszS, stszE) = child(b, children(b, stblS, stblE), "stsz")
     val fixedSize = u32(b, stszS + 4)
     val nSamples = u32(b, stszS + 8)
-    require(nSamples <= Int.MaxValue, s"stsz declares $nSamples samples")
+    // Bound BOTH branches against the container: a malformed fixed-size stsz
+    // declaring sample_count near 2^31 must not allocate a multi-GB array.
+    // A real frame is ≥1 byte, so sample_count can never exceed file length.
+    require(nSamples <= b.length,
+      s"stsz declares $nSamples samples in a ${b.length}-byte container")
     if (fixedSize != 0L) Array.fill(nSamples.toInt)(fixedSize)
     else {
       require(stszS + 12L + nSamples * 4L <= stszE,

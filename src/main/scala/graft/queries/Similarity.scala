@@ -955,7 +955,7 @@ object Similarity {
     cents
   }
 
-  /** JL reduced dimension count — 64 → 16 (the 4× cut). */
+  /** JL reduced dimension count — 64 → 32 (the 2× cut). */
   val RpDims = 32
 
   /** Achlioptas ±1 sign for reduced axis k, input dim j (1-based):

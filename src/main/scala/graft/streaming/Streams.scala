@@ -368,6 +368,42 @@ object Streams {
   final case class ConversionLabel(event_id: Long, user_id: Long, v_us: Long,
       purchase_id: Option[Long], converted: Boolean)
 
+  /** The conversion resolver both streaming variants share: walk the
+    * user's events in (us, event_id) order against the pending-view
+    * state — an event expires pending views whose 1-hour window it has
+    * passed (not-converted), a purchase resolves every pending earlier
+    * view (converted, necessarily by the FIRST later purchase), a view
+    * joins the pending set. `frontierUs`, when supplied (the watermarked
+    * variant passes the global watermark), additionally expires pending
+    * views whose window the frontier has passed even if no same-user
+    * event ever arrives. */
+  private def resolveConversions(uid: Long, pending0: List[(Long, Long)],
+      events: Seq[(Long, Long, String)], frontierUs: Option[Long],
+      windowUs: Long): (List[(Long, Long)], Seq[ConversionLabel]) = {
+    var pending = pending0
+    val out = Seq.newBuilder[ConversionLabel]
+    events.sortBy(e => (e._2, e._1)).foreach { case (eid, eus, tpe) =>
+      val (expired, live) = pending.partition { case (_, vus) => eus > vus + windowUs }
+      expired.foreach { case (vid, vus) =>
+        out += ConversionLabel(vid, uid, vus, None, converted = false) }
+      pending = live
+      if (tpe == "purchase") {
+        val (hit, rest) = pending.partition { case (_, vus) => vus < eus }
+        hit.foreach { case (vid, vus) =>
+          out += ConversionLabel(vid, uid, vus, Some(eid), converted = true) }
+        pending = rest
+      }
+      if (tpe == "view") pending = (eid, eus) :: pending
+    }
+    frontierUs.foreach { f =>
+      val (expired, live) = pending.partition { case (_, vus) => f > vus + windowUs }
+      expired.foreach { case (vid, vus) =>
+        out += ConversionLabel(vid, uid, vus, None, converted = false) }
+      pending = live
+    }
+    (pending, out.result())
+  }
+
   /** Streaming CONVERSION labeling — the stateful forward-as-of twin of
     * x_events_conversion: per-user state holds the views still awaiting
     * an outcome; a purchase resolves every pending earlier view
@@ -375,12 +411,17 @@ object Streams {
     * FIRST later purchase, since an earlier one would already have
     * resolved them), and ANY later event advances the user's frontier,
     * resolving views whose 1-hour window it has passed as
-    * not-converted. Labels therefore resolve on the user's own
-    * event-time frontier (the sessionization-style per-key choice — no
-    * global watermark plumbing needed); a view's label is a pure
-    * function of the user's event sequence, so batch boundaries cannot
-    * change it and the resolved set equals the batch query's
-    * window-restricted labels (StreamsSpec). State is O(pending views
+    * not-converted. Labels resolve on the user's own event-time
+    * frontier with NO cross-batch reorder buffer, so this variant
+    * carries an explicit PRECONDITION: each user's events must arrive
+    * in event-time order ACROSS micro-batches (within a batch any order
+    * is fine — the batch is sorted before resolution). A purchase
+    * delivered in batch N followed by an earlier-timestamped view in
+    * batch N+1 labels that view not-converted where the batch query
+    * labels it converted (StreamsSpec pins this divergence). When
+    * arrival order is not guaranteed, use
+    * [[conversionLabelsWatermarked]], which buffers per-user events
+    * until the global watermark passes them. State is O(pending views
     * per user); pass `idleTimeout` to evict abandoned users. */
   def conversionLabels(events: Dataset[(Long, Long, Long, String)],
       windowUs: Long = 3600000000L,
@@ -394,26 +435,116 @@ object Streams {
         case (uid, rows, state: GroupState[List[(Long, Long)]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var pending = state.getOption.getOrElse(Nil)
-            val out = Seq.newBuilder[ConversionLabel]
-            rows.toSeq.sortBy(r => (r._3, r._1)).foreach { case (eid, _, eus, tpe) =>
-              val (expired, live) = pending.partition { case (_, vus) => eus > vus + windowUs }
-              expired.foreach { case (vid, vus) =>
-                out += ConversionLabel(vid, uid, vus, None, converted = false) }
-              pending = live
-              if (tpe == "purchase") {
-                val (hit, rest) = pending.partition { case (_, vus) => vus < eus }
-                hit.foreach { case (vid, vus) =>
-                  out += ConversionLabel(vid, uid, vus, Some(eid), converted = true) }
-                pending = rest
-              }
-              if (tpe == "view") pending = (eid, eus) :: pending
-            }
+            val (pending, labels) = resolveConversions(uid,
+              state.getOption.getOrElse(Nil),
+              rows.map(r => (r._1, r._3, r._4)).toSeq, None, windowUs)
             state.update(pending)
             idleTimeout.foreach(state.setTimeoutDuration)
-            out.result().iterator
+            labels.iterator
           }
       }
+  }
+
+  /** Per-user state for [[conversionLabelsWatermarked]]: events newer
+    * than the watermark still awaiting resolution order, plus the
+    * pending (view_id, v_us) set. */
+  final case class ConvState(buf: List[(Long, Long, String)],
+      pending: List[(Long, Long)])
+
+  /** The ORDER-ROBUST streaming conversion labeler: identical labels to
+    * [[conversionLabels]] under ordered arrival, but correct under
+    * arbitrary cross-batch disorder up to the watermark's allowed
+    * lateness. Incoming events are buffered in per-user state and only
+    * resolved once the global event-time watermark (arrival max −
+    * `delay`) passes them, so every user's timeline is replayed in true
+    * event-time order no matter how micro-batches sliced it; a label is
+    * then a pure function of the event-time sequence, the property the
+    * frontier-only variant can only promise under its ordered-arrival
+    * precondition. The watermark also acts as a global frontier:
+    * pending views whose window it passes resolve not-converted with no
+    * flush event needed, and an event-time timeout re-invokes idle
+    * users when the watermark (driven by OTHER users' data) passes one
+    * of their obligations. Events older than the watermark on arrival
+    * are dropped — the standard loss any watermark assigns to
+    * beyond-lateness data. State per user is O(events within the
+    * lateness horizon + pending views within the window) — bounded by
+    * construction, so no idle timeout is needed. */
+  def conversionLabelsWatermarked(events: Dataset[(Long, Long, Long, String)],
+      delay: String = "1 hour",
+      windowUs: Long = 3600000000L): Dataset[ConversionLabel] = {
+    import events.sparkSession.implicits._
+    // ts must survive into the stateful operator's child plan — the
+    // event-time timeout requires the watermark column to be present.
+    val wm = events.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", delay)
+      .select("event_id", "user_id", "us", "event_type", "ts")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+    wm.groupByKey(_._2)
+      .flatMapGroupsWithState[ConvState, ConversionLabel](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[ConvState]) =>
+          val st = state.getOption.getOrElse(ConvState(Nil, Nil))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // Engine-equivalent late filter: a row older than the watermark
+          // can no longer be ordered against already-resolved history.
+          val incoming = rows.map(r => (r._1, r._3, r._4)).filter(_._2 >= wmUs).toList
+          // A buffered row is resolvable once NO future row can precede
+          // it, i.e. strictly below the watermark (rows AT the watermark
+          // can still arrive and must keep waiting).
+          val (ready, hold) = (st.buf ++ incoming).partition(_._2 < wmUs)
+          val (pending, labels) = resolveConversions(
+            uid, st.pending, ready, Some(wmUs), windowUs)
+          if (pending.isEmpty && hold.isEmpty) state.remove()
+          else {
+            state.update(ConvState(hold, pending))
+            // Wake when the watermark passes the earliest obligation:
+            // a held event's own time, or a pending view's window end.
+            val obligationUs = (hold.map(_._2) ++
+              pending.map { case (_, vus) => vus + windowUs }).min
+            state.setTimeoutTimestamp(
+              math.max(obligationUs / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+          }
+          labels.iterator
+      }
+  }
+
+  /** Watermarked STREAM-STREAM interval join — the streaming twin of
+    * the batch x_events_range_join (errors ⋈ clicks by the same user
+    * within ±`windowSec`). Deliberately NOT custom `GroupState`: this
+    * uses Spark's NATIVE stream-stream inner join so the late-data
+    * semantics come from the engine — each side's rows are buffered in
+    * the join state store and expired once BOTH sides' watermarks have
+    * passed the interval in which a future match could still arrive
+    * (the two-sided state-cleanup bound Spark derives from the join
+    * condition's time constraint). Matches emit as soon as both rows
+    * are present (inner join, append mode); a row later than its side's
+    * watermark on arrival is dropped — the standard lateness loss.
+    * Input columns: (event_id, user_id, us, event_type); output matches
+    * the batch query's (err_id, click_id, user_id, delta_us) with
+    * delta_us = click − error in µs.
+    *
+    * Scale: the join keys on user_id so state partitions across
+    * executors; per-partition state is bounded by (event rate ×
+    * (delay + window)) — the streaming analog of the batch twin's
+    * bucketed equi-join, with the engine's HDFS-backed state store
+    * replacing the shuffle. */
+  def errorClickIntervalJoin(events: DataFrame, delay: String = "10 minutes",
+      windowSec: Long = 300L): DataFrame = {
+    val base = events.withColumn("ts", timestamp_micros(col("us")))
+    val errors = base.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", delay)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    errors.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("c_ts") >= col("e_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
+        col("c_ts") <= col("e_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("err_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("e_ts"))).as("delta_us"))
   }
 
   /** Custom keyed state via mapGroupsWithState: running per-user totals

@@ -139,6 +139,114 @@ class StreamsSpec extends SparkSpecBase {
     assert(got.values.exists(_._2) && got.values.exists(!_._2), "both labels occur")
   }
 
+  test("conversion labels: cross-batch disorder diverges frontier variant, watermarked variant holds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000000L // 1h in µs
+    // user 1: view v1 @2h and purchase p1 @2h10 arrive in batch 1;
+    // view v2 @2h05 (BEFORE the purchase in event time) arrives in
+    // batch 2 — within the 1h allowed lateness. Batch semantics: both
+    // views convert via p1. The frontier-only variant has already
+    // consumed p1 when v2 arrives, so it mislabels v2 not-converted —
+    // the documented ordered-arrival precondition.
+    val b1 = Seq((10L, 1L, 2L * H, "view"), (11L, 1L, 2L * H + 600000000L, "purchase"))
+    val b2 = Seq((12L, 1L, 2L * H + 300000000L, "view"))
+    val flush = Seq((99L, 1L, 10L * H, "click"))
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[(Long, Long, Long, String)] =>
+          org.apache.spark.sql.Dataset[Streams.ConversionLabel]): Map[Long, (Option[Long], Boolean)] = {
+      val in = MemoryStream[(Long, Long, Long, String)]
+      val q = f(in.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        in.addData(flush: _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[Any]("purchase_id")).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("converted"))).toMap
+    }
+    val frontier = run("conv_frontier", ds => Streams.conversionLabels(ds))
+    val buffered = run("conv_wm", ds => Streams.conversionLabelsWatermarked(ds))
+    assert(frontier(10L) == (Some(11L), true))
+    assert(frontier(12L) == (None, false), "frontier variant mislabels the late view (pinned)")
+    assert(buffered(10L) == (Some(11L), true))
+    assert(buffered(12L) == (Some(11L), true), "watermark buffer restores event-time order")
+  }
+
+  test("watermarked conversion labels equal the batch query under within-batch disorder, no flush per user") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = graft.Engine.table(spark, "/root/testdata/sf0.001", "events")
+    val evs = raw.withColumn("us", graft.queries.Events.usFor(raw))
+      .select("event_id", "user_id", "us", "event_type")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._3)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    // ONE far-future event advances the global watermark past every
+    // user's last window — the watermark frontier resolves all other
+    // users' pending views via event-time timeout, no per-user flush.
+    val maxUs = evs.map(_._3).max
+    val flush = Seq((1000000L, evs.head._2, maxUs + 2L * 3600000000L + 2000000L, "click"))
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.conversionLabelsWatermarked(in.toDS())
+      .writeStream.format("memory").queryName("conv_wm_full")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // reverse each batch: every user's arrival order is scrambled
+      in.addData(b1.reverse.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.reverse.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(flush: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("conv_wm_full").collect()
+      .map(r => r.getLong(0) -> (Option(r.getAs[Any]("purchase_id"))
+        .map(_.asInstanceOf[Long]), r.getAs[Boolean]("converted"))).toMap
+    val batch = graft.queries.Events.queries("x_events_conversion")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map { r =>
+        val conv = r.getBoolean(5)
+        r.getLong(0) -> (if (conv) Some(r.getLong(4)) else None, conv)
+      }.toMap
+    assert(got.keySet == batch.keySet, "every view resolved by the watermark frontier")
+    got.foreach { case (vid, lab) =>
+      assert(lab == batch(vid), s"view $vid: stream $lab vs batch ${batch(vid)}")
+    }
+    assert(got.values.exists(_._2) && got.values.exists(!_._2), "both labels occur")
+  }
+
+  test("stream-stream interval join equals the batch range join with late-but-in-delay rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = graft.Engine.table(spark, "/root/testdata/sf0.001", "events")
+    val evs = raw.withColumn("us", graft.queries.Events.usFor(raw))
+      .select("event_id", "user_id", "us", "event_type")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._3)
+    val (h1, b2) = evs.splitAt(evs.length / 2)
+    // plant genuine cross-batch lateness: rows from the last 5 minutes
+    // of batch 1's range are withheld and delivered with batch 2 — they
+    // are within the 10-minute watermark delay, so the ENGINE's join
+    // state (not our code) must still match them against batch-1 rows
+    val maxB1 = h1.map(_._3).max
+    val (late, b1) = h1.partition(_._3 > maxB1 - 300L * 1000000L)
+    assert(late.nonEmpty, "the planted-late slice must be non-empty")
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.errorClickIntervalJoin(
+      in.toDF().toDF("event_id", "user_id", "us", "event_type"))
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData((late ++ b2).toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjoin_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val batch = graft.queries.Events.queries("x_events_range_join")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got == batch, s"missing=${(batch -- got).take(5)} extra=${(got -- batch).take(5)}")
+    assert(batch.nonEmpty, "the range join must produce pairs at sf0.001")
+  }
+
   test("streaming dedup keys on the columns alone within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
