@@ -130,19 +130,7 @@ object Curation {
     //    O(total_tokens / 32 + docs). Offsets are x_cur_pack's gated
     //    distributed prefix sum; spans are pure integer arithmetic, so
     //    the manifest hash-gates.
-    "x_cur_pack_spans" -> ((s, d) => {
-      val packed = pack(toks(s, d).select(col("doc_id"), size(col("ws")).cast("long").as("n")))
-      packed.filter(col("n_tokens") > 0)
-        .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
-          explode(expr("sequence(tok_offset div 32, (tok_offset + n_tokens - 1) div 32)"))
-            .as("seq"))
-        .select(col("seq"), col("doc_id"),
-          greatest(col("seq") * 32 - col("tok_offset"), lit(0L)).as("doc_start"),
-          (least(col("tok_offset") + col("n_tokens"), (col("seq") + 1L) * 32) -
-            greatest(col("tok_offset"), col("seq") * 32)).as("len"))
-        .filter(col("seq") < 200)
-        .orderBy("seq", "doc_id")
-    }),
+    "x_cur_pack_spans" -> ((s, d) => packSpans(s, d)),
 
     // -- leakage-safe train/validation split: assignment is decided per
     //    DEDUP CLUSTER (md5-MinHash discovery → star clustering, the same
@@ -833,6 +821,39 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Gate default for [[packSpans]]'s `maxSeq`: the x_cur_pack_spans
+    * oracle-vs-Spark comparison caps the manifest at the first 200
+    * training rows purely to keep the gate artifact small — the cap is
+    * CALIBRATION, not operator semantics (the targetShards pattern). A
+    * real packing run passes `maxSeq = Long.MaxValue`. The oracle SQL
+    * interpolates this same constant so gate and oracle cannot drift. */
+  val PackSpansGateSeqCap = 200L
+
+  /** TRUE sequence packing: fixed `seqLen`-token training rows sliced
+    * from the concatenated global token stream (docs cross row
+    * boundaries — the manifest a packed-dataset loader replays). Each
+    * doc generates exactly the training rows it overlaps via a bounded
+    * sequence-explode over its [offset, offset+n) interval — equi by
+    * construction, never an interval join; output size is
+    * O(total_tokens / seqLen + docs). Offsets are [[pack]]'s gated
+    * distributed prefix sum; spans are pure integer arithmetic, so the
+    * manifest hash-gates. `maxSeq` truncates the manifest (gate default
+    * [[PackSpansGateSeqCap]]); pass `Long.MaxValue` for the full run. */
+  private[graft] def packSpans(s: SparkSession, d: String, seqLen: Long = 32L,
+      maxSeq: Long = PackSpansGateSeqCap): DataFrame = {
+    val packed = pack(toks(s, d).select(col("doc_id"), size(col("ws")).cast("long").as("n")))
+    packed.filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        explode(expr(s"sequence(tok_offset div $seqLen, (tok_offset + n_tokens - 1) div $seqLen)"))
+          .as("seq"))
+      .select(col("seq"), col("doc_id"),
+        greatest(col("seq") * seqLen - col("tok_offset"), lit(0L)).as("doc_start"),
+        (least(col("tok_offset") + col("n_tokens"), (col("seq") + lit(1L)) * seqLen) -
+          greatest(col("tok_offset"), col("seq") * seqLen)).as("len"))
+      .filter(col("seq") < maxSeq)
+      .orderBy("seq", "doc_id")
+  }
+
   /** THE curated corpus: the stratified sampler applied to the full
     * documents table, each survivor tagged with its leakage-safe split —
     * the single definition both writers materialize. */
@@ -1015,7 +1036,7 @@ object Curation {
 
     // the naive cumsum offsets + per-doc overlapped-row generation
     "x_cur_pack_spans" ->
-      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) n
+      s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) n
         |           FROM documents),
         |c AS (SELECT doc_id, n,
         |        sum(n) OVER (ORDER BY doc_id
@@ -1027,7 +1048,7 @@ object Curation {
         |SELECT CAST(seq AS BIGINT) AS seq, doc_id,
         |       CAST(greatest(seq * 32 - o, 0) AS BIGINT) AS doc_start,
         |       CAST(least(o + n, (seq + 1) * 32) - greatest(o, seq * 32) AS BIGINT) AS len
-        |FROM sp WHERE seq < 200 ORDER BY seq, doc_id""".stripMargin,
+        |FROM sp WHERE seq < $PackSpansGateSeqCap ORDER BY seq, doc_id""".stripMargin,
 
     "x_cur_split" ->
       s"""WITH RECURSIVE ${Dedup.md5MinhashCte},

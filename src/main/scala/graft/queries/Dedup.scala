@@ -190,7 +190,7 @@ object Dedup {
     //    is non-empty at BOTH driver scales (sf0.01's doc_id<60 slice tops
     //    out near j≈0.02; a 0.2 cut would gate empty-vs-empty)
     "x_dedup_ngram_jaccard" -> ((s, d) =>
-      jaccardPairs(s, d, col("doc_id") < 60, minJ = 0.015)
+      jaccardPairs(s, d, col("doc_id") < 60, minJ = NgramGateMinJ)
         .orderBy(col("j").desc, col("da"), col("db"))),
 
     // -- exact-substring dedup spans (the Lee-et-al. "deduplicating
@@ -468,7 +468,7 @@ object Dedup {
       // same corpus-calibrated cut as x_dedup_ngram_jaccard: with the
       // default 0.2 the sf0.01 slice has no edges at all and the closure
       // degenerates to the identity labeling (nothing exercised)
-      starClusters(docs, jaccardPairs(s, d, col("doc_id") < 60, minJ = 0.015))._1
+      starClusters(docs, jaccardPairs(s, d, col("doc_id") < 60, minJ = NgramGateMinJ))._1
     }),
 
     // -- embedding-cosine near-dup: exact double arithmetic (index-ordered
@@ -885,6 +885,15 @@ object Dedup {
     newDocDupSummary(estimatedPairs(hint(cand), isig, hint(bsig)))
   }
 
+  /** Default Jaccard cut for the GATE corpora — calibrated so the gate
+    * output is non-empty at both driver scales (sf0.01's doc_id<60
+    * slice tops out near j≈0.02; a production 0.2 cut would gate
+    * empty-vs-empty). A real user supplies their own `minJ`; this value
+    * is the calibration default, not part of the operator's semantics
+    * (the targetShards pattern). The oracle SQL interpolates the SAME
+    * constant, so gate and oracle can never drift apart. */
+  val NgramGateMinJ = 0.015
+
   /** Near-dup edge discovery shared by the pair query and the clustering
     * operators: 3-shingle Jaccard pairs (da < db, with `j`) at ≥ `minJ`.
     * Callers needing only the edge set project (da, db). */
@@ -1231,7 +1240,7 @@ object Dedup {
         |FROM documents d LEFT JOIN aff a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "x_dedup_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 60),
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 60),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |         generate_series(1, greatest(len(ws) - 2, 0)),
         |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) s FROM t),
@@ -1240,7 +1249,7 @@ object Dedup {
         |          JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) j
         |FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.015
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $NgramGateMinJ
         |ORDER BY j DESC, da, db""".stripMargin,
 
     "x_dedup_minhash_md5" ->
@@ -1318,7 +1327,7 @@ object Dedup {
     },
 
     "x_dedup_clusters" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents WHERE doc_id < 60),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |         generate_series(1, greatest(len(ws) - 2, 0)),
@@ -1328,7 +1337,7 @@ object Dedup {
         |          JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |p AS (SELECT da, db FROM inter
         |      JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-        |      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.015),
+        |      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $NgramGateMinJ),
         |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),
         |reach(src, dst) AS (
         |  SELECT doc_id, doc_id FROM t

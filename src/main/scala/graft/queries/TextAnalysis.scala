@@ -366,6 +366,18 @@ object TextAnalysis {
         .orderBy(col("n_exact").desc, col("w"))
     }),
 
+    // -- the EXACT twin of x_text_heavy_hitters: same top-20 tokens by
+    //    exact count, no sketch column, so the whole row hash-gates in
+    //    DuckDB (the md5-twin pattern the LSH paths use). The spec pins
+    //    the CMS estimates >= these counts (the sketch's one-sided
+    //    error); together the pair upgrades the sketch query from
+    //    rows-only to oracle-anchored.
+    "x_text_heavy_hitters_exact" -> ((s, d) =>
+      table(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("w")).limit(20)),
+
     "x_text_funnel" -> ((s, d) => {
       val docs = table(s, d, "documents")
       val alpha = (length(regexp_replace(col("text"), "[^A-Za-z ]", "")).cast("double") /
@@ -648,11 +660,15 @@ object TextAnalysis {
       .withColumn("bi", substring(col("tri"), 1, 2))
       .join(broadcast(tm), Seq("lang", "tri"), "left")
       .join(broadcast(bm), Seq("lang", "bi"), "left")
-      .join(broadcast(vs), Seq("lang"))
+      // LEFT join vs: a language absent from the frozen model must not drop
+      // its docs from the output (the streaming gate would silently lose a
+      // new-at-ingest language). v=1 fallback ⇒ ln((0+1)/(0+1)) = 0 ⇒ h = 0;
+      // the bucket for such docs is the explicit 'unscored' sentinel below.
+      .join(broadcast(vs), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("tri"), col("tf"),
         (col("tf").cast("double") *
           lnq((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
-            (coalesce(col("cb"), lit(0L)) + col("v")).cast("double"))).as("c"))
+            (coalesce(col("cb"), lit(0L)) + coalesce(col("v"), lit(1L))).cast("double"))).as("c"))
     val h = contrib.groupBy("doc_id", "lang")
       .agg(
         expr("aggregate(transform(array_sort(collect_list(struct(tri, c))), p -> p.c), " +
@@ -668,10 +684,12 @@ object TextAnalysis {
     * [[CcModel]]. Per-doc verdicts are pure functions of (doc, model) —
     * micro-batching cannot change them (Streams.attributesGate). */
   private[graft] def ccnetScoreOf(docs: DataFrame, m: CcModel): DataFrame =
-    ccnetH(docs, m.tm, m.bm, m.vs).join(broadcast(m.thr), Seq("lang"))
+    ccnetH(docs, m.tm, m.bm, m.vs).join(broadcast(m.thr), Seq("lang"), "left")
       .withColumn("bucket",
-        when(col("h") <= col("t1"), "head")
+        when(col("t1").isNull, "unscored") // lang unseen by the frozen model
+          .when(col("h") <= col("t1"), "head")
           .when(col("h") <= col("t2"), "middle").otherwise("tail"))
+      .drop("t1", "t2")
 
   /** (doc_id, w, tf) — the postings relation, one partial-agg pass. */
   private[graft] def bm25Tf(t: DataFrame): DataFrame =
@@ -792,7 +810,7 @@ object TextAnalysis {
   private def bpeTrain(s: SparkSession, d: String, steps: Int): DataFrame = {
     import s.implicits._
     val v0 = bpeVocab(s, d).persist()
-    try bpeMerges(v0, steps).toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+    try bpeMerges(v0, steps)._1.toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
     finally v0.unpersist(blocking = false)
   }
 
@@ -803,7 +821,7 @@ object TextAnalysis {
     * chain (one cached scan), applied as the same replace fold. */
   private def bpeFertility(s: SparkSession, d: String, steps: Int): DataFrame = {
     val v0 = bpeVocab(s, d).persist()
-    val merges = try bpeMerges(v0, steps) finally v0.unpersist(blocking = false)
+    val merges = try bpeMerges(v0, steps)._1 finally v0.unpersist(blocking = false)
     val lv = table(s, d, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .groupBy("lang", "w").agg(count(lit(1)).as("n"))
@@ -840,7 +858,7 @@ object TextAnalysis {
   private[graft] def bpeFit(s: SparkSession, d: String, steps: Int): BpeModel = {
     import org.apache.spark.sql.expressions.Window
     val v0 = bpeVocab(s, d).persist()
-    val merges = try bpeMerges(v0, steps) finally v0.unpersist(blocking = false)
+    val merges = try bpeMerges(v0, steps)._1 finally v0.unpersist(blocking = false)
     val wc = table(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -883,7 +901,7 @@ object TextAnalysis {
 
   /** The delimiter-encoded `<s1><s2>…` vocabulary with word counts — one
     * corpus scan; shared by training and application. */
-  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+  private[graft] def bpeVocab(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -895,23 +913,52 @@ object TextAnalysis {
     * vocabulary and every merge step's pair count reads the cache (the
     * per-step driver argmax otherwise re-ran the corpus scan: a measured
     * 3 corpus passes → 1 at sf0.1). Memo-free beyond that: each step's
-    * argmax is one driver row over a vocabulary-sized aggregate. */
-  private def bpeMerges(v0: DataFrame, steps: Int): Seq[(Long, String, String, Long)] = {
+    * argmax is one driver row over a vocabulary-sized aggregate — the
+    * loop is inherently sequential (merge k+1's counts depend on merge
+    * k's rewrite), so the driver round-trips are the algorithm, not an
+    * accident; each moves ONE row.
+    *
+    * Deep-vocab scaling: every step stacks a `replace` projection onto
+    * the vocab lineage, so an unchecked 32k-merge run would carry an
+    * O(steps)-deep plan whose re-analysis cost grows quadratically.
+    * `checkpointEvery` bounds it — the evolving vocab is
+    * localCheckpoint'ed (materialized, lineage truncated to a leaf)
+    * every K merges, so plan depth never exceeds K projections over a
+    * leaf and each step's pair count reads the latest materialization.
+    * Also returns the final vocab so callers (and the depth-64 spec)
+    * can pin the bounded plan. Training stops early if no pair remains
+    * (fully merged corpus). */
+  private[graft] def bpeMerges(v0: DataFrame, steps: Int,
+      checkpointEvery: Int = 16): (Seq[(Long, String, String, Long)], DataFrame) = {
     var vocab = v0
+    var prevCkpt: Option[DataFrame] = None
     val merges = Seq.newBuilder[(Long, String, String, Long)]
-    for (step <- 1 to steps) {
+    var exhausted = false
+    for (step <- 1 to steps if !exhausted) {
       val pairs = vocab
         .select(col("n"), expr("split(substring(v, 2, length(v) - 2), '><')").as("syms"))
         .filter(size(col("syms")) >= 2) // Spark's sequence(1, 0) steps DOWN, not empty
         .select(col("n"), explode(expr(
           "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
         .groupBy("p.a", "p.b").agg(sum("n").as("cnt"))
-      val best = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()(0)
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((step.toLong, a, b, cnt))
-      vocab = vocab.select(expr(s"replace(v, '<$a><$b>', '<$a$b>')").as("v"), col("n"))
+      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step.toLong, a, b, cnt))
+        vocab = vocab.select(expr(s"replace(v, '<$a><$b>', '<$a$b>')").as("v"), col("n"))
+        if (step % checkpointEvery == 0) {
+          val ckpt = vocab.localCheckpoint(true)
+          // the previous checkpoint's blocks are dead once the new one
+          // materializes — release them so a 32k-merge run holds O(1)
+          // vocab copies, not O(steps / K)
+          prevCkpt.foreach(_.unpersist(blocking = false))
+          prevCkpt = Some(ckpt)
+          vocab = ckpt
+        }
+      }
     }
-    merges.result()
+    (merges.result(), vocab)
   }
 
   /** Tokenize the corpus WITH the trained merges and report the top-20
@@ -923,7 +970,7 @@ object TextAnalysis {
   private def bpeApply(s: SparkSession, d: String, steps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v0 = bpeVocab(s, d).persist()
-    val merges = try bpeMerges(v0, steps) finally v0.unpersist(blocking = false)
+    val merges = try bpeMerges(v0, steps)._1 finally v0.unpersist(blocking = false)
     // the returned plan is LAZY, so it folds over a fresh (uncached)
     // vocab lineage: one corpus scan at training (cached across the 3
     // argmax steps) + one when the result executes
@@ -1420,6 +1467,11 @@ object TextAnalysis {
         |      FROM j)
         |SELECT doc_id, w AS term, CAST(tf AS BIGINT) tf, CAST(df AS BIGINT) df
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "x_text_heavy_hitters_exact" ->
+      """SELECT w, count(*) AS n_exact
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY n_exact DESC, w LIMIT 20""".stripMargin,
 
     "x_text_funnel" ->
       """WITH staged AS (

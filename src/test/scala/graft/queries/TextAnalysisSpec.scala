@@ -552,4 +552,51 @@ class TextAnalysisSpec extends SparkSpecBase {
         s"rule column $i is vacuous on the gate corpus")
     }
   }
+
+  test("bpe at depth 64: merges match the first-principles loop, checkpoint bounds the plan") {
+    import org.apache.spark.sql.functions._
+    val steps = 64
+    val v0 = TextAnalysis.bpeVocab(spark, sf).persist()
+    val (merges, finalVocab) =
+      try TextAnalysis.bpeMerges(v0, steps, checkpointEvery = 8)
+      finally v0.unpersist(blocking = false)
+    assert(merges.length == steps, s"corpus must support $steps merges (got ${merges.length})")
+    // checkpointing contract: the final vocab's logical plan is a
+    // bounded stack of replace-projections over a checkpoint LEAF —
+    // depth can never exceed checkpointEvery no matter how many merges
+    // ran (64 unchecked merges would stack 64 projections)
+    def depth(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int =
+      if (p.children.isEmpty) 1
+      else 1 + p.children.map(c => depth(c.asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNode[_]])).max
+    val d = depth(finalVocab.queryExecution.logical)
+    assert(d <= 8 + 1, s"plan depth $d exceeds the checkpoint bound:\n${finalVocab.queryExecution.logical}")
+    // first-principles reference loop over the SAME word counts: greedy
+    // highest-count pair, ties to the lexicographically smallest (a, b),
+    // left-to-right non-overlapping rewrite per word
+    val wc = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Map[List[String], Long] = wc
+      .map { case (w, n) => w.split("").filter(_.nonEmpty).toList -> n }
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val expect = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to steps) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + n)
+      }
+      val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, x, y) }
+      expect += ((step.toLong, a, b, cnt))
+      def rewrite(syms: List[String]): List[String] = syms match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: rewrite(rest)
+        case x :: rest => x :: rewrite(rest)
+        case Nil => Nil
+      }
+      vocab = vocab.toSeq.map { case (k, n) => rewrite(k) -> n }
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    }
+    assert(merges == expect.result(),
+      s"depth-$steps merge list diverges from the reference loop")
+  }
 }
