@@ -905,6 +905,60 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Serving-lifecycle DRIFT AUDIT over a persisted two-level index —
+    * closes [[appendIvf2Postings]]'s "re-fit offline when warranted"
+    * contract by deciding WHEN. Two signals, both cheap next to a
+    * re-fit:
+    *
+    *  - cell balance: appended mass piling into cells the frozen fit
+    *    no longer matches. `imbalance` = max fine-cell load × n_cells /
+    *    n_postings (1 = perfectly balanced, grows as appends
+    *    concentrate). One partial-agg count over the postings table's
+    *    fcid column — bucket-local, no wide shuffle, O(index bytes of
+    *    ONE column) at any scale.
+    *  - sampled recall@5: the x_sim_recall_eval harness pointed at the
+    *    index — brute-force truth over the postings corpus for the
+    *    BOUNDED query sample vs [[ivf2SearchOf]]'s probed search.
+    *    O(sample × corpus) dots is the price of ground truth; the
+    *    sample size bounds it (an audit runs on tens of queries, not
+    *    the query log).
+    *
+    * Returns ONE row `(n_postings, n_cells, imbalance, mean_recall,
+    * refit)` with `refit = mean_recall < minRecall OR imbalance >
+    * maxImbalance` — the signal to schedule [[writeIvf2Index]] +
+    * [[invalidateIvfIndex]] offline. SimilaritySpec drives imbalance
+    * monotonically up with appended mass until the verdict flips. */
+  def ivf2DriftAudit(s: SparkSession, tablePrefix: String,
+      sampleQueries: DataFrame, nprobeC: Int = 2, nprobeF: Int = 2,
+      minRecall: Double = 0.6, maxImbalance: Double = 8.0): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val postings = s.table(s"${tablePrefix}_postings")
+    val balance = postings.groupBy("fcid").agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("n_postings"), count(lit(1)).as("n_cells"),
+        max("cnt").as("max_cnt"))
+      .select(col("n_postings"), col("n_cells"),
+        (col("max_cnt").cast("double") * col("n_cells") / col("n_postings"))
+          .as("imbalance"))
+    val q = sampleQueries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("qn"))
+    val truth = broadcast(q)
+      .join(postings, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
+      .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))
+      .select(col("qid"), col("vec_id"))
+    val approx = ivf2SearchOf(
+      sampleQueries.select(col("vec_id"), col("embedding")), tablePrefix,
+      nprobeC, nprobeF)
+      .select(col("qid"), col("vec_id")).withColumn("hit", lit(1L))
+    val recall = truth.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy("qid").agg(coalesce(sum("hit"), lit(0L)).as("hits"))
+      .agg((sum("hits").cast("double") / (count(lit(1)) * 5)).as("mean_recall"))
+    balance.crossJoin(recall)
+      .withColumn("refit",
+        col("mean_recall") < minRecall || col("imbalance") > maxImbalance)
+  }
+
   /** k-means centroid fit for the IVF cells (Lloyd, fixed iteration
     * count), replacing round-2's every-31st-vector scaffolding.
     * Deterministic: seeds are the k corpus vectors with the smallest

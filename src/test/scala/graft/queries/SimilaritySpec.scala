@@ -330,6 +330,55 @@ class SimilaritySpec extends SparkSpecBase {
       "appended-index search must equal the frozen-fit union search")
   }
 
+  test("ivf2 drift audit: imbalance grows with appended mass until the refit verdict flips") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("ivf2drift_coarse", "ivf2drift_fine", "ivf2drift_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf2drift").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 400)
+      .write.parquet(s"$base/embeddings.parquet")
+    Similarity.writeIvf2Index(spark, base, "ivf2drift")
+    val queries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+    def audit(maxImb: Double): (Long, Double, Double, Boolean) = {
+      val r = Similarity.ivf2DriftAudit(spark, "ivf2drift", queries,
+        nprobeC = 2, nprobeF = 2, minRecall = 0.2, maxImbalance = maxImb).head()
+      (r.getAs[Long]("n_postings"), r.getAs[Double]("imbalance"),
+        r.getAs[Double]("mean_recall"), r.getAs[Boolean]("refit"))
+    }
+    // recall-harness sanity: probing every cell of the (4,4) fit makes
+    // the search exhaustive, so sampled recall@5 must be exactly 1
+    val full = Similarity.ivf2DriftAudit(spark, "ivf2drift", queries,
+      nprobeC = 16, nprobeF = 16).head()
+    assert(full.getAs[Double]("mean_recall") == 1.0, s"exhaustive probe recall: $full")
+    val (n0, imb0, rec0, _) = audit(Double.MaxValue)
+    assert(n0 == 400L && rec0 >= 0.0 && rec0 <= 1.0)
+    // the audit POLICY is the caller's: fix the re-fit bar at 1.5x the
+    // healthy baseline imbalance, then drive drift into it — a hot-spot
+    // append (one vector re-ingested en masse, the re-crawl pathology)
+    // assigns every copy to the same frozen fine cell, exactly the
+    // concentration the fit has never seen
+    val bar = imb0 * 1.5
+    assert(!audit(bar)._4, "healthy index must not demand a re-fit")
+    val v0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    def hotspot(n: Long, idOff: Long) =
+      spark.range(n).select((col("id") + idOff).as("vec_id"),
+        typedLit(v0).as("embedding"))
+    Similarity.appendIvf2Postings(spark, "ivf2drift", hotspot(250L, 1000000L))
+    val (n1, imb1, _, _) = audit(bar)
+    Similarity.appendIvf2Postings(spark, "ivf2drift", hotspot(250L, 2000000L))
+    val (n2, imb2, _, flipped) = audit(bar)
+    assert(n1 == 650L && n2 == 900L)
+    assert(imb1 > imb0 && imb2 > imb1,
+      s"imbalance must grow with appended mass: $imb0 -> $imb1 -> $imb2")
+    assert(flipped, s"verdict must flip once drift crosses the bar ($imb2 vs $bar)")
+  }
+
   test("two-level sizing: gate derives (4,4); coarse stays broadcastable out to 10^10 vectors") {
     assert(LshTuning.ivfTwoLevel(500) == ((4, 4))) // gate — static oracle values
     assert(LshTuning.ivfTwoLevel(2000) == ((8, 8))) // sf0.1: 63 cells factor as 8x8
