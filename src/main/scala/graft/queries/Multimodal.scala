@@ -65,6 +65,28 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A near-duplicate "re-encode" of asset `id`'s PNG: every pixel +2,
+    * clamped at 255 — the brightness-nudged re-save that perceptual
+    * dedup exists to catch (byte-level dedup sees a different file,
+    * pHash sees the same picture). Goes through the SAME real ImageIO
+    * encode as [[pngBytes]]. */
+  def pngBytesPerturbed(id: Long): Array[Byte] = {
+    val (w, h) = pngDims(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, math.min(pngPixel(id, x, y) + 2, 255)); x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Number of PCM samples in asset `id`'s WAV. */
   def wavSamples(id: Long): Int = ((id % 100) + 50).toInt
 
@@ -208,6 +230,96 @@ object Multimodal {
       .toDF("asset_id", "sizes")
   }
 
+  /** Twin ids for [[perturbedPngTwins]] live at src_id + this offset. */
+  val PhashTwinIdOffset = 100000L
+
+  /** The planted near-duplicate image set: every PNG asset under
+    * `maxId` re-encoded by [[pngBytesPerturbed]] under a new id — the
+    * image analog of Dedup's withRecrawl (the raw synthetic corpus has
+    * no perceptual near-dups, so a gate over it alone would pass on
+    * empty-vs-empty). */
+  def perturbedPngTwins(s: SparkSession, d: String, maxId: Long): Dataset[Asset] = {
+    import s.implicits._
+    table(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id") < maxId && col("doc_id") % 3 === 0)
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        Asset(id + PhashTwinIdOffset, "image/png", pngBytesPerturbed(id),
+          (n % 640).toInt, (n % 480).toInt)
+      }
+  }
+
+  /** Quantized DCT-II basis for length `n`: basis(u)(k) =
+    * floor(cos(π(2k+1)u / 2n)·1e6) / 1e6, u < 8. The 1e-6 floor
+    * quantization (the lnq / BM25-idf pattern) makes the one
+    * transcendental in the pHash pipeline engine-portable: every
+    * downstream product/sum is exact IEEE double arithmetic on
+    * identical inputs, so the 64-bit signatures — and everything the
+    * banding derives from them — hash-gate against DuckDB. */
+  private[queries] def dctBasisQ(n: Int): Array[Array[Double]] =
+    Array.tabulate(8, n)((u, k) =>
+      math.floor(math.cos(math.Pi * (2 * k + 1) * u / (2.0 * n)) * 1e6) / 1e6)
+
+  /** Perceptual hash (pHash) over the REAL PNG decode: separable
+    * DCT-II of the full pixel grid (stage 1 folds y ascending per
+    * column, stage 2 folds x ascending — the pinned summation order
+    * the oracle mirrors), keep the 8×8 low-frequency block, drop DC,
+    * threshold the remaining 63 coefficients at their median →
+    * a 63-bit signature in bit order u·8+v−1 (63 bits so the top bit
+    * never reaches the sign position — every engine reads it as the
+    * same positive BIGINT). Per-partition batch decode like [[decode]];
+    * O(w·h·8 + w·64) per image, no shuffle — at 100 TB this is pure
+    * map-side CPU and the downstream banding join is the only
+    * exchange. */
+  def phash(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.mime == "image/png").mapPartitions { it =>
+      it.map { a =>
+        val img = ImageIO.read(new ByteArrayInputStream(a.media))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val bw = dctBasisQ(w)
+        val bh = dctBasisQ(h)
+        // stage 1 (columns): inner(x)(v) = Σ_y p(x,y)·bh(v)(y)
+        val inner = Array.ofDim[Double](w, 8)
+        var x = 0
+        while (x < w) {
+          var v = 0
+          while (v < 8) {
+            var acc = 0.0
+            var y = 0
+            while (y < h) { acc += raster.getSample(x, y, 0) * bh(v)(y); y += 1 }
+            inner(x)(v) = acc
+            v += 1
+          }
+          x += 1
+        }
+        // stage 2 (rows): coef(u·8+v) = Σ_x inner(x)(v)·bw(u)(x)
+        val coefs = new Array[Double](64)
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var acc = 0.0
+            var xx = 0
+            while (xx < w) { acc += inner(xx)(v) * bw(u)(xx); xx += 1 }
+            coefs(u * 8 + v) = acc
+            v += 1
+          }
+          u += 1
+        }
+        val ac = java.util.Arrays.copyOfRange(coefs, 1, 64) // 63 non-DC
+        val sorted = ac.clone(); java.util.Arrays.sort(sorted)
+        val med = sorted(31)
+        var ph = 0L
+        var i = 0
+        while (i < 63) { if (ac(i) > med) ph |= (1L << i); i += 1 }
+        (a.asset_id, ph)
+      }
+    }.toDF("asset_id", "ph")
+  }
+
   /** One image patch (the ViT tokenization unit). */
   final case class ImagePatch(asset_id: Long, px: Long, py: Long, n_pixels: Long, pix_sum: Long)
 
@@ -325,7 +437,27 @@ object Multimodal {
         .select(col("asset_id"), col("frames"), col("f.frame_no").as("frame_no"),
           col("f.sz").as("sz"), col("f.delta").as("delta"),
           (col("f.delta") * col("frames") > col("total_bytes")).as("cut"))
-        .orderBy("asset_id", "frame_no"))
+        .orderBy("asset_id", "frame_no")),
+
+    // -- PERCEPTUAL image dedup: pHash (quantized-basis DCT over the
+    //    REAL ImageIO decode, [[phash]]) feeding the EXISTING SimHash
+    //    pair-of-blocks banding (hamming ≤ 6 complete, capped buckets)
+    //    — the dedup × multimodal closure. The corpus is the PNG assets
+    //    plus their planted +2-brightness re-encodes; the gate expects
+    //    exactly the twin pairs (plus any true perceptual collisions),
+    //    and the oracle recomputes the same signatures from the
+    //    closed-form pixels — so the REAL decode, the DCT, the median
+    //    threshold, the banding and the hamming refine all hash-gate.
+    "x_mm_phash_dups" -> ((s, d) => {
+      val base = assets(s, d, maxId = 120, onlyMime = Some("image/png"))
+      val all = base.unionByName(perturbedPngTwins(s, d, maxId = 120))
+      val sig = phash(all).select(col("asset_id").as("doc_id"), col("ph").as("sh"))
+      Dedup.simhashCandidatesOf(sig, pairBlocks = true)
+        .select(col("da"), col("db"),
+          expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy("hamming", "da", "db")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -481,6 +613,59 @@ object Multimodal {
         |       abs(s.sz - p.sz) * s.frames > t.total_bytes AS cut
         |FROM sz s JOIN sz p ON p.asset_id = s.asset_id AND p.i = s.i - 1
         |JOIN tot t ON t.asset_id = s.asset_id
-        |ORDER BY s.asset_id, frame_no""".stripMargin
+        |ORDER BY s.asset_id, frame_no""".stripMargin,
+
+    // the full pHash pipeline re-derived: closed-form pixels (+2 clamp
+    // for the planted twins), the SAME floor-quantized DCT basis, the
+    // SAME separable fold order (y inside columns, then x), median
+    // threshold, then plain all-pairs hamming ≤ 6 — equal to the Spark
+    // side's banded candidates because pair-of-blocks banding is
+    // complete for hamming ≤ 6 and no bucket nears the cap here
+    "x_mm_phash_dups" ->
+      s"""WITH ids AS (
+        |  SELECT doc_id AS asset_id, doc_id AS src, 0 AS pert
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120
+        |  UNION ALL
+        |  SELECT doc_id + $PhashTwinIdOffset, doc_id, 1
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120),
+        |dims AS (SELECT asset_id, src, pert,
+        |           CAST(src % 24 + 8 AS BIGINT) w, CAST(src % 16 + 8 AS BIGINT) h
+        |         FROM ids),
+        |px AS (SELECT asset_id, w, h, x, y,
+        |         CASE WHEN pert = 1
+        |              THEN least((src * 31 + 7 * x + 13 * y) % 256 + 2, 255)
+        |              ELSE (src * 31 + 7 * x + 13 * y) % 256 END AS p
+        |       FROM dims,
+        |            unnest(generate_series(0, w - 1)) AS ux(x),
+        |            unnest(generate_series(0, h - 1)) AS uy(y)),
+        |ns AS (SELECT DISTINCT w AS n FROM dims
+        |       UNION SELECT DISTINCT h FROM dims),
+        |basis AS (SELECT n, u, k,
+        |            floor(cos(pi() * (2 * k + 1) * u / (2.0 * n)) * 1e6) / 1e6 AS c
+        |          FROM ns,
+        |               unnest(generate_series(0, 7)) AS uu(u),
+        |               unnest(generate_series(0, n - 1)) AS uk(k)),
+        |s1 AS (SELECT px.asset_id, px.w, px.x, b.u AS v,
+        |              list_sum(list(px.p * b.c ORDER BY px.y)) AS iv
+        |       FROM px JOIN basis b ON b.n = px.h AND b.k = px.y
+        |       GROUP BY px.asset_id, px.w, px.x, b.u),
+        |s2 AS (SELECT s1.asset_id, b.u AS u, s1.v AS v,
+        |              list_sum(list(s1.iv * b.c ORDER BY s1.x)) AS coef
+        |       FROM s1 JOIN basis b ON b.n = s1.w AND b.k = s1.x
+        |       GROUP BY s1.asset_id, b.u, s1.v),
+        |ac AS (SELECT asset_id, u * 8 + v - 1 AS i, coef
+        |       FROM s2 WHERE NOT (u = 0 AND v = 0)),
+        |med AS (SELECT asset_id, (list_sort(list(coef)))[32] AS m
+        |        FROM ac GROUP BY asset_id),
+        |ph AS (SELECT ac.asset_id,
+        |              CAST(sum(CASE WHEN ac.coef > med.m
+        |                            THEN (1::BIGINT << CAST(ac.i AS INT))
+        |                            ELSE 0 END) AS BIGINT) AS sh
+        |       FROM ac JOIN med USING (asset_id) GROUP BY ac.asset_id)
+        |SELECT a.asset_id AS da, b.asset_id AS db,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+        |ORDER BY hamming, da, db""".stripMargin
   )
 }

@@ -165,4 +165,30 @@ class MultimodalSpec extends SparkSpecBase {
     }
     assert(rows.map(_._6).toSet == Set(true, false), "both verdict classes")
   }
+
+  test("phash dedup: every planted twin pairs within hamming 6; unrelated images mostly don't") {
+    import org.apache.spark.sql.functions._
+    val rows = Multimodal.queries("x_mm_phash_dups")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // completeness on the planted near-dups: every PNG id under the
+    // query's maxId must pair with its +2-brightness twin
+    val pngIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val twinPairs = rows.collect {
+      case (da, db, _) if db == da + Multimodal.PhashTwinIdOffset => da
+    }.toSet
+    assert(twinPairs == pngIds,
+      s"missing twins: ${pngIds -- twinPairs}, phantom: ${twinPairs -- pngIds}")
+    // discrimination: near-dup pairs must be rare relative to the
+    // C(2n,2) pair space — a hash that pairs everything is no hash
+    val n = pngIds.size * 2
+    assert(rows.length < n * (n - 1) / 20, s"${rows.length} pairs of ${n * (n - 1) / 2}")
+    // signatures stay in the positive 63-bit range (no sign-bit bits)
+    val sigs = Multimodal.phash(
+      Multimodal.assets(spark, sf, maxId = 120, onlyMime = Some("image/png")))
+      .collect().map(_.getLong(1))
+    assert(sigs.forall(_ >= 0L), "63-bit signatures must be non-negative")
+  }
 }
