@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-up validation: derive m× corpora from the sf0.1
+  * documents/embeddings tables (testdata itself is read-only) and
+  * measure the heavy pipelines end-to-end at each scale, recording
+  * runtime-vs-size growth exponents — the evidence behind the "sound
+  * by design at 100×" plan-pin arguments. Expected: ~1.0 for scans,
+  * banded joins and partial aggregates; up to ~n log n for
+  * shuffle-sorts; a clearly superlinear exponent on any pipeline is a
+  * found bug the plan pins missed.
+  *
+  * The derivation keeps the workload's STATISTICS, not its literal
+  * rows:
+  *
+  *  - documents: copy k re-keys `doc_id += k·stride` and suffixes
+  *    every token with the copy tag, so copies are NOT near-duplicates
+  *    of the base (verbatim copies would plant n·C(m,2) duplicate
+  *    pairs and the dedup pipelines would measure that planted
+  *    artifact, not engine scaling); vocabulary and doc-length
+  *    distributions grow the way a fresh crawl grows. `n_chars` is
+  *    recomputed to keep the length-derived signals consistent.
+  *  - embeddings: copy k re-keys `vec_id` and reflects each vector
+  *    through a per-(copy, dim) deterministic ±1 mask — norms and
+  *    intra-copy geometry are preserved, cross-copy directions
+  *    decorrelate (fresh mass, no planted ANN hot spot).
+  *
+  * Every pipeline first runs ONCE against sf0.01 as an untimed warmup
+  * (JIT + codegen + parquet footer caches dominate a fresh JVM's first
+  * execution — a warmup against the measured dirs would instead
+  * pre-build their memoized cluster labels and under-time them), then
+  * one measurement per (pipeline, scale), scales ascending.
+  * `x_cur_pipeline` reuses the cluster labels the dedup measurement
+  * memoized, so the shard figure isolates mixture+pack+write (the same
+  * composition at every scale — exponents stay comparable). Queries
+  * are forced with the noop sink so no column is pruned away from the
+  * measurement.
+  *
+  * Reported per pipeline: the least-squares exponent over all points
+  * AND the tail exponent from the last scale pair — at small absolute
+  * runtimes fixed per-job costs (scheduling, planning) flatten the
+  * early points, so the tail pair is the asymptotic estimate the 100×
+  * claim actually rests on.
+  *
+  * Usage: sbt "runMain graft.ScaleBench [baseDir] [workDir] [outJson]"
+  */
+object ScaleBench {
+
+  private val Stride = 10000000L
+
+  private def deriveDocuments(s: SparkSession, base: String, out: String, m: Int): Unit = {
+    val docs = s.read.parquet(s"$base/documents.parquet")
+    val copies = (0 until m).map { k =>
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * Stride)).as("doc_id"),
+        expr(s"concat_ws(' ', transform(split(text, ' '), w -> concat(w, '_$k')))").as("text"),
+        col("lang"), col("source"), lit(0L).as("n_chars"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }
+    copies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  private def deriveEmbeddings(s: SparkSession, base: String, out: String, m: Int): Unit = {
+    val emb = s.read.parquet(s"$base/embeddings.parquet")
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val copies = (0 until m).map { k =>
+      if (k == 0) emb
+      else {
+        // deterministic ±1 reflection mask for copy k (any fixed hash
+        // works — no oracle reads this data)
+        val mask = Array.tabulate(dims)(j =>
+          if (((k.toLong * 2654435761L + j * 40503L) >>> 7) % 2 == 0) 1.0f else -1.0f)
+        val maskSql = mask.mkString("array(", "F, ", "F)")
+        emb.select(
+          (col("vec_id") + lit(k * Stride)).as("vec_id"),
+          expr(s"zip_with(embedding, $maskSql, (x, s) -> x * s)").as("embedding"),
+          col("label"))
+      }
+    }
+    copies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Least-squares slope of ln(t) against ln(m) — the growth exponent. */
+  private def exponent(points: Seq[(Int, Double)]): Double = {
+    val xs = points.map(p => math.log(p._1.toDouble))
+    val ys = points.map(p => math.log(p._2))
+    val mx = xs.sum / xs.size
+    val my = ys.sum / ys.size
+    val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xs.map(x => (x - mx) * (x - mx)).sum
+    num / den
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val outJson = if (args.length > 2) args(2) else "SCALE_r11.json"
+    val scales = Seq(1, 4, 16, 64)
+    val spark = Engine.session()
+
+    val dirs: Map[Int, String] = scales.map { m =>
+      val dir = if (m == 1) base else s"$workDir/x$m"
+      if (m > 1 && !new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        deriveDocuments(spark, base, dir, m)
+        deriveEmbeddings(spark, base, dir, m)
+      }
+      m -> dir
+    }.toMap
+
+    val pipelines: Seq[(String, (SparkSession, String, Int) => Unit)] = Seq(
+      ("dedup_clusters_full", (s, d, _) => {
+        val df = graft.queries.Dedup.clusterLabels(s, d)
+        df.count()
+        df.unpersist(blocking = true)
+      }),
+      ("dedup_rewrite", (s, d, _) =>
+        noop(graft.queries.Dedup.queries("x_dedup_rewrite")(s, d))),
+      ("bm25", (s, d, _) =>
+        noop(graft.queries.TextAnalysis.queries("x_text_bm25")(s, d))),
+      ("ivf2_build", (s, d, m) =>
+        graft.queries.Similarity.writeIvf2Index(s, d, s"scale_ivf2_x$m")),
+      ("ivf2_search", (s, d, m) => {
+        graft.queries.Similarity
+          .ivf2SearchAgainstIndex(s, d, s"scale_ivf2_x$m", nprobeC = 2, nprobeF = 4)
+          .collect()
+        ()
+      }),
+      ("pack_shards", (s, d, m) => {
+        graft.queries.Curation.writeShards(
+          graft.queries.Curation.queries("x_cur_pipeline")(s, d),
+          s"$workDir/shards_x$m")
+        ()
+      })
+    )
+
+    // untimed warmup against a DIFFERENT corpus dir (sf0.01): exercises
+    // every code path (JIT, codegen caches, ImageIO/parquet readers)
+    // without touching the measured dirs' cluster-label memos
+    {
+      val warm = base.replace("sf0.1", "sf0.01")
+      val wdf = graft.queries.Dedup.clusterLabels(spark, warm)
+      wdf.count(); wdf.unpersist(blocking = true)
+      noop(graft.queries.Dedup.queries("x_dedup_rewrite")(spark, warm))
+      noop(graft.queries.TextAnalysis.queries("x_text_bm25")(spark, warm))
+      graft.queries.Similarity.writeIvf2Index(spark, warm, "scale_warm")
+      graft.queries.Similarity
+        .ivf2SearchAgainstIndex(spark, warm, "scale_warm", nprobeC = 2, nprobeF = 4)
+        .collect()
+      graft.queries.Curation.writeShards(
+        graft.queries.Curation.queries("x_cur_pipeline")(spark, warm),
+        s"$workDir/shards_warm")
+      for (t <- Seq("_coarse", "_fine", "_postings"))
+        spark.sql(s"DROP TABLE IF EXISTS scale_warm$t")
+      println("SCALE warmup complete (sf0.01)")
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[(Int, Double)]]()
+    for (m <- scales) {
+      val d = dirs(m)
+      for ((name, run) <- pipelines) {
+        val secs = timed(run(spark, d, m))
+        results(name) = results.getOrElse(name, Seq.empty) :+ (m -> secs)
+        println(f"SCALE $name%-20s x$m%-2d ${secs}%8.2f s")
+      }
+      // the per-scale serving index is measured; drop it before the next
+      // scale so disk stays bounded
+      for (t <- Seq("_coarse", "_fine", "_postings"))
+        spark.sql(s"DROP TABLE IF EXISTS scale_ivf2_x$m$t")
+    }
+
+    def tailExp(pts: Seq[(Int, Double)]): Double = {
+      val (m1, t1) = pts(pts.size - 2)
+      val (m2, t2) = pts.last
+      math.log(t2 / t1) / math.log(m2.toDouble / m1)
+    }
+    val pipelineJson = results.map { case (name, pts) =>
+      val secsJson = pts.map { case (m, t) => s""""$m":${f"$t%.3f"}""" }.mkString(",")
+      s""""$name":{"secs":{$secsJson},"exponent":${f"${exponent(pts)}%.3f"},""" +
+        s""""tail_exponent":${f"${tailExp(pts)}%.3f"}}"""
+    }.mkString(",")
+    val worst = results.map { case (n, pts) => n -> tailExp(pts) }.maxBy(_._2)
+    val json = s"""{"metric":"scale_exponents","base":"$base",""" +
+      s""""scales":[${scales.mkString(",")}],""" +
+      s""""base_rows":{"documents":${spark.read.parquet(s"$base/documents.parquet").count()},""" +
+      s""""embeddings":${spark.read.parquet(s"$base/embeddings.parquet").count()}},""" +
+      s""""pipelines":{$pipelineJson},""" +
+      s""""worst":{"pipeline":"${worst._1}","exponent":${f"${worst._2}%.3f"}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}
