@@ -169,10 +169,20 @@ class StreamsSpec extends SparkSpecBase {
     }
     val frontier = run("conv_frontier", ds => Streams.conversionLabels(ds))
     val buffered = run("conv_wm", ds => Streams.conversionLabelsWatermarked(ds))
+    // transformWithState keeps each ListState in its own column family —
+    // only the RocksDB provider supports that (scoped to this query)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tws =
+      try run("conv_tws", ds => Streams.conversionLabelsTws(ds))
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     assert(frontier(10L) == (Some(11L), true))
     assert(frontier(12L) == (None, false), "frontier variant mislabels the late view (pinned)")
     assert(buffered(10L) == (Some(11L), true))
     assert(buffered(12L) == (Some(11L), true), "watermark buffer restores event-time order")
+    // the transformWithState re-expression must be semantics-identical
+    // to the flatMapGroupsWithState watermark-buffered variant
+    assert(tws == buffered, s"tws $tws vs fMGWS $buffered")
   }
 
   test("watermarked conversion labels equal the batch query under within-batch disorder, no flush per user") {
@@ -245,6 +255,42 @@ class StreamsSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
     assert(got == batch, s"missing=${(batch -- got).take(5)} extra=${(got -- batch).take(5)}")
     assert(batch.nonEmpty, "the range join must produce pairs at sf0.001")
+  }
+
+  test("stream-stream LEFT OUTER interval join: unmatched errors emit null rows after both watermarks pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000000L
+    // user 1: error @2h with a click @2h02 (within ±5 min) → matched;
+    // user 2: error @2h with NO click → the outer row, which the ENGINE
+    // may only emit once the watermark proves no matching click can
+    // still arrive; the far-future click advances both watermarks.
+    val b1 = Seq((1L, 1L, 2L * H, "error"), (2L, 1L, 2L * H + 120000000L, "click"),
+      (3L, 2L, 2L * H, "error"))
+    // the global join watermark is the MIN across both sides' watermark
+    // nodes, so the flush must advance the ERROR side too (a click-only
+    // flush leaves the error watermark at 2h and nothing ever evicts);
+    // the far-future flush error itself stays in state, never emitted
+    val flush = Seq((98L, 4L, 10L * H, "error"), (99L, 3L, 10L * H, "click"))
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.errorClickIntervalJoinMode(
+      in.toDF().toDF("event_id", "user_id", "us", "event_type"), mode = "leftOuter")
+      .writeStream.format("memory").queryName("ssjoin_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(flush: _*); q.processAllAvailable()
+      // outer rows are emitted by the state-eviction pass of a batch
+      // AFTER the watermark advanced — drive one more micro-batch
+      in.addData((100L, 3L, 11L * H, "click")); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssjoin_outer").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[Any]("click_id")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("delta_us")).map(_.asInstanceOf[Long]))).toSet
+    assert(rows == Set(
+      (1L, Some(2L), Some(120000000L)), // matched within the window
+      (3L, None, None)                  // watermark-issued outer row
+    ), rows.toString)
   }
 
   test("streaming dedup keys on the columns alone within the watermark") {
