@@ -320,6 +320,83 @@ object Multimodal {
     }.toDF("asset_id", "ph")
   }
 
+  /** Persist the perceptual-signature serving index — the image-side
+    * twin of Dedup.writeMinhashIndexBucketed: `{prefix}_sig`
+    * (asset_id, sh) bucketed+sorted on asset_id, `{prefix}_keys`
+    * (asset_id, sh, blk, bv) bucketed on the band key so incremental
+    * probes join exchange-free on the index side. Signatures are
+    * [[phash]] over the REAL decode; band keys are the SAME
+    * pair-of-blocks scheme the text SimHash path uses (hamming ≤ 6
+    * complete). */
+  def writePhashIndex(s: SparkSession, d: String, tablePrefix: String,
+      maxId: Long = Long.MaxValue, buckets: Int = 32): Unit = {
+    for (t <- Seq("_sig", "_keys"))
+      graft.Engine.reclaimManagedTable(s, tablePrefix + t)
+    val sig = phash(assets(s, d, maxId, onlyMime = Some("image/png")))
+      .select(col("asset_id"), col("ph").as("sh"))
+    sig.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "asset_id").sortBy("asset_id")
+      .saveAsTable(s"${tablePrefix}_sig")
+    phashKeys(sig, "asset_id", "ph")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "blk", "bv")
+      .saveAsTable(s"${tablePrefix}_keys")
+  }
+
+  /** (idCol, sigOut, blk, bv) band-key fan-out of a (idCol, sh)
+    * signature relation — 28 keys per image. */
+  private def phashKeys(sig: DataFrame, idCol: String, sigOut: String): DataFrame =
+    sig.select(col(idCol), col("sh"),
+      explode(expr(Dedup.simhashBandKeys(pairBlocks = true))).as("k"))
+      .select(col(idCol), col("sh").as(sigOut), col("k.blk"), col("k.bv"))
+
+  /** Probe a NEW image batch against the frozen persisted index — the
+    * ingest-time perceptual dedup check. Only the increment is decoded
+    * and hashed; its 28·|increment| band keys BROADCAST against the
+    * keys table (bucketed on the band key, so the history side is a
+    * pure scan with no exchange above it), candidates dedupe, and the
+    * exact hamming refine prunes banding collisions. Work is
+    * increment-proportional; history never reshuffles. Output:
+    * (new_id, dup_id, hamming) — dup_id an already-indexed asset
+    * within `maxHamming`. */
+  def incrementalPhashDupsAgainstIndex(newAssets: Dataset[Asset],
+      tablePrefix: String, maxHamming: Int = 6): DataFrame = {
+    val s = newAssets.sparkSession
+    val inc = phash(newAssets).select(col("asset_id").as("new_id"), col("ph").as("sh"))
+    val incKeys = phashKeys(inc, "new_id", "nsh") // (new_id, nsh, blk, bv)
+    broadcast(incKeys)
+      .join(s.table(s"${tablePrefix}_keys"), Seq("blk", "bv")) // (asset_id, ph, ...)
+
+      .filter(col("new_id") =!= col("asset_id"))
+      .select(col("new_id"), col("asset_id").as("dup_id"), col("nsh"), col("ph"))
+      .distinct()
+      .select(col("new_id"), col("dup_id"),
+        expr("bit_count(nsh ^ ph)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("new_id", "dup_id")
+  }
+
+  /** Fold a new image batch INTO the persisted index without rewriting
+    * history — the appendIvf2Postings pattern: signatures and band keys
+    * shuffle into the tables' own bucket specs, existing files never
+    * read or moved; a daily image crawl costs O(increment). Caller
+    * contract: the batch is not already indexed. */
+  def appendPhashIndex(s: SparkSession, tablePrefix: String,
+      newAssets: Dataset[Asset]): Unit = {
+    def bucketsOf(t: String): Int = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(s"$t is not bucketed — not a phash index"))
+    val sig = phash(newAssets).select(col("asset_id"), col("ph").as("sh"))
+    sig.write.mode("append").format("parquet")
+      .bucketBy(bucketsOf(s"${tablePrefix}_sig"), "asset_id").sortBy("asset_id")
+      .saveAsTable(s"${tablePrefix}_sig")
+    phashKeys(sig, "asset_id", "ph")
+      .write.mode("append").format("parquet")
+      .bucketBy(bucketsOf(s"${tablePrefix}_keys"), "blk", "bv")
+      .saveAsTable(s"${tablePrefix}_keys")
+  }
+
   /** One image patch (the ViT tokenization unit). */
   final case class ImagePatch(asset_id: Long, px: Long, py: Long, n_pixels: Long, pix_sum: Long)
 
@@ -457,6 +534,24 @@ object Multimodal {
           expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
         .filter(col("hamming") <= 6)
         .orderBy("hamming", "da", "db")
+    }),
+
+    // -- perceptual dup CLUSTERS: the banded pHash pairs fed into the
+    //    SAME star-clustering fixpoint the text pipelines use — every
+    //    visually-near-identical group gets one min-id label (the unit
+    //    a keep-one-per-cluster image dedup pass consumes). Pure reuse:
+    //    signatures from [[phash]], candidates from the SimHash
+    //    banding, components from Dedup.starClusters.
+    "x_mm_phash_clusters" -> ((s, d) => {
+      val base = assets(s, d, maxId = 120, onlyMime = Some("image/png"))
+      val all = base.unionByName(perturbedPngTwins(s, d, maxId = 120))
+      val sig = phash(all).select(col("asset_id").as("doc_id"), col("ph").as("sh"))
+      val pairs = Dedup.simhashCandidatesOf(sig, pairBlocks = true)
+        .filter(expr("bit_count(sa ^ sb)") <= 6)
+        .select("da", "db")
+      Dedup.starClusters(sig.select("doc_id"), pairs)._1
+        .select(col("doc_id").as("asset_id"), col("cluster"))
+        .orderBy("asset_id")
     })
   )
 
@@ -622,50 +717,76 @@ object Multimodal {
     // side's banded candidates because pair-of-blocks banding is
     // complete for hamming ≤ 6 and no bucket nears the cap here
     "x_mm_phash_dups" ->
-      s"""WITH ids AS (
-        |  SELECT doc_id AS asset_id, doc_id AS src, 0 AS pert
-        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120
-        |  UNION ALL
-        |  SELECT doc_id + $PhashTwinIdOffset, doc_id, 1
-        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120),
-        |dims AS (SELECT asset_id, src, pert,
-        |           CAST(src % 24 + 8 AS BIGINT) w, CAST(src % 16 + 8 AS BIGINT) h
-        |         FROM ids),
-        |px AS (SELECT asset_id, w, h, x, y,
-        |         CASE WHEN pert = 1
-        |              THEN least((src * 31 + 7 * x + 13 * y) % 256 + 2, 255)
-        |              ELSE (src * 31 + 7 * x + 13 * y) % 256 END AS p
-        |       FROM dims,
-        |            unnest(generate_series(0, w - 1)) AS ux(x),
-        |            unnest(generate_series(0, h - 1)) AS uy(y)),
-        |ns AS (SELECT DISTINCT w AS n FROM dims
-        |       UNION SELECT DISTINCT h FROM dims),
-        |basis AS (SELECT n, u, k,
-        |            floor(cos(pi() * (2 * k + 1) * u / (2.0 * n)) * 1e6) / 1e6 AS c
-        |          FROM ns,
-        |               unnest(generate_series(0, 7)) AS uu(u),
-        |               unnest(generate_series(0, n - 1)) AS uk(k)),
-        |s1 AS (SELECT px.asset_id, px.w, px.x, b.u AS v,
-        |              list_sum(list(px.p * b.c ORDER BY px.y)) AS iv
-        |       FROM px JOIN basis b ON b.n = px.h AND b.k = px.y
-        |       GROUP BY px.asset_id, px.w, px.x, b.u),
-        |s2 AS (SELECT s1.asset_id, b.u AS u, s1.v AS v,
-        |              list_sum(list(s1.iv * b.c ORDER BY s1.x)) AS coef
-        |       FROM s1 JOIN basis b ON b.n = s1.w AND b.k = s1.x
-        |       GROUP BY s1.asset_id, b.u, s1.v),
-        |ac AS (SELECT asset_id, u * 8 + v - 1 AS i, coef
-        |       FROM s2 WHERE NOT (u = 0 AND v = 0)),
-        |med AS (SELECT asset_id, (list_sort(list(coef)))[32] AS m
-        |        FROM ac GROUP BY asset_id),
-        |ph AS (SELECT ac.asset_id,
-        |              CAST(sum(CASE WHEN ac.coef > med.m
-        |                            THEN (1::BIGINT << CAST(ac.i AS INT))
-        |                            ELSE 0 END) AS BIGINT) AS sh
-        |       FROM ac JOIN med USING (asset_id) GROUP BY ac.asset_id)
+      s"""WITH $phashCte
         |SELECT a.asset_id AS da, b.asset_id AS db,
         |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         |FROM ph a JOIN ph b ON a.asset_id < b.asset_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 6
-        |ORDER BY hamming, da, db""".stripMargin
+        |ORDER BY hamming, da, db""".stripMargin,
+
+    // perceptual CLUSTERS: the same signature chain, all-pairs edges at
+    // hamming ≤ 6, transitive closure (recursive CTE), min-id labels —
+    // connected components == the star-clustering fixpoint
+    "x_mm_phash_clusters" ->
+      s"""WITH RECURSIVE $phashCte,
+        |p AS (SELECT a.asset_id da, b.asset_id db
+        |      FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+        |      WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+        |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),
+        |reach(src, dst) AS (
+        |  SELECT asset_id, asset_id FROM ph
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea)
+        |SELECT src AS asset_id, CAST(min(dst) AS BIGINT) AS cluster
+        |FROM reach GROUP BY src ORDER BY asset_id""".stripMargin
   )
+
+  /** The shared pHash oracle chain (documents → planted twin ids →
+    * closed-form pixels → quantized DCT basis → separable folds →
+    * median-thresholded 63-bit signatures `ph(asset_id, sh)`) — the
+    * md5MinhashCte pattern: both perceptual-dedup oracles compose it so
+    * the signature arithmetic is stated once. */
+  // lazy: referenced by the `oracle` val above during object init —
+  // a plain val here would still be null at that point
+  private lazy val phashCte: String =
+    s"""ids AS (
+      |  SELECT doc_id AS asset_id, doc_id AS src, 0 AS pert
+      |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120
+      |  UNION ALL
+      |  SELECT doc_id + $PhashTwinIdOffset, doc_id, 1
+      |  FROM documents WHERE doc_id % 3 = 0 AND doc_id < 120),
+      |dims AS (SELECT asset_id, src, pert,
+      |           CAST(src % 24 + 8 AS BIGINT) w, CAST(src % 16 + 8 AS BIGINT) h
+      |         FROM ids),
+      |px AS (SELECT asset_id, w, h, x, y,
+      |         CASE WHEN pert = 1
+      |              THEN least((src * 31 + 7 * x + 13 * y) % 256 + 2, 255)
+      |              ELSE (src * 31 + 7 * x + 13 * y) % 256 END AS p
+      |       FROM dims,
+      |            unnest(generate_series(0, w - 1)) AS ux(x),
+      |            unnest(generate_series(0, h - 1)) AS uy(y)),
+      |ns AS (SELECT DISTINCT w AS n FROM dims
+      |       UNION SELECT DISTINCT h FROM dims),
+      |basis AS (SELECT n, u, k,
+      |            floor(cos(pi() * (2 * k + 1) * u / (2.0 * n)) * 1e6) / 1e6 AS c
+      |          FROM ns,
+      |               unnest(generate_series(0, 7)) AS uu(u),
+      |               unnest(generate_series(0, n - 1)) AS uk(k)),
+      |s1 AS (SELECT px.asset_id, px.w, px.x, b.u AS v,
+      |              list_sum(list(px.p * b.c ORDER BY px.y)) AS iv
+      |       FROM px JOIN basis b ON b.n = px.h AND b.k = px.y
+      |       GROUP BY px.asset_id, px.w, px.x, b.u),
+      |s2 AS (SELECT s1.asset_id, b.u AS u, s1.v AS v,
+      |              list_sum(list(s1.iv * b.c ORDER BY s1.x)) AS coef
+      |       FROM s1 JOIN basis b ON b.n = s1.w AND b.k = s1.x
+      |       GROUP BY s1.asset_id, b.u, s1.v),
+      |ac AS (SELECT asset_id, u * 8 + v - 1 AS i, coef
+      |       FROM s2 WHERE NOT (u = 0 AND v = 0)),
+      |med AS (SELECT asset_id, (list_sort(list(coef)))[32] AS m
+      |        FROM ac GROUP BY asset_id),
+      |ph AS (SELECT ac.asset_id,
+      |              CAST(sum(CASE WHEN ac.coef > med.m
+      |                            THEN (1::BIGINT << CAST(ac.i AS INT))
+      |                            ELSE 0 END) AS BIGINT) AS sh
+      |       FROM ac JOIN med USING (asset_id) GROUP BY ac.asset_id)""".stripMargin
 }

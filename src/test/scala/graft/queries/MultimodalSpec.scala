@@ -191,4 +191,61 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(_.getLong(1))
     assert(sigs.forall(_ >= 0L), "63-bit signatures must be non-negative")
   }
+
+  test("phash clusters: twins co-cluster under the min-id label; labels are total") {
+    val labels = Multimodal.queries("x_mm_phash_clusters")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // totality: every asset (base + twin) is labeled
+    val ids = labels.keySet
+    assert(ids.count(_ < Multimodal.PhashTwinIdOffset) ==
+      ids.count(_ >= Multimodal.PhashTwinIdOffset), "base/twin populations")
+    // each planted twin shares its base image's cluster, and the min-id
+    // convention makes that label the base id (or smaller on collision)
+    ids.filter(_ < Multimodal.PhashTwinIdOffset).foreach { base =>
+      val twin = base + Multimodal.PhashTwinIdOffset
+      assert(labels(twin) == labels(base), s"twin of $base split from its base")
+      assert(labels(base) <= base, "min-id label convention")
+    }
+    assert(labels.values.toSet.size > 1, "clusters must discriminate")
+  }
+
+  test("phash index lifecycle: ingest probe finds the indexed originals; append leaves history untouched") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("phidx_sig", "phidx_keys")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    Multimodal.writePhashIndex(spark, sf, "phidx", maxId = 120)
+    // ingest-time check: the perturbed twins arrive as a NEW batch and
+    // must each match their indexed original within hamming 6
+    val twins = Multimodal.perturbedPngTwins(spark, sf, maxId = 120)
+    val hits = Multimodal.incrementalPhashDupsAgainstIndex(twins, "phidx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pngIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    pngIds.foreach { base =>
+      assert(hits.exists(h => h._1 == base + Multimodal.PhashTwinIdOffset && h._2 == base),
+        s"twin of $base not matched against the index")
+    }
+    assert(hits.forall(_._3 <= 6))
+    // append the twins; existing files must be byte-untouched and a
+    // re-probe of the ORIGINALS must now find the appended twins
+    def keyFiles(): Set[String] =
+      new java.io.File(warehouse, "phidx_keys").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = keyFiles()
+    Multimodal.appendPhashIndex(spark, "phidx", twins)
+    val after = keyFiles()
+    assert(before.subsetOf(after), "append rewrote existing key files")
+    assert(after.size > before.size, "append must add key files")
+    val reprobe = Multimodal.incrementalPhashDupsAgainstIndex(
+      Multimodal.assets(spark, sf, maxId = 120, onlyMime = Some("image/png")), "phidx")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pngIds.foreach { base =>
+      assert(reprobe.contains((base, base + Multimodal.PhashTwinIdOffset)),
+        s"appended twin of $base not reachable")
+    }
+  }
 }
