@@ -212,6 +212,24 @@ object Streams {
         nprobeC, nprobeF), batchId)
     }
 
+  /** Streaming perceptual-dedup INGEST GATE over the persisted pHash
+    * index (Multimodal.writePhashIndex) — the image crawl's
+    * annotate-at-ingest check: each micro-batch of image assets
+    * decodes and hashes only itself, then probes the frozen index
+    * (broadcast band keys against the bucketed keys table — history
+    * is a pure scan). Per-asset verdicts are pure functions of
+    * (image bytes, frozen index), so stream == one-shot batch; pairs
+    * with Multimodal.appendPhashIndex for the full lifecycle (gate the
+    * batch, then fold the keepers in). */
+  def phashIngest(assets: Dataset[graft.queries.Multimodal.Asset],
+      tablePrefix: String, maxHamming: Int = 6)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[graft.queries.Multimodal.Asset] =
+    assets.writeStream.foreachBatch {
+      (batch: Dataset[graft.queries.Multimodal.Asset], batchId: Long) =>
+        sink(graft.queries.Multimodal.incrementalPhashDupsAgainstIndex(
+          batch, tablePrefix, maxHamming), batchId)
+    }
+
   /** Streaming IVF-PQ serving — the [[annSearch]] twin over the persisted
     * PQ index (ProductQuant.writePqIndex): micro-batched query vectors
     * probe the frozen centroids, ADC-score the probed cells' codes, and

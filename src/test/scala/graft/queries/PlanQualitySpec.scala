@@ -629,4 +629,38 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(specs.forall(_.startsWith("lang")),
       s"window not partitioned by lang: $specs\n$p")
   }
+
+  test("phash index probe: history is a pure scan, never re-shuffled or broadcast raw") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("plan_ph_sig", "plan_ph_keys")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    graft.queries.Multimodal.writePhashIndex(spark, sf, "plan_ph", maxId = 120)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.queries.Multimodal.incrementalPhashDupsAgainstIndex(
+        graft.queries.Multimodal.perturbedPngTwins(spark, sf, maxId = 120), "plan_ph")
+      val p = df.queryExecution.executedPlan
+      def scansIndex(n: SparkPlan): Boolean =
+        n.collectLeaves().exists(_.toString.contains("plan_ph_keys"))
+      assert(scansIndex(p), s"index table never scanned:\n$p")
+      // the increment's band keys broadcast; history rows may cross an
+      // exchange only AFTER the broadcast hash join reduced them to
+      // increment-proportional matches
+      def rawIndexBelow(n: SparkPlan): Boolean = n match {
+        case leaf if leaf.children.isEmpty => leaf.toString.contains("plan_ph_keys")
+        case _: BroadcastHashJoinExec => false
+        case other => other.children.exists(rawIndexBelow)
+      }
+      p.collect { case b: BroadcastExchangeExec => b }.foreach(b =>
+        assert(!rawIndexBelow(b.child), s"index broadcast raw:\n$b"))
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!rawIndexBelow(e.child), s"index re-shuffled under:\n$e"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

@@ -541,6 +541,39 @@ class StreamsSpec extends SparkSpecBase {
     assert(got.size == got.toSet.size, "a doc was emitted twice across batches")
   }
 
+  test("streaming phash ingest gate: micro-batched image batches emit the one-shot probe verdicts") {
+    import graft.queries.Multimodal
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("stx_ph_sig", "stx_ph_keys")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    Multimodal.writePhashIndex(spark, sf, "stx_ph", maxId = 120)
+    val expected = Multimodal.incrementalPhashDupsAgainstIndex(
+      Multimodal.perturbedPngTwins(spark, sf, maxId = 120), "stx_ph")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty, "the one-shot probe must find the planted twins")
+    val assets = Multimodal.perturbedPngTwins(spark, sf, maxId = 120).collect()
+    val (b1, b2) = assets.splitAt(assets.length / 2)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val in = MemoryStream[Multimodal.Asset]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = Streams.phashIngest(in.toDS(), "stx_ph") { (verdicts, _) =>
+      got.synchronized {
+        got ++= verdicts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }
+      ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected, "micro-batched ingest == one-shot probe")
+    assert(got.size == expected.size, "no double emission across batches")
+  }
+
   test("streaming ANN serving: micro-batched queries emit the one-shot batch verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
