@@ -106,6 +106,22 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A near-duplicate "re-master" of asset `id`'s WAV: every PCM
+    * sample +2, clamped at 255 — the gain-nudged re-encode perceptual
+    * audio dedup exists to catch. Same real AudioSystem encode as
+    * [[wavBytes]]. */
+  def wavBytesPerturbed(id: Long): Array[Byte] = {
+    val n = wavSamples(id)
+    val pcm = new Array[Byte](n)
+    var i = 0
+    while (i < n) { pcm(i) = math.min(wavSample(id, i) + 2, 255).toByte; i += 1 }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   private val mimeOfMod = Map(0 -> "image/png", 1 -> "audio/wav", 2 -> "video/mp4")
 
   /** Synthesize an assets table from `documents`. All payloads are real
@@ -318,6 +334,73 @@ object Multimodal {
         (a.asset_id, ph)
       }
     }.toDF("asset_id", "ph")
+  }
+
+  /** Twin ids for [[perturbedWavTwins]] live at src_id + this offset
+    * (disjoint from the image twins' range). */
+  val AudioTwinIdOffset = 200000L
+
+  /** The planted near-duplicate audio set — [[perturbedPngTwins]] for
+    * WAVs: every audio asset under `maxId` re-encoded by
+    * [[wavBytesPerturbed]] under a new id. */
+  def perturbedWavTwins(s: SparkSession, d: String, maxId: Long): Dataset[Asset] = {
+    import s.implicits._
+    table(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id") < maxId && col("doc_id") % 3 === 1)
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        Asset(id + AudioTwinIdOffset, "audio/wav", wavBytesPerturbed(id),
+          (n % 640).toInt, (n % 480).toInt)
+      }
+  }
+
+  /** Perceptual AUDIO fingerprint over the REAL PCM decode — a
+    * time-domain energy-profile hash, fully INTEGER so it needs no
+    * quantized-transcendental machinery at all: resample the clip onto
+    * a fixed 64-window grid (sample i lands in window ⌊64·i/n⌋ —
+    * length-invariant by construction), take per-window energy sums,
+    * and set bit w−1 (w = 1..63) iff window w's MEAN energy exceeds
+    * the CLIP's mean — compared cross-multiplied
+    * (sum_w·n > total·cnt_w) so no division ever happens. The
+    * global-mean reference is what makes the bits carry the clip's
+    * energy SHAPE (where it sits above/below its own level) rather
+    * than adjacent-window noise: on smoothly-varying signals
+    * neighboring windows agree almost everywhere, and an
+    * adjacent-delta variant measured 368/780 cross-clip collisions at
+    * hamming ≤ 6 on the gate corpus vs 4/780 for this form. A constant
+    * gain nudge shifts window and clip means equally and flips
+    * (almost) no bits; 63 bits feed the SAME pair-of-blocks banding as
+    * SimHash/pHash. Per-clip map-side CPU; empty grid windows
+    * (n < 64) compare as 0 > 0 = false, deterministically, in both
+    * engines. */
+  def audioFingerprint(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.mime == "audio/wav").mapPartitions { it =>
+      it.map { a =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(a.media))
+        val buf = ais.readAllBytes() // 8-bit unsigned PCM: byte == sample
+        val n = buf.length
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          // canonical grid assignment ⌊64i/n⌋ — identical arithmetic in
+          // the oracle's (i*64)//n, boundary samples included
+          val w = (i.toLong * 64 / n).toInt
+          val v = buf(i) & 0xff
+          sums(w) += v; cnts(w) += 1; total += v; i += 1
+        }
+        var fp = 0L
+        var w = 1
+        while (w < 64) {
+          if (sums(w) * n > total * cnts(w)) fp |= (1L << (w - 1))
+          w += 1
+        }
+        (a.asset_id, fp)
+      }
+    }.toDF("asset_id", "fp")
   }
 
   /** Persist the perceptual-signature serving index — the image-side
@@ -552,6 +635,23 @@ object Multimodal {
       Dedup.starClusters(sig.select("doc_id"), pairs)._1
         .select(col("doc_id").as("asset_id"), col("cluster"))
         .orderBy("asset_id")
+    }),
+
+    // -- perceptual AUDIO dedup: the integer time-domain fingerprint
+    //    ([[audioFingerprint]]) over the real PCM decode, fed into the
+    //    same pair-of-blocks banding + hamming refine — dedup now spans
+    //    text, images AND audio. Corpus = WAV assets + planted
+    //    +2-gain re-masters; gain shifts both window means equally, so
+    //    twins land within a small hamming and the gate is non-vacuous.
+    "x_mm_audio_fp_dups" -> ((s, d) => {
+      val base = assets(s, d, maxId = 120, onlyMime = Some("audio/wav"))
+      val all = base.unionByName(perturbedWavTwins(s, d, maxId = 120))
+      val sig = audioFingerprint(all).select(col("asset_id").as("doc_id"), col("fp").as("sh"))
+      Dedup.simhashCandidatesOf(sig, pairBlocks = true)
+        .select(col("da"), col("db"),
+          expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy("hamming", "da", "db")
     })
   )
 
@@ -738,7 +838,44 @@ object Multimodal {
         |  UNION
         |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea)
         |SELECT src AS asset_id, CAST(min(dst) AS BIGINT) AS cluster
-        |FROM reach GROUP BY src ORDER BY asset_id""".stripMargin
+        |FROM reach GROUP BY src ORDER BY asset_id""".stripMargin,
+
+    // pure integer arithmetic end to end: closed-form PCM samples
+    // ((src*17+5i)%256, +2 clamp for twins), the same fixed 64-window
+    // grid, cross-multiplied window-mean-vs-clip-mean comparisons
+    // (absent windows contribute bit 0 on both sides), all-pairs
+    // hamming ≤ 6 (== the banded candidates: pair-of-blocks is
+    // hamming ≤ 6 complete and no bucket nears the cap)
+    "x_mm_audio_fp_dups" ->
+      s"""WITH ids AS (
+        |  SELECT doc_id AS asset_id, doc_id AS src, 0 AS pert
+        |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 120
+        |  UNION ALL
+        |  SELECT doc_id + $AudioTwinIdOffset, doc_id, 1
+        |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 120),
+        |clips AS (SELECT asset_id, src, pert, CAST(src % 100 + 50 AS BIGINT) n
+        |          FROM ids),
+        |smp AS (SELECT asset_id, n, i,
+        |          CASE WHEN pert = 1
+        |               THEN least((src * 17 + 5 * i) % 256 + 2, 255)
+        |               ELSE (src * 17 + 5 * i) % 256 END AS s
+        |        FROM clips, unnest(generate_series(0, n - 1)) AS ui(i)),
+        |tot AS (SELECT asset_id, sum(s) AS total, count(*) AS n
+        |        FROM smp GROUP BY asset_id),
+        |win AS (SELECT asset_id, (i * 64) // n AS w,
+        |               sum(s) AS sm, count(*) AS cnt
+        |        FROM smp GROUP BY asset_id, (i * 64) // n),
+        |fp AS (SELECT w.asset_id,
+        |              CAST(sum(CASE WHEN w.w >= 1 AND w.sm * t.n > t.total * w.cnt
+        |                            THEN (1::BIGINT << CAST(w.w - 1 AS INT))
+        |                            ELSE 0 END) AS BIGINT) AS sh
+        |       FROM win w JOIN tot t USING (asset_id)
+        |       GROUP BY w.asset_id)
+        |SELECT a.asset_id AS da, b.asset_id AS db,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.asset_id < b.asset_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+        |ORDER BY hamming, da, db""".stripMargin
   )
 
   /** The shared pHash oracle chain (documents → planted twin ids →

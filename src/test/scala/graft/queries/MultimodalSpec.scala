@@ -209,6 +209,38 @@ class MultimodalSpec extends SparkSpecBase {
     assert(labels.values.toSet.size > 1, "clusters must discriminate")
   }
 
+  test("audio fingerprint dedup: every gain-nudged twin pairs; profile bits discriminate") {
+    import org.apache.spark.sql.functions._
+    val rows = Multimodal.queries("x_mm_audio_fp_dups")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wavIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 3 === 1 && col("doc_id") < 120)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val twinPairs = rows.collect {
+      case (da, db, _) if db == da + Multimodal.AudioTwinIdOffset => da
+    }.toSet
+    assert(twinPairs == wavIds,
+      s"missing twins: ${wavIds -- twinPairs}, phantom: ${twinPairs -- wavIds}")
+    // the global-mean profile must discriminate: collisions rare in the
+    // C(2n,2) pair space (the adjacent-delta variant failed this)
+    val n = wavIds.size * 2
+    assert(rows.length < n * (n - 1) / 20, s"${rows.length} pairs of ${n * (n - 1) / 2}")
+    // driver recompute of one fingerprint from the raw closed-form PCM
+    val id = wavIds.min
+    val clip = (0 until (id % 100 + 50).toInt).map(i => (id * 17 + 5 * i) % 256)
+    val nn = clip.length
+    val sums = new Array[Long](64); val cnts = new Array[Long](64)
+    clip.zipWithIndex.foreach { case (v, i) =>
+      val w = i * 64 / nn; sums(w) += v; cnts(w) += 1 }
+    var want = 0L
+    (1 until 64).foreach { w =>
+      if (sums(w) * nn > clip.map(_.toLong).sum * cnts(w)) want |= (1L << (w - 1)) }
+    val got = Multimodal.audioFingerprint(
+      Multimodal.assets(spark, sf, maxId = id + 1, onlyMime = Some("audio/wav")))
+      .filter(col("asset_id") === id).head().getLong(1)
+    assert(got == want, s"fingerprint of clip $id: $got vs driver $want")
+  }
+
   test("phash index lifecycle: ingest probe finds the indexed originals; append leaves history untouched") {
     import org.apache.spark.sql.functions._
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
