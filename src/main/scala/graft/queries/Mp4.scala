@@ -66,7 +66,17 @@ object Mp4 {
     Array(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).flatMap(be)
 
   /** A real, deterministic one-video-track MP4 for asset `id`. */
-  def bytes(id: Long): Array[Byte] = {
+  def bytes(id: Long): Array[Byte] = bytesPadded(id, freePad = 0)
+
+  /** The REMUXED form of asset `id`'s MP4: identical streams (same
+    * stsd/stts/stsc/stsz tables, same mdat payload) repackaged with a
+    * `free` box between ftyp and moov — what a passthrough
+    * `ffmpeg -c copy` style rewrap produces. Byte-level hashing sees a
+    * different file; stream-level identity holds, which is exactly what
+    * the container-invariant dedup operator detects. */
+  def bytesRemuxed(id: Long): Array[Byte] = bytesPadded(id, freePad = 64)
+
+  private def bytesPadded(id: Long, freePad: Int): Array[Byte] = {
     val n = frames(id)
     val (w, h) = dims(id)
     val duration = n * SampleDelta
@@ -126,12 +136,13 @@ object Mp4 {
 
     // stco stores an absolute file offset; moov's length doesn't depend on
     // the offset VALUE (fixed 4-byte field), so probe once then rebuild.
+    val free = if (freePad > 0) box("free", new Array[Byte](freePad)) else Array.emptyByteArray
     val moovLen = moovOf(0).length
-    val moov = moovOf(ftyp.length + moovLen + 8)
+    val moov = moovOf(ftyp.length + free.length + moovLen + 8)
     val media = new Array[Byte](sizes.sum)
     var j = 0
     while (j < media.length) { media(j) = ((id + j) % 256).toByte; j += 1 }
-    ftyp ++ moov ++ box("mdat", media)
+    ftyp ++ free ++ moov ++ box("mdat", media)
   }
 
   // ---- parser ----------------------------------------------------------

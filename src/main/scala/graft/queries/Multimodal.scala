@@ -403,6 +403,43 @@ object Multimodal {
     }.toDF("asset_id", "fp")
   }
 
+  /** Twin ids for [[remuxedMp4Twins]] live at src_id + this offset
+    * (disjoint from the image and audio twins' ranges). */
+  val VideoTwinIdOffset = 300000L
+
+  /** The planted re-container set — [[perturbedPngTwins]] for video:
+    * every MP4 asset under `maxId` REMUXED (identical streams, a
+    * `free` box inserted — the `-c copy` rewrap) under a new id. The
+    * payload is byte-different but stream-identical, which byte-level
+    * dedup misses and [[x_mm_video_remux_dups]] catches. */
+  def remuxedMp4Twins(s: SparkSession, d: String, maxId: Long): Dataset[Asset] = {
+    import s.implicits._
+    table(s, d, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id") < maxId && col("doc_id") % 3 === 2)
+      .as[(Long, Long)]
+      .map { case (id, n) =>
+        Asset(id + VideoTwinIdOffset, "video/mp4", Mp4.bytesRemuxed(id),
+          (n % 640).toInt, (n % 480).toInt)
+      }
+  }
+
+  /** Container-invariant STREAM SIGNATURE per video: dims from the real
+    * tkhd parse plus the full stsz frame-size sequence — the identity a
+    * remux preserves and a re-encode breaks. Byte-level hashing is
+    * blind to rewraps (box layout differs); this is the video dedup key
+    * a crawl actually needs. Per-asset map-side parse, no shuffle. */
+  def videoStreamSig(assets: Dataset[Asset]): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.mime == "video/mp4").mapPartitions { it =>
+      it.map { a =>
+        val m = Mp4.parse(a.media)
+        val sizes = Mp4.sampleSizes(a.media)
+        (a.asset_id, s"${m.width}x${m.height}:${sizes.mkString(",")}")
+      }
+    }.toDF("asset_id", "sig")
+  }
+
   /** Persist the perceptual-signature serving index — the image-side
     * twin of Dedup.writeMinhashIndexBucketed: `{prefix}_sig`
     * (asset_id, sh) bucketed+sorted on asset_id, `{prefix}_keys`
@@ -652,6 +689,23 @@ object Multimodal {
           expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
         .filter(col("hamming") <= 6)
         .orderBy("hamming", "da", "db")
+    }),
+
+    // -- VIDEO remux dedup: group by the container-invariant stream
+    //    signature ([[videoStreamSig]] — real tkhd dims + real stsz
+    //    sequence), the x_dedup_exact shape over videos. The corpus
+    //    plants remuxed twins whose BYTES differ (free-box rewrap) but
+    //    whose streams are identical — each group is a byte-level miss
+    //    that stream-level dedup catches. Completes the dedup ×
+    //    modality matrix: text, images, audio, video.
+    "x_mm_video_remux_dups" -> ((s, d) => {
+      val base = assets(s, d, maxId = 200, onlyMime = Some("video/mp4"))
+      val all = base.unionByName(remuxedMp4Twins(s, d, maxId = 200))
+      videoStreamSig(all)
+        .groupBy(md5(col("sig")).as("h"))
+        .agg(count(lit(1)).as("n"), min("asset_id").as("keeper"))
+        .filter(col("n") > 1)
+        .orderBy("h")
     })
   )
 
@@ -875,7 +929,33 @@ object Multimodal {
         |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
         |FROM fp a JOIN fp b ON a.asset_id < b.asset_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 6
-        |ORDER BY hamming, da, db""".stripMargin
+        |ORDER BY hamming, da, db""".stripMargin,
+
+    // the closed-form stream signature (tkhd dims + stsz sequence —
+    // what the writer put into the container) grouped exactly like the
+    // Spark side; the remuxed twin shares its source's signature by
+    // construction, so every group is {src, src + offset}
+    "x_mm_video_remux_dups" ->
+      s"""WITH ids AS (
+        |  SELECT doc_id AS asset_id, doc_id AS src
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id + $VideoTwinIdOffset, doc_id
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 200),
+        |v AS (SELECT asset_id, src,
+        |        CAST(src % 320 + 16 AS BIGINT) w, CAST(src % 240 + 16 AS BIGINT) h,
+        |        CAST(src % 28 + 3 AS BIGINT) n
+        |      FROM ids),
+        |sz AS (SELECT asset_id, w, h, i,
+        |         CAST((src * 7 + 3 * i) % 64 + 1 AS BIGINT) AS s
+        |       FROM v, unnest(generate_series(0, n - 1)) AS ui(i)),
+        |sig AS (SELECT asset_id,
+        |          CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' ||
+        |            string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS sig
+        |        FROM sz GROUP BY asset_id, w, h)
+        |SELECT md5(sig) AS h, CAST(count(*) AS BIGINT) AS n,
+        |       min(asset_id) AS keeper
+        |FROM sig GROUP BY md5(sig) HAVING count(*) > 1 ORDER BY h""".stripMargin
   )
 
   /** The shared pHash oracle chain (documents → planted twin ids →

@@ -241,6 +241,27 @@ class MultimodalSpec extends SparkSpecBase {
     assert(got == want, s"fingerprint of clip $id: $got vs driver $want")
   }
 
+  test("video remux dedup: stream signatures group the rewrapped twins byte-hashing misses") {
+    import org.apache.spark.sql.functions._
+    val groups = Multimodal.queries("x_mm_video_remux_dups")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val vidIds = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 3 === 2 && col("doc_id") < 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(groups.length == vidIds.size, "one group per planted remux pair")
+    assert(groups.forall(_._2 == 2L), "each group is exactly {src, remux}")
+    assert(groups.map(_._3).toSet == vidIds, "keeper = the original id (min)")
+    // the remux is a genuine byte-level miss: same stream signature,
+    // different container bytes — the case this operator exists for
+    val id = vidIds.min
+    val a = graft.queries.Mp4.bytes(id)
+    val b = graft.queries.Mp4.bytesRemuxed(id)
+    assert(!java.util.Arrays.equals(a, b), "remux must differ at byte level")
+    assert(graft.queries.Mp4.sampleSizes(a).toSeq == graft.queries.Mp4.sampleSizes(b).toSeq,
+      "remux must preserve the stream's stsz table")
+    assert(graft.queries.Mp4.parse(a).width == graft.queries.Mp4.parse(b).width)
+  }
+
   test("phash index lifecycle: ingest probe finds the indexed originals; append leaves history untouched") {
     import org.apache.spark.sql.functions._
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
