@@ -86,6 +86,22 @@ object ScaleBench {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  private def deriveEvents(s: SparkSession, base: String, out: String, m: Int): Unit = {
+    val ev = s.read.parquet(s"$base/events.parquet")
+    val copies = (0 until m).map { k =>
+      if (k == 0) ev
+      else ev.select(
+        (col("event_id") + lit(k * Stride)).as("event_id"), col("ts"),
+        // fresh user population per copy, same time range — how an event
+        // stream actually grows (more concurrent users, not longer
+        // history); per-user windows/joins then scale across keys
+        (col("user_id") + lit(k * Stride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    copies.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
   private def timed(f: => Unit): Double = {
     val t0 = System.nanoTime()
     f
@@ -119,6 +135,8 @@ object ScaleBench {
         deriveDocuments(spark, base, dir, m)
         deriveEmbeddings(spark, base, dir, m)
       }
+      if (m > 1 && !new java.io.File(s"$dir/events.parquet").exists())
+        deriveEvents(spark, base, dir, m)
       m -> dir
     }.toMap
 
@@ -151,7 +169,19 @@ object ScaleBench {
           graft.queries.Curation.queries("x_cur_pipeline")(s, d),
           s"$workDir/shards_x$m")
         ()
-      })
+      }),
+      // the events family: per-user windows (as-of, conversion,
+      // sessions) and the bucketed non-equi range join — growth is
+      // fresh users over the same time range, so these measure how the
+      // user-partitioned shapes scale across keys
+      ("events_asof", (s, d, _) =>
+        noop(graft.queries.Events.queries("x_events_asof")(s, d))),
+      ("events_conversion", (s, d, _) =>
+        noop(graft.queries.Events.queries("x_events_conversion")(s, d))),
+      ("events_sessions", (s, d, _) =>
+        noop(graft.queries.Events.queries("x_events_sessions")(s, d))),
+      ("events_range_join", (s, d, _) =>
+        noop(graft.queries.Events.queries("x_events_range_join")(s, d)))
     )
 
     // untimed warmup against a DIFFERENT corpus dir (sf0.01): exercises
@@ -170,6 +200,9 @@ object ScaleBench {
       graft.queries.Curation.writeShards(
         graft.queries.Curation.queries("x_cur_pipeline")(spark, warm),
         s"$workDir/shards_warm")
+      for (q <- Seq("x_events_asof", "x_events_conversion",
+          "x_events_sessions", "x_events_range_join"))
+        noop(graft.queries.Events.queries(q)(spark, warm))
       for (t <- Seq("_coarse", "_fine", "_postings"))
         spark.sql(s"DROP TABLE IF EXISTS scale_warm$t")
       println("SCALE warmup complete (sf0.01)")
