@@ -184,11 +184,17 @@ object ScaleBench {
         noop(graft.queries.Events.queries("x_events_range_join")(s, d)))
     )
 
-    // untimed warmup against a DIFFERENT corpus dir (sf0.01): exercises
-    // every code path (JIT, codegen caches, ImageIO/parquet readers)
-    // without touching the measured dirs' cluster-label memos
+    // untimed warmup against a DIFFERENT corpus dir (4th arg, default
+    // sf0.01): exercises every code path (JIT, codegen caches,
+    // ImageIO/parquet readers) without touching the measured dirs'
+    // cluster-label memos. MUST differ from base — warming the measured
+    // corpus itself would under-time the m=1 points and inflate every
+    // exponent.
     {
-      val warm = base.replace("sf0.1", "sf0.01")
+      val warm = if (args.length > 3) args(3) else "/root/testdata/sf0.01"
+      require(new java.io.File(warm).getCanonicalPath !=
+        new java.io.File(base).getCanonicalPath,
+        s"warmup dir must differ from the measured base ($base)")
       val wdf = graft.queries.Dedup.clusterLabels(spark, warm)
       wdf.count(); wdf.unpersist(blocking = true)
       noop(graft.queries.Dedup.queries("x_dedup_rewrite")(spark, warm))
@@ -230,10 +236,14 @@ object ScaleBench {
       val (m2, t2) = pts.last
       math.log(t2 / t1) / math.log(m2.toDouble / m1)
     }
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma-decimal locale would render 2,823 — invalid JSON
+    def d3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
     val pipelineJson = results.map { case (name, pts) =>
-      val secsJson = pts.map { case (m, t) => s""""$m":${f"$t%.3f"}""" }.mkString(",")
-      s""""$name":{"secs":{$secsJson},"exponent":${f"${exponent(pts)}%.3f"},""" +
-        s""""tail_exponent":${f"${tailExp(pts)}%.3f"}}"""
+      val secsJson = pts.map { case (m, t) => s""""$m":${d3(t)}""" }.mkString(",")
+      s""""$name":{"secs":{$secsJson},"exponent":${d3(exponent(pts))},""" +
+        s""""tail_exponent":${d3(tailExp(pts))}}"""
     }.mkString(",")
     val worst = results.map { case (n, pts) => n -> tailExp(pts) }.maxBy(_._2)
     val json = s"""{"metric":"scale_exponents","base":"$base",""" +
@@ -241,7 +251,7 @@ object ScaleBench {
       s""""base_rows":{"documents":${spark.read.parquet(s"$base/documents.parquet").count()},""" +
       s""""embeddings":${spark.read.parquet(s"$base/embeddings.parquet").count()}},""" +
       s""""pipelines":{$pipelineJson},""" +
-      s""""worst":{"pipeline":"${worst._1}","exponent":${f"${worst._2}%.3f"}}}"""
+      s""""worst":{"pipeline":"${worst._1}","exponent":${d3(worst._2)}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)

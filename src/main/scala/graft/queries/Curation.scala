@@ -829,6 +829,14 @@ object Curation {
     * interpolates this same constant so gate and oracle cannot drift. */
   val PackSpansGateSeqCap = 200L
 
+  /** Training-row length for [[packSpans]] — the default the gate runs
+    * at and the ONLY value the oracle SQL knows: it is interpolated
+    * into the x_cur_pack_spans oracle so changing the default here
+    * cannot silently diverge the two sides (the same contract as
+    * [[PackSpansGateSeqCap]]). A run at another seqLen supplies it
+    * explicitly and is outside the gate. */
+  val PackSeqLen = 32L
+
   /** TRUE sequence packing: fixed `seqLen`-token training rows sliced
     * from the concatenated global token stream (docs cross row
     * boundaries — the manifest a packed-dataset loader replays). Each
@@ -839,7 +847,7 @@ object Curation {
     * distributed prefix sum; spans are pure integer arithmetic, so the
     * manifest hash-gates. `maxSeq` truncates the manifest (gate default
     * [[PackSpansGateSeqCap]]); pass `Long.MaxValue` for the full run. */
-  private[graft] def packSpans(s: SparkSession, d: String, seqLen: Long = 32L,
+  private[graft] def packSpans(s: SparkSession, d: String, seqLen: Long = PackSeqLen,
       maxSeq: Long = PackSpansGateSeqCap): DataFrame = {
     val packed = pack(toks(s, d).select(col("doc_id"), size(col("ws")).cast("long").as("n")))
     packed.filter(col("n_tokens") > 0)
@@ -1043,11 +1051,11 @@ object Curation {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS o
         |      FROM t),
         |sp AS (SELECT doc_id, n, o, unnest(generate_series(
-        |         CAST(o // 32 AS BIGINT), CAST((o + n - 1) // 32 AS BIGINT))) AS seq
+        |         CAST(o // $PackSeqLen AS BIGINT), CAST((o + n - 1) // $PackSeqLen AS BIGINT))) AS seq
         |       FROM c WHERE n > 0)
         |SELECT CAST(seq AS BIGINT) AS seq, doc_id,
-        |       CAST(greatest(seq * 32 - o, 0) AS BIGINT) AS doc_start,
-        |       CAST(least(o + n, (seq + 1) * 32) - greatest(o, seq * 32) AS BIGINT) AS len
+        |       CAST(greatest(seq * $PackSeqLen - o, 0) AS BIGINT) AS doc_start,
+        |       CAST(least(o + n, (seq + 1) * $PackSeqLen) - greatest(o, seq * $PackSeqLen) AS BIGINT) AS len
         |FROM sp WHERE seq < $PackSpansGateSeqCap ORDER BY seq, doc_id""".stripMargin,
 
     "x_cur_split" ->

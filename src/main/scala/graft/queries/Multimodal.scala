@@ -50,36 +50,27 @@ object Multimodal {
   def pngPixel(id: Long, x: Int, y: Int): Int = ((id * 31 + 7L * x + 13L * y) % 256).toInt
 
   /** A real PNG: 8-bit grayscale, pixels from [[pngPixel]], encoded by ImageIO. */
-  def pngBytes(id: Long): Array[Byte] = {
-    val (w, h) = pngDims(id)
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) { raster.setSample(x, y, 0, pngPixel(id, x, y)); x += 1 }
-      y += 1
-    }
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
-    out.toByteArray
-  }
+  def pngBytes(id: Long): Array[Byte] = pngBytesOf(id, identity)
 
   /** A near-duplicate "re-encode" of asset `id`'s PNG: every pixel +2,
     * clamped at 255 — the brightness-nudged re-save that perceptual
     * dedup exists to catch (byte-level dedup sees a different file,
     * pHash sees the same picture). Goes through the SAME real ImageIO
     * encode as [[pngBytes]]. */
-  def pngBytesPerturbed(id: Long): Array[Byte] = {
+  def pngBytesPerturbed(id: Long): Array[Byte] =
+    pngBytesOf(id, p => math.min(p + 2, 255))
+
+  /** The single PNG encoder both variants share — one body to change
+    * when the encoding ever changes, so a twin can never silently stop
+    * being a re-encode of the same stream. */
+  private def pngBytesOf(id: Long, px: Int => Int): Array[Byte] = {
     val (w, h) = pngDims(id)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var y = 0
     while (y < h) {
       var x = 0
-      while (x < w) {
-        raster.setSample(x, y, 0, math.min(pngPixel(id, x, y) + 2, 255)); x += 1
-      }
+      while (x < w) { raster.setSample(x, y, 0, px(pngPixel(id, x, y))); x += 1 }
       y += 1
     }
     val out = new ByteArrayOutputStream()
@@ -94,27 +85,21 @@ object Multimodal {
   def wavSample(id: Long, i: Int): Int = ((id * 17 + 5L * i) % 256).toInt
 
   /** A real RIFF/WAV: 8-bit unsigned mono PCM at 8 kHz via AudioSystem. */
-  def wavBytes(id: Long): Array[Byte] = {
-    val n = wavSamples(id)
-    val pcm = new Array[Byte](n)
-    var i = 0
-    while (i < n) { pcm(i) = wavSample(id, i).toByte; i += 1 }
-    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
-    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
-    val out = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
-  }
+  def wavBytes(id: Long): Array[Byte] = wavBytesOf(id, identity)
 
   /** A near-duplicate "re-master" of asset `id`'s WAV: every PCM
     * sample +2, clamped at 255 — the gain-nudged re-encode perceptual
     * audio dedup exists to catch. Same real AudioSystem encode as
     * [[wavBytes]]. */
-  def wavBytesPerturbed(id: Long): Array[Byte] = {
+  def wavBytesPerturbed(id: Long): Array[Byte] =
+    wavBytesOf(id, s => math.min(s + 2, 255))
+
+  /** The single WAV encoder both variants share (see [[pngBytesOf]]). */
+  private def wavBytesOf(id: Long, sample: Int => Int): Array[Byte] = {
     val n = wavSamples(id)
     val pcm = new Array[Byte](n)
     var i = 0
-    while (i < n) { pcm(i) = math.min(wavSample(id, i) + 2, 255).toByte; i += 1 }
+    while (i < n) { pcm(i) = sample(wavSample(id, i)).toByte; i += 1 }
     val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED, 8000f, 8, 1, 1, 8000f, false)
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
     val out = new ByteArrayOutputStream()

@@ -951,9 +951,13 @@ object Similarity {
       sampleQueries.select(col("vec_id"), col("embedding")), tablePrefix,
       nprobeC, nprobeF)
       .select(col("qid"), col("vec_id")).withColumn("hit", lit(1L))
+    // denominator = ACTUAL truth rows, not qids×5: a corpus with fewer
+    // than 5 non-self neighbors would otherwise cap a perfect search
+    // below 1.0 and force spurious refit verdicts
     val recall = truth.join(approx, Seq("qid", "vec_id"), "left")
-      .groupBy("qid").agg(coalesce(sum("hit"), lit(0L)).as("hits"))
-      .agg((sum("hits").cast("double") / (count(lit(1)) * 5)).as("mean_recall"))
+      .groupBy("qid").agg(coalesce(sum("hit"), lit(0L)).as("hits"),
+        count(lit(1)).as("k"))
+      .agg((sum("hits").cast("double") / sum("k")).as("mean_recall"))
     balance.crossJoin(recall)
       .withColumn("refit",
         col("mean_recall") < minRecall || col("imbalance") > maxImbalance)

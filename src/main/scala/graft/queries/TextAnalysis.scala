@@ -660,15 +660,18 @@ object TextAnalysis {
       .withColumn("bi", substring(col("tri"), 1, 2))
       .join(broadcast(tm), Seq("lang", "tri"), "left")
       .join(broadcast(bm), Seq("lang", "bi"), "left")
-      // LEFT join vs: a language absent from the frozen model must not drop
-      // its docs from the output (the streaming gate would silently lose a
-      // new-at-ingest language). v=1 fallback ⇒ ln((0+1)/(0+1)) = 0 ⇒ h = 0;
-      // the bucket for such docs is the explicit 'unscored' sentinel below.
-      .join(broadcast(vs), Seq("lang"), "left")
+      // INNER join vs, deliberately: a language absent from the model
+      // contributes NO trigram rows — and the docs-side anchor below
+      // still emits its docs with n_tri = 0, h = 0.0, exactly what the
+      // oracle's inner-join + anchor chain produces (a left join with a
+      // fallback vocab would score those trigrams for real and diverge
+      // from the gate). The 'unscored' sentinel downstream is what
+      // surfaces them.
+      .join(broadcast(vs), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("tri"), col("tf"),
         (col("tf").cast("double") *
           lnq((coalesce(col("ct"), lit(0L)) + lit(1.0)) /
-            (coalesce(col("cb"), lit(0L)) + coalesce(col("v"), lit(1L))).cast("double"))).as("c"))
+            (coalesce(col("cb"), lit(0L)) + col("v")).cast("double"))).as("c"))
     val h = contrib.groupBy("doc_id", "lang")
       .agg(
         expr("aggregate(transform(array_sort(collect_list(struct(tri, c))), p -> p.c), " +
@@ -807,10 +810,22 @@ object TextAnalysis {
     * precisely BPE's merge-application rule — including the `xx` run
     * case. The corpus vocabulary is [a-z] words, so the delimiters can
     * never collide with symbol text. */
+  /** [[bpeMerges]] for callers that need only the merge list: the
+    * final vocab's checkpoint blocks are released immediately — a
+    * caller dropping the returned DataFrame would otherwise pin one
+    * materialized vocab copy in block storage per invocation for the
+    * session lifetime (a no-op below checkpointEvery, where the final
+    * vocab is an unmaterialized plan). */
+  private def bpeMergesOnly(v0: DataFrame, steps: Int): Seq[(Long, String, String, Long)] = {
+    val (merges, finalVocab) = bpeMerges(v0, steps)
+    finalVocab.unpersist(blocking = false)
+    merges
+  }
+
   private def bpeTrain(s: SparkSession, d: String, steps: Int): DataFrame = {
     import s.implicits._
     val v0 = bpeVocab(s, d).persist()
-    try bpeMerges(v0, steps)._1.toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+    try bpeMergesOnly(v0, steps).toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
     finally v0.unpersist(blocking = false)
   }
 
@@ -821,7 +836,7 @@ object TextAnalysis {
     * chain (one cached scan), applied as the same replace fold. */
   private def bpeFertility(s: SparkSession, d: String, steps: Int): DataFrame = {
     val v0 = bpeVocab(s, d).persist()
-    val merges = try bpeMerges(v0, steps)._1 finally v0.unpersist(blocking = false)
+    val merges = try bpeMergesOnly(v0, steps) finally v0.unpersist(blocking = false)
     val lv = table(s, d, "documents")
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .groupBy("lang", "w").agg(count(lit(1)).as("n"))
@@ -858,7 +873,7 @@ object TextAnalysis {
   private[graft] def bpeFit(s: SparkSession, d: String, steps: Int): BpeModel = {
     import org.apache.spark.sql.expressions.Window
     val v0 = bpeVocab(s, d).persist()
-    val merges = try bpeMerges(v0, steps)._1 finally v0.unpersist(blocking = false)
+    val merges = try bpeMergesOnly(v0, steps) finally v0.unpersist(blocking = false)
     val wc = table(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -970,7 +985,7 @@ object TextAnalysis {
   private def bpeApply(s: SparkSession, d: String, steps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v0 = bpeVocab(s, d).persist()
-    val merges = try bpeMerges(v0, steps)._1 finally v0.unpersist(blocking = false)
+    val merges = try bpeMergesOnly(v0, steps) finally v0.unpersist(blocking = false)
     // the returned plan is LAZY, so it folds over a fresh (uncached)
     // vocab lineage: one corpus scan at training (cached across the 3
     // argmax steps) + one when the result executes

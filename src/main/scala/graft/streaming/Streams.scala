@@ -547,8 +547,12 @@ object Streams {
     *    BOTH code paths uniformly.
     *
     * At 100 TB the practical win over the fMGWS twin is the per-element
-    * list state: a user holding 10⁴ buffered events appends in O(1)
-    * per arrival instead of rewriting an O(n) blob per micro-batch.
+    * list state: while the watermark sits below a user's earliest
+    * obligation (tracked in a ValueState guard), new events APPEND to
+    * the list per-element — O(increment), no read, no rewrite — where
+    * the fMGWS variant re-serializes its whole state blob every
+    * micro-batch; the full read+rewrite happens only on drains, when
+    * the watermark actually makes something resolvable.
     *
     * Requires the RocksDB state store (each typed state is its own
     * column family): set
@@ -581,6 +585,9 @@ object Streams {
 
     @transient private var buf: ListState[(Long, Long, String)] = _
     @transient private var pending: ListState[(Long, Long)] = _
+    // earliest obligation (µs) across held events and pending windows —
+    // the guard that makes the no-drain path a pure O(1) append
+    @transient private var oblg: org.apache.spark.sql.streaming.ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[(Long, Long, String)]("buf",
@@ -588,25 +595,44 @@ object Streams {
           Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)), TTLConfig.NONE)
       pending = getHandle.getListState[(Long, Long)]("pending",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      oblg = getHandle.getValueState[Long]("oblg", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def setObligation(obligationUs: Long, timers: TimerValues): Unit = {
+      oblg.update(obligationUs)
+      getHandle.registerTimer(
+        math.max(obligationUs / 1000L + 1L, timers.getCurrentWatermarkInMs + 1L))
     }
 
     private def resolve(uid: Long, incoming: List[(Long, Long, String)],
         timers: TimerValues): Iterator[ConversionLabel] = {
       val wmUs = timers.getCurrentWatermarkInMs * 1000L
+      val kept = incoming.filter(_._2 >= wmUs)
+      val (incReady, incHold) = kept.partition(_._2 < wmUs)
+      // FAST PATH — the claimed O(1)-per-arrival append: nothing
+      // incoming is ready and the watermark has not reached the stored
+      // earliest obligation (min over held event times and pending
+      // window ends), so no held event can be ready and no pending view
+      // can expire. Append the increment per-element and tighten the
+      // obligation; the full read+rewrite happens only on drains.
+      if (incReady.isEmpty && oblg.exists() && oblg.get() >= wmUs) {
+        if (incHold.nonEmpty) {
+          buf.appendList(incHold.toArray)
+          setObligation(math.min(oblg.get(), incHold.map(_._2).min), timers)
+        }
+        return Iterator.empty
+      }
       val held = if (buf.exists()) buf.get().toList else Nil
       val pend = if (pending.exists()) pending.get().toList else Nil
-      val (ready, hold) = (held ++ incoming.filter(_._2 >= wmUs))
-        .partition(_._2 < wmUs)
+      val (ready, hold) = (held ++ kept).partition(_._2 < wmUs)
       val (pendingNext, labels) =
         Streams.resolveConversions(uid, pend, ready, Some(wmUs), windowUs)
       if (hold.isEmpty) buf.clear() else buf.put(hold.toArray)
       if (pendingNext.isEmpty) pending.clear() else pending.put(pendingNext.toArray)
       if (hold.nonEmpty || pendingNext.nonEmpty) {
-        val obligationUs = (hold.map(_._2) ++
-          pendingNext.map { case (_, vus) => vus + windowUs }).min
-        getHandle.registerTimer(
-          math.max(obligationUs / 1000L + 1L, timers.getCurrentWatermarkInMs + 1L))
-      }
+        setObligation((hold.map(_._2) ++
+          pendingNext.map { case (_, vus) => vus + windowUs }).min, timers)
+      } else oblg.clear()
       labels.iterator
     }
 

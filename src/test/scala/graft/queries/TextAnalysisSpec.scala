@@ -553,6 +553,31 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
   }
 
+  test("ccnet scoring surfaces unseen-at-ingest languages as 'unscored', anchored at h=0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = TextAnalysis.ccnetFit(spark, sf)
+    // a language the frozen model has never seen, plus a seen-language
+    // doc as the contrast case — the streaming attributesGate scenario
+    val docs = Seq(
+      (900001L, "zz", "hello world from nowhere"),
+      (900002L, "en", "hello world from somewhere")).toDF("doc_id", "lang", "text")
+    val rows = TextAnalysis.ccnetScoreOf(docs, m).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tri"), r.getAs[Double]("h"), r.getAs[String]("bucket"))).toMap
+    assert(rows.size == 2, "no doc may vanish from the scored output")
+    val (nTri, h, bucket) = rows(900001L)
+    // unseen language: contributions drop at the model join (matching
+    // the oracle's inner-join chain) and the docs-side anchor emits the
+    // row with n_tri = 0 and EXACTLY h = 0.0 (positive zero), bucketed
+    // by the explicit sentinel rather than a threshold it never had
+    assert(nTri == 0L && h == 0.0 &&
+      java.lang.Double.doubleToRawLongBits(h) == 0L, s"anchor: $nTri, $h")
+    assert(bucket == "unscored")
+    assert(Set("head", "middle", "tail")(rows(900002L)._3),
+      "a seen language must bucket by its thresholds")
+  }
+
   test("bpe at depth 64: merges match the first-principles loop, checkpoint bounds the plan") {
     import org.apache.spark.sql.functions._
     val steps = 64
