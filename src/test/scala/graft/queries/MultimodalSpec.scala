@@ -262,6 +262,42 @@ class MultimodalSpec extends SparkSpecBase {
     assert(graft.queries.Mp4.parse(a).width == graft.queries.Mp4.parse(b).width)
   }
 
+  test("image cluster lifecycle: index probe + appendClusterLabels == full perceptual rebuild") {
+    import org.apache.spark.sql.functions._
+    // the text pipeline's incremental cluster maintenance is
+    // modality-agnostic: fold an image batch's discovered pairs (from
+    // the persisted perceptual index) into existing labels and land on
+    // exactly the full-rebuild clustering — pure operator composition,
+    // no image-specific clustering code
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("lif_ph_sig", "lif_ph_keys")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    Multimodal.writePhashIndex(spark, sf, "lif_ph", maxId = 120)
+    val baseSig = Multimodal.phash(
+      Multimodal.assets(spark, sf, maxId = 120, onlyMime = Some("image/png")))
+      .select(col("asset_id").as("doc_id"), col("ph").as("sh"))
+    val basePairs = Dedup.simhashCandidatesOf(baseSig, pairBlocks = true)
+      .filter(expr("bit_count(sa ^ sb)") <= 6).select("da", "db")
+    val baseLabels = Dedup.starClusters(baseSig.select("doc_id"), basePairs)._1
+    // the increment: twins probed against the FROZEN index (new↔history)
+    // plus banding within the increment itself (new↔new)
+    val twins = Multimodal.perturbedPngTwins(spark, sf, maxId = 120)
+    val newOld = Multimodal.incrementalPhashDupsAgainstIndex(twins, "lif_ph")
+      .select(col("new_id").as("da"), col("dup_id").as("db"))
+    val twinSig = Multimodal.phash(twins)
+      .select(col("asset_id").as("doc_id"), col("ph").as("sh"))
+    val newNew = Dedup.simhashCandidatesOf(twinSig, pairBlocks = true)
+      .filter(expr("bit_count(sa ^ sb)") <= 6).select("da", "db")
+    val appended = Dedup.appendClusterLabels(baseLabels,
+      twinSig.select("doc_id"), newOld.unionByName(newNew))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Multimodal.queries("x_mm_phash_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(appended == full, "incremental fold must equal the full perceptual rebuild")
+  }
+
   test("phash index lifecycle: ingest probe finds the indexed originals; append leaves history untouched") {
     import org.apache.spark.sql.functions._
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
