@@ -276,49 +276,55 @@ object Multimodal {
   def phash(assets: Dataset[Asset]): DataFrame = {
     import assets.sparkSession.implicits._
     assets.filter(_.mime == "image/png").mapPartitions { it =>
-      it.map { a =>
-        val img = ImageIO.read(new ByteArrayInputStream(a.media))
-        val (w, h) = (img.getWidth, img.getHeight)
-        val raster = img.getRaster
-        val bw = dctBasisQ(w)
-        val bh = dctBasisQ(h)
-        // stage 1 (columns): inner(x)(v) = Σ_y p(x,y)·bh(v)(y)
-        val inner = Array.ofDim[Double](w, 8)
-        var x = 0
-        while (x < w) {
-          var v = 0
-          while (v < 8) {
-            var acc = 0.0
-            var y = 0
-            while (y < h) { acc += raster.getSample(x, y, 0) * bh(v)(y); y += 1 }
-            inner(x)(v) = acc
-            v += 1
-          }
-          x += 1
-        }
-        // stage 2 (rows): coef(u·8+v) = Σ_x inner(x)(v)·bw(u)(x)
-        val coefs = new Array[Double](64)
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            var acc = 0.0
-            var xx = 0
-            while (xx < w) { acc += inner(xx)(v) * bw(u)(xx); xx += 1 }
-            coefs(u * 8 + v) = acc
-            v += 1
-          }
-          u += 1
-        }
-        val ac = java.util.Arrays.copyOfRange(coefs, 1, 64) // 63 non-DC
-        val sorted = ac.clone(); java.util.Arrays.sort(sorted)
-        val med = sorted(31)
-        var ph = 0L
-        var i = 0
-        while (i < 63) { if (ac(i) > med) ph |= (1L << i); i += 1 }
-        (a.asset_id, ph)
-      }
+      it.map(a => (a.asset_id, phashOfPng(a.media)))
     }.toDF("asset_id", "ph")
+  }
+
+  /** The per-image pHash core (real ImageIO decode → quantized-basis
+    * separable DCT → median threshold) — factored out of the Dataset
+    * plumbing so the robustness property tests can drive it across the
+    * raw id space without a Spark job. */
+  private[queries] def phashOfPng(media: Array[Byte]): Long = {
+    val img = ImageIO.read(new ByteArrayInputStream(media))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val bw = dctBasisQ(w)
+    val bh = dctBasisQ(h)
+    // stage 1 (columns): inner(x)(v) = Σ_y p(x,y)·bh(v)(y)
+    val inner = Array.ofDim[Double](w, 8)
+    var x = 0
+    while (x < w) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < h) { acc += raster.getSample(x, y, 0) * bh(v)(y); y += 1 }
+        inner(x)(v) = acc
+        v += 1
+      }
+      x += 1
+    }
+    // stage 2 (rows): coef(u·8+v) = Σ_x inner(x)(v)·bw(u)(x)
+    val coefs = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var acc = 0.0
+        var xx = 0
+        while (xx < w) { acc += inner(xx)(v) * bw(u)(xx); xx += 1 }
+        coefs(u * 8 + v) = acc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coefs, 1, 64) // 63 non-DC
+    val sorted = ac.clone(); java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var ph = 0L
+    var i = 0
+    while (i < 63) { if (ac(i) > med) ph |= (1L << i); i += 1 }
+    ph
   }
 
   /** Twin ids for [[perturbedWavTwins]] live at src_id + this offset
@@ -364,28 +370,34 @@ object Multimodal {
     assets.filter(_.mime == "audio/wav").mapPartitions { it =>
       it.map { a =>
         val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(a.media))
-        val buf = ais.readAllBytes() // 8-bit unsigned PCM: byte == sample
-        val n = buf.length
-        val sums = new Array[Long](64)
-        val cnts = new Array[Long](64)
-        var total = 0L
-        var i = 0
-        while (i < n) {
-          // canonical grid assignment ⌊64i/n⌋ — identical arithmetic in
-          // the oracle's (i*64)//n, boundary samples included
-          val w = (i.toLong * 64 / n).toInt
-          val v = buf(i) & 0xff
-          sums(w) += v; cnts(w) += 1; total += v; i += 1
-        }
-        var fp = 0L
-        var w = 1
-        while (w < 64) {
-          if (sums(w) * n > total * cnts(w)) fp |= (1L << (w - 1))
-          w += 1
-        }
-        (a.asset_id, fp)
+        (a.asset_id, audioFpOfPcm(ais.readAllBytes())) // 8-bit unsigned PCM
       }
     }.toDF("asset_id", "fp")
+  }
+
+  /** The per-clip fingerprint core over raw 8-bit unsigned PCM —
+    * factored out so the gain-invariance property test can drive it
+    * over arbitrary generated signals without a Spark job. */
+  private[queries] def audioFpOfPcm(buf: Array[Byte]): Long = {
+    val n = buf.length
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      // canonical grid assignment ⌊64i/n⌋ — identical arithmetic in
+      // the oracle's (i*64)//n, boundary samples included
+      val w = (i.toLong * 64 / n).toInt
+      val v = buf(i) & 0xff
+      sums(w) += v; cnts(w) += 1; total += v; i += 1
+    }
+    var fp = 0L
+    var w = 1
+    while (w < 64) {
+      if (sums(w) * n > total * cnts(w)) fp |= (1L << (w - 1))
+      w += 1
+    }
+    fp
   }
 
   /** Twin ids for [[remuxedMp4Twins]] live at src_id + this offset
