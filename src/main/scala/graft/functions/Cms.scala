@@ -26,9 +26,15 @@ import org.apache.spark.util.sketch.CountMinSketch
   * is NOT enough: BinaryType values read out of UnsafeRow-backed rows
   * (e.g. the broadcast join's build row) are fresh copies on every
   * `getBinary`, so an `eq` check would miss per row and deserialize the
-  * sketch per row. With the content key, a candidate relation of any
-  * size pays ONE deserialization per distinct sketch per task plus an
-  * O(len) memcmp per row — cheap next to per-row readFrom.
+  * sketch per row. The cache is a SINGLE slot, so the "ONE
+  * deserialization per distinct sketch per task" bound assumes rows
+  * carrying the same sketch arrive contiguously — trivially true for
+  * the intended broadcast-one-row-sketch shape (every row carries the
+  * same sketch), and for any plan partitioned by sketch. A plan
+  * interleaving k distinct sketches row-by-row degrades to per-row
+  * readFrom; if such plans ever appear, replace the slot with a small
+  * bounded map keyed on the fingerprint. Each hit costs an O(len)
+  * memcmp per row — cheap next to per-row readFrom.
   * CodegenFallback: the estimate path is candidate-sized
   * (vocabulary-bounded), never the corpus-sized side.
   *

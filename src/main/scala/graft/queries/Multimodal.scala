@@ -425,16 +425,30 @@ object Multimodal {
     * tkhd parse plus the full stsz frame-size sequence — the identity a
     * remux preserves and a re-encode breaks. Byte-level hashing is
     * blind to rewraps (box layout differs); this is the video dedup key
-    * a crawl actually needs. Per-asset map-side parse, no shuffle. */
+    * a crawl actually needs. Per-asset map-side parse, no shuffle.
+    *
+    * Output: (asset_id, sig_h, sig). `sig_h` — md5 of the raw signature,
+    * computed HERE, map-side — is the GROUP/SHUFFLE key: the raw stsz
+    * sequence grows with clip length (a 2-hour clip is ~1 MB of sizes),
+    * so every downstream exchange must carry the fixed-width hash, never
+    * the sequence; the raw `sig` column stays available for a
+    * collision-verify step and is pruned away by any consumer that
+    * doesn't select it. Same md5-hex as Spark's `md5` / DuckDB's `md5`,
+    * so the oracle reconstructs `sig_h` from the closed form. */
   def videoStreamSig(assets: Dataset[Asset]): DataFrame = {
     import assets.sparkSession.implicits._
     assets.filter(_.mime == "video/mp4").mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { a =>
         val m = Mp4.parse(a.media)
         val sizes = Mp4.sampleSizes(a.media)
-        (a.asset_id, s"${m.width}x${m.height}:${sizes.mkString(",")}")
+        val sig = s"${m.width}x${m.height}:${sizes.mkString(",")}"
+        md.reset()
+        val h = md.digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        (a.asset_id, h, sig)
       }
-    }.toDF("asset_id", "sig")
+    }.toDF("asset_id", "sig_h", "sig")
   }
 
   /** Persist the perceptual-signature serving index — the image-side
@@ -694,12 +708,15 @@ object Multimodal {
     //    plants remuxed twins whose BYTES differ (free-box rewrap) but
     //    whose streams are identical — each group is a byte-level miss
     //    that stream-level dedup catches. Completes the dedup ×
-    //    modality matrix: text, images, audio, video.
+    //    modality matrix: text, images, audio, video. The group key is
+    //    the map-side md5 `sig_h` — fixed-width no matter how long the
+    //    clip — and the raw `sig` column is never selected, so column
+    //    pruning keeps the unbounded sequence out of the shuffle.
     "x_mm_video_remux_dups" -> ((s, d) => {
       val base = assets(s, d, maxId = 200, onlyMime = Some("video/mp4"))
       val all = base.unionByName(remuxedMp4Twins(s, d, maxId = 200))
       videoStreamSig(all)
-        .groupBy(md5(col("sig")).as("h"))
+        .groupBy(col("sig_h").as("h"))
         .agg(count(lit(1)).as("n"), min("asset_id").as("keeper"))
         .filter(col("n") > 1)
         .orderBy("h")

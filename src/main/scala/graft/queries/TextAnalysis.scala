@@ -60,6 +60,15 @@ object TextAnalysis {
     //    no floating point at all.
     "x_text_bpe_train" -> ((s, d) => bpeTrain(s, d, steps = 3)),
 
+    // -- the BATCHED trainer ([[bpeMergesBatched]] — top-K fetch, exact
+    //    prefix acceptance) run through the same oracle as the
+    //    sequential loop: the acceptance rule is PROVABLY sequential-
+    //    equal, and this gate pins that claim against an engine that
+    //    knows nothing about batching. Production depth (32k merges)
+    //    is where the batching pays; TextAnalysisSpec pins depth-256
+    //    equality and multi-merge rounds.
+    "x_text_bpe_train_batched" -> ((s, d) => bpeTrainBatched(s, d, steps = 3)),
+
     // -- BPE application: tokenize with the trained merges (order
     //    matters — merge 2 can consume merge 1's output) and report the
     //    top-20 tokens of the resulting corpus. See [[bpeApply]].
@@ -428,7 +437,19 @@ object TextAnalysis {
     * a pure per-doc function of (doc, models): the scan-side signals
     * (Gopher, langid) carry no state at all, and the two model stages
     * apply static broadcast relations — so micro-batch boundaries
-    * cannot change any verdict. */
+    * cannot change any verdict.
+    *
+    * KEEP POLICY for unscored docs — an explicit decision, not an
+    * accident of the join shape: a doc whose language the frozen CCNet
+    * model never saw gets `ppl_bucket = 'unscored'` and PASSES the keep
+    * gate when its Gopher verdict passes. Rationale: the perplexity
+    * tertiles exist to trim the worst third WITHIN a language the model
+    * can score; dropping every doc of an unseen language wholesale would
+    * turn a model-coverage gap into a silent corpus filter (CCNet itself
+    * keeps its unscored bucket for exactly this reason). Operators that
+    * want quality-scored-only corpora filter `ppl_bucket != 'unscored'`
+    * downstream — the bucket column carries the information either way.
+    * TextAnalysisSpec pins this policy on a planted unseen-language doc. */
   private[graft] def attributesOf(docs: DataFrame, nb: NbModel,
       cc: CcModel): DataFrame = {
     val go = gopherRules(docs).select(col("doc_id"), col("pass").as("gopher_pass"))
@@ -813,12 +834,12 @@ object TextAnalysis {
   /** [[bpeMerges]] for callers that need only the merge list: the
     * final vocab's checkpoint blocks are released immediately — a
     * caller dropping the returned DataFrame would otherwise pin one
-    * materialized vocab copy in block storage per invocation for the
-    * session lifetime (a no-op below checkpointEvery, where the final
-    * vocab is an unmaterialized plan). */
+    * materialized vocab copy in block storage per invocation until the
+    * ContextCleaner GC's it (a no-op below checkpointEvery, where the
+    * final vocab is an unmaterialized plan). */
   private def bpeMergesOnly(v0: DataFrame, steps: Int): Seq[(Long, String, String, Long)] = {
-    val (merges, finalVocab) = bpeMerges(v0, steps)
-    finalVocab.unpersist(blocking = false)
+    val (merges, _, ckpt) = bpeMerges(v0, steps)
+    ckpt.foreach(_.unpersist(blocking = false))
     merges
   }
 
@@ -826,6 +847,16 @@ object TextAnalysis {
     import s.implicits._
     val v0 = bpeVocab(s, d).persist()
     try bpeMergesOnly(v0, steps).toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
+    finally v0.unpersist(blocking = false)
+  }
+
+  /** [[bpeTrain]] through the batched trainer — same output contract
+    * (the x_text_bpe_train_batched gate runs it against the sequential
+    * oracle). */
+  private def bpeTrainBatched(s: SparkSession, d: String, steps: Int): DataFrame = {
+    import s.implicits._
+    val v0 = bpeVocab(s, d).persist()
+    try bpeMergesBatchedOnly(v0, steps).toDF("step", "lhs", "rhs", "pair_count").orderBy("step")
     finally v0.unpersist(blocking = false)
   }
 
@@ -943,37 +974,174 @@ object TextAnalysis {
     * Also returns the final vocab so callers (and the depth-64 spec)
     * can pin the bounded plan. Training stops early if no pair remains
     * (fully merged corpus). */
+  /** Materialize the evolving vocab into locally-checkpointed RDD
+    * blocks and wrap them back as a LEAF DataFrame, returning the RDD
+    * handle alongside. The handle is what makes eager release real:
+    * `Dataset.unpersist` routes through the CacheManager, which has no
+    * entry for checkpoint-backed datasets (only for `persist`ed ones),
+    * so calling it on the checkpoint was a silent no-op and the blocks
+    * lived until the ContextCleaner GC'd the RDD — `rdd.unpersist` on
+    * the returned handle frees them NOW, which is what keeps a deep
+    * training run at O(1) live vocab copies. */
+  private def checkpointVocab(v: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = v.rdd
+    rdd.localCheckpoint()
+    rdd.count() // materialize: later steps read blocks, not lineage
+    (v.sparkSession.createDataFrame(rdd, v.schema), rdd)
+  }
+
+  /** One pair-counting pass over a delimiter-encoded vocab: (a, b, cnt)
+    * for every adjacent symbol pair, weighted by word count. */
+  private def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("n"), expr("split(substring(v, 2, length(v) - 2), '><')").as("syms"))
+      .filter(size(col("syms")) >= 2) // Spark's sequence(1, 0) steps DOWN, not empty
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+      .groupBy("p.a", "p.b").agg(sum("n").as("cnt"))
+
   private[graft] def bpeMerges(v0: DataFrame, steps: Int,
-      checkpointEvery: Int = 16): (Seq[(Long, String, String, Long)], DataFrame) = {
+      checkpointEvery: Int = 16): (Seq[(Long, String, String, Long)], DataFrame,
+      Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
     var vocab = v0
-    var prevCkpt: Option[DataFrame] = None
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var exhausted = false
     for (step <- 1 to steps if !exhausted) {
-      val pairs = vocab
-        .select(col("n"), expr("split(substring(v, 2, length(v) - 2), '><')").as("syms"))
-        .filter(size(col("syms")) >= 2) // Spark's sequence(1, 0) steps DOWN, not empty
-        .select(col("n"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
-        .groupBy("p.a", "p.b").agg(sum("n").as("cnt"))
-      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      val top = bpePairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step.toLong, a, b, cnt))
         vocab = vocab.select(expr(s"replace(v, '<$a><$b>', '<$a$b>')").as("v"), col("n"))
         if (step % checkpointEvery == 0) {
-          val ckpt = vocab.localCheckpoint(true)
+          val (ckpt, rdd) = checkpointVocab(vocab)
           // the previous checkpoint's blocks are dead once the new one
-          // materializes — release them so a 32k-merge run holds O(1)
-          // vocab copies, not O(steps / K)
+          // materializes — release them at the RDD level so a 32k-merge
+          // run holds O(1) vocab copies, not O(steps / K)
           prevCkpt.foreach(_.unpersist(blocking = false))
-          prevCkpt = Some(ckpt)
+          prevCkpt = Some(rdd)
           vocab = ckpt
         }
       }
     }
-    (merges.result(), vocab)
+    (merges.result(), vocab, prevCkpt)
+  }
+
+  /** EXACT batched BPE training: identical merge list to [[bpeMerges]]
+    * (TextAnalysisSpec pins equality at depth 256), but each driver
+    * round fetches the top-`fetchK` pair rows and accepts a provably
+    * safe PREFIX of them in one round — cutting a 32k-merge run from
+    * 32k sequential count→argmax→rewrite round-trips to roughly
+    * 32k / accepted-per-round (each round still moves only O(fetchK)
+    * rows to the driver). This is NOT the approximate "batch the top-K"
+    * heuristic some tokenizer trainers ship: the acceptance rule below
+    * makes the batched run bit-identical to the greedy sequential
+    * algorithm, counts included.
+    *
+    * Why the prefix is exact — rows sorted by (cnt DESC, a, b), the
+    * sequential tie-break:
+    *
+    *  1. SYMBOL-DISJOINT: an accepted pair's symbols may not appear
+    *     among any earlier accepted pair's symbols or its merged
+    *     concatenation. Applying merge j only removes `a_j b_j`
+    *     adjacencies and creates adjacencies involving the fused symbol
+    *     `a_jb_j`, so a disjoint later pair's occurrence count is
+    *     UNTOUCHED by merge j — at its sequential turn it still has
+    *     exactly the pre-batch count the driver fetched.
+    *  2. STRICT-COUNT CEILING: a pair CREATED by merge j has the form
+    *     (x, a_jb_j) or (a_jb_j, y), and each of its occurrences embeds
+    *     an occurrence of the parent pair (x, a_j) / (b_j, y) — so its
+    *     count is bounded by a parent's pre-batch count. Parents share
+    *     a symbol with an accepted merge, so they are NOT accepted rows
+    *     (those are pairwise disjoint): every parent is a non-accepted
+    *     pair, bounded by the first non-accepted row's count (sorted
+    *     order), or by the last fetched row's count for pairs beyond
+    *     the fetch horizon. Trimming the prefix until the last accepted
+    *     count STRICTLY exceeds that ceiling guarantees no created (or
+    *     decreased — decreases only help) pair can reach, let alone
+    *     beat, any accepted row's count; strictness also kills
+    *     tie-break steals. Within the prefix, equal-count rows resolve
+    *     in fetched order — the same (cnt DESC, a, b) order sequential
+    *     argmax uses.
+    *
+    * Rounds where the corpus serializes merges (each top pair chaining
+    * on the previous — `t h`, `th e`, `the _`) degrade gracefully to
+    * accepted=1, i.e. exactly the sequential algorithm; natural-language
+    * pair distributions spread across many disjoint words, which is
+    * where the batching pays. */
+  private[graft] def bpeMergesBatched(v0: DataFrame, steps: Int,
+      fetchK: Int = 64, checkpointEvery: Int = 16,
+      roundHook: Int => Unit = _ => ()): (Seq[(Long, String, String, Long)],
+      DataFrame, Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
+    require(fetchK >= 1, "fetchK must be positive")
+    var vocab = v0
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var done = 0
+    var sinceCkpt = 0
+    var exhausted = false
+    while (done < steps && !exhausted) {
+      val rows = bpePairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(fetchK).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (rows.isEmpty) exhausted = true
+      else {
+        // rule 1: maximal symbol-disjoint prefix. A SELF-pair (a, a)
+        // closes the prefix after itself: merging it creates pairs like
+        // (aa, a) whose parent is the accepted row ITSELF (count up to
+        // cnt_j > ceiling), so rule 2's parent bound would not protect
+        // any row accepted after it — as the LAST accepted row there is
+        // no later row to protect, and the next round recounts fresh.
+        val used = scala.collection.mutable.Set.empty[String]
+        var c = 0
+        var stop = false
+        while (c < rows.length && !stop) {
+          val (a, b, _) = rows(c)
+          if (used(a) || used(b)) stop = true
+          else { used += a; used += b; used += (a + b); c += 1; if (a == b) stop = true }
+        }
+        // rule 2: strict-count trim. ceiling(p) = the largest count a
+        // non-accepted (hence parent-eligible) pair can have once rows
+        // 0..p-1 are the accepted set; None iff the fetch was provably
+        // exhaustive and everything fetched is accepted (no parents
+        // exist at all, so no pair can be created).
+        val exhaustiveFetch = rows.length < fetchK
+        def ceiling(p: Int): Option[Long] =
+          if (p < rows.length) Some(rows(p)._3)
+          else if (!exhaustiveFetch) Some(rows.last._3)
+          else None
+        var p = c
+        while (p > 1 && ceiling(p).exists(_ >= rows(p - 1)._3)) p -= 1
+        val accept = rows.take(math.min(p, steps - done))
+        for (((a, b, cnt), i) <- accept.zipWithIndex)
+          merges += ((done + i + 1L, a, b, cnt))
+        // application order == sequential order: chained left-to-right
+        // replaces, one projection per merge
+        for ((a, b, _) <- accept)
+          vocab = vocab.select(expr(s"replace(v, '<$a><$b>', '<$a$b>')").as("v"), col("n"))
+        roundHook(accept.length) // observability: accepted-per-round
+        done += accept.length
+        sinceCkpt += accept.length
+        if (sinceCkpt >= checkpointEvery) {
+          val (ckpt, rdd) = checkpointVocab(vocab)
+          prevCkpt.foreach(_.unpersist(blocking = false))
+          prevCkpt = Some(rdd)
+          vocab = ckpt
+          sinceCkpt = 0
+        }
+      }
+    }
+    (merges.result(), vocab, prevCkpt)
+  }
+
+  /** [[bpeMergesBatched]] for callers that need only the merge list —
+    * the [[bpeMergesOnly]] twin. */
+  private def bpeMergesBatchedOnly(v0: DataFrame, steps: Int): Seq[(Long, String, String, Long)] = {
+    val (merges, _, ckpt) = bpeMergesBatched(v0, steps)
+    ckpt.foreach(_.unpersist(blocking = false))
+    merges
   }
 
   /** Tokenize the corpus WITH the trained merges and report the top-20
@@ -1063,6 +1231,25 @@ object TextAnalysis {
     s"""v$i AS (SELECT replace(v, '<' || b$i.a || '><' || b$i.b || '>',
        |                 '<' || b$i.a || b$i.b || '>') AS v, n
        |       FROM v${i - 1}, b$i)""".stripMargin
+
+  /** The sequential 3-step training oracle, shared verbatim by
+    * x_text_bpe_train AND x_text_bpe_train_batched (sequential-equal
+    * by construction). lazy: referenced from the `oracle` val during
+    * object init. */
+  private lazy val bpeTrainOracleSql: String =
+    s"""WITH t AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+       |v0 AS (SELECT array_to_string(list_transform(string_split(w, ''),
+       |               c -> '<' || c || '>'), '') AS v, n FROM t),
+       |${bpePairStepSql(1)},
+       |${bpeMergeStepSql(1)},
+       |${bpePairStepSql(2)},
+       |${bpeMergeStepSql(2)},
+       |${bpePairStepSql(3)}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM b1
+       |  UNION ALL SELECT 2, a, b, cnt FROM b2
+       |  UNION ALL SELECT 3, a, b, cnt FROM b3) ORDER BY step""".stripMargin
 
   /** Gopher battery → `go_out(doc_id, n_words, mean_word_len, n_stop,
     * top_bigram_share, r_*, pass)`. */
@@ -1207,21 +1394,12 @@ object TextAnalysis {
          |JOIN li_out li ON li.doc_id = d.doc_id
          |WHERE d.doc_id < 150 ORDER BY d.doc_id""".stripMargin,
 
-    "x_text_bpe_train" -> {
-      s"""WITH t AS (SELECT w, CAST(count(*) AS BIGINT) AS n
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
-         |v0 AS (SELECT array_to_string(list_transform(string_split(w, ''),
-         |               c -> '<' || c || '>'), '') AS v, n FROM t),
-         |${bpePairStepSql(1)},
-         |${bpeMergeStepSql(1)},
-         |${bpePairStepSql(2)},
-         |${bpeMergeStepSql(2)},
-         |${bpePairStepSql(3)}
-         |SELECT * FROM (
-         |  SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs, cnt AS pair_count FROM b1
-         |  UNION ALL SELECT 2, a, b, cnt FROM b2
-         |  UNION ALL SELECT 3, a, b, cnt FROM b3) ORDER BY step""".stripMargin
-    },
+    "x_text_bpe_train" -> bpeTrainOracleSql,
+
+    // the batched trainer is sequential-EQUAL by construction, so it
+    // gates against the IDENTICAL unrolled sequential oracle — the
+    // strongest statement the gate can make about the acceptance rule
+    "x_text_bpe_train_batched" -> bpeTrainOracleSql,
 
     // the same unrolled chain carried one merge further (v3), then the
     // applied corpus's token counts

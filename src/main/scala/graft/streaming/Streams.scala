@@ -607,18 +607,20 @@ object Streams {
     private def resolve(uid: Long, incoming: List[(Long, Long, String)],
         timers: TimerValues): Iterator[ConversionLabel] = {
       val wmUs = timers.getCurrentWatermarkInMs * 1000L
+      // kept rows all satisfy us >= wmUs, so NONE of them is resolvable
+      // this call (resolvable means strictly below the watermark) — the
+      // fast-path guard below needs only the stored-obligation check.
       val kept = incoming.filter(_._2 >= wmUs)
-      val (incReady, incHold) = kept.partition(_._2 < wmUs)
-      // FAST PATH — the claimed O(1)-per-arrival append: nothing
-      // incoming is ready and the watermark has not reached the stored
-      // earliest obligation (min over held event times and pending
-      // window ends), so no held event can be ready and no pending view
-      // can expire. Append the increment per-element and tighten the
-      // obligation; the full read+rewrite happens only on drains.
-      if (incReady.isEmpty && oblg.exists() && oblg.get() >= wmUs) {
-        if (incHold.nonEmpty) {
-          buf.appendList(incHold.toArray)
-          setObligation(math.min(oblg.get(), incHold.map(_._2).min), timers)
+      // FAST PATH — the claimed O(1)-per-arrival append: the watermark
+      // has not reached the stored earliest obligation (min over held
+      // event times and pending window ends), so no held event can be
+      // ready and no pending view can expire. Append the increment
+      // per-element and tighten the obligation; the full read+rewrite
+      // happens only on drains.
+      if (oblg.exists() && oblg.get() >= wmUs) {
+        if (kept.nonEmpty) {
+          buf.appendList(kept.toArray)
+          setObligation(math.min(oblg.get(), kept.map(_._2).min), timers)
         }
         return Iterator.empty
       }

@@ -578,11 +578,35 @@ class TextAnalysisSpec extends SparkSpecBase {
       "a seen language must bucket by its thresholds")
   }
 
+  test("attributes keep policy: a gopher-passing unscored-language doc is KEPT") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs0 = spark.read.parquet(s"$sf/documents.parquet")
+    // pick a doc the gopher battery passes, re-tag it with a language
+    // the frozen ccnet model never saw — the explicit keep-policy case
+    val passing = TextAnalysis.gopherRules(docs0).filter(col("pass"))
+      .select("doc_id").as[Long].head()
+    val planted = docs0.filter(col("doc_id") === passing)
+      .select(lit(900001L).as("doc_id"), lit("zz").as("lang"), col("text"))
+    val docs = docs0.select("doc_id", "lang", "text").unionByName(planted)
+    val train = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("label").cast("long").as("label"))
+    val out = TextAnalysis.attributesOf(docs,
+        TextAnalysis.nbFit(docs, train), TextAnalysis.ccnetFit(spark, sf))
+      .filter(col("doc_id") === 900001L)
+      .select("gopher_pass", "ppl_bucket", "keep").head()
+    assert(out.getBoolean(0), "planted doc must pass gopher (chosen that way)")
+    assert(out.getString(1) == "unscored")
+    // the PINNED policy: unscored + gopher-pass ⇒ keep = true (a model
+    // coverage gap must not silently drop a language — see attributesOf)
+    assert(out.getBoolean(2), "unscored gopher-passing doc must be kept")
+  }
+
   test("bpe at depth 64: merges match the first-principles loop, checkpoint bounds the plan") {
     import org.apache.spark.sql.functions._
     val steps = 64
     val v0 = TextAnalysis.bpeVocab(spark, sf).persist()
-    val (merges, finalVocab) =
+    val (merges, finalVocab, ckpt) =
       try TextAnalysis.bpeMerges(v0, steps, checkpointEvery = 8)
       finally v0.unpersist(blocking = false)
     assert(merges.length == steps, s"corpus must support $steps merges (got ${merges.length})")
@@ -623,5 +647,59 @@ class TextAnalysisSpec extends SparkSpecBase {
     }
     assert(merges == expect.result(),
       s"depth-$steps merge list diverges from the reference loop")
+    // release the final checkpoint's blocks at the RDD level (the level
+    // they actually live at — Dataset.unpersist would be a CacheManager
+    // no-op here)
+    ckpt.foreach(_.unpersist(blocking = false))
+  }
+
+  test("batched bpe equals sequential at depth 256, with multi-merge rounds") {
+    import org.apache.spark.sql.functions._
+    val steps = 256
+    // the raw corpus vocabulary exhausts its merges well short of 256;
+    // union shifted-alphabet copies so the corpus both SUPPORTS the
+    // depth and gives rounds disjoint high-count pairs to batch — the
+    // shape a real mixed-domain corpus has
+    val v0 = shiftedVocab(Seq(3, 7, 13)).persist()
+    val (seqM, batM) =
+      try {
+        val (sm, _, sc) = TextAnalysis.bpeMerges(v0, steps, checkpointEvery = 32)
+        sc.foreach(_.unpersist(blocking = false))
+        val (bm, _, bc) = TextAnalysis.bpeMergesBatched(v0, steps, fetchK = 64,
+          checkpointEvery = 32)
+        bc.foreach(_.unpersist(blocking = false))
+        (sm, bm)
+      } finally v0.unpersist(blocking = false)
+    assert(seqM.length == steps, s"corpus must support $steps merges (got ${seqM.length})")
+    assert(batM == seqM, "batched trainer diverges from the sequential loop")
+  }
+
+  /** The base vocab unioned with alphabet-rotated copies (one per
+    * shift), count-summed — a synthetic mixed-domain corpus whose top
+    * pairs are symbol-disjoint across copies. */
+  private def shiftedVocab(shifts: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val az = "abcdefghijklmnopqrstuvwxyz"
+    val v0raw = TextAnalysis.bpeVocab(spark, sf)
+    shifts.map(k => v0raw.select(
+        translate(col("v"), az, az.drop(k) + az.take(k)).as("v"), col("n")))
+      .foldLeft(v0raw)(_ unionByName _)
+      .groupBy("v").agg(sum("n").as("n"))
+  }
+
+  test("batched bpe actually batches: fewer driver rounds than merges") {
+    val v1 = shiftedVocab(Seq(13))
+    val perRound = Seq.newBuilder[Int]
+    val (b64, _, c64) = TextAnalysis.bpeMergesBatched(v1, 64, fetchK = 64,
+      checkpointEvery = 32, roundHook = perRound += _)
+    c64.foreach(_.unpersist(blocking = false))
+    val rounds = perRound.result()
+    assert(b64.length == 64)
+    assert(rounds.sum == 64)
+    // the acceptance rule must actually BATCH, not degenerate to the
+    // sequential 1-per-round path: the two disjoint alphabets guarantee
+    // symbol-disjoint top pairs, so at least one round accepts several
+    assert(rounds.length < 64 && rounds.max > 1,
+      s"batching degenerated to sequential: per-round acceptance $rounds")
   }
 }
