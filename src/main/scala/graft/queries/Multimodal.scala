@@ -491,13 +491,38 @@ object Multimodal {
     * (new_id, dup_id, hamming) — dup_id an already-indexed asset
     * within `maxHamming`. */
   def incrementalPhashDupsAgainstIndex(newAssets: Dataset[Asset],
-      tablePrefix: String, maxHamming: Int = 6): DataFrame = {
+      tablePrefix: String, maxHamming: Int = 6): DataFrame =
+    phashProbeVerdicts(newAssets, tablePrefix, broadcastIncrement = true, maxHamming)
+
+  /** Bucketed-increment twin of [[incrementalPhashDupsAgainstIndex]] —
+    * the Dedup.incrementalDupsAgainstBucketedIndex pattern for images:
+    * same verdicts (MultimodalSpec pins cross-path equality), but the
+    * increment's band keys SHUFFLE into the keys table's own (blk, bv)
+    * bucketing instead of broadcasting, so there is no broadcast
+    * ceiling — the regime for a backfill-sized image increment (a
+    * re-crawl, a bulk import) that would blow the 8 GB broadcast
+    * hard-stop. The index side still never exchanges (PlanQualitySpec
+    * pins the topology in BOTH regimes); the only shuffled rows are
+    * increment keys + candidate pairs. */
+  def incrementalPhashDupsAgainstBucketedIndex(newAssets: Dataset[Asset],
+      tablePrefix: String, maxHamming: Int = 6): DataFrame =
+    phashProbeVerdicts(newAssets, tablePrefix, broadcastIncrement = false, maxHamming)
+
+  /** The shared index-probe plan behind both increment regimes: hash
+    * only the increment, band its keys, equi-join the frozen keys table
+    * (band-key join, hamming ≤ 6 complete), dedupe candidates, exact
+    * hamming refine. `broadcastIncrement` picks daily-crawl (increment
+    * broadcasts; history a pure scan with no exchange above it) vs
+    * backfill (increment shuffles into the index's bucketing; history
+    * still exchange-free, satisfied by its bucket layout). */
+  private def phashProbeVerdicts(newAssets: Dataset[Asset], tablePrefix: String,
+      broadcastIncrement: Boolean, maxHamming: Int): DataFrame = {
     val s = newAssets.sparkSession
+    val hint: DataFrame => DataFrame = if (broadcastIncrement) broadcast else identity
     val inc = phash(newAssets).select(col("asset_id").as("new_id"), col("ph").as("sh"))
     val incKeys = phashKeys(inc, "new_id", "nsh") // (new_id, nsh, blk, bv)
-    broadcast(incKeys)
+    hint(incKeys)
       .join(s.table(s"${tablePrefix}_keys"), Seq("blk", "bv")) // (asset_id, ph, ...)
-
       .filter(col("new_id") =!= col("asset_id"))
       .select(col("new_id"), col("asset_id").as("dup_id"), col("nsh"), col("ph"))
       .distinct()

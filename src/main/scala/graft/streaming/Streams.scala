@@ -352,6 +352,30 @@ object Streams {
     * quiescence under `processAllAvailable`, so it suits continuously
     * triggered production queries, not drain-and-stop runs.
     * Input tuples: (event_id, user_id, us, event_type). */
+  /** The as-of resolver all three streaming variants share: walk the
+    * user's events in (us, view-before-purchase, event_id) order — the
+    * batch tagged-union's order — against the latest-view state. A view
+    * advances the stored (view_id, v_us) only lexicographically on
+    * (us, event_id), so a duplicate-timestamp view with a lower id
+    * can't displace the winner the batch oracle picks; a purchase
+    * emits its match against the latest view AT OR BEFORE it (NULL when
+    * the stored view is in its future or absent). */
+  private[streaming] def resolveAsof(uid: Long, latest0: Option[(Long, Long)],
+      events: Seq[(Long, Long, String)]): (Option[(Long, Long)], Seq[AsOfMatch]) = {
+    var latest = latest0
+    val out = Seq.newBuilder[AsOfMatch]
+    events.sortBy(e => (e._2, if (e._3 == "view") 0 else 1, e._1)).foreach {
+      case (vid, vus, "view") =>
+        if (latest.forall { case (pv, pu) => pu < vus || (pu == vus && pv <= vid) })
+          latest = Some((vid, vus))
+      case (pid, pus, "purchase") =>
+        val m = latest.filter { case (_, vus) => vus <= pus }
+        out += AsOfMatch(pid, uid, pus, m.map(_._1), m.map(_._2))
+      case _ => ()
+    }
+    (latest, out.result())
+  }
+
   def asofMatches(events: Dataset[(Long, Long, Long, String)],
       idleTimeout: Option[String] = None): Dataset[AsOfMatch] = {
     import events.sparkSession.implicits._
@@ -363,23 +387,181 @@ object Streams {
         case (uid, rows, state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val out = Seq.newBuilder[AsOfMatch]
-            // views sort before purchases at equal us (same order as the
-            // batch tagged-union), latest view wins by (us, event_id)
-            val ordered = rows.toSeq.sortBy(r => (r._3, if (r._4 == "view") 0 else 1, r._1))
-            ordered.foreach {
-              case (vid, _, vus, "view") =>
-                if (state.getOption.forall { case (pv, pu) => pu < vus || (pu == vus && pv <= vid) })
-                  state.update((vid, vus))
-              case (pid, _, pus, "purchase") =>
-                val m = state.getOption.filter { case (_, vus) => vus <= pus }
-                out += AsOfMatch(pid, uid, pus, m.map(_._1), m.map(_._2))
-              case _ => ()
-            }
+            val (latest, out) = resolveAsof(uid, state.getOption,
+              rows.map(r => (r._1, r._3, r._4)).toSeq)
+            latest.foreach(state.update)
             idleTimeout.foreach(state.setTimeoutDuration)
-            out.result().iterator
+            out.iterator
           }
       }
+  }
+
+  /** Per-user state for [[asofMatchesWatermarked]]: events newer than
+    * the watermark still awaiting resolution order, plus the latest
+    * resolved view. */
+  final case class AsofState(buf: List[(Long, Long, String)],
+      latest: Option[(Long, Long)])
+
+  /** A registered event-time timestamp so far in the future the
+    * watermark never reaches it — the "no obligation pending" marker
+    * for users whose state is pure latest-view: without it an already-
+    * expired timestamp would linger in the state row and re-invoke the
+    * group every micro-batch as a no-op drain. */
+  private val NeverMs = Long.MaxValue / 4
+
+  /** The ORDER-ROBUST streaming as-of join — [[asofMatches]] given the
+    * conversion-labeler treatment: identical matches under ordered
+    * arrival, but correct under arbitrary cross-batch disorder up to
+    * the watermark's allowed lateness, and NO processing-time timeout
+    * anywhere, so `processAllAvailable` quiescence is safe (the hazard
+    * the frontier variant's idleTimeout documents). Incoming events
+    * buffer in per-user state and resolve only once the global
+    * event-time watermark passes them, replaying each user's timeline
+    * in true event-time order — a purchase delivered before an
+    * earlier-timestamped view (which [[asofMatches]] would mismatch,
+    * spec-pinned) waits until the watermark proves no earlier view can
+    * still arrive. An event-time timeout drains held purchases when
+    * the watermark (driven by other users' data) passes them, so a
+    * silent user's matches still emit. Events older than the watermark
+    * on arrival are dropped — the standard beyond-lateness loss. State
+    * per user is O(events within the lateness horizon) + the single
+    * latest-view pair; the pair persists (a purchase may as-of-match a
+    * view arbitrarily far back — same contract as the batch query), so
+    * state is bounded by construction at one pair per user plus the
+    * horizon buffer. */
+  def asofMatchesWatermarked(events: Dataset[(Long, Long, Long, String)],
+      delay: String = "1 hour"): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    // only the two as-of-relevant types enter the stateful operator —
+    // and, because the optimizer pushes this deterministic predicate
+    // below the EventTimeWatermark node, only they advance the
+    // watermark either: the as-of stream's frontier is defined by the
+    // traffic it consumes (clicks/errors neither buffer nor drive
+    // eviction). Feed a mixed topic through a view/purchase projection
+    // upstream if other traffic should drive the frontier.
+    val wm = events.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", delay)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select("event_id", "user_id", "us", "event_type", "ts")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+    wm.groupByKey(_._2)
+      .flatMapGroupsWithState[AsofState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[AsofState]) =>
+          val st = state.getOption.getOrElse(AsofState(Nil, None))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val incoming = rows.map(r => (r._1, r._3, r._4)).filter(_._2 >= wmUs).toList
+          // resolvable = strictly below the watermark (rows AT it can
+          // still arrive and must keep waiting) — the conversion
+          // labeler's drain rule
+          val (ready, hold) = (st.buf ++ incoming).partition(_._2 < wmUs)
+          val (latest, matches) = resolveAsof(uid, st.latest, ready)
+          if (hold.isEmpty && latest.isEmpty) state.remove()
+          else {
+            state.update(AsofState(hold, latest))
+            if (hold.nonEmpty) {
+              val obligationUs = hold.map(_._2).min
+              state.setTimeoutTimestamp(
+                math.max(obligationUs / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+            } else state.setTimeoutTimestamp(NeverMs)
+          }
+          matches.iterator
+      }
+  }
+
+  /** [[asofMatchesWatermarked]] re-expressed on Spark 4's
+    * `transformWithState` — sharing [[resolveAsof]] with both fMGWS
+    * forms (StreamsSpec pins all three variants' matches equal under
+    * the pinned cross-batch disorder). Same state decomposition as the
+    * conversion port: the held-event buffer as typed ListState
+    * (per-element appends — O(increment) while the watermark sits below
+    * the earliest held event, guarded by the oblg ValueState), the
+    * latest view as a ValueState pair, obligations as event-time timers
+    * (superseded timers fire as no-op drains). Latest-view-only users
+    * carry NO registered timer at all — nothing can become resolvable
+    * for them without new input, so unlike the fMGWS twin there is no
+    * far-future sentinel to store. Requires the RocksDB state store
+    * provider (one column family per typed state). */
+  def asofMatchesTws(events: Dataset[(Long, Long, Long, String)],
+      delay: String = "1 hour"): Dataset[AsOfMatch] = {
+    import events.sparkSession.implicits._
+    // view/purchase-only frontier — see asofMatchesWatermarked
+    val wm = events.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", delay)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select("event_id", "user_id", "us", "event_type", "ts")
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+    wm.groupByKey(_._2)
+      .transformWithState(new AsofProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** The [[asofMatchesTws]] StatefulProcessor. */
+  private[streaming] class AsofProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String, java.sql.Timestamp), AsOfMatch] {
+    import org.apache.spark.sql.streaming.{ListState, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    @transient private var buf: ListState[(Long, Long, String)] = _
+    @transient private var latest: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+    // earliest held event time (µs) — the guard that makes the no-drain
+    // path a pure O(1) append; absent iff the buffer is empty
+    @transient private var oblg: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[(Long, Long, String)]("buf",
+        implicitly[Encoder[(Long, Long, String)]](Encoders.tuple(
+          Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)), TTLConfig.NONE)
+      latest = getHandle.getValueState[(Long, Long)]("latest",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+      oblg = getHandle.getValueState[Long]("oblg", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def setObligation(obligationUs: Long, timers: TimerValues): Unit = {
+      oblg.update(obligationUs)
+      getHandle.registerTimer(
+        math.max(obligationUs / 1000L + 1L, timers.getCurrentWatermarkInMs + 1L))
+    }
+
+    private def resolve(uid: Long, incoming: List[(Long, Long, String)],
+        timers: TimerValues): Iterator[AsOfMatch] = {
+      val wmUs = timers.getCurrentWatermarkInMs * 1000L
+      // kept rows all satisfy us >= wmUs — none resolvable this call
+      val kept = incoming.filter(_._2 >= wmUs)
+      // FAST PATH: the watermark has not reached the earliest held
+      // event, so nothing can drain — append per-element and tighten
+      if (oblg.exists() && oblg.get() >= wmUs) {
+        if (kept.nonEmpty) {
+          buf.appendList(kept.toArray)
+          setObligation(math.min(oblg.get(), kept.map(_._2).min), timers)
+        }
+        return Iterator.empty
+      }
+      val held = if (buf.exists()) buf.get().toList else Nil
+      val (ready, hold) = (held ++ kept).partition(_._2 < wmUs)
+      val latest0 = if (latest.exists()) Some(latest.get()) else None
+      val (latestNext, matches) = Streams.resolveAsof(uid, latest0, ready)
+      if (hold.isEmpty) buf.clear() else buf.put(hold.toArray)
+      latestNext match {
+        case Some(lv) => latest.update(lv)
+        case None => latest.clear()
+      }
+      if (hold.nonEmpty) setObligation(hold.map(_._2).min, timers) else oblg.clear()
+      matches.iterator
+    }
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[AsOfMatch] =
+      resolve(uid, rows.map(r => (r._1, r._3, r._4)).toList, timers)
+
+    override def handleExpiredTimer(uid: Long, timers: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AsOfMatch] =
+      resolve(uid, Nil, timers)
   }
 
   /** One resolved conversion label (the forward-as-of outcome). */
@@ -679,7 +861,11 @@ object Streams {
     * passed the point where a matching click could still arrive (the
     * outer row is a statement about late data, so only the watermark
     * may issue it — exactly why this is the native join and not custom
-    * state). */
+    * state). `"fullOuter"` completes the matrix: additionally a click
+    * with NO error within the window emits once with NULL err/delta —
+    * the orphaned-interaction rows a funnel audit needs — under the
+    * same watermark-eviction rule on the click side. The output
+    * `user_id` coalesces across sides so it is total in every mode. */
   def errorClickIntervalJoinMode(events: DataFrame, delay: String = "10 minutes",
       windowSec: Long = 300L, mode: String = "inner"): DataFrame = {
     val base = events.withColumn("ts", timestamp_micros(col("us")))
@@ -695,7 +881,8 @@ object Streams {
         col("c_ts") >= col("e_ts") - expr(s"INTERVAL $windowSec SECONDS") &&
         col("c_ts") <= col("e_ts") + expr(s"INTERVAL $windowSec SECONDS"),
       mode)
-      .select(col("err_id"), col("click_id"), col("user_id"),
+      .select(col("err_id"), col("click_id"),
+        coalesce(col("user_id"), col("c_user_id")).as("user_id"),
         (unix_micros(col("c_ts")) - unix_micros(col("e_ts"))).as("delta_us"))
   }
 

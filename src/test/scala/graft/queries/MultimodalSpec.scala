@@ -337,4 +337,25 @@ class MultimodalSpec extends SparkSpecBase {
         s"appended twin of $base not reachable")
     }
   }
+
+  test("phash bucketed-increment probe: verdicts equal the broadcast path in both regimes") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("phbkt_sig", "phbkt_keys")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    Multimodal.writePhashIndex(spark, sf, "phbkt", maxId = 120)
+    val twins = Multimodal.perturbedPngTwins(spark, sf, maxId = 120)
+    val viaBroadcast = Multimodal.incrementalPhashDupsAgainstIndex(twins, "phbkt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaBucketing = Multimodal.incrementalPhashDupsAgainstBucketedIndex(twins, "phbkt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the regime choice is an EXECUTION decision only — the verdict set
+    // (including every hamming distance) must be identical
+    assert(viaBucketing == viaBroadcast,
+      s"bucketed-increment verdicts diverge from the broadcast path")
+    assert(viaBroadcast.nonEmpty, "gate corpus must produce matches (else vacuous)")
+    for (t <- Seq("phbkt_sig", "phbkt_keys")) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

@@ -663,4 +663,52 @@ class PlanQualitySpec extends SparkSpecBase {
         assert(!rawIndexBelow(e.child), s"index re-shuffled under:\n$e"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("phash bucketed-increment probe: index rides its bucketing, never an exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("plan_phb_sig", "plan_phb_keys")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    graft.queries.Multimodal.writePhashIndex(spark, sf, "plan_phb", maxId = 120)
+    // AQE off; broadcasts off — the bucketed path exists for increments
+    // too big to broadcast, so the pin must hold under pure shuffle joins
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.queries.Multimodal.incrementalPhashDupsAgainstBucketedIndex(
+          graft.queries.Multimodal.perturbedPngTwins(spark, sf, maxId = 120), "plan_phb")
+        .queryExecution.executedPlan
+      def scansIndex(n: SparkPlan): Boolean =
+        n.collectLeaves().exists(_.toString.contains("plan_phb_keys"))
+      assert(scansIndex(p), s"bucketed index never scanned:\n$p")
+      def rawIndexBelow(n: SparkPlan): Boolean = n match {
+        case leaf if leaf.children.isEmpty => leaf.toString.contains("plan_phb_keys")
+        case _: BroadcastHashJoinExec | _: SortMergeJoinExec | _: ShuffledHashJoinExec => false
+        case other => other.children.exists(rawIndexBelow)
+      }
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!rawIndexBelow(e.child), s"bucketed index re-shuffled under:\n$e"))
+      p.collect { case b: BroadcastExchangeExec => b }.foreach(b =>
+        assert(!rawIndexBelow(b.child), s"bucketed index broadcast raw:\n$b"))
+      // the join is a shuffle join whose index child carries NO exchange
+      // — the increment alone paid one to meet the index's layout
+      val joins = p.collect {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j: SparkPlan
+      }
+      assert(joins.exists(j => j.children.exists(c =>
+          scansIndex(c) && c.collect { case e: ShuffleExchangeExec => e }.isEmpty)),
+        s"no shuffle join rides the index bucketing directly:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      for (t <- Seq("plan_phb_sig", "plan_phb_keys")) spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }

@@ -376,6 +376,129 @@ class StreamsSpec extends SparkSpecBase {
     assert(rows(210L) == (None, None), s"purchase matched a FUTURE view: $rows")
   }
 
+  test("as-of: cross-batch disorder diverges the frontier variant; watermarked and tws hold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000000L // 1h in µs
+    // user 1: view v10 @2h and purchase p11 @2h10 arrive in batch 1;
+    // view v12 @2h05 (BEFORE the purchase in event time) arrives in
+    // batch 2, within the 1h allowed lateness. Batch semantics: the
+    // purchase matches v12 (latest view at-or-before). The frontier
+    // variant has already matched p11 → v10 when v12 arrives — the
+    // documented ordered-arrival precondition, pinned here.
+    val b1 = Seq((10L, 1L, 2L * H, "view"), (11L, 1L, 2L * H + 600000000L, "purchase"))
+    val b2 = Seq((12L, 1L, 2L * H + 300000000L, "view"))
+    // the as-of frontier derives from view/purchase traffic only (the
+    // type filter sits below the watermark), so the flush is a VIEW for
+    // an unrelated user — it advances the watermark and emits nothing
+    val flush = Seq((99L, 9L, 10L * H, "view"))
+    def run(name: String,
+        f: org.apache.spark.sql.Dataset[(Long, Long, Long, String)] =>
+          org.apache.spark.sql.Dataset[Streams.AsOfMatch]): Map[Long, (Option[Long], Option[Long])] = {
+      val in = MemoryStream[(Long, Long, Long, String)]
+      val q = f(in.toDS()).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        in.addData(flush: _*); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect().map(r => r.getLong(0) ->
+        (Option(r.getAs[Any]("view_id")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("v_us")).map(_.asInstanceOf[Long]))).toMap
+    }
+    val frontier = run("asof_frontier", ds => Streams.asofMatches(ds))
+    val buffered = run("asof_wm", ds => Streams.asofMatchesWatermarked(ds))
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tws =
+      try run("asof_tws", ds => Streams.asofMatchesTws(ds))
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(frontier(11L) == (Some(10L), Some(2L * H)),
+      "frontier variant matches the already-seen view (pinned divergence)")
+    assert(buffered(11L) == (Some(12L), Some(2L * H + 300000000L)),
+      s"watermark buffer restores event-time order: $buffered")
+    assert(tws == buffered, s"tws $tws vs fMGWS $buffered")
+  }
+
+  test("watermarked as-of equals the batch query under cross-batch disorder, one global flush") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = graft.Engine.table(spark, "/root/testdata/sf0.001", "events")
+    val evs = raw.withColumn("us", graft.queries.Events.usFor(raw))
+      .select("event_id", "user_id", "us", "event_type")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._3)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    // one far-future VIEW advances the global watermark past every
+    // buffered row (a click would be filtered below the watermark node
+    // and advance nothing); the event-time timers drain all other
+    // users, and a view emits no output row of its own
+    val maxUs = evs.map(_._3).max
+    val flush = Seq((1000000L, evs.head._2, maxUs + 2L * 3600000000L + 2000000L, "view"))
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.asofMatchesWatermarked(in.toDS())
+      .writeStream.format("memory").queryName("asof_wm_full")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // reverse each batch: every user's arrival order is scrambled
+      in.addData(b1.reverse.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.reverse.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(flush: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("asof_wm_full").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[Any]("view_id")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("v_us")).map(_.asInstanceOf[Long]))).toMap
+    val batch = graft.queries.Events.queries("x_events_asof")(
+      spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getAs[Any]("view_id")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("v_us")).map(_.asInstanceOf[Long]))).toMap
+    assert(got.keySet == batch.keySet, "every purchase resolved by the watermark frontier")
+    got.foreach { case (pid, m) =>
+      assert(m == batch(pid), s"purchase $pid: stream $m vs batch ${batch(pid)}")
+    }
+    assert(got.values.exists(_._1.isDefined) && got.values.exists(_._1.isEmpty),
+      "both matched and null-match purchases occur")
+  }
+
+  test("stream-stream FULL OUTER interval join: null rows on both sides after watermarks pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000000L
+    // user 1: error + click within ±5 min → matched pair;
+    // user 2: error with NO click → error-side outer row;
+    // user 3: click with NO error → click-side outer row (the leg
+    // leftOuter cannot produce). Both outer rows may only be issued by
+    // the watermark once no match can still arrive.
+    val b1 = Seq((1L, 1L, 2L * H, "error"), (2L, 1L, 2L * H + 120000000L, "click"),
+      (3L, 2L, 2L * H, "error"), (4L, 3L, 2L * H, "click"))
+    // advance BOTH sides' watermarks (the join watermark is their min)
+    val flush = Seq((98L, 8L, 10L * H, "error"), (99L, 9L, 10L * H, "click"))
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val q = Streams.errorClickIntervalJoinMode(
+      in.toDF().toDF("event_id", "user_id", "us", "event_type"), mode = "fullOuter")
+      .writeStream.format("memory").queryName("ssjoin_full")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(flush: _*); q.processAllAvailable()
+      // outer rows emit on the state-eviction pass of a LATER batch
+      in.addData((100L, 8L, 11L * H, "error"), (101L, 9L, 11L * H, "click"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssjoin_full").collect()
+      .map(r => (Option(r.getAs[Any]("err_id")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("click_id")).map(_.asInstanceOf[Long]),
+        r.getAs[Long]("user_id"),
+        Option(r.getAs[Any]("delta_us")).map(_.asInstanceOf[Long]))).toSet
+    assert(rows.contains((Some(1L), Some(2L), 1L, Some(120000000L))), s"matched pair: $rows")
+    assert(rows.contains((Some(3L), None, 2L, None)), s"error-side outer row: $rows")
+    assert(rows.contains((None, Some(4L), 3L, None)), s"click-side outer row: $rows")
+    // user_id must be total in full-outer mode (coalesced across sides)
+    assert(rows.forall(_._3 > 0L), s"null user_id leaked: $rows")
+  }
+
   test("streaming stratified sample selects exactly the batch sampler's docs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
