@@ -44,7 +44,9 @@ import org.apache.spark.sql.functions._
   * early points, so the tail pair is the asymptotic estimate the 100×
   * claim actually rests on.
   *
-  * Usage: sbt "runMain graft.ScaleBench [baseDir] [workDir] [outJson]"
+  * Usage: sbt "runMain graft.ScaleBench [baseDir] [workDir] [outJson]
+  * [warmupDir] [pipelineFilter]" — pipelineFilter is a comma-separated
+  * name list for targeted re-measurement (warmup narrows with it).
   */
 object ScaleBench {
 
@@ -52,17 +54,24 @@ object ScaleBench {
 
   private def deriveDocuments(s: SparkSession, base: String, out: String, m: Int): Unit = {
     val docs = s.read.parquet(s"$base/documents.parquet")
-    val copies = (0 until m).map { k =>
-      if (k == 0) docs
-      else docs.select(
-        (col("doc_id") + lit(k * Stride)).as("doc_id"),
-        expr(s"concat_ws(' ', transform(split(text, ' '), w -> concat(w, '_$k')))").as("text"),
-        col("lang"), col("source"), lit(0L).as("n_chars"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-        .select("doc_id", "text", "lang", "source", "n_chars")
+    // chunked union + append: one 256-branch union would pay quadratic
+    // analysis cost; 16-branch chunks keep each write's plan flat while
+    // the on-disk result is identical
+    var first = true
+    (0 until m).grouped(16).foreach { ks =>
+      val copies = ks.map { k =>
+        if (k == 0) docs
+        else docs.select(
+          (col("doc_id") + lit(k * Stride)).as("doc_id"),
+          expr(s"concat_ws(' ', transform(split(text, ' '), w -> concat(w, '_$k')))").as("text"),
+          col("lang"), col("source"), lit(0L).as("n_chars"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .select("doc_id", "text", "lang", "source", "n_chars")
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode(if (first) "overwrite" else "append").parquet(s"$out/documents.parquet")
+      first = false
     }
-    copies.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 
   private def deriveEmbeddings(s: SparkSession, base: String, out: String, m: Int): Unit = {
@@ -125,64 +134,105 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
-    val outJson = if (args.length > 2) args(2) else "SCALE_r11.json"
-    val scales = Seq(1, 4, 16, 64)
+    val outJson = if (args.length > 2) args(2) else "SCALE_r12.json"
+    // 256× (1.28M docs) is measured for the document-only pipelines —
+    // the three heaviest plus the perceptual image family (its assets
+    // derive from documents) — the extra octave the 100× claim rests
+    // on; embeddings/events pipelines stop at 64× (not derived at 256)
+    val scales = Seq(1, 4, 16, 64, 256)
+    val docOnlyAbove = 64
+    val baseScales = scales.filter(_ <= docOnlyAbove)
     val spark = Engine.session()
 
     val dirs: Map[Int, String] = scales.map { m =>
       val dir = if (m == 1) base else s"$workDir/x$m"
-      if (m > 1 && !new java.io.File(s"$dir/embeddings.parquet").exists()) {
+      if (m > 1 && !new java.io.File(s"$dir/documents.parquet").exists())
         deriveDocuments(spark, base, dir, m)
+      if (m > 1 && m <= docOnlyAbove &&
+          !new java.io.File(s"$dir/embeddings.parquet").exists())
         deriveEmbeddings(spark, base, dir, m)
-      }
-      if (m > 1 && !new java.io.File(s"$dir/events.parquet").exists())
+      if (m > 1 && m <= docOnlyAbove &&
+          !new java.io.File(s"$dir/events.parquet").exists())
         deriveEvents(spark, base, dir, m)
       m -> dir
     }.toMap
 
-    val pipelines: Seq[(String, (SparkSession, String, Int) => Unit)] = Seq(
+    // the FIXED-SIZE image increment every probe uses: base-corpus ids
+    // only (derived copies re-key at +k·10⁷), so the increment does not
+    // grow with the scale factor — the probes measure index-size
+    // sensitivity at constant increment, the ivf2_search shape
+    def phashIncrement(s: SparkSession, d: String) =
+      graft.queries.Multimodal.perturbedPngTwins(s, d, maxId = 120)
+
+    val pipelines: Seq[(String, Seq[Int], (SparkSession, String, Int) => Unit)] = Seq(
       // between the two timed runs the memo is invalidated so both pay
       // the full multi-round build (the memoized labels then stay warm
       // for pack_shards below — same composition at every scale)
-      ("dedup_clusters_full", (s, d, _) => {
+      ("dedup_clusters_full", scales, (s, d, _) => {
         graft.queries.Dedup.invalidateClusters(s, d)
         graft.queries.Dedup.clusterLabels(s, d).count()
+        ()
       }),
-      ("dedup_rewrite", (s, d, _) =>
+      ("dedup_rewrite", scales, (s, d, _) =>
         noop(graft.queries.Dedup.queries("x_dedup_rewrite")(s, d))),
-      ("bm25", (s, d, _) =>
+      ("bm25", baseScales, (s, d, _) =>
         noop(graft.queries.TextAnalysis.queries("x_text_bm25")(s, d))),
       // invalidate the fit memo so BOTH timed runs pay the Lloyd fit,
       // not just the first (same reasoning as the cluster memo)
-      ("ivf2_build", (s, d, m) => {
+      ("ivf2_build", baseScales, (s, d, m) => {
         graft.queries.Similarity.invalidateIvfIndex(s, d)
         graft.queries.Similarity.writeIvf2Index(s, d, s"scale_ivf2_x$m")
       }),
-      ("ivf2_search", (s, d, m) => {
+      ("ivf2_search", baseScales, (s, d, m) => {
         graft.queries.Similarity
           .ivf2SearchAgainstIndex(s, d, s"scale_ivf2_x$m", nprobeC = 2, nprobeF = 4)
           .collect()
         ()
       }),
-      ("pack_shards", (s, d, m) => {
+      ("pack_shards", scales, (s, d, m) => {
         graft.queries.Curation.writeShards(
           graft.queries.Curation.queries("x_cur_pipeline")(s, d),
           s"$workDir/shards_x$m")
+        ()
+      }),
+      // the perceptual family (r11 verdict gap): index build scales
+      // with the image corpus (encode + decode + DCT are map-side CPU;
+      // the band-key write shuffles fixed-width keys); both probe
+      // regimes run a FIXED increment against the m×-grown index, so
+      // their exponents measure how probe cost tracks index size —
+      // near-flat is the design claim (bucket-pruned scans)
+      ("phash_index_build", scales, (s, d, m) =>
+        graft.queries.Multimodal.writePhashIndex(s, d, s"scale_ph_x$m")),
+      ("phash_ingest_probe", scales, (s, d, m) => {
+        graft.queries.Multimodal.incrementalPhashDupsAgainstIndex(
+          phashIncrement(s, d), s"scale_ph_x$m").collect()
+        ()
+      }),
+      ("phash_bucketed_probe", scales, (s, d, m) => {
+        graft.queries.Multimodal.incrementalPhashDupsAgainstBucketedIndex(
+          phashIncrement(s, d), s"scale_ph_x$m").collect()
         ()
       }),
       // the events family: per-user windows (as-of, conversion,
       // sessions) and the bucketed non-equi range join — growth is
       // fresh users over the same time range, so these measure how the
       // user-partitioned shapes scale across keys
-      ("events_asof", (s, d, _) =>
+      ("events_asof", baseScales, (s, d, _) =>
         noop(graft.queries.Events.queries("x_events_asof")(s, d))),
-      ("events_conversion", (s, d, _) =>
+      ("events_conversion", baseScales, (s, d, _) =>
         noop(graft.queries.Events.queries("x_events_conversion")(s, d))),
-      ("events_sessions", (s, d, _) =>
+      ("events_sessions", baseScales, (s, d, _) =>
         noop(graft.queries.Events.queries("x_events_sessions")(s, d))),
-      ("events_range_join", (s, d, _) =>
+      ("events_range_join", baseScales, (s, d, _) =>
         noop(graft.queries.Events.queries("x_events_range_join")(s, d)))
     )
+
+    // optional 5th arg: comma-separated pipeline names for targeted
+    // re-measurement (e.g. after a fix to one pipeline) — the warmup
+    // narrows with it so a targeted run stays cheap
+    val filterSet: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(",").toSet) else None
+    def active(n: String): Boolean = filterSet.forall(_.contains(n))
 
     // untimed warmup against a DIFFERENT corpus dir (4th arg, default
     // sf0.01): exercises every code path (JIT, codegen caches,
@@ -195,40 +245,59 @@ object ScaleBench {
       require(new java.io.File(warm).getCanonicalPath !=
         new java.io.File(base).getCanonicalPath,
         s"warmup dir must differ from the measured base ($base)")
-      val wdf = graft.queries.Dedup.clusterLabels(spark, warm)
-      wdf.count(); wdf.unpersist(blocking = true)
-      noop(graft.queries.Dedup.queries("x_dedup_rewrite")(spark, warm))
-      noop(graft.queries.TextAnalysis.queries("x_text_bm25")(spark, warm))
-      graft.queries.Similarity.writeIvf2Index(spark, warm, "scale_warm")
-      graft.queries.Similarity
-        .ivf2SearchAgainstIndex(spark, warm, "scale_warm", nprobeC = 2, nprobeF = 4)
-        .collect()
-      graft.queries.Curation.writeShards(
-        graft.queries.Curation.queries("x_cur_pipeline")(spark, warm),
-        s"$workDir/shards_warm")
+      if (active("dedup_clusters_full") || active("pack_shards")) {
+        val wdf = graft.queries.Dedup.clusterLabels(spark, warm)
+        wdf.count(); wdf.unpersist(blocking = true)
+      }
+      if (active("dedup_rewrite"))
+        noop(graft.queries.Dedup.queries("x_dedup_rewrite")(spark, warm))
+      if (active("bm25"))
+        noop(graft.queries.TextAnalysis.queries("x_text_bm25")(spark, warm))
+      if (active("ivf2_build") || active("ivf2_search")) {
+        graft.queries.Similarity.writeIvf2Index(spark, warm, "scale_warm")
+        graft.queries.Similarity
+          .ivf2SearchAgainstIndex(spark, warm, "scale_warm", nprobeC = 2, nprobeF = 4)
+          .collect()
+      }
+      if (active("pack_shards"))
+        graft.queries.Curation.writeShards(
+          graft.queries.Curation.queries("x_cur_pipeline")(spark, warm),
+          s"$workDir/shards_warm")
+      if (active("phash_index_build") || active("phash_ingest_probe") ||
+          active("phash_bucketed_probe")) {
+        graft.queries.Multimodal.writePhashIndex(spark, warm, "scale_ph_warm")
+        graft.queries.Multimodal.incrementalPhashDupsAgainstIndex(
+          phashIncrement(spark, warm), "scale_ph_warm").collect()
+        graft.queries.Multimodal.incrementalPhashDupsAgainstBucketedIndex(
+          phashIncrement(spark, warm), "scale_ph_warm").collect()
+      }
       for (q <- Seq("x_events_asof", "x_events_conversion",
-          "x_events_sessions", "x_events_range_join"))
+          "x_events_sessions", "x_events_range_join") if active(q.stripPrefix("x_")))
         noop(graft.queries.Events.queries(q)(spark, warm))
       for (t <- Seq("_coarse", "_fine", "_postings"))
         spark.sql(s"DROP TABLE IF EXISTS scale_warm$t")
+      for (t <- Seq("_sig", "_keys"))
+        spark.sql(s"DROP TABLE IF EXISTS scale_ph_warm$t")
       println("SCALE warmup complete (sf0.01)")
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[(Int, Double)]]()
     for (m <- scales) {
       val d = dirs(m)
-      for ((name, run) <- pipelines) {
+      for ((name, pScales, run) <- pipelines if pScales.contains(m) && active(name)) {
         // min-of-two (the Bench.scala lesson): a single pass is hostage
         // to GC pauses and ambient load — at 64× one poisoned point
         // moved a tail exponent from ~0.9 to ~1.2 in an early run
         val secs = math.min(timed(run(spark, d, m)), timed(run(spark, d, m)))
         results(name) = results.getOrElse(name, Seq.empty) :+ (m -> secs)
-        println(f"SCALE $name%-20s x$m%-2d ${secs}%8.2f s")
+        println(f"SCALE $name%-20s x$m%-3d ${secs}%8.2f s")
       }
-      // the per-scale serving index is measured; drop it before the next
-      // scale so disk stays bounded
+      // the per-scale serving indexes are measured; drop them before the
+      // next scale so disk stays bounded
       for (t <- Seq("_coarse", "_fine", "_postings"))
         spark.sql(s"DROP TABLE IF EXISTS scale_ivf2_x$m$t")
+      for (t <- Seq("_sig", "_keys"))
+        spark.sql(s"DROP TABLE IF EXISTS scale_ph_x$m$t")
     }
 
     def tailExp(pts: Seq[(Int, Double)]): Double = {

@@ -463,15 +463,22 @@ object Multimodal {
       maxId: Long = Long.MaxValue, buckets: Int = 32): Unit = {
     for (t <- Seq("_sig", "_keys"))
       graft.Engine.reclaimManagedTable(s, tablePrefix + t)
+    // persist the signatures (8 bytes + id per image) across the two
+    // table writes: without it the _keys write re-runs the ENTIRE
+    // encode→decode→DCT chain a second time — pure codec CPU paid
+    // twice, and the duplicated image churn is what bent the measured
+    // build exponent superlinear at 64× corpora
     val sig = phash(assets(s, d, maxId, onlyMime = Some("image/png")))
-      .select(col("asset_id"), col("ph").as("sh"))
-    sig.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "asset_id").sortBy("asset_id")
-      .saveAsTable(s"${tablePrefix}_sig")
-    phashKeys(sig, "asset_id", "ph")
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "blk", "bv")
-      .saveAsTable(s"${tablePrefix}_keys")
+      .select(col("asset_id"), col("ph").as("sh")).persist()
+    try {
+      sig.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "asset_id").sortBy("asset_id")
+        .saveAsTable(s"${tablePrefix}_sig")
+      phashKeys(sig, "asset_id", "ph")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "blk", "bv")
+        .saveAsTable(s"${tablePrefix}_keys")
+    } finally sig.unpersist(blocking = false)
   }
 
   /** (idCol, sigOut, blk, bv) band-key fan-out of a (idCol, sh)
@@ -543,14 +550,17 @@ object Multimodal {
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(s"$t is not bucketed — not a phash index"))
-    val sig = phash(newAssets).select(col("asset_id"), col("ph").as("sh"))
-    sig.write.mode("append").format("parquet")
-      .bucketBy(bucketsOf(s"${tablePrefix}_sig"), "asset_id").sortBy("asset_id")
-      .saveAsTable(s"${tablePrefix}_sig")
-    phashKeys(sig, "asset_id", "ph")
-      .write.mode("append").format("parquet")
-      .bucketBy(bucketsOf(s"${tablePrefix}_keys"), "blk", "bv")
-      .saveAsTable(s"${tablePrefix}_keys")
+    // persist across the two appends — see writePhashIndex
+    val sig = phash(newAssets).select(col("asset_id"), col("ph").as("sh")).persist()
+    try {
+      sig.write.mode("append").format("parquet")
+        .bucketBy(bucketsOf(s"${tablePrefix}_sig"), "asset_id").sortBy("asset_id")
+        .saveAsTable(s"${tablePrefix}_sig")
+      phashKeys(sig, "asset_id", "ph")
+        .write.mode("append").format("parquet")
+        .bucketBy(bucketsOf(s"${tablePrefix}_keys"), "blk", "bv")
+        .saveAsTable(s"${tablePrefix}_keys")
+    } finally sig.unpersist(blocking = false)
   }
 
   /** One image patch (the ViT tokenization unit). */
