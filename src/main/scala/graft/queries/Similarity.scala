@@ -305,7 +305,7 @@ object Similarity {
     * combine reduces each partition to a k-buffer per query before the
     * shuffle — O(queries × k) exchanged at ANY corpus size. Row-identical
     * to the window form (same total order). */
-  private def bruteTopk(e: DataFrame, k: Int): DataFrame = {
+  private[queries] def bruteTopk(e: DataFrame, k: Int): DataFrame = {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
     broadcast(q).join(e, col("qid") =!= col("vec_id"))

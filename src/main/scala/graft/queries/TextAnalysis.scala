@@ -48,6 +48,21 @@ object TextAnalysis {
     //    bit-for-bit in DuckDB — ln() inputs are identical doubles.
     "x_text_bm25" -> ((s, d) => bm25(s, d)),
 
+    // -- HYBRID retrieval via Reciprocal Rank Fusion: the production
+    //    search stack's standard lexical ⊕ semantic merge — BM25 top-10
+    //    (this module's gated pipeline) fused with brute cosine top-10
+    //    over the embeddings (Similarity's gated pipeline) by
+    //    score(d) = Σ 1/(60 + rank_source(d)), ranks from each list the
+    //    doc appears in. Everything after the two gated retrievals is
+    //    O(queries × 2k) rows: a full-outer merge on (qid, doc_id), a
+    //    two-term fixed-order double sum (bm25 term first — the same
+    //    expression in DuckDB, so the gate is hash-exact; 1/(60+r) is a
+    //    correctly-rounded IEEE division in both engines), and a
+    //    row_number over ≤ 2k candidates per query. At 100 TB the cost
+    //    IS the two retrievals — both already scale-audited — and the
+    //    fusion adds no corpus-sized work.
+    "x_text_hybrid_rrf" -> ((s, d) => hybridRrf(s, d)),
+
     // -- BPE tokenizer TRAINING: the first 3 merge iterations of the
     //    byte-pair-encoding loop (x_text_bpe_pairs counts only the first
     //    merge's candidates; this RUNS the loop). The corpus is scanned
@@ -764,6 +779,31 @@ object TextAnalysis {
       .orderBy("qid", "rank")
   }
 
+  /** Reciprocal-rank fusion of the gated BM25 and brute-cosine top-10
+    * lists — see the x_text_hybrid_rrf entry. Output: (qid, rank,
+    * doc_id, rrf, r_bm25, r_ann) with NULL source ranks where a doc
+    * appears in only one list. */
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bmR = bm25(s, d)
+      .select(col("qid"), col("doc_id"), col("rank").as("r_bm25"))
+    val annR = graft.queries.Similarity
+      .bruteTopk(graft.queries.Similarity.withNorm(s, d), 10)
+      .filter(col("qid") < 5)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank").as("r_ann"))
+    val fused = bmR.join(annR, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"), col("r_bm25"), col("r_ann"),
+        // fixed-order two-term sum: bm25 contribution first, then ann —
+        // the oracle adds in the same order, so the double is bit-equal
+        (coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("r_ann")), lit(0.0))).as("rrf"))
+    val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("qid", "rank", "doc_id", "rrf", "r_bm25", "r_ann")
+      .orderBy("qid", "rank")
+  }
+
   /** Persist the BM25 serving index: `{prefix}_tf` — the postings —
     * bucketed + sorted on the TERM so query-term restriction
     * bucket-prunes the scan (the inverted-index layout); `{prefix}_dl`
@@ -1232,6 +1272,33 @@ object TextAnalysis {
        |                 '<' || b$i.a || b$i.b || '>') AS v, n
        |       FROM v${i - 1}, b$i)""".stripMargin
 
+  /** The BM25 oracle chain up to the ranked list (`bm_ranked(qid,
+    * doc_id, score, rank)`) — shared by x_text_bm25 and the hybrid-RRF
+    * fusion so the lexical side is stated once. lazy: referenced from
+    * the `oracle` val during object init. */
+  private lazy val bm25Ctes: String =
+    """t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+      |tfc AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+      |        FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w),
+      |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM t),
+      |g AS (SELECT CAST(count(*) AS DOUBLE) AS nn, sum(dl) AS sdl FROM dl),
+      |q AS (SELECT DISTINCT doc_id AS qid, unnest(ws[1:3]) AS w FROM t WHERE doc_id < 5),
+      |dft AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tfc
+      |        WHERE w IN (SELECT w FROM q) GROUP BY w),
+      |contrib AS (
+      |  SELECT q.qid, x.doc_id, x.w,
+      |         floor(ln(1.0 + (g.nn - f.df + 0.5) / (f.df + 0.5)) * 1000000.0)
+      |           / 1000000.0 * x.tf * 2.2 /
+      |           (x.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
+      |              / (CAST(g.sdl AS DOUBLE) / g.nn))) AS c
+      |  FROM tfc x JOIN q ON x.w = q.w JOIN dft f ON x.w = f.w
+      |  JOIN dl l ON x.doc_id = l.doc_id CROSS JOIN g),
+      |bm_scored AS (SELECT qid, doc_id, list_sum(list(c ORDER BY w)) AS score
+      |           FROM contrib GROUP BY qid, doc_id),
+      |bm_ranked AS (SELECT qid, doc_id, score,
+      |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) rank
+      |           FROM bm_scored)""".stripMargin
+
   /** The sequential 3-step training oracle, shared verbatim by
     * x_text_bpe_train AND x_text_bpe_train_batched (sequential-equal
     * by construction). lazy: referenced from the `oracle` val during
@@ -1424,29 +1491,43 @@ object TextAnalysis {
     },
 
     "x_text_bm25" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
-        |tfc AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
-        |        FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w),
-        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM t),
-        |g AS (SELECT CAST(count(*) AS DOUBLE) AS nn, sum(dl) AS sdl FROM dl),
-        |q AS (SELECT DISTINCT doc_id AS qid, unnest(ws[1:3]) AS w FROM t WHERE doc_id < 5),
-        |dft AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tfc
-        |        WHERE w IN (SELECT w FROM q) GROUP BY w),
-        |contrib AS (
-        |  SELECT q.qid, x.doc_id, x.w,
-        |         floor(ln(1.0 + (g.nn - f.df + 0.5) / (f.df + 0.5)) * 1000000.0)
-        |           / 1000000.0 * x.tf * 2.2 /
-        |           (x.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE)
-        |              / (CAST(g.sdl AS DOUBLE) / g.nn))) AS c
-        |  FROM tfc x JOIN q ON x.w = q.w JOIN dft f ON x.w = f.w
-        |  JOIN dl l ON x.doc_id = l.doc_id CROSS JOIN g),
-        |scored AS (SELECT qid, doc_id, list_sum(list(c ORDER BY w)) AS score
-        |           FROM contrib GROUP BY qid, doc_id),
-        |ranked AS (SELECT qid, doc_id, score,
-        |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) rank
-        |           FROM scored)
+      s"""WITH $bm25Ctes
         |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
-        |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+        |FROM bm_ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // the SAME bm25 chain fused with the x_sim_topk-style exact cosine
+    // ranking by RRF — both retrievals re-derived, then the identical
+    // fixed-order two-term 1/(60+rank) sum and (rrf DESC, doc_id) rank
+    "x_text_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+        |bmr AS (SELECT qid, doc_id, rank AS rb FROM bm_ranked WHERE rank <= 10),
+        |e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+        |       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) nrm
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT q.vec_id qid, t2.vec_id,
+        |    list_sum(list_transform(generate_series(1, len(q.embedding)),
+        |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(t2.embedding[i] AS DOUBLE)))
+        |      / (q.nrm * t2.nrm) AS cos
+        |  FROM e q, e t2 WHERE q.vec_id < 5 AND q.vec_id != t2.vec_id),
+        |annr AS (SELECT qid, vec_id, rank AS ra FROM (
+        |           SELECT qid, vec_id,
+        |                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+        |           FROM sc) WHERE rank <= 10),
+        |cand AS (SELECT COALESCE(b.qid, a.qid) AS qid,
+        |                COALESCE(b.doc_id, a.vec_id) AS doc_id, b.rb, a.ra
+        |         FROM bmr b FULL OUTER JOIN annr a
+        |           ON b.qid = a.qid AND b.doc_id = a.vec_id),
+        |fused AS (SELECT qid, doc_id,
+        |            COALESCE(1.0 / (60 + rb), 0.0) + COALESCE(1.0 / (60 + ra), 0.0) AS rrf,
+        |            rb, ra FROM cand),
+        |outr AS (SELECT qid, doc_id, rrf, rb, ra,
+        |           row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) rank
+        |         FROM fused)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, rrf,
+        |       CAST(rb AS BIGINT) AS r_bm25, CAST(ra AS BIGINT) AS r_ann
+        |FROM outr WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     // the same LM arithmetic re-derived: per-lang trigram/context
     // counts on the md5 train half, quantized ln, tri-ordered folds,

@@ -602,6 +602,31 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(out.getBoolean(2), "unscored gopher-passing doc must be kept")
   }
 
+  test("hybrid rrf: fusion recomputed driver-side from the two gated source lists") {
+    import org.apache.spark.sql.functions._
+    val bm = TextAnalysis.queries("x_text_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap // (qid, doc) -> rank
+    val fused = TextAnalysis.queries("x_text_hybrid_rrf")(spark, sf).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val (qid, rank, doc, rrf) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val rb = Option(r.getAs[Any]("r_bm25")).map(_.asInstanceOf[Long])
+      val ra = Option(r.getAs[Any]("r_ann")).map(_.asInstanceOf[Long])
+      // at least one source contributed, the bm25 rank matches the
+      // gated bm25 list, and the score is exactly the two-term sum
+      assert(rb.isDefined || ra.isDefined)
+      assert(rb.forall(v => bm.get((qid, doc)).contains(v)), s"bm25 rank drift at ($qid,$doc)")
+      val expect = rb.map(v => 1.0 / (60.0 + v)).getOrElse(0.0) +
+        ra.map(v => 1.0 / (60.0 + v)).getOrElse(0.0)
+      assert(rrf == expect, s"rrf $rrf != $expect at ($qid,$doc)")
+      assert(rank >= 1 && rank <= 10)
+    }
+    // fusion must be non-vacuous in BOTH directions on the gate corpus:
+    // some doc carries only a lexical rank, some only a semantic one
+    assert(fused.exists(r => r.isNullAt(5) && !r.isNullAt(4)), "no bm25-only row")
+    assert(fused.exists(r => r.isNullAt(4) && !r.isNullAt(5)), "no ann-only row")
+  }
+
   test("bpe at depth 64: merges match the first-principles loop, checkpoint bounds the plan") {
     import org.apache.spark.sql.functions._
     val steps = 64
