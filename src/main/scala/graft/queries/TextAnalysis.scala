@@ -784,13 +784,20 @@ object TextAnalysis {
     * doc_id, rrf, r_bm25, r_ann) with NULL source ranks where a doc
     * appears in only one list. */
   private def hybridRrf(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bmR = bm25(s, d)
       .select(col("qid"), col("doc_id"), col("rank").as("r_bm25"))
     val annR = graft.queries.Similarity
       .bruteTopk(graft.queries.Similarity.withNorm(s, d), 10)
       .filter(col("qid") < 5)
       .select(col("qid"), col("vec_id").as("doc_id"), col("rank").as("r_ann"))
+    rrfFuse(bmR, annR, 10)
+  }
+
+  /** The RRF fusion core over two (qid, doc_id, rank) lists — shared by
+    * the gated in-memory query and the persisted-index serving path so
+    * every fusion scores bit-identically. */
+  private[graft] def rrfFuse(bmR: DataFrame, annR: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fused = bmR.join(annR, Seq("qid", "doc_id"), "full_outer")
       .select(col("qid"), col("doc_id"), col("r_bm25"), col("r_ann"),
         // fixed-order two-term sum: bm25 contribution first, then ann —
@@ -799,9 +806,30 @@ object TextAnalysis {
           coalesce(lit(1.0) / (lit(60.0) + col("r_ann")), lit(0.0))).as("rrf"))
     val w = Window.partitionBy("qid").orderBy(col("rrf").desc, col("doc_id"))
     fused.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
       .select("qid", "rank", "doc_id", "rrf", "r_bm25", "r_ann")
       .orderBy("qid", "rank")
+  }
+
+  /** Hybrid SERVING over the two persisted indexes — the production
+    * composition of [[bm25SearchOf]] (term-bucketed lexical index) and
+    * Similarity.ivf2SearchOf (bucket-pruned two-level ANN index) fused
+    * by the SAME [[rrfFuse]] core as the gated in-memory query. Input:
+    * one row per query `(qid, terms ARRAY<STRING>, embedding
+    * ARRAY<FLOAT>)`. Per-query verdicts are pure functions of (query,
+    * frozen indexes), so micro-batch boundaries cannot change them —
+    * the streaming twin (Streams.hybridSearch) relies on it. Cost at
+    * scale is the two index probes, each already increment-proportional
+    * and bucket-pruned; the fusion adds O(queries × 2k) rows. */
+  def hybridSearchOf(queries: DataFrame, bmPrefix: String, annPrefix: String,
+      k: Int = 10, nprobeC: Int = 2, nprobeF: Int = 4): DataFrame = {
+    val bmR = bm25SearchOf(queries.select(col("qid"), col("terms")), bmPrefix, k)
+      .select(col("qid"), col("doc_id"), col("rank").as("r_bm25"))
+    val annR = graft.queries.Similarity.ivf2SearchOf(
+        queries.select(col("qid").as("vec_id"), col("embedding")),
+        annPrefix, nprobeC, nprobeF)
+      .select(col("qid"), col("vec_id").as("doc_id"), col("rank").as("r_ann"))
+    rrfFuse(bmR, annR, k)
   }
 
   /** Persist the BM25 serving index: `{prefix}_tf` — the postings —

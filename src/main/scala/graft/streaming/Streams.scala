@@ -256,6 +256,20 @@ object Streams {
       sink(graft.queries.TextAnalysis.bm25SearchOf(batch.toDF(), tablePrefix, k), batchId)
     }
 
+  /** Streaming HYBRID serving — the [[bm25Search]]/[[annSearch]]
+    * composition over BOTH persisted indexes: micro-batched
+    * (qid, terms, embedding) query rows probe the term-bucketed BM25
+    * index AND the two-level IVF index, fused by the same RRF core as
+    * the gated batch query. Per-query verdicts are pure functions of
+    * (query, frozen indexes), so stream == one-shot batch. */
+  def hybridSearch(queries: DataFrame, bmPrefix: String, annPrefix: String,
+      k: Int = 10, nprobeC: Int = 2, nprobeF: Int = 4)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.queries.TextAnalysis.hybridSearchOf(batch.toDF(), bmPrefix,
+        annPrefix, k, nprobeC, nprobeF), batchId)
+    }
+
   /** Streaming model-based classification — the continuous twin of
     * x_text_nb_classify's APPLY stage: each micro-batch of documents
     * scores against a FROZEN Naive Bayes model (fit once on the

@@ -627,6 +627,47 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fused.exists(r => r.isNullAt(4) && !r.isNullAt(5)), "no ann-only row")
   }
 
+  test("hybrid serving: persisted-index fusion == driver recompute from the two searches") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("hyx_bm25_tf", "hyx_bm25_dl", "hyx_bm25_stats",
+        "hyx_ivf2_coarse", "hyx_ivf2_fine", "hyx_ivf2_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    TextAnalysis.writeBm25Index(spark, sf, "hyx_bm25")
+    graft.queries.Similarity.writeIvf2Index(spark, sf, "hyx_ivf2")
+    val queries = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), expr("slice(split(text, ' '), 1, 3)").as("terms"))
+      .join(spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding")),
+        Seq("qid"))
+    val got = TextAnalysis.hybridSearchOf(queries, "hyx_bm25", "hyx_ivf2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bm = TextAnalysis.bm25SearchOf(queries.select("qid", "terms"), "hyx_bm25")
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val ann = graft.queries.Similarity.ivf2SearchOf(
+        queries.select(col("qid").as("vec_id"), col("embedding")), "hyx_ivf2", 2, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    // first-principles fusion over the two index search outputs
+    val expect = (bm.keySet ++ ann.keySet).groupBy(_._1).toSeq.flatMap { case (qid, keys) =>
+      keys.toSeq.map { k =>
+        val rrf = bm.get(k).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          ann.get(k).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+        (k._2, rrf)
+      }.sortBy { case (doc, rrf) => (-rrf, doc) }.take(10).zipWithIndex.map {
+        case ((doc, rrf), i) => (qid, i + 1L, doc, rrf)
+      }
+    }.toSet
+    assert(got.toSet == expect,
+      s"extra=${got.toSet.diff(expect).take(5)} missing=${expect.diff(got.toSet).take(5)}")
+    assert(got.nonEmpty && (bm.keySet != ann.keySet),
+      "fusion must actually merge two different lists")
+    for (t <- Seq("hyx_bm25_tf", "hyx_bm25_dl", "hyx_bm25_stats",
+        "hyx_ivf2_coarse", "hyx_ivf2_fine", "hyx_ivf2_postings"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("bpe at depth 64: merges match the first-principles loop, checkpoint bounds the plan") {
     import org.apache.spark.sql.functions._
     val steps = 64

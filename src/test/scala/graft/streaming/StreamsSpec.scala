@@ -810,6 +810,52 @@ class StreamsSpec extends SparkSpecBase {
     assert(got.size == expected.size, "a verdict was emitted twice across batches")
   }
 
+  test("streaming hybrid serving: micro-batched queries emit the one-shot fused verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("sthy_bm25_tf", "sthy_bm25_dl", "sthy_bm25_stats",
+        "sthy_ivf2_coarse", "sthy_ivf2_fine", "sthy_ivf2_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    graft.queries.TextAnalysis.writeBm25Index(spark, sf, "sthy_bm25")
+    graft.queries.Similarity.writeIvf2Index(spark, sf, "sthy_ivf2")
+    val queries = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), expr("slice(split(text, ' '), 1, 3)").as("terms"))
+      .join(spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding")),
+        Seq("qid"))
+    val expected = graft.queries.TextAnalysis
+      .hybridSearchOf(queries, "sthy_bm25", "sthy_ivf2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(expected.nonEmpty)
+
+    val rows = queries.as[(Long, Seq[String], Seq[Float])].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val in = MemoryStream[(Long, Seq[String], Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = Streams.hybridSearch(
+      in.toDF().toDF("qid", "terms", "embedding"), "sthy_bm25", "sthy_ivf2") { (verdicts, _) =>
+      got.synchronized {
+        got ++= verdicts.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      }
+      ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected,
+      s"stream-only: ${got.toSet.diff(expected).take(5)}; batch-only: ${expected.diff(got.toSet).take(5)}")
+    assert(got.size == expected.size, "a verdict was emitted twice across batches")
+    for (t <- Seq("sthy_bm25_tf", "sthy_bm25_dl", "sthy_bm25_stats",
+        "sthy_ivf2_coarse", "sthy_ivf2_fine", "sthy_ivf2_postings"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("streaming nb classification: micro-batched docs emit the one-shot batch verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
