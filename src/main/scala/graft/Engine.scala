@@ -53,6 +53,59 @@ object Engine {
     }
   }
 
+  /** Compact a bucketed managed parquet table in place. Every
+    * bucketed-append writer in this engine (appendPhashIndex,
+    * appendBm25Postings, appendPqCodes, appendGramIndex, …) adds one
+    * file GROUP per append × bucket — correct (bucket pruning and
+    * exchange-free joins hold across any number of groups) but a
+    * daily-crawl index accumulates files linearly in appends, and at
+    * 100 TB the small-files tax (open/footer costs, listing, scheduler
+    * pressure) eventually dominates probe time. Compaction rewrites the
+    * table's rows into a fresh table with the SAME bucket spec and sort
+    * columns (the scan of a bucketed table is one partition per bucket,
+    * so the rewrite lands exactly one file per non-empty bucket), then
+    * swaps it in via DROP + RENAME. Readers see identical rows under
+    * identical bucketing — only the file count changes; the swap window
+    * is the metadata operation, not the rewrite (the heavy work happens
+    * into the staging table while the live table keeps serving).
+    * Contract: no concurrent writer during the swap. */
+  def compactBucketedTable(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not bucketed — compaction is the bucketed-append cure"))
+    val staging = s"${table}__compact"
+    reclaimManagedTable(spark, staging)
+    // read the table's FILES as plain parquet, deliberately bypassing
+    // the catalog's bucketing metadata: reading through the bucketed
+    // table lets the planner judge the explicit repartition below
+    // redundant (the scan claims the same HashPartitioning) and then
+    // auto-disable the bucketed scan anyway — leaving file-split
+    // partitions whose write emits one file group PER TASK, i.e. no
+    // compaction at all (observed: a 57-file table "compacting" to 57).
+    // A plain-parquet scan has no partitioning claim, so the
+    // repartition stands.
+    val raw = spark.read.schema(meta.schema).parquet(meta.location.toString)
+    // repartition on the bucket columns with the bucket count: Spark's
+    // repartition hashing (pmod(murmur3, n)) IS the bucket-file
+    // assignment, so each write task holds exactly one bucket's rows
+    // and emits exactly one file
+    val rows = raw.repartition(spec.numBuckets,
+      spec.bucketColumnNames.map(org.apache.spark.sql.functions.col): _*)
+    val w0 = rows.write.mode("overwrite").format("parquet")
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+    val w = if (spec.sortColumnNames.nonEmpty)
+      w0.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*) else w0
+    w.saveAsTable(staging)
+    // reclaim, not plain DROP: under the in-memory catalog a DROP can
+    // orphan the managed directory (see reclaimManagedTable), and a
+    // RENAME into a still-populated location would merge old file
+    // groups back in — the exact situation this operation exists to fix
+    reclaimManagedTable(spark, table)
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
+
   /** Row count for plan-build sizing probes (LSH banding, ANN planes):
     * plan statistics when they are EXACT by construction — Range, a
     * MATERIALIZED cache (whose stats come from its row-count accumulator),

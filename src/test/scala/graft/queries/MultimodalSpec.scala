@@ -338,6 +338,46 @@ class MultimodalSpec extends SparkSpecBase {
     }
   }
 
+  test("index compaction: appended file groups collapse to one per bucket, verdicts unchanged") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("phcmp_sig", "phcmp_keys")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    Multimodal.writePhashIndex(spark, sf, "phcmp", maxId = 120)
+    // two daily-crawl appends: the twins, then a fresh id range — each
+    // adds its own file group per bucket
+    Multimodal.appendPhashIndex(spark, "phcmp",
+      Multimodal.perturbedPngTwins(spark, sf, maxId = 120))
+    Multimodal.appendPhashIndex(spark, "phcmp",
+      Multimodal.assets(spark, sf, maxId = 240, onlyMime = Some("image/png"))
+        .filter(_.asset_id >= 120))
+    def files(t: String): Int =
+      Option(new java.io.File(warehouse, t).listFiles()).map(
+        _.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    def bucketSpec(t: String) = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).bucketSpec.get
+    val probe = Multimodal.assets(spark, sf, maxId = 120, onlyMime = Some("image/png"))
+    def verdicts(): Seq[(Long, Long, Long)] =
+      Multimodal.incrementalPhashDupsAgainstBucketedIndex(probe, "phcmp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val before = verdicts()
+    assert(before.nonEmpty)
+    val (filesBefore, specBefore) = (files("phcmp_keys"), bucketSpec("phcmp_keys"))
+    assert(filesBefore > specBefore.numBuckets,
+      s"appends must have produced extra file groups (got $filesBefore)")
+    graft.Engine.compactBucketedTable(spark, "phcmp_keys")
+    graft.Engine.compactBucketedTable(spark, "phcmp_sig")
+    // same rows under the same bucketing — only the file count changed
+    assert(bucketSpec("phcmp_keys") == specBefore, "bucket spec must survive compaction")
+    assert(files("phcmp_keys") < filesBefore, "compaction must reduce the file count")
+    assert(files("phcmp_keys") <= specBefore.numBuckets,
+      "compacted layout is at most one file per bucket")
+    assert(verdicts() == before, "compaction changed probe verdicts")
+    for (t <- Seq("phcmp_sig", "phcmp_keys")) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("phash bucketed-increment probe: verdicts equal the broadcast path in both regimes") {
     import org.apache.spark.sql.functions._
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
