@@ -106,6 +106,31 @@ object Engine {
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }
 
+  /** The WHEN for [[compactBucketedTable]] — the ivf2DriftAudit pattern
+    * applied to file hygiene: one row `(n_files, n_buckets,
+    * files_per_bucket, compact)` with `compact = files_per_bucket >
+    * maxGroups`. Each append adds ~one group per bucket, so
+    * files_per_bucket ≈ appends since the last compaction; the default
+    * threshold tolerates a few days of crawl before paying the rewrite.
+    * Cost: ONE filesystem listing of the table location (file names
+    * only, no data IO) — cheap at any scale next to the rewrite it
+    * gates. */
+  def bucketFileAudit(spark: SparkSession, table: String,
+      maxGroups: Double = 4.0): org.apache.spark.sql.DataFrame = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not bucketed — nothing to audit"))
+    val path = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val n = fs.listStatus(path)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val fpb = n.toDouble / spec.numBuckets
+    import spark.implicits._
+    Seq((n.toLong, spec.numBuckets.toLong, fpb, fpb > maxGroups))
+      .toDF("n_files", "n_buckets", "files_per_bucket", "compact")
+  }
+
   /** Row count for plan-build sizing probes (LSH banding, ANN planes):
     * plan statistics when they are EXACT by construction — Range, a
     * MATERIALIZED cache (whose stats come from its row-count accumulator),

@@ -367,8 +367,14 @@ class MultimodalSpec extends SparkSpecBase {
     val (filesBefore, specBefore) = (files("phcmp_keys"), bucketSpec("phcmp_keys"))
     assert(filesBefore > specBefore.numBuckets,
       s"appends must have produced extra file groups (got $filesBefore)")
+    // the audit that gates the rewrite: after two appends the per-bucket
+    // group count exceeds a tight threshold; after compaction it doesn't
+    def audit() = graft.Engine.bucketFileAudit(spark, "phcmp_keys", maxGroups = 1.5)
+      .head()
+    assert(audit().getBoolean(3), "audit must recommend compaction after appends")
     graft.Engine.compactBucketedTable(spark, "phcmp_keys")
     graft.Engine.compactBucketedTable(spark, "phcmp_sig")
+    assert(!audit().getBoolean(3), "audit must clear after compaction")
     // same rows under the same bucketing — only the file count changed
     assert(bucketSpec("phcmp_keys") == specBefore, "bucket spec must survive compaction")
     assert(files("phcmp_keys") < filesBefore, "compaction must reduce the file count")
