@@ -691,16 +691,8 @@ object Multimodal {
     //    and the oracle recomputes the same signatures from the
     //    closed-form pixels — so the REAL decode, the DCT, the median
     //    threshold, the banding and the hamming refine all hash-gate.
-    "x_mm_phash_dups" -> ((s, d) => {
-      val base = assets(s, d, maxId = 120, onlyMime = Some("image/png"))
-      val all = base.unionByName(perturbedPngTwins(s, d, maxId = 120))
-      val sig = phash(all).select(col("asset_id").as("doc_id"), col("ph").as("sh"))
-      Dedup.simhashCandidatesOf(sig, pairBlocks = true)
-        .select(col("da"), col("db"),
-          expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
-        .filter(col("hamming") <= 6)
-        .orderBy("hamming", "da", "db")
-    }),
+    "x_mm_phash_dups" -> ((s, d) =>
+      phashDupPairs(s, d).orderBy("hamming", "da", "db")),
 
     // -- perceptual dup CLUSTERS: the banded pHash pairs fed into the
     //    SAME star-clustering fixpoint the text pipelines use — every
@@ -726,16 +718,8 @@ object Multimodal {
     //    text, images AND audio. Corpus = WAV assets + planted
     //    +2-gain re-masters; gain shifts both window means equally, so
     //    twins land within a small hamming and the gate is non-vacuous.
-    "x_mm_audio_fp_dups" -> ((s, d) => {
-      val base = assets(s, d, maxId = 120, onlyMime = Some("audio/wav"))
-      val all = base.unionByName(perturbedWavTwins(s, d, maxId = 120))
-      val sig = audioFingerprint(all).select(col("asset_id").as("doc_id"), col("fp").as("sh"))
-      Dedup.simhashCandidatesOf(sig, pairBlocks = true)
-        .select(col("da"), col("db"),
-          expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
-        .filter(col("hamming") <= 6)
-        .orderBy("hamming", "da", "db")
-    }),
+    "x_mm_audio_fp_dups" -> ((s, d) =>
+      audioDupPairs(s, d).orderBy("hamming", "da", "db")),
 
     // -- VIDEO remux dedup: group by the container-invariant stream
     //    signature ([[videoStreamSig]] — real tkhd dims + real stsz
@@ -747,16 +731,79 @@ object Multimodal {
     //    the map-side md5 `sig_h` — fixed-width no matter how long the
     //    clip — and the raw `sig` column is never selected, so column
     //    pruning keeps the unbounded sequence out of the shuffle.
-    "x_mm_video_remux_dups" -> ((s, d) => {
-      val base = assets(s, d, maxId = 200, onlyMime = Some("video/mp4"))
-      val all = base.unionByName(remuxedMp4Twins(s, d, maxId = 200))
-      videoStreamSig(all)
-        .groupBy(col("sig_h").as("h"))
-        .agg(count(lit(1)).as("n"), min("asset_id").as("keeper"))
-        .filter(col("n") > 1)
-        .orderBy("h")
+    "x_mm_video_remux_dups" -> ((s, d) => videoRemuxGroups(s, d).orderBy("h")),
+
+    // -- cross-modality corpus DATASHEET: one row per mime over the SAME
+    //    gate corpora the three perceptual pipelines use — asset counts
+    //    (base + planted) and the dedup-pair mass each modality's
+    //    signature chain finds (video pairs = Σ C(n,2) over stream-sig
+    //    groups). Pure composition of the three factored pipelines plus
+    //    integer counting, so the row is hash-exact end-to-end; the
+    //    one-glance corpus-health report a multimodal crawl reviews
+    //    before training (the x_cur_datasheet shape across modalities).
+    "x_mm_datasheet" -> ((s, d) => {
+      def pairsOf(df: DataFrame, mime: String) =
+        df.agg(count(lit(1)).as("dup_pairs")).select(lit(mime).as("mime"), col("dup_pairs"))
+      val vid = videoRemuxGroups(s, d)
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("dup_pairs"))
+        .select(lit("video/mp4").as("mime"), col("dup_pairs"))
+      val pairs = pairsOf(phashDupPairs(s, d), "image/png")
+        .unionByName(pairsOf(audioDupPairs(s, d), "audio/wav"))
+        .unionByName(vid)
+      val counts = table(s, d, "documents")
+        .select(col("doc_id") % 3 === 0 && col("doc_id") < 120,
+          col("doc_id") % 3 === 1 && col("doc_id") < 120,
+          col("doc_id") % 3 === 2 && col("doc_id") < 200)
+        .toDF("is_img", "is_aud", "is_vid")
+        .agg(sum(when(col("is_img"), 1L).otherwise(0L)).as("ni"),
+          sum(when(col("is_aud"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("is_vid"), 1L).otherwise(0L)).as("nv"))
+        .select(explode(array(
+          struct(lit("image/png").as("mime"), (col("ni") * 2).as("n_assets")),
+          struct(lit("audio/wav").as("mime"), (col("na") * 2).as("n_assets")),
+          struct(lit("video/mp4").as("mime"), (col("nv") * 2).as("n_assets")))).as("r"))
+        .select(col("r.mime"), col("r.n_assets"))
+      counts.join(pairs, Seq("mime")).orderBy("mime")
     })
   )
+
+  /** The perceptual-image dedup pair set (da, db, hamming ≤ 6) over the
+    * gate corpus (PNG assets < 120 + planted +2-brightness twins) —
+    * shared by x_mm_phash_dups and the cross-modality datasheet. */
+  private def phashDupPairs(s: SparkSession, d: String): DataFrame = {
+    val base = assets(s, d, maxId = 120, onlyMime = Some("image/png"))
+    val all = base.unionByName(perturbedPngTwins(s, d, maxId = 120))
+    val sig = phash(all).select(col("asset_id").as("doc_id"), col("ph").as("sh"))
+    Dedup.simhashCandidatesOf(sig, pairBlocks = true)
+      .select(col("da"), col("db"),
+        expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+  }
+
+  /** The perceptual-audio dedup pair set over the gate corpus (WAV
+    * assets < 120 + planted +2-gain re-masters) — shared like
+    * [[phashDupPairs]]. */
+  private def audioDupPairs(s: SparkSession, d: String): DataFrame = {
+    val base = assets(s, d, maxId = 120, onlyMime = Some("audio/wav"))
+    val all = base.unionByName(perturbedWavTwins(s, d, maxId = 120))
+    val sig = audioFingerprint(all).select(col("asset_id").as("doc_id"), col("fp").as("sh"))
+    Dedup.simhashCandidatesOf(sig, pairBlocks = true)
+      .select(col("da"), col("db"),
+        expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+  }
+
+  /** The video remux-dup groups (h = map-side md5 of the stream sig, n,
+    * keeper) over the gate corpus (MP4 assets < 200 + planted free-box
+    * rewraps) — shared like [[phashDupPairs]]. */
+  private def videoRemuxGroups(s: SparkSession, d: String): DataFrame = {
+    val base = assets(s, d, maxId = 200, onlyMime = Some("video/mp4"))
+    val all = base.unionByName(remuxedMp4Twins(s, d, maxId = 200))
+    videoStreamSig(all)
+      .groupBy(col("sig_h").as("h"))
+      .agg(count(lit(1)).as("n"), min("asset_id").as("keeper"))
+      .filter(col("n") > 1)
+  }
 
   val oracle: Map[String, String] = Map(
     "x_mm_meta" ->
@@ -950,33 +997,10 @@ object Multimodal {
     // hamming ≤ 6 (== the banded candidates: pair-of-blocks is
     // hamming ≤ 6 complete and no bucket nears the cap)
     "x_mm_audio_fp_dups" ->
-      s"""WITH ids AS (
-        |  SELECT doc_id AS asset_id, doc_id AS src, 0 AS pert
-        |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 120
-        |  UNION ALL
-        |  SELECT doc_id + $AudioTwinIdOffset, doc_id, 1
-        |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 120),
-        |clips AS (SELECT asset_id, src, pert, CAST(src % 100 + 50 AS BIGINT) n
-        |          FROM ids),
-        |smp AS (SELECT asset_id, n, i,
-        |          CASE WHEN pert = 1
-        |               THEN least((src * 17 + 5 * i) % 256 + 2, 255)
-        |               ELSE (src * 17 + 5 * i) % 256 END AS s
-        |        FROM clips, unnest(generate_series(0, n - 1)) AS ui(i)),
-        |tot AS (SELECT asset_id, sum(s) AS total, count(*) AS n
-        |        FROM smp GROUP BY asset_id),
-        |win AS (SELECT asset_id, (i * 64) // n AS w,
-        |               sum(s) AS sm, count(*) AS cnt
-        |        FROM smp GROUP BY asset_id, (i * 64) // n),
-        |fp AS (SELECT w.asset_id,
-        |              CAST(sum(CASE WHEN w.w >= 1 AND w.sm * t.n > t.total * w.cnt
-        |                            THEN (1::BIGINT << CAST(w.w - 1 AS INT))
-        |                            ELSE 0 END) AS BIGINT) AS sh
-        |       FROM win w JOIN tot t USING (asset_id)
-        |       GROUP BY w.asset_id)
+      s"""WITH $audioFpCte
         |SELECT a.asset_id AS da, b.asset_id AS db,
         |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-        |FROM fp a JOIN fp b ON a.asset_id < b.asset_id
+        |FROM afp a JOIN afp b ON a.asset_id < b.asset_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 6
         |ORDER BY hamming, da, db""".stripMargin,
 
@@ -985,27 +1009,94 @@ object Multimodal {
     // Spark side; the remuxed twin shares its source's signature by
     // construction, so every group is {src, src + offset}
     "x_mm_video_remux_dups" ->
-      s"""WITH ids AS (
-        |  SELECT doc_id AS asset_id, doc_id AS src
-        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 200
-        |  UNION ALL
-        |  SELECT doc_id + $VideoTwinIdOffset, doc_id
-        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 200),
-        |v AS (SELECT asset_id, src,
-        |        CAST(src % 320 + 16 AS BIGINT) w, CAST(src % 240 + 16 AS BIGINT) h,
-        |        CAST(src % 28 + 3 AS BIGINT) n
-        |      FROM ids),
-        |sz AS (SELECT asset_id, w, h, i,
-        |         CAST((src * 7 + 3 * i) % 64 + 1 AS BIGINT) AS s
-        |       FROM v, unnest(generate_series(0, n - 1)) AS ui(i)),
-        |sig AS (SELECT asset_id,
-        |          CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' ||
-        |            string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS sig
-        |        FROM sz GROUP BY asset_id, w, h)
+      s"""WITH $videoSigCte
         |SELECT md5(sig) AS h, CAST(count(*) AS BIGINT) AS n,
         |       min(asset_id) AS keeper
-        |FROM sig GROUP BY md5(sig) HAVING count(*) > 1 ORDER BY h""".stripMargin
+        |FROM vsig GROUP BY md5(sig) HAVING count(*) > 1 ORDER BY h""".stripMargin,
+
+    // the three signature chains composed (shared CTE vals — zero
+    // drift possible), reduced to per-mime integer masses: base+planted
+    // asset counts and the dedup-pair totals each chain finds (video
+    // pairs = Σ C(n,2) over same-signature groups)
+    "x_mm_datasheet" ->
+      s"""WITH $phashCte,
+        |$audioFpCte,
+        |$videoSigCte,
+        |imgp AS (SELECT CAST(count(*) AS BIGINT) c FROM ph a
+        |         JOIN ph b ON a.asset_id < b.asset_id
+        |         WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+        |audp AS (SELECT CAST(count(*) AS BIGINT) c FROM afp a
+        |         JOIN afp b ON a.asset_id < b.asset_id
+        |         WHERE bit_count(xor(a.sh, b.sh)) <= 6),
+        |vidp AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) AS BIGINT) c
+        |         FROM (SELECT count(*) n FROM vsig GROUP BY sig HAVING count(*) > 1)),
+        |cnt AS (SELECT
+        |   CAST(2 * count(CASE WHEN doc_id % 3 = 0 AND doc_id < 120 THEN 1 END) AS BIGINT) ni,
+        |   CAST(2 * count(CASE WHEN doc_id % 3 = 1 AND doc_id < 120 THEN 1 END) AS BIGINT) na,
+        |   CAST(2 * count(CASE WHEN doc_id % 3 = 2 AND doc_id < 200 THEN 1 END) AS BIGINT) nv
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'image/png' AS mime, cnt.ni AS n_assets, imgp.c AS dup_pairs
+        |  FROM cnt, imgp
+        |  UNION ALL
+        |  SELECT 'audio/wav', cnt.na, audp.c FROM cnt, audp
+        |  UNION ALL
+        |  SELECT 'video/mp4', cnt.nv, vidp.c FROM cnt, vidp)
+        |ORDER BY mime""".stripMargin
   )
+
+  /** The shared audio-fingerprint oracle chain (planted-twin ids →
+    * closed-form PCM → 64-window integer energy profile →
+    * `afp(asset_id, sh)`) — stated once, composed by the audio-dedup
+    * gate and the datasheet. */
+  private lazy val audioFpCte: String =
+    s"""a_ids AS (
+      |  SELECT doc_id AS asset_id, doc_id AS src, 0 AS pert
+      |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 120
+      |  UNION ALL
+      |  SELECT doc_id + $AudioTwinIdOffset, doc_id, 1
+      |  FROM documents WHERE doc_id % 3 = 1 AND doc_id < 120),
+      |a_clips AS (SELECT asset_id, src, pert, CAST(src % 100 + 50 AS BIGINT) n
+      |          FROM a_ids),
+      |a_smp AS (SELECT asset_id, n, i,
+      |          CASE WHEN pert = 1
+      |               THEN least((src * 17 + 5 * i) % 256 + 2, 255)
+      |               ELSE (src * 17 + 5 * i) % 256 END AS s
+      |        FROM a_clips, unnest(generate_series(0, n - 1)) AS ui(i)),
+      |a_tot AS (SELECT asset_id, sum(s) AS total, count(*) AS n
+      |        FROM a_smp GROUP BY asset_id),
+      |a_win AS (SELECT asset_id, (i * 64) // n AS w,
+      |               sum(s) AS sm, count(*) AS cnt
+      |        FROM a_smp GROUP BY asset_id, (i * 64) // n),
+      |afp AS (SELECT w.asset_id,
+      |              CAST(sum(CASE WHEN w.w >= 1 AND w.sm * t.n > t.total * w.cnt
+      |                            THEN (1::BIGINT << CAST(w.w - 1 AS INT))
+      |                            ELSE 0 END) AS BIGINT) AS sh
+      |       FROM a_win w JOIN a_tot t USING (asset_id)
+      |       GROUP BY w.asset_id)""".stripMargin
+
+  /** The shared video stream-signature oracle chain (planted-remux ids
+    * → closed-form tkhd dims + stsz sequence → `vsig(asset_id, sig)`)
+    * — stated once, composed by the remux-dedup gate and the
+    * datasheet. */
+  private lazy val videoSigCte: String =
+    s"""v_ids AS (
+      |  SELECT doc_id AS asset_id, doc_id AS src
+      |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 200
+      |  UNION ALL
+      |  SELECT doc_id + $VideoTwinIdOffset, doc_id
+      |  FROM documents WHERE doc_id % 3 = 2 AND doc_id < 200),
+      |v_dims AS (SELECT asset_id, src,
+      |        CAST(src % 320 + 16 AS BIGINT) w, CAST(src % 240 + 16 AS BIGINT) h,
+      |        CAST(src % 28 + 3 AS BIGINT) n
+      |      FROM v_ids),
+      |v_sz AS (SELECT asset_id, w, h, i,
+      |         CAST((src * 7 + 3 * i) % 64 + 1 AS BIGINT) AS s
+      |       FROM v_dims, unnest(generate_series(0, n - 1)) AS ui(i)),
+      |vsig AS (SELECT asset_id,
+      |          CAST(w AS VARCHAR) || 'x' || CAST(h AS VARCHAR) || ':' ||
+      |            string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS sig
+      |        FROM v_sz GROUP BY asset_id, w, h)""".stripMargin
 
   /** The shared pHash oracle chain (documents → planted twin ids →
     * closed-form pixels → quantized DCT basis → separable folds →
