@@ -164,6 +164,17 @@ object ScaleBench {
     def phashIncrement(s: SparkSession, d: String) =
       graft.queries.Multimodal.perturbedPngTwins(s, d, maxId = 120)
 
+    // the FIXED 50-query hybrid probe set: base-corpus doc prefixes as
+    // the lexical terms joined to the matching base embeddings — query
+    // mass constant across scales (the phashIncrement pattern), so the
+    // hybrid_search exponent isolates index-size sensitivity
+    def hybridQueries(s: SparkSession, qd: String): DataFrame =
+      s.read.parquet(s"$qd/documents.parquet").filter(col("doc_id") < 50)
+        .select(col("doc_id").as("qid"),
+          expr("slice(split(text, ' '), 1, 3)").as("terms"))
+        .join(s.read.parquet(s"$qd/embeddings.parquet").filter(col("vec_id") < 50)
+          .select(col("vec_id").as("qid"), col("embedding")), Seq("qid"))
+
     val pipelines: Seq[(String, Seq[Int], (SparkSession, String, Int) => Unit)] = Seq(
       // between the two timed runs the memo is invalidated so both pay
       // the full multi-round build (the memoized labels then stay warm
@@ -187,6 +198,20 @@ object ScaleBench {
         graft.queries.Similarity
           .ivf2SearchAgainstIndex(s, d, s"scale_ivf2_x$m", nprobeC = 2, nprobeF = 4)
           .collect()
+        ()
+      }),
+      // the round-12 serving family: the lexical index build scales
+      // with the document corpus (a posting explode into three bucketed
+      // writes); the hybrid probe runs a FIXED 50-query set against the
+      // m×-grown bm25 + ivf2 indexes — like the phash probes it
+      // measures how serving cost tracks index size (near-flat is the
+      // design claim: term-bucket pruning ⊕ centroid-pruned postings,
+      // fusion O(queries × 2k) regardless of corpus)
+      ("bm25_index_build", scales, (s, d, m) =>
+        graft.queries.TextAnalysis.writeBm25Index(s, d, s"scale_bm_x$m")),
+      ("hybrid_search", baseScales, (s, d, m) => {
+        graft.queries.TextAnalysis.hybridSearchOf(
+          hybridQueries(s, base), s"scale_bm_x$m", s"scale_ivf2_x$m").collect()
         ()
       }),
       ("pack_shards", scales, (s, d, m) => {
@@ -213,6 +238,13 @@ object ScaleBench {
           phashIncrement(s, d), s"scale_ph_x$m").collect()
         ()
       }),
+      // compaction is a full bucketed rewrite — LINEAR in index size BY
+      // DESIGN (that is the amortization bargain: one O(index) rewrite
+      // buys back per-append file accumulation); the measurement pins
+      // that it is linear-not-worse, i.e. the staging write introduces
+      // no extra shuffle on top of the bucket-aligned repartition
+      ("phash_compaction", scales, (s, d, m) =>
+        graft.Engine.compactBucketedTable(s, s"scale_ph_x${m}_keys")),
       // the events family: per-user windows (as-of, conversion,
       // sessions) and the bucketed non-equi range join — growth is
       // fresh users over the same time range, so these measure how the
@@ -253,23 +285,30 @@ object ScaleBench {
         noop(graft.queries.Dedup.queries("x_dedup_rewrite")(spark, warm))
       if (active("bm25"))
         noop(graft.queries.TextAnalysis.queries("x_text_bm25")(spark, warm))
-      if (active("ivf2_build") || active("ivf2_search")) {
+      if (active("ivf2_build") || active("ivf2_search") || active("hybrid_search")) {
         graft.queries.Similarity.writeIvf2Index(spark, warm, "scale_warm")
         graft.queries.Similarity
           .ivf2SearchAgainstIndex(spark, warm, "scale_warm", nprobeC = 2, nprobeF = 4)
           .collect()
       }
+      if (active("bm25_index_build") || active("hybrid_search"))
+        graft.queries.TextAnalysis.writeBm25Index(spark, warm, "scale_bm_warm")
+      if (active("hybrid_search"))
+        graft.queries.TextAnalysis.hybridSearchOf(
+          hybridQueries(spark, warm), "scale_bm_warm", "scale_warm").collect()
       if (active("pack_shards"))
         graft.queries.Curation.writeShards(
           graft.queries.Curation.queries("x_cur_pipeline")(spark, warm),
           s"$workDir/shards_warm")
       if (active("phash_index_build") || active("phash_ingest_probe") ||
-          active("phash_bucketed_probe")) {
+          active("phash_bucketed_probe") || active("phash_compaction")) {
         graft.queries.Multimodal.writePhashIndex(spark, warm, "scale_ph_warm")
         graft.queries.Multimodal.incrementalPhashDupsAgainstIndex(
           phashIncrement(spark, warm), "scale_ph_warm").collect()
         graft.queries.Multimodal.incrementalPhashDupsAgainstBucketedIndex(
           phashIncrement(spark, warm), "scale_ph_warm").collect()
+        if (active("phash_compaction"))
+          graft.Engine.compactBucketedTable(spark, "scale_ph_warm_keys")
       }
       for (q <- Seq("x_events_asof", "x_events_conversion",
           "x_events_sessions", "x_events_range_join") if active(q.stripPrefix("x_")))
@@ -278,6 +317,8 @@ object ScaleBench {
         spark.sql(s"DROP TABLE IF EXISTS scale_warm$t")
       for (t <- Seq("_sig", "_keys"))
         spark.sql(s"DROP TABLE IF EXISTS scale_ph_warm$t")
+      for (t <- Seq("_tf", "_dl", "_stats"))
+        spark.sql(s"DROP TABLE IF EXISTS scale_bm_warm$t")
       println("SCALE warmup complete (sf0.01)")
     }
 
@@ -298,6 +339,8 @@ object ScaleBench {
         spark.sql(s"DROP TABLE IF EXISTS scale_ivf2_x$m$t")
       for (t <- Seq("_sig", "_keys"))
         spark.sql(s"DROP TABLE IF EXISTS scale_ph_x$m$t")
+      for (t <- Seq("_tf", "_dl", "_stats"))
+        spark.sql(s"DROP TABLE IF EXISTS scale_bm_x$m$t")
     }
 
     def tailExp(pts: Seq[(Int, Double)]): Double = {
@@ -309,18 +352,43 @@ object ScaleBench {
     // a comma-decimal locale would render 2,823 — invalid JSON
     def d3(x: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
-    val pipelineJson = results.map { case (name, pts) =>
+    // a TARGETED run (pipelineFilter set) merges into an existing
+    // outJson — re-measured pipelines replace their entries, everything
+    // else carries over verbatim, and "worst" spans the merged set — so
+    // adding one pipeline never silently discards the full sweep
+    val kept: Seq[(String, String, Double)] =
+      if (filterSet.isDefined && new java.io.File(outJson).exists()) {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val p = mapper.readTree(new java.io.File(outJson)).get("pipelines")
+        if (p == null) Seq.empty
+        else {
+          val it = p.fields()
+          val buf = scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+          while (it.hasNext) {
+            val e = it.next()
+            if (!results.contains(e.getKey))
+              buf += ((e.getKey, e.getValue.toString,
+                e.getValue.get("tail_exponent").asDouble))
+          }
+          buf.toSeq
+        }
+      } else Seq.empty
+    val fresh = results.toSeq.map { case (name, pts) =>
       val secsJson = pts.map { case (m, t) => s""""$m":${d3(t)}""" }.mkString(",")
-      s""""$name":{"secs":{$secsJson},"exponent":${d3(exponent(pts))},""" +
-        s""""tail_exponent":${d3(tailExp(pts))}}"""
-    }.mkString(",")
-    val worst = results.map { case (n, pts) => n -> tailExp(pts) }.maxBy(_._2)
+      (name,
+        s"""{"secs":{$secsJson},"exponent":${d3(exponent(pts))},""" +
+          s""""tail_exponent":${d3(tailExp(pts))}}""",
+        tailExp(pts))
+    }
+    val merged = kept ++ fresh
+    val pipelineJson = merged.map { case (n, js, _) => s""""$n":$js""" }.mkString(",")
+    val worst = merged.maxBy(_._3)
     val json = s"""{"metric":"scale_exponents","base":"$base",""" +
       s""""scales":[${scales.mkString(",")}],""" +
       s""""base_rows":{"documents":${spark.read.parquet(s"$base/documents.parquet").count()},""" +
       s""""embeddings":${spark.read.parquet(s"$base/embeddings.parquet").count()}},""" +
       s""""pipelines":{$pipelineJson},""" +
-      s""""worst":{"pipeline":"${worst._1}","exponent":${d3(worst._2)}}}"""
+      s""""worst":{"pipeline":"${worst._1}","exponent":${d3(worst._3)}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
