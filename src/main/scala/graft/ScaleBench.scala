@@ -77,38 +77,48 @@ object ScaleBench {
   private def deriveEmbeddings(s: SparkSession, base: String, out: String, m: Int): Unit = {
     val emb = s.read.parquet(s"$base/embeddings.parquet")
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
-    val copies = (0 until m).map { k =>
-      if (k == 0) emb
-      else {
-        // deterministic ±1 reflection mask for copy k (any fixed hash
-        // works — no oracle reads this data)
-        val mask = Array.tabulate(dims)(j =>
-          if (((k.toLong * 2654435761L + j * 40503L) >>> 7) % 2 == 0) 1.0f else -1.0f)
-        val maskSql = mask.mkString("array(", "F, ", "F)")
-        emb.select(
-          (col("vec_id") + lit(k * Stride)).as("vec_id"),
-          expr(s"zip_with(embedding, $maskSql, (x, s) -> x * s)").as("embedding"),
-          col("label"))
+    // chunked like deriveDocuments: a 256-branch union pays quadratic
+    // analysis cost; 16-branch chunks append to an identical result
+    var first = true
+    (0 until m).grouped(16).foreach { ks =>
+      val copies = ks.map { k =>
+        if (k == 0) emb
+        else {
+          // deterministic ±1 reflection mask for copy k (any fixed hash
+          // works — no oracle reads this data)
+          val mask = Array.tabulate(dims)(j =>
+            if (((k.toLong * 2654435761L + j * 40503L) >>> 7) % 2 == 0) 1.0f else -1.0f)
+          val maskSql = mask.mkString("array(", "F, ", "F)")
+          emb.select(
+            (col("vec_id") + lit(k * Stride)).as("vec_id"),
+            expr(s"zip_with(embedding, $maskSql, (x, s) -> x * s)").as("embedding"),
+            col("label"))
+        }
       }
+      copies.reduce(_ unionByName _)
+        .write.mode(if (first) "overwrite" else "append").parquet(s"$out/embeddings.parquet")
+      first = false
     }
-    copies.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
   private def deriveEvents(s: SparkSession, base: String, out: String, m: Int): Unit = {
     val ev = s.read.parquet(s"$base/events.parquet")
-    val copies = (0 until m).map { k =>
-      if (k == 0) ev
-      else ev.select(
-        (col("event_id") + lit(k * Stride)).as("event_id"), col("ts"),
-        // fresh user population per copy, same time range — how an event
-        // stream actually grows (more concurrent users, not longer
-        // history); per-user windows/joins then scale across keys
-        (col("user_id") + lit(k * Stride)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
+    var first = true
+    (0 until m).grouped(16).foreach { ks =>
+      val copies = ks.map { k =>
+        if (k == 0) ev
+        else ev.select(
+          (col("event_id") + lit(k * Stride)).as("event_id"), col("ts"),
+          // fresh user population per copy, same time range — how an event
+          // stream actually grows (more concurrent users, not longer
+          // history); per-user windows/joins then scale across keys
+          (col("user_id") + lit(k * Stride)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode(if (first) "overwrite" else "append").parquet(s"$out/events.parquet")
+      first = false
     }
-    copies.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
   }
 
   private def timed(f: => Unit): Double = {
@@ -135,24 +145,18 @@ object ScaleBench {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val workDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val outJson = if (args.length > 2) args(2) else "SCALE_r12.json"
-    // 256× (1.28M docs) is measured for the document-only pipelines —
-    // the three heaviest plus the perceptual image family (its assets
-    // derive from documents) — the extra octave the 100× claim rests
-    // on; embeddings/events pipelines stop at 64× (not derived at 256)
+    // every family is measured through 256× (1.28M docs / 512k vectors
+    // / 25.6M events) — the extra octave the 100× claim rests on
     val scales = Seq(1, 4, 16, 64, 256)
-    val docOnlyAbove = 64
-    val baseScales = scales.filter(_ <= docOnlyAbove)
     val spark = Engine.session()
 
     val dirs: Map[Int, String] = scales.map { m =>
       val dir = if (m == 1) base else s"$workDir/x$m"
       if (m > 1 && !new java.io.File(s"$dir/documents.parquet").exists())
         deriveDocuments(spark, base, dir, m)
-      if (m > 1 && m <= docOnlyAbove &&
-          !new java.io.File(s"$dir/embeddings.parquet").exists())
+      if (m > 1 && !new java.io.File(s"$dir/embeddings.parquet").exists())
         deriveEmbeddings(spark, base, dir, m)
-      if (m > 1 && m <= docOnlyAbove &&
-          !new java.io.File(s"$dir/events.parquet").exists())
+      if (m > 1 && !new java.io.File(s"$dir/events.parquet").exists())
         deriveEvents(spark, base, dir, m)
       m -> dir
     }.toMap
@@ -186,15 +190,15 @@ object ScaleBench {
       }),
       ("dedup_rewrite", scales, (s, d, _) =>
         noop(graft.queries.Dedup.queries("x_dedup_rewrite")(s, d))),
-      ("bm25", baseScales, (s, d, _) =>
+      ("bm25", scales, (s, d, _) =>
         noop(graft.queries.TextAnalysis.queries("x_text_bm25")(s, d))),
       // invalidate the fit memo so BOTH timed runs pay the Lloyd fit,
       // not just the first (same reasoning as the cluster memo)
-      ("ivf2_build", baseScales, (s, d, m) => {
+      ("ivf2_build", scales, (s, d, m) => {
         graft.queries.Similarity.invalidateIvfIndex(s, d)
         graft.queries.Similarity.writeIvf2Index(s, d, s"scale_ivf2_x$m")
       }),
-      ("ivf2_search", baseScales, (s, d, m) => {
+      ("ivf2_search", scales, (s, d, m) => {
         graft.queries.Similarity
           .ivf2SearchAgainstIndex(s, d, s"scale_ivf2_x$m", nprobeC = 2, nprobeF = 4)
           .collect()
@@ -209,7 +213,7 @@ object ScaleBench {
       // fusion O(queries × 2k) regardless of corpus)
       ("bm25_index_build", scales, (s, d, m) =>
         graft.queries.TextAnalysis.writeBm25Index(s, d, s"scale_bm_x$m")),
-      ("hybrid_search", baseScales, (s, d, m) => {
+      ("hybrid_search", scales, (s, d, m) => {
         graft.queries.TextAnalysis.hybridSearchOf(
           hybridQueries(s, base), s"scale_bm_x$m", s"scale_ivf2_x$m").collect()
         ()
@@ -249,13 +253,13 @@ object ScaleBench {
       // sessions) and the bucketed non-equi range join — growth is
       // fresh users over the same time range, so these measure how the
       // user-partitioned shapes scale across keys
-      ("events_asof", baseScales, (s, d, _) =>
+      ("events_asof", scales, (s, d, _) =>
         noop(graft.queries.Events.queries("x_events_asof")(s, d))),
-      ("events_conversion", baseScales, (s, d, _) =>
+      ("events_conversion", scales, (s, d, _) =>
         noop(graft.queries.Events.queries("x_events_conversion")(s, d))),
-      ("events_sessions", baseScales, (s, d, _) =>
+      ("events_sessions", scales, (s, d, _) =>
         noop(graft.queries.Events.queries("x_events_sessions")(s, d))),
-      ("events_range_join", baseScales, (s, d, _) =>
+      ("events_range_join", scales, (s, d, _) =>
         noop(graft.queries.Events.queries("x_events_range_join")(s, d)))
     )
 
