@@ -108,13 +108,21 @@ object Engine {
 
   /** The WHEN for [[compactBucketedTable]] — the ivf2DriftAudit pattern
     * applied to file hygiene: one row `(n_files, n_buckets,
-    * files_per_bucket, compact)` with `compact = files_per_bucket >
-    * maxGroups`. Each append adds ~one group per bucket, so
-    * files_per_bucket ≈ appends since the last compaction; the default
-    * threshold tolerates a few days of crawl before paying the rewrite.
-    * Cost: ONE filesystem listing of the table location (file names
-    * only, no data IO) — cheap at any scale next to the rewrite it
-    * gates. */
+    * files_per_bucket, max_bucket_files, compact)` with `compact =
+    * max_bucket_files > maxGroups`. The verdict reads the PER-BUCKET
+    * MAXIMUM, not the mean (`n_files / n_buckets`): a bucket-pruned
+    * probe pays every file group of the buckets it touches, and on a
+    * SPARSE-key table (an ANN postings table with a few dozen cells
+    * hashing into 5 of 32 buckets) three appends read as a mean of
+    * ~0.5 groups while each touched bucket actually holds 3 — the mean
+    * under-recommends exactly where probes hurt. Bucket ids parse from
+    * the file names Spark's bucketed writer emits (`…_NNNNN.c…`), so
+    * the group count is exact, not inferred. Each append adds ~one
+    * group per covered bucket: max_bucket_files ≈ appends since the
+    * last compaction; the default threshold tolerates a few days of
+    * crawl before paying the rewrite. Cost: ONE filesystem listing of
+    * the table location (file names only, no data IO) — cheap at any
+    * scale next to the rewrite it gates. */
   def bucketFileAudit(spark: SparkSession, table: String,
       maxGroups: Double = 4.0): org.apache.spark.sql.DataFrame = {
     val meta = spark.sessionState.catalog
@@ -123,12 +131,18 @@ object Engine {
       s"$table is not bucketed — nothing to audit"))
     val path = new org.apache.hadoop.fs.Path(meta.location)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val n = fs.listStatus(path)
-      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    val fpb = n.toDouble / spec.numBuckets
+    val names = fs.listStatus(path)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSeq
+    val bucketId = "_(\\d+)\\.c".r
+    val maxG =
+      if (names.isEmpty) 0L
+      else names.groupBy(f => bucketId.findFirstMatchIn(f).map(_.group(1)).getOrElse(f))
+        .valuesIterator.map(_.size).max.toLong
+    val fpb = names.size.toDouble / spec.numBuckets
     import spark.implicits._
-    Seq((n.toLong, spec.numBuckets.toLong, fpb, fpb > maxGroups))
-      .toDF("n_files", "n_buckets", "files_per_bucket", "compact")
+    Seq((names.size.toLong, spec.numBuckets.toLong, fpb, maxG, maxG > maxGroups))
+      .toDF("n_files", "n_buckets", "files_per_bucket", "max_bucket_files", "compact")
   }
 
   /** Row count for plan-build sizing probes (LSH banding, ANN planes):

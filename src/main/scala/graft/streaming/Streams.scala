@@ -256,6 +256,32 @@ object Streams {
       sink(graft.queries.TextAnalysis.bm25SearchOf(batch.toDF(), tablePrefix, k), batchId)
     }
 
+  /** Streaming BM25 INGEST — the index-MAINTENANCE twin of
+    * [[bm25Search]]: each micro-batch of new (doc_id, text) documents
+    * folds into the persisted lexical index via
+    * TextAnalysis.appendBm25Postings — postings and lengths shuffle
+    * into the existing bucket layouts (no existing file rewritten),
+    * the 1-row stats table recomputes from the union lengths. Because
+    * df and stats derive from the union postings at QUERY time, the
+    * index after any batching of the same rows is score-identical to a
+    * one-shot rebuild over the union corpus (StreamsSpec pins stream ==
+    * rebuild) — the lexical side needs no drift audit, unlike the ANN
+    * fits; its only maintenance debt is file accumulation, cured by
+    * Engine.compactBucketedTable under the bucketFileAudit gate.
+    * Caller contract (inherited from appendBm25Postings): batches carry
+    * only not-yet-indexed doc_ids. The sink sees each batch after its
+    * append commits. */
+  def bm25Ingest(docs: DataFrame, tablePrefix: String)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val b = batch.toDF()
+      // an empty micro-batch must not add empty file groups per bucket
+      // (they would count against the bucketFileAudit for zero rows)
+      if (!b.isEmpty)
+        graft.queries.TextAnalysis.appendBm25Postings(b.sparkSession, tablePrefix, b)
+      sink(b, batchId)
+    }
+
   /** Streaming HYBRID serving — the [[bm25Search]]/[[annSearch]]
     * composition over BOTH persisted indexes: micro-batched
     * (qid, terms, embedding) query rows probe the term-bucketed BM25

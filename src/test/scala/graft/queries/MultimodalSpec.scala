@@ -371,10 +371,10 @@ class MultimodalSpec extends SparkSpecBase {
     // group count exceeds a tight threshold; after compaction it doesn't
     def audit() = graft.Engine.bucketFileAudit(spark, "phcmp_keys", maxGroups = 1.5)
       .head()
-    assert(audit().getBoolean(3), "audit must recommend compaction after appends")
+    assert(audit().getBoolean(4), "audit must recommend compaction after appends")
     graft.Engine.compactBucketedTable(spark, "phcmp_keys")
     graft.Engine.compactBucketedTable(spark, "phcmp_sig")
-    assert(!audit().getBoolean(3), "audit must clear after compaction")
+    assert(!audit().getBoolean(4), "audit must clear after compaction")
     // same rows under the same bucketing — only the file count changed
     assert(bucketSpec("phcmp_keys") == specBefore, "bucket spec must survive compaction")
     assert(files("phcmp_keys") < filesBefore, "compaction must reduce the file count")

@@ -330,6 +330,59 @@ class SimilaritySpec extends SparkSpecBase {
       "appended-index search must equal the frozen-fit union search")
   }
 
+  test("ivf2 postings compaction: appended file groups collapse, search rows unchanged") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("ivf2cmp_coarse", "ivf2cmp_fine", "ivf2cmp_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    // freeze the fit over a strict subset, then two daily-crawl appends —
+    // each adds its own file group per covered bucket (the generic
+    // bucketed-append tax the compaction exists to cure)
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf2cmp").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 300)
+      .write.parquet(s"$base/embeddings.parquet")
+    Similarity.writeIvf2Index(spark, base, "ivf2cmp")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").select("vec_id", "embedding")
+    Similarity.appendIvf2Postings(spark, "ivf2cmp",
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 700))
+    Similarity.appendIvf2Postings(spark, "ivf2cmp", emb.filter(col("vec_id") >= 700))
+    def search() = Similarity
+      .ivf2SearchAgainstIndex(spark, sf, "ivf2cmp", nprobeC = 2, nprobeF = 4)
+      .collect().toSeq
+    val beforeRows = search()
+    assert(beforeRows.nonEmpty)
+    def files(t: String): Int =
+      Option(new java.io.File(warehouse, t).listFiles()).map(
+        _.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    def bucketSpec(t: String) = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).bucketSpec.get
+    val (filesBefore, specBefore) = (files("ivf2cmp_postings"), bucketSpec("ivf2cmp_postings"))
+    def audit() = graft.Engine.bucketFileAudit(spark, "ivf2cmp_postings", maxGroups = 1.5).head()
+    // SPARSE-key regression: the few fine cells hash into a handful of
+    // the 32 buckets, so the MEAN files-per-bucket stays below 1 even
+    // after two appends — only the per-bucket MAX sees the 3 groups a
+    // pruned probe actually opens
+    assert(audit().getLong(3) >= 2,
+      s"appends must stack >= 2 groups on some bucket (audit: ${audit()})")
+    assert(audit().getDouble(2) < 1.5,
+      "mean files-per-bucket must stay under the threshold here — the sparse case " +
+        "the per-bucket max exists for (else this test stops covering it)")
+    assert(audit().getBoolean(4), "audit must recommend compaction after two appends")
+    graft.Engine.compactBucketedTable(spark, "ivf2cmp_postings")
+    assert(!audit().getBoolean(4), "audit must clear after compaction")
+    assert(bucketSpec("ivf2cmp_postings") == specBefore,
+      "bucket+sort spec must survive compaction")
+    assert(files("ivf2cmp_postings") < filesBefore,
+      s"compaction must reduce the file count (was $filesBefore)")
+    assert(files("ivf2cmp_postings") <= specBefore.numBuckets,
+      "compacted postings are at most one file per bucket")
+    assert(search() == beforeRows, "compaction changed search verdicts")
+    for (t <- Seq("ivf2cmp_coarse", "ivf2cmp_fine", "ivf2cmp_postings"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("ivf2 drift audit: imbalance grows with appended mass until the refit verdict flips") {
     import org.apache.spark.sql.functions._
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath

@@ -379,6 +379,53 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(appended == got, "append must score exactly like the full-corpus index")
   }
 
+  test("bm25 index compaction: appended file groups collapse, search rows unchanged") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("_tf", "_dl", "_stats")) {
+      spark.sql(s"DROP TABLE IF EXISTS bmcmp$t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, "bmcmp" + t))
+    }
+    // index the first 300 docs, then two daily-crawl appends covering
+    // the rest — each append adds its own file group per bucket to the
+    // postings and lengths tables (the generic bucketed-append tax)
+    val docs = graft.Engine.table(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-bmcmp").toString
+    docs.filter(col("doc_id") < 300).write.parquet(s"$base/documents.parquet")
+    TextAnalysis.writeBm25Index(spark, base, "bmcmp")
+    TextAnalysis.appendBm25Postings(spark, "bmcmp",
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 400).select("doc_id", "text"))
+    TextAnalysis.appendBm25Postings(spark, "bmcmp",
+      docs.filter(col("doc_id") >= 400).select("doc_id", "text"))
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), expr("slice(split(text, ' '), 1, 3)").as("terms"))
+    def search() = TextAnalysis.bm25SearchOf(queries, "bmcmp").collect().toSeq
+    val before = search()
+    assert(before == TextAnalysis.queries("x_text_bm25")(spark, sf).collect().toSeq,
+      "appended index must score like the full-corpus query before compaction")
+    def files(t: String): Int =
+      Option(new java.io.File(warehouse, t).listFiles()).map(
+        _.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    def bucketSpec(t: String) = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).bucketSpec.get
+    val (filesBefore, specBefore) = (files("bmcmp_tf"), bucketSpec("bmcmp_tf"))
+    assert(filesBefore > specBefore.numBuckets,
+      s"appends must have produced extra file groups (got $filesBefore)")
+    assert(specBefore.sortColumnNames == Seq("w"),
+      "postings table must be term-sorted before compaction (else the pin is vacuous)")
+    def audit() = graft.Engine.bucketFileAudit(spark, "bmcmp_tf", maxGroups = 1.5).head()
+    assert(audit().getBoolean(4), "audit must recommend compaction after two appends")
+    graft.Engine.compactBucketedTable(spark, "bmcmp_tf")
+    graft.Engine.compactBucketedTable(spark, "bmcmp_dl")
+    assert(!audit().getBoolean(4), "audit must clear after compaction")
+    // same rows under the same bucket AND sort spec — only file count changed
+    assert(bucketSpec("bmcmp_tf") == specBefore, "bucket+sort spec must survive compaction")
+    assert(files("bmcmp_tf") <= specBefore.numBuckets,
+      "compacted postings are at most one file per bucket")
+    assert(search() == before, "compaction changed search rows")
+    for (t <- Seq("_tf", "_dl", "_stats")) spark.sql(s"DROP TABLE IF EXISTS bmcmp$t")
+  }
+
   test("cms heavy hitters: estimates never undercount, bounded over, sketch agg partial") {
     val df = TextAnalysis.queries("x_text_heavy_hitters")(spark, sf)
     val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -810,6 +810,45 @@ class StreamsSpec extends SparkSpecBase {
     assert(got.size == expected.size, "a verdict was emitted twice across batches")
   }
 
+  test("streaming bm25 ingest: micro-batched appends leave a score-exact index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("sbi_bm25_tf", "sbi_bm25_dl", "sbi_bm25_stats")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    // seed with a 300-doc backfill index, then stream the rest of the
+    // corpus in two micro-batches
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-sbi").toString
+    docs.filter(col("doc_id") < 300).write.parquet(s"$base/documents.parquet")
+    graft.queries.TextAnalysis.writeBm25Index(spark, base, "sbi_bm25")
+    val rest = docs.filter(col("doc_id") >= 300)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val in = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Streams.bm25Ingest(in.toDF().toDF("doc_id", "text"), "sbi_bm25") {
+      (batch, _) => seen.synchronized { seen += batch.count() }; ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.sum == rest.length, "every streamed doc must reach an append")
+    // after the drain the index serves EXACTLY the full-corpus scores —
+    // not approximately-stale ones (df/stats derive from union postings)
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), expr("slice(split(text, ' '), 1, 3)").as("terms"))
+    val got = graft.queries.TextAnalysis.bm25SearchOf(queries, "sbi_bm25").collect().toSeq
+    val want = graft.queries.TextAnalysis.queries("x_text_bm25")(spark, sf).collect().toSeq
+    assert(got == want, "streamed index must score exactly like the full-corpus query")
+    for (t <- Seq("sbi_bm25_tf", "sbi_bm25_dl", "sbi_bm25_stats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("streaming hybrid serving: micro-batched queries emit the one-shot fused verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
