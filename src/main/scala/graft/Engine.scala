@@ -76,22 +76,7 @@ object Engine {
       s"$table is not bucketed — compaction is the bucketed-append cure"))
     val staging = s"${table}__compact"
     reclaimManagedTable(spark, staging)
-    // read the table's FILES as plain parquet, deliberately bypassing
-    // the catalog's bucketing metadata: reading through the bucketed
-    // table lets the planner judge the explicit repartition below
-    // redundant (the scan claims the same HashPartitioning) and then
-    // auto-disable the bucketed scan anyway — leaving file-split
-    // partitions whose write emits one file group PER TASK, i.e. no
-    // compaction at all (observed: a 57-file table "compacting" to 57).
-    // A plain-parquet scan has no partitioning claim, so the
-    // repartition stands.
-    val raw = spark.read.schema(meta.schema).parquet(meta.location.toString)
-    // repartition on the bucket columns with the bucket count: Spark's
-    // repartition hashing (pmod(murmur3, n)) IS the bucket-file
-    // assignment, so each write task holds exactly one bucket's rows
-    // and emits exactly one file
-    val rows = raw.repartition(spec.numBuckets,
-      spec.bucketColumnNames.map(org.apache.spark.sql.functions.col): _*)
+    val rows = compactionRows(spark, table)
     val w0 = rows.write.mode("overwrite").format("parquet")
       .bucketBy(spec.numBuckets,
         spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
@@ -104,6 +89,30 @@ object Engine {
     // groups back in — the exact situation this operation exists to fix
     reclaimManagedTable(spark, table)
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+  }
+
+  /** The staging plan [[compactBucketedTable]] writes — exposed so
+    * PlanQualitySpec can pin its shape: exactly ONE exchange (the
+    * bucket-aligned repartition), nothing else. The table's FILES are
+    * read as plain parquet, deliberately bypassing the catalog's
+    * bucketing metadata: reading through the bucketed table lets the
+    * planner judge the explicit repartition below redundant (the scan
+    * claims the same HashPartitioning) and then auto-disable the
+    * bucketed scan anyway — leaving file-split partitions whose write
+    * emits one file group PER TASK, i.e. no compaction at all
+    * (observed: a 57-file table "compacting" to 57). A plain-parquet
+    * scan has no partitioning claim, so the repartition stands: Spark's
+    * repartition hashing (pmod(murmur3, n)) IS the bucket-file
+    * assignment, so each write task holds exactly one bucket's rows
+    * and emits exactly one file. */
+  private[graft] def compactionRows(spark: SparkSession, table: String): DataFrame = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not bucketed — compaction is the bucketed-append cure"))
+    spark.read.schema(meta.schema).parquet(meta.location.toString)
+      .repartition(spec.numBuckets,
+        spec.bucketColumnNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
   /** The WHEN for [[compactBucketedTable]] — the ivf2DriftAudit pattern

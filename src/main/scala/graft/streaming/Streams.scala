@@ -282,6 +282,38 @@ object Streams {
       sink(b, batchId)
     }
 
+  /** [[bm25Ingest]] with SELF-MAINTENANCE: after each append the
+    * bucketFileAudit runs against the postings table, and when the
+    * per-bucket file-group stack crosses `maxGroups` the batch pays the
+    * compaction rewrite before the next one starts — so file hygiene is
+    * a property the STREAM maintains, not an operator someone must
+    * remember to run. The audit costs one filesystem listing per batch
+    * (file names only); the rewrite is linear in the index and fires
+    * every ~maxGroups appends, so its amortized per-batch cost is
+    * O(index / maxGroups) — the knob trades steady-state file count
+    * against rewrite frequency. Safe mid-stream because foreachBatch
+    * serializes batches (the stream is the only writer, satisfying the
+    * compaction's no-concurrent-writer swap contract) and compaction
+    * changes file layout, never rows — a search between any two batches
+    * sees identical scores either way (StreamsSpec pins the drained
+    * index against the full-corpus query and that a rewrite actually
+    * fired). The sink sees (batch, batchId, compacted). */
+  def bm25IngestMaintained(docs: DataFrame, tablePrefix: String, maxGroups: Double = 4.0)(
+      sink: (DataFrame, Long, Boolean) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val b = batch.toDF()
+      val s = b.sparkSession
+      if (!b.isEmpty)
+        graft.queries.TextAnalysis.appendBm25Postings(s, tablePrefix, b)
+      val compact = graft.Engine
+        .bucketFileAudit(s, s"${tablePrefix}_tf", maxGroups).head().getBoolean(4)
+      if (compact) {
+        graft.Engine.compactBucketedTable(s, s"${tablePrefix}_tf")
+        graft.Engine.compactBucketedTable(s, s"${tablePrefix}_dl")
+      }
+      sink(b, batchId, compact)
+    }
+
   /** Streaming HYBRID serving — the [[bm25Search]]/[[annSearch]]
     * composition over BOTH persisted indexes: micro-batched
     * (qid, terms, embedding) query rows probe the term-bucketed BM25

@@ -711,4 +711,65 @@ class PlanQualitySpec extends SparkSpecBase {
       for (t <- Seq("plan_phb_sig", "plan_phb_keys")) spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
+
+  test("compaction staging plan: exactly one exchange — the bucket-aligned repartition") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    spark.sql("DROP TABLE IF EXISTS plan_cmp")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, "plan_cmp"))
+    spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "lang")
+      .write.format("parquet").bucketBy(8, "doc_id").saveAsTable("plan_cmp")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.Engine.compactionRows(spark, "plan_cmp").queryExecution.executedPlan
+      val shuffles = p.collect { case e: ShuffleExchangeExec => e }
+      // the ONE exchange is the rewrite's entire data movement: scan →
+      // hash-repartition on the bucket column at the bucket count → write
+      assert(shuffles.size == 1, s"expected exactly one exchange:\n$p")
+      assert(shuffles.head.outputPartitioning.numPartitions == 8,
+        s"repartition must land on the bucket count:\n${shuffles.head}")
+      assert(shuffles.head.toString.contains("doc_id"),
+        s"repartition must hash the bucket column:\n${shuffles.head}")
+      assert(p.collect { case b: BroadcastExchangeExec => b }.isEmpty,
+        s"compaction must not broadcast anything:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS plan_cmp")
+    }
+  }
+
+  test("hybrid serving: BOTH persisted-index scans bucket-prune to the probed terms/cells") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("plan_bm25_tf", "plan_bm25_dl", "plan_bm25_stats",
+        "plan_ivf2_coarse", "plan_ivf2_fine", "plan_ivf2_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    graft.queries.TextAnalysis.writeBm25Index(spark, sf, "plan_bm25")
+    graft.queries.Similarity.writeIvf2Index(spark, sf, "plan_ivf2")
+    val queries = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), expr("slice(split(text, ' '), 1, 3)").as("terms"))
+      .join(spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding")), Seq("qid"))
+    val p = graft.queries.TextAnalysis
+      .hybridSearchOf(queries, "plan_bm25", "plan_ivf2")
+      .queryExecution.executedPlan
+    val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+    // the serving cost model rests on BOTH probes pruning their postings
+    // scan to the query's terms / probed cells — per-leaf, not just
+    // somewhere in the plan
+    for (tbl <- Seq("plan_bm25_tf", "plan_ivf2_postings")) {
+      val leaves = p.collectLeaves().filter(_.toString.contains(tbl))
+      assert(leaves.nonEmpty, s"no scan of $tbl in the fused plan:\n$p")
+      val pruned = leaves.flatMap(l => sel.findAllMatchIn(l.toString)
+        .map(m => (m.group(1).toInt, m.group(2).toInt)))
+      assert(pruned.exists { case (k, n) => k < n },
+        s"$tbl scan not bucket-pruned (got $pruned):\n$p")
+    }
+    for (t <- Seq("plan_bm25_tf", "plan_bm25_dl", "plan_bm25_stats",
+        "plan_ivf2_coarse", "plan_ivf2_fine", "plan_ivf2_postings"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

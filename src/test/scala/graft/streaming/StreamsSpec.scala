@@ -849,6 +849,49 @@ class StreamsSpec extends SparkSpecBase {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("maintained bm25 ingest: compaction fires mid-stream, index stays score-exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("smi_bm25_tf", "smi_bm25_dl", "smi_bm25_stats")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val base = java.nio.file.Files.createTempDirectory("graft-smi").toString
+    docs.filter(col("doc_id") < 200).write.parquet(s"$base/documents.parquet")
+    graft.queries.TextAnalysis.writeBm25Index(spark, base, "smi_bm25")
+    // four appends against maxGroups = 1.5: without maintenance the
+    // per-bucket stack would reach 5; the audit must fire at least once
+    val rest = docs.filter(col("doc_id") >= 200)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val batches = rest.grouped(math.max(1, rest.length / 4)).toSeq
+    val in = MemoryStream[(Long, String)]
+    val compactions = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val q = Streams.bm25IngestMaintained(
+        in.toDF().toDF("doc_id", "text"), "smi_bm25", maxGroups = 1.5) {
+      (_, _, compacted) => compactions.synchronized { compactions += compacted }; ()
+    }.start()
+    try {
+      batches.foreach { b => in.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(compactions.count(identity) >= 1,
+      s"the audit must have triggered at least one mid-stream compaction: $compactions")
+    // steady state: the stack never exceeds maxGroups rounded up + the
+    // one group a fresh append adds before its own audit runs
+    val audit = graft.Engine.bucketFileAudit(spark, "smi_bm25_tf", maxGroups = 1.5).head()
+    assert(audit.getLong(3) <= 2, s"file hygiene not maintained: $audit")
+    // and maintenance never changed a score: the drained index serves the
+    // full-corpus query exactly
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), expr("slice(split(text, ' '), 1, 3)").as("terms"))
+    val got = graft.queries.TextAnalysis.bm25SearchOf(queries, "smi_bm25").collect().toSeq
+    val want = graft.queries.TextAnalysis.queries("x_text_bm25")(spark, sf).collect().toSeq
+    assert(got == want, "maintained index must score exactly like the full-corpus query")
+    for (t <- Seq("smi_bm25_tf", "smi_bm25_dl", "smi_bm25_stats"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("streaming hybrid serving: micro-batched queries emit the one-shot fused verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
