@@ -115,6 +115,22 @@ object Engine {
         spec.bucketColumnNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
+  /** The audit-then-compact step every self-maintaining ingest shares:
+    * audit `auditTable` (the table whose bucket-pruned probes pay the
+    * group stack) and, when the per-bucket maximum crosses `maxGroups`,
+    * rewrite ALL the index's tables together — sibling tables (a sig
+    * table next to its keys, lengths next to postings) accumulate
+    * groups at the same append cadence, so one verdict covers the
+    * family and the swap leaves the index internally consistent.
+    * Returns whether the rewrite fired. Caller contract: no concurrent
+    * writer (foreachBatch serializes batches, satisfying it). */
+  def maintainBucketedTables(spark: SparkSession, auditTable: String,
+      tables: Seq[String], maxGroups: Double = 4.0): Boolean = {
+    val compact = bucketFileAudit(spark, auditTable, maxGroups).head().getBoolean(4)
+    if (compact) tables.foreach(compactBucketedTable(spark, _))
+    compact
+  }
+
   /** The WHEN for [[compactBucketedTable]] — the ivf2DriftAudit pattern
     * applied to file hygiene: one row `(n_files, n_buckets,
     * files_per_bucket, max_bucket_files, compact)` with `compact =

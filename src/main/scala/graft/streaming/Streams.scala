@@ -305,13 +305,58 @@ object Streams {
       val s = b.sparkSession
       if (!b.isEmpty)
         graft.queries.TextAnalysis.appendBm25Postings(s, tablePrefix, b)
-      val compact = graft.Engine
-        .bucketFileAudit(s, s"${tablePrefix}_tf", maxGroups).head().getBoolean(4)
-      if (compact) {
-        graft.Engine.compactBucketedTable(s, s"${tablePrefix}_tf")
-        graft.Engine.compactBucketedTable(s, s"${tablePrefix}_dl")
-      }
-      sink(b, batchId, compact)
+      val compacted = graft.Engine.maintainBucketedTables(s, s"${tablePrefix}_tf",
+        Seq(s"${tablePrefix}_tf", s"${tablePrefix}_dl"), maxGroups)
+      sink(b, batchId, compacted)
+    }
+
+  /** The perceptual-ingest lifecycle CLOSED as one streaming operator —
+    * [[phashIngest]] (gate) + Multimodal.appendPhashIndex (fold) +
+    * Engine.maintainBucketedTables (hygiene) per micro-batch: each image
+    * batch is probed against the frozen index (verdicts = duplicates of
+    * HISTORY, computed before the fold so the batch cannot shadow
+    * itself), the non-duplicate keepers fold into the index, and the
+    * audit-gated compaction keeps the keys/sig tables' per-bucket group
+    * stacks bounded no matter how many batches arrive. Intra-batch
+    * duplicates are inherited from the append contract: two copies
+    * arriving in the SAME batch both pass the history probe (dedupe
+    * within a batch upstream if that matters). The sink sees
+    * (verdicts, batchId, compacted). */
+  def phashIngestMaintained(assets: Dataset[graft.queries.Multimodal.Asset],
+      tablePrefix: String, maxHamming: Int = 6, maxGroups: Double = 4.0)(
+      sink: (DataFrame, Long, Boolean) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[graft.queries.Multimodal.Asset] =
+    assets.writeStream.foreachBatch {
+      (batch: Dataset[graft.queries.Multimodal.Asset], batchId: Long) =>
+        val s = batch.sparkSession
+        // materialize the probe BEFORE the fold: the probe plan is LAZY
+        // and the fold below mutates the index it scans — an
+        // unmaterialized verdicts relation read by the sink after the
+        // fold would re-probe the post-fold index and see the batch's
+        // own keepers as history. RDD-level localCheckpoint (the
+        // checkpointVocab pattern) both severs the lineage (re-probe
+        // impossible, loss fails loudly) and hands back the block
+        // handle for eager release after the sink — Dataset.unpersist
+        // would be a CacheManager no-op on a checkpoint.
+        val probe = graft.queries.Multimodal.incrementalPhashDupsAgainstIndex(
+          batch, tablePrefix, maxHamming)
+        val probeRdd = probe.rdd
+        probeRdd.localCheckpoint()
+        probeRdd.count()
+        val verdicts = s.createDataFrame(probeRdd, probe.schema)
+        // distributed anti-join, not a collect: the keeper set is
+        // increment-sized but there is no reason to drag it to the driver
+        val keepers = batch.join(
+            verdicts.select(org.apache.spark.sql.functions.col("new_id").as("asset_id")).distinct(),
+            Seq("asset_id"), "left_anti")
+          .as[graft.queries.Multimodal.Asset](
+            org.apache.spark.sql.Encoders.product[graft.queries.Multimodal.Asset])
+        if (!keepers.isEmpty)
+          graft.queries.Multimodal.appendPhashIndex(s, tablePrefix, keepers)
+        val compacted = graft.Engine.maintainBucketedTables(s, s"${tablePrefix}_keys",
+          Seq(s"${tablePrefix}_keys", s"${tablePrefix}_sig"), maxGroups)
+        sink(verdicts, batchId, compacted)
+        probeRdd.unpersist(blocking = false)
+        ()
     }
 
   /** Streaming HYBRID serving — the [[bm25Search]]/[[annSearch]]

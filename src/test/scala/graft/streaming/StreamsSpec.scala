@@ -892,6 +892,74 @@ class StreamsSpec extends SparkSpecBase {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("maintained phash ingest: gate then fold keepers; compaction fires; twins reachable") {
+    import graft.queries.Multimodal
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("smp_ph_sig", "smp_ph_keys")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    Multimodal.writePhashIndex(spark, sf, "smp_ph", maxId = 120)
+    // batch 1: perturbed twins of indexed assets — every one gates as a
+    // duplicate, NOTHING folds; batches 2-3: fresh id ranges — novel,
+    // fold, and at maxGroups = 1.5 the second fold trips the audit
+    val twins = Multimodal.perturbedPngTwins(spark, sf, maxId = 120).collect()
+    val fresh1 = Multimodal.assets(spark, sf, maxId = 180, onlyMime = Some("image/png"))
+      .collect().filter(_.asset_id >= 120)
+    val fresh2 = Multimodal.assets(spark, sf, maxId = 240, onlyMime = Some("image/png"))
+      .collect().filter(_.asset_id >= 180)
+    assert(twins.nonEmpty && fresh1.nonEmpty && fresh2.nonEmpty)
+    val in = MemoryStream[Multimodal.Asset]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val compactions = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val q = Streams.phashIngestMaintained(in.toDS(), "smp_ph", maxGroups = 1.5) {
+      (verdicts, _, compacted) =>
+        got.synchronized { got ++= verdicts.collect().map(r => (r.getLong(0), r.getLong(1))) }
+        compactions.synchronized { compactions += compacted }
+        ()
+    }.start()
+    try {
+      for (b <- Seq(twins, fresh1, fresh2)) {
+        in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the gate: every twin flagged against its base. (Fresh assets MAY
+    // legitimately gate too — the synthetic corpus contains natural
+    // hamming-<=6 pairs, and every verdict is exact-hamming-refined, so
+    // a false positive is impossible by construction; what the gate
+    // decides is which fresh assets fold.)
+    twins.foreach(t => assert(
+      got.contains((t.asset_id, t.asset_id - Multimodal.PhashTwinIdOffset)),
+      s"twin ${t.asset_id} not gated against its base"))
+    // maintenance actually fired and held the stack down
+    assert(compactions.count(identity) >= 1,
+      s"the audit must have triggered a mid-stream compaction: $compactions")
+    val audit = graft.Engine.bucketFileAudit(spark, "smp_ph_keys", maxGroups = 1.5).head()
+    assert(audit.getLong(3) <= 2, s"file hygiene not maintained: $audit")
+    // the fold: exactly the UNGATED fresh assets entered history — a twin
+    // of each folded asset is now caught, and enough folded for the pin
+    // to be non-vacuous
+    val gated = got.map(_._1).toSet
+    val foldedIds = (fresh1 ++ fresh2).map(_.asset_id).filterNot(gated)
+    assert(foldedIds.size >= (fresh1.length + fresh2.length) / 2,
+      s"most fresh assets should be novel (folded ${foldedIds.size})")
+    val reprobe = Multimodal.incrementalPhashDupsAgainstIndex(
+        Multimodal.perturbedPngTwins(spark, sf, maxId = 240), "smp_ph")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(foldedIds.forall(id => reprobe.contains((id + Multimodal.PhashTwinIdOffset, id))),
+      "a twin of a folded asset must be reachable through the maintained index")
+    // and a gated-away fresh asset must NOT be independently indexed: its
+    // twin may still hit the asset's own near-dup chain, but the asset
+    // id itself never became history
+    val sigIds = spark.table("smp_ph_sig").select("asset_id")
+      .collect().map(_.getLong(0)).toSet
+    ((fresh1 ++ fresh2).map(_.asset_id).filter(gated)).foreach(id =>
+      assert(!sigIds.contains(id), s"gated asset $id must not have folded"))
+    for (t <- Seq("smp_ph_sig", "smp_ph_keys")) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("streaming hybrid serving: micro-batched queries emit the one-shot fused verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
