@@ -616,7 +616,7 @@ object Dedup {
     * the index's persisted per-bucket counts plus the increment's own
     * (see [[incrementalVerdicts]]) — so all three paths drop exactly the
     * same buckets and share one recall contract at every scale. */
-  private[queries] val hotBucketCap = 100000L
+  private[graft] val hotBucketCap = 100000L
 
   /** md5-family MinHash signatures (one row per doc, m0..m15) and the
     * (hot-bucket-capped) LSH band keys — the index structures every
@@ -786,11 +786,82 @@ object Dedup {
       .bucketBy(buckets, "band", "bh")
       .saveAsTable(s"${tablePrefix}_keys")
     // per-bucket counts, bucketed like the keys so the probe-side joint
-    // bound joins exchange-free on the index side
-    kept.select(col("band"), col("bh"), col("bn").as("n")).distinct()
+    // bound joins exchange-free on the index side. TRUE totals for ALL
+    // buckets — including over-cap ones whose keys were dropped: the
+    // probe's `bn + n <= cap` filter drops those identically whether
+    // the row is absent or carries n > cap (verdict-neutral), and
+    // [[appendMinhashIndexBucketed]] NEEDS the true total to decide
+    // whether a bucket's union membership still admits new keys — a
+    // missing row would be indistinguishable from a never-seen bucket.
+    keysBn.select(col("band"), col("bh"), col("bn").as("n")).distinct()
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "band", "bh")
       .saveAsTable(s"${tablePrefix}_counts")
+  }
+
+  /** Fold a NEW crawl into the persisted bucketed minhash index — the
+    * text twin of Multimodal.appendPhashIndex, closing the one index
+    * family that still required a full rebuild per crawl. Three moves:
+    *
+    *  - signatures append into `_sig`'s bucketing (all increment docs —
+    *    future candidate verification needs every sig);
+    *  - band keys append into `_keys`' bucketing ONLY for buckets whose
+    *    UNION membership (index true total + increment count) stays
+    *    within the cap. A bucket already over cap — or pushed over by
+    *    this crawl — receives no new keys: any future probe's joint
+    *    bound `bn + n <= cap` reads the merged true total and drops the
+    *    bucket entirely, so the skipped rows could never produce a
+    *    candidate (DedupSpec pins probe-verdict equality against a
+    *    union REBUILD, where those keys are absent by construction).
+    *    Keys written before a bucket crossed the cap remain on disk as
+    *    verdict-neutral dead weight — the compaction rewrite is the
+    *    place that could reclaim them;
+    *  - `_counts` merges to ONE true-total row per bucket via a staging
+    *    swap under the same bucket spec (the compactBucketedTable
+    *    pattern): counts stay exchange-free on the probe's join and a
+    *    reader never sees partial rows mid-append.
+    *
+    * Existing `_sig`/`_keys` files are never rewritten (the probe
+    * regimes' no-index-exchange topology is untouched); the counts
+    * rewrite is O(distinct buckets) — the price of an exact joint bound
+    * without adding a probe-time aggregation. Caller contract: `docs`
+    * (doc_id, text) are not already indexed. */
+  def appendMinhashIndexBucketed(docs: DataFrame, tablePrefix: String,
+      cap: Long = hotBucketCap): Unit = {
+    val s = docs.sparkSession
+    def bucketsOf(t: String): Int = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$t is not bucketed — not a minhash serving index"))
+    val (sig, keysBn) = md5SigKeysCounted(
+      docs.select(col("doc_id"), split(col("text"), " ").as("ws")))
+    val kb = keysBn.persist()
+    try {
+      sig.write.mode("append").format("parquet")
+        .bucketBy(bucketsOf(s"${tablePrefix}_sig"), "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${tablePrefix}_sig")
+      val incCounts = kb.select(col("band"), col("bh"), col("bn")).distinct()
+      val oldCounts = s.table(s"${tablePrefix}_counts")
+      val ok = incCounts.join(oldCounts, Seq("band", "bh"), "left")
+        .filter(col("bn") + coalesce(col("n"), lit(0L)) <= cap)
+        .select("band", "bh")
+      kb.join(ok, Seq("band", "bh"), "left_semi").drop("bn")
+        .write.mode("append").format("parquet")
+        .bucketBy(bucketsOf(s"${tablePrefix}_keys"), "band", "bh")
+        .saveAsTable(s"${tablePrefix}_keys")
+      val countsBuckets = bucketsOf(s"${tablePrefix}_counts")
+      val merged = oldCounts
+        .unionByName(incCounts.select(col("band"), col("bh"), col("bn").as("n")))
+        .groupBy("band", "bh").agg(sum("n").as("n"))
+      val staging = s"${tablePrefix}_counts__merge"
+      graft.Engine.reclaimManagedTable(s, staging)
+      merged.write.mode("overwrite").format("parquet")
+        .bucketBy(countsBuckets, "band", "bh")
+        .saveAsTable(staging)
+      graft.Engine.reclaimManagedTable(s, s"${tablePrefix}_counts")
+      s.sql(s"ALTER TABLE `$staging` RENAME TO `${tablePrefix}_counts`")
+    } finally kb.unpersist(blocking = false)
   }
 
   /** Incremental dedup of a NEW batch (documents of corpus `d` matching
@@ -842,8 +913,21 @@ object Dedup {
     * tables' bucketing — no index exchange, no broadcast ceiling; only
     * the increment shuffles (PlanQualitySpec pins the topology). */
   def incrementalDupsAgainstBucketedIndex(s: SparkSession, d: String,
-      tablePrefix: String, batchFilter: Column, cap: Long = hotBucketCap): DataFrame = {
-    val (bsig, bkeysBn) = md5SigKeysCounted(toks(s, d).filter(batchFilter))
+      tablePrefix: String, batchFilter: Column, cap: Long = hotBucketCap): DataFrame =
+    incrementalDupsAgainstBucketedIndexOf(
+      table(s, d, "documents").filter(batchFilter).select(col("doc_id"), col("text")),
+      tablePrefix, cap)
+
+  /** [[incrementalDupsAgainstBucketedIndex]] over an arbitrary
+    * `(doc_id, text)` batch — the entry a STREAMING micro-batch uses
+    * (Streams.minhashIngestMaintained), where there is no corpus dir to
+    * filter. Verdicts are per-doc functions of (doc, index), so batch
+    * boundaries cannot change them. */
+  def incrementalDupsAgainstBucketedIndexOf(batch: DataFrame,
+      tablePrefix: String, cap: Long = hotBucketCap): DataFrame = {
+    val s = batch.sparkSession
+    val (bsig, bkeysBn) = md5SigKeysCounted(
+      batch.select(col("doc_id"), split(col("text"), " ").as("ws")))
     incrementalVerdicts(s.table(s"${tablePrefix}_keys"), s.table(s"${tablePrefix}_sig"),
       s.table(s"${tablePrefix}_counts"),
       bkeysBn, bsig, broadcastIncrement = false, cap)

@@ -310,6 +310,40 @@ object Streams {
       sink(b, batchId, compacted)
     }
 
+  /** The TEXT-dedup lifecycle closed as one streaming operator — the
+    * [[phashIngestMaintained]] pattern over the bucketed minhash index:
+    * each (doc_id, text) micro-batch probes the frozen index under the
+    * joint hot-bucket bound (verdicts = near-dups of HISTORY, RDD-
+    * checkpointed before the fold for the same pre-fold pinning), the
+    * non-duplicate keepers fold via Dedup.appendMinhashIndexBucketed
+    * (signatures + capped keys into the existing bucket specs, counts
+    * merged to true totals), and the audit-gated compaction bounds the
+    * keys/sig tables' file-group stacks. Intra-batch near-dup pairs
+    * both fold (neither is history when probed) — dedupe within a
+    * batch upstream if that matters. The sink sees
+    * (verdicts, batchId, compacted). */
+  def minhashIngestMaintained(docs: DataFrame, tablePrefix: String,
+      cap: Long = graft.queries.Dedup.hotBucketCap, maxGroups: Double = 4.0)(
+      sink: (DataFrame, Long, Boolean) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val b = batch.toDF()
+      val s = b.sparkSession
+      val probe = graft.queries.Dedup.incrementalDupsAgainstBucketedIndexOf(
+        b, tablePrefix, cap)
+      val probeRdd = probe.rdd
+      probeRdd.localCheckpoint()
+      probeRdd.count()
+      val verdicts = s.createDataFrame(probeRdd, probe.schema)
+      val keepers = b.join(verdicts.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      if (!keepers.isEmpty)
+        graft.queries.Dedup.appendMinhashIndexBucketed(keepers, tablePrefix, cap)
+      val compacted = graft.Engine.maintainBucketedTables(s, s"${tablePrefix}_keys",
+        Seq(s"${tablePrefix}_keys", s"${tablePrefix}_sig"), maxGroups)
+      sink(verdicts, batchId, compacted)
+      probeRdd.unpersist(blocking = false)
+      ()
+    }
+
   /** The perceptual-ingest lifecycle CLOSED as one streaming operator —
     * [[phashIngest]] (gate) + Multimodal.appendPhashIndex (fold) +
     * Engine.maintainBucketedTables (hygiene) per micro-batch: each image

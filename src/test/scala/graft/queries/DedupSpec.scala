@@ -244,6 +244,85 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("minhash index append: folded crawl probes like a union rebuild; key files untouched") {
+    import org.apache.spark.sql.functions.col
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    dropBucketedTables("mha")
+    dropBucketedTables("mhu")
+    // base index over the first 250 docs; fold [250, 400) as a crawl;
+    // probe the remainder (the gate corpus holds 500 docs, and the
+    // >= 400 probe is the split the sibling tests prove non-vacuous)
+    Dedup.writeMinhashIndexBucketed(spark, sf, "mha", buckets = 8,
+      docFilter = col("doc_id") < 250)
+    def keyFiles(): Set[String] =
+      Option(new java.io.File(warehouse, "mha_keys").listFiles())
+        .map(_.filter(_.getName.endsWith(".parquet")).map(_.getName).toSet)
+        .getOrElse(Set.empty)
+    val before = keyFiles()
+    Dedup.appendMinhashIndexBucketed(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .filter(col("doc_id") >= 250 && col("doc_id") < 400)
+        .select("doc_id", "text"), "mha")
+    assert(before.subsetOf(keyFiles()), "append rewrote existing key files")
+    assert(keyFiles().size > before.size, "append must add key files")
+    Dedup.writeMinhashIndexBucketed(spark, sf, "mhu", buckets = 8,
+      docFilter = col("doc_id") < 400)
+    try {
+      def probe(prefix: String) = Dedup
+        .incrementalDupsAgainstBucketedIndex(spark, sf, prefix, col("doc_id") >= 400)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val got = probe("mha")
+      val want = probe("mhu")
+      assert(want.nonEmpty, "no cross-boundary dups — gate is vacuous")
+      assert(got == want, s"appended-index probe diverged from the union rebuild:\n" +
+        s"appended: ${got.take(5)}…\nrebuild: ${want.take(5)}…")
+      // the folded crawl itself is reachable: some verdict names a doc
+      // from the APPENDED range as the duplicate's keeper/evidence side
+      // is already covered by got==want; pin counts integrity directly
+      val dup = spark.table("mha_counts").groupBy("band", "bh").count()
+        .filter(col("count") > 1).count()
+      assert(dup == 0, "counts must hold exactly one merged row per bucket")
+    } finally { dropBucketedTables("mha"); dropBucketedTables("mhu") }
+  }
+
+  test("minhash index append: the joint cap bound survives the fold") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotappend").toString
+    // 6 hot copies in the base, 3 more folded in, 7 probing: the probe's
+    // joint bound sees 6+3+7 = 16 > cap 10 and must drop the bucket —
+    // exactly what a rebuild over base+fold would do — while the control
+    // group (2+1+3 = 6) keeps its verdicts
+    val hotText = "aaa bbb ccc ddd eee fff"
+    val okText = "xxx yyy zzz www vvv uuu"
+    val docs =
+      (0L until 6L).map((_, hotText)) ++ Seq(10L, 11L).map((_, okText)) ++
+        (100L until 103L).map((_, hotText)) ++ Seq(110L).map((_, okText)) ++
+        (200L until 207L).map((_, hotText)) ++ Seq(210L, 211L, 212L).map((_, okText))
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val cap = 10L
+    dropBucketedTables("mhj")
+    dropBucketedTables("mhjr")
+    Dedup.writeMinhashIndexBucketed(spark, dir, "mhj", buckets = 4,
+      docFilter = col("doc_id") < 100, cap = cap)
+    Dedup.appendMinhashIndexBucketed(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") >= 100 && col("doc_id") < 200).select("doc_id", "text"),
+      "mhj", cap = cap)
+    Dedup.writeMinhashIndexBucketed(spark, dir, "mhjr", buckets = 4,
+      docFilter = col("doc_id") < 200, cap = cap)
+    try {
+      def probe(prefix: String) = Dedup
+        .incrementalDupsAgainstBucketedIndex(spark, dir, prefix, col("doc_id") >= 200, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val got = probe("mhj")
+      val want = probe("mhjr")
+      assert(got == want, s"appended probe diverged from rebuild:\n$got\nvs\n$want")
+      assert(got.map(_._1) == Seq(210L, 211L, 212L),
+        s"hot bucket must drop (joint 16 > 10) and the control group survive: $got")
+    } finally { dropBucketedTables("mhj"); dropBucketedTables("mhjr") }
+  }
+
   test("planted hot bucket: one JOINT cap bound shared by split, broadcast-index, and bucketed-index paths") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

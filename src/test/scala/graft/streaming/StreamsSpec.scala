@@ -892,6 +892,68 @@ class StreamsSpec extends SparkSpecBase {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("maintained minhash ingest: copies gate, keepers fold, compaction fires, copies of folded docs caught") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("smm_sig", "smm_keys", "smm_counts")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    graft.queries.Dedup.writeMinhashIndexBucketed(spark, sf, "smm", buckets = 8,
+      docFilter = col("doc_id") < 200)
+    // batch 1: VERBATIM copies of seeded docs under fresh ids — every one
+    // must gate (est_j = 1) and nothing folds; batches 2-4: the rest of
+    // the corpus — at maxGroups = 1.5 the second fold trips the audit
+    val seeded = docs.filter(col("doc_id") < 5)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val copies = seeded.map { case (id, t) => (id + 1000000L, t) }
+    val rest = docs.filter(col("doc_id") >= 200)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val batches = copies +: rest.grouped(math.max(1, rest.length / 3)).toSeq
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val compactions = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val q = Streams.minhashIngestMaintained(
+        in.toDF().toDF("doc_id", "text"), "smm", maxGroups = 1.5) {
+      (verdicts, _, compacted) =>
+        got.synchronized { got ++= verdicts.collect().map(r => (r.getLong(0), r.getLong(2))) }
+        compactions.synchronized { compactions += compacted }
+        ()
+    }.start()
+    try {
+      for (b <- batches) { in.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // the gate: every verbatim copy flagged against its seeded original
+    copies.foreach { case (cid, _) => assert(
+      got.exists(v => v._1 == cid && v._2 == cid - 1000000L),
+      s"copy $cid not gated against its original") }
+    // copies never folded: their ids are absent from the sig table
+    val sigIds = spark.table("smm_sig").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    copies.foreach { case (cid, _) =>
+      assert(!sigIds.contains(cid), s"gated copy $cid must not have folded") }
+    // maintenance fired and held the stack down
+    assert(compactions.count(identity) >= 1,
+      s"the audit must have triggered a mid-stream compaction: $compactions")
+    val audit = graft.Engine.bucketFileAudit(spark, "smm_keys", maxGroups = 1.5).head()
+    assert(audit.getLong(3) <= 2, s"file hygiene not maintained: $audit")
+    // the fold: a verbatim copy of a FOLDED (streamed, ungated) doc is
+    // caught by a fresh probe — the keepers genuinely entered history
+    val gated = got.map(_._1).toSet
+    val folded = rest.filterNot { case (id, _) => gated(id) }
+    assert(folded.length >= rest.length / 2, s"most streamed docs should fold (${folded.length})")
+    val (fid, ftext) = folded.head
+    val reprobe = graft.queries.Dedup.incrementalDupsAgainstBucketedIndexOf(
+        Seq((fid + 2000000L, ftext)).toDF("doc_id", "text"), "smm")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(reprobe.exists(v => v._1 == fid + 2000000L && v._2 == fid),
+      s"copy of folded doc $fid must be caught by the maintained index: ${reprobe.toSeq}")
+    for (t <- Seq("smm_sig", "smm_keys", "smm_counts"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("maintained phash ingest: gate then fold keepers; compaction fires; twins reachable") {
     import graft.queries.Multimodal
     import spark.implicits._
