@@ -168,6 +168,16 @@ object ScaleBench {
     def phashIncrement(s: SparkSession, d: String) =
       graft.queries.Multimodal.perturbedPngTwins(s, d, maxId = 120)
 
+    // the FIXED 200-doc fold increment for minhash_append: base-corpus
+    // texts under collision-free fresh ids (derived copies re-key at
+    // +k·10⁷, far below the 10¹² offset); runTag separates the two
+    // timed runs' id ranges
+    var mhAppendRun = 0L
+    def mhIncrement(s: SparkSession, runTag: Long): DataFrame =
+      s.read.parquet(s"$base/documents.parquet").filter(col("doc_id") < 200)
+        .select((col("doc_id") + lit(1000000000000L) + lit(runTag * 1000000L)).as("doc_id"),
+          col("text"))
+
     // the FIXED 50-query hybrid probe set: base-corpus doc prefixes as
     // the lexical terms joined to the matching base embeddings — query
     // mass constant across scales (the phashIncrement pattern), so the
@@ -213,6 +223,21 @@ object ScaleBench {
       // fusion O(queries × 2k) regardless of corpus)
       ("bm25_index_build", scales, (s, d, m) =>
         graft.queries.TextAnalysis.writeBm25Index(s, d, s"scale_bm_x$m")),
+      // the text-dedup serving index: build scales with the corpus (one
+      // shingle+minhash pass into three bucketed writes); the append
+      // folds a FIXED 200-doc crawl into the m×-grown index — keys/sigs
+      // are increment-proportional, the counts merge is O(distinct
+      // buckets) BY DESIGN (the price of an exact joint bound), so the
+      // append exponent shows exactly that term's growth. Each timed
+      // run re-keys its increment so min-of-two never appends the same
+      // ids twice; the index gains 200 rows per run — noise at any m.
+      ("minhash_index_build", scales, (s, d, m) =>
+        graft.queries.Dedup.writeMinhashIndexBucketed(s, d, s"scale_mh_x$m")),
+      ("minhash_append", scales, (s, d, m) => {
+        mhAppendRun += 1
+        graft.queries.Dedup.appendMinhashIndexBucketed(
+          mhIncrement(s, mhAppendRun), s"scale_mh_x$m")
+      }),
       ("hybrid_search", scales, (s, d, m) => {
         graft.queries.TextAnalysis.hybridSearchOf(
           hybridQueries(s, base), s"scale_bm_x$m", s"scale_ivf2_x$m").collect()
@@ -297,6 +322,11 @@ object ScaleBench {
       }
       if (active("bm25_index_build") || active("hybrid_search"))
         graft.queries.TextAnalysis.writeBm25Index(spark, warm, "scale_bm_warm")
+      if (active("minhash_index_build") || active("minhash_append")) {
+        graft.queries.Dedup.writeMinhashIndexBucketed(spark, warm, "scale_mh_warm")
+        graft.queries.Dedup.appendMinhashIndexBucketed(
+          mhIncrement(spark, 999L), "scale_mh_warm")
+      }
       if (active("hybrid_search"))
         graft.queries.TextAnalysis.hybridSearchOf(
           hybridQueries(spark, warm), "scale_bm_warm", "scale_warm").collect()
@@ -323,6 +353,8 @@ object ScaleBench {
         spark.sql(s"DROP TABLE IF EXISTS scale_ph_warm$t")
       for (t <- Seq("_tf", "_dl", "_stats"))
         spark.sql(s"DROP TABLE IF EXISTS scale_bm_warm$t")
+      for (t <- Seq("_sig", "_keys", "_counts"))
+        spark.sql(s"DROP TABLE IF EXISTS scale_mh_warm$t")
       println("SCALE warmup complete (sf0.01)")
     }
 
@@ -345,6 +377,8 @@ object ScaleBench {
         spark.sql(s"DROP TABLE IF EXISTS scale_ph_x$m$t")
       for (t <- Seq("_tf", "_dl", "_stats"))
         spark.sql(s"DROP TABLE IF EXISTS scale_bm_x$m$t")
+      for (t <- Seq("_sig", "_keys", "_counts"))
+        spark.sql(s"DROP TABLE IF EXISTS scale_mh_x$m$t")
     }
 
     def tailExp(pts: Seq[(Int, Double)]): Double = {
