@@ -89,6 +89,25 @@ object Engine {
     // groups back in — the exact situation this operation exists to fix
     reclaimManagedTable(spark, table)
     spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
+    refreshTableEverywhere(spark, table)
+  }
+
+  /** Invalidate every session-level cache that could still hold the
+    * PRE-swap file listing of `table` after a staging rename moved a
+    * fresh directory onto the live path. One session is not enough: a
+    * streaming foreachBatch body runs on a CLONED session, and the
+    * clone's refresh does not reach the parent session the NEXT batch
+    * will clone from — an un-refreshed reader then chases the old
+    * listing's deleted files (observed as FAILED_READ_FILE mid-stream
+    * on the second maintained-ingest refit). */
+  private[graft] def refreshTableEverywhere(spark: SparkSession, table: String): Unit = {
+    val sessions = Seq(spark) ++
+      org.apache.spark.sql.SparkSession.getActiveSession ++
+      org.apache.spark.sql.SparkSession.getDefaultSession
+    sessions.distinct.foreach { x =>
+      try x.catalog.refreshTable(table)
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
   }
 
   /** The staging plan [[compactBucketedTable]] writes — exposed so

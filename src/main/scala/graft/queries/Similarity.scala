@@ -905,6 +905,62 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** RE-FIT a persisted two-level index FROM ITS OWN POSTINGS — the
+    * missing half of [[ivf2DriftAudit]]'s "schedule a re-fit offline"
+    * contract once a stream has been folding increments in: after
+    * appends there is no corpus dir holding the union, but the postings
+    * table already carries every (vec_id, embedding, nrm) row, so the
+    * index can re-center on itself. Same fit chain as
+    * [[writeIvf2Index]] (portable Lloyd coarse at the re-derived
+    * (kc, kf) sizing, per-cell portable fine over the modulo sample),
+    * then the full corpus re-assigns coarse→fine into STAGING tables
+    * under the same bucket specs, and all three tables swap via the
+    * compaction rename — readers see the old fit until the swap, and
+    * the swap is metadata. Nothing corpus-sized materializes outside
+    * the one staging write: the fits read the live postings lazily and
+    * only their k-row results persist. Cost = one Lloyd fit + one
+    * corpus rewrite — the operation the drift audit exists to
+    * amortize. */
+  def refitIvf2IndexFromPostings(s: SparkSession, tablePrefix: String,
+      buckets: Int = 32): Unit = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = s.table(s"${tablePrefix}_postings").select("vec_id", "embedding", "nrm")
+    val (kc, kf) = LshTuning.ivfTwoLevel(e.count())
+    val coarse = kmeansCentroidsPortable(e.filter(col("vec_id") % 5 === 0), kc, iters = 2)
+      .select(col("cid").as("ccid"), col("ce"), col("cn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sampA = assignCells(e.filter(col("vec_id") % 5 === 0),
+          coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+        .withColumnRenamed("cid", "ccid")
+      val fine = fineFitPortable(sampA, kf, iters = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        fine.count() // materialize both fits BEFORE any table swap
+        val staged = Seq("_coarse", "_fine", "_postings").map(t => t -> s"$tablePrefix${t}__refit")
+        staged.foreach { case (_, st) => graft.Engine.reclaimManagedTable(s, st) }
+        coarse.write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${tablePrefix}_coarse__refit")
+        fine.write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, "ccid")
+          .saveAsTable(s"${tablePrefix}_fine__refit")
+        assignFine(
+            assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+              .withColumnRenamed("cid", "ccid"),
+            fine)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("fcid"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, "fcid").sortBy("fcid")
+          .saveAsTable(s"${tablePrefix}_postings__refit")
+        staged.foreach { case (t, st) =>
+          graft.Engine.reclaimManagedTable(s, s"$tablePrefix$t")
+          s.sql(s"ALTER TABLE `$st` RENAME TO `$tablePrefix$t`")
+          graft.Engine.refreshTableEverywhere(s, s"$tablePrefix$t")
+        }
+      } finally fine.unpersist(blocking = false)
+    } finally coarse.unpersist(blocking = false)
+  }
+
   /** Serving-lifecycle DRIFT AUDIT over a persisted two-level index —
     * closes [[appendIvf2Postings]]'s "re-fit offline when warranted"
     * contract by deciding WHEN. Two signals, both cheap next to a

@@ -310,6 +310,47 @@ object Streams {
       sink(b, batchId, compacted)
     }
 
+  /** The ANN serving lifecycle closed as one streaming operator — the
+    * FIT-hygiene twin of the compaction-maintained ingests: each
+    * micro-batch of (vec_id, embedding) vectors folds into the
+    * persisted two-level index via Similarity.appendIvf2Postings
+    * (frozen-fit assignment, history never rewritten), then every
+    * `auditEvery`-th batch pays the drift audit (cell balance: one
+    * partial agg over one postings column; sampled recall: O(sample ×
+    * corpus) dots — the knob exists because that half is NOT per-batch
+    * cheap) and, when the verdict flips, re-centers the index on its
+    * own postings via Similarity.refitIvf2IndexFromPostings — the only
+    * corpus that exists after streamed appends. A verdict that STAYS
+    * flipped after a re-fit is not a bug: re-fitting cannot repair
+    * genuine data concentration (500 identical vectors legitimately
+    * share a cell), it repairs a fit the data has outgrown — a
+    * persistent flip is the bar telling the caller the distribution
+    * changed. The sink sees (auditRow if it ran, batchId, refitted).
+    * Caller contract (inherited from appendIvf2Postings): batches carry
+    * only not-yet-indexed vec_ids. */
+  def annIngestMaintained(vectors: DataFrame, tablePrefix: String,
+      sampleQueries: DataFrame, nprobeC: Int = 2, nprobeF: Int = 2,
+      minRecall: Double = 0.6, maxImbalance: Double = 8.0, auditEvery: Int = 1)(
+      sink: (Option[org.apache.spark.sql.Row], Long, Boolean) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val b = batch.toDF()
+      val s = b.sparkSession
+      if (!b.isEmpty)
+        graft.queries.Similarity.appendIvf2Postings(s, tablePrefix, b)
+      var refitted = false
+      val verdict =
+        if (batchId % auditEvery == 0) {
+          val r = graft.queries.Similarity.ivf2DriftAudit(s, tablePrefix,
+            sampleQueries, nprobeC, nprobeF, minRecall, maxImbalance).head()
+          if (r.getAs[Boolean]("refit")) {
+            graft.queries.Similarity.refitIvf2IndexFromPostings(s, tablePrefix)
+            refitted = true
+          }
+          Some(r)
+        } else None
+      sink(verdict, batchId, refitted)
+    }
+
   /** The TEXT-dedup lifecycle closed as one streaming operator — the
     * [[phashIngestMaintained]] pattern over the bucketed minhash index:
     * each (doc_id, text) micro-batch probes the frozen index under the

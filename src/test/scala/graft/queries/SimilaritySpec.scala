@@ -432,6 +432,60 @@ class SimilaritySpec extends SparkSpecBase {
     assert(flipped, s"verdict must flip once drift crosses the bar ($imb2 vs $bar)")
   }
 
+  test("ivf2 refit-from-postings: fit re-derives at union sizing, rows survive, search stays total") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("ivf2rf_coarse", "ivf2rf_fine", "ivf2rf_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    // the drift scenario: freeze over 400 vectors, stream-fold a 500-copy
+    // hot spot the fit has never seen, then re-center the index on its
+    // own postings — the only corpus that EXISTS after streamed appends
+    val base = java.nio.file.Files.createTempDirectory("graft-ivf2rf").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 400)
+      .write.parquet(s"$base/embeddings.parquet")
+    Similarity.writeIvf2Index(spark, base, "ivf2rf")
+    val v0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    Similarity.appendIvf2Postings(spark, "ivf2rf",
+      spark.range(500).select((col("id") + 1000000L).as("vec_id"),
+        typedLit(v0).as("embedding")))
+    def ids() = spark.table("ivf2rf_postings").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val before = ids()
+    assert(before.size == 900)
+    Similarity.refitIvf2IndexFromPostings(spark, "ivf2rf")
+    // every posting survives the re-center — the refit reassigns, never
+    // samples or drops
+    assert(ids() == before, "refit must preserve the exact posting set")
+    // the fit genuinely re-derived at the UNION's sizing, not the frozen
+    // 400-vector one
+    val (kcUnion, _) = LshTuning.ivfTwoLevel(900)
+    val (kcOld, _) = LshTuning.ivfTwoLevel(400)
+    assert(kcUnion != kcOld, "test needs distinguishable sizings")
+    assert(spark.table("ivf2rf_coarse").count() <= kcUnion &&
+      spark.table("ivf2rf_coarse").count() > kcOld,
+      s"coarse cells must re-derive at union sizing (${spark.table("ivf2rf_coarse").count()})")
+    // table shapes intact: postings bucketed+sorted on fcid, fine on ccid
+    def spec(t: String) = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t)).bucketSpec.get
+    assert(spec("ivf2rf_postings").bucketColumnNames == Seq("fcid") &&
+      spec("ivf2rf_postings").sortColumnNames == Seq("fcid"))
+    assert(spec("ivf2rf_fine").bucketColumnNames == Seq("ccid"))
+    // and the refitted index is still a TOTAL search structure: probing
+    // every cell makes sampled recall exactly 1
+    val queries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+    val full = Similarity.ivf2DriftAudit(spark, "ivf2rf", queries,
+      nprobeC = 1024, nprobeF = 1024).head()
+    assert(full.getAs[Double]("mean_recall") == 1.0,
+      s"exhaustive probe after refit must recall everything: $full")
+    for (t <- Seq("ivf2rf_coarse", "ivf2rf_fine", "ivf2rf_postings"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("two-level sizing: gate derives (4,4); coarse stays broadcastable out to 10^10 vectors") {
     assert(LshTuning.ivfTwoLevel(500) == ((4, 4))) // gate — static oracle values
     assert(LshTuning.ivfTwoLevel(2000) == ((8, 8))) // sf0.1: 63 cells factor as 8x8

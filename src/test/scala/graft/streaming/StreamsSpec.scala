@@ -892,6 +892,59 @@ class StreamsSpec extends SparkSpecBase {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("maintained ann ingest: hotspot drift trips the audit, refit fires, index stays total") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.typedLit
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("sann_coarse", "sann_fine", "sann_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-sann").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 400)
+      .write.parquet(s"$base/embeddings.parquet")
+    graft.queries.Similarity.writeIvf2Index(spark, base, "sann")
+    val queries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+    // the audit POLICY: bar at 1.5x the healthy baseline imbalance
+    val bar = graft.queries.Similarity.ivf2DriftAudit(spark, "sann", queries,
+      nprobeC = 2, nprobeF = 2, minRecall = 0.0, maxImbalance = Double.MaxValue)
+      .head().getAs[Double]("imbalance") * 1.5
+    // two hot-spot batches of 250 copies of vector 0 — the re-crawl
+    // pathology the frozen fit has never seen
+    val v0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val b1 = (0L until 250L).map(i => (1000000L + i, v0.toSeq))
+    val b2 = (0L until 250L).map(i => (2000000L + i, v0.toSeq))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val refits = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val q = Streams.annIngestMaintained(
+        in.toDF().toDF("vec_id", "embedding"), "sann", queries,
+        nprobeC = 2, nprobeF = 2, minRecall = 0.0, maxImbalance = bar) {
+      (verdict, _, refitted) =>
+        assert(verdict.isDefined, "auditEvery=1 must audit every batch")
+        refits.synchronized { refits += refitted }
+        ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(refits.contains(true),
+      s"the hotspot must have tripped a mid-stream refit: $refits")
+    // the maintained index holds every folded vector and stays a TOTAL
+    // search structure after the refit
+    assert(spark.table("sann_postings").count() == 900L)
+    val full = graft.queries.Similarity.ivf2DriftAudit(spark, "sann", queries,
+      nprobeC = 1024, nprobeF = 1024).head()
+    assert(full.getAs[Double]("mean_recall") == 1.0,
+      s"exhaustive probe after maintained refit must recall everything: $full")
+    for (t <- Seq("sann_coarse", "sann_fine", "sann_postings"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("maintained minhash ingest: copies gate, keepers fold, compaction fires, copies of folded docs caught") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
