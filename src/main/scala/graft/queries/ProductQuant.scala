@@ -160,8 +160,14 @@ object ProductQuant {
     arr.toSeq.toDF("m", "cid", "code", "ce")
   }
 
-  private def fitCodebook(s: SparkSession, d: String, ks: Int): DataFrame = {
-    val sub = subVecs(Similarity.withNorm(s, d).filter(col("vec_id") % 5 === 0))
+  private def fitCodebook(s: SparkSession, d: String, ks: Int): DataFrame =
+    fitCodebookOf(Similarity.withNorm(s, d), ks)
+
+  /** [[fitCodebook]] over an arbitrary (vec_id, embedding, nrm) corpus
+    * relation — the entry [[refitPqIndexFromPostings]] uses, where the
+    * corpus is the index's own postings rather than a dir. */
+  private def fitCodebookOf(e: DataFrame, ks: Int): DataFrame = {
+    val sub = subVecs(e.filter(col("vec_id") % 5 === 0))
     // md5 seed draw PER SUBSPACE — the fineFitPortable pattern; the
     // window runs over the 20% sample only, and only at fit time
     val wSeed = Window.partitionBy("m").orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -352,6 +358,50 @@ object ProductQuant {
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(s"${tablePrefix}_postings")
+  }
+
+  /** RE-FIT a persisted IVF-PQ index FROM ITS OWN POSTINGS — the PQ twin
+    * of Similarity.refitIvf2IndexFromPostings, executing
+    * [[appendPqCodes]]'s "re-fit offline when warranted" contract after
+    * streamed appends have left no corpus dir holding the union. The
+    * postings carry raw embeddings (kept for the exact re-rank) exactly
+    * so the index can re-center on itself: centroids and codebook
+    * re-fit at the re-derived union sizing over the modulo sample, the
+    * full corpus re-assigns cells and re-quantizes codes into STAGING
+    * tables, and all three swap atomically with the cross-session cache
+    * refresh. Cost = the two Lloyd fits + one corpus rewrite — what the
+    * drift decision exists to amortize. */
+  def refitPqIndexFromPostings(s: SparkSession, tablePrefix: String,
+      buckets: Int = 32): Unit = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = s.table(s"${tablePrefix}_postings").select("vec_id", "embedding", "nrm")
+    val n = e.count()
+    val cents = Similarity.kmeansCentroidsPortable(
+        e.filter(col("vec_id") % 5 === 0), LshTuning.ivfCells(n), iters = 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cb = fitCodebookOf(e, LshTuning.pqCentroids(n))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        cb.count() // materialize both fits BEFORE any table swap
+        val staged = Seq("_codebook", "_cents", "_postings")
+          .map(t => t -> s"$tablePrefix${t}__refit")
+        staged.foreach { case (_, st) => graft.Engine.reclaimManagedTable(s, st) }
+        cb.write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${tablePrefix}_codebook__refit")
+        cents.write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${tablePrefix}_cents__refit")
+        postingsFor(e, cents, cb)
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, "cid").sortBy("cid")
+          .saveAsTable(s"${tablePrefix}_postings__refit")
+        staged.foreach { case (t, st) =>
+          graft.Engine.reclaimManagedTable(s, s"$tablePrefix$t")
+          s.sql(s"ALTER TABLE `$st` RENAME TO `$tablePrefix$t`")
+          graft.Engine.refreshTableEverywhere(s, s"$tablePrefix$t")
+        }
+      } finally cb.unpersist(blocking = false)
+    } finally cents.unpersist(blocking = false)
   }
 
   /** Query the persisted IVF-PQ index — same verdicts as the in-memory

@@ -208,6 +208,63 @@ class ProductQuantSpec extends SparkSpecBase {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("pq refit-from-postings: fit re-derives at union sizing, rows survive, search stays ranked") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("pqrf_codebook", "pqrf_cents", "pqrf_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    // freeze over 400 vectors, fold a 500-copy hot spot, then re-center
+    // the index on its own postings — the embeddings the postings carry
+    // for exact re-rank are exactly what makes this possible
+    val base = java.nio.file.Files.createTempDirectory("graft-pqrf").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 400)
+      .write.parquet(s"$base/embeddings.parquet")
+    ProductQuant.writePqIndex(spark, base, "pqrf")
+    val v0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    ProductQuant.appendPqCodes(spark, "pqrf",
+      spark.range(500).select((col("id") + 1000000L).as("vec_id"),
+        typedLit(v0).as("embedding")))
+    def ids() = spark.table("pqrf_postings").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val before = ids()
+    assert(before.size == 900)
+    ProductQuant.refitPqIndexFromPostings(spark, "pqrf")
+    assert(ids() == before, "refit must preserve the exact posting set")
+    // cells re-derive at the UNION's sizing, not the frozen 400-vector one
+    val kUnion = LshTuning.ivfCells(900)
+    val kOld = LshTuning.ivfCells(400)
+    assert(kUnion != kOld, "test needs distinguishable sizings")
+    val nCents = spark.table("pqrf_cents").count()
+    assert(nCents <= kUnion && nCents > kOld,
+      s"cents must re-derive at union sizing (got $nCents, old $kOld, union $kUnion)")
+    // every posting re-quantized to a full M-subspace code under the new
+    // codebook, codes dense in [0, ks)
+    val ksUnion = LshTuning.pqCentroids(900)
+    val cd = spark.table("pqrf_postings")
+      .select(size(col("cd")).as("m"), expr("array_max(cd)").as("mx")).agg(
+        min("m"), max("m"), max("mx")).head()
+    assert(cd.getInt(0) == ProductQuant.M && cd.getInt(1) == ProductQuant.M,
+      s"every posting must carry exactly M codes: $cd")
+    assert(cd.getLong(2) < ksUnion, s"codes must index the union codebook: $cd")
+    // the refitted index still serves ranked deterministic output
+    val rows = ProductQuant.ivfPqSearchAgainstIndex(spark, sf, "pqrf", 4, 20).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val cos = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    val again = ProductQuant.ivfPqSearchAgainstIndex(spark, sf, "pqrf", 4, 20).collect()
+    assert(again.toSeq == rows.toSeq, "refit search must stay deterministic")
+    for (t <- Seq("pqrf_codebook", "pqrf_cents", "pqrf_postings"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("derived PQ sizing: gate corpus reproduces the oracle's ks=16, larger corpora refine") {
     assert(LshTuning.pqCentroids(500) == 16) // gate corpus — static oracle value
     assert(LshTuning.pqCentroids(2000) == 63) // sf0.1
