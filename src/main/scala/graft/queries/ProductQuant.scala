@@ -371,6 +371,48 @@ object ProductQuant {
     * tables, and all three swap atomically with the cross-session cache
     * refresh. Cost = the two Lloyd fits + one corpus rewrite — what the
     * drift decision exists to amortize. */
+  /** Drift audit for the persisted IVF-PQ index — the
+    * Similarity.ivf2DriftAudit shape over the flat cell layout: cell
+    * imbalance from one partial agg over the postings `cid` column,
+    * plus sampled recall@5 of the ADC search ([[ivfPqSearchOf]]) vs
+    * brute truth over the postings corpus for the bounded query sample.
+    * One row `(n_postings, n_cells, imbalance, mean_recall, refit)`
+    * with `refit = mean_recall < minRecall OR imbalance >
+    * maxImbalance` — the signal [[refitPqIndexFromPostings]]
+    * executes. */
+  def pqDriftAudit(s: SparkSession, tablePrefix: String,
+      sampleQueries: DataFrame, nprobe: Int = 4, shortlist: Int = 20,
+      minRecall: Double = 0.6, maxImbalance: Double = 8.0): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val postings = s.table(s"${tablePrefix}_postings")
+    val balance = postings.groupBy("cid").agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("n_postings"), count(lit(1)).as("n_cells"),
+        max("cnt").as("max_cnt"))
+      .select(col("n_postings"), col("n_cells"),
+        (col("max_cnt").cast("double") * col("n_cells") / col("n_postings"))
+          .as("imbalance"))
+    val q = sampleQueries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(expr("float_dot(embedding, embedding)")).as("qn"))
+    val truth = broadcast(q)
+      .join(postings, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        (expr("float_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cos"))
+      .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))
+      .select(col("qid"), col("vec_id"))
+    val approx = ivfPqSearchOf(
+      sampleQueries.select(col("vec_id"), col("embedding")), tablePrefix,
+      nprobe, shortlist)
+      .select(col("qid"), col("vec_id")).withColumn("hit", lit(1L))
+    val recall = truth.join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy("qid").agg(coalesce(sum("hit"), lit(0L)).as("hits"),
+        count(lit(1)).as("k"))
+      .agg((sum("hits").cast("double") / sum("k")).as("mean_recall"))
+    balance.crossJoin(recall)
+      .withColumn("refit",
+        col("mean_recall") < minRecall || col("imbalance") > maxImbalance)
+  }
+
   def refitPqIndexFromPostings(s: SparkSession, tablePrefix: String,
       buckets: Int = 32): Unit = {
     graft.functions.CosineSimilarity.register(s)

@@ -351,6 +351,37 @@ object Streams {
       sink(verdict, batchId, refitted)
     }
 
+  /** The compressed-ANN twin of [[annIngestMaintained]] over the IVF-PQ
+    * index: fold each (vec_id, embedding) batch via
+    * ProductQuant.appendPqCodes (frozen centroids + codebook assign and
+    * quantize the increment; history untouched), audit every
+    * `auditEvery`-th batch via ProductQuant.pqDriftAudit, and re-fit
+    * from the index's own postings on a flipped verdict. The same
+    * persistent-flip semantics apply: a re-fit repairs an outgrown fit,
+    * not genuine data concentration. */
+  def pqIngestMaintained(vectors: DataFrame, tablePrefix: String,
+      sampleQueries: DataFrame, nprobe: Int = 4, shortlist: Int = 20,
+      minRecall: Double = 0.6, maxImbalance: Double = 8.0, auditEvery: Int = 1)(
+      sink: (Option[org.apache.spark.sql.Row], Long, Boolean) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val b = batch.toDF()
+      val s = b.sparkSession
+      if (!b.isEmpty)
+        graft.queries.ProductQuant.appendPqCodes(s, tablePrefix, b)
+      var refitted = false
+      val verdict =
+        if (batchId % auditEvery == 0) {
+          val r = graft.queries.ProductQuant.pqDriftAudit(s, tablePrefix,
+            sampleQueries, nprobe, shortlist, minRecall, maxImbalance).head()
+          if (r.getAs[Boolean]("refit")) {
+            graft.queries.ProductQuant.refitPqIndexFromPostings(s, tablePrefix)
+            refitted = true
+          }
+          Some(r)
+        } else None
+      sink(verdict, batchId, refitted)
+    }
+
   /** The TEXT-dedup lifecycle closed as one streaming operator — the
     * [[phashIngestMaintained]] pattern over the bucketed minhash index:
     * each (doc_id, text) micro-batch probes the frozen index under the

@@ -265,6 +265,41 @@ class ProductQuantSpec extends SparkSpecBase {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("pq drift audit: exhaustive recall 1.0; hotspot appends flip the refit verdict") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("pqda_codebook", "pqda_cents", "pqda_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-pqda").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 400)
+      .write.parquet(s"$base/embeddings.parquet")
+    ProductQuant.writePqIndex(spark, base, "pqda")
+    val queries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+    // probing every cell with a corpus-sized shortlist makes the ADC
+    // search exhaustive + exactly re-ranked: sampled recall must be 1
+    val full = ProductQuant.pqDriftAudit(spark, "pqda", queries,
+      nprobe = 1024, shortlist = 100000).head()
+    assert(full.getAs[Double]("mean_recall") == 1.0, s"exhaustive recall: $full")
+    val imb0 = ProductQuant.pqDriftAudit(spark, "pqda", queries,
+      minRecall = 0.0, maxImbalance = Double.MaxValue).head().getAs[Double]("imbalance")
+    val bar = imb0 * 1.5
+    def verdict() = ProductQuant.pqDriftAudit(spark, "pqda", queries,
+      minRecall = 0.0, maxImbalance = bar).head().getAs[Boolean]("refit")
+    assert(!verdict(), "healthy index must not demand a re-fit")
+    val v0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    ProductQuant.appendPqCodes(spark, "pqda",
+      spark.range(500).select((col("id") + 1000000L).as("vec_id"),
+        typedLit(v0).as("embedding")))
+    assert(verdict(), "the hotspot fold must flip the refit verdict")
+    for (t <- Seq("pqda_codebook", "pqda_cents", "pqda_postings"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("derived PQ sizing: gate corpus reproduces the oracle's ks=16, larger corpora refine") {
     assert(LshTuning.pqCentroids(500) == 16) // gate corpus — static oracle value
     assert(LshTuning.pqCentroids(2000) == 63) // sf0.1

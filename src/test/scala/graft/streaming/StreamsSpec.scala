@@ -945,6 +945,54 @@ class StreamsSpec extends SparkSpecBase {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("maintained pq ingest: hotspot drift trips the audit, refit fires, index stays total") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.typedLit
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("spq_codebook", "spq_cents", "spq_postings")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-spq").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 400)
+      .write.parquet(s"$base/embeddings.parquet")
+    graft.queries.ProductQuant.writePqIndex(spark, base, "spq")
+    val queries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+    val bar = graft.queries.ProductQuant.pqDriftAudit(spark, "spq", queries,
+      minRecall = 0.0, maxImbalance = Double.MaxValue)
+      .head().getAs[Double]("imbalance") * 1.5
+    val v0 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val b1 = (0L until 250L).map(i => (1000000L + i, v0.toSeq))
+    val b2 = (0L until 250L).map(i => (2000000L + i, v0.toSeq))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val refits = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val q = Streams.pqIngestMaintained(
+        in.toDF().toDF("vec_id", "embedding"), "spq", queries,
+        minRecall = 0.0, maxImbalance = bar) {
+      (verdict, _, refitted) =>
+        assert(verdict.isDefined, "auditEvery=1 must audit every batch")
+        refits.synchronized { refits += refitted }
+        ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(refits.contains(true),
+      s"the hotspot must have tripped a mid-stream refit: $refits")
+    assert(spark.table("spq_postings").count() == 900L)
+    val full = graft.queries.ProductQuant.pqDriftAudit(spark, "spq", queries,
+      nprobe = 1024, shortlist = 100000).head()
+    assert(full.getAs[Double]("mean_recall") == 1.0,
+      s"exhaustive probe after maintained refit must recall everything: $full")
+    for (t <- Seq("spq_codebook", "spq_cents", "spq_postings"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("maintained minhash ingest: copies gate, keepers fold, compaction fires, copies of folded docs caught") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
