@@ -554,4 +554,43 @@ class DedupSpec extends SparkSpecBase {
     val rebuilt = spark.table("t_subidx_full_grams").collect().map(_.getLong(0)).toSet
     assert(appended == rebuilt, "appended index must equal a full rebuild bit-for-bit")
   }
+
+  test("gram index compaction: appended file groups collapse, rewrite verdicts unchanged") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    spark.sql("DROP TABLE IF EXISTS gcmp_grams")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, "gcmp_grams"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    Dedup.writeGramIndex(spark, sf, "gcmp", docFilter = col("doc_id") < 300)
+    Dedup.appendGramIndex(docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), "gcmp")
+    Dedup.appendGramIndex(docs.filter(col("doc_id") >= 400), "gcmp")
+    // the probe increment: verbatim copies of indexed docs under fresh
+    // ids — every gram is a history hit, so the rewrite cuts heavily
+    val probeDocs = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    def probe() = Dedup.rewriteAgainstGramIndex(probeDocs, "gcmp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val before = probe()
+    assert(before.exists(_._2 > 0), "vacuous: probe removed nothing")
+    val grams = spark.table("gcmp_grams").collect().map(_.getLong(0)).toSet
+    def files(): Int =
+      Option(new java.io.File(warehouse, "gcmp_grams").listFiles()).map(
+        _.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    def spec() = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("gcmp_grams"))
+      .bucketSpec.get
+    val (filesBefore, specBefore) = (files(), spec())
+    def audit() = graft.Engine.bucketFileAudit(spark, "gcmp_grams", maxGroups = 1.5).head()
+    assert(audit().getLong(3) >= 2,
+      s"build + appends must stack >= 2 groups on some bucket (audit: ${audit()})")
+    assert(audit().getBoolean(4), "audit must recommend compaction after appends")
+    graft.Engine.compactBucketedTable(spark, "gcmp_grams")
+    assert(!audit().getBoolean(4), "audit must clear after compaction")
+    assert(spec() == specBefore, "bucket+sort spec must survive compaction")
+    assert(files() < filesBefore, s"compaction must reduce the file count (was $filesBefore)")
+    assert(spark.table("gcmp_grams").collect().map(_.getLong(0)).toSet == grams,
+      "compaction changed the gram set")
+    assert(probe() == before, "compaction changed rewrite verdicts")
+    spark.sql("DROP TABLE IF EXISTS gcmp_grams")
+  }
 }
