@@ -189,6 +189,35 @@ object Streams {
       if (foldIn) graft.queries.Dedup.appendGramIndex(batch.toDF(), tablePrefix)
     }
 
+  /** [[substringRewrite]] with `foldIn` hardened into the maintained
+    * shape the other ingest lifecycles use: the rewrite verdicts are
+    * RDD-localCheckpointed BEFORE the fold (an unmaterialized verdict
+    * relation read after the fold would see every gram as a history
+    * hit and cut everything — the raw `foldIn` variant relies on the
+    * sink collecting inside its body; this one doesn't), the batch's
+    * grams fold in, and the audit-gated compaction bounds the gram
+    * table's file-group stack. The sink sees (verdicts, batchId,
+    * compacted). */
+  def substringRewriteMaintained(docs: DataFrame, tablePrefix: String,
+      maxGroups: Double = 4.0)(
+      sink: (DataFrame, Long, Boolean) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val b = batch.toDF()
+      val s = b.sparkSession
+      val rw = graft.queries.Dedup.rewriteAgainstGramIndex(b, tablePrefix)
+      val rwRdd = rw.rdd
+      rwRdd.localCheckpoint()
+      rwRdd.count()
+      val verdicts = s.createDataFrame(rwRdd, rw.schema)
+      if (!b.isEmpty)
+        graft.queries.Dedup.appendGramIndex(b, tablePrefix)
+      val compacted = graft.Engine.maintainBucketedTables(s, s"${tablePrefix}_grams",
+        Seq(s"${tablePrefix}_grams"), maxGroups)
+      sink(verdicts, batchId, compacted)
+      rwRdd.unpersist(blocking = false)
+      ()
+    }
+
   /** Streaming ANN serving — the continuous twin of
     * `Similarity.ivf2SearchAgainstIndex`: each micro-batch of query
     * vectors `(vec_id, embedding)` probes the PERSISTED two-level IVF

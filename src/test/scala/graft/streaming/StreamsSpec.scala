@@ -1347,6 +1347,55 @@ class StreamsSpec extends SparkSpecBase {
     for (t <- Seq("st_sub_grams", "sq_sub_grams")) spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("maintained substring rewrite: sequential-equal verdicts, compaction fires, stack bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("smg_grams", "smgq_grams")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    graft.queries.Dedup.writeGramIndex(spark, sf, "smg", docFilter = col("doc_id") < 200)
+    graft.queries.Dedup.writeGramIndex(spark, sf, "smgq", docFilter = col("doc_id") < 200)
+    val newDocs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") >= 200).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val batches = newDocs.grouped(math.max(1, newDocs.length / 3)).toSeq
+    // sequential reference on the twin index — rewrite then fold, per
+    // batch (compaction changes FILES only, so the reference needs none)
+    def seqRewrite(batch: Seq[(Long, String)]) = {
+      val df = batch.toDF("doc_id", "text")
+      val out = graft.queries.Dedup.rewriteAgainstGramIndex(df, "smgq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      graft.queries.Dedup.appendGramIndex(df, "smgq")
+      out
+    }
+    val expected = batches.flatMap(b => seqRewrite(b.toIndexedSeq)).toSet
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val compactions = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val q = Streams.substringRewriteMaintained(
+        in.toDF().toDF("doc_id", "text"), "smg", maxGroups = 1.5) {
+      (out, _, compacted) =>
+        got.synchronized {
+          got ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        }
+        compactions.synchronized { compactions += compacted }
+        ()
+    }.start()
+    try {
+      for (b <- batches) { in.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(got.toSet == expected,
+      s"stream-only: ${got.toSet.diff(expected).take(3)}; seq-only: ${expected.diff(got.toSet).take(3)}")
+    assert(got.exists(_._2 > 0), "vacuous: stream removed nothing")
+    assert(compactions.count(identity) >= 1,
+      s"the audit must have triggered a mid-stream compaction: $compactions")
+    val audit = graft.Engine.bucketFileAudit(spark, "smg_grams", maxGroups = 1.5).head()
+    assert(audit.getLong(3) <= 2, s"file hygiene not maintained: $audit")
+    for (t <- Seq("smg_grams", "smgq_grams")) spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("streaming gopher gate passes exactly the batch battery's passing docs across a split") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
