@@ -861,6 +861,11 @@ object Dedup {
         .saveAsTable(staging)
       graft.Engine.reclaimManagedTable(s, s"${tablePrefix}_counts")
       s.sql(s"ALTER TABLE `$staging` RENAME TO `${tablePrefix}_counts`")
+      // the rename moved a fresh directory onto the live counts path; in
+      // a maintained-ingest stream this runs on a CLONED session every
+      // micro-batch, so sibling sessions (the parent, concurrent probes)
+      // must drop their pre-swap file listing or chase deleted files
+      graft.Engine.refreshTableEverywhere(s, s"${tablePrefix}_counts")
     } finally kb.unpersist(blocking = false)
   }
 

@@ -360,17 +360,6 @@ object ProductQuant {
       .saveAsTable(s"${tablePrefix}_postings")
   }
 
-  /** RE-FIT a persisted IVF-PQ index FROM ITS OWN POSTINGS — the PQ twin
-    * of Similarity.refitIvf2IndexFromPostings, executing
-    * [[appendPqCodes]]'s "re-fit offline when warranted" contract after
-    * streamed appends have left no corpus dir holding the union. The
-    * postings carry raw embeddings (kept for the exact re-rank) exactly
-    * so the index can re-center on itself: centroids and codebook
-    * re-fit at the re-derived union sizing over the modulo sample, the
-    * full corpus re-assigns cells and re-quantizes codes into STAGING
-    * tables, and all three swap atomically with the cross-session cache
-    * refresh. Cost = the two Lloyd fits + one corpus rewrite — what the
-    * drift decision exists to amortize. */
   /** Drift audit for the persisted IVF-PQ index — the
     * Similarity.ivf2DriftAudit shape over the flat cell layout: cell
     * imbalance from one partial agg over the postings `cid` column,
@@ -413,6 +402,24 @@ object ProductQuant {
         col("mean_recall") < minRecall || col("imbalance") > maxImbalance)
   }
 
+  /** RE-FIT a persisted IVF-PQ index FROM ITS OWN POSTINGS — the PQ twin
+    * of Similarity.refitIvf2IndexFromPostings, executing
+    * [[appendPqCodes]]'s "re-fit offline when warranted" contract after
+    * streamed appends have left no corpus dir holding the union. The
+    * postings carry raw embeddings (kept for the exact re-rank) exactly
+    * so the index can re-center on itself: centroids and codebook
+    * re-fit at the re-derived union sizing over the modulo sample, the
+    * full corpus re-assigns cells and re-quantizes codes into STAGING
+    * tables, and all three swap via sequential DROP+RENAME pairs with
+    * the cross-session cache refresh. The heavy work lands in staging
+    * while the live tables keep serving, but the swap is NOT one atomic
+    * flip: a reader in another session probing mid-swap can see a
+    * missing table or a mixed old/new fit — the same single-writer,
+    * quiesced-reader window as every swap in this engine (a
+    * maintained-ingest stream satisfies it because foreachBatch
+    * serializes the batch that both refits and probes). Cost = the two
+    * Lloyd fits + one corpus rewrite — what the drift decision exists
+    * to amortize. */
   def refitPqIndexFromPostings(s: SparkSession, tablePrefix: String,
       buckets: Int = 32): Unit = {
     graft.functions.CosineSimilarity.register(s)

@@ -915,8 +915,15 @@ object Similarity {
     * (kc, kf) sizing, per-cell portable fine over the modulo sample),
     * then the full corpus re-assigns coarse→fine into STAGING tables
     * under the same bucket specs, and all three tables swap via the
-    * compaction rename — readers see the old fit until the swap, and
-    * the swap is metadata. Nothing corpus-sized materializes outside
+    * compaction rename. The heavy work happens into staging while the
+    * live tables keep serving, but the swap itself is THREE sequential
+    * DROP+RENAME pairs, not one atomic flip: a reader in ANOTHER
+    * session probing mid-swap can hit a missing table or a mixed
+    * old/new coarse/fine/postings fit — the single-writer,
+    * quiesced-reader window shared by every swap in this engine (see
+    * Engine.compactBucketedTable's contract; maintained-ingest streams
+    * satisfy it because foreachBatch serializes the batch that both
+    * refits and probes). Nothing corpus-sized materializes outside
     * the one staging write: the fits read the live postings lazily and
     * only their k-row results persist. Cost = one Lloyd fit + one
     * corpus rewrite — the operation the drift audit exists to

@@ -1133,12 +1133,75 @@ object TextAnalysis {
     *     tie-break steals. Within the prefix, equal-count rows resolve
     *     in fetched order — the same (cnt DESC, a, b) order sequential
     *     argmax uses.
+    *  3. NOVEL-FUSION CLOSE: rule 2's ceiling bounds the count a
+    *     created pair can have only when that pair is NEW. If the fused
+    *     symbol `a_jb_j` already exists in the corpus (created by an
+    *     earlier ROUND via a different split — e.g. `abc` from
+    *     ('a','bc') then, now, ('ab','c') — or by an earlier row of
+    *     THIS batch), a "created" pair (x, a_jb_j) may have pre-batch
+    *     occurrences too, and its true sequential count is pre + created
+    *     — up to 2× the ceiling, enough to out-argmax a later accepted
+    *     row whose count only strictly exceeds 1× the ceiling. So a row
+    *     whose fusion is not novel CLOSES the batch after itself,
+    *     exactly like a self-pair: as the LAST accepted row there is no
+    *     later row to protect, its own count was untouched by the
+    *     disjoint merges before it, and the next round recounts fresh.
+    *     The driver knows novelty exactly: the live symbol universe is
+    *     (v0's distinct symbols) ∪ (fusions of merges accepted so far) —
+    *     one vocabulary-sized distinct pass at training start, then
+    *     O(1) per merge. TextAnalysisSpec pins the hazard corpus where
+    *     the rule-1/2-only prefix provably diverges from sequential.
     *
     * Rounds where the corpus serializes merges (each top pair chaining
     * on the previous — `t h`, `th e`, `the _`) degrade gracefully to
     * accepted=1, i.e. exactly the sequential algorithm; natural-language
     * pair distributions spread across many disjoint words, which is
     * where the batching pays. */
+  /** The pure acceptance rule of [[bpeMergesBatched]]: given the top
+    * `fetchK` pair rows of one round (sorted (cnt DESC, a, b)) and the
+    * symbol universe `known` (rule 3), return the length of the prefix
+    * that is provably safe to merge in one round. Pure and
+    * driver-side-only so the spec can property-simulate it against a
+    * reference greedy loop over hundreds of corpora without touching
+    * Spark. */
+  private[graft] def bpeAcceptPrefix(rows: Array[(String, String, Long)],
+      fetchK: Int, known: String => Boolean): Int = {
+    // rule 1: maximal symbol-disjoint prefix. A SELF-pair (a, a) closes
+    // the prefix after itself: merging it creates pairs like (aa, a)
+    // whose parent is the accepted row ITSELF (count up to cnt_j >
+    // ceiling), so rule 2's parent bound would not protect any row
+    // accepted after it — as the LAST accepted row there is no later
+    // row to protect, and the next round recounts fresh. Rule 3: a row
+    // whose fusion a+b ALREADY EXISTS closes the prefix the same way —
+    // pairs touching a pre-existing symbol gain count on top of their
+    // pre-batch count, so rule 2's ceiling would under-bound them for
+    // any later accepted row.
+    val used = scala.collection.mutable.Set.empty[String]
+    var c = 0
+    var stop = false
+    while (c < rows.length && !stop) {
+      val (a, b, _) = rows(c)
+      if (used(a) || used(b)) stop = true
+      else {
+        used += a; used += b; used += (a + b); c += 1
+        if (a == b || known(a + b)) stop = true
+      }
+    }
+    // rule 2: strict-count trim. ceiling(p) = the largest count a
+    // non-accepted (hence parent-eligible) pair can have once rows
+    // 0..p-1 are the accepted set; None iff the fetch was provably
+    // exhaustive and everything fetched is accepted (no parents exist
+    // at all, so no pair can be created).
+    val exhaustiveFetch = rows.length < fetchK
+    def ceiling(p: Int): Option[Long] =
+      if (p < rows.length) Some(rows(p)._3)
+      else if (!exhaustiveFetch) Some(rows.last._3)
+      else None
+    var p = c
+    while (p > 1 && ceiling(p).exists(_ >= rows(p - 1)._3)) p -= 1
+    p
+  }
+
   private[graft] def bpeMergesBatched(v0: DataFrame, steps: Int,
       fetchK: Int = 64, checkpointEvery: Int = 16,
       roundHook: Int => Unit = _ => ()): (Seq[(Long, String, String, Long)],
@@ -1147,6 +1210,14 @@ object TextAnalysis {
     var vocab = v0
     var prevCkpt: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     val merges = Seq.newBuilder[(Long, String, String, Long)]
+    // rule 3's symbol universe: every symbol alive now or ever created.
+    // Seeded by one distinct pass over v0 (alphabet-sized result — for a
+    // character-split corpus this is the character set), then grown by
+    // one entry per accepted merge; conservative if a symbol's last
+    // occurrence is later consumed (closing early is always exact).
+    val known = scala.collection.mutable.Set.empty[String]
+    v0.select(explode(expr("split(substring(v, 2, length(v) - 2), '><')")).as("sym"))
+      .distinct().collect().foreach(r => known += r.getString(0))
     var done = 0
     var sinceCkpt = 0
     var exhausted = false
@@ -1156,33 +1227,9 @@ object TextAnalysis {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (rows.isEmpty) exhausted = true
       else {
-        // rule 1: maximal symbol-disjoint prefix. A SELF-pair (a, a)
-        // closes the prefix after itself: merging it creates pairs like
-        // (aa, a) whose parent is the accepted row ITSELF (count up to
-        // cnt_j > ceiling), so rule 2's parent bound would not protect
-        // any row accepted after it — as the LAST accepted row there is
-        // no later row to protect, and the next round recounts fresh.
-        val used = scala.collection.mutable.Set.empty[String]
-        var c = 0
-        var stop = false
-        while (c < rows.length && !stop) {
-          val (a, b, _) = rows(c)
-          if (used(a) || used(b)) stop = true
-          else { used += a; used += b; used += (a + b); c += 1; if (a == b) stop = true }
-        }
-        // rule 2: strict-count trim. ceiling(p) = the largest count a
-        // non-accepted (hence parent-eligible) pair can have once rows
-        // 0..p-1 are the accepted set; None iff the fetch was provably
-        // exhaustive and everything fetched is accepted (no parents
-        // exist at all, so no pair can be created).
-        val exhaustiveFetch = rows.length < fetchK
-        def ceiling(p: Int): Option[Long] =
-          if (p < rows.length) Some(rows(p)._3)
-          else if (!exhaustiveFetch) Some(rows.last._3)
-          else None
-        var p = c
-        while (p > 1 && ceiling(p).exists(_ >= rows(p - 1)._3)) p -= 1
+        val p = bpeAcceptPrefix(rows, fetchK, known)
         val accept = rows.take(math.min(p, steps - done))
+        accept.foreach { case (a, b, _) => known += (a + b) }
         for (((a, b, cnt), i) <- accept.zipWithIndex)
           merges += ((done + i + 1L, a, b, cnt))
         // application order == sequential order: chained left-to-right

@@ -815,4 +815,102 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(rounds.length < 64 && rounds.max > 1,
       s"batching degenerated to sequential: per-round acceptance $rounds")
   }
+
+  test("batched bpe: pre-existing fused symbol closes the batch (rule 3 hazard corpus)") {
+    import spark.implicits._
+    // the hazard: symbol `abc` already exists (here: in v0, standing in
+    // for an earlier round's ('a','bc') merge); the batch's top row
+    // ('ab','c') fuses to that SAME symbol, so applying it adds 5
+    // created (x, abc) occurrences to the 4 pre-existing ones = 9 > 7 —
+    // the true sequential run merges (x, abc) BEFORE (d, e), while a
+    // rule-1/2-only prefix accepts ('ab','c') and ('d','e') together
+    // (ceiling 5 < 7 passes the strict trim) and silently diverges
+    val v0 = Seq(
+      ("<x><ab><c>", 5L), ("<ab><c>", 4L), ("<x><abc>", 4L), ("<d><e>", 7L)
+    ).toDF("v", "n").persist()
+    try {
+      val (seqM, _, sc) = TextAnalysis.bpeMerges(v0, 3)
+      sc.foreach(_.unpersist(blocking = false))
+      val (batM, _, bc) = TextAnalysis.bpeMergesBatched(v0, 3, fetchK = 6)
+      bc.foreach(_.unpersist(blocking = false))
+      // non-vacuous: the corpus really exhibits the created+pre-existing
+      // count (9 = 4 pre + 5 created), out-ranking the (d, e) 7
+      assert(seqM == Seq((1L, "ab", "c", 9L), (2L, "x", "abc", 9L), (3L, "d", "e", 7L)),
+        s"hazard corpus lost its shape: $seqM")
+      assert(batM == seqM, s"rule-3 divergence: batched $batM vs sequential $seqM")
+    } finally v0.unpersist(blocking = false)
+  }
+
+  test("batched bpe acceptance rule: property-equal to greedy over 400 mid-state corpora") {
+    // pure driver-side simulation of the EXACT algorithm pair —
+    // reference greedy vs the batched loop built on the production
+    // bpeAcceptPrefix — over corpora whose symbol sets contain composite
+    // symbols with overlapping spellings (ab/bc/abc/bca/ca), the shape
+    // that manufactures rule-3 collisions randomized testing over raw
+    // characters almost never hits
+    type Word = Vector[String]
+    def pairCounts(v: Map[Word, Long]): Map[(String, String), Long] =
+      v.toSeq.flatMap { case (w, n) =>
+        w.zip(w.tail).map(p => p -> n)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    def applyMerge(v: Map[Word, Long], a: String, b: String): Map[Word, Long] =
+      v.toSeq.map { case (w, n) =>
+        val r = Vector.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          if (i < w.length - 1 && w(i) == a && w(i + 1) == b) { r += (a + b); i += 2 }
+          else { r += w(i); i += 1 }
+        }
+        (r.result(), n)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+    def sortedRows(v: Map[Word, Long]): Array[(String, String, Long)] =
+      pairCounts(v).toArray.map { case ((a, b), c) => (a, b, c) }
+        .sortBy { case (a, b, c) => (-c, a, b) }
+    def greedy(v0: Map[Word, Long], steps: Int): Seq[(String, String, Long)] = {
+      var v = v0
+      val out = Seq.newBuilder[(String, String, Long)]
+      var k = 0
+      var done = false
+      while (k < steps && !done) {
+        val rows = sortedRows(v)
+        if (rows.isEmpty) done = true
+        else {
+          val (a, b, c) = rows.head
+          out += ((a, b, c)); v = applyMerge(v, a, b); k += 1
+        }
+      }
+      out.result()
+    }
+    def batched(v0: Map[Word, Long], steps: Int, fetchK: Int): Seq[(String, String, Long)] = {
+      var v = v0
+      val known = scala.collection.mutable.Set.empty[String]
+      v0.keysIterator.foreach(w => known ++= w)
+      val out = Seq.newBuilder[(String, String, Long)]
+      var done = 0
+      var exhausted = false
+      while (done < steps && !exhausted) {
+        val rows = sortedRows(v).take(fetchK)
+        if (rows.isEmpty) exhausted = true
+        else {
+          val p = TextAnalysis.bpeAcceptPrefix(rows, fetchK, known)
+          val accept = rows.take(math.min(p, steps - done))
+          accept.foreach { case (a, b, c) =>
+            out += ((a, b, c)); known += (a + b); v = applyMerge(v, a, b)
+          }
+          done += accept.length
+        }
+      }
+      out.result()
+    }
+    val syms = Vector("a", "b", "c", "ab", "bc", "abc", "x", "d", "e", "bca", "ca")
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 400) {
+      val v0 = (1 to (3 + rnd.nextInt(7))).map { _ =>
+        Vector.fill(1 + rnd.nextInt(6))(syms(rnd.nextInt(syms.length)))
+      }.groupMapReduce(identity)(_ => 1L + rnd.nextInt(9))(_ + _)
+      val g = greedy(v0, 15)
+      val b = batched(v0, 15, fetchK = 6)
+      assert(b == g, s"trial $trial diverged on $v0:\n greedy  $g\n batched $b")
+    }
+  }
 }
