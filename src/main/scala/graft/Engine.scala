@@ -68,15 +68,23 @@ object Engine {
     * identical bucketing — only the file count changes; the swap window
     * is the metadata operation, not the rewrite (the heavy work happens
     * into the staging table while the live table keeps serving).
-    * Contract: no concurrent writer during the swap. */
-  def compactBucketedTable(spark: SparkSession, table: String): Unit = {
+    * Contract: no concurrent writer during the swap.
+    *
+    * `transform` lets a family fold its OWN reclaim into the rewrite it
+    * was already paying for — dropping tombstoned rows (Takedown),
+    * shedding a minhash bucket's over-cap dead keys, collapsing a
+    * gram-ledger's delta rows — applied BEFORE the bucket-aligned
+    * repartition so a broadcast anti-join filter adds no exchange and
+    * an aggregate lands already partitioned on the bucket key. */
+  def compactBucketedTable(spark: SparkSession, table: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
     val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$table is not bucketed — compaction is the bucketed-append cure"))
     val staging = s"${table}__compact"
     reclaimManagedTable(spark, staging)
-    val rows = compactionRows(spark, table)
+    val rows = compactionRows(spark, table, transform)
     val w0 = rows.write.mode("overwrite").format("parquet")
       .bucketBy(spec.numBuckets,
         spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
@@ -124,12 +132,13 @@ object Engine {
     * repartition hashing (pmod(murmur3, n)) IS the bucket-file
     * assignment, so each write task holds exactly one bucket's rows
     * and emits exactly one file. */
-  private[graft] def compactionRows(spark: SparkSession, table: String): DataFrame = {
+  private[graft] def compactionRows(spark: SparkSession, table: String,
+      transform: DataFrame => DataFrame = identity): DataFrame = {
     val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$table is not bucketed — compaction is the bucketed-append cure"))
-    spark.read.schema(meta.schema).parquet(meta.location.toString)
+    transform(spark.read.schema(meta.schema).parquet(meta.location.toString))
       .repartition(spec.numBuckets,
         spec.bucketColumnNames.map(org.apache.spark.sql.functions.col): _*)
   }
