@@ -1183,8 +1183,17 @@ object TextAnalysis {
       val (a, b, _) = rows(c)
       if (used(a) || used(b)) stop = true
       else {
+        // in-batch fusion duplicate — an EARLIER accepted row of this
+        // same batch already fuses to a+b (('a','bc') then ('ab','c')
+        // → 'abc'): captured BEFORE this row's own symbols are
+        // inserted, it is exactly the "earlier row of THIS batch"
+        // half of rule 3 — without it both rows' created pairs stack
+        // on one symbol, reaching 2× the rule-2 ceiling and
+        // out-argmaxing a later accepted row (the pinned hazard
+        // corpus in TextAnalysisSpec diverges on rules 1-2 + known)
+        val dup = used(a + b)
         used += a; used += b; used += (a + b); c += 1
-        if (a == b || known(a + b)) stop = true
+        if (a == b || known(a + b) || dup) stop = true
       }
     }
     // rule 2: strict-count trim. ceiling(p) = the largest count a

@@ -841,6 +841,33 @@ class TextAnalysisSpec extends SparkSpecBase {
     } finally v0.unpersist(blocking = false)
   }
 
+  test("batched bpe: IN-BATCH fusion duplicate closes the batch (rule 3, same-round hazard)") {
+    import spark.implicits._
+    // the same-round half of the rule-3 hazard: TWO rows of ONE batch
+    // fuse to the same novel symbol — ('a','bc') then ('ab','c') →
+    // 'abc'. `known` cannot catch it (the symbol is created mid-batch),
+    // and rules 1-2 accept both: their created (x, abc) pairs stack
+    // (4 pre-splits + 5 = 9), out-ranking the also-accepted (d, e) 8 —
+    // the sequential 3rd merge is (x, abc, 9), a rules-1-2+known
+    // prefix emits (d, e, 8). The dup check captured before inserting
+    // the row's own symbols closes the batch after ('ab','c').
+    val v0 = Seq(
+      ("<x><a><bc>", 5L), ("<a><bc>", 5L), ("<x><ab><c>", 4L),
+      ("<ab><c>", 5L), ("<d><e>", 8L)
+    ).toDF("v", "n").persist()
+    try {
+      val (seqM, _, sc) = TextAnalysis.bpeMerges(v0, 3)
+      sc.foreach(_.unpersist(blocking = false))
+      val (batM, _, bc) = TextAnalysis.bpeMergesBatched(v0, 3, fetchK = 6)
+      bc.foreach(_.unpersist(blocking = false))
+      // non-vacuous: the divergence this corpus manufactures is real —
+      // sequential's 3rd merge is the stacked (x, abc, 9) over (d, e, 8)
+      assert(seqM == Seq((1L, "a", "bc", 10L), (2L, "ab", "c", 9L), (3L, "x", "abc", 9L)),
+        s"hazard corpus lost its shape: $seqM")
+      assert(batM == seqM, s"in-batch dup divergence: batched $batM vs sequential $seqM")
+    } finally v0.unpersist(blocking = false)
+  }
+
   test("batched bpe acceptance rule: property-equal to greedy over 400 mid-state corpora") {
     // pure driver-side simulation of the EXACT algorithm pair —
     // reference greedy vs the batched loop built on the production
@@ -911,6 +938,19 @@ class TextAnalysisSpec extends SparkSpecBase {
       val g = greedy(v0, 15)
       val b = batched(v0, 15, fetchK = 6)
       assert(b == g, s"trial $trial diverged on $v0:\n greedy  $g\n batched $b")
+    }
+    // collision-dense second pass: only the a/b/c spelling family, so
+    // two rows of one batch fusing to the SAME composite ('a','bc' and
+    // 'ab','c' → 'abc') happen routinely — the same-round rule-3 case
+    // the broad-alphabet pass above almost never manufactures
+    val dense = Vector("a", "b", "c", "ab", "bc", "ca", "abc")
+    for (trial <- 1 to 200) {
+      val v0 = (1 to (3 + rnd.nextInt(7))).map { _ =>
+        Vector.fill(1 + rnd.nextInt(5))(dense(rnd.nextInt(dense.length)))
+      }.groupMapReduce(identity)(_ => 1L + rnd.nextInt(9))(_ + _)
+      val g = greedy(v0, 15)
+      val b = batched(v0, 15, fetchK = 6)
+      assert(b == g, s"dense trial $trial diverged on $v0:\n greedy  $g\n batched $b")
     }
   }
 }
