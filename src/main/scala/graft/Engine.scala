@@ -53,6 +53,67 @@ object Engine {
     }
   }
 
+  /** WRITE-INTENT guard for the swap lifecycle. Every index family's
+    * maintenance verbs (append, compact/reclaim, refit) share the same
+    * failure mode: their staging-swap windows (DROP+RENAME, counts
+    * merge, tombstone clear) assume a SINGLE writer per table prefix,
+    * and a second maintainer interleaving with the first corrupts
+    * silently — a half-renamed family, a counts table that lost an
+    * increment, tombstones cleared without being applied. This guard
+    * turns that silent corruption into a LOUD failure: each mutating
+    * verb takes a prefix-scoped intent marker before touching any
+    * table and releases it after the swap completes; a second writer
+    * finding the marker throws immediately.
+    *
+    * The marker is an atomically-created file under the warehouse dir
+    * (`FileSystem.create(..., overwrite = false)` — the HDFS-portable
+    * create-exclusive primitive, so the same guard works on a real
+    * cluster's shared warehouse, where two drivers racing one prefix
+    * is exactly the scenario). A JVM that dies mid-maintenance leaves
+    * the marker behind DELIBERATELY: the family's tables may be
+    * mid-swap, so the next writer failing loud until an operator
+    * inspects and [[clearWriteIntent]]s is the correct posture — the
+    * marker names the interrupted operation to aid that triage.
+    * Scope: one marker per table PREFIX (family), not per table — a
+    * family's swap invariants span its sibling tables. Reentrancy is
+    * the caller's job: public verbs guard, internals compose unguarded
+    * (the foreachBatch bodies of the maintained ingests call several
+    * guarded verbs SEQUENTIALLY, which is fine — they never nest). */
+  def withWriteIntent[T](spark: SparkSession, prefix: String, op: String = "maintenance")(
+      body: => T): T = {
+    val fs = intentPath(spark, prefix).getFileSystem(spark.sessionState.newHadoopConf())
+    val p = intentPath(spark, prefix)
+    val out =
+      try fs.create(p, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new IllegalStateException(
+            s"write-intent conflict on prefix '$prefix': another maintainer holds " +
+            s"${p} (or died mid-operation and left it). Two concurrent maintainers " +
+            "on one index family corrupt its swap windows; serialize them, or run " +
+            s"Engine.clearWriteIntent after verifying the family's tables. [$op]", e)
+      }
+    try { out.writeBytes(op); out.close() } catch { case _: java.io.IOException => () }
+    try body
+    finally { fs.delete(p, false); () }
+  }
+
+  /** Operator verb for a marker left by a maintainer that died
+    * mid-operation — clear ONLY after verifying the family's tables
+    * (no `__compact`/`__refit`/`__merge` staging leftovers, sibling
+    * tables mutually consistent). */
+  def clearWriteIntent(spark: SparkSession, prefix: String): Unit = {
+    val p = intentPath(spark, prefix)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+    ()
+  }
+
+  private def intentPath(spark: SparkSession, prefix: String): org.apache.hadoop.fs.Path = {
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    new org.apache.hadoop.fs.Path(warehouse,
+      s"${prefix.toLowerCase(java.util.Locale.ROOT)}__intent")
+  }
+
   /** Compact a bucketed managed parquet table in place. Every
     * bucketed-append writer in this engine (appendPhashIndex,
     * appendBm25Postings, appendPqCodes, appendGramIndex, …) adds one
@@ -153,9 +214,11 @@ object Engine {
     * Returns whether the rewrite fired. Caller contract: no concurrent
     * writer (foreachBatch serializes batches, satisfying it). */
   def maintainBucketedTables(spark: SparkSession, auditTable: String,
-      tables: Seq[String], maxGroups: Double = 4.0): Boolean = {
+      tables: Seq[String], maxGroups: Double = 4.0,
+      transforms: Map[String, DataFrame => DataFrame] = Map.empty): Boolean = {
     val compact = bucketFileAudit(spark, auditTable, maxGroups).head().getBoolean(4)
-    if (compact) tables.foreach(compactBucketedTable(spark, _))
+    if (compact) tables.foreach(t =>
+      compactBucketedTable(spark, t, transforms.getOrElse(t, identity[DataFrame] _)))
     compact
   }
 

@@ -28,7 +28,30 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * (Engine.compactBucketedTable): tombstones appended WHILE a reclaim
   * rewrite is in flight would be cleared without being applied — a
   * maintained-ingest stream satisfies the contract because foreachBatch
-  * serializes the batch that appends, reclaims and clears. */
+  * serializes the batch that appends, reclaims and clears; standalone
+  * maintainers are additionally fenced by Engine.withWriteIntent.
+  *
+  * ENFORCED AT (the wiring, per family — TakedownSpec pins each):
+  *  - minhash: probe Dedup.incrementalDupsAgainstBucketedIndexOf;
+  *    reclaim Dedup.reclaimMinhashIndex (keys+sig drop, counts adjust)
+  *  - BM25: search TextAnalysis.bm25SearchOf (postings, lengths, AND
+  *    live stats recompute); reclaim TextAnalysis.reclaimBm25Index
+  *  - pHash: probe Multimodal.incrementalPhashDupsAgainst*;
+  *    reclaim Multimodal.reclaimPhashIndex
+  *  - IVF²: search Similarity.ivf2SearchOf + drift audit; reclaim
+  *    Similarity.reclaimIvf2Postings; refitIvf2IndexFromPostings
+  *    folds pending tombstones and clears
+  *  - IVF-PQ: search ProductQuant.ivfPqSearchOf + drift audit; reclaim
+  *    ProductQuant.reclaimPqPostings; refitPqIndexFromPostings folds
+  *  - gram: NO in-place reclaim by design (membership index, no
+  *    provenance) — Dedup.reclaimGramIndex packages the honest
+  *    rebuild-excluding path
+  * The compaction-maintained ingests (Streams.*IngestMaintained) call
+  * the family reclaim under their file-hygiene audit gate, so a
+  * streamed crawl folds takedowns with zero extra rewrites. Scope:
+  * managed bucketed serving indexes only — the path-based one-shot
+  * indexes (writeMinhashIndex to a directory) are rebuild-cheap and
+  * carry no ledger. */
 object Takedown {
 
   def tombTable(prefix: String): String = s"${prefix}_tomb"
@@ -45,7 +68,21 @@ object Takedown {
   def add(s: SparkSession, prefix: String, ids: DataFrame): Unit = {
     require(ids.columns.length == 1,
       s"tombstone ids must be a single-column relation, got ${ids.columns.toSeq}")
-    ids.toDF("id").write.mode("append").format("parquet")
+    // align the id type with the existing ledger: a second add() with a
+    // differently-typed column (int vs long, long vs string) must not
+    // fail the append or silently coerce into a lossy union — cast
+    // explicitly to the first add's type and fail LOUD on an
+    // incompatible cast. The first add fixes the ledger's type; it
+    // must match the family's id column (the probe anti-joins on it).
+    val in = ids.toDF("id")
+    val aligned =
+      if (!exists(s, prefix)) in
+      else {
+        val t = s.table(tombTable(prefix)).schema("id").dataType
+        if (in.schema("id").dataType == t) in
+        else in.select(col("id").cast(t).as("id"))
+      }
+    aligned.write.mode("append").format("parquet")
       .saveAsTable(tombTable(prefix))
   }
 
@@ -65,8 +102,13 @@ object Takedown {
   def excluding(tbl: DataFrame, prefix: String, idCol: String): DataFrame = {
     val s = tbl.sparkSession
     if (!exists(s, prefix)) tbl
-    else tbl.join(broadcast(s.table(tombTable(prefix))),
-      tbl(idCol) === col("id"), "left_anti")
+    else {
+      // bind the ledger side explicitly: an unqualified col("id") is
+      // ambiguous whenever tbl itself carries a column named `id`
+      // (the common idCol == "id" case) and throws at probe time
+      val ledger = s.table(tombTable(prefix))
+      tbl.join(broadcast(ledger), tbl(idCol) === ledger("id"), "left_anti")
+    }
   }
 
   /** Drop the ledger after a physical reclaim has rewritten every

@@ -829,17 +829,13 @@ object Dedup {
   def appendMinhashIndexBucketed(docs: DataFrame, tablePrefix: String,
       cap: Long = hotBucketCap): Unit = {
     val s = docs.sparkSession
-    def bucketsOf(t: String): Int = s.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
-      .bucketSpec.map(_.numBuckets)
-      .getOrElse(throw new IllegalStateException(
-        s"$t is not bucketed — not a minhash serving index"))
+    graft.Engine.withWriteIntent(s, tablePrefix, "minhash-append") {
     val (sig, keysBn) = md5SigKeysCounted(
       docs.select(col("doc_id"), split(col("text"), " ").as("ws")))
     val kb = keysBn.persist()
     try {
       sig.write.mode("append").format("parquet")
-        .bucketBy(bucketsOf(s"${tablePrefix}_sig"), "doc_id").sortBy("doc_id")
+        .bucketBy(bucketsOf(s, s"${tablePrefix}_sig"), "doc_id").sortBy("doc_id")
         .saveAsTable(s"${tablePrefix}_sig")
       val incCounts = kb.select(col("band"), col("bh"), col("bn")).distinct()
       val oldCounts = s.table(s"${tablePrefix}_counts")
@@ -848,26 +844,105 @@ object Dedup {
         .select("band", "bh")
       kb.join(ok, Seq("band", "bh"), "left_semi").drop("bn")
         .write.mode("append").format("parquet")
-        .bucketBy(bucketsOf(s"${tablePrefix}_keys"), "band", "bh")
+        .bucketBy(bucketsOf(s, s"${tablePrefix}_keys"), "band", "bh")
         .saveAsTable(s"${tablePrefix}_keys")
-      val countsBuckets = bucketsOf(s"${tablePrefix}_counts")
       val merged = oldCounts
         .unionByName(incCounts.select(col("band"), col("bh"), col("bn").as("n")))
         .groupBy("band", "bh").agg(sum("n").as("n"))
-      val staging = s"${tablePrefix}_counts__merge"
-      graft.Engine.reclaimManagedTable(s, staging)
-      merged.write.mode("overwrite").format("parquet")
-        .bucketBy(countsBuckets, "band", "bh")
-        .saveAsTable(staging)
-      graft.Engine.reclaimManagedTable(s, s"${tablePrefix}_counts")
-      s.sql(s"ALTER TABLE `$staging` RENAME TO `${tablePrefix}_counts`")
-      // the rename moved a fresh directory onto the live counts path; in
-      // a maintained-ingest stream this runs on a CLONED session every
-      // micro-batch, so sibling sessions (the parent, concurrent probes)
-      // must drop their pre-swap file listing or chase deleted files
-      graft.Engine.refreshTableEverywhere(s, s"${tablePrefix}_counts")
+      swapCountsTable(s, tablePrefix, merged)
     } finally kb.unpersist(blocking = false)
+    }
   }
+
+  private def bucketsOf(s: SparkSession, t: String): Int = s.sessionState.catalog
+    .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+    .bucketSpec.map(_.numBuckets)
+    .getOrElse(throw new IllegalStateException(
+      s"$t is not bucketed — not a minhash serving index"))
+
+  /** Staging swap of `{prefix}_counts` under its own bucket spec — the
+    * compactBucketedTable rename pattern: the heavy merge lands in a
+    * staging table while the live counts keep serving, then one
+    * DROP+RENAME flips it. A reader never sees partial rows mid-merge;
+    * the swap window itself is the single-writer contract every swap
+    * in this engine shares (now enforced by the callers' write-intent
+    * guard). */
+  private def swapCountsTable(s: SparkSession, tablePrefix: String,
+      counts: DataFrame): Unit = {
+    val staging = s"${tablePrefix}_counts__merge"
+    graft.Engine.reclaimManagedTable(s, staging)
+    counts.write.mode("overwrite").format("parquet")
+      .bucketBy(bucketsOf(s, s"${tablePrefix}_counts"), "band", "bh")
+      .saveAsTable(staging)
+    graft.Engine.reclaimManagedTable(s, s"${tablePrefix}_counts")
+    s.sql(s"ALTER TABLE `$staging` RENAME TO `${tablePrefix}_counts`")
+    // the rename moved a fresh directory onto the live counts path; in
+    // a maintained-ingest stream this runs on a CLONED session every
+    // micro-batch, so sibling sessions (the parent, concurrent probes)
+    // must drop their pre-swap file listing or chase deleted files
+    graft.Engine.refreshTableEverywhere(s, s"${tablePrefix}_counts")
+  }
+
+  /** PHYSICAL reclaim of the bucketed minhash family — the compaction
+    * rewrite the file-hygiene audit was already going to pay, extended
+    * to also shed the two kinds of verdict-dead rows the append path
+    * leaves on disk:
+    *
+    *  - TOMBSTONED rows (Takedown ledger): dropped from `_keys` and
+    *    `_sig` via the broadcast anti-join riding the rewrite's scan;
+    *    `_counts` is adjusted by subtracting the tombstoned docs'
+    *    per-bucket key contributions — but ONLY for buckets at or
+    *    under the cap, whose key sets are complete by construction
+    *    (keys stop being written once a bucket crosses the cap, so an
+    *    over-cap bucket's subtraction would under-count). An over-cap
+    *    bucket keeps its over-true total and stays retired even if
+    *    takedowns would arithmetically bring it back under: its keys
+    *    are already partial, so re-admitting it would serve a bucket
+    *    a rebuild would serve completely — conservative recall, never
+    *    a false candidate; a full rebuild restores such buckets.
+    *  - OVER-CAP DEAD KEYS: `_keys` rows of buckets whose true total
+    *    exceeds the cap (written before the bucket crossed it). The
+    *    probe's joint bound `bn + n <= cap` drops those buckets
+    *    wholesale, so their rows can never produce a candidate — pure
+    *    file mass. The over-cap bucket set (post-adjustment counts,
+    *    `n > cap`) broadcasts into the rewrite as an anti-join.
+    *
+    * Probe verdicts are invariant across this reclaim (DedupSpec pins
+    * equality on a planted over-cap corpus and a tombstoned one); the
+    * ledger clears only after every table of the family swapped.
+    * Ordering matters and is why this is one verb: the counts
+    * adjustment reads the PRE-reclaim `_keys` (the tombstoned rows it
+    * subtracts), so it must land before the keys rewrite drops them. */
+  def reclaimMinhashIndex(s: SparkSession, tablePrefix: String,
+      cap: Long = hotBucketCap): Unit =
+    graft.Engine.withWriteIntent(s, tablePrefix, "minhash-reclaim") {
+      val pending = graft.Takedown.pending(s, tablePrefix)
+      if (pending) {
+        val keys = s.table(s"${tablePrefix}_keys")
+        val ledger = s.table(graft.Takedown.tombTable(tablePrefix))
+        val dead = keys
+          .join(broadcast(ledger), keys("doc_id") === ledger("id"), "left_semi")
+          .groupBy("band", "bh").agg(count(lit(1)).as("dn"))
+        val adjusted = s.table(s"${tablePrefix}_counts")
+          .join(broadcast(dead), Seq("band", "bh"), "left")
+          .select(col("band"), col("bh"),
+            when(col("n") <= cap, col("n") - coalesce(col("dn"), lit(0L)))
+              .otherwise(col("n")).as("n"))
+          .filter(col("n") > 0)
+        swapCountsTable(s, tablePrefix, adjusted)
+      }
+      // over-cap set from the POST-adjustment counts: a bucket whose
+      // total stays above cap after takedown subtraction sheds ALL its
+      // keys (retired bucket — the joint bound never admits it)
+      val overCap = s.table(s"${tablePrefix}_counts")
+        .filter(col("n") > cap).select("band", "bh")
+      graft.Engine.compactBucketedTable(s, s"${tablePrefix}_keys", df =>
+        graft.Takedown.excluding(df, tablePrefix, "doc_id")
+          .join(broadcast(overCap), Seq("band", "bh"), "left_anti"))
+      graft.Engine.compactBucketedTable(s, s"${tablePrefix}_sig", df =>
+        graft.Takedown.excluding(df, tablePrefix, "doc_id"))
+      if (pending) graft.Takedown.clear(s, tablePrefix)
+    }
 
   /** Incremental dedup of a NEW batch (documents of corpus `d` matching
     * `batchFilter`) against a PERSISTED index written by
@@ -933,7 +1008,19 @@ object Dedup {
     val s = batch.sparkSession
     val (bsig, bkeysBn) = md5SigKeysCounted(
       batch.select(col("doc_id"), split(col("text"), " ").as("ws")))
-    incrementalVerdicts(s.table(s"${tablePrefix}_keys"), s.table(s"${tablePrefix}_sig"),
+    // logical takedown: tombstoned docs must not surface as history
+    // dup_ids. Excluding the KEYS relation alone is exactly sufficient —
+    // every candidate's history id comes from a keys row, so no
+    // tombstoned id can reach the signature-verify join (whose extra
+    // sig rows are then unreachable); the ledger broadcasts, the index
+    // side keeps its bucketing, and with no ledger the plan is
+    // byte-identical (excluding is a pass-through). Counts stay
+    // un-excluded: a tombstone can only leave them over-true, which the
+    // joint bound reads conservatively (drops MORE buckets, never
+    // creates a candidate) until reclaimMinhashIndex subtracts.
+    incrementalVerdicts(
+      graft.Takedown.excluding(s.table(s"${tablePrefix}_keys"), tablePrefix, "doc_id"),
+      s.table(s"${tablePrefix}_sig"),
       s.table(s"${tablePrefix}_counts"),
       bkeysBn, bsig, broadcastIncrement = false, cap)
   }
@@ -1255,6 +1342,42 @@ object Dedup {
     val inBatch = grams.join(dupInBatch, Seq("h"))
     rewriteWithCoverage(docs, gramCoverage(
       inIndex.select("doc_id", "pos").unionByName(inBatch.select("doc_id", "pos"))))
+  }
+
+  /** Takedown for the gram index IS a rebuild — stated honestly rather
+    * than faked: the index stores DISTINCT hashes with no provenance
+    * (its 8-bytes-per-gram cost is exactly what a takedown-capable
+    * variant gives up), so a tombstoned doc's grams cannot be removed
+    * in place — a gram it contributed may also belong to a live doc,
+    * and membership rows carry no df to tell. This verb packages the
+    * honest path as one call: re-derive the gram set from the live
+    * corpus relation with the tombstoned docs anti-joined out, land it
+    * in a staging table under the same bucket spec (the live index
+    * keeps serving through the rebuild), swap, and clear the ledger.
+    * Unlike the five id-carrying families this pays O(corpus), not
+    * O(amortized-zero) — callers batch takedowns and run it on the
+    * compaction cadence. `docs`: the full live corpus (doc_id, text). */
+  def reclaimGramIndex(docs: DataFrame, tablePrefix: String): Unit = {
+    val s = docs.sparkSession
+    graft.Engine.withWriteIntent(s, tablePrefix, "gram-rebuild") {
+      val buckets = s.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${tablePrefix}_grams"))
+        .bucketSpec.map(_.numBuckets)
+        .getOrElse(throw new IllegalStateException(
+          s"${tablePrefix}_grams is not bucketed — not a gram index"))
+      val staging = s"${tablePrefix}_grams__rebuild"
+      graft.Engine.reclaimManagedTable(s, staging)
+      gramStream(graft.Takedown.excluding(docs, tablePrefix, "doc_id"))
+        .select("h").distinct()
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "h").sortBy("h")
+        .saveAsTable(staging)
+      graft.Engine.reclaimManagedTable(s, s"${tablePrefix}_grams")
+      s.sql(s"ALTER TABLE `$staging` RENAME TO `${tablePrefix}_grams`")
+      graft.Engine.refreshTableEverywhere(s, s"${tablePrefix}_grams")
+      graft.Takedown.clear(s, tablePrefix)
+    }
   }
 
   val oracle: Map[String, String] = Map(

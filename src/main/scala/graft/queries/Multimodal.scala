@@ -460,16 +460,25 @@ object Multimodal {
     * pair-of-blocks scheme the text SimHash path uses (hamming ≤ 6
     * complete). */
   def writePhashIndex(s: SparkSession, d: String, tablePrefix: String,
-      maxId: Long = Long.MaxValue, buckets: Int = 32): Unit = {
+      maxId: Long = Long.MaxValue, buckets: Int = 32): Unit =
+    writeBandedIndex(s, tablePrefix,
+      phash(assets(s, d, maxId, onlyMime = Some("image/png")))
+        .select(col("asset_id"), col("ph").as("sh")), buckets)
+
+  /** The shared WRITE of a banded perceptual index — one (asset_id, sh)
+    * signature relation in, the `_sig`/`_keys` table pair out, shared
+    * by the pHash (image) and audio-fingerprint families (both are
+    * 63-bit signatures under the same pair-of-blocks banding). The
+    * signatures persist across the two table writes: without it the
+    * `_keys` write re-runs the ENTIRE decode→signature chain a second
+    * time — pure codec CPU paid twice, and the duplicated media churn
+    * is what bent the measured build exponent superlinear at 64×
+    * corpora. */
+  private def writeBandedIndex(s: SparkSession, tablePrefix: String,
+      sigIn: DataFrame, buckets: Int): Unit = {
     for (t <- Seq("_sig", "_keys"))
       graft.Engine.reclaimManagedTable(s, tablePrefix + t)
-    // persist the signatures (8 bytes + id per image) across the two
-    // table writes: without it the _keys write re-runs the ENTIRE
-    // encode→decode→DCT chain a second time — pure codec CPU paid
-    // twice, and the duplicated image churn is what bent the measured
-    // build exponent superlinear at 64× corpora
-    val sig = phash(assets(s, d, maxId, onlyMime = Some("image/png")))
-      .select(col("asset_id"), col("ph").as("sh")).persist()
+    val sig = sigIn.persist()
     try {
       sig.write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "asset_id").sortBy("asset_id")
@@ -523,13 +532,29 @@ object Multimodal {
     * backfill (increment shuffles into the index's bucketing; history
     * still exchange-free, satisfied by its bucket layout). */
   private def phashProbeVerdicts(newAssets: Dataset[Asset], tablePrefix: String,
+      broadcastIncrement: Boolean, maxHamming: Int): DataFrame =
+    bandedProbeVerdicts(
+      phash(newAssets).select(col("asset_id").as("new_id"), col("ph").as("sh")),
+      tablePrefix, broadcastIncrement, maxHamming)
+
+  /** The shared banded-index probe plan behind the pHash AND audio
+    * families' increment regimes: `inc` is the increment's (new_id, sh)
+    * signature relation; its band keys join the frozen keys table
+    * (band-key equi-join, hamming ≤ 6 complete), candidates dedupe,
+    * exact hamming refines. */
+  private def bandedProbeVerdicts(inc: DataFrame, tablePrefix: String,
       broadcastIncrement: Boolean, maxHamming: Int): DataFrame = {
-    val s = newAssets.sparkSession
+    val s = inc.sparkSession
     val hint: DataFrame => DataFrame = if (broadcastIncrement) broadcast else identity
-    val inc = phash(newAssets).select(col("asset_id").as("new_id"), col("ph").as("sh"))
     val incKeys = phashKeys(inc, "new_id", "nsh") // (new_id, nsh, blk, bv)
+    // logical takedown: tombstoned assets must not surface as history
+    // dup_ids — every candidate's history id comes from a keys row, so
+    // excluding the keys relation alone is exactly sufficient; the
+    // ledger broadcasts (index bucketing untouched), and with no
+    // ledger the relation passes through with a byte-identical plan
     hint(incKeys)
-      .join(s.table(s"${tablePrefix}_keys"), Seq("blk", "bv")) // (asset_id, ph, ...)
+      .join(graft.Takedown.excluding(
+        s.table(s"${tablePrefix}_keys"), tablePrefix, "asset_id"), Seq("blk", "bv"))
       .filter(col("new_id") =!= col("asset_id"))
       .select(col("new_id"), col("asset_id").as("dup_id"), col("nsh"), col("ph"))
       .distinct()
@@ -545,13 +570,22 @@ object Multimodal {
     * read or moved; a daily image crawl costs O(increment). Caller
     * contract: the batch is not already indexed. */
   def appendPhashIndex(s: SparkSession, tablePrefix: String,
-      newAssets: Dataset[Asset]): Unit = {
+      newAssets: Dataset[Asset]): Unit =
+    appendBandedIndex(s, tablePrefix,
+      phash(newAssets).select(col("asset_id"), col("ph").as("sh")), "phash-append")
+
+  /** The shared APPEND of a banded perceptual index — signatures and
+    * band keys shuffle into the tables' own bucket specs, existing
+    * files never read or moved; a daily crawl costs O(increment).
+    * Caller contract: the batch is not already indexed. */
+  private def appendBandedIndex(s: SparkSession, tablePrefix: String,
+      sigIn: DataFrame, op: String): Unit = graft.Engine.withWriteIntent(s, tablePrefix, op) {
     def bucketsOf(t: String): Int = s.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
       .bucketSpec.map(_.numBuckets)
-      .getOrElse(throw new IllegalStateException(s"$t is not bucketed — not a phash index"))
-    // persist across the two appends — see writePhashIndex
-    val sig = phash(newAssets).select(col("asset_id"), col("ph").as("sh")).persist()
+      .getOrElse(throw new IllegalStateException(s"$t is not bucketed — not a banded index"))
+    // persist across the two appends — see writeBandedIndex
+    val sig = sigIn.persist()
     try {
       sig.write.mode("append").format("parquet")
         .bucketBy(bucketsOf(s"${tablePrefix}_sig"), "asset_id").sortBy("asset_id")
@@ -562,6 +596,149 @@ object Multimodal {
         .saveAsTable(s"${tablePrefix}_keys")
     } finally sig.unpersist(blocking = false)
   }
+
+  /** PHYSICAL takedown reclaim + file-hygiene compaction for the pHash
+    * family — the reclaimMinhashIndex shape without the counts leg
+    * (the perceptual index has no hot-bucket counts table): `_keys`
+    * and `_sig` rewrite under their own bucket specs with the
+    * tombstone anti-join riding the compaction scan, then the ledger
+    * clears. With no ledger pending this is plain compaction. */
+  def reclaimPhashIndex(s: SparkSession, tablePrefix: String): Unit =
+    reclaimBandedIndex(s, tablePrefix, "phash-reclaim")
+
+  private def reclaimBandedIndex(s: SparkSession, tablePrefix: String, op: String): Unit =
+    graft.Engine.withWriteIntent(s, tablePrefix, op) {
+      val pending = graft.Takedown.pending(s, tablePrefix)
+      graft.Engine.compactBucketedTable(s, s"${tablePrefix}_keys",
+        graft.Takedown.excluding(_, tablePrefix, "asset_id"))
+      graft.Engine.compactBucketedTable(s, s"${tablePrefix}_sig",
+        graft.Takedown.excluding(_, tablePrefix, "asset_id"))
+      if (pending) graft.Takedown.clear(s, tablePrefix)
+    }
+
+  // ------------------------------------------------------------------
+  // AUDIO serving-index lifecycle — the pHash pattern applied verbatim
+  // to the energy-profile fingerprint: [[audioFingerprint]] is a
+  // 63-bit signature under the SAME pair-of-blocks banding (hamming
+  // ≤ 6 complete), so the whole banded-index machinery is shared; only
+  // the signature function differs. Closes the "audio dedup is
+  // batch-only" gap: a crawl probes new clips against history without
+  // recomputing the corpus side.
+  // ------------------------------------------------------------------
+
+  /** Persist the audio-fingerprint serving index over corpus `d`'s WAV
+    * assets — `{prefix}_sig` (asset_id, sh) bucketed+sorted on
+    * asset_id, `{prefix}_keys` band keys bucketed on (blk, bv). */
+  def writeAudioFpIndex(s: SparkSession, d: String, tablePrefix: String,
+      maxId: Long = Long.MaxValue, buckets: Int = 32): Unit =
+    writeBandedIndex(s, tablePrefix,
+      audioFingerprint(assets(s, d, maxId, onlyMime = Some("audio/wav")))
+        .select(col("asset_id"), col("fp").as("sh")), buckets)
+
+  /** Fold a new audio batch into the persisted index — O(increment),
+    * existing files untouched. Caller contract: not already indexed. */
+  def appendAudioFpIndex(s: SparkSession, tablePrefix: String,
+      newAssets: Dataset[Asset]): Unit =
+    appendBandedIndex(s, tablePrefix,
+      audioFingerprint(newAssets).select(col("asset_id"), col("fp").as("sh")),
+      "audiofp-append")
+
+  /** Probe a NEW audio batch against the frozen index — only the
+    * increment decodes PCM and fingerprints; history is a pure scan.
+    * Output: (new_id, dup_id, hamming), dup_id an indexed clip within
+    * `maxHamming`. */
+  def incrementalAudioFpDupsAgainstIndex(newAssets: Dataset[Asset],
+      tablePrefix: String, maxHamming: Int = 6): DataFrame =
+    bandedProbeVerdicts(
+      audioFingerprint(newAssets).select(col("asset_id").as("new_id"), col("fp").as("sh")),
+      tablePrefix, broadcastIncrement = true, maxHamming)
+
+  /** Bucketed-increment twin — the backfill regime (no broadcast
+    * ceiling; the increment's keys shuffle into the index's own
+    * (blk, bv) bucketing, the index side never exchanges). */
+  def incrementalAudioFpDupsAgainstBucketedIndex(newAssets: Dataset[Asset],
+      tablePrefix: String, maxHamming: Int = 6): DataFrame =
+    bandedProbeVerdicts(
+      audioFingerprint(newAssets).select(col("asset_id").as("new_id"), col("fp").as("sh")),
+      tablePrefix, broadcastIncrement = false, maxHamming)
+
+  /** Takedown reclaim + compaction for the audio family. */
+  def reclaimAudioFpIndex(s: SparkSession, tablePrefix: String): Unit =
+    reclaimBandedIndex(s, tablePrefix, "audiofp-reclaim")
+
+  // ------------------------------------------------------------------
+  // VIDEO serving-index lifecycle — the stream signature is an EXACT
+  // key (a remux preserves it bit-for-bit), so the index is the
+  // minhash `_sig` shape without banding: one bucketed table of
+  // (asset_id, sig_h), probed by equi-join on the fixed-width map-side
+  // md5. The raw stsz sequence never persists and never shuffles.
+  // ------------------------------------------------------------------
+
+  /** Persist the video stream-signature index over corpus `d`'s MP4
+    * assets: `{prefix}_sig` (asset_id, sig_h) bucketed+sorted on
+    * sig_h — probes ride the bucketing exchange-free. */
+  def writeVideoSigIndex(s: SparkSession, d: String, tablePrefix: String,
+      maxId: Long = Long.MaxValue, buckets: Int = 32): Unit = {
+    graft.Engine.reclaimManagedTable(s, s"${tablePrefix}_sig")
+    videoStreamSig(assets(s, d, maxId, onlyMime = Some("video/mp4")))
+      .select("asset_id", "sig_h")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "sig_h").sortBy("sig_h")
+      .saveAsTable(s"${tablePrefix}_sig")
+  }
+
+  /** Fold a new video batch into the persisted index. Caller contract:
+    * not already indexed. */
+  def appendVideoSigIndex(s: SparkSession, tablePrefix: String,
+      newAssets: Dataset[Asset]): Unit =
+    graft.Engine.withWriteIntent(s, tablePrefix, "videosig-append") {
+      val buckets = s.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(s"${tablePrefix}_sig"))
+        .bucketSpec.map(_.numBuckets)
+        .getOrElse(throw new IllegalStateException(
+          s"${tablePrefix}_sig is not bucketed — not a video sig index"))
+      videoStreamSig(newAssets).select("asset_id", "sig_h")
+        .write.mode("append").format("parquet")
+        .bucketBy(buckets, "sig_h").sortBy("sig_h")
+        .saveAsTable(s"${tablePrefix}_sig")
+    }
+
+  /** Probe a NEW video batch against the frozen index: only the
+    * increment parses containers; its fixed-width sig hashes join the
+    * index on `sig_h` (exact match — remux-invariant, re-encode-
+    * breaking). Output: (new_id, dup_id, h). */
+  def incrementalVideoSigDupsAgainstIndex(newAssets: Dataset[Asset],
+      tablePrefix: String): DataFrame =
+    videoProbeVerdicts(newAssets, tablePrefix, broadcastIncrement = true)
+
+  /** Bucketed-increment twin — the backfill regime. */
+  def incrementalVideoSigDupsAgainstBucketedIndex(newAssets: Dataset[Asset],
+      tablePrefix: String): DataFrame =
+    videoProbeVerdicts(newAssets, tablePrefix, broadcastIncrement = false)
+
+  private def videoProbeVerdicts(newAssets: Dataset[Asset], tablePrefix: String,
+      broadcastIncrement: Boolean): DataFrame = {
+    val s = newAssets.sparkSession
+    val hint: DataFrame => DataFrame = if (broadcastIncrement) broadcast else identity
+    val inc = videoStreamSig(newAssets)
+      .select(col("asset_id").as("new_id"), col("sig_h"))
+    hint(inc)
+      .join(graft.Takedown.excluding(
+        s.table(s"${tablePrefix}_sig"), tablePrefix, "asset_id"), Seq("sig_h"))
+      .filter(col("new_id") =!= col("asset_id"))
+      .select(col("new_id"), col("asset_id").as("dup_id"), col("sig_h").as("h"))
+      .orderBy("new_id", "dup_id")
+  }
+
+  /** Takedown reclaim + compaction for the video family. */
+  def reclaimVideoSigIndex(s: SparkSession, tablePrefix: String): Unit =
+    graft.Engine.withWriteIntent(s, tablePrefix, "videosig-reclaim") {
+      val pending = graft.Takedown.pending(s, tablePrefix)
+      graft.Engine.compactBucketedTable(s, s"${tablePrefix}_sig",
+        graft.Takedown.excluding(_, tablePrefix, "asset_id"))
+      if (pending) graft.Takedown.clear(s, tablePrefix)
+    }
 
   /** One image patch (the ViT tokenization unit). */
   final case class ImagePatch(asset_id: Long, px: Long, py: Long, n_pixels: Long, pix_sum: Long)

@@ -340,7 +340,8 @@ object ProductQuant {
     * table's own bucket spec, so a daily increment costs O(increment).
     * Same recall-drift contract (re-fit offline when the appended mass
     * warrants); caller guarantees `newVectors` are not already indexed. */
-  def appendPqCodes(s: SparkSession, tablePrefix: String, newVectors: DataFrame): Unit = {
+  def appendPqCodes(s: SparkSession, tablePrefix: String, newVectors: DataFrame): Unit =
+    graft.Engine.withWriteIntent(s, tablePrefix, "pq-append") {
     graft.functions.CosineSimilarity.register(s)
     val catalog = s.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${tablePrefix}_postings")
@@ -358,7 +359,22 @@ object ProductQuant {
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(s"${tablePrefix}_postings")
-  }
+    }
+
+  /** PHYSICAL takedown reclaim + file-hygiene compaction for the
+    * IVF-PQ family — the Similarity.reclaimIvf2Postings shape:
+    * `_postings` (the only id-carrying table) rewrites under its own
+    * bucket spec with the tombstone anti-join riding the compaction
+    * scan, then the ledger clears. `_cents`/`_codebook` hold the fit
+    * and stay frozen; the drift audit decides when dropped mass
+    * warrants a refit (which folds pending tombstones itself). */
+  def reclaimPqPostings(s: SparkSession, tablePrefix: String): Unit =
+    graft.Engine.withWriteIntent(s, tablePrefix, "pq-reclaim") {
+      val pending = graft.Takedown.pending(s, tablePrefix)
+      graft.Engine.compactBucketedTable(s, s"${tablePrefix}_postings",
+        graft.Takedown.excluding(_, tablePrefix, "vec_id"))
+      if (pending) graft.Takedown.clear(s, tablePrefix)
+    }
 
   /** Drift audit for the persisted IVF-PQ index — the
     * Similarity.ivf2DriftAudit shape over the flat cell layout: cell
@@ -373,7 +389,11 @@ object ProductQuant {
       sampleQueries: DataFrame, nprobe: Int = 4, shortlist: Int = 20,
       minRecall: Double = 0.6, maxImbalance: Double = 8.0): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    val postings = s.table(s"${tablePrefix}_postings")
+    // audit the SERVING corpus — same reasoning as ivf2DriftAudit:
+    // tombstoned vectors are already excluded from the search side, so
+    // brute truth must exclude them too or recall reads spurious misses
+    val postings = graft.Takedown.excluding(
+      s.table(s"${tablePrefix}_postings"), tablePrefix, "vec_id")
     val balance = postings.groupBy("cid").agg(count(lit(1)).as("cnt"))
       .agg(sum("cnt").as("n_postings"), count(lit(1)).as("n_cells"),
         max("cnt").as("max_cnt"))
@@ -421,9 +441,14 @@ object ProductQuant {
     * Lloyd fits + one corpus rewrite — what the drift decision exists
     * to amortize. */
   def refitPqIndexFromPostings(s: SparkSession, tablePrefix: String,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32): Unit = graft.Engine.withWriteIntent(s, tablePrefix, "pq-refit") {
     graft.functions.CosineSimilarity.register(s)
-    val e = s.table(s"${tablePrefix}_postings").select("vec_id", "embedding", "nrm")
+    // a refit rewrites the whole family, so pending tombstones fold in
+    // for free (pass-through when none); the ledger clears post-swap
+    val tombPending = graft.Takedown.pending(s, tablePrefix)
+    val e = graft.Takedown.excluding(
+      s.table(s"${tablePrefix}_postings"), tablePrefix, "vec_id")
+      .select("vec_id", "embedding", "nrm")
     val n = e.count()
     val cents = Similarity.kmeansCentroidsPortable(
         e.filter(col("vec_id") % 5 === 0), LshTuning.ivfCells(n), iters = 2)
@@ -449,6 +474,7 @@ object ProductQuant {
           s.sql(s"ALTER TABLE `$st` RENAME TO `$tablePrefix$t`")
           graft.Engine.refreshTableEverywhere(s, s"$tablePrefix$t")
         }
+        if (tombPending) graft.Takedown.clear(s, tablePrefix)
       } finally cb.unpersist(blocking = false)
     } finally cents.unpersist(blocking = false)
   }
@@ -480,9 +506,14 @@ object ProductQuant {
     // the probed-cell set restricts the postings scan BEFORE the
     // candidate join (bucket pruning in the literal regime)
     val probes = coarseProbes(q, cents, nprobe)
-    val postings = Similarity.pruneToProbed(
-      s.table(s"${tablePrefix}_postings"), "cid",
-      probes.select("cid").distinct(), literalProbeCap)
+    // logical takedown: tombstoned vectors must never rank — anti-join
+    // above the cell-pruned scan (bucket pruning intact, ledger
+    // broadcasts, pass-through with a byte-identical plan when none)
+    val postings = graft.Takedown.excluding(
+      Similarity.pruneToProbed(
+        s.table(s"${tablePrefix}_postings"), "cid",
+        probes.select("cid").distinct(), literalProbeCap),
+      tablePrefix, "vec_id")
     ivfPqCore(q, probes, cb, postings, shortlist)
   }
 

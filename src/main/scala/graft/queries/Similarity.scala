@@ -800,7 +800,8 @@ object Similarity {
     * [[invalidateIvfIndex]] for the session memo). Caller contract:
     * `newVectors` (vec_id, embedding) are not already indexed — this
     * path does not anti-join 10¹⁰ postings rows to dedupe. */
-  def appendIvf2Postings(s: SparkSession, tablePrefix: String, newVectors: DataFrame): Unit = {
+  def appendIvf2Postings(s: SparkSession, tablePrefix: String, newVectors: DataFrame): Unit =
+    graft.Engine.withWriteIntent(s, tablePrefix, "ivf2-append") {
     graft.functions.CosineSimilarity.register(s)
     val coarse = s.table(s"${tablePrefix}_coarse")
     val fine = s.table(s"${tablePrefix}_fine")
@@ -820,7 +821,25 @@ object Similarity {
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "fcid").sortBy("fcid")
       .saveAsTable(s"${tablePrefix}_postings")
-  }
+    }
+
+  /** PHYSICAL takedown reclaim + file-hygiene compaction for the IVF²
+    * family: `_postings` — the only id-carrying table — rewrites under
+    * its own bucket spec with the tombstone anti-join riding the
+    * compaction scan, then the ledger clears. `_coarse`/`_fine` hold
+    * the FIT, not documents, and are deliberately untouched: dropping
+    * vectors shifts true cell means exactly like appending does, and
+    * the same drift audit decides when that warrants a refit (which
+    * itself folds pending tombstones — see
+    * [[refitIvf2IndexFromPostings]]). With no ledger pending this is
+    * plain compaction. */
+  def reclaimIvf2Postings(s: SparkSession, tablePrefix: String): Unit =
+    graft.Engine.withWriteIntent(s, tablePrefix, "ivf2-reclaim") {
+      val pending = graft.Takedown.pending(s, tablePrefix)
+      graft.Engine.compactBucketedTable(s, s"${tablePrefix}_postings",
+        graft.Takedown.excluding(_, tablePrefix, "vec_id"))
+      if (pending) graft.Takedown.clear(s, tablePrefix)
+    }
 
   /** Restrict an index table to the probed cell ids, by one of two
     * regimes chosen at plan-build time from the probed-set size:
@@ -896,8 +915,14 @@ object Similarity {
       pruneToProbed(s.table(s"${tablePrefix}_fine"), "ccid",
         probesC.select("ccid").distinct(), literalProbeCap),
       Seq("qid", "qe", "qn"), nprobeF)
-    val postings = pruneToProbed(s.table(s"${tablePrefix}_postings"), "fcid",
-      probesF.select("fcid").distinct(), literalProbeCap)
+    // logical takedown: tombstoned vectors must never rank — the
+    // anti-join rides ABOVE the cell-pruned scan (bucket pruning
+    // intact), the ledger broadcasts, and with no ledger the plan is
+    // byte-identical (excluding is a pass-through)
+    val postings = graft.Takedown.excluding(
+      pruneToProbed(s.table(s"${tablePrefix}_postings"), "fcid",
+        probesF.select("fcid").distinct(), literalProbeCap),
+      tablePrefix, "vec_id")
     broadcast(probesF)
       .join(postings, probesF("fcid") === postings("fcid") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
@@ -929,9 +954,16 @@ object Similarity {
     * corpus rewrite — the operation the drift audit exists to
     * amortize. */
   def refitIvf2IndexFromPostings(s: SparkSession, tablePrefix: String,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32): Unit = graft.Engine.withWriteIntent(s, tablePrefix, "ivf2-refit") {
     graft.functions.CosineSimilarity.register(s)
-    val e = s.table(s"${tablePrefix}_postings").select("vec_id", "embedding", "nrm")
+    // a refit rewrites every table of the family anyway, so pending
+    // tombstones fold in for free: the fit and the re-assigned
+    // postings both read the corpus MINUS the ledger (pass-through
+    // when none), and the ledger clears once the swap completes
+    val tombPending = graft.Takedown.pending(s, tablePrefix)
+    val e = graft.Takedown.excluding(
+      s.table(s"${tablePrefix}_postings"), tablePrefix, "vec_id")
+      .select("vec_id", "embedding", "nrm")
     val (kc, kf) = LshTuning.ivfTwoLevel(e.count())
     val coarse = kmeansCentroidsPortable(e.filter(col("vec_id") % 5 === 0), kc, iters = 2)
       .select(col("cid").as("ccid"), col("ce"), col("cn"))
@@ -964,6 +996,7 @@ object Similarity {
           s.sql(s"ALTER TABLE `$st` RENAME TO `$tablePrefix$t`")
           graft.Engine.refreshTableEverywhere(s, s"$tablePrefix$t")
         }
+        if (tombPending) graft.Takedown.clear(s, tablePrefix)
       } finally fine.unpersist(blocking = false)
     } finally coarse.unpersist(blocking = false)
   }
@@ -995,7 +1028,12 @@ object Similarity {
       sampleQueries: DataFrame, nprobeC: Int = 2, nprobeF: Int = 2,
       minRecall: Double = 0.6, maxImbalance: Double = 8.0): DataFrame = {
     graft.functions.CosineSimilarity.register(s)
-    val postings = s.table(s"${tablePrefix}_postings")
+    // audit the SERVING corpus: with tombstones pending, ivf2SearchOf
+    // already excludes them — brute truth reading the raw postings
+    // would count each tombstoned true-neighbor as a recall miss and
+    // flip spurious refit verdicts (pass-through when no ledger)
+    val postings = graft.Takedown.excluding(
+      s.table(s"${tablePrefix}_postings"), tablePrefix, "vec_id")
     val balance = postings.groupBy("fcid").agg(count(lit(1)).as("cnt"))
       .agg(sum("cnt").as("n_postings"), count(lit(1)).as("n_cells"),
         max("cnt").as("max_cnt"))

@@ -860,20 +860,46 @@ object TextAnalysis {
     * append scores EXACTLY like an index rebuilt over the union corpus
     * — no drift contract needed, unlike the ANN fits. Caller contract:
     * `docs` (doc_id, text) are not already indexed. */
-  def appendBm25Postings(s: SparkSession, tablePrefix: String, docs: DataFrame): Unit = {
-    val catalog = s.sessionState.catalog
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${tablePrefix}_tf")
-    val buckets = catalog.getTableMetadata(ident).bucketSpec.map(_.numBuckets)
-      .getOrElse(throw new IllegalStateException(
-        s"${tablePrefix}_tf is not bucketed — not a BM25 serving index"))
-    val t = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-    bm25Tf(t).write.mode("append").format("parquet")
-      .bucketBy(buckets, "w").sortBy("w").saveAsTable(s"${tablePrefix}_tf")
-    bm25Dl(t).write.mode("append").format("parquet")
-      .bucketBy(buckets, "doc_id").saveAsTable(s"${tablePrefix}_dl")
-    bm25Stats(s.table(s"${tablePrefix}_dl"))
-      .write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_stats")
-  }
+  def appendBm25Postings(s: SparkSession, tablePrefix: String, docs: DataFrame): Unit =
+    graft.Engine.withWriteIntent(s, tablePrefix, "bm25-append") {
+      val catalog = s.sessionState.catalog
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(s"${tablePrefix}_tf")
+      val buckets = catalog.getTableMetadata(ident).bucketSpec.map(_.numBuckets)
+        .getOrElse(throw new IllegalStateException(
+          s"${tablePrefix}_tf is not bucketed — not a BM25 serving index"))
+      val t = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      bm25Tf(t).write.mode("append").format("parquet")
+        .bucketBy(buckets, "w").sortBy("w").saveAsTable(s"${tablePrefix}_tf")
+      bm25Dl(t).write.mode("append").format("parquet")
+        .bucketBy(buckets, "doc_id").saveAsTable(s"${tablePrefix}_dl")
+      bm25Stats(s.table(s"${tablePrefix}_dl"))
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_stats")
+    }
+
+  /** PHYSICAL takedown reclaim + file-hygiene compaction for the BM25
+    * family, one verb: `_tf` and `_dl` rewrite under their own bucket
+    * specs with the tombstone anti-join riding the scan (the
+    * compactBucketedTable transform — the rewrite file hygiene was
+    * already paying also drops the taken-down rows), the 1-row
+    * `_stats` recomputes from the reclaimed lengths (N and avgdl equal
+    * a rebuild-without-the-docs exactly), and the ledger clears only
+    * after every table swapped — from then on bm25SearchOf's
+    * no-ledger fast path (persisted stats, pass-through postings) is
+    * byte-identical to pre-takedown plans. With no ledger pending
+    * this is plain compaction. */
+  def reclaimBm25Index(s: SparkSession, tablePrefix: String): Unit =
+    graft.Engine.withWriteIntent(s, tablePrefix, "bm25-reclaim") {
+      val pending = graft.Takedown.pending(s, tablePrefix)
+      graft.Engine.compactBucketedTable(s, s"${tablePrefix}_tf",
+        graft.Takedown.excluding(_, tablePrefix, "doc_id"))
+      graft.Engine.compactBucketedTable(s, s"${tablePrefix}_dl",
+        graft.Takedown.excluding(_, tablePrefix, "doc_id"))
+      if (pending) {
+        bm25Stats(s.table(s"${tablePrefix}_dl"))
+          .write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_stats")
+        graft.Takedown.clear(s, tablePrefix)
+      }
+    }
 
   /** Search the persisted BM25 index with a (qid, terms array<string>)
     * query relation: the postings scan is restricted to the query terms
@@ -887,9 +913,24 @@ object TextAnalysis {
       literalProbeCap: Int = 1000): DataFrame = {
     val s = queries.sparkSession
     val q = queries.select(col("qid"), explode(col("terms")).as("w")).distinct()
-    val tf = graft.queries.Similarity.pruneToProbed(
-      s.table(s"${tablePrefix}_tf"), "w", q.select("w").distinct(), literalProbeCap)
-    bm25Core(q, tf, s.table(s"${tablePrefix}_dl"), s.table(s"${tablePrefix}_stats"), k)
+    // logical takedown: tombstoned docs leave the score EXACTLY as a
+    // rebuild-without-them would — postings and lengths anti-join the
+    // broadcast ledger (df derives from the pruned postings at query
+    // time, so it shrinks correctly for free), and the persisted 1-row
+    // stats (N, avgdl) are recomputed from the excluded lengths while
+    // a ledger is pending (a doc-count-sized aggregate; the persisted
+    // row returns once reclaimBm25Index folds the takedown into the
+    // files). With no ledger every branch is a pass-through — the
+    // no-takedown plan is byte-identical.
+    val tf = graft.Takedown.excluding(
+      graft.queries.Similarity.pruneToProbed(
+        s.table(s"${tablePrefix}_tf"), "w", q.select("w").distinct(), literalProbeCap),
+      tablePrefix, "doc_id")
+    val dl = graft.Takedown.excluding(s.table(s"${tablePrefix}_dl"), tablePrefix, "doc_id")
+    val stats =
+      if (graft.Takedown.pending(s, tablePrefix)) bm25Stats(dl)
+      else s.table(s"${tablePrefix}_stats")
+    bm25Core(q, tf, dl, stats, k)
   }
 
   /** BPE merge loop (see the x_text_bpe_train entry). Symbols are kept

@@ -334,8 +334,13 @@ object Streams {
       val s = b.sparkSession
       if (!b.isEmpty)
         graft.queries.TextAnalysis.appendBm25Postings(s, tablePrefix, b)
-      val compacted = graft.Engine.maintainBucketedTables(s, s"${tablePrefix}_tf",
-        Seq(s"${tablePrefix}_tf", s"${tablePrefix}_dl"), maxGroups)
+      // the audit-gated rewrite doubles as the takedown reclaim:
+      // reclaimBm25Index folds any pending tombstones into the
+      // compaction it was going to pay anyway (and recomputes stats +
+      // clears the ledger); with none pending it is plain compaction
+      val compacted = graft.Engine.bucketFileAudit(s, s"${tablePrefix}_tf", maxGroups)
+        .head().getBoolean(4)
+      if (compacted) graft.queries.TextAnalysis.reclaimBm25Index(s, tablePrefix)
       sink(b, batchId, compacted)
     }
 
@@ -438,8 +443,15 @@ object Streams {
       val keepers = b.join(verdicts.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
       if (!keepers.isEmpty)
         graft.queries.Dedup.appendMinhashIndexBucketed(keepers, tablePrefix, cap)
-      val compacted = graft.Engine.maintainBucketedTables(s, s"${tablePrefix}_keys",
-        Seq(s"${tablePrefix}_keys", s"${tablePrefix}_sig"), maxGroups)
+      // the audit-gated rewrite doubles as the reclaim: pending
+      // tombstones AND over-cap dead keys both drop inside the
+      // compaction the file audit was going to pay anyway (the probe
+      // above already honors the ledger logically, so mid-stream
+      // takedowns take effect immediately; the physical purge rides
+      // the next hygiene rewrite and clears the ledger)
+      val compacted = graft.Engine.bucketFileAudit(s, s"${tablePrefix}_keys", maxGroups)
+        .head().getBoolean(4)
+      if (compacted) graft.queries.Dedup.reclaimMinhashIndex(s, tablePrefix, cap)
       sink(verdicts, batchId, compacted)
       probeRdd.unpersist(blocking = false)
       ()
@@ -487,8 +499,82 @@ object Streams {
             org.apache.spark.sql.Encoders.product[graft.queries.Multimodal.Asset])
         if (!keepers.isEmpty)
           graft.queries.Multimodal.appendPhashIndex(s, tablePrefix, keepers)
-        val compacted = graft.Engine.maintainBucketedTables(s, s"${tablePrefix}_keys",
-          Seq(s"${tablePrefix}_keys", s"${tablePrefix}_sig"), maxGroups)
+        // audit-gated rewrite doubles as the takedown reclaim (the
+        // probe above already honors the ledger logically)
+        val compacted = graft.Engine.bucketFileAudit(s, s"${tablePrefix}_keys", maxGroups)
+          .head().getBoolean(4)
+        if (compacted) graft.queries.Multimodal.reclaimPhashIndex(s, tablePrefix)
+        sink(verdicts, batchId, compacted)
+        probeRdd.unpersist(blocking = false)
+        ()
+    }
+
+  /** The AUDIO-ingest lifecycle closed as one streaming operator — the
+    * [[phashIngestMaintained]] pattern over the energy-profile
+    * fingerprint index (Multimodal.writeAudioFpIndex): each WAV batch
+    * is probed against the frozen index (verdicts = duplicates of
+    * HISTORY, RDD-checkpointed pre-fold for the same pinning), the
+    * non-duplicate keepers fold in, and the audit-gated compaction —
+    * which also reclaims pending takedowns — bounds the file stacks.
+    * Intra-batch duplicates inherit the append contract: dedupe within
+    * a batch upstream if that matters. Sink: (verdicts, batchId,
+    * compacted). */
+  def audioIngestMaintained(assets: Dataset[graft.queries.Multimodal.Asset],
+      tablePrefix: String, maxHamming: Int = 6, maxGroups: Double = 4.0)(
+      sink: (DataFrame, Long, Boolean) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[graft.queries.Multimodal.Asset] =
+    assets.writeStream.foreachBatch {
+      (batch: Dataset[graft.queries.Multimodal.Asset], batchId: Long) =>
+        val s = batch.sparkSession
+        val probe = graft.queries.Multimodal.incrementalAudioFpDupsAgainstIndex(
+          batch, tablePrefix, maxHamming)
+        val probeRdd = probe.rdd
+        probeRdd.localCheckpoint()
+        probeRdd.count()
+        val verdicts = s.createDataFrame(probeRdd, probe.schema)
+        val keepers = batch.join(
+            verdicts.select(org.apache.spark.sql.functions.col("new_id").as("asset_id")).distinct(),
+            Seq("asset_id"), "left_anti")
+          .as[graft.queries.Multimodal.Asset](
+            org.apache.spark.sql.Encoders.product[graft.queries.Multimodal.Asset])
+        if (!keepers.isEmpty)
+          graft.queries.Multimodal.appendAudioFpIndex(s, tablePrefix, keepers)
+        val compacted = graft.Engine.bucketFileAudit(s, s"${tablePrefix}_keys", maxGroups)
+          .head().getBoolean(4)
+        if (compacted) graft.queries.Multimodal.reclaimAudioFpIndex(s, tablePrefix)
+        sink(verdicts, batchId, compacted)
+        probeRdd.unpersist(blocking = false)
+        ()
+    }
+
+  /** The VIDEO-ingest lifecycle closed as one streaming operator over
+    * the exact stream-signature index (Multimodal.writeVideoSigIndex):
+    * each MP4 batch parses only itself, probes the frozen index by
+    * fixed-width sig hash (remux-invariant exact match), folds the
+    * non-duplicate keepers, and pays the audit-gated compaction —
+    * which also reclaims pending takedowns — when the sig table's file
+    * stack crosses `maxGroups`. Sink: (verdicts, batchId, compacted). */
+  def videoIngestMaintained(assets: Dataset[graft.queries.Multimodal.Asset],
+      tablePrefix: String, maxGroups: Double = 4.0)(
+      sink: (DataFrame, Long, Boolean) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[graft.queries.Multimodal.Asset] =
+    assets.writeStream.foreachBatch {
+      (batch: Dataset[graft.queries.Multimodal.Asset], batchId: Long) =>
+        val s = batch.sparkSession
+        val probe = graft.queries.Multimodal.incrementalVideoSigDupsAgainstIndex(
+          batch, tablePrefix)
+        val probeRdd = probe.rdd
+        probeRdd.localCheckpoint()
+        probeRdd.count()
+        val verdicts = s.createDataFrame(probeRdd, probe.schema)
+        val keepers = batch.join(
+            verdicts.select(org.apache.spark.sql.functions.col("new_id").as("asset_id")).distinct(),
+            Seq("asset_id"), "left_anti")
+          .as[graft.queries.Multimodal.Asset](
+            org.apache.spark.sql.Encoders.product[graft.queries.Multimodal.Asset])
+        if (!keepers.isEmpty)
+          graft.queries.Multimodal.appendVideoSigIndex(s, tablePrefix, keepers)
+        val compacted = graft.Engine.bucketFileAudit(s, s"${tablePrefix}_sig", maxGroups)
+          .head().getBoolean(4)
+        if (compacted) graft.queries.Multimodal.reclaimVideoSigIndex(s, tablePrefix)
         sink(verdicts, batchId, compacted)
         probeRdd.unpersist(blocking = false)
         ()

@@ -712,6 +712,92 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("audio bucketed-increment probe: index rides its bucketing, never an exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("plan_afp_sig", "plan_afp_keys")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    graft.queries.Multimodal.writeAudioFpIndex(spark, sf, "plan_afp", maxId = 120)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.queries.Multimodal.incrementalAudioFpDupsAgainstBucketedIndex(
+          graft.queries.Multimodal.perturbedWavTwins(spark, sf, maxId = 120), "plan_afp")
+        .queryExecution.executedPlan
+      def scansIndex(n: SparkPlan): Boolean =
+        n.collectLeaves().exists(_.toString.contains("plan_afp_keys"))
+      assert(scansIndex(p), s"bucketed index never scanned:\n$p")
+      def rawIndexBelow(n: SparkPlan): Boolean = n match {
+        case leaf if leaf.children.isEmpty => leaf.toString.contains("plan_afp_keys")
+        case _: BroadcastHashJoinExec | _: SortMergeJoinExec | _: ShuffledHashJoinExec => false
+        case other => other.children.exists(rawIndexBelow)
+      }
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!rawIndexBelow(e.child), s"bucketed index re-shuffled under:\n$e"))
+      p.collect { case b: BroadcastExchangeExec => b }.foreach(b =>
+        assert(!rawIndexBelow(b.child), s"bucketed index broadcast raw:\n$b"))
+      val joins = p.collect {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j: SparkPlan
+      }
+      assert(joins.exists(j => j.children.exists(c =>
+          scansIndex(c) && c.collect { case e: ShuffleExchangeExec => e }.isEmpty)),
+        s"no shuffle join rides the index bucketing directly:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      for (t <- Seq("plan_afp_sig", "plan_afp_keys")) spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("video bucketed-increment probe: sig index rides its bucketing, never an exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    spark.sql("DROP TABLE IF EXISTS plan_vsig_sig")
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, "plan_vsig_sig"))
+    graft.queries.Multimodal.writeVideoSigIndex(spark, sf, "plan_vsig", maxId = 200)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = graft.queries.Multimodal.incrementalVideoSigDupsAgainstBucketedIndex(
+          graft.queries.Multimodal.remuxedMp4Twins(spark, sf, maxId = 200), "plan_vsig")
+        .queryExecution.executedPlan
+      def scansIndex(n: SparkPlan): Boolean =
+        n.collectLeaves().exists(_.toString.contains("plan_vsig_sig"))
+      assert(scansIndex(p), s"bucketed index never scanned:\n$p")
+      def rawIndexBelow(n: SparkPlan): Boolean = n match {
+        case leaf if leaf.children.isEmpty => leaf.toString.contains("plan_vsig_sig")
+        case _: BroadcastHashJoinExec | _: SortMergeJoinExec | _: ShuffledHashJoinExec => false
+        case other => other.children.exists(rawIndexBelow)
+      }
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!rawIndexBelow(e.child), s"bucketed index re-shuffled under:\n$e"))
+      p.collect { case b: BroadcastExchangeExec => b }.foreach(b =>
+        assert(!rawIndexBelow(b.child), s"bucketed index broadcast raw:\n$b"))
+      val joins = p.collect {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j: SparkPlan
+      }
+      assert(joins.exists(j => j.children.exists(c =>
+          scansIndex(c) && c.collect { case e: ShuffleExchangeExec => e }.isEmpty)),
+        s"no shuffle join rides the index bucketing directly:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS plan_vsig_sig")
+    }
+  }
+
   test("compaction staging plan: exactly one exchange — the bucket-aligned repartition") {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
