@@ -127,6 +127,40 @@ object ScaleBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** One measured point: wall seconds plus the task-metric byte deltas
+    * of the SAME run — the "shuffles carry signatures, never bodies"
+    * claim made checkable: for the banded/dedup builds, shuffle bytes
+    * must stay a small fraction of input bytes at every scale (the
+    * shuffled rows are fixed-width keys/signatures while the input is
+    * document/media mass), and spill must stay 0. */
+  private final case class Point(m: Int, secs: Double,
+    shuffleWrite: Long, shuffleRead: Long, input: Long, spill: Long)
+
+  /** Cumulative task-metric counters, fed by a bus listener; deltas
+    * around a run attribute bytes to that run (the bus drains via the
+    * GraftListenerBus shim before every snapshot, so no tail event
+    * leaks into the next pipeline's delta). */
+  private final class MetricsListener extends org.apache.spark.scheduler.SparkListener {
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+    val input = new java.util.concurrent.atomic.AtomicLong
+    val spill = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        input.addAndGet(m.inputMetrics.bytesRead)
+        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        ()
+      }
+    }
+    def snap(s: SparkSession): (Long, Long, Long, Long) = {
+      org.apache.spark.GraftListenerBus.drain(s.sparkContext)
+      (shuffleWrite.get, shuffleRead.get, input.get, spill.get)
+    }
+  }
+
   private def noop(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -358,16 +392,30 @@ object ScaleBench {
       println("SCALE warmup complete (sf0.01)")
     }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Seq[(Int, Double)]]()
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
+    val results = scala.collection.mutable.LinkedHashMap[String, Seq[Point]]()
     for (m <- scales) {
       val d = dirs(m)
       for ((name, pScales, run) <- pipelines if pScales.contains(m) && active(name)) {
         // min-of-two (the Bench.scala lesson): a single pass is hostage
         // to GC pauses and ambient load — at 64× one poisoned point
-        // moved a tail exponent from ~0.9 to ~1.2 in an early run
-        val secs = math.min(timed(run(spark, d, m)), timed(run(spark, d, m)))
-        results(name) = results.getOrElse(name, Seq.empty) :+ (m -> secs)
-        println(f"SCALE $name%-20s x$m%-3d ${secs}%8.2f s")
+        // moved a tail exponent from ~0.9 to ~1.2 in an early run.
+        // Byte metrics come from the faster run (bytes are load-
+        // invariant; pairing them with the kept timing keeps one
+        // coherent observation per point).
+        def one(): Point = {
+          val (sw0, sr0, in0, sp0) = metrics.snap(spark)
+          val secs = timed(run(spark, d, m))
+          val (sw1, sr1, in1, sp1) = metrics.snap(spark)
+          Point(m, secs, sw1 - sw0, sr1 - sr0, in1 - in0, sp1 - sp0)
+        }
+        val (a, b) = (one(), one())
+        val pt = if (a.secs <= b.secs) a else b
+        results(name) = results.getOrElse(name, Seq.empty) :+ pt
+        println(f"SCALE $name%-20s x$m%-3d ${pt.secs}%8.2f s  " +
+          f"in ${pt.input / 1e6}%9.1f MB  sw ${pt.shuffleWrite / 1e6}%8.1f MB  " +
+          f"spill ${pt.spill / 1e6}%6.1f MB")
       }
       // the per-scale serving indexes are measured; drop them before the
       // next scale so disk stays bounded
@@ -412,11 +460,23 @@ object ScaleBench {
         }
       } else Seq.empty
     val fresh = results.toSeq.map { case (name, pts) =>
-      val secsJson = pts.map { case (m, t) => s""""$m":${d3(t)}""" }.mkString(",")
+      val tpts = pts.map(p => (p.m, p.secs))
+      val secsJson = tpts.map { case (m, t) => s""""$m":${d3(t)}""" }.mkString(",")
+      def mb(sel: Point => Long): String =
+        pts.map(p => s""""${p.m}":${d3(sel(p) / 1e6)}""").mkString(",")
+      // shuffle_frac = shuffle-write bytes / input bytes at the LARGEST
+      // scale — the one-number form of "shuffles carry signatures,
+      // never bodies" (≪ 1 for the banded builds; ~1 only for a true
+      // full-corpus re-sort like dedup_rewrite's final assembly)
+      val last = pts.last
+      val frac = if (last.input > 0) last.shuffleWrite.toDouble / last.input else 0.0
       (name,
-        s"""{"secs":{$secsJson},"exponent":${d3(exponent(pts))},""" +
-          s""""tail_exponent":${d3(tailExp(pts))}}""",
-        tailExp(pts))
+        s"""{"secs":{$secsJson},"exponent":${d3(exponent(tpts))},""" +
+          s""""tail_exponent":${d3(tailExp(tpts))},""" +
+          s""""input_mb":{${mb(_.input)}},"shuffle_write_mb":{${mb(_.shuffleWrite)}},""" +
+          s""""shuffle_read_mb":{${mb(_.shuffleRead)}},"spill_mb":{${mb(_.spill)}},""" +
+          s""""shuffle_frac_at_max":${d3(frac)}}""",
+        tailExp(tpts))
     }
     val merged = kept ++ fresh
     val pipelineJson = merged.map { case (n, js, _) => s""""$n":$js""" }.mkString(",")
