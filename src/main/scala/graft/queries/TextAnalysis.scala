@@ -1265,6 +1265,12 @@ object TextAnalysis {
     // character-split corpus this is the character set), then grown by
     // one entry per accepted merge; conservative if a symbol's last
     // occurrence is later consumed (closing early is always exact).
+    // SIZE GUARD on the driver-side collect below: it is bounded by
+    // v0's DISTINCT SYMBOL count, which for the char-split v0 this
+    // trainer consumes is alphabet-sized (tens to a few thousand for
+    // CJK). A WORD-split v0 would make it vocabulary-sized — if a
+    // future caller feeds one, seed `known` from a count-thresholded
+    // distinct or a bloom instead of collecting the full set.
     val known = scala.collection.mutable.Set.empty[String]
     v0.select(explode(expr("split(substring(v, 2, length(v) - 2), '><')")).as("sym"))
       .distinct().collect().foreach(r => known += r.getString(0))
