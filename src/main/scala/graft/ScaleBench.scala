@@ -32,6 +32,12 @@ import org.apache.spark.sql.functions._
   * execution — a warmup against the measured dirs would instead
   * pre-build their memoized cluster labels and under-time them), then
   * one measurement per (pipeline, scale), scales ascending.
+  * CONTAMINATION CAVEAT (measured, round 14): a pipeline that spills
+  * tens of GB (dedup_rewrite at 256×) degrades the pipelines that run
+  * after it in the same sweep — the shared JVM's heap and the page
+  * cache carry the damage, and phash_index_build's tail read 1.17 in
+  * the full sweep vs 0.99 re-measured alone. For a tail that matters,
+  * re-run the pipeline in isolation via the pipelineFilter arg.
   * `x_cur_pipeline` reuses the cluster labels the dedup measurement
   * memoized, so the shard figure isolates mixture+pack+write (the same
   * composition at every scale — exponents stay comparable). Queries
@@ -465,9 +471,14 @@ object ScaleBench {
       def mb(sel: Point => Long): String =
         pts.map(p => s""""${p.m}":${d3(sel(p) / 1e6)}""").mkString(",")
       // shuffle_frac = shuffle-write bytes / input bytes at the LARGEST
-      // scale — the one-number form of "shuffles carry signatures,
-      // never bodies" (≪ 1 for the banded builds; ~1 only for a true
-      // full-corpus re-sort like dedup_rewrite's final assembly)
+      // scale. CAUTION reading it on THIS corpus: input counts
+      // parquet-COMPRESSED bytes (and the multimodal media is
+      // generated, not read), so the ratio runs far above 1 even for
+      // signature-only shuffles — the load-bearing evidence is the
+      // per-scale columns: shuffle bytes growing LINEARLY with scale
+      // at a fixed per-row mass (signatures), zero for the pure
+      // map-side builds, and spill zero outside the one by-design
+      // full-corpus sort (dedup_rewrite)
       val last = pts.last
       val frac = if (last.input > 0) last.shuffleWrite.toDouble / last.input else 0.0
       (name,
