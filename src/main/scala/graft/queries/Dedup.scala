@@ -381,6 +381,26 @@ object Dedup {
     //    index side never reshuffles.
     "x_dedup_incremental" -> ((s, d) => md5IncrementalDups(s, d, cut = 400L)),
 
+    // -- the takedown/DELETE verb, oracle-gated end-to-end: build the
+    //    bucketed serving index over history (< 400), file doc 45 in
+    //    the tombstone ledger (45 is a planted cross-boundary dup_of at
+    //    every driver scale, so the exclusion is non-vacuous), then
+    //    probe the increment — verdicts must equal the DuckDB oracle's
+    //    rebuild-without-the-doc (the incremental chain with da != 45).
+    //    The index build is eager at plan-build time; the probe is the
+    //    returned lazy plan, ledger broadcast-anti-joined on the keys
+    //    relation.
+    "x_dedup_takedown" -> ((s, d) => {
+      val p = "vx_mh_td"
+      for (t <- Seq("_sig", "_keys", "_counts"))
+        graft.Engine.reclaimManagedTable(s, p + t)
+      graft.Engine.reclaimManagedTable(s, graft.Takedown.tombTable(p))
+      writeMinhashIndexBucketed(s, d, p, buckets = 8,
+        docFilter = col("doc_id") < 400)
+      graft.Takedown.add(s, p, s.range(45, 46).toDF("id"))
+      incrementalDupsAgainstBucketedIndex(s, d, p, col("doc_id") >= 400)
+    }),
+
     // -- the composed full-corpus dedup pipeline a 100 TB ingest runs:
     //    md5-family MinHash+LSH pair discovery feeding large-star/
     //    small-star clustering over EVERY document (singletons label
@@ -919,7 +939,7 @@ object Dedup {
       val pending = graft.Takedown.pending(s, tablePrefix)
       if (pending) {
         val keys = s.table(s"${tablePrefix}_keys")
-        val ledger = s.table(graft.Takedown.tombTable(tablePrefix))
+        val ledger = graft.Takedown.ids(s, tablePrefix, keys, "doc_id")
         val dead = keys
           .join(broadcast(ledger), keys("doc_id") === ledger("id"), "left_semi")
           .groupBy("band", "bh").agg(count(lit(1)).as("dn"))
@@ -1501,6 +1521,16 @@ object Dedup {
         |SELECT db AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
         |       min(da) AS dup_of, max(est_j) AS est_j
         |FROM est WHERE est_j >= 0.5 AND da < 400 AND db >= 400
+        |GROUP BY db ORDER BY doc_id""".stripMargin,
+
+    // the takedown gate IS the incremental oracle with the tombstoned
+    // doc excluded from the history side — "probe == a rebuild without
+    // the doc", stated as SQL
+    "x_dedup_takedown" ->
+      s"""WITH $md5MinhashCte
+        |SELECT db AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |       min(da) AS dup_of, max(est_j) AS est_j
+        |FROM est WHERE est_j >= 0.5 AND da < 400 AND da != 45 AND db >= 400
         |GROUP BY db ORDER BY doc_id""".stripMargin,
 
     "x_dedup_clusters_full" ->

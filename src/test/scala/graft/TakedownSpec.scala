@@ -339,6 +339,53 @@ class TakedownSpec extends SparkSpecBase {
     dropFamily("td_wigm", "_sig", "_keys", "_counts")
   }
 
+  test("maintained bm25 ingest folds a mid-stream takedown: post-drain search == union rebuild without the doc") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    dropFamily("tdsb", "_tf", "_dl", "_stats")
+    dropFamily("tdsbr", "_tf", "_dl", "_stats")
+    val dir = java.nio.file.Files.createTempDirectory("graft-td-bm25s").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.filter(col("doc_id") < 200).write.parquet(s"$dir/documents.parquet")
+    graft.queries.TextAnalysis.writeBm25Index(spark, dir, "tdsb")
+    val victim = 7L
+    Takedown.add(spark, "tdsb", Seq(victim).toDF("id"))
+    val rest = docs.filter(col("doc_id") >= 200)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val batches = rest.grouped(math.max(1, rest.length / 3)).toSeq
+    val in = MemoryStream[(Long, String)]
+    val compactions = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    val q = graft.streaming.Streams.bm25IngestMaintained(
+        in.toDF().toDF("doc_id", "text"), "tdsb", maxGroups = 1.5) {
+      (_, _, compacted) =>
+        compactions.synchronized { compactions += compacted }
+        ()
+    }.start()
+    try {
+      for (b <- batches) { in.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+    } finally q.stop()
+    assert(compactions.count(identity) >= 1,
+      s"the audit must have fired a mid-stream rewrite: $compactions")
+    assert(!Takedown.pending(spark, "tdsb"),
+      "the rewrite must have folded the tombstone and cleared the ledger")
+    assert(spark.table("tdsb_tf").filter(col("doc_id") === victim).count() == 0L)
+    assert(spark.table("tdsb_dl").filter(col("doc_id") === victim).count() == 0L)
+    // the drained index scores EXACTLY like a one-shot rebuild over the
+    // union corpus minus the victim — stats and df included
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-td-bm25r").toString
+    docs.filter(col("doc_id") =!= victim).write.parquet(s"$dir2/documents.parquet")
+    graft.queries.TextAnalysis.writeBm25Index(spark, dir2, "tdsbr")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), expr("slice(split(text, ' '), 1, 3)").as("terms"))
+    def search(prefix: String) = graft.queries.TextAnalysis.bm25SearchOf(queries, prefix)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(search("tdsb") == search("tdsbr"),
+      "maintained index after the mid-stream takedown must rank like the rebuild")
+    dropFamily("tdsb", "_tf", "_dl", "_stats")
+    dropFamily("tdsbr", "_tf", "_dl", "_stats")
+  }
+
   test("maintained minhash ingest folds a mid-stream takedown: purge rides the audit-gated rewrite") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
