@@ -65,11 +65,17 @@ object Engine {
     * table and releases it after the swap completes; a second writer
     * finding the marker throws immediately.
     *
-    * The marker is an atomically-created file under the warehouse dir
-    * (`FileSystem.create(..., overwrite = false)` — the HDFS-portable
-    * create-exclusive primitive, so the same guard works on a real
-    * cluster's shared warehouse, where two drivers racing one prefix
-    * is exactly the scenario). A JVM that dies mid-maintenance leaves
+    * The marker is an atomically-created file under the warehouse dir.
+    * The primitive is chosen per filesystem: on a DISTRIBUTED
+    * warehouse the Hadoop `create(path, overwrite = false)` IS the
+    * atomic create-exclusive (HDFS arbitrates at the NameNode — two
+    * drivers racing one prefix is exactly the cluster scenario); on a
+    * LOCAL warehouse that same call is CHECK-THEN-CREATE inside
+    * RawLocalFileSystem and two threads can both pass the exists probe
+    * (found by the TakedownSpec two-thread race test, not
+    * hypothesized), so the local path uses `File.createNewFile` —
+    * O_CREAT|O_EXCL, the kernel-atomic arbiter.
+    * A JVM that dies mid-maintenance leaves
     * the marker behind DELIBERATELY: the family's tables may be
     * mid-swap, so the next writer failing loud until an operator
     * inspects and [[clearWriteIntent]]s is the correct posture — the
@@ -81,19 +87,28 @@ object Engine {
     * guarded verbs SEQUENTIALLY, which is fine — they never nest). */
   def withWriteIntent[T](spark: SparkSession, prefix: String, op: String = "maintenance")(
       body: => T): T = {
-    val fs = intentPath(spark, prefix).getFileSystem(spark.sessionState.newHadoopConf())
     val p = intentPath(spark, prefix)
-    val out =
-      try fs.create(p, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new IllegalStateException(
-            s"write-intent conflict on prefix '$prefix': another maintainer holds " +
-            s"${p} (or died mid-operation and left it). Two concurrent maintainers " +
-            "on one index family corrupt its swap windows; serialize them, or run " +
-            s"Engine.clearWriteIntent after verifying the family's tables. [$op]", e)
-      }
-    try { out.writeBytes(op); out.close() } catch { case _: java.io.IOException => () }
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def conflict(cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"write-intent conflict on prefix '$prefix': another maintainer holds " +
+        s"${p} (or died mid-operation and left it). Two concurrent maintainers " +
+        "on one index family corrupt its swap windows; serialize them, or run " +
+        s"Engine.clearWriteIntent after verifying the family's tables. [$op]", cause)
+    if (fs.getScheme == "file") {
+      // O_CREAT|O_EXCL via the JDK — Hadoop's RawLocalFileSystem
+      // create(overwrite=false) is exists()-then-create and loses races
+      val f = new java.io.File(p.toUri.getPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val won = try f.createNewFile() catch { case e: java.io.IOException => conflict(e) }
+      if (!won) conflict(null)
+      try java.nio.file.Files.write(f.toPath,
+        op.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => () }
+    } else {
+      val out = try fs.create(p, false) catch { case e: java.io.IOException => conflict(e) }
+      try { out.writeBytes(op); out.close() } catch { case _: java.io.IOException => () }
+    }
     try body
     finally { fs.delete(p, false); () }
   }

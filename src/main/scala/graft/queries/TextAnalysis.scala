@@ -48,6 +48,28 @@ object TextAnalysis {
     //    bit-for-bit in DuckDB — ln() inputs are identical doubles.
     "x_text_bm25" -> ((s, d) => bm25(s, d)),
 
+    // -- the takedown/DELETE verb over the persisted LEXICAL index,
+    //    oracle-gated on SCORES: build the bucketed BM25 index over the
+    //    corpus, file doc 25 (ranked top-10 at every driver scale, so
+    //    the exclusion is non-vacuous), search — df, avgdl and N must
+    //    all shrink exactly as a rebuild-without-the-doc's would (the
+    //    oracle is the bm25 chain with the doc excluded from the
+    //    corpus). This is the hardest exactness claim the ledger makes:
+    //    not just "the doc never ranks" but "every OTHER score moves
+    //    precisely as if the doc had never been indexed".
+    "x_text_bm25_takedown" -> ((s, d) => {
+      val p = "vx_bm_td"
+      for (t <- Seq("_tf", "_dl", "_stats"))
+        graft.Engine.reclaimManagedTable(s, p + t)
+      graft.Engine.reclaimManagedTable(s, graft.Takedown.tombTable(p))
+      writeBm25Index(s, d, p)
+      graft.Takedown.add(s, p, s.range(25, 26).toDF("id"))
+      val qs = table(s, d, "documents").filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          expr("slice(split(text, ' '), 1, 3)").as("terms"))
+      bm25SearchOf(qs, p)
+    }),
+
     // -- HYBRID retrieval via Reciprocal Rank Fusion: the production
     //    search stack's standard lexical ⊕ semantic merge — BM25 top-10
     //    (this module's gated pipeline) fused with brute cosine top-10
@@ -1623,6 +1645,17 @@ object TextAnalysis {
 
     "x_text_bm25" ->
       s"""WITH $bm25Ctes
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
+        |FROM bm_ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // the takedown gate IS the bm25 chain over the corpus minus the
+    // tombstoned doc — df/avgdl/N all re-derive smaller, so score
+    // equality proves the ledger's exact-rebuild semantics. The query
+    // docs (< 5) still come from the full corpus: only the INDEX side
+    // loses the doc, which the `q` CTE keeps because 25 is not a query
+    // doc.
+    "x_text_bm25_takedown" ->
+      s"""WITH ${bm25Ctes.replace("FROM documents)", "FROM documents WHERE doc_id != 25)")}
         |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
         |FROM bm_ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 

@@ -339,6 +339,41 @@ class TakedownSpec extends SparkSpecBase {
     dropFamily("td_wigm", "_sig", "_keys", "_counts")
   }
 
+  test("write-intent guard under a true two-thread race: exactly one maintainer wins per round") {
+    // the letter of the contract: two INTERLEAVED maintainers on one
+    // prefix produce an exception, not corruption. create-exclusive is
+    // the arbiter, so across every round exactly one thread holds the
+    // marker; the loser's failure is the loud IllegalStateException.
+    val rounds = 25
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def maintainer(): Runnable = () =>
+      (1 to rounds).foreach { _ =>
+        barrier.await()
+        try Engine.withWriteIntent(spark, "td_race") {
+          val now = inFlight.incrementAndGet()
+          maxInFlight.getAndAccumulate(now, math.max)
+          Thread.sleep(1)
+          inFlight.decrementAndGet()
+          wins.incrementAndGet()
+          ()
+        } catch { case _: IllegalStateException => losses.incrementAndGet(); () }
+      }
+    val t1 = new Thread(maintainer()); val t2 = new Thread(maintainer())
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(maxInFlight.get() == 1,
+      s"two maintainers held the intent concurrently (${maxInFlight.get()})")
+    assert(losses.get() >= 1,
+      s"the race never manifested a loud rejection across $rounds rounds " +
+        s"(wins ${wins.get()}, losses ${losses.get()}) — raise rounds")
+    assert(wins.get() + losses.get() == 2 * rounds)
+    // the marker never leaks: the prefix is immediately reusable
+    assert(Engine.withWriteIntent(spark, "td_race") { 7 } == 7)
+  }
+
   test("maintained bm25 ingest folds a mid-stream takedown: post-drain search == union rebuild without the doc") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
