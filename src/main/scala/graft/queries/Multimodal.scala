@@ -871,6 +871,38 @@ object Multimodal {
     "x_mm_phash_dups" -> ((s, d) =>
       phashDupPairs(s, d).orderBy("hamming", "da", "db")),
 
+    // -- the takedown/DELETE verb over the persisted PERCEPTUAL index,
+    //    oracle-gated through the REAL codec chain: build the banded
+    //    pHash index over the base PNGs, file asset 0 (a planted twin's
+    //    base at every driver scale — the exclusion is non-vacuous),
+    //    probe the perturbed twins — verdicts must equal the
+    //    closed-form oracle computed with the tombstoned asset absent
+    //    from the index side.
+    "x_mm_phash_takedown" -> ((s, d) => {
+      val p = "vx_ph_td"
+      for (t <- Seq("_sig", "_keys"))
+        graft.Engine.reclaimManagedTable(s, p + t)
+      graft.Engine.reclaimManagedTable(s, graft.Takedown.tombTable(p))
+      writePhashIndex(s, d, p, maxId = 120)
+      graft.Takedown.add(s, p, s.range(0, 1).toDF("id"))
+      incrementalPhashDupsAgainstIndex(perturbedPngTwins(s, d, maxId = 120), p)
+    }),
+
+    // -- the AUDIO twin of the takedown gate: the energy-profile
+    //    fingerprint index over the base WAVs, asset 1 tombstoned (the
+    //    first planted audio base), the gain-nudged twins probed — the
+    //    oracle recomputes the pure-integer fingerprints from the
+    //    closed-form PCM with the victim excluded from the index side.
+    "x_mm_audiofp_takedown" -> ((s, d) => {
+      val p = "vx_afp_td"
+      for (t <- Seq("_sig", "_keys"))
+        graft.Engine.reclaimManagedTable(s, p + t)
+      graft.Engine.reclaimManagedTable(s, graft.Takedown.tombTable(p))
+      writeAudioFpIndex(s, d, p, maxId = 120)
+      graft.Takedown.add(s, p, s.range(1, 2).toDF("id"))
+      incrementalAudioFpDupsAgainstIndex(perturbedWavTwins(s, d, maxId = 120), p)
+    }),
+
     // -- perceptual dup CLUSTERS: the banded pHash pairs fed into the
     //    SAME star-clustering fixpoint the text pipelines use — every
     //    visually-near-identical group gets one min-id label (the unit
@@ -1151,6 +1183,19 @@ object Multimodal {
         |WHERE bit_count(xor(a.sh, b.sh)) <= 6
         |ORDER BY hamming, da, db""".stripMargin,
 
+    // the takedown gate: increment (the planted twins, ids >= the
+    // 100000 offset) against the base-index side WITHOUT the
+    // tombstoned asset — banding is hamming-<=6 complete and no bucket
+    // nears the cap, so all-pairs == the Spark side's banded probe
+    "x_mm_phash_takedown" ->
+      s"""WITH $phashCte
+        |SELECT a.asset_id AS new_id, b.asset_id AS dup_id,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b
+        |  ON a.asset_id >= 100000 AND b.asset_id < 100000 AND b.asset_id != 0
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+        |ORDER BY new_id, dup_id""".stripMargin,
+
     // perceptual CLUSTERS: the same signature chain, all-pairs edges at
     // hamming ≤ 6, transitive closure (recursive CTE), min-id labels —
     // connected components == the star-clustering fixpoint
@@ -1173,6 +1218,18 @@ object Multimodal {
     // (absent windows contribute bit 0 on both sides), all-pairs
     // hamming ≤ 6 (== the banded candidates: pair-of-blocks is
     // hamming ≤ 6 complete and no bucket nears the cap)
+    // the audio takedown gate — same construction as the phash one
+    // over the closed-form PCM fingerprints; twins live at the 200000
+    // offset, the tombstoned base is asset 1
+    "x_mm_audiofp_takedown" ->
+      s"""WITH $audioFpCte
+        |SELECT a.asset_id AS new_id, b.asset_id AS dup_id,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM afp a JOIN afp b
+        |  ON a.asset_id >= 200000 AND b.asset_id < 200000 AND b.asset_id != 1
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 6
+        |ORDER BY new_id, dup_id""".stripMargin,
+
     "x_mm_audio_fp_dups" ->
       s"""WITH $audioFpCte
         |SELECT a.asset_id AS da, b.asset_id AS db,
