@@ -63,6 +63,26 @@ object ProductQuant {
     //    is md5-portable, so the full composition hash-gates.
     "x_sim_ivfpq_md5" -> ((s, d) => ivfPqSearch(s, d, nprobe = 4, shortlist = 20)),
 
+    // -- the takedown/DELETE verb over the persisted COMPRESSED-ANN
+    //    index — the last of the six in-place takedown families
+    //    oracle-gated: writePqIndex persists the md5-portable fit,
+    //    codebook and coded postings; vec 195 (ADC-ranked at every
+    //    driver scale) files in the ledger; ivfPqSearchOf must emit
+    //    the oracle's ADC search over the same frozen fit with the
+    //    vector absent from the candidate stage.
+    "x_sim_ivfpq_takedown" -> ((s, d) => {
+      val p = "vx_pq_td"
+      for (t <- Seq("_codebook", "_cents", "_postings"))
+        graft.Engine.reclaimManagedTable(s, p + t)
+      graft.Engine.reclaimManagedTable(s, graft.Takedown.tombTable(p))
+      writePqIndex(s, d, p)
+      graft.Takedown.add(s, p, s.range(195, 196).toDF("id"))
+      ivfPqSearchOf(
+        table(s, d, "embeddings").filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")),
+        p, nprobe = 4, shortlist = 20)
+    }),
+
     // -- IVF2-PQ: the full billion-scale matrix cell — two-level
     //    coarse→fine probing (coarse broadcast, fine key-equi, the
     //    10¹⁰-vector layout) + PQ ADC candidate scoring (M lookup-adds
@@ -619,6 +639,50 @@ object ProductQuant {
          |           mi -> l.lut[mi][t2.cd[mi] + 1])) AS ip
          |  FROM probes p
          |  JOIN asgf t ON p.cid = t.cid AND p.qid != t.vec_id
+         |  JOIN cdv t2 ON t.vec_id = t2.vec_id
+         |  JOIN lut l ON p.qid = l.qid
+         |  JOIN e q ON p.qid = q.vec_id),
+         |short AS (
+         |  SELECT qid, vec_id, embedding, nrm, qe, qn FROM (
+         |    SELECT cand.*, ip / (qn * nrm) AS qcos,
+         |           row_number() OVER (PARTITION BY qid
+         |             ORDER BY ip / (qn * nrm) DESC, vec_id ASC) rns
+         |    FROM cand) WHERE rns <= 20),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+         |  FROM (SELECT qid, vec_id, ${dotq("qe", "embedding")} / (qn * nrm) AS cos FROM short))
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    // The takedown gate: the SAME IVF-PQ chain (fit, codebook and LUT
+    // CTEs untouched — the persisted fit is frozen), the tombstoned
+    // vector excluded from the candidate stage only.
+    "x_sim_ivfpq_takedown" -> {
+      val dotq = Similarity.dotSql _
+      s"""WITH ${Similarity.portableIvfCtes},
+         |$pqCtes,
+         |cdv AS (SELECT vec_id, list(code ORDER BY m) AS cd FROM codes GROUP BY vec_id),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.vec_id qid, c.cid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotq("q.embedding", "c.ce")} / (q.nrm * c.cn) DESC, c.cid ASC) rn
+         |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rn <= 4),
+         |lutr AS (
+         |  SELECT q.vec_id AS qid, c.m, c.code,
+         |         list_sum(list_transform(generate_series(1, $SubDim),
+         |           i -> CAST(q.embedding[c.m * $SubDim + i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE))) AS ip
+         |  FROM e q CROSS JOIN cb c WHERE q.vec_id < 10),
+         |lutm AS (SELECT qid, m, list(ip ORDER BY code) AS lm FROM lutr GROUP BY qid, m),
+         |lut AS (SELECT qid, list(lm ORDER BY m) AS lut FROM lutm GROUP BY qid),
+         |cand AS (
+         |  SELECT p.qid, t.vec_id, t.embedding, t.nrm, q.embedding AS qe, q.nrm AS qn,
+         |         list_sum(list_transform(generate_series(1, $M),
+         |           mi -> l.lut[mi][t2.cd[mi] + 1])) AS ip
+         |  FROM probes p
+         |  JOIN asgf t ON p.cid = t.cid AND p.qid != t.vec_id AND t.vec_id != 195
          |  JOIN cdv t2 ON t.vec_id = t2.vec_id
          |  JOIN lut l ON p.qid = l.qid
          |  JOIN e q ON p.qid = q.vec_id),

@@ -295,6 +295,27 @@ object Similarity {
       ivf2QuantizedSearch(s, d, coarse, fine, nprobeC = 2, nprobeF = 4, shortlist = 20)
     }),
 
+    // -- the takedown/DELETE verb over the persisted ANN index,
+    //    oracle-gated through the FULL serving stack: writeIvf2Index
+    //    persists the md5-portable two-level fit + postings, vec 73 (a
+    //    ranked neighbor at every driver scale) files in the ledger,
+    //    and ivf2SearchOf must emit exactly the oracle's search over
+    //    the SAME FROZEN FIT with the vector absent from the
+    //    candidates — the removed vector never ranks and every
+    //    promotion below it is the rebuild's.
+    "x_sim_ivf2_takedown" -> ((s, d) => {
+      val p = "vx_ivf2_td"
+      for (t <- Seq("_coarse", "_fine", "_postings"))
+        graft.Engine.reclaimManagedTable(s, p + t)
+      graft.Engine.reclaimManagedTable(s, graft.Takedown.tombTable(p))
+      writeIvf2Index(s, d, p)
+      graft.Takedown.add(s, p, s.range(73, 74).toDF("id"))
+      ivf2SearchOf(
+        table(s, d, "embeddings").filter(col("vec_id") < 10)
+          .select(col("vec_id"), col("embedding")),
+        p, nprobeC = 2, nprobeF = 4)
+    }),
+
     "x_sim_quantize" -> ((s, d) => quantizeQuery(s, d).filter(col("vec_id") < 100))
   )
 
@@ -1473,6 +1494,37 @@ object Similarity {
          |scored AS (
          |  SELECT p.qid, t.vec_id, ${dotq("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
          |  FROM pf p JOIN faf t ON p.fcid = t.fcid AND p.qid != t.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, cos,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
+         |  FROM scored)
+         |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, cos
+         |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    // The takedown gate: the SAME two-level chain (the fit CTEs are
+    // untouched — the persisted fit is frozen), with the tombstoned
+    // vector excluded from the candidate stage only.
+    "x_sim_ivf2_takedown" -> {
+      val dotq = dotSql _
+      s"""WITH $portableIvf2Ctes,
+         |pc AS (
+         |  SELECT qid, qe, qn, ccid FROM (
+         |    SELECT q.vec_id qid, q.embedding qe, q.nrm qn, c.cid ccid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotq("q.embedding", "c.ce")} / (q.nrm * c.cn) DESC, c.cid ASC) rn
+         |    FROM e q CROSS JOIN c2 c WHERE q.vec_id < 10) WHERE rn <= 2),
+         |pf AS (
+         |  SELECT qid, qe, qn, fcid FROM (
+         |    SELECT p.qid, p.qe, p.qn, COALESCE(f.fcid, -1 - p.ccid) AS fcid,
+         |           row_number() OVER (PARTITION BY p.qid
+         |             ORDER BY COALESCE(${dotq("p.qe", "f.fe")} / (p.qn * f.fn), 2.0) DESC,
+         |                      COALESCE(f.fcid, -1 - p.ccid) ASC) rn
+         |    FROM pc p LEFT JOIN f2 f ON p.ccid = f.ccid) WHERE rn <= 4),
+         |scored AS (
+         |  SELECT p.qid, t.vec_id, ${dotq("p.qe", "t.embedding")} / (p.qn * t.nrm) AS cos
+         |  FROM pf p JOIN faf t ON p.fcid = t.fcid AND p.qid != t.vec_id
+         |  WHERE t.vec_id != 73),
          |ranked AS (
          |  SELECT qid, vec_id, cos,
          |         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) rank
