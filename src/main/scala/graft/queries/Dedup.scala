@@ -236,22 +236,34 @@ object Dedup {
     // -- exact-substring dedup REWRITE (the RefinedWeb recipe's removal
     //    step): every word position covered by a cross-document-duplicated
     //    8-gram is CUT from the text, remaining words reassemble in order.
-    //    Scale shape: dup discovery is a partial min/max aggregate on the
-    //    gram hash (no window), coverage is O(dup grams × K) skinny rows,
-    //    and only AFFECTED documents pay the explode/regroup — untouched
-    //    docs pass through byte-identical with zero per-word work, so at
-    //    a 100 TB corpus with a few-% dup rate the rewrite cost tracks
-    //    the dup mass, not the corpus. Hash-gated end-to-end: the md5
-    //    gram hashes, coverage arithmetic and reassembly all reproduce in
-    //    DuckDB.
+    //    Scale shape (reworked after SCALE_r14 measured 52 GB of spill at
+    //    the 256× point on the old coverage-join plan): the gram stream is
+    //    exploded and exchanged exactly ONCE — "duplicated across ≥2 docs"
+    //    is min(doc_id) ≠ max(doc_id) over a window partitioned by h (the
+    //    x_dedup_substring_spans shape), so there is no duplicate-gram
+    //    join and no second explode feeding its build side. Downstream is
+    //    skinny: dup-gram START positions aggregate per doc (map-side-
+    //    combined collect_set, one array row per affected doc), and the
+    //    cut itself is IN-ROW interval arithmetic (rewriteWithDupStarts)
+    //    — no 8×-wide coverage explode+distinct, no word-level posexplode
+    //    join, no collect_list(struct) sort-agg. A globally hot gram
+    //    (boilerplate shared by a large doc fraction) concentrates its
+    //    window group in one task — WindowExec buffers spill to disk
+    //    rather than OOM, and the group carries 24-byte rows, never text.
+    //    Untouched docs pass through byte-identical with zero per-word
+    //    work, so at a 100 TB corpus with a few-% dup rate the rewrite
+    //    cost tracks the dup mass, not the corpus. Hash-gated end-to-end:
+    //    the md5 gram hashes, coverage arithmetic and reassembly all
+    //    reproduce in DuckDB.
     "x_dedup_rewrite" -> ((s, d) => {
       val docs = table(s, d, "documents").select(col("doc_id"), col("text"))
-      val grams = gramStream(docs)
-      val dup = grams.groupBy("h")
-        .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-        .filter(col("mn") =!= col("mx")).select("h")
-      rewriteWithCoverage(docs, gramCoverage(grams.join(dup, Seq("h"))))
-        .orderBy("doc_id")
+      val byHash = Window.partitionBy("h")
+      val hits = gramStream(docs)
+        .withColumn("mn", min("doc_id").over(byHash))
+        .withColumn("mx", max("doc_id").over(byHash))
+        .filter(col("mn") =!= col("mx"))
+        .select("doc_id", "pos")
+      rewriteWithDupStarts(docs, hits).orderBy("doc_id")
     }),
 
     // -- MinHash + LSH banding. Sizing is corpus-derived (LshTuning): the
@@ -1269,35 +1281,55 @@ object Dedup {
         expr("md5long60(col)").as("h"))
   }
 
-  /** Covered word positions of a `(doc_id, pos, …)` dup-gram hit
-    * relation: the distinct union of [pos, pos+K-1] intervals. */
-  private def gramCoverage(hits: DataFrame): DataFrame =
-    hits.select(col("doc_id"),
-      explode(expr(s"sequence(pos, pos + ${GramK - 1})")).as("idx"))
-      .distinct()
-
-  /** Reassemble `(doc_id, n_removed, text_clean)` from a `(doc_id, idx)`
-    * covered-position relation over `docs`: only AFFECTED documents pay
-    * the explode/regroup, untouched docs pass through byte-identical —
-    * at a few-% dup rate the rewrite cost tracks dup mass, not corpus
-    * size. */
-  private def rewriteWithCoverage(docs: DataFrame, cov: DataFrame): DataFrame = {
-    val words = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val nrem = cov.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
-    val kept = words.join(nrem.select("doc_id"), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "w")))
-      .withColumn("idx", col("idx").cast("long"))
-      .join(cov, Seq("doc_id", "idx"), "left_anti")
-      .groupBy("doc_id")
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(idx, w))), p -> p.w), ' ')")
-        .as("text_clean"))
-    val rewritten = nrem.join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_removed"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
-    val untouched = docs.join(nrem.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit(0L).as("n_removed"), col("text").as("text_clean"))
-    rewritten.unionByName(untouched)
+  /** Reassemble `(doc_id, n_removed, text_clean)` from a `(doc_id, pos)`
+    * dup-gram-START relation over `docs` — the cut is IN-ROW interval
+    * arithmetic, not a position-level join. The starts aggregate to one
+    * sorted array per affected doc (collect_set: map-side-combined, and
+    * it dedups hits that arrive from several sources — e.g. a gram both
+    * in the history index and duplicated within the increment). Each
+    * affected doc then pays a single linear pass: the sorted starts fold
+    * into merged covered intervals [p, p+K-1], `n_removed` is the sum of
+    * interval lengths, and the kept text is the concatenation of the GAP
+    * slices between intervals — O(words) per doc, no per-word membership
+    * probe, no explode. Untouched docs (left-join miss) pass their text
+    * through byte-identical without even paying the split. This replaced
+    * an explode-coverage + posexplode-words + anti-join + sort-agg plan
+    * whose bytes failed the SCALE_r14 audit (52 GB spill at 256×). */
+  private def rewriteWithDupStarts(docs: DataFrame, hits: DataFrame): DataFrame = {
+    val k = GramK
+    val starts = hits.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      // merged covered intervals: fold the sorted starts left-to-right,
+      // extending the last interval when the next gram overlaps or abuts
+      // it (p <= last.e + 1; `e` is monotone because starts are sorted)
+      .withColumn("ivs", expr(
+        s"""CASE WHEN starts IS NULL THEN NULL ELSE
+           |  aggregate(starts, CAST(array() AS array<struct<s: bigint, e: bigint>>),
+           |    (acc, p) -> CASE
+           |      WHEN size(acc) > 0 AND p <= element_at(acc, -1).e + 1
+           |      THEN concat(slice(acc, 1, size(acc) - 1),
+           |             array(named_struct('s', element_at(acc, -1).s, 'e', p + ${k - 1})))
+           |      ELSE concat(acc, array(named_struct('s', p, 'e', p + ${k - 1}))) END)
+           |END""".stripMargin))
+      // affected docs only pay the split (CaseWhen short-circuits per row)
+      .withColumn("ws", expr("CASE WHEN ivs IS NULL THEN NULL ELSE split(text, ' ') END"))
+      .select(col("doc_id"),
+        expr("""CASE WHEN ivs IS NULL THEN CAST(0 AS BIGINT)
+               |ELSE aggregate(ivs, CAST(0 AS BIGINT), (a, v) -> a + v.e - v.s + 1)
+               |END""".stripMargin).as("n_removed"),
+        // kept text = the GAP slices between covered intervals, joined in
+        // order: gap starts are (0, e_i + 1), gap ends are (s_i - 1, n-1);
+        // empty/negative gaps collapse to empty slices
+        expr("""CASE WHEN ivs IS NULL THEN text
+               |ELSE array_join(flatten(zip_with(
+               |  concat(array(CAST(0 AS BIGINT)), transform(ivs, v -> v.e + 1)),
+               |  concat(transform(ivs, v -> v.s - 1),
+               |         array(CAST(size(ws) - 1 AS BIGINT))),
+               |  (a, b) -> CASE WHEN b >= a
+               |    THEN slice(ws, CAST(a + 1 AS INT), CAST(b - a + 1 AS INT))
+               |    ELSE CAST(array() AS array<string>) END)), ' ')
+               |END""".stripMargin).as("text_clean"))
   }
 
   /** Persist the exact-substring gram index: the corpus's DISTINCT
@@ -1360,8 +1392,8 @@ object Dedup {
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .filter(col("mn") =!= col("mx")).select("h")
     val inBatch = grams.join(dupInBatch, Seq("h"))
-    rewriteWithCoverage(docs, gramCoverage(
-      inIndex.select("doc_id", "pos").unionByName(inBatch.select("doc_id", "pos"))))
+    rewriteWithDupStarts(docs,
+      inIndex.select("doc_id", "pos").unionByName(inBatch.select("doc_id", "pos")))
   }
 
   /** Takedown for the gram index IS a rebuild — stated honestly rather

@@ -204,6 +204,27 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"duplicate-gram join crept back:\n$p")
   }
 
+  test("substring rewrite: one gram explode, one gram exchange, no coverage explode") {
+    // SCALE_r14 measured 52 GB of spill at 256× on the old plan (gram
+    // stream exploded for the dup-agg AND the probe join, then an 8×-wide
+    // coverage explode+distinct and a word-level posexplode+sort-agg).
+    // The reworked plan must (1) explode and exchange the gram stream
+    // ONCE — dup detection is a min/max window over h, not a join — and
+    // (2) contain no position-explosion downstream: the cut is in-row
+    // interval arithmetic over the per-doc starts array.
+    val p = finalPlanStr("x_dedup_rewrite").split("== Initial Plan ==").head
+    val gramPasses = p.linesIterator.count(_.contains("posexplode"))
+    assert(gramPasses == 1, s"gram pipeline computed $gramPasses times:\n$p")
+    assert(!p.contains("explode(sequence"), s"coverage explode crept back:\n$p")
+    // exactly one live hash exchange may carry the gram hash h (the
+    // window's); a duplicate-gram join would add a second
+    val hShuffles = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused") &&
+        l.contains("h#")).toSeq
+    assert(hShuffles.size <= 1,
+      s"grams shuffled ${hShuffles.size}× on h:\n${hShuffles.mkString("\n")}")
+  }
+
   test("semantic dedup: the corpus assignment is computed once, reused by both join sides") {
     // the corpus×centroid argmax's PARTIAL pass (scan + broadcast
     // product + partial_max) is the dominant stage; the within-cell
