@@ -903,6 +903,24 @@ object Multimodal {
       incrementalAudioFpDupsAgainstIndex(perturbedWavTwins(s, d, maxId = 120), p)
     }),
 
+    // -- the VIDEO twin of the takedown gate, completing the seventh
+    //    in-place family's driver coverage (it was spec-pinned only in
+    //    AvIndexSpec before): the stream-signature index over the base
+    //    MP4s, asset 2 tombstoned (the first video base — its remux
+    //    twin at +300000 then loses its only match, so the exclusion is
+    //    non-vacuous at every driver scale), the free-box rewraps
+    //    probed. The signature is an EXACT md5 key over the closed-form
+    //    container metadata, so the oracle needs no codec chain — just
+    //    the same grouping with the victim absent from the index side.
+    "x_mm_videosig_takedown" -> ((s, d) => {
+      val p = "vx_vs_td"
+      graft.Engine.reclaimManagedTable(s, p + "_sig")
+      graft.Engine.reclaimManagedTable(s, graft.Takedown.tombTable(p))
+      writeVideoSigIndex(s, d, p, maxId = 200)
+      graft.Takedown.add(s, p, s.range(2, 3).toDF("id"))
+      incrementalVideoSigDupsAgainstIndex(remuxedMp4Twins(s, d, maxId = 200), p)
+    }),
+
     // -- perceptual dup CLUSTERS: the banded pHash pairs fed into the
     //    SAME star-clustering fixpoint the text pipelines use — every
     //    visually-near-identical group gets one min-id label (the unit
@@ -1247,6 +1265,18 @@ object Multimodal {
         |SELECT md5(sig) AS h, CAST(count(*) AS BIGINT) AS n,
         |       min(asset_id) AS keeper
         |FROM vsig GROUP BY md5(sig) HAVING count(*) > 1 ORDER BY h""".stripMargin,
+
+    // the video takedown gate — the exact-key family needs no codec
+    // oracle: the closed-form stream signatures joined increment
+    // (+300000 rewraps) against base with the tombstoned asset 2
+    // excluded from the index side
+    "x_mm_videosig_takedown" ->
+      s"""WITH $videoSigCte
+        |SELECT a.asset_id AS new_id, b.asset_id AS dup_id, md5(a.sig) AS h
+        |FROM vsig a JOIN vsig b
+        |  ON a.asset_id >= $VideoTwinIdOffset AND b.asset_id < $VideoTwinIdOffset
+        |  AND b.asset_id != 2 AND a.sig = b.sig
+        |ORDER BY new_id, dup_id""".stripMargin,
 
     // the three signature chains composed (shared CTE vals — zero
     // drift possible), reduced to per-mime integer masses: base+planted
