@@ -407,6 +407,36 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // -- STRUCTURED-PII redaction (the C4/Dolma release scrub): emails,
+    //    phone numbers and IPv4 addresses → typed masks with per-type
+    //    match counts, the rewritten text itself hash-gated. The
+    //    synthetic corpus carries no PII (verified: zero docs match
+    //    [0-9@]), so the gate PLANTS it deterministically — docs with
+    //    doc_id divisible by 7/11/13 gain an email/phone/IP built from
+    //    the id, identically on both engines (the planted-twin pattern)
+    //    — keeping both verdict classes present at every driver scale.
+    //    The replace chain is staged (emails first, then phones, then
+    //    IPs, each counted on the previous stage's output) so the
+    //    definition has no pattern-overlap ambiguity. Patterns stay in
+    //    the Java∩RE2 common dialect — no backreferences, no lookaround
+    //    — so Spark and DuckDB compile them identically. Scale shape: a
+    //    pure narrow map over the corpus scan — zero shuffles beyond
+    //    the output sort; at 100 TB this is the cheapest full-corpus
+    //    pass in the shop (regex CPU, embarrassingly parallel).
+    "x_cur_pii_redact" -> ((s, d) => {
+      val t0 = piiPlanted(col("doc_id"), col("text"))
+      val t1 = regexp_replace(t0, PiiEmailRe, PiiEmailMask)
+      val t2 = regexp_replace(t1, PiiPhoneRe, PiiPhoneMask)
+      val t3 = regexp_replace(t2, PiiIpRe, PiiIpMask)
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_count(t0, lit(PiiEmailRe)).cast("long").as("n_emails"),
+          regexp_count(t1, lit(PiiPhoneRe)).cast("long").as("n_phones"),
+          regexp_count(t2, lit(PiiIpRe)).cast("long").as("n_ips"),
+          t3.as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     // -- deterministic training shard assignment + within-shard order:
     //    the "global shuffle" step before packing/serving. shard =
     //    md5(doc_id) mod N decorrelates neighboring doc_ids; the
@@ -754,6 +784,34 @@ object Curation {
 
   /** Mask token the redaction twin substitutes for blocked terms. */
   private[graft] val RedactMask: String = "[REDACTED]"
+
+  /** Structured-PII patterns (x_cur_pii_redact) — the C4/Dolma scrub
+    * triple, restricted to the Java∩RE2 common regex dialect so Spark
+    * (java.util.regex) and the DuckDB oracle (RE2) compile identical
+    * automata: character classes, bounded quantifiers and `\b` only —
+    * no backreferences, no lookaround. */
+  private[graft] val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[graft] val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PiiEmailMask = "[EMAIL]"
+  private[graft] val PiiPhoneMask = "[PHONE]"
+  private[graft] val PiiIpMask = "[IP]"
+
+  /** Deterministic PII planting for the redaction gate: the synthetic
+    * corpus carries no emails/phones/IPs, so docs with id divisible by
+    * 7 / 11 / 13 gain one built from the id — arithmetic simple enough
+    * to restate verbatim in the DuckDB oracle. A doc divisible by
+    * several (77, 91, …) carries several PII types; most docs carry
+    * none — both verdict classes at every scale. */
+  private[graft] def piiPlanted(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(text,
+      when(id % 7 === 0, concat(lit(" reach user"), id.cast("string"),
+        lit("@crawl-mail.example.com asap"))).otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" hotline 555-"),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-0199 ok"))).otherwise(lit("")),
+      when(id % 13 === 0, concat(lit(" origin 10."), (id % 256).cast("string"),
+        lit(".0."), (id % 100).cast("string"), lit(" logged"))).otherwise(lit("")))
 
   /** THE blocklist hit extractor — single source of truth shared by the
     * batch audit (`x_cur_blocklist`) and the streaming filter
@@ -1276,6 +1334,30 @@ object Curation {
          |         w -> CASE WHEN list_contains([${Blocklist.map(t => s"'$t'").mkString(", ")}], w)
          |                   THEN '$RedactMask' ELSE w END), ' ') AS redacted
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // the same planted-PII arithmetic and the same staged replace chain
+    // (emails → phones → IPs, each counted on the previous stage);
+    // DuckDB's regexp_replace needs the 'g' flag for replace-all (Spark
+    // replaces all by default)
+    "x_cur_pii_redact" ->
+      s"""WITH t AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+        |            || '@crawl-mail.example.com asap' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' hotline 555-'
+        |            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 ok' ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 0 THEN ' origin 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |            || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' logged' ELSE '' END AS t0
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, t0,
+        |         regexp_replace(t0, '$PiiEmailRe', '$PiiEmailMask', 'g') AS t1 FROM t),
+        |s2 AS (SELECT doc_id, t0, t1,
+        |         regexp_replace(t1, '$PiiPhoneRe', '$PiiPhoneMask', 'g') AS t2 FROM s1)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t0, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(t1, '$PiiPhoneRe')) AS BIGINT) AS n_phones,
+        |       CAST(len(regexp_extract_all(t2, '$PiiIpRe')) AS BIGINT) AS n_ips,
+        |       regexp_replace(t2, '$PiiIpRe', '$PiiIpMask', 'g') AS redacted
+        |FROM s2 ORDER BY doc_id""".stripMargin,
 
     // the modulus is interpolated from the SAME targetShards derivation
     // the engine runs, at the representative gate byte mass (both gate

@@ -439,6 +439,40 @@ class CurationSpec extends SparkSpecBase {
     assert(red.exists(_.getLong(1) > 0), "vacuous: no redactions at gate scale")
   }
 
+  test("pii redaction: typed masks exact, two-sided, untouched docs byte-identical") {
+    val out = Curation.queries("x_cur_pii_redact")(spark, sf).collect()
+    val docs = graft.Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size, "pii redaction must keep every document")
+    out.foreach { r =>
+      val (id, ne, np, ni, txt) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      // counts are exactly the planted divisibility classes
+      assert(ne == (if (id % 7 == 0) 1L else 0L), s"doc $id: n_emails $ne")
+      assert(np == (if (id % 11 == 0) 1L else 0L), s"doc $id: n_phones $np")
+      assert(ni == (if (id % 13 == 0) 1L else 0L), s"doc $id: n_ips $ni")
+      // masks land exactly count-many times; no residual PII survives
+      def occ(hay: String, needle: String): Int =
+        hay.sliding(needle.length).count(_ == needle)
+      assert(occ(txt, Curation.PiiEmailMask) == ne, s"doc $id: email masks")
+      assert(occ(txt, Curation.PiiPhoneMask) == np, s"doc $id: phone masks")
+      assert(occ(txt, Curation.PiiIpMask) == ni, s"doc $id: ip masks")
+      assert(!txt.contains("@"), s"doc $id still carries an email")
+      assert(!Curation.PiiPhoneRe.r.findFirstIn(txt).isDefined &&
+        !Curation.PiiIpRe.r.findFirstIn(txt).isDefined,
+        s"doc $id still carries structured PII: $txt")
+      // a PII-free doc passes through byte-identical
+      if (id % 7 != 0 && id % 11 != 0 && id % 13 != 0)
+        assert(txt == docs(id), s"doc $id: PII-free text must pass through")
+    }
+    // two-sided non-vacuity: every type fires somewhere AND clean docs exist
+    assert(out.exists(_.getLong(1) > 0) && out.exists(_.getLong(2) > 0) &&
+      out.exists(_.getLong(3) > 0), "vacuous: a PII type never planted")
+    assert(out.exists(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0),
+      "vacuous: no clean documents at gate scale")
+  }
+
   test("datasheet: every metric reconciles with its standalone gated source") {
     val m = Curation.queries("x_cur_datasheet")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
