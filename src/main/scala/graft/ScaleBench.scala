@@ -188,15 +188,22 @@ object ScaleBench {
     // every family is measured through 256× (1.28M docs / 512k vectors
     // / 25.6M events) — the extra octave the 100× claim rests on
     val scales = Seq(1, 4, 16, 64, 256)
+    // the two builds whose 256× tails read near-linear (phash decode CPU,
+    // rewrite gram pass) get ONE more octave pair — a 1024× point that
+    // either confirms the linear asymptote or exposes a bend the smaller
+    // points hid. Documents-only: both pipelines read just the text
+    // corpus, so the 1024× dir skips the embeddings/events derivations.
+    val deepScales = scales :+ 1024
     val spark = Engine.session()
 
-    val dirs: Map[Int, String] = scales.map { m =>
+    val allScales = deepScales
+    val dirs: Map[Int, String] = allScales.map { m =>
       val dir = if (m == 1) base else s"$workDir/x$m"
       if (m > 1 && !new java.io.File(s"$dir/documents.parquet").exists())
         deriveDocuments(spark, base, dir, m)
-      if (m > 1 && !new java.io.File(s"$dir/embeddings.parquet").exists())
+      if (m > 1 && m <= 256 && !new java.io.File(s"$dir/embeddings.parquet").exists())
         deriveEmbeddings(spark, base, dir, m)
-      if (m > 1 && !new java.io.File(s"$dir/events.parquet").exists())
+      if (m > 1 && m <= 256 && !new java.io.File(s"$dir/events.parquet").exists())
         deriveEvents(spark, base, dir, m)
       m -> dir
     }.toMap
@@ -238,7 +245,7 @@ object ScaleBench {
         graft.queries.Dedup.clusterLabels(s, d).count()
         ()
       }),
-      ("dedup_rewrite", scales, (s, d, _) =>
+      ("dedup_rewrite", deepScales, (s, d, _) =>
         noop(graft.queries.Dedup.queries("x_dedup_rewrite")(s, d))),
       ("bm25", scales, (s, d, _) =>
         noop(graft.queries.TextAnalysis.queries("x_text_bm25")(s, d))),
@@ -295,7 +302,7 @@ object ScaleBench {
       // regimes run a FIXED increment against the m×-grown index, so
       // their exponents measure how probe cost tracks index size —
       // near-flat is the design claim (bucket-pruned scans)
-      ("phash_index_build", scales, (s, d, m) =>
+      ("phash_index_build", deepScales, (s, d, m) =>
         graft.queries.Multimodal.writePhashIndex(s, d, s"scale_ph_x$m")),
       ("phash_ingest_probe", scales, (s, d, m) => {
         graft.queries.Multimodal.incrementalPhashDupsAgainstIndex(
@@ -401,7 +408,7 @@ object ScaleBench {
     val metrics = new MetricsListener
     spark.sparkContext.addSparkListener(metrics)
     val results = scala.collection.mutable.LinkedHashMap[String, Seq[Point]]()
-    for (m <- scales) {
+    for (m <- allScales) {
       val d = dirs(m)
       for ((name, pScales, run) <- pipelines if pScales.contains(m) && active(name)) {
         // min-of-two (the Bench.scala lesson): a single pass is hostage
@@ -493,7 +500,7 @@ object ScaleBench {
     val pipelineJson = merged.map { case (n, js, _) => s""""$n":$js""" }.mkString(",")
     val worst = merged.maxBy(_._3)
     val json = s"""{"metric":"scale_exponents","base":"$base",""" +
-      s""""scales":[${scales.mkString(",")}],""" +
+      s""""scales":[${allScales.mkString(",")}],""" +
       s""""base_rows":{"documents":${spark.read.parquet(s"$base/documents.parquet").count()},""" +
       s""""embeddings":${spark.read.parquet(s"$base/embeddings.parquet").count()}},""" +
       s""""pipelines":{$pipelineJson},""" +
