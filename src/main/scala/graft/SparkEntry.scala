@@ -19,12 +19,14 @@ object SparkEntry {
       graft.queries.Dedup.queries ++ graft.queries.Similarity.queries ++
       graft.queries.ProductQuant.queries ++ graft.queries.Profiling.queries ++
       graft.queries.TextAnalysis.queries ++ graft.queries.Events.queries ++
-      graft.queries.Multimodal.queries ++ graft.queries.Curation.queries
+      graft.queries.Multimodal.queries ++ graft.queries.Curation.queries ++
+      graft.queries.Unigram.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.TerraformQ.oracle ++
       graft.queries.Dedup.oracle ++ graft.queries.Similarity.oracle ++
       graft.queries.ProductQuant.oracle ++ graft.queries.Profiling.oracle ++
       graft.queries.TextAnalysis.oracle ++ graft.queries.Events.oracle ++
-      graft.queries.Multimodal.oracle ++ graft.queries.Curation.oracle
+      graft.queries.Multimodal.oracle ++ graft.queries.Curation.oracle ++
+      graft.queries.Unigram.oracle
 }

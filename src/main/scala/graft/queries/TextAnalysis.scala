@@ -119,7 +119,7 @@ object TextAnalysis {
     //    is a (lang, word) vocabulary relation — vocabulary-sized, one
     //    extra corpus scan, partial-agg all the way. Integer masses +
     //    two fixed-order divisions ⇒ hash-exact.
-    "x_text_bpe_fertility" -> ((s, d) => bpeFertility(s, d, steps = 3)),
+    "x_text_bpe_fertility" -> ((s, d) => bpeFertilityOf(s, d, steps = 3)),
 
     // -- tokenizer LAST MILE: materialize each document's input_ids
     //    under the trained merges — what a training job actually reads.
@@ -995,8 +995,10 @@ object TextAnalysis {
     * the x_text_bpe_fertility entry. The lang-aware vocabulary carries
     * the RAW word alongside its encoding so char masses survive the
     * merge chain; merges themselves come from the corpus-wide trained
-    * chain (one cached scan), applied as the same replace fold. */
-  private def bpeFertility(s: SparkSession, d: String, steps: Int): DataFrame = {
+    * chain (one cached scan), applied as the same replace fold.
+    * private[queries]: the unigram fertility comparison (Unigram.scala)
+    * reuses it as the BPE side of its per-language row. */
+  private[queries] def bpeFertilityOf(s: SparkSession, d: String, steps: Int): DataFrame = {
     val v0 = bpeVocab(s, d).persist()
     val merges = try bpeMergesOnly(v0, steps) finally v0.unpersist(blocking = false)
     val lv = table(s, d, "documents")
@@ -1452,6 +1454,45 @@ object TextAnalysis {
       |             row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) rank
       |           FROM bm_scored)""".stripMargin
 
+  /** The 3-step BPE fertility oracle chain, ending in
+    * `bpe_fert(lang, words, tokens, fertility, chars_per_token)` — the
+    * full SELECT stated once so the unigram fertility comparison
+    * (Unigram.scala) can compose it next to its own chain instead of
+    * restating the merge arithmetic. lazy: referenced from the `oracle`
+    * val during object init. */
+  private[queries] lazy val bpeFertilityCtes: String = {
+    def langMergeStep(i: Int): String =
+      s"""lv$i AS (SELECT lang, w, n, replace(v, '<' || b$i.a || '><' || b$i.b || '>',
+         |                 '<' || b$i.a || b$i.b || '>') AS v
+         |       FROM lv${i - 1}, b$i)""".stripMargin
+    s"""t AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+       |v0 AS (SELECT array_to_string(list_transform(string_split(w, ''),
+       |               c -> '<' || c || '>'), '') AS v, n FROM t),
+       |${bpePairStepSql(1)},
+       |${bpeMergeStepSql(1)},
+       |${bpePairStepSql(2)},
+       |${bpeMergeStepSql(2)},
+       |${bpePairStepSql(3)},
+       |lt AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY lang, w),
+       |lv0 AS (SELECT lang, w, n, array_to_string(list_transform(string_split(w, ''),
+       |               c -> '<' || c || '>'), '') AS v FROM lt),
+       |${langMergeStep(1)},
+       |${langMergeStep(2)},
+       |${langMergeStep(3)},
+       |ft AS (SELECT lang, n,
+       |         CAST(len(string_split(substr(v, 2, length(v) - 2), '><')) AS BIGINT) AS ntok,
+       |         CAST(length(w) AS BIGINT) AS nchars
+       |       FROM lv3),
+       |bpe_fert AS (SELECT lang, CAST(sum(n) AS BIGINT) AS words,
+       |  CAST(sum(n * ntok) AS BIGINT) AS tokens,
+       |  CAST(sum(n * ntok) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS fertility,
+       |  CAST(sum(n * nchars) AS DOUBLE) / CAST(sum(n * ntok) AS DOUBLE) AS chars_per_token
+       |FROM ft GROUP BY lang)""".stripMargin
+  }
+
   /** The sequential 3-step training oracle, shared verbatim by
     * x_text_bpe_train AND x_text_bpe_train_batched (sequential-equal
     * by construction). lazy: referenced from the `oracle` val during
@@ -1755,38 +1796,10 @@ object TextAnalysis {
 
     // the corpus-wide merge chain (shared steps), then the lang-aware
     // vocabulary rolled up through the same replaces
-    "x_text_bpe_fertility" -> {
-      def langMergeStep(i: Int): String =
-        s"""lv$i AS (SELECT lang, w, n, replace(v, '<' || b$i.a || '><' || b$i.b || '>',
-           |                 '<' || b$i.a || b$i.b || '>') AS v
-           |       FROM lv${i - 1}, b$i)""".stripMargin
-      s"""WITH t AS (SELECT w, CAST(count(*) AS BIGINT) AS n
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
-         |v0 AS (SELECT array_to_string(list_transform(string_split(w, ''),
-         |               c -> '<' || c || '>'), '') AS v, n FROM t),
-         |${bpePairStepSql(1)},
-         |${bpeMergeStepSql(1)},
-         |${bpePairStepSql(2)},
-         |${bpeMergeStepSql(2)},
-         |${bpePairStepSql(3)},
-         |lt AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS n
-         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
-         |  GROUP BY lang, w),
-         |lv0 AS (SELECT lang, w, n, array_to_string(list_transform(string_split(w, ''),
-         |               c -> '<' || c || '>'), '') AS v FROM lt),
-         |${langMergeStep(1)},
-         |${langMergeStep(2)},
-         |${langMergeStep(3)},
-         |ft AS (SELECT lang, n,
-         |         CAST(len(string_split(substr(v, 2, length(v) - 2), '><')) AS BIGINT) AS ntok,
-         |         CAST(length(w) AS BIGINT) AS nchars
-         |       FROM lv3)
-         |SELECT lang, CAST(sum(n) AS BIGINT) AS words,
-         |  CAST(sum(n * ntok) AS BIGINT) AS tokens,
-         |  CAST(sum(n * ntok) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS fertility,
-         |  CAST(sum(n * nchars) AS DOUBLE) / CAST(sum(n * ntok) AS DOUBLE) AS chars_per_token
-         |FROM ft GROUP BY lang ORDER BY lang""".stripMargin
-    },
+    "x_text_bpe_fertility" ->
+      s"""WITH $bpeFertilityCtes
+         |SELECT lang, words, tokens, fertility, chars_per_token
+         |FROM bpe_fert ORDER BY lang""".stripMargin,
 
     "x_text_bpe_pairs" ->
       """WITH t AS (SELECT string_split(text, ' ') ws FROM documents),

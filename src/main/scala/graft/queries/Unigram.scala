@@ -1,0 +1,338 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training (SentencePiece-style Viterbi-EM) — the
+  * standard scalable alternative to BPE. BPE_DEPTH_r14 measured exact
+  * batched BPE as honestly sequential at depth (~1.6 merges/s: each
+  * merge's counts depend on the previous rewrite); unigram-LM has no
+  * such chain — the vocabulary is FIXED after seeding and each EM
+  * iteration is one corpus-shaped pass: E-step = per-word Viterbi
+  * segmentation (a bounded in-row fold, the tokenizeOf shape), M-step =
+  * one partial-aggregatable count pass. A 32k-piece vocabulary trains in
+  * a constant number of passes regardless of vocab size.
+  *
+  * Algorithm (stated exactly — the DuckDB oracle replays it verbatim):
+  *  1. Seed: all single characters plus the top-[[TopK]] substrings of
+  *     length 2..[[MaxLen]] ranked by (occurrence-count·word-freq DESC,
+  *     piece ASC). The vocabulary is FIXED from here on.
+  *  2. Probabilities: lp(u) = lnq((c(u)+1) / (tot+V)) — Laplace-smoothed
+  *     (single chars survive zero-count iterations, so every word always
+  *     segments), floor-quantized at 1e-6 (the NB/CCNet lnq portability
+  *     pattern: both engines consume identical doubles, so cross-engine
+  *     float drift cannot compound across iterations).
+  *  3. [[Iters]]× hard-EM: E-step Viterbi-segments each DISTINCT word
+  *     under the current lp (DP over end positions; candidate pieces are
+  *     the ≤[[MaxLen]]-char suffixes at each position; ties break to the
+  *     SHORTEST piece — order-independent and engine-exact since scores
+  *     are sums of identical quantized doubles accumulated left-to-
+  *     right); M-step recounts pieces from the chosen segmentations
+  *     weighted by word frequency and re-smooths.
+  *
+  * Scale shape: the model relation (vocab counts/probs, ≤ chars+TopK
+  * rows) broadcasts; each E-step is explode(distinct words × ≤MaxLen·len
+  * substrings) → broadcast join → one groupBy(w) collect into a bounded
+  * per-word edge array → in-row DP — one shuffle per iteration, on the
+  * distinct-word key. Nothing corpus-scale ever sits on the driver. A
+  * production fit over 100 TB would persist the distinct-word relation
+  * across the fixed iteration count (here it is re-derived: the gate
+  * corpus scan is cheaper than managing cache lifetime inside a query
+  * that must stay a pure function of (session, dir)).
+  */
+object Unigram {
+
+  private val MaxLen = 4
+  private val TopK = 200
+  private val Iters = 2
+
+  private def lnq(x: Column): Column =
+    floor(log(x) * lit(1000000.0)) / lit(1000000.0)
+
+  /** Distinct corpus words with frequencies — the E-step's unit of work
+    * (a word's segmentation is a pure function of (word, model)). */
+  private[queries] def wordCounts(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+
+  /** Every substring occurrence (w, n, i, l, piece), l ≤ MaxLen. */
+  private def occs(words: DataFrame): DataFrame =
+    words.select(col("w"), col("n"), explode(expr(
+      s"""flatten(transform(sequence(1, length(w)), i ->
+         |  transform(sequence(1, least($MaxLen, length(w) - i + 1)),
+         |    l -> named_struct('i', i, 'l', l))))""".stripMargin)).as("o"))
+      .select(col("w"), col("n"), col("o.i").as("i"), col("o.l").as("l"),
+        expr("substring(w, o.i, o.l)").as("piece"))
+
+  /** The fixed seed vocabulary with its substring-occurrence counts:
+    * all single chars + top-K multi-char by (count DESC, piece ASC). */
+  private[queries] def seedVocab(words: DataFrame): DataFrame = {
+    val c = occs(words).groupBy("piece").agg(sum("n").as("c"))
+    c.filter(length(col("piece")) === 1)
+      .unionByName(c.filter(length(col("piece")) > 1)
+        .orderBy(col("c").desc, col("piece")).limit(TopK))
+  }
+
+  /** (piece, c, lp) — Laplace-smoothed quantized log-probs over counts
+    * that already cover the FULL vocabulary (zeros included). */
+  private[queries] def probsOf(counts: DataFrame): DataFrame = {
+    val g = counts.agg(sum("c").cast("double").as("tot"),
+      count(lit(1)).cast("double").as("v"))
+    counts.crossJoin(broadcast(g))
+      .select(col("piece"), col("c"),
+        lnq((col("c").cast("double") + lit(1.0)) / (col("tot") + col("v"))).as("lp"))
+  }
+
+  /** One candidate's score at end position p against a dp array named
+    * `$dp`: dp[p-l] + lp(piece of length l ending at p), NULL when out
+    * of range or not in vocab. dp arrays are 1-indexed with dp[k] at
+    * index k+1. (Accumulators are PLAIN arrays, not structs: DuckDB
+    * 1.0's list_reduce mangles struct accumulators — wrong results on a
+    * minimal repro, segfaults at corpus size — so both engines fold the
+    * score array alone and derive the argmax lengths afterwards as a
+    * pure transform against the finished dp array, which is equivalent
+    * because dp is append-only during the fold.) */
+  private def candSql(l: Int, dp: String): String =
+    s"""(CASE WHEN p >= $l AND element_at(element_at(lps, $l), p) IS NOT NULL
+       | THEN element_at($dp, p - $l + 1) + element_at(element_at(lps, $l), p)
+       | ELSE CAST(NULL AS DOUBLE) END)""".stripMargin
+
+  private def bestScoreSql(dp: String): String =
+    (1 to MaxLen).map(l => s"coalesce(${candSql(l, dp)}, -1.0e18)")
+      .mkString("greatest(", ", ", ")")
+
+  /** Argmax length with ties to the SHORTEST piece: first l (ascending)
+    * whose candidate equals the chosen dp value — exact float equality
+    * is safe because the winner is compared against itself. */
+  private def bestLenSql: String =
+    (1 to MaxLen).map(l =>
+      s"WHEN coalesce(${candSql(l, "dps")}, -1.0e18) = element_at(dps, p + 1) THEN $l")
+      .mkString("(CASE ", " ", " END)")
+
+  /** Viterbi-segment each distinct word under `probs`: (w, n, ts) with
+    * ts the chosen piece array. The DP is an in-row fold over end
+    * positions; the per-(length, position) logp grid `lps` comes from
+    * ONE broadcast join of the word's substring occurrences against the
+    * model — no per-lookup vocabulary probe. The walk-back recovers the
+    * current position from the characters already collected (pieces
+    * tile the suffix), so its accumulator is the plain piece array. */
+  private[queries] def segment(words: DataFrame, probs: DataFrame): DataFrame = {
+    val edges = occs(words)
+      .join(broadcast(probs.select("piece", "lp")), Seq("piece"))
+      .select(col("w"), (col("i") + col("l") - lit(1)).as("p"), col("l"), col("lp"))
+    edges.groupBy("w")
+      .agg(collect_list(struct(col("p"), col("l"), col("lp"))).as("es"))
+      .join(words, Seq("w"))
+      .withColumn("lps", expr(
+        s"""transform(sequence(1, $MaxLen), l ->
+           |  transform(sequence(1, length(w)), p ->
+           |    try_element_at(filter(es, e -> e.p = p AND e.l = l), 1).lp))""".stripMargin))
+      .withColumn("dps", expr(
+        s"""aggregate(sequence(1, length(w)), array(CAST(0.0 AS DOUBLE)),
+           |  (acc, p) -> array_append(acc, ${bestScoreSql("acc")}))""".stripMargin))
+      .withColumn("bls", expr(
+        s"transform(sequence(1, length(w)), p -> $bestLenSql)"))
+      .withColumn("ts", expr(
+        s"""aggregate(sequence(1, length(w)), CAST(array() AS array<string>),
+           |  (a, x) -> CASE WHEN length(w) - length(concat_ws('', a)) <= 0 THEN a
+           |    ELSE array_prepend(a, substring(w,
+           |      length(w) - length(concat_ws('', a))
+           |        - element_at(bls, length(w) - length(concat_ws('', a))) + 1,
+           |      element_at(bls, length(w) - length(concat_ws('', a))))) END)""".stripMargin))
+      .select(col("w"), col("n"), col("ts"))
+  }
+
+  /** M-step counts over the FIXED vocab (zeros kept — Laplace needs the
+    * full support and V must stay constant). */
+  private def eStepCounts(vocab: DataFrame, segs: DataFrame): DataFrame =
+    vocab.select("piece")
+      .join(segs.select(col("n"), explode(col("ts")).as("piece"))
+          .groupBy("piece").agg(sum("n").as("c")),
+        Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("c"), lit(0L)).as("c"))
+
+  /** The trained model after [[Iters]] EM rounds: (piece, c, lp) with c
+    * the final Viterbi counts and lp the final quantized log-probs. */
+  private[graft] def emFit(s: SparkSession, d: String): DataFrame = {
+    val words = wordCounts(s, d)
+    val vocab = seedVocab(words)
+    (1 to Iters).foldLeft(probsOf(vocab)) { case (probs, _) =>
+      probsOf(eStepCounts(vocab, segment(words, probs)))
+    }
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // -- the trainer itself, hash-gated end-to-end: seed ranking, both
+    //    EM rounds' Viterbi segmentations, the Laplace/lnq arithmetic —
+    //    the oracle replays every step in DuckDB (list_reduce mirrors
+    //    the in-row DP fold exactly, including the shortest-piece
+    //    tie-break and the left-to-right double accumulation).
+    "x_text_unigram_train" -> ((s, d) =>
+      emFit(s, d).select(col("piece").as("token"), col("c"), col("lp"))
+        .orderBy("token")),
+
+    // -- fertility under the trained unigram model NEXT TO the 3-step
+    //    BPE model on the same corpus — the comparison row that makes
+    //    the two tokenizer families commensurable (tokens/word per
+    //    language; lower is better at equal vocab budget).
+    "x_text_unigram_fertility" -> ((s, d) => {
+      val words = wordCounts(s, d)
+      val segs = segment(words, emFit(s, d))
+        .select(col("w"), size(col("ts")).cast("long").as("ntok"))
+      val lw = table(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      val uni = lw.join(segs, Seq("w"))
+        .groupBy("lang")
+        .agg(sum("n").as("words"), sum(col("n") * col("ntok")).as("tokens_unigram"))
+        .select(col("lang"), col("words"), col("tokens_unigram"),
+          (col("tokens_unigram").cast("double") / col("words").cast("double"))
+            .as("fertility_unigram"))
+      val bpe = TextAnalysis.bpeFertilityOf(s, d, steps = 3)
+        .select(col("lang"), col("tokens").as("tokens_bpe"),
+          col("fertility").as("fertility_bpe"))
+      uni.join(bpe, Seq("lang"))
+        .select("lang", "words", "tokens_unigram", "fertility_unigram",
+          "tokens_bpe", "fertility_bpe")
+        .orderBy("lang")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle — the same algorithm, stated in DuckDB's lambda
+  // dialect: list_reduce seeds from the list's FIRST element, so the
+  // init state is prepended and the index arg (iteration counter,
+  // 1-based) IS the word position. Dialect map: aggregate→list_reduce,
+  // transform→list_transform, filter→list_filter, element_at→[i],
+  // array_append→list_append, array_prepend(a,e)→list_prepend(e,a).
+  // Two DuckDB-1.0 list_reduce bugs shape the formulation (both found
+  // by minimal repro while gating): (1) STRUCT accumulators are
+  // mangled (wrong results small, segfault at corpus size) — so the DP
+  // folds the score array alone and derives argmax lengths afterwards;
+  // (2) indexing an outer list by an expression mixing outer columns
+  // with the accumulator yields NULL — so the walk-back carries the
+  // current position as the accumulator's FIRST element (pieces follow
+  // from index 2) and every index derives from the accumulator only.
+  // ------------------------------------------------------------------
+
+  /** Candidate score with explicit position/dp/lps expressions (the
+    * recursive-CTE formulation carries them as correlated columns). */
+  private def dCandSql(l: Int, p: String, dp: String, lps: String): String =
+    s"""(CASE WHEN $p >= $l AND $lps[$l][$p] IS NOT NULL
+       | THEN $dp[$p - $l + 1] + $lps[$l][$p]
+       | ELSE CAST(NULL AS DOUBLE) END)""".stripMargin
+
+  private def dBestScoreSql(p: String, dp: String, lps: String): String =
+    (1 to MaxLen).map(l => s"coalesce(${dCandSql(l, p, dp, lps)}, -1.0e18)")
+      .mkString("greatest(", ", ", ")")
+
+  private def dBestLenSql: String =
+    (1 to MaxLen).map(l =>
+      s"WHEN coalesce(${dCandSql(l, "p", "dps", "lps")}, -1.0e18) = dps[p + 1] THEN $l")
+      .mkString("(CASE ", " ", " END)")
+
+  /** The E-step CTE block for iteration k: lp$prev → sg$k (per-word
+    * Viterbi segmentations) — split from [[countBlockSql]] so the
+    * fertility oracle can run ONE extra segmentation under the final
+    * model without a count/re-smooth step (no string surgery). */
+  private def segBlockSql(k: Int): String = {
+    val prev = k - 1
+    s"""ed$k AS (SELECT oc.w, oc.i + oc.l - 1 AS p, oc.l, lp.lp
+       |  FROM oc JOIN lp$prev lp ON oc.piece = lp.piece),
+       |ea$k AS MATERIALIZED (SELECT w, list({'p': p, 'l': l, 'lp': lp}) AS es FROM ed$k GROUP BY w),
+       |ar$k AS MATERIALIZED (SELECT w, list_transform(generate_series(1, $MaxLen), l ->
+       |    list_transform(generate_series(1, length(w)), p ->
+       |      list_extract(list_filter(es, e -> e.p = p AND e.l = l), 1).lp)) AS lps
+       |  FROM ea$k),
+       |dpr$k (w, p, dps) AS (
+       |  SELECT w, CAST(0 AS BIGINT), [CAST(0.0 AS DOUBLE)] FROM ar$k
+       |  UNION ALL
+       |  SELECT d.w, d.p + 1, list_append(d.dps,
+       |    ${dBestScoreSql("(d.p + 1)", "d.dps", "a.lps")})
+       |  FROM dpr$k d JOIN ar$k a ON a.w = d.w WHERE d.p < length(d.w)),
+       |dp$k AS MATERIALIZED (SELECT w, dps FROM dpr$k WHERE p = length(w)),
+       |bl$k AS MATERIALIZED (SELECT d.w, list_transform(generate_series(1, length(d.w)),
+       |    p -> $dBestLenSql) AS bls
+       |  FROM (SELECT dp.w, dp.dps, a.lps
+       |        FROM dp$k dp JOIN ar$k a ON a.w = dp.w) d(w, dps, lps)),
+       |wbr$k (w, pos, ts) AS (
+       |  SELECT w, length(w), CAST([] AS VARCHAR[]) FROM bl$k
+       |  UNION ALL
+       |  SELECT b.w, b.pos - l.bls[b.pos],
+       |    list_prepend(substr(b.w, CAST(b.pos - l.bls[b.pos] + 1 AS BIGINT),
+       |                        CAST(l.bls[b.pos] AS BIGINT)), b.ts)
+       |  FROM wbr$k b JOIN bl$k l ON l.w = b.w WHERE b.pos > 0),
+       |sg$k AS MATERIALIZED (SELECT w, ts FROM wbr$k WHERE pos = 0)""".stripMargin
+  }
+
+  /** The M-step CTE block for iteration k: sg$k → counts over the fixed
+    * vocab → smoothed quantized lp$k. */
+  private def countBlockSql(k: Int): String =
+    s"""ck$k AS (SELECT v.piece, coalesce(u.c, 0) AS c FROM vocab v LEFT JOIN (
+       |    SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+       |      SELECT wc.n, unnest(sg.ts) AS piece
+       |      FROM sg$k sg JOIN wc ON sg.w = wc.w) GROUP BY piece) u
+       |  ON v.piece = u.piece),
+       |g$k AS MATERIALIZED (SELECT CAST(sum(c) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS v
+       |  FROM ck$k),
+       |lp$k AS MATERIALIZED (SELECT piece, c,
+       |    floor(ln((CAST(c AS DOUBLE) + 1.0) / (tot + v)) * 1000000.0) / 1000000.0 AS lp
+       |  FROM ck$k, g$k)""".stripMargin
+
+  private def iterSql(k: Int): String =
+    s"${segBlockSql(k)},\n${countBlockSql(k)}"
+
+  /** The shared oracle prelude: word counts, substring occurrences,
+    * seed vocab + seed probs lp0, then [[Iters]] iteration blocks. */
+  private def chainSql: String =
+    s"""wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+       |oc AS MATERIALIZED (SELECT w, n, u.i AS i, u.l AS l, substr(w, u.i, u.l) AS piece
+       |  FROM wc, unnest(flatten(list_transform(generate_series(1, length(w)),
+       |    i -> list_transform(generate_series(1, least($MaxLen, length(w) - i + 1)),
+       |           l -> {'i': i, 'l': l})))) AS t(u)),
+       |c0 AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM oc GROUP BY piece),
+       |vocab AS MATERIALIZED (SELECT piece, c FROM c0 WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (SELECT piece, c FROM c0 WHERE length(piece) > 1
+       |                        ORDER BY c DESC, piece LIMIT $TopK)),
+       |g0 AS MATERIALIZED (SELECT CAST(sum(c) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS v
+       |  FROM vocab),
+       |lp0 AS MATERIALIZED (SELECT piece, c,
+       |    floor(ln((CAST(c AS DOUBLE) + 1.0) / (tot + v)) * 1000000.0) / 1000000.0 AS lp
+       |  FROM vocab, g0),
+       |${(1 to Iters).map(iterSql).mkString(",\n")}""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x_text_unigram_train" ->
+      s"""WITH RECURSIVE $chainSql
+         |SELECT piece AS token, c, lp FROM lp$Iters ORDER BY token""".stripMargin,
+
+    "x_text_unigram_fertility" -> {
+      // one extra segmentation pass under the FINAL model (lp$Iters),
+      // then per-language masses; the BPE side reuses the 3-step
+      // sequential training chain verbatim (TextAnalysis' fertility
+      // oracle CTEs)
+      val f = Iters + 1
+      s"""WITH RECURSIVE $chainSql,
+         |${segBlockSql(f)},
+         |ulw AS MATERIALIZED (SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY lang, w),
+         |uni AS MATERIALIZED (SELECT lang, CAST(sum(ulw.n) AS BIGINT) AS words,
+         |    CAST(sum(ulw.n * len(sg.ts)) AS BIGINT) AS tokens_unigram
+         |  FROM ulw JOIN sg$f sg ON ulw.w = sg.w GROUP BY lang),
+         |${TextAnalysis.bpeFertilityCtes}
+         |SELECT uni.lang, uni.words, uni.tokens_unigram,
+         |  CAST(uni.tokens_unigram AS DOUBLE) / CAST(uni.words AS DOUBLE)
+         |    AS fertility_unigram,
+         |  bpe.tokens AS tokens_bpe, bpe.fertility AS fertility_bpe
+         |FROM uni JOIN bpe_fert bpe ON uni.lang = bpe.lang
+         |ORDER BY uni.lang""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class UnigramSpec extends SparkSpecBase {
+
+  test("viterbi: every segmentation matches a driver-side DP recompute") {
+    // independent reimplementation of the stated algorithm (plain Scala,
+    // no shared SQL): max score over ≤4-char pieces, ties to the
+    // SHORTEST piece — every distinct word must match exactly
+    val words = Unigram.wordCounts(spark, sf)
+    val model = Unigram.emFit(spark, sf)
+    val lp = model.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val segs = Unigram.segment(words, model).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(segs.nonEmpty)
+    segs.foreach { case (w, ts) =>
+      val n = w.length
+      val dp = Array.fill(n + 1)(0.0)
+      val bl = Array.fill(n + 1)(0)
+      for (p <- 1 to n) {
+        var bs = -1.0e18
+        var b = 0
+        for (l <- 1 to math.min(4, p)) {
+          val piece = w.substring(p - l, p)
+          lp.get(piece).foreach { v =>
+            val cand = dp(p - l) + v
+            if (cand > bs) { bs = cand; b = l }
+          }
+        }
+        dp(p) = bs; bl(p) = b
+      }
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var pos = n
+      while (pos > 0) { out.prepend(w.substring(pos - bl(pos), pos)); pos -= bl(pos) }
+      assert(out.toSeq == ts, s"word '$w': engine ${ts.mkString("|")} != driver ${out.mkString("|")}")
+      assert(ts.mkString("") == w, s"word '$w': segmentation does not tile the word")
+    }
+  }
+
+  test("train: full char coverage, TopK bound, counts reconcile with segmentations") {
+    val out = SparkEntryHelper.run(spark, sf, "x_text_unigram_train")
+    val rows = out.collect()
+    // all corpus characters present as pieces (Laplace keeps them alive)
+    val chars = Unigram.wordCounts(spark, sf).select(explode(split(col("w"), "")).as("c"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val tokens = rows.map(_.getString(0)).toSet
+    assert(chars.subsetOf(tokens), s"missing chars: ${chars -- tokens}")
+    assert(rows.count(_.getString(0).length > 1) <= 200, "multi-char pieces exceed TopK")
+    // count mass == total tokens over the final segmentation
+    val words = Unigram.wordCounts(spark, sf)
+    val totalToks = Unigram.segment(words, Unigram.emFit(spark, sf))
+      .select(sum(col("n") * size(col("ts")))).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == totalToks, "count mass != segmented token mass")
+    // both verdict classes: used and unused pieces exist (non-vacuous Laplace)
+    assert(rows.exists(_.getLong(1) > 0) && rows.exists(_.getLong(1) == 0))
+  }
+
+  test("fertility: BPE side equals the standalone query; unigram side reconciles") {
+    val cmp = SparkEntryHelper.run(spark, sf, "x_text_unigram_fertility").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val bpe = SparkEntryHelper.run(spark, sf, "x_text_bpe_fertility").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(cmp.keySet == bpe.keySet, "language sets differ")
+    cmp.foreach { case (lang, r) =>
+      assert(r.getLong(4) == bpe(lang).getLong(2), s"$lang: tokens_bpe mismatch")
+      assert(r.getDouble(5) == bpe(lang).getDouble(3), s"$lang: fertility_bpe mismatch")
+      assert(r.getDouble(3) > 1.0, s"$lang: unigram fertility must exceed 1 (multi-token words exist)")
+      assert(r.getDouble(3) == r.getLong(2).toDouble / r.getLong(1).toDouble)
+    }
+  }
+}
+
+/** Tiny indirection so the spec reads the same entries the driver runs. */
+private object SparkEntryHelper {
+  def run(s: org.apache.spark.sql.SparkSession, d: String, name: String) =
+    graft.SparkEntry.queries(name)(s, d)
+}
