@@ -80,12 +80,23 @@ object Engine {
     * mid-swap, so the next writer failing loud until an operator
     * inspects and [[clearWriteIntent]]s is the correct posture — the
     * marker names the interrupted operation to aid that triage.
+    *
+    * `holdOnFailure` extends that posture to IN-JVM exceptions: a
+    * multi-table reclaim/refit verb that throws between its sibling
+    * swaps leaves the family mid-swap exactly like a process death
+    * would, so those verbs POISON the marker (its content names the
+    * failed op and exception) and keep it — the next maintainer fails
+    * loud until an operator verifies the family and clears. Without it
+    * (the default, right for single-table appends whose partial work
+    * is at most a harmless staging table), the marker releases on any
+    * exit so a transient failure does not brick the prefix.
     * Scope: one marker per table PREFIX (family), not per table — a
     * family's swap invariants span its sibling tables. Reentrancy is
     * the caller's job: public verbs guard, internals compose unguarded
     * (the foreachBatch bodies of the maintained ingests call several
     * guarded verbs SEQUENTIALLY, which is fine — they never nest). */
-  def withWriteIntent[T](spark: SparkSession, prefix: String, op: String = "maintenance")(
+  def withWriteIntent[T](spark: SparkSession, prefix: String, op: String = "maintenance",
+      holdOnFailure: Boolean = false)(
       body: => T): T = {
     val p = intentPath(spark, prefix)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -109,8 +120,23 @@ object Engine {
       val out = try fs.create(p, false) catch { case e: java.io.IOException => conflict(e) }
       try { out.writeBytes(op); out.close() } catch { case _: java.io.IOException => () }
     }
-    try body
-    finally { fs.delete(p, false); () }
+    try { val r = body; fs.delete(p, false); r }
+    catch {
+      case e: Throwable =>
+        if (holdOnFailure) {
+          // poison, don't release: the family may be mid-swap. Content
+          // names the failed op + cause for the operator's triage.
+          val note = s"$op FAILED: ${e.getClass.getName}: ${e.getMessage}"
+          try {
+            if (fs.getScheme == "file")
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(p.toUri.getPath),
+                note.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            else { val out = fs.create(p, true); out.writeBytes(note); out.close() }
+          } catch { case _: java.io.IOException => () }
+        } else { fs.delete(p, false); () }
+        throw e
+    }
   }
 
   /** Operator verb for a marker left by a maintainer that died
@@ -229,11 +255,24 @@ object Engine {
     * Returns whether the rewrite fired. Caller contract: no concurrent
     * writer (foreachBatch serializes batches, satisfying it). */
   def maintainBucketedTables(spark: SparkSession, auditTable: String,
-      tables: Seq[String], maxGroups: Double = 4.0,
-      transforms: Map[String, DataFrame => DataFrame] = Map.empty): Boolean = {
+      tables: Seq[String], maxGroups: Double = 4.0): Boolean =
+    auditThenReclaim(spark, auditTable, maxGroups) {
+      tables.foreach(t => compactBucketedTable(spark, t))
+    }
+
+  /** The audit-then-reclaim step shared by every maintained ingest:
+    * run [[bucketFileAudit]] on the table whose bucket-pruned probes
+    * pay the group stack and, when the per-bucket max crosses the
+    * threshold, fire `reclaim` — a FAMILY verb (reclaimBm25Index,
+    * reclaimMinhashIndex, reclaimPhashIndex, …) that folds pending
+    * tombstones into the compaction rewrite it was going to pay anyway
+    * and clears the ledger. Returns whether it fired, so the ingest can
+    * report hygiene activity alongside its batch. One helper instead of
+    * a copy-pasted audit-head-getBoolean block per ingest. */
+  def auditThenReclaim(spark: SparkSession, auditTable: String,
+      maxGroups: Double = 4.0)(reclaim: => Unit): Boolean = {
     val compact = bucketFileAudit(spark, auditTable, maxGroups).head().getBoolean(4)
-    if (compact) tables.foreach(t =>
-      compactBucketedTable(spark, t, transforms.getOrElse(t, identity[DataFrame] _)))
+    if (compact) reclaim
     compact
   }
 

@@ -82,6 +82,16 @@ object Takedown {
         if (in.schema("id").dataType == t) in
         else in.select(col("id").cast(t).as("id"))
       }
+    // "fail LOUD" must not depend on spark.sql.ansi.enabled: with ANSI
+    // off, an unparseable cast yields NULL rows the probe anti-join can
+    // never match — the takedown would be accepted and then silently
+    // never applied (compliance-relevant). A NULL id is meaningless in
+    // any mode (it matches no index row), so reject the batch before it
+    // reaches the ledger. Ledger-sized scan — cheap at any index scale.
+    require(aligned.filter(col("id").isNull).isEmpty,
+      s"tombstone batch for '$prefix' contains NULL ids (unparseable cast " +
+        "to the ledger's id type, or null inputs) — refusing a takedown " +
+        "that the probe anti-join could never apply")
     aligned.write.mode("append").format("parquet")
       .saveAsTable(tombTable(prefix))
   }

@@ -410,7 +410,13 @@ object Dedup {
       writeMinhashIndexBucketed(s, d, p, buckets = 8,
         docFilter = col("doc_id") < 400)
       graft.Takedown.add(s, p, s.range(45, 46).toDF("id"))
-      incrementalDupsAgainstBucketedIndex(s, d, p, col("doc_id") >= 400)
+      // probe a BOUNDED increment (the daily-crawl shape): the gate
+      // exercises the takedown machinery, not corpus scale — ScaleBench
+      // owns that — and the [400, 1200) window keeps 12 cross-boundary
+      // matches at sf0.1 (non-vacuous) while at the smaller gate scales
+      // (≤ 500 docs) the upper bound is a no-op
+      incrementalDupsAgainstBucketedIndex(s, d, p,
+        col("doc_id") >= 400 && col("doc_id") < 1200)
     }),
 
     // -- the composed full-corpus dedup pipeline a 100 TB ingest runs:
@@ -899,7 +905,7 @@ object Dedup {
     * the swap window itself is the single-writer contract every swap
     * in this engine shares (now enforced by the callers' write-intent
     * guard). */
-  private def swapCountsTable(s: SparkSession, tablePrefix: String,
+  private[queries] def swapCountsTable(s: SparkSession, tablePrefix: String,
       counts: DataFrame): Unit = {
     val staging = s"${tablePrefix}_counts__merge"
     graft.Engine.reclaimManagedTable(s, staging)
@@ -922,16 +928,24 @@ object Dedup {
     *
     *  - TOMBSTONED rows (Takedown ledger): dropped from `_keys` and
     *    `_sig` via the broadcast anti-join riding the rewrite's scan;
-    *    `_counts` is adjusted by subtracting the tombstoned docs'
-    *    per-bucket key contributions — but ONLY for buckets at or
-    *    under the cap, whose key sets are complete by construction
-    *    (keys stop being written once a bucket crosses the cap, so an
-    *    over-cap bucket's subtraction would under-count). An over-cap
-    *    bucket keeps its over-true total and stays retired even if
-    *    takedowns would arithmetically bring it back under: its keys
-    *    are already partial, so re-admitting it would serve a bucket
-    *    a rebuild would serve completely — conservative recall, never
-    *    a false candidate; a full rebuild restores such buckets.
+    *    `_counts` is adjusted by RECOUNTING each at-or-under-cap
+    *    bucket directly from the post-exclusion `_keys` (complete by
+    *    construction for under-cap buckets: keys stop being written
+    *    once a bucket crosses the cap). Recounting — not subtracting
+    *    the tombstoned contributions — makes the adjustment IDEMPOTENT:
+    *    a retry after a mid-verb failure (the foreachBatch re-run case)
+    *    lands on the same totals whether or not the previous attempt
+    *    already swapped counts or already compacted keys, where the old
+    *    subtraction would double-subtract and silently re-admit buckets
+    *    with incomplete key sets. The recount is a bucketed-key
+    *    aggregate joined back to the bucketed counts — both ride the
+    *    family's (band, bh) bucketing, no exchange. An over-cap bucket
+    *    keeps its over-true total and stays retired even if takedowns
+    *    would arithmetically bring it back under: its keys are already
+    *    partial (possibly shed entirely by an earlier reclaim), so
+    *    re-admitting it would serve a bucket a rebuild would serve
+    *    completely — conservative recall, never a false candidate; a
+    *    full rebuild restores such buckets.
     *  - OVER-CAP DEAD KEYS: `_keys` rows of buckets whose true total
     *    exceeds the cap (written before the bucket crossed it). The
     *    probe's joint bound `bn + n <= cap` drops those buckets
@@ -941,28 +955,15 @@ object Dedup {
     *
     * Probe verdicts are invariant across this reclaim (DedupSpec pins
     * equality on a planted over-cap corpus and a tombstoned one); the
-    * ledger clears only after every table of the family swapped.
-    * Ordering matters and is why this is one verb: the counts
-    * adjustment reads the PRE-reclaim `_keys` (the tombstoned rows it
-    * subtracts), so it must land before the keys rewrite drops them. */
+    * ledger clears only after every table of the family swapped. The
+    * recount reads the live keys THROUGH the exclusion anti-join, so
+    * it computes the same totals before or after the keys rewrite —
+    * the verb converges from any interruption point. */
   def reclaimMinhashIndex(s: SparkSession, tablePrefix: String,
       cap: Long = hotBucketCap): Unit =
-    graft.Engine.withWriteIntent(s, tablePrefix, "minhash-reclaim") {
+    graft.Engine.withWriteIntent(s, tablePrefix, "minhash-reclaim", holdOnFailure = true) {
       val pending = graft.Takedown.pending(s, tablePrefix)
-      if (pending) {
-        val keys = s.table(s"${tablePrefix}_keys")
-        val ledger = graft.Takedown.ids(s, tablePrefix, keys, "doc_id")
-        val dead = keys
-          .join(broadcast(ledger), keys("doc_id") === ledger("id"), "left_semi")
-          .groupBy("band", "bh").agg(count(lit(1)).as("dn"))
-        val adjusted = s.table(s"${tablePrefix}_counts")
-          .join(broadcast(dead), Seq("band", "bh"), "left")
-          .select(col("band"), col("bh"),
-            when(col("n") <= cap, col("n") - coalesce(col("dn"), lit(0L)))
-              .otherwise(col("n")).as("n"))
-          .filter(col("n") > 0)
-        swapCountsTable(s, tablePrefix, adjusted)
-      }
+      if (pending) swapCountsTable(s, tablePrefix, reclaimedCounts(s, tablePrefix, cap))
       // over-cap set from the POST-adjustment counts: a bucket whose
       // total stays above cap after takedown subtraction sheds ALL its
       // keys (retired bucket — the joint bound never admits it)
@@ -975,6 +976,26 @@ object Dedup {
         graft.Takedown.excluding(df, tablePrefix, "doc_id"))
       if (pending) graft.Takedown.clear(s, tablePrefix)
     }
+
+  /** The idempotent takedown adjustment of the minhash `_counts` table:
+    * at-or-under-cap buckets are RECOUNTED from the post-exclusion live
+    * keys (the value is the same whether a previous interrupted attempt
+    * already swapped counts or already compacted keys — DedupSpec pins
+    * the double-application fixpoint); over-cap buckets keep their
+    * over-true totals (keys partial, bucket stays retired). Exposed for
+    * the spec; callers go through [[reclaimMinhashIndex]]. */
+  private[queries] def reclaimedCounts(s: SparkSession, tablePrefix: String,
+      cap: Long = hotBucketCap): DataFrame = {
+    val live = graft.Takedown
+      .excluding(s.table(s"${tablePrefix}_keys"), tablePrefix, "doc_id")
+      .groupBy("band", "bh").agg(count(lit(1)).as("ln"))
+    s.table(s"${tablePrefix}_counts")
+      .join(live, Seq("band", "bh"), "left")
+      .select(col("band"), col("bh"),
+        when(col("n") <= cap, coalesce(col("ln"), lit(0L)))
+          .otherwise(col("n")).as("n"))
+      .filter(col("n") > 0)
+  }
 
   /** Incremental dedup of a NEW batch (documents of corpus `d` matching
     * `batchFilter`) against a PERSISTED index written by
@@ -1411,7 +1432,7 @@ object Dedup {
     * compaction cadence. `docs`: the full live corpus (doc_id, text). */
   def reclaimGramIndex(docs: DataFrame, tablePrefix: String): Unit = {
     val s = docs.sparkSession
-    graft.Engine.withWriteIntent(s, tablePrefix, "gram-rebuild") {
+    graft.Engine.withWriteIntent(s, tablePrefix, "gram-rebuild", holdOnFailure = true) {
       val buckets = s.sessionState.catalog
         .getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(s"${tablePrefix}_grams"))
@@ -1562,7 +1583,8 @@ object Dedup {
       s"""WITH $md5MinhashCte
         |SELECT db AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
         |       min(da) AS dup_of, max(est_j) AS est_j
-        |FROM est WHERE est_j >= 0.5 AND da < 400 AND da != 45 AND db >= 400
+        |FROM est WHERE est_j >= 0.5 AND da < 400 AND da != 45
+        |  AND db >= 400 AND db < 1200
         |GROUP BY db ORDER BY doc_id""".stripMargin,
 
     "x_dedup_clusters_full" ->

@@ -607,7 +607,7 @@ object Multimodal {
     reclaimBandedIndex(s, tablePrefix, "phash-reclaim")
 
   private def reclaimBandedIndex(s: SparkSession, tablePrefix: String, op: String): Unit =
-    graft.Engine.withWriteIntent(s, tablePrefix, op) {
+    graft.Engine.withWriteIntent(s, tablePrefix, op, holdOnFailure = true) {
       val pending = graft.Takedown.pending(s, tablePrefix)
       graft.Engine.compactBucketedTable(s, s"${tablePrefix}_keys",
         graft.Takedown.excluding(_, tablePrefix, "asset_id"))
@@ -733,7 +733,7 @@ object Multimodal {
 
   /** Takedown reclaim + compaction for the video family. */
   def reclaimVideoSigIndex(s: SparkSession, tablePrefix: String): Unit =
-    graft.Engine.withWriteIntent(s, tablePrefix, "videosig-reclaim") {
+    graft.Engine.withWriteIntent(s, tablePrefix, "videosig-reclaim", holdOnFailure = true) {
       val pending = graft.Takedown.pending(s, tablePrefix)
       graft.Engine.compactBucketedTable(s, s"${tablePrefix}_sig",
         graft.Takedown.excluding(_, tablePrefix, "asset_id"))

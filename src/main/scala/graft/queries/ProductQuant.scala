@@ -389,7 +389,7 @@ object ProductQuant {
     * and stay frozen; the drift audit decides when dropped mass
     * warrants a refit (which folds pending tombstones itself). */
   def reclaimPqPostings(s: SparkSession, tablePrefix: String): Unit =
-    graft.Engine.withWriteIntent(s, tablePrefix, "pq-reclaim") {
+    graft.Engine.withWriteIntent(s, tablePrefix, "pq-reclaim", holdOnFailure = true) {
       val pending = graft.Takedown.pending(s, tablePrefix)
       graft.Engine.compactBucketedTable(s, s"${tablePrefix}_postings",
         graft.Takedown.excluding(_, tablePrefix, "vec_id"))
@@ -461,7 +461,7 @@ object ProductQuant {
     * Lloyd fits + one corpus rewrite — what the drift decision exists
     * to amortize. */
   def refitPqIndexFromPostings(s: SparkSession, tablePrefix: String,
-      buckets: Int = 32): Unit = graft.Engine.withWriteIntent(s, tablePrefix, "pq-refit") {
+      buckets: Int = 32): Unit = graft.Engine.withWriteIntent(s, tablePrefix, "pq-refit", holdOnFailure = true) {
     graft.functions.CosineSimilarity.register(s)
     // a refit rewrites the whole family, so pending tombstones fold in
     // for free (pass-through when none); the ledger clears post-swap

@@ -855,7 +855,7 @@ object Similarity {
     * [[refitIvf2IndexFromPostings]]). With no ledger pending this is
     * plain compaction. */
   def reclaimIvf2Postings(s: SparkSession, tablePrefix: String): Unit =
-    graft.Engine.withWriteIntent(s, tablePrefix, "ivf2-reclaim") {
+    graft.Engine.withWriteIntent(s, tablePrefix, "ivf2-reclaim", holdOnFailure = true) {
       val pending = graft.Takedown.pending(s, tablePrefix)
       graft.Engine.compactBucketedTable(s, s"${tablePrefix}_postings",
         graft.Takedown.excluding(_, tablePrefix, "vec_id"))
@@ -975,7 +975,7 @@ object Similarity {
     * corpus rewrite — the operation the drift audit exists to
     * amortize. */
   def refitIvf2IndexFromPostings(s: SparkSession, tablePrefix: String,
-      buckets: Int = 32): Unit = graft.Engine.withWriteIntent(s, tablePrefix, "ivf2-refit") {
+      buckets: Int = 32): Unit = graft.Engine.withWriteIntent(s, tablePrefix, "ivf2-refit", holdOnFailure = true) {
     graft.functions.CosineSimilarity.register(s)
     // a refit rewrites every table of the family anyway, so pending
     // tombstones fold in for free: the fit and the re-assigned

@@ -910,7 +910,7 @@ object TextAnalysis {
     * byte-identical to pre-takedown plans. With no ledger pending
     * this is plain compaction. */
   def reclaimBm25Index(s: SparkSession, tablePrefix: String): Unit =
-    graft.Engine.withWriteIntent(s, tablePrefix, "bm25-reclaim") {
+    graft.Engine.withWriteIntent(s, tablePrefix, "bm25-reclaim", holdOnFailure = true) {
       val pending = graft.Takedown.pending(s, tablePrefix)
       graft.Engine.compactBucketedTable(s, s"${tablePrefix}_tf",
         graft.Takedown.excluding(_, tablePrefix, "doc_id"))
@@ -1428,11 +1428,14 @@ object TextAnalysis {
        |       FROM v${i - 1}, b$i)""".stripMargin
 
   /** The BM25 oracle chain up to the ranked list (`bm_ranked(qid,
-    * doc_id, score, rank)`) — shared by x_text_bm25 and the hybrid-RRF
-    * fusion so the lexical side is stated once. lazy: referenced from
-    * the `oracle` val during object init. */
-  private lazy val bm25Ctes: String =
-    """t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+    * doc_id, score, rank)`) — shared by x_text_bm25, the hybrid-RRF
+    * fusion and the takedown gate so the lexical side is stated once.
+    * `corpusWhere` scopes the corpus CTE (the takedown oracle passes
+    * the victim exclusion) — a parameter, not post-hoc string surgery,
+    * so a rewording of the chain can never silently turn the exclusion
+    * into a no-op. */
+  private def bm25Ctes(corpusWhere: String = ""): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents$corpusWhere),
       |tfc AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
       |        FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w),
       |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM t),
@@ -1685,7 +1688,7 @@ object TextAnalysis {
     },
 
     "x_text_bm25" ->
-      s"""WITH $bm25Ctes
+      s"""WITH ${bm25Ctes()}
         |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
         |FROM bm_ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
@@ -1696,7 +1699,7 @@ object TextAnalysis {
     // loses the doc, which the `q` CTE keeps because 25 is not a query
     // doc.
     "x_text_bm25_takedown" ->
-      s"""WITH ${bm25Ctes.replace("FROM documents)", "FROM documents WHERE doc_id != 25)")}
+      s"""WITH ${bm25Ctes(" WHERE doc_id != 25")}
         |SELECT qid, CAST(rank AS BIGINT) AS rank, doc_id, score
         |FROM bm_ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
@@ -1704,7 +1707,7 @@ object TextAnalysis {
     // ranking by RRF — both retrievals re-derived, then the identical
     // fixed-order two-term 1/(60+rank) sum and (rrf DESC, doc_id) rank
     "x_text_hybrid_rrf" ->
-      s"""WITH $bm25Ctes,
+      s"""WITH ${bm25Ctes()},
         |bmr AS (SELECT qid, doc_id, rank AS rb FROM bm_ranked WHERE rank <= 10),
         |e AS (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(generate_series(1, len(embedding)),

@@ -338,9 +338,9 @@ object Streams {
       // reclaimBm25Index folds any pending tombstones into the
       // compaction it was going to pay anyway (and recomputes stats +
       // clears the ledger); with none pending it is plain compaction
-      val compacted = graft.Engine.bucketFileAudit(s, s"${tablePrefix}_tf", maxGroups)
-        .head().getBoolean(4)
-      if (compacted) graft.queries.TextAnalysis.reclaimBm25Index(s, tablePrefix)
+      val compacted = graft.Engine.auditThenReclaim(s, s"${tablePrefix}_tf", maxGroups) {
+        graft.queries.TextAnalysis.reclaimBm25Index(s, tablePrefix)
+      }
       sink(b, batchId, compacted)
     }
 
@@ -449,9 +449,9 @@ object Streams {
       // above already honors the ledger logically, so mid-stream
       // takedowns take effect immediately; the physical purge rides
       // the next hygiene rewrite and clears the ledger)
-      val compacted = graft.Engine.bucketFileAudit(s, s"${tablePrefix}_keys", maxGroups)
-        .head().getBoolean(4)
-      if (compacted) graft.queries.Dedup.reclaimMinhashIndex(s, tablePrefix, cap)
+      val compacted = graft.Engine.auditThenReclaim(s, s"${tablePrefix}_keys", maxGroups) {
+        graft.queries.Dedup.reclaimMinhashIndex(s, tablePrefix, cap)
+      }
       sink(verdicts, batchId, compacted)
       probeRdd.unpersist(blocking = false)
       ()
@@ -501,9 +501,9 @@ object Streams {
           graft.queries.Multimodal.appendPhashIndex(s, tablePrefix, keepers)
         // audit-gated rewrite doubles as the takedown reclaim (the
         // probe above already honors the ledger logically)
-        val compacted = graft.Engine.bucketFileAudit(s, s"${tablePrefix}_keys", maxGroups)
-          .head().getBoolean(4)
-        if (compacted) graft.queries.Multimodal.reclaimPhashIndex(s, tablePrefix)
+        val compacted = graft.Engine.auditThenReclaim(s, s"${tablePrefix}_keys", maxGroups) {
+          graft.queries.Multimodal.reclaimPhashIndex(s, tablePrefix)
+        }
         sink(verdicts, batchId, compacted)
         probeRdd.unpersist(blocking = false)
         ()
@@ -538,9 +538,9 @@ object Streams {
             org.apache.spark.sql.Encoders.product[graft.queries.Multimodal.Asset])
         if (!keepers.isEmpty)
           graft.queries.Multimodal.appendAudioFpIndex(s, tablePrefix, keepers)
-        val compacted = graft.Engine.bucketFileAudit(s, s"${tablePrefix}_keys", maxGroups)
-          .head().getBoolean(4)
-        if (compacted) graft.queries.Multimodal.reclaimAudioFpIndex(s, tablePrefix)
+        val compacted = graft.Engine.auditThenReclaim(s, s"${tablePrefix}_keys", maxGroups) {
+          graft.queries.Multimodal.reclaimAudioFpIndex(s, tablePrefix)
+        }
         sink(verdicts, batchId, compacted)
         probeRdd.unpersist(blocking = false)
         ()
@@ -572,9 +572,9 @@ object Streams {
             org.apache.spark.sql.Encoders.product[graft.queries.Multimodal.Asset])
         if (!keepers.isEmpty)
           graft.queries.Multimodal.appendVideoSigIndex(s, tablePrefix, keepers)
-        val compacted = graft.Engine.bucketFileAudit(s, s"${tablePrefix}_sig", maxGroups)
-          .head().getBoolean(4)
-        if (compacted) graft.queries.Multimodal.reclaimVideoSigIndex(s, tablePrefix)
+        val compacted = graft.Engine.auditThenReclaim(s, s"${tablePrefix}_sig", maxGroups) {
+          graft.queries.Multimodal.reclaimVideoSigIndex(s, tablePrefix)
+        }
         sink(verdicts, batchId, compacted)
         probeRdd.unpersist(blocking = false)
         ()

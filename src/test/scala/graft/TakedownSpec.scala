@@ -311,12 +311,32 @@ class TakedownSpec extends SparkSpecBase {
     }
     // released on exit: the prefix is reusable
     assert(Engine.withWriteIntent(spark, "td_wig") { 42 } == 42)
-    // released on FAILURE too: a maintainer that throws must not brick
-    // the prefix (only a process death should)
+    // default (append) posture — released on FAILURE too: a transient
+    // failure in a single-table append must not brick the prefix
     intercept[RuntimeException] {
       Engine.withWriteIntent(spark, "td_wig") { throw new RuntimeException("boom") }
     }
     assert(Engine.withWriteIntent(spark, "td_wig") { 1 } == 1)
+    // multi-table reclaim/refit posture — an in-JVM exception leaves the
+    // family mid-swap like a process death would, so holdOnFailure
+    // POISONS the marker and the next maintainer fails loud until an
+    // operator verifies the family and clears
+    intercept[RuntimeException] {
+      Engine.withWriteIntent(spark, "td_wig", "reclaim-test", holdOnFailure = true) {
+        throw new RuntimeException("mid-swap boom")
+      }
+    }
+    val e3 = intercept[IllegalStateException] {
+      Engine.withWriteIntent(spark, "td_wig") { fail("body must not run") }
+    }
+    assert(e3.getMessage.contains("write-intent conflict"))
+    val poisoned = new java.io.File(warehouse, "td_wig__intent")
+    val note = new String(java.nio.file.Files.readAllBytes(poisoned.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(note.contains("reclaim-test FAILED") && note.contains("mid-swap boom"),
+      s"poisoned marker must name the failed op + cause for triage: $note")
+    Engine.clearWriteIntent(spark, "td_wig")
+    assert(Engine.withWriteIntent(spark, "td_wig") { 2 } == 2)
     // the REAL verbs are fenced: a stale marker (dead maintainer) makes
     // an append fail loud until an operator clears it
     dropFamily("td_wigm", "_sig", "_keys", "_counts")

@@ -323,6 +323,43 @@ class DedupSpec extends SparkSpecBase {
     } finally { dropBucketedTables("mhj"); dropBucketedTables("mhjr") }
   }
 
+  test("minhash reclaim converges under retry: the counts adjustment is a fixpoint") {
+    // an interrupted reclaim (Spark job failure after the counts swap,
+    // before the keys compaction) releases the write intent and a
+    // restarted maintainer re-runs the whole verb — the adjustment must
+    // therefore be IDEMPOTENT. The old implementation subtracted the
+    // tombstoned contributions and double-subtracted on retry; the
+    // recount from post-exclusion keys lands on the same totals from
+    // any interruption point.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    dropBucketedTables("mhi")
+    dropBucketedTables("mhir")
+    spark.sql(s"DROP TABLE IF EXISTS ${graft.Takedown.tombTable("mhi")}")
+    Dedup.writeMinhashIndexBucketed(spark, sf, "mhi", buckets = 8,
+      docFilter = col("doc_id") < 400)
+    try {
+      val victim = spark.table("mhi_keys").select("doc_id").head().getLong(0)
+      graft.Takedown.add(spark, "mhi", Seq(victim).toDF("id"))
+      def countsSnap(prefix: String) =
+        spark.table(s"${prefix}_counts").collect().map(_.toSeq).toSet
+      // attempt 1 dies right after its counts swap
+      Dedup.swapCountsTable(spark, "mhi", Dedup.reclaimedCounts(spark, "mhi"))
+      val once = countsSnap("mhi")
+      // the retry recomputes the adjustment from the already-adjusted
+      // state — must be a fixpoint, not a second subtraction
+      Dedup.swapCountsTable(spark, "mhi", Dedup.reclaimedCounts(spark, "mhi"))
+      assert(countsSnap("mhi") == once,
+        "re-applied counts adjustment diverged — the retry double-counts")
+      // and the retried FULL verb still converges to the rebuild
+      Dedup.reclaimMinhashIndex(spark, "mhi")
+      Dedup.writeMinhashIndexBucketed(spark, sf, "mhir", buckets = 8,
+        docFilter = col("doc_id") < 400 && col("doc_id") =!= victim)
+      assert(countsSnap("mhi") == countsSnap("mhir"),
+        "retried reclaim must land on the rebuild-without-the-doc counts")
+    } finally { dropBucketedTables("mhi"); dropBucketedTables("mhir") }
+  }
+
   test("planted hot bucket: one JOINT cap bound shared by split, broadcast-index, and bucketed-index paths") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
