@@ -20,6 +20,34 @@ object Engine {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // start every shuffle WIDE and let AQE coalesce down to its
+      // advisory size: with a fixed 32, a corpus-scale exchange (the
+      // substring-rewrite gram sort at 1024×, the sessionization sort)
+      // lands 100s-of-MB partitions that spill through the executor
+      // budget, while 512-then-coalesce right-sizes partitions at ANY
+      // scale — the same knob a production cluster submit would set.
+      // Small corpora pay nothing: AQE folds the empty partitions away
+      // before execution.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // coalesce target: 16 MB of COMPRESSED shuffle bytes per
+      // partition. Text/gram relations decompress 3-5×, so the default
+      // 64 MB advisory hands each reduce task ~200+ MB to sort against
+      // a ~150 MB fair share of the unified region (8 GB heap / 32
+      // concurrent tasks) — guaranteed external-sort spill on every
+      // corpus-scale sort (the rewrite's gram window, sessionization).
+      // 16 MB keeps the post-decompression sort inside task memory at
+      // the measured scales and costs only more (cheap) tasks.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      // scan-split budget, same arithmetic as the advisory size but for
+      // the MAP side: documents-style text compresses 3-5× (the derived
+      // scale corpora far more), and a generator fan-out (8-gram
+      // explode, per-asset media decode) multiplies each split's mass
+      // again — a 128 MB split of compressed text hands one map task
+      // hundreds of MB of exploded rows (measured: the map-side
+      // sort-agg spill and the serial 1024× decode both trace to
+      // under-split scans). 16 MB keeps fan-out output per task inside
+      // memory and decode parallelism at the corpus's file count.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts has shipped as both parquet timestamp[ns] and

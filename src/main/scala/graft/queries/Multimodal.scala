@@ -473,17 +473,25 @@ object Multimodal {
     * `_keys` write re-runs the ENTIRE decode→signature chain a second
     * time — pure codec CPU paid twice, and the duplicated media churn
     * is what bent the measured build exponent superlinear at 64×
-    * corpora. */
+    * corpora. Both writes repartition onto their bucket columns first
+    * (the compactBucketedTable trick): a bucketed write otherwise
+    * emits one file per (map task × bucket) — with the decode scan
+    * split fine for parallelism, thousands of files at large corpora,
+    * i.e. the index is born owing its own compaction. The repartition
+    * shuffles SIGNATURES (fixed-width, never media) and lands exactly
+    * one file per bucket. */
   private def writeBandedIndex(s: SparkSession, tablePrefix: String,
       sigIn: DataFrame, buckets: Int): Unit = {
     for (t <- Seq("_sig", "_keys"))
       graft.Engine.reclaimManagedTable(s, tablePrefix + t)
     val sig = sigIn.persist()
     try {
-      sig.write.mode("overwrite").format("parquet")
+      sig.repartition(buckets, col("asset_id"))
+        .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "asset_id").sortBy("asset_id")
         .saveAsTable(s"${tablePrefix}_sig")
       phashKeys(sig, "asset_id", "ph")
+        .repartition(buckets, col("blk"), col("bv"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(buckets, "blk", "bv")
         .saveAsTable(s"${tablePrefix}_keys")
