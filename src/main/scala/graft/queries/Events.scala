@@ -139,10 +139,17 @@ object Events {
     }),
 
     // -- gap-based sessionization (30-min inactivity): one shuffle on
-    //    user_id; session bounds via lag + running sum of gap flags
+    //    user_id; session bounds via lag + running sum of gap flags.
+    //    The projection narrows to the three columns the windows read
+    //    BEFORE the per-user sort: the events relation carries a `props`
+    //    payload string that otherwise rides through both window sorts
+    //    (3.9 GB of measured external-sort spill at the 256× point,
+    //    SCALE_r15 — column pruning does not reach below a Window whose
+    //    input was widened by the `us` projection).
     "x_events_sessions" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
       ev(s, d)
+        .select("user_id", "event_id", "us")
         .withColumn("gap", when(
           col("us") - lag("us", 1).over(byUser) > 1800L * 1000000, 1L).otherwise(0L))
         .withColumn("session_id", sum("gap").over(

@@ -32,6 +32,18 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs EVERY encode and decode with a
+  // temp FILE (FileCacheImageOutput/InputStream): per-image
+  // create/write/delete churn in java.io.tmpdir. At corpus scale that
+  // measured SUPERLINEAR — the phash_index_build stage-bisection probe
+  // read 4.7 s → 31.5 s (6.7× for 4× assets) on the ENCODE stage alone
+  // as task concurrency saturated and 32 threads contended on the one
+  // tmp directory's inode. Our media are hundreds of bytes to a few KB;
+  // the in-memory cache is strictly better at any scale. Object-init
+  // placement runs this on every JVM that touches a codec path (each
+  // executor initializes the object before its first encode/decode).
+  ImageIO.setUseCache(false)
+
   type Q = (SparkSession, String) => DataFrame
 
   /** Typed asset row: what a media table looks like at ingest. */

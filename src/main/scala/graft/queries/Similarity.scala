@@ -398,13 +398,25 @@ object Similarity {
     * `cents`: (cid, ce: array<float>, cn). */
   private[queries] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val ccos = (expr("float_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("ccos")
-    e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        struct(ccos, (lit(0L) - col("cid")).as("negcid")).as("sc"))
-      .groupBy("vec_id")
-      .agg(max("sc").as("m"), first("embedding").as("embedding"), first("nrm").as("nrm"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        (lit(0L) - col("m.negcid")).as("cid"))
+    // Argmax over SKINNY rows only. The corpus × k scored relation used
+    // to carry each vector's full embedding through the groupBy so a
+    // first() could hand it back — but first(array) forces
+    // ObjectHashAggregate, whose sort-based fallback then externally
+    // sorts corpus × k WIDE (~600 B) rows: 21.5 GB of measured spill in
+    // the 256× ivf2 build (SCALE_r15). Scoring now projects to
+    // (vec_id, score-struct) before the aggregate — the fallback sorts
+    // ~40 B rows that fit task memory at any scale — and the winner
+    // re-fetches its vector by key-equi join on vec_id. The second
+    // consumer of `e` costs nothing extra beyond that one narrow-keyed
+    // shuffle: argmax semantics (max cosine, ties to the smallest cid)
+    // are unchanged, so the md5-portable oracles still replay exactly.
+    val win = e.select(col("vec_id"), col("embedding"), col("nrm"))
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"), struct(ccos, (lit(0L) - col("cid")).as("negcid")).as("sc"))
+      .groupBy("vec_id").agg(max("sc").as("m"))
+      .select(col("vec_id"), (lit(0L) - col("m.negcid")).as("cid"))
+    e.join(win, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
   }
 
   /** Fitted IVF index registry: a real ANN index is BUILT ONCE (offline)
@@ -569,14 +581,19 @@ object Similarity {
     val fcos = coalesce(
       expr("float_dot(embedding, fe)") / (col("nrm") * col("fn")), lit(2.0)).as("fcos")
     val fcid = coalesce(col("fcid"), lit(-1L) - col("ccid"))
-    v.join(fine, Seq("ccid"), "left")
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("ccid"),
-        struct(fcos, (lit(0L) - fcid).as("negf")).as("sc"))
-      .groupBy("vec_id")
-      .agg(max("sc").as("m"), first("embedding").as("embedding"),
-        first("nrm").as("nrm"), first("ccid").as("ccid"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("ccid"),
-        (lit(0L) - col("m.negf")).as("fcid"))
+    // Same skinny-argmax shape as [[assignCells]] (and for the same
+    // measured reason): the wide v × fine join output is projected down
+    // to (vec_id, score-struct) BEFORE the per-vector aggregate, and the
+    // winning fcid joins back to v for the embedding. v appears twice in
+    // the plan, but its exchanges (the coarse argmax shuffle, the
+    // vec_id-keyed fetch) dedupe under ReuseExchange, so the coarse
+    // scoring work still runs once.
+    val win = v.join(fine, Seq("ccid"), "left")
+      .select(col("vec_id"), struct(fcos, (lit(0L) - fcid).as("negf")).as("sc"))
+      .groupBy("vec_id").agg(max("sc").as("m"))
+      .select(col("vec_id"), (lit(0L) - col("m.negf")).as("fcid"))
+    v.join(win, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("ccid"), col("fcid"))
   }
 
   /** Fine-probe rows for a set of coarse probes: real fine cells via an
@@ -789,7 +806,18 @@ object Similarity {
       graft.Engine.reclaimManagedTable(s, tablePrefix + t)
     coarse.write.mode("overwrite").format("parquet")
       .saveAsTable(s"${tablePrefix}_coarse")
-    fine.write.mode("overwrite").format("parquet")
+    // both bucketed writes REPARTITION onto their bucket columns first
+    // (the writeBandedIndex / compactBucketedTable trick): a bucketed
+    // write otherwise emits one file per (upstream task × bucket), so
+    // the file count — and with it how much of each probed bucket a
+    // pruned serving scan must read past — silently tracks whatever
+    // task layout the assignment plan happened to produce (measured:
+    // the round-16 assignment rework alone moved the 256× probe scan
+    // from 22 MB to 63 MB purely through write layout). One exchange of
+    // fixed-width rows buys exactly one file per bucket, sorted on the
+    // bucket key, at every corpus scale.
+    fine.repartition(buckets, col("ccid"))
+      .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "ccid")
       .saveAsTable(s"${tablePrefix}_fine")
     assignFine(
@@ -797,6 +825,7 @@ object Similarity {
         .withColumnRenamed("cid", "ccid"),
       fine)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("fcid"))
+      .repartition(buckets, col("fcid"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "fcid").sortBy("fcid")
       .saveAsTable(s"${tablePrefix}_postings")
@@ -1001,7 +1030,11 @@ object Similarity {
         staged.foreach { case (_, st) => graft.Engine.reclaimManagedTable(s, st) }
         coarse.write.mode("overwrite").format("parquet")
           .saveAsTable(s"${tablePrefix}_coarse__refit")
-        fine.write.mode("overwrite").format("parquet")
+        // bucket-aligned repartition before both bucketed writes — the
+        // same file-per-bucket guarantee as [[writeIvf2Index]], so a
+        // refit can never hand serving a layout worse than the build's
+        fine.repartition(buckets, col("ccid"))
+          .write.mode("overwrite").format("parquet")
           .bucketBy(buckets, "ccid")
           .saveAsTable(s"${tablePrefix}_fine__refit")
         assignFine(
@@ -1009,6 +1042,7 @@ object Similarity {
               .withColumnRenamed("cid", "ccid"),
             fine)
           .select(col("vec_id"), col("embedding"), col("nrm"), col("fcid"))
+          .repartition(buckets, col("fcid"))
           .write.mode("overwrite").format("parquet")
           .bucketBy(buckets, "fcid").sortBy("fcid")
           .saveAsTable(s"${tablePrefix}_postings__refit")

@@ -218,9 +218,14 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("explode(sequence"), s"coverage explode crept back:\n$p")
     // exactly one live hash exchange may carry the gram hash h (the
     // window's); a duplicate-gram join would add a second
+    // anchor on the gram-hash column itself (word boundary before `h`):
+    // a bare "h#" substring also matches any partitioning column whose
+    // name merely ENDS in h (sig_h#, bh#), which would trip this pin on
+    // an unrelated plan change
+    val hCol = """hashpartitioning\(h#\d+""".r
     val hShuffles = p.linesIterator.filter(l =>
       l.contains("Exchange hashpartitioning") && !l.contains("Reused") &&
-        l.contains("h#")).toSeq
+        hCol.findFirstIn(l).isDefined).toSeq
     assert(hShuffles.size <= 1,
       s"grams shuffled ${hShuffles.size}× on h:\n${hShuffles.mkString("\n")}")
   }
@@ -235,9 +240,18 @@ class PlanQualitySpec extends SparkSpecBase {
     val partials = p.linesIterator.count(_.contains("partial_max(sc"))
     assert(partials == 1, s"assignment partial pass appears $partials times:\n$p")
     assert(p.contains("ReusedExchange"), s"assignment exchange not reused:\n$p")
+    // the argmax aggregate must stay SKINNY: carrying the vectors
+    // through it as first(embedding) is what forced the object
+    // aggregate's sort fallback over ~600 B rows (21.5 GB of spill in
+    // the 256× ivf2 build, SCALE_r15) — the winner re-fetches its
+    // vector by key-equi join instead, which costs one extra (cheap,
+    // column-pruned) parquet scan: ≤ 2 scans, not ≤ 1, is the
+    // deliberate trade
+    assert(!p.contains("partial_first(embedding"),
+      s"vectors ride the argmax aggregate again:\n$p")
     val scans = p.linesIterator.count(l =>
       l.contains("FileScan parquet") || l.contains("BatchScan"))
-    assert(scans <= 1, s"embeddings scanned $scans times:\n$p")
+    assert(scans <= 2, s"embeddings scanned $scans times:\n$p")
   }
 
   test("curation: sampler is shuffle-free; contamination broadcasts the benchmark") {
