@@ -122,9 +122,19 @@ object Unigram {
     val edges = occs(words)
       .join(broadcast(probs.select("piece", "lp")), Seq("piece"))
       .select(col("w"), (col("i") + col("l") - lit(1)).as("p"), col("l"), col("lp"))
-    edges.groupBy("w")
-      .agg(collect_list(struct(col("p"), col("l"), col("lp"))).as("es"))
-      .join(words, Seq("w"))
+    // LEFT join + empty-edge default: a word with NO vocabulary piece at
+    // all (an apply-time word of entirely unseen characters) must still
+    // segment — the DP's no-candidate fallback then tiles it into
+    // single chars for the -1 unk path. On the training corpus every
+    // word has at least its single-char edges (all corpus chars are in
+    // the seed vocab), so left ≡ inner there and the train/fertility
+    // oracles are untouched.
+    words.join(
+      edges.groupBy("w")
+        .agg(collect_list(struct(col("p"), col("l"), col("lp"))).as("es")),
+      Seq("w"), "left")
+      .withColumn("es", coalesce(col("es"),
+        expr("CAST(array() AS array<struct<p:int,l:int,lp:double>>)")))
       .withColumn("lps", expr(
         s"""transform(sequence(1, $MaxLen), l ->
            |  transform(sequence(1, length(w)), p ->
@@ -163,9 +173,75 @@ object Unigram {
     }
   }
 
+  /** The FROZEN serving model: (piece, c, lp, id) — the trained
+    * [[emFit]] plus the conventional frequency-ordered id assignment
+    * (count DESC, piece ASC — the BpeModel.ids rule). Localized to a
+    * driver-side relation: the model is vocabulary-sized (≤ chars +
+    * [[TopK]] rows — it broadcasts at apply time anyway, the
+    * fittedCentroids argument), and apply consumes it TWICE (the lp
+    * broadcast inside [[segment]], the id broadcast onto pieces) — as a
+    * lazy plan each consumer would silently replay the whole EM fit. */
+  private[graft] def unigramFit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = emFit(s, d).withColumn("id",
+      row_number().over(Window.orderBy(col("c").desc, col("piece"))).cast("long") - 1L)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    m.collect().foreach(rows.add)
+    s.createDataFrame(rows, m.schema)
+  }
+
+  /** Tokenize any (doc_id, text) relation against a frozen model
+    * relation (piece, lp, id — [[unigramFit]]'s shape, fresh or read
+    * back from a [[writeUnigramModel]] table): per-word Viterbi under
+    * the frozen lp (the SAME in-row DP as training — apply is the
+    * E-step against a model that no longer moves), pieces map to ids
+    * through the broadcast vocabulary with -1 for a piece outside it
+    * (a truly unseen character decomposes to itself via the DP's
+    * no-candidate fallback and then misses the id table — the BPE unk
+    * convention). Output shape matches TextAnalysis.tokenizeOf:
+    * (doc_id, n_tokens, ids_str). Pure per-doc function of
+    * (doc, model) — the streaming twin (Streams.unigramTokenize)
+    * relies on it. Scale shape: distinct words segment once, docs
+    * re-join their words key-equi on w — corpus-linear, one gather
+    * aggregate per doc. */
+  private[graft] def tokenizeOf(docs: DataFrame, model: DataFrame): DataFrame = {
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val segs = segment(words, model).select("w", "ts")
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .join(segs, Seq("w"))
+      .select(col("doc_id"), col("pos"), posexplode(col("ts")).as(Seq("j", "piece")))
+      .join(broadcast(model.select("piece", "id")), Seq("piece"), "left")
+      .withColumn("id", coalesce(col("id"), lit(-1L)))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, j, id))), p -> p.id)")
+        .as("idsArr"))
+      .select(col("doc_id"), size(col("idsArr")).cast("long").as("n_tokens"),
+        expr("array_join(transform(idsArr, i -> CAST(i AS STRING)), ' ')").as("ids_str"))
+  }
+
+  /** Persist the trained model as a plain parquet table — the frozen
+    * tokenizer artifact a serving fleet loads by name
+    * (`tokenizeOf(docs, spark.table(name))`); vocabulary-sized, so no
+    * bucketing — it broadcasts wherever it is applied. */
+  def writeUnigramModel(s: SparkSession, d: String, tableName: String): Unit = {
+    graft.Engine.reclaimManagedTable(s, tableName)
+    unigramFit(s, d).write.mode("overwrite").format("parquet").saveAsTable(tableName)
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // -- the serving last-mile: per-doc input ids under the FROZEN
+    //    trained model — the unigram twin of x_text_tokenize_ids (same
+    //    output shape, same frequency-ordered id rule, same -1 unk
+    //    convention), closing the train→apply lifecycle for this
+    //    tokenizer family.
+    "x_text_unigram_ids" -> ((s, d) =>
+      tokenizeOf(
+        table(s, d, "documents").filter(col("doc_id") < 100).select("doc_id", "text"),
+        unigramFit(s, d)).orderBy("doc_id")),
+
     // -- the trainer itself, hash-gated end-to-end: seed ranking, both
     //    EM rounds' Viterbi segmentations, the Laplace/lnq arithmetic —
     //    the oracle replays every step in DuckDB (list_reduce mirrors
@@ -308,6 +384,31 @@ object Unigram {
        |${(1 to Iters).map(iterSql).mkString(",\n")}""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x_text_unigram_ids" -> {
+      // one extra segmentation under the FINAL model (the fertility
+      // oracle's sg block), ids by (c DESC, piece) over lp$Iters, then
+      // the per-doc reassembly CTEs of the x_text_tokenize_ids oracle
+      val f = Iters + 1
+      s"""WITH RECURSIVE $chainSql,
+         |${segBlockSql(f)},
+         |uids AS MATERIALIZED (SELECT piece,
+         |    CAST(row_number() OVER (ORDER BY c DESC, piece) - 1 AS BIGINT) AS id
+         |  FROM lp$Iters),
+         |docw AS (SELECT doc_id, i AS pos, ws[i] AS w FROM
+         |  (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |   WHERE doc_id < 100), unnest(generate_series(1, len(ws))) AS u(i)),
+         |dtok AS (SELECT doc_id, pos, x.j AS j, x.piece AS piece FROM (
+         |  SELECT d.doc_id, d.pos, unnest(list_transform(generate_series(1, len(sg.ts)),
+         |           j -> {'j': j, 'piece': sg.ts[j]})) AS x
+         |  FROM docw d JOIN sg$f sg ON sg.w = d.w)),
+         |did AS (SELECT doc_id,
+         |          list(CAST(coalesce(i.id, -1) AS VARCHAR) ORDER BY pos, j) AS ids
+         |        FROM dtok LEFT JOIN uids i ON i.piece = dtok.piece GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+         |       array_to_string(ids, ' ') AS ids_str
+         |FROM did ORDER BY doc_id""".stripMargin
+    },
+
     "x_text_unigram_train" ->
       s"""WITH RECURSIVE $chainSql
          |SELECT piece AS token, c, lp FROM lp$Iters ORDER BY token""".stripMargin,

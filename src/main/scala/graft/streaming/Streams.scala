@@ -637,6 +637,20 @@ object Streams {
       sink(graft.queries.TextAnalysis.tokenizeOf(batch.toDF(), model), batchId)
     }
 
+  /** Streaming unigram tokenization — the unigram-family twin of
+    * [[tokenize]], closing that family's serving lifecycle: each
+    * micro-batch of (doc_id, text) rows tokenizes against a FROZEN
+    * trained model relation (piece, c, lp, id — Unigram.unigramFit's
+    * shape, or the table written by Unigram.writeUnigramModel). The
+    * per-word Viterbi segmentation is a pure function of (word, model)
+    * and ids broadcast per batch, so stream == one-shot batch —
+    * StreamsSpec pins it across a split, including the -1 unk path. */
+  def unigramTokenize(docs: DataFrame, model: DataFrame)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.queries.Unigram.tokenizeOf(batch.toDF(), model), batchId)
+    }
+
   /** Streaming curation ingest — the continuous-ingest composition of
     * the batch pipeline's PER-DOC stages: blocklist → not-a-duplicate
     * against the persisted minhash index → α-mixture keep, run per

@@ -57,6 +57,50 @@ class UnigramSpec extends SparkSpecBase {
     assert(rows.exists(_.getLong(1) > 0) && rows.exists(_.getLong(1) == 0))
   }
 
+  test("tokenize ids: decode reproduces the segmentation; id rule is frequency-ordered") {
+    val model = Unigram.unigramFit(spark, sf)
+    val mrows = model.collect()
+    // the id assignment is exactly (count DESC, piece ASC) dense from 0
+    val expectedIds = mrows.sortBy(r => (-r.getLong(1), r.getString(0)))
+      .zipWithIndex.map { case (r, i) => r.getString(0) -> i.toLong }.toMap
+    mrows.foreach(r => assert(r.getLong(3) == expectedIds(r.getString(0)),
+      s"piece '${r.getString(0)}': id ${r.getLong(3)} != ${expectedIds(r.getString(0))}"))
+    val idToPiece = mrows.map(r => r.getLong(3) -> r.getString(0)).toMap
+    val segs = Unigram.segment(Unigram.wordCounts(spark, sf), model)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    val out = SparkEntryHelper.run(spark, sf, "x_text_unigram_ids").collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 100).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size, "every doc under the cut must tokenize")
+    out.foreach { r =>
+      val (id, n, ids) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val decoded = ids.split(" ").filter(_.nonEmpty)
+        .map(s => idToPiece(s.toLong))
+      assert(decoded.length == n, s"doc $id: n_tokens $n != ${decoded.length}")
+      // ids decode to the words' own Viterbi segmentations, in order
+      val expectedPieces = docs(id).split(" ", -1).flatMap(segs(_))
+      assert(decoded.toSeq == expectedPieces.toSeq,
+        s"doc $id: decoded pieces diverge from the segmentation")
+      assert(decoded.mkString("") == docs(id).replace(" ", ""),
+        s"doc $id: decoded pieces do not tile the text")
+    }
+  }
+
+  test("persisted model: tokenization against the reloaded table matches the fresh fit") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    Unigram.writeUnigramModel(spark, sf, "unigram_model_spec")
+    try {
+      val fresh = Unigram.tokenizeOf(docs, Unigram.unigramFit(spark, sf))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val loaded = Unigram.tokenizeOf(docs, spark.table("unigram_model_spec"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(fresh == loaded, "the persisted model must tokenize identically")
+      assert(fresh.nonEmpty)
+    } finally graft.Engine.reclaimManagedTable(spark, "unigram_model_spec")
+  }
+
   test("fertility: BPE side equals the standalone query; unigram side reconciles") {
     val cmp = SparkEntryHelper.run(spark, sf, "x_text_unigram_fertility").collect()
       .map(r => r.getString(0) -> r).toMap

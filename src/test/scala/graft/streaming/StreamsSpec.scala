@@ -1273,6 +1273,38 @@ class StreamsSpec extends SparkSpecBase {
     assert(oov.getString(2).split(" ").contains("-1"), "unseen symbols must map to -1")
   }
 
+  test("streaming unigram tokenization: micro-batches emit the one-shot batch ids; OOV maps to -1") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val model = graft.queries.Unigram.unigramFit(spark, sf)
+    val expected = graft.queries.Unigram.tokenizeOf(docs, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(expected.size == docs.count())
+
+    val rows = docs.as[(Long, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = Streams.unigramTokenize(in.toDF().toDF("doc_id", "text"), model) { (out, _) =>
+      got.synchronized { got ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))) }
+      ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected, "stream and one-shot batch must tokenize identically")
+    assert(got.size == expected.size, "a doc was tokenized twice across batches")
+    // a character the training corpus never saw: the Viterbi DP's
+    // no-candidate fallback still decomposes the word into single
+    // chars, and the out-of-vocabulary piece maps to the -1 unk id
+    val oov = graft.queries.Unigram.tokenizeOf(
+      Seq((999L, "ßß")).toDF("doc_id", "text"), model).collect().head
+    assert(oov.getLong(1) == 2L, "unseen chars must decompose to single-char pieces")
+    assert(oov.getString(2) == "-1 -1", "unseen pieces must map to -1")
+  }
+
   test("incremental dedup: streamed micro-batches emit the backfill's verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
