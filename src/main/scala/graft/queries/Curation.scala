@@ -428,12 +428,14 @@ object Curation {
       val t1 = regexp_replace(t0, PiiEmailRe, PiiEmailMask)
       val t2 = regexp_replace(t1, PiiPhoneRe, PiiPhoneMask)
       val t3 = regexp_replace(t2, PiiIpRe, PiiIpMask)
+      val t4 = regexp_replace(t3, PiiIp6Re, PiiIp6Mask)
       table(s, d, "documents")
         .select(col("doc_id"),
           regexp_count(t0, lit(PiiEmailRe)).cast("long").as("n_emails"),
           regexp_count(t1, lit(PiiPhoneRe)).cast("long").as("n_phones"),
           regexp_count(t2, lit(PiiIpRe)).cast("long").as("n_ips"),
-          t3.as("redacted"))
+          regexp_count(t3, lit(PiiIp6Re)).cast("long").as("n_ipv6"),
+          t4.as("redacted"))
         .orderBy("doc_id")
     }),
 
@@ -791,11 +793,25 @@ object Curation {
     * automata: character classes, bounded quantifiers and `\b` only —
     * no backreferences, no lookaround. */
   private[graft] val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[graft] val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  // one PHONE class, three shapes: dashed US, parenthesized US, and
+  // E.164-ish international (+7..15 digits). The alternatives start on
+  // distinct characters (digit / '(' / '+'), so at any position at most
+  // one can match — alternation-order semantics (Java leftmost-first vs
+  // anything else) can never make the engines disagree.
+  private[graft] val PiiPhoneRe =
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b|\\(\\d{3}\\) \\d{3}-\\d{4}\\b|\\+\\d{7,15}\\b"
   private[graft] val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  // IPv6: 5..8 colon-separated hex groups — the full form and most
+  // partial forms; deliberately ≥ 4 colons so clock-like strings
+  // (12:30:45) never match, and the `::`-compressed shorthand is out of
+  // scope (stated bound — RE2 has no backtracking-free way to bound the
+  // compressed grammar in one alternation-light pattern).
+  private[graft] val PiiIp6Re =
+    "\\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\\b"
   private[graft] val PiiEmailMask = "[EMAIL]"
   private[graft] val PiiPhoneMask = "[PHONE]"
   private[graft] val PiiIpMask = "[IP]"
+  private[graft] val PiiIp6Mask = "[IPV6]"
 
   /** Deterministic PII planting for the redaction gate: the synthetic
     * corpus carries no emails/phones/IPs, so docs with id divisible by
@@ -811,7 +827,16 @@ object Curation {
       when(id % 11 === 0, concat(lit(" hotline 555-"),
         lpad((id % 1000).cast("string"), 3, "0"), lit("-0199 ok"))).otherwise(lit("")),
       when(id % 13 === 0, concat(lit(" origin 10."), (id % 256).cast("string"),
-        lit(".0."), (id % 100).cast("string"), lit(" logged"))).otherwise(lit("")))
+        lit(".0."), (id % 100).cast("string"), lit(" logged"))).otherwise(lit("")),
+      // the round-16 breadth classes: parenthesized US, E.164
+      // international, IPv6 (decimal digits only in the varying group —
+      // valid hex on both engines, no case/format divergence)
+      when(id % 17 === 0, concat(lit(" call (415) "),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-0142 now"))).otherwise(lit("")),
+      when(id % 19 === 0, concat(lit(" tel +49"),
+        lpad((id % 10000000).cast("string"), 7, "0"), lit(" ok"))).otherwise(lit("")),
+      when(id % 23 === 0, concat(lit(" node 2001:db8:85a3:1:2:8a2e:370:"),
+        (id % 9999).cast("string"), lit(" logged"))).otherwise(lit("")))
 
   /** THE blocklist hit extractor — single source of truth shared by the
     * batch audit (`x_cur_blocklist`) and the streaming filter
@@ -1346,18 +1371,27 @@ object Curation {
         |  || CASE WHEN doc_id % 11 = 0 THEN ' hotline 555-'
         |            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199 ok' ELSE '' END
         |  || CASE WHEN doc_id % 13 = 0 THEN ' origin 10.' || CAST(doc_id % 256 AS VARCHAR)
-        |            || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' logged' ELSE '' END AS t0
+        |            || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' logged' ELSE '' END
+        |  || CASE WHEN doc_id % 17 = 0 THEN ' call (415) '
+        |            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0142 now' ELSE '' END
+        |  || CASE WHEN doc_id % 19 = 0 THEN ' tel +49'
+        |            || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0') || ' ok' ELSE '' END
+        |  || CASE WHEN doc_id % 23 = 0 THEN ' node 2001:db8:85a3:1:2:8a2e:370:'
+        |            || CAST(doc_id % 9999 AS VARCHAR) || ' logged' ELSE '' END AS t0
         |  FROM documents),
         |s1 AS (SELECT doc_id, t0,
         |         regexp_replace(t0, '$PiiEmailRe', '$PiiEmailMask', 'g') AS t1 FROM t),
         |s2 AS (SELECT doc_id, t0, t1,
-        |         regexp_replace(t1, '$PiiPhoneRe', '$PiiPhoneMask', 'g') AS t2 FROM s1)
+        |         regexp_replace(t1, '$PiiPhoneRe', '$PiiPhoneMask', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT doc_id, t0, t1, t2,
+        |         regexp_replace(t2, '$PiiIpRe', '$PiiIpMask', 'g') AS t3 FROM s2)
         |SELECT doc_id,
         |       CAST(len(regexp_extract_all(t0, '$PiiEmailRe')) AS BIGINT) AS n_emails,
         |       CAST(len(regexp_extract_all(t1, '$PiiPhoneRe')) AS BIGINT) AS n_phones,
         |       CAST(len(regexp_extract_all(t2, '$PiiIpRe')) AS BIGINT) AS n_ips,
-        |       regexp_replace(t2, '$PiiIpRe', '$PiiIpMask', 'g') AS redacted
-        |FROM s2 ORDER BY doc_id""".stripMargin,
+        |       CAST(len(regexp_extract_all(t3, '$PiiIp6Re')) AS BIGINT) AS n_ipv6,
+        |       regexp_replace(t3, '$PiiIp6Re', '$PiiIp6Mask', 'g') AS redacted
+        |FROM s3 ORDER BY doc_id""".stripMargin,
 
     // the modulus is interpolated from the SAME targetShards derivation
     // the engine runs, at the representative gate byte mass (both gate

@@ -446,30 +446,42 @@ class CurationSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out.length == docs.size, "pii redaction must keep every document")
     out.foreach { r =>
-      val (id, ne, np, ni, txt) =
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
-      // counts are exactly the planted divisibility classes
+      val (id, ne, np, ni, n6, txt) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))
+      // counts are exactly the planted divisibility classes; the PHONE
+      // class sums its three shapes (dashed US %11, parenthesized US
+      // %17, E.164 international %19)
       assert(ne == (if (id % 7 == 0) 1L else 0L), s"doc $id: n_emails $ne")
-      assert(np == (if (id % 11 == 0) 1L else 0L), s"doc $id: n_phones $np")
+      val expPhones = Seq(11L, 17L, 19L).count(id % _ == 0).toLong
+      assert(np == expPhones, s"doc $id: n_phones $np != $expPhones")
       assert(ni == (if (id % 13 == 0) 1L else 0L), s"doc $id: n_ips $ni")
+      assert(n6 == (if (id % 23 == 0) 1L else 0L), s"doc $id: n_ipv6 $n6")
       // masks land exactly count-many times; no residual PII survives
       def occ(hay: String, needle: String): Int =
         hay.sliding(needle.length).count(_ == needle)
       assert(occ(txt, Curation.PiiEmailMask) == ne, s"doc $id: email masks")
       assert(occ(txt, Curation.PiiPhoneMask) == np, s"doc $id: phone masks")
       assert(occ(txt, Curation.PiiIpMask) == ni, s"doc $id: ip masks")
+      assert(occ(txt, Curation.PiiIp6Mask) == n6, s"doc $id: ipv6 masks")
       assert(!txt.contains("@"), s"doc $id still carries an email")
       assert(!Curation.PiiPhoneRe.r.findFirstIn(txt).isDefined &&
-        !Curation.PiiIpRe.r.findFirstIn(txt).isDefined,
+        !Curation.PiiIpRe.r.findFirstIn(txt).isDefined &&
+        !Curation.PiiIp6Re.r.findFirstIn(txt).isDefined,
         s"doc $id still carries structured PII: $txt")
       // a PII-free doc passes through byte-identical
-      if (id % 7 != 0 && id % 11 != 0 && id % 13 != 0)
+      if (Seq(7L, 11L, 13L, 17L, 19L, 23L).forall(id % _ != 0))
         assert(txt == docs(id), s"doc $id: PII-free text must pass through")
     }
-    // two-sided non-vacuity: every type fires somewhere AND clean docs exist
+    // two-sided non-vacuity: every type fires somewhere AND clean docs
+    // exist — including each of the three phone SHAPES separately
     assert(out.exists(_.getLong(1) > 0) && out.exists(_.getLong(2) > 0) &&
-      out.exists(_.getLong(3) > 0), "vacuous: a PII type never planted")
-    assert(out.exists(r => r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0),
+      out.exists(_.getLong(3) > 0) && out.exists(_.getLong(4) > 0),
+      "vacuous: a PII type never planted")
+    for (m <- Seq(11L, 17L, 19L))
+      assert(out.exists(r => r.getLong(0) % m == 0 && r.getLong(2) > 0),
+        s"vacuous: the %$m phone shape never planted")
+    assert(out.exists(r => r.getLong(1) == 0 && r.getLong(2) == 0 &&
+      r.getLong(3) == 0 && r.getLong(4) == 0),
       "vacuous: no clean documents at gate scale")
   }
 
