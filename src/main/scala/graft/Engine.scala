@@ -28,7 +28,8 @@ object Engine {
       // scale — the same knob a production cluster submit would set.
       // Small corpora pay nothing: AQE folds the empty partitions away
       // before execution.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "512"))
       // coalesce target: 16 MB of COMPRESSED shuffle bytes per
       // partition. Text/gram relations decompress 3-5×, so the default
       // 64 MB advisory hands each reduce task ~200+ MB to sort against
@@ -37,7 +38,8 @@ object Engine {
       // corpus-scale sort (the rewrite's gram window, sessionization).
       // 16 MB keeps the post-decompression sort inside task memory at
       // the measured scales and costs only more (cheap) tasks.
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "16m"))
       // scan-split budget, same arithmetic as the advisory size but for
       // the MAP side: documents-style text compresses 3-5× (the derived
       // scale corpora far more), and a generator fan-out (8-gram
@@ -47,7 +49,12 @@ object Engine {
       // sort-agg spill and the serial 1024× decode both trace to
       // under-split scans). 16 MB keeps fan-out output per task inside
       // memory and decode parallelism at the corpus's file count.
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // (all three right-sizing knobs take env overrides — the local
+      // stand-in for the per-submit `--conf` a cluster deployment would
+      // pass; also what lets the regression harness A/B one knob in an
+      // otherwise identical JVM)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts has shipped as both parquet timestamp[ns] and
@@ -148,8 +155,16 @@ object Engine {
       val out = try fs.create(p, false) catch { case e: java.io.IOException => conflict(e) }
       try { out.writeBytes(op); out.close() } catch { case _: java.io.IOException => () }
     }
-    try { val r = body; fs.delete(p, false); r }
+    // the marker release runs OUTSIDE the body's failure scope: a
+    // failed delete after a SUCCESSFUL body must not poison the marker
+    // with a "FAILED" note (the family is healthy — only the release
+    // hiccuped; the stale marker's op-name content is the right triage
+    // signal for that), so the poison path keys off bodyDone, not off
+    // which statement threw.
+    var bodyDone = false
+    try { val r = body; bodyDone = true; fs.delete(p, false); r }
     catch {
+      case e: Throwable if bodyDone => throw e
       case e: Throwable =>
         if (holdOnFailure) {
           // poison, don't release: the family may be mid-swap. Content

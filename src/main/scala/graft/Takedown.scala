@@ -88,12 +88,20 @@ object Takedown {
     // never applied (compliance-relevant). A NULL id is meaningless in
     // any mode (it matches no index row), so reject the batch before it
     // reaches the ledger. Ledger-sized scan — cheap at any index scale.
-    require(aligned.filter(col("id").isNull).isEmpty,
-      s"tombstone batch for '$prefix' contains NULL ids (unparseable cast " +
-        "to the ledger's id type, or null inputs) — refusing a takedown " +
-        "that the probe anti-join could never apply")
-    aligned.write.mode("append").format("parquet")
-      .saveAsTable(tombTable(prefix))
+    // The batch is persisted across the check and the write: without
+    // it the two actions evaluate the input plan twice, and a
+    // non-deterministic input (a sampled relation, a racing view)
+    // could pass the null check with one set of rows and land another
+    // in the ledger.
+    val pinned = aligned.persist()
+    try {
+      require(pinned.filter(col("id").isNull).isEmpty,
+        s"tombstone batch for '$prefix' contains NULL ids (unparseable cast " +
+          "to the ledger's id type, or null inputs) — refusing a takedown " +
+          "that the probe anti-join could never apply")
+      pinned.write.mode("append").format("parquet")
+        .saveAsTable(tombTable(prefix))
+    } finally pinned.unpersist(blocking = false)
   }
 
   /** The ledger relation — empty (but well-typed against `like`'s id
