@@ -1292,7 +1292,7 @@ object Dedup {
     * gram of a `(doc_id, text)` relation. One narrow generator fan-out
     * over the scan; shared by the corpus rewrite and the index paths so
     * the hash definition cannot drift between them. */
-  private def gramStream(docs: DataFrame): DataFrame = {
+  private[queries] def gramStream(docs: DataFrame): DataFrame = {
     graft.functions.Md5Long60.register(docs.sparkSession)
     docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= GramK)
@@ -1430,6 +1430,114 @@ object Dedup {
     * Unlike the five id-carrying families this pays O(corpus), not
     * O(amortized-zero) — callers batch takedowns and run it on the
     * compaction cadence. `docs`: the full live corpus (doc_id, text). */
+  /** PROVENANCE-CARRYING gram index — the takedown-capable sibling of
+    * [[writeGramIndex]] (which trades provenance away for 8 bytes/gram
+    * and honestly rebuilds on reclaim). This variant stores per-gram
+    * DOC-FREQUENCY DELTAS as an append-only ledger table
+    * `{prefix}_gramdf` (h, df), bucketed+sorted on h: the live
+    * membership set is `sum(df) > 0` per hash — an exchange-free
+    * aggregate, since grouping on the bucket column is satisfied by the
+    * bucketing at any index scale. Every lifecycle verb is an APPEND:
+    *  - build/append land each doc's +1 per distinct gram (pre-summed
+    *    per increment);
+    *  - takedown ([[reclaimGramIndexCounted]]) appends -1 deltas for
+    *    the tombstoned docs' distinct grams — O(tombstoned docs), not
+    *    O(corpus), and EXISTING FILES ARE NEVER TOUCHED — closing the
+    *    one asymmetric cell in the seven-family takedown matrix;
+    *  - [[compactGramIndexCounted]] collapses the delta ledger on the
+    *    compaction cadence (the same amortization bargain as every
+    *    bucketed family).
+    * A gram shared by a tombstoned and a live doc survives takedown
+    * with df decremented, exactly as a rebuild-without-the-doc would
+    * keep it — DedupSpec pins takedown == rebuild equality. */
+  def writeGramIndexCounted(s: SparkSession, d: String, tablePrefix: String,
+      buckets: Int = 32, docFilter: Column = lit(true)): Unit = {
+    graft.Engine.reclaimManagedTable(s, s"${tablePrefix}_gramdf")
+    gramDfDeltas(table(s, d, "documents").filter(docFilter)
+        .select(col("doc_id"), col("text")), sign = 1L)
+      .repartition(buckets, col("h"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "h").sortBy("h")
+      .saveAsTable(s"${tablePrefix}_gramdf")
+  }
+
+  /** One increment's per-gram doc-frequency deltas: ±1 per (gram,
+    * distinct doc), pre-summed per gram so an increment appends at most
+    * one row per distinct hash it touches. */
+  private def gramDfDeltas(docs: DataFrame, sign: Long): DataFrame =
+    gramStream(docs).select("h", "doc_id").distinct()
+      .groupBy("h").agg((count(lit(1)) * lit(sign)).as("df"))
+
+  /** The live membership relation (h with sum(df) > 0) — what probes
+    * consume; the groupBy rides the table's h-bucketing, no exchange. */
+  private[queries] def liveGrams(s: SparkSession, tablePrefix: String): DataFrame =
+    s.table(s"${tablePrefix}_gramdf")
+      .groupBy("h").agg(sum("df").as("df"))
+      .filter(col("df") > 0).select("h")
+
+  /** Fold a new crawl into the counted index: one appended delta row
+    * per distinct gram of the increment (disjoint-id contract — the
+    * increment's docs are new, so their +1s are unconditional). */
+  def appendGramIndexCounted(docs: DataFrame, tablePrefix: String): Unit = {
+    val s = docs.sparkSession
+    gramDfDeltas(docs, sign = 1L)
+      .write.mode("append").format("parquet")
+      .bucketBy(bucketsOf(s, s"${tablePrefix}_gramdf"), "h").sortBy("h")
+      .saveAsTable(s"${tablePrefix}_gramdf")
+  }
+
+  /** Increment rewrite against the counted index — same verdicts as
+    * [[rewriteAgainstGramIndex]] over the same live corpus, with the
+    * membership side derived from the delta ledger. */
+  def rewriteAgainstGramIndexCounted(docs: DataFrame, tablePrefix: String): DataFrame = {
+    val s = docs.sparkSession
+    val grams = gramStream(docs)
+    val inIndex = grams.join(liveGrams(s, tablePrefix), Seq("h"), "left_semi")
+    val dupInBatch = grams.groupBy("h")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
+    val inBatch = grams.join(dupInBatch, Seq("h"))
+    rewriteWithDupStarts(docs,
+      inIndex.select("doc_id", "pos").unionByName(inBatch.select("doc_id", "pos")))
+  }
+
+  /** PHYSICAL takedown for the counted index: append -1 deltas for the
+    * ledgered docs' distinct grams, then clear the ledger. O(tombstoned
+    * docs) work, zero existing files rewritten — the uniform-pattern
+    * takedown the membership index cannot offer. `docs`: any relation
+    * containing at least the tombstoned docs' (doc_id, text) — the
+    * full corpus works; only ledger rows are gram-hashed. */
+  def reclaimGramIndexCounted(docs: DataFrame, tablePrefix: String): Unit = {
+    val s = docs.sparkSession
+    graft.Engine.withWriteIntent(s, tablePrefix, "gramdf-decrement", holdOnFailure = true) {
+      val ledger = graft.Takedown.ids(s, tablePrefix, docs, "doc_id")
+      gramDfDeltas(docs.join(broadcast(ledger),
+          docs("doc_id") === ledger("id"), "left_semi"), sign = -1L)
+        .write.mode("append").format("parquet")
+        .bucketBy(bucketsOf(s, s"${tablePrefix}_gramdf"), "h").sortBy("h")
+        .saveAsTable(s"${tablePrefix}_gramdf")
+      graft.Takedown.clear(s, tablePrefix)
+    }
+  }
+
+  /** Collapse the delta ledger: one summed row per live gram, zero-sum
+    * hashes dropped, same bucket spec — run on the compaction cadence
+    * (appends and takedowns stay O(increment) between runs). */
+  def compactGramIndexCounted(s: SparkSession, tablePrefix: String): Unit = {
+    val buckets = bucketsOf(s, s"${tablePrefix}_gramdf")
+    val staging = s"${tablePrefix}_gramdf__compact"
+    graft.Engine.reclaimManagedTable(s, staging)
+    s.table(s"${tablePrefix}_gramdf")
+      .groupBy("h").agg(sum("df").as("df")).filter(col("df") > 0)
+      .repartition(buckets, col("h"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "h").sortBy("h")
+      .saveAsTable(staging)
+    graft.Engine.reclaimManagedTable(s, s"${tablePrefix}_gramdf")
+    s.sql(s"ALTER TABLE `$staging` RENAME TO `${tablePrefix}_gramdf`")
+    graft.Engine.refreshTableEverywhere(s, s"${tablePrefix}_gramdf")
+  }
+
   def reclaimGramIndex(docs: DataFrame, tablePrefix: String): Unit = {
     val s = docs.sparkSession
     graft.Engine.withWriteIntent(s, tablePrefix, "gram-rebuild", holdOnFailure = true) {

@@ -592,6 +592,58 @@ class DedupSpec extends SparkSpecBase {
     assert(appended == rebuilt, "appended index must equal a full rebuild bit-for-bit")
   }
 
+  test("counted gram index: takedown decrements in place == rebuild-without-doc, existing files untouched") {
+    import org.apache.spark.sql.functions._
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("gdfidx_gramdf", "gdfref_gramdf", "gdflive_grams")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(warehouse, t))
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${graft.Takedown.tombTable("gdfidx")}")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    Dedup.writeGramIndexCounted(spark, sf, "gdfidx", docFilter = col("doc_id") < 400)
+    // two deliberately different victims: doc 0's grams are ALL shared
+    // with live docs (the planted dup family — in-place decrement must
+    // keep them alive, where a naive row-delete would kill them), doc
+    // 149's grams are all unique to it (they must die with it)
+    val victims = Seq(0L, 149L)
+    import spark.implicits._
+    graft.Takedown.add(spark, "gdfidx", victims.toDF("doc_id"))
+    val filesBefore = spark.table("gdfidx_gramdf").inputFiles.toSet
+    Dedup.reclaimGramIndexCounted(docs.filter(col("doc_id") < 400), "gdfidx")
+    assert(spark.table("gdfidx_gramdf").inputFiles.toSet.intersect(filesBefore) == filesBefore,
+      "takedown must only append decrement deltas, never rewrite existing files")
+    assert(!graft.Takedown.pending(spark, "gdfidx"), "ledger must clear after reclaim")
+    // live membership == a fresh counted build over the corpus minus the victims
+    Dedup.writeGramIndexCounted(spark, sf, "gdfref",
+      docFilter = col("doc_id") < 400 && !col("doc_id").isin(victims: _*))
+    val live = Dedup.liveGrams(spark, "gdfidx").collect().map(_.getLong(0)).toSet
+    val ref = Dedup.liveGrams(spark, "gdfref").collect().map(_.getLong(0)).toSet
+    assert(live == ref, s"takedown != rebuild-without-doc (sym diff ${(live diff ref).size + (ref diff live).size})")
+    // two-sided: some victim grams died, some survived via live sharers
+    val victimGrams = Dedup.gramStream(docs.filter(col("doc_id").isin(victims: _*)))
+      .select("h").collect().map(_.getLong(0)).toSet
+    assert(victimGrams.exists(!live(_)), "vacuous: no gram died with its only doc")
+    assert(victimGrams.exists(live), "vacuous: no victim gram shared with a live doc")
+    // probe equality: increment rewrite against the counted index equals
+    // the membership index built directly on the live set
+    val inc = docs.filter(col("doc_id") >= 400)
+    Dedup.writeGramIndex(spark, sf, "gdflive",
+      docFilter = col("doc_id") < 400 && !col("doc_id").isin(victims: _*))
+    val viaCounted = Dedup.rewriteAgainstGramIndexCounted(inc, "gdfidx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val viaMembership = Dedup.rewriteAgainstGramIndex(inc, "gdflive").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(viaCounted == viaMembership, "counted-index rewrite must equal the membership path")
+    assert(viaCounted.exists(_._2 > 0), "vacuous: increment removed nothing")
+    // compaction collapses the ledger without changing membership
+    Dedup.compactGramIndexCounted(spark, "gdfidx")
+    assert(Dedup.liveGrams(spark, "gdfidx").collect().map(_.getLong(0)).toSet == live,
+      "compaction changed the live membership")
+    val dfs = spark.table("gdfidx_gramdf").collect()
+    assert(dfs.forall(_.getLong(1) > 0), "compaction left non-positive df rows")
+  }
+
   test("gram index compaction: appended file groups collapse, rewrite verdicts unchanged") {
     import org.apache.spark.sql.functions._
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
