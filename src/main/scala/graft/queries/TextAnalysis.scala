@@ -1117,7 +1117,18 @@ object TextAnalysis {
     * the returned handle frees them NOW, which is what keeps a deep
     * training run at O(1) live vocab copies. */
   private def checkpointVocab(v: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-    val rdd = v.rdd
+    // coalesce to the session's base shuffle parallelism before
+    // checkpointing: `.rdd` freezes whatever partition count the plan
+    // ends on — under the wide-start AQE config (initialPartitionNum
+    // 512) that can be 512 near-empty partitions, and every job of
+    // every LATER merge step then schedules 512 tasks against a
+    // vocabulary-sized relation. Only deep trainings checkpoint
+    // (checkpointEvery=16), so this bounds the depth-64 path, not the
+    // 3-step gate queries. coalesce is a narrow merge — no shuffle —
+    // and a cluster submit that raises shuffle.partitions raises this
+    // bound with it.
+    val n = math.max(1, v.sparkSession.sessionState.conf.numShufflePartitions)
+    val rdd = v.rdd.coalesce(n)
     rdd.localCheckpoint()
     rdd.count() // materialize: later steps read blocks, not lineage
     (v.sparkSession.createDataFrame(rdd, v.schema), rdd)

@@ -76,13 +76,26 @@ object Unigram {
   }
 
   /** (piece, c, lp) — Laplace-smoothed quantized log-probs over counts
-    * that already cover the FULL vocabulary (zeros included). */
+    * that already cover the FULL vocabulary (zeros included).
+    *
+    * tot and V come from GLOBAL WINDOW aggregates over the counts
+    * relation itself, not from a crossJoin(broadcast(counts.agg(...))):
+    * the broadcast form puts the counts subtree — which carries the
+    * entire upstream segmentation chain — into the plan TWICE per EM
+    * iteration, and the duplication compounds across iterations (the
+    * final fit evaluated the iteration-1 Viterbi pass 4× — measured
+    * 25 s to materialize the sf0.1 fit, ~6 s once single-evaluated).
+    * The window spec is partition-less, but its input is the
+    * vocabulary-sized counts relation (≤ chars + TopK rows), so the
+    * one-partition window is bounded at any corpus scale. Arithmetic is
+    * unchanged: double sums over integer counts are order-exact below
+    * 2^53, so both engines still consume identical quantized lp. */
   private[queries] def probsOf(counts: DataFrame): DataFrame = {
-    val g = counts.agg(sum("c").cast("double").as("tot"),
-      count(lit(1)).cast("double").as("v"))
-    counts.crossJoin(broadcast(g))
-      .select(col("piece"), col("c"),
-        lnq((col("c").cast("double") + lit(1.0)) / (col("tot") + col("v"))).as("lp"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    counts.select(col("piece"), col("c"),
+      lnq((col("c").cast("double") + lit(1.0)) /
+        (sum(col("c").cast("double")).over(w) +
+          count(lit(1)).over(w).cast("double"))).as("lp"))
   }
 
   /** One candidate's score at end position p against a dp array named
@@ -135,6 +148,16 @@ object Unigram {
       Seq("w"), "left")
       .withColumn("es", coalesce(col("es"),
         expr("CAST(array() AS array<struct<p:int,l:int,lp:double>>)")))
+      // the per-word Viterbi DP below is COMPUTE-dense on a byte-LIGHT
+      // relation: AQE's byte-based advisory coalesce sees a few MB of
+      // edge arrays, collapses the post-join stage to one partition,
+      // and runs every word's DP single-threaded (measured: 25 s to
+      // materialize the sf0.1 fit vs ~1 s once spread). An explicit
+      // numPartitions repartition is exempt from AQE coalescing; the
+      // exchange moves only the distinct-word edge relation, and a
+      // cluster submit's shuffle.partitions raises the spread with it.
+      .repartition(math.max(1,
+        words.sparkSession.sessionState.conf.numShufflePartitions), col("w"))
       .withColumn("lps", expr(
         s"""transform(sequence(1, $MaxLen), l ->
            |  transform(sequence(1, length(w)), p ->
@@ -181,13 +204,41 @@ object Unigram {
     * fittedCentroids argument), and apply consumes it TWICE (the lp
     * broadcast inside [[segment]], the id broadcast onto pieces) — as a
     * lazy plan each consumer would silently replay the whole EM fit. */
+  /** Trained-model memo per (session, corpus dir) — the ivfCentroids
+    * argument verbatim: a real tokenizer is TRAINED ONCE (offline) and
+    * applied many times, so serving entries (`x_text_unigram_ids`, the
+    * streaming twin) must not re-run the EM fit per query. The memo
+    * holds a LOCAL (driver-side) vocabulary-sized relation — no
+    * executor storage to leak — but stopped sessions are still purged
+    * so a JVM hosting many short-lived sessions cannot grow the map. */
+  private val fittedModel = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  /** Drop the memoized model for (session, corpus dir) — call after the
+    * corpus at `d` is rewritten in place; the next apply re-trains. */
+  def invalidateUnigramModel(s: SparkSession, d: String): Unit = {
+    val inner = fittedModel.get(s)
+    if (inner != null) { inner.remove(d); () }
+  }
+
   private[graft] def unigramFit(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val m = emFit(s, d).withColumn("id",
-      row_number().over(Window.orderBy(col("c").desc, col("piece"))).cast("long") - 1L)
-    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    m.collect().foreach(rows.add)
-    s.createDataFrame(rows, m.schema)
+    fittedModel.keySet.removeIf(sess => sess.sparkContext.isStopped)
+    val perSession = fittedModel.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    // fit OUTSIDE the mapping function (the memoizedCentroids contract
+    // note): racing fitters may duplicate work, winner served
+    val cached = perSession.get(d)
+    if (cached != null) cached
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val m = emFit(s, d).withColumn("id",
+        row_number().over(Window.orderBy(col("c").desc, col("piece"))).cast("long") - 1L)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      m.collect().foreach(rows.add)
+      val built = s.createDataFrame(rows, m.schema)
+      val prev = perSession.putIfAbsent(d, built)
+      if (prev != null) prev else built
+    }
   }
 
   /** Tokenize any (doc_id, text) relation against a frozen model
