@@ -96,6 +96,26 @@ object Curation {
         .limit(50)
     }),
 
+    // -- FUZZY benchmark contamination (near-dup decontamination): the
+    //    exact 3-gram check above misses paraphrased or lightly-edited
+    //    benchmark leaks; this one flags corpus documents whose
+    //    md5-MinHash signature agrees with a benchmark document's at
+    //    est_j ≥ 0.5 — the same decontamination bar large-model data
+    //    reports apply alongside exact n-gram overlap. PURE COMPOSITION
+    //    of the hash-gated incremental-dedup machinery with the held-out
+    //    benchmark (doc_id < 20, the exact check's set) as the index
+    //    side: band keys join key-equi on (band, bh) with the side
+    //    predicates as join conditions (one exchange, ReusedExchange —
+    //    Dedup.md5IncrementalDups), so at 100 TB the benchmark side is a
+    //    broadcast-sized signature table and the corpus pays one
+    //    shingle→signature pass. One row per contaminated doc: match
+    //    count, the lowest-id leaking benchmark doc, best agreement.
+    "x_cur_contamination_fuzzy" -> ((s, d) =>
+      Dedup.md5IncrementalDups(s, d, 20L)
+        .select(col("doc_id"), col("n_matches").as("n_bench_matches"),
+          col("dup_of").as("bench_doc"), col("est_j"))
+        .orderBy("doc_id")),
+
     // -- boilerplate/repetition scoring: share of the document taken by
     //    its single most frequent token. One explode, two per-doc
     //    aggregations — both partial-aggregatable, shuffle O(docs×vocab).
@@ -120,6 +140,45 @@ object Curation {
     //    being broadcast back. Same rows, parallel plan.
     "x_cur_pack" -> ((s, d) =>
       pack(toks(s, d).select(col("doc_id"), size(col("ws")).cast("long").as("n")))),
+
+    // -- LENGTH-BUCKETED batching (the padding-aware alternative to
+    //    packing: loaders that cannot split documents across rows batch
+    //    same-length docs together and pad to a static shape). bucket =
+    //    smallest power-of-2 ≥ token count (static shapes, bounded
+    //    recompilation); within a bucket docs order by md5(doc_id) (the
+    //    shard pattern — decorrelated, backfill-stable) and group into
+    //    fixed batches of ${LengthBatchB}. Scale shape: a naive
+    //    per-bucket row_number is ONE window per bucket — with ~10
+    //    buckets that is near-sequential at 100 TB — so the rank comes
+    //    from the [[pack]] distributed prefix sum GENERALIZED TO GROUPED
+    //    KEYS: md5-hash-range chunks give (bucket, chunk) local windows
+    //    that run partition-parallel, and only the bounded bucket×chunk
+    //    count relation sees a (per-bucket, still parallel across
+    //    buckets) sequential window before broadcasting back.
+    "x_cur_length_batches" -> ((s, d) =>
+      lengthBatches(s, toks(s, d)
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n")))
+        .orderBy("doc_id")),
+
+    // -- the batch-level audit of the manifest above: per bucket, doc
+    //    and batch counts, token mass, padded capacity (every batch pads
+    //    to bucket_len × ${LengthBatchB} slots — the static-shape
+    //    contract) and the realized padding efficiency. The number a
+    //    practitioner reads before choosing bucket boundaries.
+    "x_cur_batch_efficiency" -> ((s, d) =>
+      lengthBatches(s, toks(s, d)
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n")))
+        .groupBy("bucket_len")
+        .agg(count(lit(1)).as("n_docs"),
+          (max("batch") + 1L).as("n_batches"),
+          sum("n_tokens").as("token_mass"))
+        .select(col("bucket_len"), col("n_docs"), col("n_batches"),
+          col("token_mass"),
+          (col("n_batches") * LengthBatchB * col("bucket_len")).as("capacity"),
+          (col("token_mass").cast("double") /
+            (col("n_batches") * LengthBatchB * col("bucket_len")).cast("double"))
+            .as("efficiency"))
+        .orderBy("bucket_len")),
 
     // -- TRUE sequence packing: fixed 32-token training rows sliced from
     //    the concatenated global token stream (docs cross row
@@ -436,6 +495,54 @@ object Curation {
           regexp_count(t2, lit(PiiIpRe)).cast("long").as("n_ips"),
           regexp_count(t3, lit(PiiIp6Re)).cast("long").as("n_ipv6"),
           t4.as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    // -- CHECKSUM-VALIDATED PII redaction: credit-card numbers pass
+    //    through a Luhn check before masking — the step that separates a
+    //    release-grade scrub from pattern matching (16-digit sequences
+    //    are common in logs/ids; only checksum-valid ones are cards
+    //    worth masking, and masking the rest destroys data). Candidates
+    //    come from one grouped-16-digit regex; each candidate's digits
+    //    fold through the Luhn sum IN the row (mod-10 of the doubled-
+    //    alternate digit sum — let-bound stripped string, 16 iterations)
+    //    and only validating candidates are replaced. SSNs mask on the
+    //    card-redacted text by plain pattern (no checksum exists). The
+    //    corpus carries no digits, so both classes are PLANTED: docs
+    //    id%7 gain a card whose digits DERIVE FROM THE ID — whether it
+    //    passes Luhn is decided by the checksum arithmetic itself, so
+    //    ~10% validate and the rest must survive unmasked (the oracle
+    //    runs the same arithmetic independently; neither side can skip
+    //    the checksum and still hash-match). Scale shape: narrow map,
+    //    zero shuffle — rides the same scan pass as x_cur_pii_redact.
+    "x_cur_ccn_redact" -> ((s, d) => {
+      val t0 = ccnPlanted(col("doc_id"), col("text"))
+      // Spark's SQL parser unescapes backslashes inside string literals,
+      // so the regex doubles its '\'s on the way into expr() (the lit()
+      // DSL path the sibling queries use has no such round-trip)
+      val cre = CcCandRe.replace("\\", "\\\\")
+      // candidates judged once: array<struct<c: candidate, ok: luhn>>
+      val judged =
+        s"""transform(regexp_extract_all(t0, '$cre', 0), c0 ->
+           |  element_at(transform(array(regexp_replace(c0, '[^0-9]', '')), ds ->
+           |    named_struct('c', c0, 'ok',
+           |      aggregate(sequence(1, length(ds)), 0L, (a, i) ->
+           |        a + IF(i % 2 = 1,
+           |          CAST(substring(ds, length(ds) - i + 1, 1) AS BIGINT),
+           |          IF(CAST(substring(ds, length(ds) - i + 1, 1) AS BIGINT) * 2 > 9,
+           |             CAST(substring(ds, length(ds) - i + 1, 1) AS BIGINT) * 2 - 9,
+           |             CAST(substring(ds, length(ds) - i + 1, 1) AS BIGINT) * 2))
+           |      ) % 10 = 0)), 1))""".stripMargin
+      table(s, d, "documents")
+        .select(col("doc_id"), t0.as("t0"))
+        .withColumn("j", expr(judged))
+        .withColumn("red1", expr(
+          s"aggregate(filter(j, s -> s.ok), t0, (acc, s) -> replace(acc, s.c, '$CcMask'))"))
+        .select(col("doc_id"),
+          size(col("j")).cast("long").as("n_cc"),
+          expr("size(filter(j, s -> s.ok))").cast("long").as("n_cc_valid"),
+          regexp_count(col("red1"), lit(SsnRe)).cast("long").as("n_ssn"),
+          regexp_replace(col("red1"), SsnRe, SsnMask).as("redacted"))
         .orderBy("doc_id")
     }),
 
@@ -838,6 +945,37 @@ object Curation {
       when(id % 23 === 0, concat(lit(" node 2001:db8:85a3:1:2:8a2e:370:"),
         (id % 9999).cast("string"), lit(" logged"))).otherwise(lit("")))
 
+  /** Checksum-PII patterns (x_cur_ccn_redact): grouped-16-digit card
+    * candidates (space or dash separators, mixed allowed) and SSNs —
+    * same Java∩RE2 common dialect as the structured-PII triple. */
+  private[graft] val CcCandRe = "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b"
+  private[graft] val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private[graft] val CcMask = "[CC]"
+  private[graft] val SsnMask = "[SSN]"
+
+  /** Deterministic checksum-PII planting: docs id%7 gain a 16-digit
+    * card candidate `40AB CDEF 0000 000G` whose varying digits derive
+    * from the id (separator alternates space/dash by parity) — whether
+    * it passes Luhn is decided by the checksum arithmetic, not the
+    * plant, so valid and invalid candidates both occur at every scale;
+    * docs id%11 gain an SSN. Arithmetic simple enough to restate
+    * verbatim in the DuckDB oracle (the piiPlanted pattern). */
+  private[graft] def ccnPlanted(id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sep = when(id % 2 === 0, lit(" ")).otherwise(lit("-"))
+    concat(text,
+      when(id % 7 === 0, concat(lit(" card 40"),
+        lpad((id % 100).cast("string"), 2, "0"), sep,
+        lpad((id % 10000).cast("string"), 4, "0"), sep,
+        lit("0000"), sep, lit("000"), (id % 10).cast("string"),
+        lit(" ok"))).otherwise(lit("")),
+      when(id % 11 === 0, concat(lit(" ssn "),
+        lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((id % 100).cast("string"), 2, "0"), lit("-"),
+        lpad((id % 10000).cast("string"), 4, "0"),
+        lit(" ref"))).otherwise(lit("")))
+  }
+
   /** THE blocklist hit extractor — single source of truth shared by the
     * batch audit (`x_cur_blocklist`) and the streaming filter
     * (`Streams.blocklistFilter`): the blocked tokens found in `ws`
@@ -902,6 +1040,49 @@ object Curation {
         (col("coff") + col("lcum") - col("n")).as("tok_offset"),
         expr("(coff + lcum - n) div 8192").as("bin"))
       .orderBy("doc_id")
+  }
+
+  /** Batch size for [[lengthBatches]] — interpolated into the oracle so
+    * the two sides cannot drift. */
+  private[graft] val LengthBatchB = 8L
+
+  /** Power-of-2 length-bucket ladder (min 16). The CASE expression is
+    * ONE string in Spark-SQL ∩ DuckDB-SQL syntax, generated here and
+    * used verbatim by both engines — single source of truth. */
+  private[graft] val LengthBucketLadder: Seq[Long] =
+    Iterator.iterate(16L)(_ * 2).takeWhile(_ <= 65536L).toSeq
+  private[graft] def bucketCaseSql(nCol: String): String =
+    LengthBucketLadder.init.map(p => s"WHEN $nCol <= $p THEN CAST($p AS BIGINT)")
+      .mkString("CASE ", " ", s" ELSE CAST(${LengthBucketLadder.last} AS BIGINT) END")
+
+  /** Length-bucketed batch manifest over `(doc_id, n)` → `(doc_id,
+    * n_tokens, bucket_len, batch)`. The within-bucket rank is the
+    * [[pack]] distributed prefix sum generalized to grouped keys: the
+    * 60-bit order hash splits into `targetChunks` equal ranges (uniform
+    * ⇒ balanced), (bucket, chunk) local row_numbers run partition-
+    * parallel, and the bucket×chunk COUNT relation — ≤ buckets ×
+    * targetChunks rows at any corpus size — takes a per-bucket
+    * cumulative window (parallel across buckets) before broadcasting
+    * back. batch = global within-bucket rank div ${LengthBatchB}. */
+  private[graft] def lengthBatches(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.Md5Long60.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val targetChunks = s.conf.get("spark.sql.shuffle.partitions").toLong * 8
+    val chunkSize = math.max(1L, (1L << 60) / targetChunks)
+    val t = docs
+      .withColumn("h", expr("md5long60(CAST(doc_id AS STRING))"))
+      .withColumn("bucket_len", expr(bucketCaseSql("n")))
+      .withColumn("chunk", expr(s"h div ${chunkSize}L"))
+    val wLocal = Window.partitionBy("bucket_len", "chunk").orderBy("h", "doc_id")
+    val wBucket = Window.partitionBy("bucket_len").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("bucket_len", "chunk").agg(count(lit(1)).as("ctot"))
+      .withColumn("coff", coalesce(sum("ctot").over(wBucket), lit(0L)))
+      .select(col("bucket_len"), col("chunk"), col("coff"))
+    t.withColumn("rn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), Seq("bucket_len", "chunk"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("bucket_len"),
+        expr(s"(coff + rn - 1) div $LengthBatchB").as("batch"))
   }
 
   /** Gate default for [[packSpans]]'s `maxSeq`: the x_cur_pack_spans
@@ -1101,6 +1282,51 @@ object Curation {
         |       CAST(o.n_overlap AS DOUBLE) / t.n_shingles AS overlap_ratio
         |FROM overlap o JOIN totals t ON o.doc_id = t.doc_id
         |ORDER BY overlap_ratio DESC, o.doc_id LIMIT 50""".stripMargin,
+
+    // the bucket ladder CASE is the SAME generated string the engine
+    // runs; the oracle states the within-bucket rank as one plain window
+    // (fine at gate scale) while the engine runs the grouped distributed
+    // prefix sum — two formulations of one ordering
+    "x_cur_length_batches" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) n,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT h
+        |  FROM documents),
+        |b AS (SELECT doc_id, n AS n_tokens, ${bucketCaseSql("n")} AS bucket_len, h
+        |  FROM t)
+        |SELECT doc_id, n_tokens, bucket_len,
+        |  CAST((row_number() OVER (PARTITION BY bucket_len ORDER BY h, doc_id) - 1)
+        |       // $LengthBatchB AS BIGINT) AS batch
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    "x_cur_batch_efficiency" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) n,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT h
+        |  FROM documents),
+        |b AS (SELECT doc_id, n AS n_tokens, ${bucketCaseSql("n")} AS bucket_len, h
+        |  FROM t),
+        |m AS (SELECT doc_id, n_tokens, bucket_len,
+        |    CAST((row_number() OVER (PARTITION BY bucket_len ORDER BY h, doc_id) - 1)
+        |         // $LengthBatchB AS BIGINT) AS batch
+        |  FROM b)
+        |SELECT bucket_len, CAST(count(*) AS BIGINT) n_docs,
+        |  max(batch) + 1 AS n_batches,
+        |  CAST(sum(n_tokens) AS BIGINT) token_mass,
+        |  (max(batch) + 1) * $LengthBatchB * bucket_len AS capacity,
+        |  CAST(sum(n_tokens) AS DOUBLE)
+        |    / CAST((max(batch) + 1) * $LengthBatchB * bucket_len AS DOUBLE) AS efficiency
+        |FROM m GROUP BY bucket_len ORDER BY bucket_len""".stripMargin,
+
+    // the incremental-dedup oracle chain with the benchmark boundary as
+    // the cut — the fuzzy check IS incremental dedup against the
+    // held-out set, so the oracle states it from the same shared CTE
+    "x_cur_contamination_fuzzy" ->
+      s"""WITH ${Dedup.md5MinhashCte}
+        |SELECT db AS doc_id, CAST(count(*) AS BIGINT) AS n_bench_matches,
+        |       min(da) AS bench_doc, max(est_j) AS est_j
+        |FROM est WHERE est_j >= 0.5 AND da < 20 AND db >= 20
+        |GROUP BY db ORDER BY doc_id""".stripMargin,
 
     "x_cur_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
@@ -1392,6 +1618,51 @@ object Curation {
         |       CAST(len(regexp_extract_all(t3, '$PiiIp6Re')) AS BIGINT) AS n_ipv6,
         |       regexp_replace(t3, '$PiiIp6Re', '$PiiIp6Mask', 'g') AS redacted
         |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // the oracle runs the Luhn fold independently (relational form:
+    // candidates unnested, digits via generate_series, list_sum — no
+    // list_reduce, see the Unigram notes on DuckDB-1.0). The redaction
+    // step exploits the gate shape (≤1 planted card per doc, stated at
+    // ccnPlanted) via min(c) FILTER (ok); the ENGINE replaces every
+    // valid candidate generically.
+    "x_cur_ccn_redact" ->
+      s"""WITH p AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 2 = 0 THEN ' ' ELSE '-' END AS s FROM documents),
+        |t AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' card 40'
+        |       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || s
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || s
+        |       || '0000' || s || '000' || CAST(doc_id % 10 AS VARCHAR)
+        |       || ' ok' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' ssn '
+        |       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       || ' ref' ELSE '' END AS t0
+        |  FROM p),
+        |cand AS (SELECT doc_id, unnest(regexp_extract_all(t0, '$CcCandRe')) AS c FROM t),
+        |cd AS (SELECT doc_id, c, regexp_replace(c, '[^0-9]', '', 'g') AS ds FROM cand),
+        |lv AS (SELECT doc_id, c,
+        |    list_sum(list_transform(generate_series(1, length(ds)), i ->
+        |      CASE WHEN i % 2 = 1 THEN CAST(substr(ds, length(ds) - i + 1, 1) AS BIGINT)
+        |           WHEN CAST(substr(ds, length(ds) - i + 1, 1) AS BIGINT) * 2 > 9
+        |             THEN CAST(substr(ds, length(ds) - i + 1, 1) AS BIGINT) * 2 - 9
+        |           ELSE CAST(substr(ds, length(ds) - i + 1, 1) AS BIGINT) * 2
+        |      END)) % 10 = 0 AS ok
+        |  FROM cd),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_cc,
+        |    CAST(count(*) FILTER (WHERE ok) AS BIGINT) n_cc_valid,
+        |    min(c) FILTER (WHERE ok) AS vc
+        |  FROM lv GROUP BY doc_id),
+        |r AS (SELECT t.doc_id, coalesce(a.n_cc, 0) AS n_cc,
+        |    coalesce(a.n_cc_valid, 0) AS n_cc_valid,
+        |    CASE WHEN a.vc IS NOT NULL THEN replace(t.t0, a.vc, '$CcMask')
+        |         ELSE t.t0 END AS red1
+        |  FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id)
+        |SELECT doc_id, n_cc, n_cc_valid,
+        |  CAST(len(regexp_extract_all(red1, '$SsnRe')) AS BIGINT) AS n_ssn,
+        |  regexp_replace(red1, '$SsnRe', '$SsnMask', 'g') AS redacted
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // the modulus is interpolated from the SAME targetShards derivation
     // the engine runs, at the representative gate byte mass (both gate

@@ -168,6 +168,17 @@ object TextAnalysis {
     "x_text_gopher" -> ((s, d) =>
       gopherRules(table(s, d, "documents")).orderBy("doc_id")),
 
+    // -- the FULL Gopher repetition battery (the word-n-gram half of the
+    //    published filter): top-{2,3,4}-gram character share and
+    //    duplicate-{5..10}-gram character coverage per document, with
+    //    the paper's thresholds as integer-arithmetic verdicts. Like
+    //    x_text_gopher a pure narrow projection — every mode, dup-set
+    //    and coverage union is an in-row fold — so the whole battery is
+    //    a zero-shuffle scan pass at any corpus size. See
+    //    [[gopherRepetition]].
+    "x_text_gopher_rep" -> ((s, d) =>
+      gopherRepetition(table(s, d, "documents")).orderBy("doc_id")),
+
     // -- token counting: whitespace tokens + a BPE-ish regex token count
     "x_text_tokens" -> ((s, d) =>
       table(s, d, "documents")
@@ -1418,6 +1429,126 @@ object TextAnalysis {
       .withColumn("pass",
         col("r_nwords") && col("r_wordlen") && col("r_stopword") && col("r_repetition"))
 
+  /** Gopher repetition thresholds (percent × 1): top-{2,3,4}-gram
+    * character share caps and duplicate-{5..10}-gram character fraction
+    * caps, from the published filter battery (Rae et al. 2021, table
+    * A1). Shared by the Spark battery and the oracle generator so the
+    * two verdicts derive from literally the same integers. */
+  private[queries] val GopherTopCaps: Map[Int, Int] = Map(2 -> 20, 3 -> 18, 4 -> 16)
+  private[queries] val GopherDupCaps: Map[Int, Int] =
+    Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+
+  /** The FULL Gopher repetition battery over a `(doc_id, text, …)`
+    * relation — the word-n-gram half of the published filter (the
+    * line/paragraph half needs line structure this corpus has none of;
+    * stated bound). Per document:
+    *
+    *   - top-{2,3,4}-gram character share: occurrences of the most
+    *     frequent n-gram × its character mass / total character mass
+    *     (ties broken toward the lexicographically smallest gram — a
+    *     total order, so both engines pick the same winner);
+    *   - duplicate-{5..10}-gram character fraction: the character mass
+    *     of word positions COVERED by ≥1 occurrence of any n-gram that
+    *     occurs ≥2 times in the document, / total character mass — a
+    *     coverage union (overlapping occurrences never double-count),
+    *     the same interval discipline as the substring-dedup rewrite.
+    *
+    * Everything is computed INSIDE the row: the per-n top gram is a
+    * sorted-run fold (mode of a sorted array), the duplicated-gram set
+    * is the same fold collecting run-length-2 grams, and coverage is a
+    * per-position exists() over the gram-flag window. Zero shuffles at
+    * any corpus size — like [[gopherRules]] this is a pure narrow
+    * projection, so it doubles as a streaming annotate-at-ingest gate
+    * unchanged. Rule verdicts compare in INTEGER arithmetic
+    * (mass·100 ≤ total·cap) so the booleans are engine-portable; the
+    * reported ratio columns are single fixed-order divisions of exact
+    * int64s — bit-identical across engines. */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    // grams_n / dup-set / coverage expressions, all over `ws` + `nw`
+    def gramsSql(n: Int) =
+      s"""IF(size(ws) < $n, CAST(array() AS ARRAY<STRING>),
+         |  transform(sequence(1, size(ws) - ${n - 1}),
+         |    i -> concat_ws(' ', slice(ws, i, $n))))""".stripMargin
+    // (cnt, chars) of the most frequent n-gram: fold the SORTED gram
+    // array with a (prev, run, best, bestg) accumulator — a strictly-
+    // greater update keeps the FIRST maximal run, i.e. the smallest
+    // gram under the sort order, matching the oracle's (cnt DESC, g)
+    def topSql(n: Int) =
+      s"""aggregate(array_sort(g$n),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L,
+         |               'bg', CAST(NULL AS STRING)),
+         |  (acc, x) -> named_struct(
+         |    'prev', x,
+         |    'run',  IF(acc.prev <=> x, acc.run + 1L, 1L),
+         |    'best', IF(IF(acc.prev <=> x, acc.run + 1L, 1L) > acc.best,
+         |               IF(acc.prev <=> x, acc.run + 1L, 1L), acc.best),
+         |    'bg',   IF(IF(acc.prev <=> x, acc.run + 1L, 1L) > acc.best, x, acc.bg)),
+         |  acc -> named_struct('cnt', acc.best,
+         |    'chars', IF(acc.bg IS NULL, 0L,
+         |                CAST(length(acc.bg) - ${n - 1} AS BIGINT))))""".stripMargin
+    // distinct grams occurring ≥2 times in the doc: the same sorted
+    // fold, appending each gram exactly when its run count reaches 2
+    def dupSetSql(over: String) =
+      s"""aggregate(array_sort($over),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+         |               'ds', CAST(array() AS ARRAY<STRING>)),
+         |  (acc, x) -> named_struct(
+         |    'prev', x,
+         |    'run',  IF(acc.prev <=> x, acc.run + 1L, 1L),
+         |    'ds',   IF(IF(acc.prev <=> x, acc.run + 1L, 1L) = 2L,
+         |               array_append(acc.ds, x), acc.ds)),
+         |  acc -> acc.ds)""".stripMargin
+    // Character mass covered by duplicated-gram occurrences. Multiply-
+    // referenced intermediates (gram array, dup set, flag array) are
+    // LET-BOUND as lambda variables via single-element transform()s —
+    // a plain withColumn would collapse into the consuming projection
+    // and re-evaluate the array per fold iteration. The coverage union
+    // itself is a left-to-right interval fold over the occurrence
+    // flags: an occurrence at i covers [i, i+n-1]; only positions past
+    // the previous high-water mark pay their word length — O(P +
+    // covered), occurrences overlapping arbitrarily never double-count.
+    def dupCharsSql(n: Int) =
+      s"""element_at(transform(array(${gramsSql(n)}), g ->
+         |  element_at(transform(array(${dupSetSql("g")}), ds ->
+         |    IF(size(ds) = 0, 0L,
+         |      element_at(transform(array(transform(g, x -> array_contains(ds, x))), fl ->
+         |        aggregate(sequence(1, size(fl)),
+         |          named_struct('hi', 0, 'chars', 0L),
+         |          (acc, i) -> IF(element_at(fl, i),
+         |            named_struct('hi', i + ${n - 1},
+         |              'chars', acc.chars + aggregate(
+         |                slice(ws, greatest(i, acc.hi + 1),
+         |                      i + ${n - 1} - greatest(i, acc.hi + 1) + 1),
+         |                0L, (a, w) -> a + length(w))),
+         |            acc),
+         |          acc -> acc.chars)), 1))), 1)), 1)""".stripMargin
+    def share(massCol: org.apache.spark.sql.Column) =
+      when(col("total") === 0L, lit(0.0))
+        .otherwise(massCol.cast("double") / col("total").cast("double"))
+
+    var df = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("total", expr("aggregate(ws, 0L, (a, w) -> a + length(w))"))
+    for (n <- GopherTopCaps.keys.toSeq.sorted) df = df
+      .withColumn(s"g$n", expr(gramsSql(n)))
+      .withColumn(s"top$n", expr(topSql(n)))
+      .drop(s"g$n")
+    for (n <- GopherDupCaps.keys.toSeq.sorted) df = df
+      .withColumn(s"dc$n", expr(dupCharsSql(n)))
+    val tops = GopherTopCaps.keys.toSeq.sorted.flatMap { n =>
+      Seq(share(col(s"top$n.cnt") * col(s"top$n.chars")).as(s"top${n}_share"),
+        (col(s"top$n.cnt") * col(s"top$n.chars") * 100 <=
+          col("total") * GopherTopCaps(n)).as(s"r_top$n"))
+    }
+    val dups = GopherDupCaps.keys.toSeq.sorted.flatMap { n =>
+      Seq(share(col(s"dc$n")).as(s"dup${n}_frac"),
+        (col(s"dc$n") * 100 <= col("total") * GopherDupCaps(n)).as(s"r_dup$n"))
+    }
+    val rules = GopherTopCaps.keys.toSeq.sorted.map(n => col(s"r_top$n")) ++
+      GopherDupCaps.keys.toSeq.sorted.map(n => col(s"r_dup$n"))
+    df.select(col("doc_id") +: (tops ++ dups): _*)
+      .withColumn("pass", rules.reduce(_ && _))
+  }
+
   // ---- shared oracle CTE fragments -------------------------------------
   // The composed attributes oracle recomposes EXACTLY the fragments the
   // standalone oracles select from, so the two gates can never drift.
@@ -1556,6 +1687,66 @@ object TextAnalysis {
       |   AND s.n_stop >= 2
       |   AND coalesce(tp.best, 0) * 100 <= s.nbg * 6) AS pass
       |FROM go_st s LEFT JOIN go_tp tp USING (doc_id))""".stripMargin
+
+  /** Gopher repetition-battery oracle (x_text_gopher_rep) — generated
+    * from the SAME threshold tables as the Spark battery, so neither
+    * side can drift. The oracle states coverage relationally (distinct
+    * covered word positions joined back to per-position word lengths)
+    * while the engine computes the identical union as an in-row
+    * interval fold — two independent formulations of one definition. */
+  private def gopherRepSql: String = {
+    val tops = GopherTopCaps.keys.toSeq.sorted
+    val dups = GopherDupCaps.keys.toSeq.sorted
+    def gramCtes(n: Int) =
+      s"""gr_g$n AS (SELECT doc_id, i, array_to_string(ws[i:i + ${n - 1}], ' ') AS g
+         |  FROM gr_t, unnest(generate_series(1, len(ws) - ${n - 1})) AS u(i)
+         |  WHERE len(ws) >= $n),
+         |gr_c$n AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) cnt
+         |  FROM gr_g$n GROUP BY 1, 2)""".stripMargin
+    def topCte(n: Int) =
+      s"""gr_top$n AS (SELECT doc_id, cnt * CAST(length(g) - ${n - 1} AS BIGINT) AS mass
+         |  FROM (SELECT doc_id, g, cnt,
+         |          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) rn
+         |        FROM gr_c$n) WHERE rn = 1)""".stripMargin
+    def dupCtes(n: Int) =
+      s"""gr_cov$n AS (SELECT DISTINCT gi.doc_id, gi.i + o AS j
+         |  FROM gr_g$n gi JOIN gr_c$n c ON c.doc_id = gi.doc_id AND c.g = gi.g
+         |    AND c.cnt >= 2, unnest(generate_series(0, ${n - 1})) AS u(o)),
+         |gr_dc$n AS (SELECT c.doc_id, CAST(sum(w.wl) AS BIGINT) dchars
+         |  FROM gr_cov$n c JOIN gr_wp w ON w.doc_id = c.doc_id AND w.j = c.j
+         |  GROUP BY 1)""".stripMargin
+    def ruleTop(n: Int) =
+      s"coalesce(t$n.mass, 0) * 100 <= tot.total * ${GopherTopCaps(n)}"
+    def ruleDup(n: Int) =
+      s"coalesce(d$n.dchars, 0) * 100 <= tot.total * ${GopherDupCaps(n)}"
+    val ctes = Seq(
+      "gr_t AS (SELECT doc_id, string_split(text, ' ') ws FROM documents)",
+      """gr_wp AS (SELECT doc_id, i AS j, CAST(length(ws[i]) AS BIGINT) wl
+        |  FROM gr_t, unnest(generate_series(1, len(ws))) AS u(i))""".stripMargin,
+      "gr_tot AS (SELECT doc_id, CAST(sum(wl) AS BIGINT) total FROM gr_wp GROUP BY doc_id)") ++
+      tops.map(n => s"${gramCtes(n)},\n${topCte(n)}") ++
+      dups.map(n => s"${gramCtes(n)},\n${dupCtes(n)}")
+    val shareCols = tops.flatMap(n => Seq(
+      s"""CASE WHEN tot.total = 0 THEN 0.0
+         |  ELSE CAST(coalesce(t$n.mass, 0) AS DOUBLE) / CAST(tot.total AS DOUBLE)
+         |  END AS top${n}_share""".stripMargin,
+      s"${ruleTop(n)} AS r_top$n")) ++
+      dups.flatMap(n => Seq(
+        s"""CASE WHEN tot.total = 0 THEN 0.0
+           |  ELSE CAST(coalesce(d$n.dchars, 0) AS DOUBLE) / CAST(tot.total AS DOUBLE)
+           |  END AS dup${n}_frac""".stripMargin,
+        s"${ruleDup(n)} AS r_dup$n"))
+    val passExpr = (tops.map(ruleTop) ++ dups.map(ruleDup)).mkString(" AND ")
+    val joins = tops.map(n => s"LEFT JOIN gr_top$n t$n ON t$n.doc_id = tot.doc_id")
+      .mkString("\n  ") + "\n  " +
+      dups.map(n => s"LEFT JOIN gr_dc$n d$n ON d$n.doc_id = tot.doc_id").mkString("\n  ")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT tot.doc_id, ${shareCols.mkString(",\n  ")},
+       |  ($passExpr) AS pass
+       |FROM gr_tot tot
+       |  $joins
+       |ORDER BY tot.doc_id""".stripMargin
+  }
 
   /** CCNet LM chain → `cc_out(doc_id, lang, n_tri, h, bucket)`. */
   private val ccCtes: String =
@@ -1859,6 +2050,8 @@ object TextAnalysis {
     "x_text_gopher" ->
       s"""WITH $goCtes
          |SELECT * FROM go_out ORDER BY doc_id""".stripMargin,
+
+    "x_text_gopher_rep" -> gopherRepSql,
 
     "x_text_tokens" ->
       """SELECT lang,

@@ -124,6 +124,16 @@ object Streams {
   def gopherGate(docs: DataFrame): DataFrame =
     graft.queries.TextAnalysis.gopherRules(docs).filter(col("pass"))
 
+  /** Streaming repetition gate — continuous twin of
+    * `x_text_gopher_rep`, keeping only documents that clear the full
+    * Gopher repetition battery (top-n-gram share + duplicate-n-gram
+    * coverage caps). Stateless per-row projection (the SAME
+    * [[graft.queries.TextAnalysis.gopherRepetition]] the batch query
+    * runs): stream == batch by construction, no state store, Append
+    * mode. */
+  def gopherRepGate(docs: DataFrame): DataFrame =
+    graft.queries.TextAnalysis.gopherRepetition(docs).filter(col("pass"))
+
   /** Streaming contamination counts — continuous twin of
     * `x_cur_contamination`: incoming documents' word-3-gram shingles
     * semi-join the (static, broadcast) benchmark shingle set; per-doc

@@ -738,4 +738,109 @@ class CurationSpec extends SparkSpecBase {
     // the cap must actually bind at gate scale (25 docs/source -> 20)
     assert(docs.groupBy(_._2).values.exists(_.size > 20), "vacuous: no source over the cap")
   }
+
+  test("length batching: grouped prefix-sum rank == plain per-bucket window, driver-recomputed") {
+    val rows = Curation.queries("x_cur_length_batches")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.Engine.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    def h(id: Long): Long = graft.functions.Md5Long60.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString))
+    def bucket(n: Long): Long =
+      Curation.LengthBucketLadder.find(_ >= n).getOrElse(Curation.LengthBucketLadder.last)
+    // independent recompute: one driver-side sort per bucket
+    val expect = docs.groupBy(d => bucket(d._2)).toSeq.flatMap { case (b, ds) =>
+      ds.sortBy(d => (h(d._1), d._1)).zipWithIndex.map { case ((id, n), i) =>
+        (id, n, b, i.toLong / Curation.LengthBatchB)
+      }.toSeq
+    }.toSet
+    assert(rows.toSet == expect, "manifest diverges from the per-bucket recompute")
+    // batching must actually bind: several buckets, and some bucket
+    // needs more than one batch
+    assert(rows.map(_._3).distinct.length >= 2, "vacuous: one bucket only")
+    assert(rows.groupBy(_._3).values.exists(_.map(_._4).max > 0),
+      "vacuous: no bucket spans multiple batches")
+    // the efficiency audit reconciles with the manifest
+    val eff = Curation.queries("x_cur_batch_efficiency")(spark, sf).collect()
+    eff.foreach { r =>
+      val (b, nd, nb, tm, cap, e) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))
+      val ds = rows.filter(_._3 == b)
+      assert(nd == ds.length && nb == ds.map(_._4).max + 1 &&
+        tm == ds.map(_._2).sum && cap == nb * Curation.LengthBatchB * b &&
+        e == tm.toDouble / cap.toDouble, s"bucket $b audit diverges")
+      assert(e > 0.0 && e <= 1.0, s"bucket $b efficiency $e out of range")
+    }
+  }
+
+  test("ccn redaction: Luhn verdicts driver-recomputed, two-sided, invalid cards survive") {
+    val out = Curation.queries("x_cur_ccn_redact")(spark, sf).collect()
+    val docs = graft.Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size, "ccn redaction must keep every document")
+    // independent Luhn over the planted digit derivation
+    def luhnOk(digits: String): Boolean = {
+      val sum = digits.reverse.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'
+        if (i % 2 == 0) d else { val t = 2 * d; if (t > 9) t - 9 else t }
+      }.sum
+      sum % 10 == 0
+    }
+    def planted(id: Long): (String, Boolean) = {
+      val sep = if (id % 2 == 0) " " else "-"
+      val digits = "40" + "%02d".format(id % 100) + "%04d".format(id % 10000) +
+        "0000" + "000" + (id % 10)
+      (digits.grouped(4).mkString(sep), luhnOk(digits))
+    }
+    out.foreach { r =>
+      val (id, ncc, nv, ns, txt) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(ncc == (if (id % 7 == 0) 1L else 0L), s"doc $id: n_cc $ncc")
+      assert(ns == (if (id % 11 == 0) 1L else 0L), s"doc $id: n_ssn $ns")
+      if (id % 7 == 0) {
+        val (card, ok) = planted(id)
+        assert(nv == (if (ok) 1L else 0L), s"doc $id: n_cc_valid $nv vs luhn=$ok")
+        if (ok) assert(txt.contains(Curation.CcMask) && !txt.contains(card),
+          s"doc $id: a Luhn-VALID card must be masked")
+        else assert(!txt.contains(Curation.CcMask) && txt.contains(card),
+          s"doc $id: a Luhn-INVALID candidate must survive unmasked")
+      } else assert(nv == 0L, s"doc $id: n_cc_valid $nv without a plant")
+      if (id % 11 == 0)
+        assert(txt.contains(Curation.SsnMask) &&
+          Curation.SsnRe.r.findFirstIn(txt).isEmpty,
+          s"doc $id: SSN must be masked with no residual match")
+      if (id % 7 != 0 && id % 11 != 0)
+        assert(txt == docs(id), s"doc $id: PII-free text must pass through")
+    }
+    // two-sided non-vacuity: valid cards, invalid candidates, SSNs and
+    // clean docs all occur at gate scale
+    assert(out.exists(_.getLong(2) > 0), "vacuous: no Luhn-valid card planted")
+    assert(out.exists(r => r.getLong(1) > 0 && r.getLong(2) == 0),
+      "vacuous: no Luhn-invalid candidate planted")
+    assert(out.exists(_.getLong(3) > 0), "vacuous: no SSN planted")
+    assert(out.exists(r => r.getLong(1) == 0 && r.getLong(3) == 0),
+      "vacuous: no clean documents")
+  }
+
+  test("fuzzy contamination: reconciles with the hash-gated minhash pair table") {
+    val fuzzy = Curation.queries("x_cur_contamination_fuzzy")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // the sibling gated pair query, restricted to the benchmark boundary
+    // and grouped the same way, must agree exactly
+    val pairs = Dedup.queries("x_dedup_minhash_md5")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (da, db, _) => da < 20 && db >= 20 }
+    val expect = pairs.groupBy(_._2).map { case (db, ps) =>
+      (db, ps.length.toLong, ps.map(_._1).min, ps.map(_._3).max)
+    }.toSet
+    assert(fuzzy.toSet == expect,
+      "fuzzy contamination diverges from the gated pair table")
+    assert(fuzzy.nonEmpty, "vacuous: no benchmark near-dup at gate scale")
+    fuzzy.foreach { case (doc, _, bench, est) =>
+      assert(doc >= 20 && bench < 20 && est >= 0.5 && est <= 1.0,
+        s"incoherent contamination row ($doc, $bench, $est)")
+    }
+  }
 }

@@ -266,6 +266,16 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p2.contains("SortMergeJoin"), s"corpus shuffled on shingles:\n$p2")
   }
 
+  test("repetition battery and checksum redaction are zero-shuffle narrow maps") {
+    // both are pure per-row projections — the only exchange allowed is
+    // the output sort's range partitioning
+    for (q <- Seq("x_text_gopher_rep", "x_cur_ccn_redact")) {
+      val p = finalPlanStr(q).split("== Initial Plan ==").head
+      assert(!p.contains("Exchange hashpartitioning"), s"$q shuffles:\n$p")
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+    }
+  }
+
   test("hot single-table queries run inside whole-stage codegen") {
     // "*(n)" is plan-toString's WholeStageCodegen stage marker
     for (q <- Seq("b_agg_q1", "x_text_tokens")) {

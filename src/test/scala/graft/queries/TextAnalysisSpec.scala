@@ -953,4 +953,91 @@ class TextAnalysisSpec extends SparkSpecBase {
       assert(b == g, s"dense trial $trial diverged on $v0:\n greedy  $g\n batched $b")
     }
   }
+
+  test("gopher repetition battery: every share/fraction driver-recomputed bit-exact") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.queries("x_text_gopher_rep")(spark, sf).collect()
+    val docs = graft.Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size)
+    val tops = Seq(2, 3, 4); val dups = Seq(5, 6, 7, 8, 9, 10)
+    // independent recompute: counts via groupBy, coverage via a plain
+    // boolean position array (the engine uses folds and interval unions)
+    def topMass(ws: Array[String], n: Int): Long = {
+      if (ws.length < n) return 0L
+      val grams = ws.sliding(n).map(_.mkString(" ")).toSeq
+      val (g, cnt) = grams.groupBy(identity).view.mapValues(_.size)
+        .toSeq.minBy { case (g, c) => (-c, g) }
+      cnt.toLong * (g.length - (n - 1))
+    }
+    def dupChars(ws: Array[String], n: Int): Long = {
+      if (ws.length < n) return 0L
+      val grams = ws.sliding(n).map(_.mkString(" ")).toArray
+      val dup = grams.groupBy(identity).filter(_._2.length >= 2).keySet
+      val covered = Array.fill(ws.length)(false)
+      for (i <- grams.indices if dup(grams(i)); j <- i until (i + n))
+        covered(j) = true
+      ws.indices.filter(covered).map(j => ws(j).length.toLong).sum
+    }
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val ws = docs(id).split(" ", -1)
+      val total = ws.map(_.length.toLong).sum
+      def share(mass: Long): Double =
+        if (total == 0) 0.0 else mass.toDouble / total.toDouble
+      var expectPass = true
+      tops.foreach { n =>
+        val mass = topMass(ws, n)
+        val cap = TextAnalysis.GopherTopCaps(n)
+        assert(r.getAs[Double](s"top${n}_share") == share(mass),
+          s"doc $id: top$n share diverges")
+        val rule = mass * 100 <= total * cap
+        assert(r.getAs[Boolean](s"r_top$n") == rule, s"doc $id: r_top$n")
+        expectPass &&= rule
+      }
+      dups.foreach { n =>
+        val dc = dupChars(ws, n)
+        val cap = TextAnalysis.GopherDupCaps(n)
+        assert(r.getAs[Double](s"dup${n}_frac") == share(dc),
+          s"doc $id: dup$n fraction diverges")
+        val rule = dc * 100 <= total * cap
+        assert(r.getAs[Boolean](s"r_dup$n") == rule, s"doc $id: r_dup$n")
+        expectPass &&= rule
+      }
+      assert(r.getAs[Boolean]("pass") == expectPass, s"doc $id: pass verdict")
+    }
+  }
+
+  test("gopher repetition battery: crafted repetitive docs trip each rule class") {
+    import spark.implicits._
+    // doc 1: one dominant bigram (top-share trip); doc 2: a verbatim
+    // repeated 10-word run (dup-coverage trip, overlapping occurrences
+    // must not double-count); doc 3: clean prose-like filler (passes)
+    val crafted = Seq(
+      (1L, Array.fill(30)("click here").mkString(" ")),
+      (2L, (("alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3) +
+        (1 to 40).map(i => s"w$i").mkString(" ")).trim),
+      (3L, (1 to 60).map(i => s"word$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherRepetition(crafted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!rows(1L).getAs[Boolean]("r_top2") && !rows(1L).getAs[Boolean]("pass"),
+      "a dominant bigram must trip the top-2-gram share cap")
+    Seq(5, 6, 7, 8, 9, 10).foreach { n =>
+      assert(!rows(2L).getAs[Boolean](s"r_dup$n"),
+        s"a verbatim repeated run must trip the dup-$n-gram coverage cap")
+    }
+    // coverage is a UNION: the 30 repeated words of doc 2 bound the
+    // covered mass regardless of how many n-gram occurrences overlap
+    val ws2 = rows(2L)
+    val repChars = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      .split(" ").map(_.length).sum * 3
+    val totChars = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+      .split(" ").map(_.length).sum * 3) +
+      (1 to 40).map(i => s"w$i".length).sum
+    assert(ws2.getAs[Double]("dup5_frac") <= repChars.toDouble / totChars + 1e-9,
+      "dup coverage exceeds the repeated-run mass — double counting")
+    assert(rows(3L).getAs[Boolean]("pass"), "clean filler must pass the battery")
+  }
 }

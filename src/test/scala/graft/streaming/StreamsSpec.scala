@@ -1450,4 +1450,32 @@ class StreamsSpec extends SparkSpecBase {
       s"stream-only: ${streamed.diff(batch)}; batch-only: ${batch.diff(streamed)}")
     assert(streamed.nonEmpty && streamed.size < docs.size, "gate must be non-vacuous")
   }
+
+  test("streaming repetition gate passes exactly the batch battery's passing docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // a crafted repetitive doc rides along so the gate DROPS something
+    // (the natural corpus may clear the whole battery)
+    val spammy = (-1L, Seq.fill(30)("click here").mkString(" "))
+    val (b1, b2) = (spammy +: docs).splitAt(docs.size / 2)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.gopherRepGate(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_rep_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("gopher_rep_out").collect().map(_.getLong(0)).toSet
+    val batch = graft.queries.TextAnalysis.gopherRepetition(
+        (spammy +: docs).toDF("doc_id", "text"))
+      .filter($"pass").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch)}; batch-only: ${batch.diff(streamed)}")
+    assert(!streamed.contains(-1L), "the crafted repetitive doc must be dropped")
+    assert(streamed.nonEmpty, "gate must pass something")
+  }
 }
