@@ -332,7 +332,18 @@ object ScaleBench {
       ("events_sessions", scales, (s, d, _) =>
         noop(graft.queries.Events.queries("x_events_sessions")(s, d))),
       ("events_range_join", scales, (s, d, _) =>
-        noop(graft.queries.Events.queries("x_events_range_join")(s, d)))
+        noop(graft.queries.Events.queries("x_events_range_join")(s, d))),
+      // tokenizer SERVE throughput (the third family's scale claim):
+      // greedy WordPiece serving of the m×-corpus against the dir's
+      // FROZEN model. Min-of-two + the per-(session, dir) fit memo make
+      // the KEPT run pure serving — run A pays the one-time fit, run B
+      // reads the memo — the offline-train / online-serve split a
+      // production tokenizer actually runs. Design claim: corpus-linear
+      // (distinct words segment once, docs re-join key-equi).
+      ("tokenize_serve", scales, (s, d, _) =>
+        noop(graft.queries.Wordpiece.tokenizeOf(
+          s.read.parquet(s"$d/documents.parquet").select("doc_id", "text"),
+          graft.queries.Wordpiece.wordpieceFit(s, d))))
     )
 
     // optional 5th arg: comma-separated pipeline names for targeted

@@ -20,7 +20,7 @@ object SparkEntry {
       graft.queries.ProductQuant.queries ++ graft.queries.Profiling.queries ++
       graft.queries.TextAnalysis.queries ++ graft.queries.Events.queries ++
       graft.queries.Multimodal.queries ++ graft.queries.Curation.queries ++
-      graft.queries.Unigram.queries
+      graft.queries.Unigram.queries ++ graft.queries.Wordpiece.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++ graft.queries.TerraformQ.oracle ++
@@ -28,5 +28,5 @@ object SparkEntry {
       graft.queries.ProductQuant.oracle ++ graft.queries.Profiling.oracle ++
       graft.queries.TextAnalysis.oracle ++ graft.queries.Events.oracle ++
       graft.queries.Multimodal.oracle ++ graft.queries.Curation.oracle ++
-      graft.queries.Unigram.oracle
+      graft.queries.Unigram.oracle ++ graft.queries.Wordpiece.oracle
 }

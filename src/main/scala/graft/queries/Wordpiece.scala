@@ -1,0 +1,416 @@
+package graft.queries
+
+import graft.Engine.table
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenizer family — the THIRD subword family next to BPE
+  * (frequency-scored merges, `TextAnalysis`) and unigram-LM
+  * (probabilistic segmentation, `Unigram`), completing the set a
+  * tokenizer-selection study actually compares (Schuster & Nakajima
+  * 2012; the BERT-family default). Two published differences from BPE,
+  * both implemented for real:
+  *
+  *   1. TRAINING scores a candidate merge by LIKELIHOOD GAIN, not raw
+  *      frequency: score(a, b) = count(ab) / (count(a) · count(b)) — a
+  *      pair merges when its parts co-occur more than their independent
+  *      frequencies predict. Mechanically the merge loop reuses the
+  *      delimiter-encoded vocabulary-chain discipline of the BPE
+  *      trainer (one corpus scan into a cached word-count vocab, one
+  *      pair-count partial aggregate + one symbol-count partial
+  *      aggregate per step, a one-row driver argmax — the sequential
+  *      round-trips ARE the algorithm), and the symbol universe carries
+  *      the CONTINUATION MARKING (`##`) real WordPiece trains with:
+  *      word-initial characters seed unmarked, all others `##`-marked,
+  *      and a merge (a, ##y) fuses to `a`+`y` keeping the left part's
+  *      marking.
+  *   2. SERVING is greedy longest-match-first ("maximal munch") against
+  *      the trained vocabulary — NOT a replay of the merge history: at
+  *      each position the longest vocabulary piece (with `##` for
+  *      non-initial positions) is taken, and a position with NO match
+  *      maps the WHOLE word to `[UNK]` (id -1) — the real WordPiece
+  *      unk semantics, different from BPE's per-symbol -1.
+  *
+  * Scale shape: training is vocabulary-sized after the one corpus scan;
+  * serving segments DISTINCT words once (candidate substrings bounded
+  * by [[MaxPieceLen]] join the broadcast vocabulary key-equi, the
+  * greedy walk is an in-row fold over the per-word longest-match-per-
+  * position array) and documents re-join their words key-equi — the
+  * Unigram.tokenizeOf shape, corpus-linear with zero wide operators
+  * beyond the word rollup. Everything is engine-portable: scores are
+  * single fixed-order double operations over exact int64 counts, so
+  * the DuckDB oracle replays training AND the greedy walk bit-for-bit.
+  */
+object Wordpiece {
+
+  /** Merge steps the gate trains (the BPE gate's 3 — the fertility
+    * comparison is at equal merge budget). */
+  private[graft] val Steps = 3
+
+  /** Candidate piece length bound for serving: a K-merge piece spans at
+    * most 2^K characters (each merge concatenates two pieces), so the
+    * greedy matcher need never probe longer substrings. Interpolated
+    * into the oracle so both engines enumerate identical candidates. */
+  private[graft] val MaxPieceLen = 1 << Steps
+
+  /** Continuation-marked, delimiter-encoded vocabulary over distinct
+    * words: "abc" → `<a><##b><##c>` with the word's corpus count. One
+    * corpus scan, vocabulary-sized output — shared by training and the
+    * fit. */
+  private def wpVocab(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(expr(
+        """concat_ws('', transform(sequence(1, length(w)), i ->
+          |  IF(i = 1, concat('<', substring(w, i, 1), '>'),
+          |            concat('<##', substring(w, i, 1), '>'))))""".stripMargin).as("v"),
+        col("n"))
+
+  /** Adjacent-pair counts over the marked chain — identical mechanics
+    * to the BPE pair pass (the RHS of every adjacent pair is a
+    * non-initial symbol, hence always `##`-marked). */
+  private def wpPairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("n"), expr("split(substring(v, 2, length(v) - 2), '><')").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+      .groupBy("p.a", "p.b").agg(sum("n").as("cnt"))
+
+  /** Per-symbol occurrence counts (the score's denominator terms). */
+  private def wpSymCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("n"), explode(expr("split(substring(v, 2, length(v) - 2), '><')")).as("t"))
+      .groupBy("t").agg(sum("n").as("c"))
+
+  /** The likelihood score as ONE fixed-order double chain —
+    * cnt / (ca · cb) with each count cast to double first (overflow-
+    * safe at any corpus size, bit-identical across engines). */
+  private def scoreCol: Column =
+    col("cnt").cast("double") / (col("ca").cast("double") * col("cb").cast("double"))
+
+  /** The trained merge list (step, a, b, cnt, ca, cb, score) over a
+    * vocab relation the caller persists. Each step: pair + symbol
+    * partial aggregates, a one-row argmax by (score DESC, a, b), and a
+    * chain rewrite fusing `a`+`b`-without-`##`. Stops early when no
+    * pair remains. */
+  private[graft] def wpMerges(v0: DataFrame,
+      steps: Int): Seq[(Long, String, String, Long, Long, Long, Double)] = {
+    var vocab = v0
+    val merges = Seq.newBuilder[(Long, String, String, Long, Long, Long, Double)]
+    var exhausted = false
+    for (step <- 1 to steps if !exhausted) {
+      val syms = wpSymCounts(vocab)
+      val top = wpPairCounts(vocab)
+        .join(syms.select(col("t").as("a"), col("c").as("ca")), Seq("a"))
+        .join(syms.select(col("t").as("b"), col("c").as("cb")), Seq("b"))
+        .withColumn("score", scoreCol)
+        .orderBy(col("score").desc, col("a"), col("b")).limit(1)
+        .select("a", "b", "cnt", "ca", "cb", "score").collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top(0)
+        val (a, b) = (r.getString(0), r.getString(1))
+        merges += ((step.toLong, a, b, r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))
+        val fused = a + b.stripPrefix("##")
+        vocab = vocab.select(expr(s"replace(v, '<$a><$b>', '<$fused>')").as("v"), col("n"))
+      }
+    }
+    merges.result()
+  }
+
+  /** Trained-model memo per (session, corpus dir) — the Unigram
+    * fittedModel contract verbatim: a tokenizer trains once and serves
+    * many times, so the serving entries must not re-run the merge loop
+    * per query. The model is the final chain's vocabulary with counts
+    * and frequency-ordered ids — driver-local, vocabulary-sized. */
+  private val fittedModel = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  /** Drop the memoized model for (session, corpus dir) — call after the
+    * corpus at `d` is rewritten in place; the next apply re-trains. */
+  def invalidateWordpieceModel(s: SparkSession, d: String): Unit = {
+    val inner = fittedModel.get(s)
+    if (inner != null) { inner.remove(d); () }
+  }
+
+  /** The frozen model (token, cnt, id): train [[Steps]] merges, apply
+    * the chain to the vocabulary, count final symbols, assign ids by
+    * (cnt DESC, token) — the BpeModel.ids rule. Memoized. */
+  private[graft] def wordpieceFit(s: SparkSession, d: String): DataFrame = {
+    fittedModel.keySet.removeIf(sess => sess.sparkContext.isStopped)
+    val perSession = fittedModel.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    val cached = perSession.get(d)
+    if (cached != null) cached
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val v0 = wpVocab(s, d).persist()
+      val merges = try wpMerges(v0, Steps) finally v0.unpersist(blocking = false)
+      val applied = merges.foldLeft(wpVocab(s, d)) { case (v, (_, a, b, _, _, _, _)) =>
+        val fused = a + b.stripPrefix("##")
+        v.select(expr(s"replace(v, '<$a><$b>', '<$fused>')").as("v"), col("n"))
+      }
+      val m = applied
+        .select(col("n"), explode(expr("split(substring(v, 2, length(v) - 2), '><')")).as("token"))
+        .groupBy("token").agg(sum("n").as("cnt"))
+        .withColumn("id",
+          row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long") - 1L)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      m.collect().foreach(rows.add)
+      val built = s.createDataFrame(rows, m.schema)
+      val prev = perSession.putIfAbsent(d, built)
+      if (prev != null) prev else built
+    }
+  }
+
+  /** Greedy longest-match segmentation of distinct words against a
+    * frozen model: candidate (position, length ≤ [[MaxPieceLen]])
+    * substrings take their `##` marking from the position, join the
+    * broadcast vocabulary key-equi, and ONLY the longest match per
+    * start position survives (max-aggregate — greedy needs nothing
+    * else). The walk itself is an in-row fold over word positions:
+    * advance by the longest match at the cursor, or fail the WHOLE
+    * word to `[UNK]` when the cursor has no match (the real WordPiece
+    * unk rule — a character the training corpus never saw at that
+    * marking position kills the word, not the symbol). */
+  private[queries] def segmentGreedy(words: DataFrame, model: DataFrame): DataFrame = {
+    val cands = words
+      .select(col("w"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+           |  transform(sequence(1, least($MaxPieceLen, length(w) - i + 1)), l ->
+           |    named_struct('s', i, 'l', l,
+           |      'piece', IF(i = 1, substring(w, i, l),
+           |                  concat('##', substring(w, i, l)))))))""".stripMargin)).as("c"))
+      .select(col("w"), col("c.s").as("s"), col("c.l").as("l"), col("c.piece").as("piece"))
+      .join(broadcast(model.select(col("token").as("piece"))), Seq("piece"))
+      .groupBy("w", "s").agg(max("l").as("l"))
+    words.join(
+      cands.groupBy("w").agg(collect_list(struct(col("s"), col("l"))).as("es")),
+      Seq("w"), "left")
+      .withColumn("es", coalesce(col("es"),
+        expr("CAST(array() AS array<struct<s:int,l:int>>)")))
+      // spread the compute-dense fold (the Unigram.segment note: AQE's
+      // byte-based coalesce would single-thread a few-MB edge relation)
+      .repartition(math.max(1,
+        words.sparkSession.sessionState.conf.numShufflePartitions), col("w"))
+      .withColumn("ts", expr(
+        """aggregate(sequence(1, length(w)),
+          |  named_struct('pos', 1, 'ts', CAST(array() AS array<string>), 'bad', false),
+          |  (acc, i) -> IF(acc.bad OR i != acc.pos, acc,
+          |    element_at(transform(array(try_element_at(filter(es, e -> e.s = acc.pos), 1).l),
+          |      ml -> IF(ml IS NULL,
+          |        named_struct('pos', length(w) + 1, 'ts', array('[UNK]'), 'bad', true),
+          |        named_struct('pos', acc.pos + ml,
+          |          'ts', array_append(acc.ts,
+          |            IF(acc.pos = 1, substring(w, acc.pos, ml),
+          |               concat('##', substring(w, acc.pos, ml)))),
+          |          'bad', false))), 1)),
+          |  acc -> acc.ts)""".stripMargin))
+      .select(col("w"), col("ts"))
+  }
+
+  /** Tokenize any (doc_id, text) relation against a frozen model
+    * relation ((token, cnt, id) — [[wordpieceFit]]'s shape, fresh or
+    * read back from a [[writeWordpieceModel]] table). Output shape
+    * matches TextAnalysis.tokenizeOf / Unigram.tokenizeOf:
+    * (doc_id, n_tokens, ids_str); `[UNK]` misses the id table → -1.
+    * Pure per-doc function of (doc, model) — the streaming twin
+    * relies on it. */
+  private[graft] def tokenizeOf(docs: DataFrame, model: DataFrame): DataFrame = {
+    val words = docs.select(explode(split(col("text"), " ")).as("w")).distinct()
+    val segs = segmentGreedy(words, model)
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .join(segs, Seq("w"))
+      .select(col("doc_id"), col("pos"), posexplode(col("ts")).as(Seq("j", "token")))
+      .join(broadcast(model.select("token", "id")), Seq("token"), "left")
+      .withColumn("id", coalesce(col("id"), lit(-1L)))
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, j, id))), p -> p.id)")
+        .as("idsArr"))
+      .select(col("doc_id"), size(col("idsArr")).cast("long").as("n_tokens"),
+        expr("array_join(transform(idsArr, i -> CAST(i AS STRING)), ' ')").as("ids_str"))
+  }
+
+  /** Persist the trained model as a plain parquet table — the frozen
+    * tokenizer artifact a serving fleet loads by name
+    * (`tokenizeOf(docs, spark.table(name))`); vocabulary-sized, no
+    * bucketing — it broadcasts wherever it is applied. */
+  def writeWordpieceModel(s: SparkSession, d: String, tableName: String): Unit = {
+    graft.Engine.reclaimManagedTable(s, tableName)
+    wordpieceFit(s, d).write.mode("overwrite").format("parquet").saveAsTable(tableName)
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // -- the trainer, hash-gated end-to-end: every step's winning pair
+    //    with its count, both part counts and the likelihood score —
+    //    the oracle recomputes all three aggregates and the argmax per
+    //    step, so a frequency-scored (BPE) argmax cannot pass.
+    "x_text_wordpiece_train" -> ((s, d) => {
+      import s.implicits._
+      val v0 = wpVocab(s, d).persist()
+      try wpMerges(v0, Steps).toDF("step", "a", "b", "cnt", "ca", "cb", "score")
+        .orderBy("step")
+      finally v0.unpersist(blocking = false)
+    }),
+
+    // -- the serving last-mile: per-doc input ids under the FROZEN
+    //    model via greedy longest-match — the wordpiece twin of
+    //    x_text_tokenize_ids / x_text_unigram_ids (same output shape,
+    //    same frequency-ordered id rule; the unk convention is the
+    //    REAL WordPiece one: an unmatchable position fails the whole
+    //    word to [UNK] → -1).
+    "x_text_wordpiece_ids" -> ((s, d) =>
+      tokenizeOf(
+        table(s, d, "documents").filter(col("doc_id") < 100).select("doc_id", "text"),
+        wordpieceFit(s, d)).orderBy("doc_id")),
+
+    // -- tokenizer-family fertility: per-language tokens/word under the
+    //    trained wordpiece NEXT TO the 3-step BPE model — the
+    //    commensurability row for choosing a family at equal merge
+    //    budget (the x_text_unigram_fertility pattern, third family).
+    "x_text_wordpiece_fertility" -> ((s, d) => {
+      val segs = segmentGreedy(
+        table(s, d, "documents")
+          .select(explode(split(col("text"), " ")).as("w")).distinct(),
+        wordpieceFit(s, d))
+        .select(col("w"), size(col("ts")).cast("long").as("ntok"))
+      val lw = table(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("n"))
+      val wp = lw.join(segs, Seq("w"))
+        .groupBy("lang")
+        .agg(sum("n").as("words"), sum(col("n") * col("ntok")).as("tokens_wordpiece"))
+        .select(col("lang"), col("words"), col("tokens_wordpiece"),
+          (col("tokens_wordpiece").cast("double") / col("words").cast("double"))
+            .as("fertility_wordpiece"))
+      val bpe = TextAnalysis.bpeFertilityOf(s, d, steps = 3)
+        .select(col("lang"), col("tokens").as("tokens_bpe"),
+          col("fertility").as("fertility_bpe"))
+      wp.join(bpe, Seq("lang"))
+        .select("lang", "words", "tokens_wordpiece", "fertility_wordpiece",
+          "tokens_bpe", "fertility_bpe")
+        .orderBy("lang")
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle — the same algorithm in relational form. Training is
+  // the BPE oracle's vocabulary-chain pattern plus a symbol-count CTE
+  // and the likelihood argmax; the greedy walk is a recursive CTE
+  // (state = cursor position per word) against the longest-match-per-
+  // start relation — no list_reduce (the Unigram notes on DuckDB-1.0).
+  // ------------------------------------------------------------------
+
+  /** Marked-vocab seed + one (pair, symbol, best, rewrite) block per
+    * step, CTE names wp_*. */
+  private def wpChainSql: String = {
+    def stepSql(i: Int) =
+      s"""wp_p$i AS (SELECT u.a AS a, u.b AS b, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |  SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+         |           i -> {'a': s[i], 'b': s[i+1]})) AS u
+         |  FROM (SELECT string_split(substr(v, 2, length(v) - 2), '><') AS s, n
+         |        FROM wp_v${i - 1}))
+         |  GROUP BY u.a, u.b),
+         |wp_s$i AS (SELECT t, CAST(sum(n) AS BIGINT) AS c FROM (
+         |  SELECT n, unnest(string_split(substr(v, 2, length(v) - 2), '><')) AS t
+         |  FROM wp_v${i - 1}) GROUP BY t),
+         |wp_b$i AS (SELECT p.a, p.b, p.cnt, sa.c AS ca, sb.c AS cb,
+         |    CAST(p.cnt AS DOUBLE) / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) AS score
+         |  FROM wp_p$i p JOIN wp_s$i sa ON sa.t = p.a JOIN wp_s$i sb ON sb.t = p.b
+         |  ORDER BY score DESC, p.a, p.b LIMIT 1),
+         |wp_v$i AS (SELECT replace(v, '<' || wp_b$i.a || '><' || wp_b$i.b || '>',
+         |                 '<' || wp_b$i.a || substr(wp_b$i.b, 3) || '>') AS v, n
+         |       FROM wp_v${i - 1}, wp_b$i)""".stripMargin
+    s"""wp_t AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+       |wp_v0 AS (SELECT array_to_string(list_transform(generate_series(1, length(w)),
+       |               i -> CASE WHEN i = 1 THEN '<' || substr(w, i, 1) || '>'
+       |                         ELSE '<##' || substr(w, i, 1) || '>' END), '') AS v, n
+       |  FROM wp_t),
+       |${(1 to Steps).map(stepSql).mkString(",\n")}""".stripMargin
+  }
+
+  /** Final-vocab ids + the greedy walk over distinct words (recursive
+    * CTE) + per-doc reassembly inputs. `docWhere` scopes the corpus the
+    * serving side reads. */
+  private def wpServeSql(docWhere: String): String =
+    s"""wp_vocab AS MATERIALIZED (SELECT token, CAST(sum(n) AS BIGINT) AS cnt FROM (
+       |  SELECT n, unnest(string_split(substr(v, 2, length(v) - 2), '><')) AS token
+       |  FROM wp_v$Steps) GROUP BY token),
+       |wp_ids AS MATERIALIZED (SELECT token,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS id
+       |  FROM wp_vocab),
+       |wp_words AS MATERIALIZED (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+       |  FROM documents$docWhere),
+       |wp_cand AS MATERIALIZED (SELECT w, s, max(l) AS l FROM (
+       |  SELECT c.w, c.i AS s, c.l,
+       |    CASE WHEN c.i = 1 THEN substr(c.w, c.i, c.l)
+       |         ELSE '##' || substr(c.w, c.i, c.l) END AS piece
+       |  FROM (SELECT w, i, l FROM wp_words,
+       |          unnest(generate_series(1, length(w))) AS a(i),
+       |          unnest(generate_series(1, $MaxPieceLen)) AS b(l)
+       |        WHERE i + l - 1 <= length(w)) c) c
+       |  JOIN wp_vocab v ON v.token = c.piece
+       |  GROUP BY w, s),
+       |wp_walk AS (
+       |  SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS ts FROM wp_words
+       |  UNION ALL
+       |  SELECT s.w,
+       |    CASE WHEN c.l IS NULL THEN length(s.w) + 1 ELSE s.pos + c.l END AS pos,
+       |    CASE WHEN c.l IS NULL THEN ['[UNK]']
+       |         ELSE list_append(s.ts,
+       |           CASE WHEN s.pos = 1 THEN substr(s.w, s.pos, c.l)
+       |                ELSE '##' || substr(s.w, s.pos, c.l) END) END AS ts
+       |  FROM wp_walk s LEFT JOIN wp_cand c ON c.w = s.w AND c.s = s.pos
+       |  WHERE s.pos <= length(s.w)),
+       |wp_sg AS MATERIALIZED (SELECT w, ts FROM wp_walk WHERE pos > length(w))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x_text_wordpiece_train" ->
+      s"""WITH $wpChainSql
+         |${(1 to Steps).map(i =>
+            s"SELECT CAST($i AS BIGINT) AS step, a, b, cnt, ca, cb, score FROM wp_b$i")
+            .mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY step""".stripMargin,
+
+    "x_text_wordpiece_ids" ->
+      s"""WITH RECURSIVE $wpChainSql,
+         |${wpServeSql(" WHERE doc_id < 100")},
+         |wp_docw AS (SELECT doc_id, i AS pos, ws[i] AS w FROM
+         |  (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |   WHERE doc_id < 100), unnest(generate_series(1, len(ws))) AS u(i)),
+         |wp_dtok AS (SELECT doc_id, pos, x.j AS j, x.token AS token FROM (
+         |  SELECT d.doc_id, d.pos, unnest(list_transform(generate_series(1, len(sg.ts)),
+         |           j -> {'j': j, 'token': sg.ts[j]})) AS x
+         |  FROM wp_docw d JOIN wp_sg sg ON sg.w = d.w)),
+         |wp_did AS (SELECT doc_id,
+         |          list(CAST(coalesce(i.id, -1) AS VARCHAR) ORDER BY pos, j) AS ids
+         |        FROM wp_dtok LEFT JOIN wp_ids i ON i.token = wp_dtok.token
+         |        GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+         |       array_to_string(ids, ' ') AS ids_str
+         |FROM wp_did ORDER BY doc_id""".stripMargin,
+
+    "x_text_wordpiece_fertility" ->
+      s"""WITH RECURSIVE $wpChainSql,
+         |${wpServeSql("")},
+         |wp_lw AS MATERIALIZED (SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY lang, w),
+         |wp_fert AS MATERIALIZED (SELECT lang, CAST(sum(lw.n) AS BIGINT) AS words,
+         |    CAST(sum(lw.n * len(sg.ts)) AS BIGINT) AS tokens_wordpiece
+         |  FROM wp_lw lw JOIN wp_sg sg ON lw.w = sg.w GROUP BY lang),
+         |${TextAnalysis.bpeFertilityCtes}
+         |SELECT f.lang, f.words, f.tokens_wordpiece,
+         |  CAST(f.tokens_wordpiece AS DOUBLE) / CAST(f.words AS DOUBLE)
+         |    AS fertility_wordpiece,
+         |  bpe.tokens AS tokens_bpe, bpe.fertility AS fertility_bpe
+         |FROM wp_fert f JOIN bpe_fert bpe ON f.lang = bpe.lang
+         |ORDER BY f.lang""".stripMargin
+  )
+}

@@ -661,6 +661,20 @@ object Streams {
       sink(graft.queries.Unigram.tokenizeOf(batch.toDF(), model), batchId)
     }
 
+  /** Streaming WordPiece tokenization — the third tokenizer family's
+    * serving twin (next to [[tokenize]] and [[unigramTokenize]]): each
+    * micro-batch tokenizes against a FROZEN model relation (token, cnt,
+    * id — Wordpiece.wordpieceFit's shape, or the table written by
+    * Wordpiece.writeWordpieceModel). Greedy longest-match is a pure
+    * function of (word, model) and ids broadcast per batch, so stream
+    * == one-shot batch — StreamsSpec pins it across a split, including
+    * the whole-word [UNK] path. */
+  def wordpieceTokenize(docs: DataFrame, model: DataFrame)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      sink(graft.queries.Wordpiece.tokenizeOf(batch.toDF(), model), batchId)
+    }
+
   /** Streaming curation ingest — the continuous-ingest composition of
     * the batch pipeline's PER-DOC stages: blocklist → not-a-duplicate
     * against the persisted minhash index → α-mixture keep, run per

@@ -276,6 +276,13 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
+  test("wordpiece serving: model joins broadcast, no cartesian") {
+    val p = finalPlanStr("x_text_wordpiece_ids").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), s"model not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"wordpiece serving grew a cross join:\n$p")
+  }
+
   test("hot single-table queries run inside whole-stage codegen") {
     // "*(n)" is plan-toString's WholeStageCodegen stage marker
     for (q <- Seq("b_agg_q1", "x_text_tokens")) {

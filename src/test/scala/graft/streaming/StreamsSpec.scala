@@ -1305,6 +1305,38 @@ class StreamsSpec extends SparkSpecBase {
     assert(oov.getString(2) == "-1 -1", "unseen pieces must map to -1")
   }
 
+  test("streaming wordpiece tokenization: micro-batches emit the one-shot batch ids; unk fails the word") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val model = graft.queries.Wordpiece.wordpieceFit(spark, sf)
+    val expected = graft.queries.Wordpiece.tokenizeOf(docs, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(expected.size == docs.count())
+
+    val rows = docs.as[(Long, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val in = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val q = Streams.wordpieceTokenize(in.toDF().toDF("doc_id", "text"), model) { (out, _) =>
+      got.synchronized { got ++= out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))) }
+      ()
+    }.start()
+    try {
+      in.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.toSet == expected, "stream and one-shot batch must tokenize identically")
+    assert(got.size == expected.size, "a doc was tokenized twice across batches")
+    // real-WordPiece unk: a word with an unmatchable position collapses
+    // to ONE [UNK] (-1) — not per-symbol decomposition
+    val oov = graft.queries.Wordpiece.tokenizeOf(
+      Seq((999L, "ßß table")).toDF("doc_id", "text"), model).collect().head
+    val ids = oov.getString(2).split(" ")
+    assert(ids.head == "-1" && ids.count(_ == "-1") == 1,
+      s"an unmatchable word must be exactly one [UNK]: ${ids.toSeq}")
+  }
+
   test("incremental dedup: streamed micro-batches emit the backfill's verdicts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
