@@ -56,6 +56,18 @@ object Engine {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // ObjectHashAggregate (collect_list/collect_set and friends)
+      // falls back to SORT-based aggregation after a mere 128 distinct
+      // groups per task — and the fallback external-sorts every INPUT
+      // row (measured on the tokenize_serve gather: 192M occurrence
+      // rows re-sorted, 16.6 GB of spill at 256× for an aggregate
+      // whose TOTAL state is the ~2 GB output mass). With AQE's 16 MB
+      // advisory a task sees ~1-2k groups, each state output-sized —
+      // hash aggregation holds them in memory by construction. 64k
+      // keeps every doc-gather hash-based at any measured scale while
+      // still bounding a pathological high-cardinality aggregate.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts has shipped as both parquet timestamp[ns] and
       // timestamp[us] across testdata generations; keep ns readable as

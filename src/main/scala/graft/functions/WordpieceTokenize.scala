@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-document WordPiece tokenization as ONE native expression:
+  * text → array of piece ids under a FROZEN vocabulary, greedy
+  * longest-match-first per word, whole-word [UNK] (-1) on an
+  * unmatchable position — byte-identical semantics to the relational
+  * greedy walk the DuckDB oracle runs.
+  *
+  * Why a custom Expression (SURVEY §7.5 promotion rule): serving is a
+  * DICTIONARY problem — a production tokenizer is a flat map over docs
+  * with an O(1) in-memory vocab — but Spark's relational encodings all
+  * lose that: the distinct-word join shape shuffles every word
+  * occurrence twice (measured on the tokenize_serve ScaleBench row:
+  * 16-18 GB of spill at 256×, an OOM in the token-exploded form), and
+  * a broadcast MAP column is a linear SCAN per lookup
+  * (`ArrayBasedMapData` has no hash index — measured 9× slower than
+  * the join at 64×). This expression carries the vocabulary as plain
+  * JVM hash maps in the expression itself (driver-built, serialized
+  * with the plan, vocabulary-sized — the same distribution contract as
+  * a broadcast), so serving is a ZERO-SHUFFLE narrow map with O(1)
+  * lookups. CodegenFallback: the per-doc loop IS the work; there is no
+  * surrounding expression chain to fuse.
+  *
+  * The vocabulary pre-bifurcates into word-initial and continuation
+  * (`##`-stripped) maps so the inner loop probes raw substrings —
+  * no per-candidate marker concatenation. */
+case class WordpieceTokenize(child: Expression, vocab: Map[String, Long],
+    maxPieceLen: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "wordpiece_tokenize"
+  override protected def withNewChildInternal(newChild: Expression): WordpieceTokenize =
+    copy(child = newChild)
+
+  @transient private lazy val initial: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    vocab.foreach { case (t, id) => if (!t.startsWith("##")) m.put(t, id) }
+    m
+  }
+  @transient private lazy val continuation: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    vocab.foreach { case (t, id) => if (t.startsWith("##")) m.put(t.substring(2), id) }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[Long](text.length / 3 + 4)
+    var ws = 0
+    val n = text.length
+    while (ws <= n) {
+      var we = text.indexOf(' ', ws)
+      if (we < 0) we = n
+      tokenizeWord(text, ws, we, out)
+      ws = we + 1
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  /** Greedy longest-match over text[s, e); appends ids, or a single -1
+    * for the whole word when some cursor position has no match. */
+  private def tokenizeWord(text: String, s: Int, e: Int,
+      out: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
+    if (s >= e) return
+    val mark = out.length
+    var pos = s
+    while (pos < e) {
+      val table = if (pos == s) initial else continuation
+      var l = math.min(maxPieceLen, e - pos)
+      var id: java.lang.Long = null
+      while (l >= 1 && id == null) {
+        id = table.get(text.substring(pos, pos + l))
+        if (id == null) l -= 1
+      }
+      if (id == null) {
+        out.takeInPlace(mark)
+        out += -1L
+        return
+      }
+      out += id.longValue()
+      pos += l
+    }
+  }
+}
+
+object WordpieceTokenize {
+  def of(text: Column, vocab: Map[String, Long], maxPieceLen: Int): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      WordpieceTokenize(org.apache.spark.sql.GraftColumn.exprOf(text), vocab, maxPieceLen))
+}

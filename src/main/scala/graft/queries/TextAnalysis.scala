@@ -1065,28 +1065,64 @@ object TextAnalysis {
     BpeModel(merges, ids)
   }
 
+  /** Per-word id arrays → per-doc (doc_id, n_tokens, ids_str). THE
+    * shared reassembly tail of all three tokenizer families' serving
+    * paths. Scale shape (the tokenize_serve ScaleBench lesson — the
+    * previous token-exploded form OOM'd at 256×, 14 GB of shuffle spill
+    * at 64×): ids resolve at the DISTINCT-WORD level before any
+    * corpus-sized relation exists, so the per-doc gather shuffles ONE
+    * SKINNY ROW PER WORD OCCURRENCE (doc_id, pos, small id array) — a
+    * ~piece-factor fewer rows than exploding tokens, and the only
+    * corpus-scale exchanges are the word join and the doc gather.
+    * `wids`: (w, idsArr) with idsArr the word's piece ids in order.
+    *
+    * Two measured traps shape this plan (the tokenize_serve ScaleBench
+    * row — the original token-exploded form OOM'd at 256×):
+    *
+    *   - the word join carries a SHUFFLE_HASH hint: a sort-merge join
+    *     external-sorts the corpus-side occurrence rows on `w` (18.6 GB
+    *     of spill at 256× for zero benefit — the output feeds a
+    *     doc-keyed aggregate, so word order is discarded), while a hash
+    *     build from the distinct-word side streams the corpus unsorted;
+    *     AQE still upgrades to broadcast when the vocabulary is small.
+    *     (A broadcast word→ids MAP column — zero shuffle — was tried
+    *     and is WORSE: Spark map lookups are linear scans, so the
+    *     corpus pays O(vocabulary) per word; measured 9× slower.)
+    *   - the doc gather must stay a HASH aggregate: see the
+    *     objectHashAggregate fallback-threshold note in Engine — the
+    *     default 128-group fallback re-sorted every occurrence row. */
+  private[queries] def assembleIds(docs: DataFrame, wids: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .join(wids.hint("shuffle_hash"), Seq("w"))
+      .groupBy("doc_id")
+      .agg(expr(
+        "flatten(transform(array_sort(collect_list(struct(pos, idsArr))), p -> p.idsArr))")
+        .as("ids"))
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
+        expr("array_join(transform(ids, i -> CAST(i AS STRING)), ' ')").as("ids_str"))
+
   /** Tokenize any (doc_id, text) relation against a frozen [[BpeModel]].
-    * The merge chain applies INLINE per word occurrence (a codegen'd
+    * The merge chain applies INLINE per DISTINCT word (a codegen'd
     * replace fold — no vocabulary join), so apply-time words the
     * training vocab never saw still decompose; symbols outside the id
     * table (a truly unseen character) map to the conventional -1 unk
     * id rather than silently dropping. Per-doc outputs are pure
-    * functions of (doc, model) — the streaming twin relies on it. */
+    * functions of (doc, model) — the streaming twin relies on it.
+    * Reassembly via [[assembleIds]] (word-level ids, skinny gather). */
   private[graft] def tokenizeOf(docs: DataFrame, m: BpeModel): DataFrame = {
     val enc = m.merges.foldLeft(
       "concat_ws('', transform(split(w, ''), c -> concat('<', c, '>')))") {
       case (e, (_, a, b, _)) => s"replace($e, '<$a><$b>', '<$a$b>')"
     }
-    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val wids = docs.select(explode(split(col("text"), " ")).as("w")).distinct()
       .withColumn("syms", expr(s"split(substring($enc, 2, length($enc) - 2), '><')"))
-      .select(col("doc_id"), col("pos"), posexplode(col("syms")).as(Seq("j", "token")))
+      .select(col("w"), posexplode(col("syms")).as(Seq("j", "token")))
       .join(broadcast(m.ids), Seq("token"), "left")
       .withColumn("id", coalesce(col("id"), lit(-1L)))
-      .groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, j, id))), p -> p.id)")
+      .groupBy("w")
+      .agg(expr("transform(array_sort(collect_list(struct(j, id))), p -> p.id)")
         .as("idsArr"))
-      .select(col("doc_id"), size(col("idsArr")).cast("long").as("n_tokens"),
-        expr("array_join(transform(idsArr, i -> CAST(i AS STRING)), ' ')").as("ids_str"))
+    assembleIds(docs, wids)
   }
 
   /** The delimiter-encoded `<s1><s2>…` vocabulary with word counts — one
@@ -1127,7 +1163,7 @@ object TextAnalysis {
     * lived until the ContextCleaner GC'd the RDD — `rdd.unpersist` on
     * the returned handle frees them NOW, which is what keeps a deep
     * training run at O(1) live vocab copies. */
-  private def checkpointVocab(v: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+  private[queries] def checkpointVocab(v: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
     // coalesce to the session's base shuffle parallelism before
     // checkpointing: `.rdd` freezes whatever partition count the plan
     // ends on — under the wide-start AQE config (initialPartitionNum

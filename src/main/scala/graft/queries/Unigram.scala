@@ -258,17 +258,17 @@ object Unigram {
   private[graft] def tokenizeOf(docs: DataFrame, model: DataFrame): DataFrame = {
     val words = docs.select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-    val segs = segment(words, model).select("w", "ts")
-    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .join(segs, Seq("w"))
-      .select(col("doc_id"), col("pos"), posexplode(col("ts")).as(Seq("j", "piece")))
+    // ids resolve at the distinct-word level; the per-doc gather then
+    // moves one skinny row per word occurrence (TextAnalysis.assembleIds
+    // — the tokenize_serve ScaleBench lesson)
+    val wids = segment(words, model)
+      .select(col("w"), posexplode(col("ts")).as(Seq("j", "piece")))
       .join(broadcast(model.select("piece", "id")), Seq("piece"), "left")
       .withColumn("id", coalesce(col("id"), lit(-1L)))
-      .groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, j, id))), p -> p.id)")
+      .groupBy("w")
+      .agg(expr("transform(array_sort(collect_list(struct(j, id))), p -> p.id)")
         .as("idsArr"))
-      .select(col("doc_id"), size(col("idsArr")).cast("long").as("n_tokens"),
-        expr("array_join(transform(idsArr, i -> CAST(i AS STRING)), ' ')").as("ids_str"))
+    TextAnalysis.assembleIds(docs, wids)
   }
 
   /** Persist the trained model as a plain parquet table — the frozen

@@ -57,15 +57,17 @@ object Wordpiece {
     * words: "abc" → `<a><##b><##c>` with the word's corpus count. One
     * corpus scan, vocabulary-sized output — shared by training and the
     * fit. */
+  private[queries] def wpVocabOf(words: DataFrame): DataFrame =
+    words.select(expr(
+      """concat_ws('', transform(sequence(1, length(w)), i ->
+        |  IF(i = 1, concat('<', substring(w, i, 1), '>'),
+        |            concat('<##', substring(w, i, 1), '>'))))""".stripMargin).as("v"),
+      col("n"))
+
   private def wpVocab(s: SparkSession, d: String): DataFrame =
-    table(s, d, "documents")
+    wpVocabOf(table(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(expr(
-        """concat_ws('', transform(sequence(1, length(w)), i ->
-          |  IF(i = 1, concat('<', substring(w, i, 1), '>'),
-          |            concat('<##', substring(w, i, 1), '>'))))""".stripMargin).as("v"),
-        col("n"))
+      .groupBy("w").agg(count(lit(1)).as("n")))
 
   /** Adjacent-pair counts over the marked chain — identical mechanics
     * to the BPE pair pass (the RHS of every adjacent pair is a
@@ -94,10 +96,21 @@ object Wordpiece {
     * vocab relation the caller persists. Each step: pair + symbol
     * partial aggregates, a one-row argmax by (score DESC, a, b), and a
     * chain rewrite fusing `a`+`b`-without-`##`. Stops early when no
-    * pair remains. */
-  private[graft] def wpMerges(v0: DataFrame,
-      steps: Int): Seq[(Long, String, String, Long, Long, Long, Double)] = {
+    * pair remains.
+    *
+    * Depth discipline: like the BPE loop, every step stacks a replace
+    * projection, so `checkpointEvery` bounds plan depth via the shared
+    * [[TextAnalysis.checkpointVocab]] (materialize + truncate lineage,
+    * eagerly releasing the previous checkpoint). Unlike BPE there is NO
+    * batched variant: the likelihood score's denominators are GLOBAL
+    * symbol counts, so every merge perturbs every score sharing a
+    * symbol — the prefix-acceptance proof (bpeAcceptPrefix) does not
+    * transfer, and deep WordPiece vocabs train through this sequential
+    * checkpointed loop by design (stated bound). */
+  private[graft] def wpMerges(v0: DataFrame, steps: Int,
+      checkpointEvery: Int = 16): Seq[(Long, String, String, Long, Long, Long, Double)] = {
     var vocab = v0
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     val merges = Seq.newBuilder[(Long, String, String, Long, Long, Long, Double)]
     var exhausted = false
     for (step <- 1 to steps if !exhausted) {
@@ -116,8 +129,15 @@ object Wordpiece {
           r.getDouble(5)))
         val fused = a + b.stripPrefix("##")
         vocab = vocab.select(expr(s"replace(v, '<$a><$b>', '<$fused>')").as("v"), col("n"))
+        if (step % checkpointEvery == 0) {
+          val (ckpt, rdd) = TextAnalysis.checkpointVocab(vocab)
+          prevCkpt.foreach(_.unpersist(blocking = false))
+          prevCkpt = Some(rdd)
+          vocab = ckpt
+        }
       }
     }
+    prevCkpt.foreach(_.unpersist(blocking = false))
     merges.result()
   }
 
@@ -166,72 +186,33 @@ object Wordpiece {
     }
   }
 
-  /** Greedy longest-match segmentation of distinct words against a
-    * frozen model: candidate (position, length ≤ [[MaxPieceLen]])
-    * substrings take their `##` marking from the position, join the
-    * broadcast vocabulary key-equi, and ONLY the longest match per
-    * start position survives (max-aggregate — greedy needs nothing
-    * else). The walk itself is an in-row fold over word positions:
-    * advance by the longest match at the cursor, or fail the WHOLE
-    * word to `[UNK]` when the cursor has no match (the real WordPiece
-    * unk rule — a character the training corpus never saw at that
-    * marking position kills the word, not the symbol). */
-  private[queries] def segmentGreedy(words: DataFrame, model: DataFrame): DataFrame = {
-    val cands = words
-      .select(col("w"), explode(expr(
-        s"""flatten(transform(sequence(1, length(w)), i ->
-           |  transform(sequence(1, least($MaxPieceLen, length(w) - i + 1)), l ->
-           |    named_struct('s', i, 'l', l,
-           |      'piece', IF(i = 1, substring(w, i, l),
-           |                  concat('##', substring(w, i, l)))))))""".stripMargin)).as("c"))
-      .select(col("w"), col("c.s").as("s"), col("c.l").as("l"), col("c.piece").as("piece"))
-      .join(broadcast(model.select(col("token").as("piece"))), Seq("piece"))
-      .groupBy("w", "s").agg(max("l").as("l"))
-    words.join(
-      cands.groupBy("w").agg(collect_list(struct(col("s"), col("l"))).as("es")),
-      Seq("w"), "left")
-      .withColumn("es", coalesce(col("es"),
-        expr("CAST(array() AS array<struct<s:int,l:int>>)")))
-      // spread the compute-dense fold (the Unigram.segment note: AQE's
-      // byte-based coalesce would single-thread a few-MB edge relation)
-      .repartition(math.max(1,
-        words.sparkSession.sessionState.conf.numShufflePartitions), col("w"))
-      .withColumn("ts", expr(
-        """aggregate(sequence(1, length(w)),
-          |  named_struct('pos', 1, 'ts', CAST(array() AS array<string>), 'bad', false),
-          |  (acc, i) -> IF(acc.bad OR i != acc.pos, acc,
-          |    element_at(transform(array(try_element_at(filter(es, e -> e.s = acc.pos), 1).l),
-          |      ml -> IF(ml IS NULL,
-          |        named_struct('pos', length(w) + 1, 'ts', array('[UNK]'), 'bad', true),
-          |        named_struct('pos', acc.pos + ml,
-          |          'ts', array_append(acc.ts,
-          |            IF(acc.pos = 1, substring(w, acc.pos, ml),
-          |               concat('##', substring(w, acc.pos, ml)))),
-          |          'bad', false))), 1)),
-          |  acc -> acc.ts)""".stripMargin))
-      .select(col("w"), col("ts"))
-  }
+  /** The frozen model as a driver-side token→id map — what the serving
+    * expression carries; vocabulary-sized (pieces ≤ chars + merges, the
+    * TRAINING budget, never the corpus). */
+  private def vocabMap(model: DataFrame): Map[String, Long] =
+    model.select("token", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Tokenize any (doc_id, text) relation against a frozen model
     * relation ((token, cnt, id) — [[wordpieceFit]]'s shape, fresh or
     * read back from a [[writeWordpieceModel]] table). Output shape
     * matches TextAnalysis.tokenizeOf / Unigram.tokenizeOf:
-    * (doc_id, n_tokens, ids_str); `[UNK]` misses the id table → -1.
-    * Pure per-doc function of (doc, model) — the streaming twin
-    * relies on it. */
+    * (doc_id, n_tokens, ids_str); an unmatchable position fails the
+    * WHOLE word to [UNK] → -1. Pure per-doc function of (doc, model) —
+    * the streaming twin relies on it.
+    *
+    * Scale shape: ONE narrow map over the corpus — the whole greedy
+    * walk lives inside [[graft.functions.WordpieceTokenize]] with the
+    * vocabulary as O(1) hash maps, so serving has ZERO shuffles at any
+    * corpus size. The relational alternatives are measured dead ends
+    * (see the expression's scaladoc and the tokenize_serve ScaleBench
+    * row: 16-18 GB spill / OOM for the join-gather shapes). */
   private[graft] def tokenizeOf(docs: DataFrame, model: DataFrame): DataFrame = {
-    val words = docs.select(explode(split(col("text"), " ")).as("w")).distinct()
-    val segs = segmentGreedy(words, model)
-    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .join(segs, Seq("w"))
-      .select(col("doc_id"), col("pos"), posexplode(col("ts")).as(Seq("j", "token")))
-      .join(broadcast(model.select("token", "id")), Seq("token"), "left")
-      .withColumn("id", coalesce(col("id"), lit(-1L)))
-      .groupBy("doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, j, id))), p -> p.id)")
-        .as("idsArr"))
-      .select(col("doc_id"), size(col("idsArr")).cast("long").as("n_tokens"),
-        expr("array_join(transform(idsArr, i -> CAST(i AS STRING)), ' ')").as("ids_str"))
+    val ids = graft.functions.WordpieceTokenize.of(
+      col("text"), vocabMap(model), MaxPieceLen)
+    docs.select(col("doc_id"), ids.as("ids"))
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
+        expr("array_join(transform(ids, i -> CAST(i AS STRING)), ' ')").as("ids_str"))
   }
 
   /** Persist the trained model as a plain parquet table — the frozen
@@ -274,15 +255,15 @@ object Wordpiece {
     //    commensurability row for choosing a family at equal merge
     //    budget (the x_text_unigram_fertility pattern, third family).
     "x_text_wordpiece_fertility" -> ((s, d) => {
-      val segs = segmentGreedy(
-        table(s, d, "documents")
-          .select(explode(split(col("text"), " ")).as("w")).distinct(),
-        wordpieceFit(s, d))
-        .select(col("w"), size(col("ts")).cast("long").as("ntok"))
+      // per-word token counts via the serving expression itself (a
+      // word is a one-word document), over the vocabulary-sized
+      // distinct (lang, w) rollup — no per-occurrence re-tokenization
+      val ntok = size(graft.functions.WordpieceTokenize.of(
+        col("w"), vocabMap(wordpieceFit(s, d)), MaxPieceLen)).cast("long")
       val lw = table(s, d, "documents")
         .select(col("lang"), explode(split(col("text"), " ")).as("w"))
         .groupBy("lang", "w").agg(count(lit(1)).as("n"))
-      val wp = lw.join(segs, Seq("w"))
+      val wp = lw.withColumn("ntok", ntok)
         .groupBy("lang")
         .agg(sum("n").as("words"), sum(col("n") * col("ntok")).as("tokens_wordpiece"))
         .select(col("lang"), col("words"), col("tokens_wordpiece"),

@@ -276,11 +276,14 @@ class PlanQualitySpec extends SparkSpecBase {
     }
   }
 
-  test("wordpiece serving: model joins broadcast, no cartesian") {
+  test("wordpiece serving is a zero-shuffle narrow map (vocabulary rides the plan)") {
+    // the greedy walk lives inside the WordpieceTokenize expression —
+    // the corpus side must carry NO join and NO hash exchange; the only
+    // exchange allowed is the output sort's range partitioning
     val p = finalPlanStr("x_text_wordpiece_ids").split("== Initial Plan ==").head
-    assert(p.contains("BroadcastHashJoin"), s"model not broadcast:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      s"wordpiece serving grew a cross join:\n$p")
+    assert(!p.contains("Join"), s"wordpiece serving grew a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"), s"wordpiece serving shuffles:\n$p")
+    assert(p.contains("wordpiece_tokenize"), s"native expression missing:\n$p")
   }
 
   test("hot single-table queries run inside whole-stage codegen") {

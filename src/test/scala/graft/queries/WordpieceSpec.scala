@@ -120,6 +120,21 @@ class WordpieceSpec extends SparkSpecBase {
       "vacuous: no document ever uses a merged piece")
   }
 
+  test("deep training: checkpoint cadence changes no merge (depth 40)") {
+    import spark.implicits._
+    // structured synthetic vocab with enough pair mass for 40 merges
+    val words = (for (a <- 'a' to 'f'; b <- 'a' to 'f'; c <- 'a' to 'f')
+      yield s"$a$b$c$a$b").zipWithIndex
+      .map { case (w, i) => (w, (i % 7 + 1).toLong) }
+    val v0 = Wordpiece.wpVocabOf(words.toDF("w", "n")).persist()
+    try {
+      val plain = Wordpiece.wpMerges(v0, 40, checkpointEvery = Int.MaxValue)
+      val ckpt = Wordpiece.wpMerges(v0, 40, checkpointEvery = 8)
+      assert(plain.length == 40, s"corpus exhausted early: ${plain.length}")
+      assert(ckpt == plain, "lineage checkpointing altered the merge sequence")
+    } finally { v0.unpersist(blocking = false); () }
+  }
+
   test("unk semantics: an unmatchable position fails the WHOLE word, not the symbol") {
     import spark.implicits._
     val model = Wordpiece.wordpieceFit(spark, sf)
