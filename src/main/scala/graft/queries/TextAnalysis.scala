@@ -1101,28 +1101,24 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
         expr("array_join(transform(ids, i -> CAST(i AS STRING)), ' ')").as("ids_str"))
 
-  /** Tokenize any (doc_id, text) relation against a frozen [[BpeModel]].
-    * The merge chain applies INLINE per DISTINCT word (a codegen'd
-    * replace fold — no vocabulary join), so apply-time words the
-    * training vocab never saw still decompose; symbols outside the id
-    * table (a truly unseen character) map to the conventional -1 unk
-    * id rather than silently dropping. Per-doc outputs are pure
-    * functions of (doc, model) — the streaming twin relies on it.
-    * Reassembly via [[assembleIds]] (word-level ids, skinny gather). */
+  /** Tokenize any (doc_id, text) relation against a frozen [[BpeModel]]
+    * — ONE zero-shuffle narrow map: the merge-chain replay and the id
+    * lookup both live inside [[graft.functions.BpeTokenize]] (the
+    * WordpieceTokenize treatment; the model's merges + vocabulary-sized
+    * id table ride the plan as driver-built structures). Apply-time
+    * words the training vocab never saw still decompose; symbols
+    * outside the id table (a truly unseen character) map to the
+    * conventional -1 unk id rather than silently dropping. Per-doc
+    * outputs are pure functions of (doc, model) — the streaming twin
+    * relies on it. */
   private[graft] def tokenizeOf(docs: DataFrame, m: BpeModel): DataFrame = {
-    val enc = m.merges.foldLeft(
-      "concat_ws('', transform(split(w, ''), c -> concat('<', c, '>')))") {
-      case (e, (_, a, b, _)) => s"replace($e, '<$a><$b>', '<$a$b>')"
-    }
-    val wids = docs.select(explode(split(col("text"), " ")).as("w")).distinct()
-      .withColumn("syms", expr(s"split(substring($enc, 2, length($enc) - 2), '><')"))
-      .select(col("w"), posexplode(col("syms")).as(Seq("j", "token")))
-      .join(broadcast(m.ids), Seq("token"), "left")
-      .withColumn("id", coalesce(col("id"), lit(-1L)))
-      .groupBy("w")
-      .agg(expr("transform(array_sort(collect_list(struct(j, id))), p -> p.id)")
-        .as("idsArr"))
-    assembleIds(docs, wids)
+    val idMap = m.ids.select("token", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ids = graft.functions.BpeTokenize.of(col("text"),
+      m.merges.map { case (_, a, b, _) => (a, b) }, idMap)
+    docs.select(col("doc_id"), ids.as("ids"))
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
+        expr("array_join(transform(ids, i -> CAST(i AS STRING)), ' ')").as("ids_str"))
   }
 
   /** The delimiter-encoded `<s1><s2>…` vocabulary with word counts — one

@@ -284,6 +284,11 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!p.contains("Join"), s"wordpiece serving grew a join:\n$p")
     assert(!p.contains("Exchange hashpartitioning"), s"wordpiece serving shuffles:\n$p")
     assert(p.contains("wordpiece_tokenize"), s"native expression missing:\n$p")
+    // the BPE twin carries the same treatment
+    val q = finalPlanStr("x_text_tokenize_ids").split("== Initial Plan ==").head
+    assert(!q.contains("Join"), s"bpe serving grew a join:\n$q")
+    assert(!q.contains("Exchange hashpartitioning"), s"bpe serving shuffles:\n$q")
+    assert(q.contains("bpe_tokenize"), s"native expression missing:\n$q")
   }
 
   test("hot single-table queries run inside whole-stage codegen") {
