@@ -19,15 +19,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * every merge (a, b), in training order, fuses non-overlapping
   * adjacent (a, b) occurrences LEFT TO RIGHT — exactly what
   * `replace(v, '<a><b>', '<ab>')` does on the delimiter encoding
-  * (after a fusion the scan resumes AFTER the fused symbol). Unseen
-  * symbols map to the conventional -1 unk id; unlike WordPiece an OOV
-  * word still decomposes symbol by symbol.
+  * (after a fusion the scan resumes AFTER the fused symbol; the
+  * corpus alphabet excludes the '<'/'>' delimiters themselves —
+  * TextAnalysis.bpeVocab asserts it, so the encoding is unambiguous).
+  * Unseen symbols map to the conventional -1 unk id; unlike WordPiece
+  * an OOV word still decomposes symbol by symbol.
   *
-  * Depth note: the per-word chain replay is O(merges × word length) —
-  * the faithful restatement of the gated semantics. A 32k-merge
-  * production serve would swap in the rank-heap formulation; the
-  * expression seam (merge list + id map carried in the plan) is where
-  * that lands. */
+  * The evaluation algorithm is the RANK-HEAP formulation, not a chain
+  * replay: a priority queue of (merge rank, word position) candidates
+  * over a linked symbol list applies the lowest-rank applicable pair
+  * leftmost-first — O(len log len) per word regardless of merge-list
+  * depth, vs the replay's O(merges × len) (at a 32k-merge production
+  * vocab the replay walks every word 32k times; the heap only touches
+  * pairs that actually merge). The two are provably output-identical:
+  * a merge can never create a NEW occurrence of an equal-or-lower
+  * rank pair — new adjacencies always involve the fused symbol, and
+  * any trained pair consuming a symbol ranks strictly after the merge
+  * that created it — so heap order replays training order exactly,
+  * and within one rank fusions proceed left to right with dead-node
+  * checks reproducing the replace-chain's resume-after-fusion rule.
+  * [[BpeTokenize.replayWord]] keeps the direct replay as the
+  * reference implementation; BpeTokenizeSpec pins heap == replay
+  * property-wise and BpeServeDepthBench measures the separation at
+  * depth.
+  *
+  * Indexing is by CODEPOINT, not UTF-16 unit: the trainer's symbols
+  * come from Spark SQL split (codepoint semantics), so the symbol
+  * seeding walks a codepoint array — supplementary-plane characters
+  * (emoji) seed as whole symbols, never unpaired surrogate halves. */
 case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
     ids: Map[String, Long]) extends UnaryExpression with CodegenFallback {
 
@@ -42,26 +61,132 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
     m
   }
 
+  @transient private lazy val rankMap = BpeTokenize.rankMapOf(merges)
+
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val out = new scala.collection.mutable.ArrayBuffer[Long](text.length / 3 + 4)
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n / 3 + 4)
     var ws = 0
-    val n = text.length
-    while (ws <= n) {
-      var we = text.indexOf(' ', ws)
-      if (we < 0) we = n
-      tokenizeWord(text, ws, we, out)
-      ws = we + 1
+    var i = 0
+    while (i <= n) {
+      if (i == n || cps(i) == ' ') {
+        BpeTokenize.heapWord(cps, ws, i, rankMap).foreach { t =>
+          val id = idMap.get(t)
+          out += (if (id == null) -1L else id.longValue())
+        }
+        ws = i + 1
+      }
+      i += 1
     }
     ArrayData.toArrayData(out.toArray)
   }
+}
 
-  private def tokenizeWord(text: String, s: Int, e: Int,
-      out: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
-    if (s >= e) return
-    var syms = new scala.collection.mutable.ArrayBuffer[String](e - s)
+object BpeTokenize {
+  def of(text: Column, merges: Seq[(String, String)], ids: Map[String, Long]): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      BpeTokenize(org.apache.spark.sql.GraftColumn.exprOf(text), merges, ids))
+
+  /** rank lookup: lhs symbol → (rhs symbol → 0-based training rank);
+    * a duplicate pair keeps its FIRST (lowest) rank — later duplicates
+    * can never apply (a fused pair cannot re-form). */
+  private[graft] def rankMapOf(merges: Seq[(String, String)])
+      : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      m.computeIfAbsent(a, _ => new java.util.HashMap[String, Integer]())
+        .putIfAbsent(b, Integer.valueOf(r))
+    }
+    m
+  }
+
+  private final class Node(var sym: String, val pos: Int) {
+    var prev: Node = _
+    var next: Node = _
+    var alive: Boolean = true
+  }
+
+  private final class Cand(val rank: Int, val pos: Int, val left: Node)
+
+  private val candOrder: java.util.Comparator[Cand] = new java.util.Comparator[Cand] {
+    override def compare(x: Cand, y: Cand): Int = {
+      val r = Integer.compare(x.rank, y.rank)
+      if (r != 0) r else Integer.compare(x.pos, y.pos)
+    }
+  }
+
+  /** Rank-heap tokenization of the word cps[s, e): final symbol strings
+    * in order. O(len log len) — each fusion removes one node and pushes
+    * at most two candidates. */
+  private[graft] def heapWord(cps: Array[Int], s: Int, e: Int,
+      ranks: java.util.HashMap[String, java.util.HashMap[String, Integer]])
+      : scala.collection.mutable.ArrayBuffer[String] = {
+    val outSyms = new scala.collection.mutable.ArrayBuffer[String](e - s)
+    if (s >= e) return outSyms
+    def rankOf(a: String, b: String): Integer = {
+      val inner = ranks.get(a)
+      if (inner == null) null else inner.get(b)
+    }
+    // seed the linked symbol list with single codepoints
+    val head = new Node(new String(cps, s, 1), 0)
+    var last = head
+    var i = s + 1
+    while (i < e) {
+      val nd = new Node(new String(cps, i, 1), i - s)
+      nd.prev = last
+      last.next = nd
+      last = nd
+      i += 1
+    }
+    val pq = new java.util.PriorityQueue[Cand](candOrder)
+    var cur = head
+    while (cur.next != null) {
+      val r = rankOf(cur.sym, cur.next.sym)
+      if (r != null) pq.add(new Cand(r.intValue(), cur.pos, cur))
+      cur = cur.next
+    }
+    while (!pq.isEmpty) {
+      val c = pq.poll()
+      val l = c.left
+      // lazy deletion: the entry is stale when its left node died or
+      // its pair changed (rank identifies the pair uniquely)
+      if (l.alive && l.next != null) {
+        val r = rankOf(l.sym, l.next.sym)
+        if (r != null && r.intValue() == c.rank) {
+          val dead = l.next
+          l.sym = l.sym + dead.sym
+          dead.alive = false
+          l.next = dead.next
+          if (l.next != null) l.next.prev = l
+          if (l.prev != null) {
+            val pr = rankOf(l.prev.sym, l.sym)
+            if (pr != null) pq.add(new Cand(pr.intValue(), l.prev.pos, l.prev))
+          }
+          if (l.next != null) {
+            val nr = rankOf(l.sym, l.next.sym)
+            if (nr != null) pq.add(new Cand(nr.intValue(), l.pos, l))
+          }
+        }
+      }
+    }
+    cur = head
+    while (cur != null) {
+      outSyms += cur.sym
+      cur = cur.next
+    }
+    outSyms
+  }
+
+  /** The direct merge-chain replay — O(merges × len) per word; the
+    * reference implementation the rank-heap is pinned against
+    * (BpeTokenizeSpec property pin, BpeServeDepthBench separation). */
+  private[graft] def replayWord(cps: Array[Int], s: Int, e: Int,
+      merges: Seq[(String, String)]): scala.collection.mutable.ArrayBuffer[String] = {
+    var syms = new scala.collection.mutable.ArrayBuffer[String](math.max(e - s, 0))
+    if (s >= e) return syms
     var i = s
-    while (i < e) { syms += text.substring(i, i + 1); i += 1 }
+    while (i < e) { syms += new String(cps, i, 1); i += 1 }
     merges.foreach { case (a, b) =>
       if (syms.length >= 2) {
         val next = new scala.collection.mutable.ArrayBuffer[String](syms.length)
@@ -74,15 +199,6 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
         syms = next
       }
     }
-    syms.foreach { t =>
-      val id = idMap.get(t)
-      out += (if (id == null) -1L else id.longValue())
-    }
+    syms
   }
-}
-
-object BpeTokenize {
-  def of(text: Column, merges: Seq[(String, String)], ids: Map[String, Long]): Column =
-    org.apache.spark.sql.GraftColumn.of(
-      BpeTokenize(org.apache.spark.sql.GraftColumn.exprOf(text), merges, ids))
 }

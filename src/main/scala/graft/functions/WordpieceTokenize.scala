@@ -30,7 +30,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The vocabulary pre-bifurcates into word-initial and continuation
   * (`##`-stripped) maps so the inner loop probes raw substrings —
-  * no per-candidate marker concatenation. */
+  * no per-candidate marker concatenation. The `##` prefix is the
+  * continuation MARKER, not corpus text: the corpus alphabet must
+  * exclude '#' (Wordpiece.vocabMap asserts it on the driver-side
+  * model, zero extra scans), so a stored token starting with `##` is
+  * unambiguously continuation-only — the same convention the DuckDB
+  * oracle's greedy walk applies.
+  *
+  * Indexing is by CODEPOINT, not UTF-16 unit: the trainer's symbols
+  * come from Spark SQL substring/split (codepoint semantics) and the
+  * oracle's candidate bound counts codepoints, so the greedy walk
+  * iterates a codepoint array and maxPieceLen bounds codepoints —
+  * supplementary-plane characters (emoji) stay whole symbols, never
+  * unpaired surrogate halves that could not match the vocabulary. */
 case class WordpieceTokenize(child: Expression, vocab: Map[String, Long],
     maxPieceLen: Int) extends UnaryExpression with CodegenFallback {
 
@@ -51,22 +63,24 @@ case class WordpieceTokenize(child: Expression, vocab: Map[String, Long],
   }
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val out = new scala.collection.mutable.ArrayBuffer[Long](text.length / 3 + 4)
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
+    val out = new scala.collection.mutable.ArrayBuffer[Long](n / 3 + 4)
     var ws = 0
-    val n = text.length
-    while (ws <= n) {
-      var we = text.indexOf(' ', ws)
-      if (we < 0) we = n
-      tokenizeWord(text, ws, we, out)
-      ws = we + 1
+    var i = 0
+    while (i <= n) {
+      if (i == n || cps(i) == ' ') {
+        tokenizeWord(cps, ws, i, out)
+        ws = i + 1
+      }
+      i += 1
     }
     ArrayData.toArrayData(out.toArray)
   }
 
-  /** Greedy longest-match over text[s, e); appends ids, or a single -1
+  /** Greedy longest-match over cps[s, e); appends ids, or a single -1
     * for the whole word when some cursor position has no match. */
-  private def tokenizeWord(text: String, s: Int, e: Int,
+  private def tokenizeWord(cps: Array[Int], s: Int, e: Int,
       out: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
     if (s >= e) return
     val mark = out.length
@@ -76,7 +90,7 @@ case class WordpieceTokenize(child: Expression, vocab: Map[String, Long],
       var l = math.min(maxPieceLen, e - pos)
       var id: java.lang.Long = null
       while (l >= 1 && id == null) {
-        id = table.get(text.substring(pos, pos + l))
+        id = table.get(new String(cps, pos, l))
         if (id == null) l -= 1
       }
       if (id == null) {

@@ -1065,42 +1065,6 @@ object TextAnalysis {
     BpeModel(merges, ids)
   }
 
-  /** Per-word id arrays → per-doc (doc_id, n_tokens, ids_str). THE
-    * shared reassembly tail of all three tokenizer families' serving
-    * paths. Scale shape (the tokenize_serve ScaleBench lesson — the
-    * previous token-exploded form OOM'd at 256×, 14 GB of shuffle spill
-    * at 64×): ids resolve at the DISTINCT-WORD level before any
-    * corpus-sized relation exists, so the per-doc gather shuffles ONE
-    * SKINNY ROW PER WORD OCCURRENCE (doc_id, pos, small id array) — a
-    * ~piece-factor fewer rows than exploding tokens, and the only
-    * corpus-scale exchanges are the word join and the doc gather.
-    * `wids`: (w, idsArr) with idsArr the word's piece ids in order.
-    *
-    * Two measured traps shape this plan (the tokenize_serve ScaleBench
-    * row — the original token-exploded form OOM'd at 256×):
-    *
-    *   - the word join carries a SHUFFLE_HASH hint: a sort-merge join
-    *     external-sorts the corpus-side occurrence rows on `w` (18.6 GB
-    *     of spill at 256× for zero benefit — the output feeds a
-    *     doc-keyed aggregate, so word order is discarded), while a hash
-    *     build from the distinct-word side streams the corpus unsorted;
-    *     AQE still upgrades to broadcast when the vocabulary is small.
-    *     (A broadcast word→ids MAP column — zero shuffle — was tried
-    *     and is WORSE: Spark map lookups are linear scans, so the
-    *     corpus pays O(vocabulary) per word; measured 9× slower.)
-    *   - the doc gather must stay a HASH aggregate: see the
-    *     objectHashAggregate fallback-threshold note in Engine — the
-    *     default 128-group fallback re-sorted every occurrence row. */
-  private[queries] def assembleIds(docs: DataFrame, wids: DataFrame): DataFrame =
-    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .join(wids.hint("shuffle_hash"), Seq("w"))
-      .groupBy("doc_id")
-      .agg(expr(
-        "flatten(transform(array_sort(collect_list(struct(pos, idsArr))), p -> p.idsArr))")
-        .as("ids"))
-      .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
-        expr("array_join(transform(ids, i -> CAST(i AS STRING)), ' ')").as("ids_str"))
-
   /** Tokenize any (doc_id, text) relation against a frozen [[BpeModel]]
     * — ONE zero-shuffle narrow map: the merge-chain replay and the id
     * lookup both live inside [[graft.functions.BpeTokenize]] (the
@@ -1114,6 +1078,16 @@ object TextAnalysis {
   private[graft] def tokenizeOf(docs: DataFrame, m: BpeModel): DataFrame = {
     val idMap = m.ids.select("token", "id").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The training chain's '<sym>' delimiter encoding is only
+    // unambiguous when the corpus alphabet excludes '<' and '>': a
+    // corpus angle bracket would mangle the replace-chain (and the
+    // oracle's identical replace) before any token forms. Detected
+    // here on the driver-side vocabulary — a clean corpus can never
+    // produce a token containing a delimiter, so a hit is exactly the
+    // alphabet violation. Zero extra corpus scans.
+    val bad = idMap.keysIterator.filter(t => t.contains('<') || t.contains('>')).toSeq
+    require(bad.isEmpty, "BPE '<sym>' delimiter encoding is ambiguous: corpus alphabet " +
+      s"must exclude '<' and '>' but the trained vocabulary contains ${bad.mkString(", ")}")
     val ids = graft.functions.BpeTokenize.of(col("text"),
       m.merges.map { case (_, a, b, _) => (a, b) }, idMap)
     docs.select(col("doc_id"), ids.as("ids"))

@@ -53,8 +53,12 @@ object Unigram {
   /** Distinct corpus words with frequencies — the E-step's unit of work
     * (a word's segmentation is a pure function of (word, model)). */
   private[queries] def wordCounts(s: SparkSession, d: String): DataFrame =
+    // empty words are dropped on BOTH engine and oracle sides: Spark's
+    // sequence(1, 0) yields the DESCENDING [1, 0] (phantom substring
+    // rows in occs) while DuckDB's generate_series(1, 0) is empty
     table(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
 
   /** Every substring occurrence (w, n, i, l, piece), l ≤ MaxLen. */
@@ -244,31 +248,32 @@ object Unigram {
   /** Tokenize any (doc_id, text) relation against a frozen model
     * relation (piece, lp, id — [[unigramFit]]'s shape, fresh or read
     * back from a [[writeUnigramModel]] table): per-word Viterbi under
-    * the frozen lp (the SAME in-row DP as training — apply is the
-    * E-step against a model that no longer moves), pieces map to ids
-    * through the broadcast vocabulary with -1 for a piece outside it
-    * (a truly unseen character decomposes to itself via the DP's
-    * no-candidate fallback and then misses the id table — the BPE unk
-    * convention). Output shape matches TextAnalysis.tokenizeOf:
-    * (doc_id, n_tokens, ids_str). Pure per-doc function of
-    * (doc, model) — the streaming twin (Streams.unigramTokenize)
-    * relies on it. Scale shape: distinct words segment once, docs
-    * re-join their words key-equi on w — corpus-linear, one gather
-    * aggregate per doc. */
+    * the frozen lp (the SAME DP as training's [[segment]] — apply is
+    * the E-step against a model that no longer moves), pieces map to
+    * ids with -1 for a piece outside the table (a truly unseen
+    * character decomposes to itself via the DP's no-candidate fallback
+    * and then misses the id table — the BPE unk convention). Output
+    * shape matches TextAnalysis.tokenizeOf: (doc_id, n_tokens,
+    * ids_str). Pure per-doc function of (doc, model) — the streaming
+    * twin (Streams.unigramTokenize) relies on it.
+    *
+    * Scale shape: ONE zero-shuffle narrow map — the whole Viterbi DP
+    * and the id lookup live inside
+    * [[graft.functions.UnigramTokenize]] with the model as O(1) hash
+    * maps riding the plan (the WordpieceTokenize / BpeTokenize
+    * treatment). This replaces the last join-gather serving plan: that
+    * shape class is measured at 16-18 GB of spill / OOM at 256× on the
+    * tokenize_serve ScaleBench row, and the unigram_serve row now
+    * measures THIS form at octaves. The model relation is
+    * vocabulary-sized (≤ chars + TopK rows), so the collect here is a
+    * model materialization, never corpus-scale. */
   private[graft] def tokenizeOf(docs: DataFrame, model: DataFrame): DataFrame = {
-    val words = docs.select(explode(split(col("text"), " ")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-    // ids resolve at the distinct-word level; the per-doc gather then
-    // moves one skinny row per word occurrence (TextAnalysis.assembleIds
-    // — the tokenize_serve ScaleBench lesson)
-    val wids = segment(words, model)
-      .select(col("w"), posexplode(col("ts")).as(Seq("j", "piece")))
-      .join(broadcast(model.select("piece", "id")), Seq("piece"), "left")
-      .withColumn("id", coalesce(col("id"), lit(-1L)))
-      .groupBy("w")
-      .agg(expr("transform(array_sort(collect_list(struct(j, id))), p -> p.id)")
-        .as("idsArr"))
-    TextAnalysis.assembleIds(docs, wids)
+    val m = model.select("piece", "lp", "id").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val ids = graft.functions.UnigramTokenize.of(col("text"), m, MaxLen)
+    docs.select(col("doc_id"), ids.as("ids"))
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_tokens"),
+        expr("array_join(transform(ids, i -> CAST(i AS STRING)), ' ')").as("ids_str"))
   }
 
   /** Persist the trained model as a plain parquet table — the frozen
@@ -417,7 +422,8 @@ object Unigram {
     * seed vocab + seed probs lp0, then [[Iters]] iteration blocks. */
   private def chainSql: String =
     s"""wc AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS n
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
        |oc AS MATERIALIZED (SELECT w, n, u.i AS i, u.l AS l, substr(w, u.i, u.l) AS piece
        |  FROM wc, unnest(flatten(list_transform(generate_series(1, length(w)),
        |    i -> list_transform(generate_series(1, least($MaxLen, length(w) - i + 1)),

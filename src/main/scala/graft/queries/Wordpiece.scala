@@ -57,8 +57,13 @@ object Wordpiece {
     * words: "abc" → `<a><##b><##c>` with the word's corpus count. One
     * corpus scan, vocabulary-sized output — shared by training and the
     * fit. */
-  private[queries] def wpVocabOf(words: DataFrame): DataFrame =
-    words.select(expr(
+  private[graft] def wpVocabOf(words: DataFrame): DataFrame =
+    // empty words (consecutive/leading/trailing spaces) are dropped on
+    // BOTH engine and oracle sides: Spark's sequence(1, 0) yields the
+    // DESCENDING [1, 0] (a phantom '<><##>' chain) while DuckDB's
+    // generate_series(1, 0) is empty — filtered, the engines count
+    // identical pairs on any corpus
+    words.filter(length(col("w")) > 0).select(expr(
       """concat_ws('', transform(sequence(1, length(w)), i ->
         |  IF(i = 1, concat('<', substring(w, i, 1), '>'),
         |            concat('<##', substring(w, i, 1), '>'))))""".stripMargin).as("v"),
@@ -108,12 +113,15 @@ object Wordpiece {
     * transfer, and deep WordPiece vocabs train through this sequential
     * checkpointed loop by design (stated bound). */
   private[graft] def wpMerges(v0: DataFrame, steps: Int,
-      checkpointEvery: Int = 16): Seq[(Long, String, String, Long, Long, Long, Double)] = {
+      checkpointEvery: Int = 16,
+      stepHook: (Int, Double) => Unit = (_, _) => ()):
+      Seq[(Long, String, String, Long, Long, Long, Double)] = {
     var vocab = v0
     var prevCkpt: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     val merges = Seq.newBuilder[(Long, String, String, Long, Long, Long, Double)]
     var exhausted = false
     for (step <- 1 to steps if !exhausted) {
+      val tStep = System.nanoTime()
       val syms = wpSymCounts(vocab)
       val top = wpPairCounts(vocab)
         .join(syms.select(col("t").as("a"), col("c").as("ca")), Seq("a"))
@@ -136,6 +144,7 @@ object Wordpiece {
           vocab = ckpt
         }
       }
+      stepHook(step, (System.nanoTime() - tStep) / 1e9)
     }
     prevCkpt.foreach(_.unpersist(blocking = false))
     merges.result()
@@ -188,10 +197,24 @@ object Wordpiece {
 
   /** The frozen model as a driver-side token→id map — what the serving
     * expression carries; vocabulary-sized (pieces ≤ chars + merges, the
-    * TRAINING budget, never the corpus). */
-  private def vocabMap(model: DataFrame): Map[String, Long] =
-    model.select("token", "id").collect()
+    * TRAINING budget, never the corpus).
+    *
+    * The `##` continuation marker is only unambiguous when the corpus
+    * alphabet excludes '#': a corpus '#' could train a word-initial
+    * token that itself starts with "##", which the serving bifurcation
+    * would misclassify as continuation-only. Asserted here — zero extra
+    * corpus scans (the model is already driver-side), and the loud
+    * failure names the fix (re-map '#' upstream) instead of silently
+    * diverging from the oracle. A '#' anywhere AFTER the marker strip
+    * is exactly the corpus-alphabet violation. */
+  private def vocabMap(model: DataFrame): Map[String, Long] = {
+    val m = model.select("token", "id").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bad = m.keysIterator.filter(t => t.stripPrefix("##").contains('#')).toSeq
+    require(bad.isEmpty, "WordPiece '##' continuation marker is ambiguous: corpus " +
+      s"alphabet must exclude '#' but the trained vocabulary contains ${bad.mkString(", ")}")
+    m
+  }
 
   /** Tokenize any (doc_id, text) relation against a frozen model
     * relation ((token, cnt, id) — [[wordpieceFit]]'s shape, fresh or
@@ -304,11 +327,13 @@ object Wordpiece {
          |    CAST(p.cnt AS DOUBLE) / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)) AS score
          |  FROM wp_p$i p JOIN wp_s$i sa ON sa.t = p.a JOIN wp_s$i sb ON sb.t = p.b
          |  ORDER BY score DESC, p.a, p.b LIMIT 1),
-         |wp_v$i AS (SELECT replace(v, '<' || wp_b$i.a || '><' || wp_b$i.b || '>',
-         |                 '<' || wp_b$i.a || substr(wp_b$i.b, 3) || '>') AS v, n
-         |       FROM wp_v${i - 1}, wp_b$i)""".stripMargin
+         |wp_v$i AS (SELECT CASE WHEN b.a IS NULL THEN v
+         |                  ELSE replace(v, '<' || b.a || '><' || b.b || '>',
+         |                               '<' || b.a || substr(b.b, 3) || '>') END AS v, n
+         |       FROM wp_v${i - 1} LEFT JOIN wp_b$i b ON TRUE)""".stripMargin
     s"""wp_t AS (SELECT w, CAST(count(*) AS BIGINT) AS n
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
        |wp_v0 AS (SELECT array_to_string(list_transform(generate_series(1, length(w)),
        |               i -> CASE WHEN i = 1 THEN '<' || substr(w, i, 1) || '>'
        |                         ELSE '<##' || substr(w, i, 1) || '>' END), '') AS v, n

@@ -269,7 +269,7 @@ class PlanQualitySpec extends SparkSpecBase {
   test("repetition battery and checksum redaction are zero-shuffle narrow maps") {
     // both are pure per-row projections — the only exchange allowed is
     // the output sort's range partitioning
-    for (q <- Seq("x_text_gopher_rep", "x_cur_ccn_redact")) {
+    for (q <- Seq("x_text_gopher_rep", "x_cur_ccn_redact", "x_cur_iban_redact")) {
       val p = finalPlanStr(q).split("== Initial Plan ==").head
       assert(!p.contains("Exchange hashpartitioning"), s"$q shuffles:\n$p")
       assert(!p.contains("Join"), s"$q grew a join:\n$p")
@@ -289,6 +289,12 @@ class PlanQualitySpec extends SparkSpecBase {
     assert(!q.contains("Join"), s"bpe serving grew a join:\n$q")
     assert(!q.contains("Exchange hashpartitioning"), s"bpe serving shuffles:\n$q")
     assert(q.contains("bpe_tokenize"), s"native expression missing:\n$q")
+    // round 17: the unigram family joined them — the LAST tokenizer off
+    // the join-gather shape (measured 16-18 GB spill / OOM at 256×)
+    val u = finalPlanStr("x_text_unigram_ids").split("== Initial Plan ==").head
+    assert(!u.contains("Join"), s"unigram serving grew a join:\n$u")
+    assert(!u.contains("Exchange hashpartitioning"), s"unigram serving shuffles:\n$u")
+    assert(u.contains("unigram_tokenize"), s"native expression missing:\n$u")
   }
 
   test("hot single-table queries run inside whole-stage codegen") {

@@ -5,6 +5,33 @@ import org.apache.spark.sql.functions._
 
 class UnigramSpec extends SparkSpecBase {
 
+  test("serving expression equals the relational training DP + id join per doc") {
+    // round 17 moved serving off the join-gather plan into the native
+    // UnigramTokenize expression; this pins the expression row-identical
+    // to the relational Viterbi (Unigram.segment — still the trainer's
+    // E-step) composed with the id lookup, on real corpus words under
+    // the real trained model
+    val model = Unigram.unigramFit(spark, sf)
+    val docs = graft.Engine.table(spark, sf, "documents")
+      .filter(col("doc_id") < 40).select("doc_id", "text")
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val idOf = model.select("piece", "id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wids = Unigram.segment(words, model)
+      .select("w", "ts").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).map(idOf.getOrElse(_, -1L)))
+      .toMap
+    val expected = docs.select("doc_id", "text").collect().map { r =>
+      val ids = r.getString(1).split(" ").filter(_.nonEmpty).toSeq.flatMap(wids)
+      r.getLong(0) -> ((ids.size.toLong, ids.mkString(" ")))
+    }.toMap
+    val got = Unigram.tokenizeOf(docs, model).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == expected)
+  }
+
   test("viterbi: every segmentation matches a driver-side DP recompute") {
     // independent reimplementation of the stated algorithm (plain Scala,
     // no shared SQL): max score over ≤4-char pieces, ties to the
