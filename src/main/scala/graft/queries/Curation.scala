@@ -546,6 +546,57 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // -- CHECKSUM-VALIDATED PII, second family: IBANs validate by the
+    //    ISO 13616 mod-97 rule (move the first 4 chars to the end, map
+    //    letters A→10..Z→35, the resulting number ≡ 1 mod 97) before
+    //    masking — the x_cur_ccn_redact design generalized from Luhn to
+    //    a second real checksum. The fold is inherently sequential
+    //    (incremental mod: ×10+digit or ×100+letter per char), run IN
+    //    the row over the candidate's rearranged characters. The corpus
+    //    carries no IBANs, so they are PLANTED: docs id%13 gain a German
+    //    IBAN whose BBAN derives from the id and whose check digits are
+    //    COMPUTED BY THE SAME MOD-97 FOLD (the generation rule,
+    //    98 − mod97(bban·country·00)) — then docs id%3 get the check
+    //    digits deliberately perturbed, so valid and invalid candidates
+    //    both occur at every scale and both engines run the checksum
+    //    arithmetic twice (generation and validation); mod-97 validity
+    //    is ~1/97 dense, so unlike Luhn a raw id-derived check digit
+    //    would leave the valid class vacuously empty at gate scale.
+    //    Scale shape: narrow map, zero shuffle (plan-pinned with the
+    //    ccn sibling).
+    "x_cur_iban_redact" -> ((s, d) => {
+      // incremental mod-97 over the chars of sExpr (digits base 10,
+      // letters base 100 at value ascii−55); chars via sequence +
+      // substring, NOT split(s, '') — Spark's regex split keeps a
+      // trailing empty string that would corrupt the fold
+      def mod97(sExpr: String): String =
+        s"""aggregate(transform(sequence(1, length($sExpr)), i -> substring($sExpr, i, 1)),
+           |  0L, (a, ch) ->
+           |  CASE WHEN ch >= '0' AND ch <= '9' THEN (a * 10 + CAST(ch AS BIGINT)) % 97
+           |       ELSE (a * 100 + (ascii(ch) - 55)) % 97 END)""".stripMargin
+      val re = IbanCandRe.replace("\\", "\\\\")
+      table(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          lpad((col("doc_id") % 10000000000L).cast("string"), 10, "0").as("bban"))
+        .withColumn("correct", lit(98L) - expr(mod97("concat(bban, 'DE00')")))
+        .withColumn("chk", when(col("doc_id") % 3 === 0,
+          (col("correct") % 97L) + 1L).otherwise(col("correct")))
+        .withColumn("t0", concat(col("text"),
+          when(col("doc_id") % 13 === 0, concat(lit(" iban DE"),
+            lpad(col("chk").cast("string"), 2, "0"), col("bban"),
+            lit(" ref"))).otherwise(lit(""))))
+        .withColumn("j", expr(
+          s"""transform(regexp_extract_all(t0, '$re', 0), c0 ->
+             |  named_struct('c', c0, 'ok',
+             |    ${mod97("concat(substring(c0, 5), substring(c0, 1, 4))")} = 1))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("j")).cast("long").as("n_iban"),
+          expr("size(filter(j, s -> s.ok))").cast("long").as("n_iban_valid"),
+          expr(s"aggregate(filter(j, s -> s.ok), t0, (acc, s) -> replace(acc, s.c, '$IbanMask'))")
+            .as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     // -- deterministic training shard assignment + within-shard order:
     //    the "global shuffle" step before packing/serving. shard =
     //    md5(doc_id) mod N decorrelates neighboring doc_ids; the
@@ -952,6 +1003,13 @@ object Curation {
   private[graft] val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
   private[graft] val CcMask = "[CC]"
   private[graft] val SsnMask = "[SSN]"
+
+  /** IBAN candidate shape (x_cur_iban_redact): 2-letter country code +
+    * 2 check digits + a 10-digit BBAN (the planted German layout; real
+    * BBANs vary 10-30 chars per country — the validation fold is
+    * length-agnostic). Java∩RE2 common dialect. */
+  private[graft] val IbanCandRe = "\\b[A-Z]{2}\\d{2}[0-9]{10}\\b"
+  private[graft] val IbanMask = "[IBAN]"
 
   /** Deterministic checksum-PII planting: docs id%7 gain a 16-digit
     * card candidate `40AB CDEF 0000 000G` whose varying digits derive
@@ -1663,6 +1721,52 @@ object Curation {
         |  CAST(len(regexp_extract_all(red1, '$SsnRe')) AS BIGINT) AS n_ssn,
         |  regexp_replace(red1, '$SsnRe', '$SsnMask', 'g') AS redacted
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the oracle runs the mod-97 fold independently, twice (check-digit
+    // generation, then candidate validation) — list_reduce over a PLAIN
+    // BIGINT accumulator (the DuckDB-1.0 list_reduce bugs are struct
+    // accumulators and outer-list indexing — neither applies; the seed
+    // is a prepended 0). Each char encodes as base·1000+value so the
+    // fold's element and accumulator share one scalar type: digits
+    // (10, d), letters (100, ascii−55); acc = (acc·base + value) % 97.
+    // The redaction exploits the ≤1-planted-IBAN-per-doc gate shape via
+    // min(c) FILTER (ok), the ccn oracle's pattern; the ENGINE replaces
+    // every valid candidate generically.
+    "x_cur_iban_redact" -> {
+      def mod97(sExpr: String): String =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(generate_series(1, length($sExpr)), i ->
+           |    CASE WHEN substr($sExpr, i, 1) BETWEEN '0' AND '9'
+           |         THEN 10000 + CAST(substr($sExpr, i, 1) AS BIGINT)
+           |         ELSE 100000 + ascii(substr($sExpr, i, 1)) - 55 END)),
+           |  (a, x) -> (a * (x // 1000) + x % 1000) % 97)""".stripMargin
+      s"""WITH b AS (SELECT doc_id, text,
+        |    lpad(CAST(doc_id % 10000000000 AS VARCHAR), 10, '0') AS bban
+        |  FROM documents),
+        |ck AS (SELECT doc_id, text, bban,
+        |    98 - ${mod97("(bban || 'DE00')")} AS correct
+        |  FROM b),
+        |t AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 13 = 0 THEN ' iban DE'
+        |       || lpad(CAST(CASE WHEN doc_id % 3 = 0 THEN (correct % 97) + 1
+        |                         ELSE correct END AS VARCHAR), 2, '0')
+        |       || bban || ' ref' ELSE '' END AS t0
+        |  FROM ck),
+        |cand AS (SELECT doc_id, unnest(regexp_extract_all(t0, '$IbanCandRe')) AS c FROM t),
+        |lv AS (SELECT doc_id, c,
+        |    ${mod97("(substr(c, 5) || substr(c, 1, 4))")} = 1 AS ok
+        |  FROM cand),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_iban,
+        |    CAST(count(*) FILTER (WHERE ok) AS BIGINT) n_iban_valid,
+        |    min(c) FILTER (WHERE ok) AS vc
+        |  FROM lv GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(a.n_iban, 0) AS n_iban,
+        |  coalesce(a.n_iban_valid, 0) AS n_iban_valid,
+        |  CASE WHEN a.vc IS NOT NULL THEN replace(t.t0, a.vc, '$IbanMask')
+        |       ELSE t.t0 END AS redacted
+        |FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+    },
 
     // the modulus is interpolated from the SAME targetShards derivation
     // the engine runs, at the representative gate byte mass (both gate

@@ -824,6 +824,45 @@ class CurationSpec extends SparkSpecBase {
       "vacuous: no clean documents")
   }
 
+  test("iban redaction: mod-97 verdicts driver-recomputed, two-sided, invalid ibans survive") {
+    val out = Curation.queries("x_cur_iban_redact")(spark, sf).collect()
+    val docs = graft.Engine.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size, "iban redaction must keep every document")
+    // independent ISO 13616 arithmetic over the planted derivation
+    def mod97(s: String): Long = s.foldLeft(0L) { (a, ch) =>
+      if (ch.isDigit) (a * 10 + (ch - '0')) % 97 else (a * 100 + (ch - 'A' + 10)) % 97
+    }
+    def planted(id: Long): (String, Boolean) = {
+      val bban = "%010d".format(id % 10000000000L)
+      val correct = 98 - mod97(bban + "DE00")
+      val chk = if (id % 3 == 0) (correct % 97) + 1 else correct
+      val iban = "DE" + "%02d".format(chk) + bban
+      (iban, mod97(iban.substring(4) + iban.substring(0, 4)) == 1)
+    }
+    out.foreach { r =>
+      val (id, n, nv, txt) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(n == (if (id % 13 == 0) 1L else 0L), s"doc $id: n_iban $n")
+      if (id % 13 == 0) {
+        val (iban, ok) = planted(id)
+        // the generated check digits validate exactly when unperturbed
+        assert(ok == (id % 3 != 0), s"doc $id: generation rule broken")
+        assert(nv == (if (ok) 1L else 0L), s"doc $id: n_iban_valid $nv vs mod97=$ok")
+        if (ok) assert(txt.contains(Curation.IbanMask) && !txt.contains(iban),
+          s"doc $id: a mod-97-VALID iban must be masked")
+        else assert(!txt.contains(Curation.IbanMask) && txt.contains(iban),
+          s"doc $id: a mod-97-INVALID candidate must survive unmasked")
+      } else {
+        assert(nv == 0L, s"doc $id: n_iban_valid $nv without a plant")
+        assert(txt == docs(id), s"doc $id: iban-free text must pass through")
+      }
+    }
+    assert(out.exists(_.getLong(2) > 0), "vacuous: no valid iban planted")
+    assert(out.exists(r => r.getLong(1) > 0 && r.getLong(2) == 0),
+      "vacuous: no invalid candidate planted")
+  }
+
   test("fuzzy contamination: reconciles with the hash-gated minhash pair table") {
     val fuzzy = Curation.queries("x_cur_contamination_fuzzy")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
