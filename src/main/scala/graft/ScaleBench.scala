@@ -220,6 +220,7 @@ object ScaleBench {
     // +k·10⁷, far below the 10¹² offset); runTag separates the two
     // timed runs' id ranges
     var mhAppendRun = 0L
+    var gmTakedownRun = 0L
     def mhIncrement(s: SparkSession, runTag: Long): DataFrame =
       s.read.parquet(s"$base/documents.parquet").filter(col("doc_id") < 200)
         .select((col("doc_id") + lit(1000000000000L) + lit(runTag * 1000000L)).as("doc_id"),
@@ -343,7 +344,38 @@ object ScaleBench {
       ("tokenize_serve", scales, (s, d, _) =>
         noop(graft.queries.Wordpiece.tokenizeOf(
           s.read.parquet(s"$d/documents.parquet").select("doc_id", "text"),
-          graft.queries.Wordpiece.wordpieceFit(s, d))))
+          graft.queries.Wordpiece.wordpieceFit(s, d)))),
+      // the unigram family's serve row (round 17): the LAST tokenizer
+      // moved off the join-gather shape onto the native expression —
+      // this row is the measurement the r16 verdict asked for (the
+      // rejected shape class spilled 16-18 GB at 256×; the expression
+      // must be corpus-linear, zero spill). Same memo split as
+      // tokenize_serve: run A pays the EM fit, run B is pure serving.
+      ("unigram_serve", scales, (s, d, _) =>
+        noop(graft.queries.Unigram.tokenizeOf(
+          s.read.parquet(s"$d/documents.parquet").select("doc_id", "text"),
+          graft.queries.Unigram.unigramFit(s, d)))),
+      // the counted gram index's lifecycle (round 17): build is
+      // corpus-linear by design; takedown appends -1 deltas for a
+      // FIXED ~200-doc tombstone set — the O(tombstoned docs) claim
+      // says its cost stays FLAT as the index grows (the doc_id range
+      // filter pushes into the parquet scan, so the corpus never
+      // streams); compaction is the amortized O(index) rewrite, linear
+      // by design (pinning linear-not-worse). Each timed run tombstones
+      // a DIFFERENT slice so min-of-two never double-decrements a doc.
+      ("gram_index_build", scales, (s, d, m) =>
+        graft.queries.Dedup.writeGramIndexCounted(s, d, s"scale_gm_x$m")),
+      ("gram_takedown", scales, (s, d, m) => {
+        gmTakedownRun += 1
+        val lo = 1000L + (gmTakedownRun % 2) * 1000L
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .filter(col("doc_id") >= lo && col("doc_id") < lo + 200)
+          .select("doc_id", "text")
+        graft.Takedown.add(s, s"scale_gm_x$m", docs.select(col("doc_id").as("id")))
+        graft.queries.Dedup.reclaimGramIndexCounted(docs, s"scale_gm_x$m")
+      }),
+      ("gram_compaction", scales, (s, d, m) =>
+        graft.queries.Dedup.compactGramIndexCounted(s, s"scale_gm_x$m"))
     )
 
     // optional 5th arg: comma-separated pipeline names for targeted
@@ -405,6 +437,24 @@ object ScaleBench {
       for (q <- Seq("x_events_asof", "x_events_conversion",
           "x_events_sessions", "x_events_range_join") if active(q.stripPrefix("x_")))
         noop(graft.queries.Events.queries(q)(spark, warm))
+      if (active("tokenize_serve"))
+        noop(graft.queries.Wordpiece.tokenizeOf(
+          spark.read.parquet(s"$warm/documents.parquet").select("doc_id", "text"),
+          graft.queries.Wordpiece.wordpieceFit(spark, warm)))
+      if (active("unigram_serve"))
+        noop(graft.queries.Unigram.tokenizeOf(
+          spark.read.parquet(s"$warm/documents.parquet").select("doc_id", "text"),
+          graft.queries.Unigram.unigramFit(spark, warm)))
+      if (active("gram_index_build") || active("gram_takedown") ||
+          active("gram_compaction")) {
+        graft.queries.Dedup.writeGramIndexCounted(spark, warm, "scale_gm_warm")
+        val wd = spark.read.parquet(s"$warm/documents.parquet")
+          .filter(col("doc_id") < 50).select("doc_id", "text")
+        graft.Takedown.add(spark, "scale_gm_warm", wd.select(col("doc_id").as("id")))
+        graft.queries.Dedup.reclaimGramIndexCounted(wd, "scale_gm_warm")
+        graft.queries.Dedup.compactGramIndexCounted(spark, "scale_gm_warm")
+        spark.sql("DROP TABLE IF EXISTS scale_gm_warm_gramdf")
+      }
       for (t <- Seq("_coarse", "_fine", "_postings"))
         spark.sql(s"DROP TABLE IF EXISTS scale_warm$t")
       for (t <- Seq("_sig", "_keys"))
@@ -451,6 +501,8 @@ object ScaleBench {
         spark.sql(s"DROP TABLE IF EXISTS scale_bm_x$m$t")
       for (t <- Seq("_sig", "_keys", "_counts"))
         spark.sql(s"DROP TABLE IF EXISTS scale_mh_x$m$t")
+      for (t <- Seq("_gramdf", "_tomb"))
+        spark.sql(s"DROP TABLE IF EXISTS scale_gm_x$m$t")
     }
 
     def tailExp(pts: Seq[(Int, Double)]): Double = {
