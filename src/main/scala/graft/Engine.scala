@@ -20,16 +20,29 @@ object Engine {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // start every shuffle WIDE and let AQE coalesce down to its
-      // advisory size: with a fixed 32, a corpus-scale exchange (the
+      // start shuffles WIDE and let AQE coalesce down to its advisory
+      // size: with a fixed 32, a corpus-scale exchange (the
       // substring-rewrite gram sort at 1024×, the sessionization sort)
       // lands 100s-of-MB partitions that spill through the executor
-      // budget, while 512-then-coalesce right-sizes partitions at ANY
+      // budget, while wide-then-coalesce right-sizes partitions at ANY
       // scale — the same knob a production cluster submit would set.
-      // Small corpora pay nothing: AQE folds the empty partitions away
-      // before execution.
+      // 128 default, 512 for corpus-scale submits: the r16 A/B
+      // (AB_BPE_r16) measured 512 as pure scheduling tax on the
+      // many-small-exchange queries (the vocabulary chains, the ivf2
+      // probe stacks — ~0.3 s of empty tasks per query), but the r17
+      // sweep CONFIRMED the converse at depth: at 128 the two
+      // corpus-scale sorts spill again at the deep octaves
+      // (dedup_rewrite 17.9 GB at 1024×, events_sessions 1.5 GB at
+      // 256× — the exact pipelines this comment has always named), so
+      // the initial width is genuinely DATA-SIZED, not a constant.
+      // Locally the gate corpora get 128; ScaleBench — emulating the
+      // cluster submit whose data is octaves bigger — sets the
+      // sys-prop seam to 512, exactly the per-submit --conf a real
+      // deployment passes (at 100 TB an operator sizes this to
+      // largest-exchange-bytes / the 16 MB advisory).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTITIONS", "512"))
+        sys.props.get("graft.initPartitions")
+          .orElse(sys.env.get("SPARK_GRAFT_INIT_PARTITIONS")).getOrElse("128"))
       // coalesce target: 16 MB of COMPRESSED shuffle bytes per
       // partition. Text/gram relations decompress 3-5×, so the default
       // 64 MB advisory hands each reduce task ~200+ MB to sort against

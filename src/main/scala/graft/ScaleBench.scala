@@ -194,6 +194,15 @@ object ScaleBench {
     // points hid. Documents-only: both pipelines read just the text
     // corpus, so the 1024× dir skips the embeddings/events derivations.
     val deepScales = scales :+ 1024
+    // the sweep measures octave-grown corpora — the situation where a
+    // real deployment passes a wider initial shuffle partitioning per
+    // submit (see the Engine knob's scaladoc); without it the two
+    // corpus-scale sorts land 4× coarser partitions and spill at the
+    // deep octaves (measured: dedup_rewrite 17.9 GB at 1024× under the
+    // gate default). Env still wins for targeted A/Bs.
+    if (sys.env.get("SPARK_GRAFT_INIT_PARTITIONS").isEmpty &&
+        !sys.props.contains("graft.initPartitions"))
+      sys.props("graft.initPartitions") = "512"
     val spark = Engine.session()
 
     val allScales = deepScales
@@ -341,7 +350,11 @@ object ScaleBench {
       // reads the memo — the offline-train / online-serve split a
       // production tokenizer actually runs. Design claim: corpus-linear
       // (distinct words segment once, docs re-join key-equi).
-      ("tokenize_serve", scales, (s, d, _) =>
+      // both serve rows run the documents-only 1024× octave too: the
+      // tokenizer serve is the one op a training-data pipeline runs
+      // over the FULL corpus, so its corpus-linear claim gets the
+      // extra-octave treatment the near-linear builds get
+      ("tokenize_serve", deepScales, (s, d, _) =>
         noop(graft.queries.Wordpiece.tokenizeOf(
           s.read.parquet(s"$d/documents.parquet").select("doc_id", "text"),
           graft.queries.Wordpiece.wordpieceFit(s, d)))),
@@ -351,7 +364,7 @@ object ScaleBench {
       // rejected shape class spilled 16-18 GB at 256×; the expression
       // must be corpus-linear, zero spill). Same memo split as
       // tokenize_serve: run A pays the EM fit, run B is pure serving.
-      ("unigram_serve", scales, (s, d, _) =>
+      ("unigram_serve", deepScales, (s, d, _) =>
         noop(graft.queries.Unigram.tokenizeOf(
           s.read.parquet(s"$d/documents.parquet").select("doc_id", "text"),
           graft.queries.Unigram.unigramFit(s, d)))),

@@ -550,7 +550,8 @@ object Dedup {
     "x_dedup_semantic" -> ((s, d) => {
       val asg = Similarity.assignCells(
         Similarity.withNorm(s, d),
-        Similarity.ivfCentroidsPortable(s, d, k = Similarity.ivfK(s, d)))
+        Similarity.ivfCentroidsPortable(s, d, k = Similarity.ivfK(s, d)),
+        wide = Similarity.wideArgmax(s, d))
       val a = asg.select(col("cid"), col("vec_id").as("va"),
         col("embedding").as("ea"), col("nrm").as("na"))
       val b = asg.select(col("cid"), col("vec_id").as("vb"),
@@ -1450,23 +1451,62 @@ object Dedup {
     * A gram shared by a tombstoned and a live doc survives takedown
     * with df decremented, exactly as a rebuild-without-the-doc would
     * keep it — DedupSpec pins takedown == rebuild equality. */
+  /** Bucket count for a counted gram index, derived from the corpus's
+    * METADATA-ONLY text byte mass (the Curation.targetShards pattern —
+    * parquet footer statistics, zero scans): ~1 bucket per 4 MB of raw
+    * text ≈ ~400k gram rows ≈ ~15 MB of per-task aggregate/sort state,
+    * which stays inside a task's fair share even at full local[32]
+    * concurrency (the first gram_* sweep measured a fixed 32 buckets at
+    * ~3M-row buckets — GBs of build/compaction spill at the 256×
+    * octave; 12 MB/bucket still spilled ~1 GB under 32 concurrent
+    * tasks). Floor 32 keeps gate corpora on the oracle-stable layout;
+    * the 4096 cap is the local bound — a cluster submit passes an
+    * explicit count sized to its executor memory. */
+  private[queries] def gramBuckets(s: SparkSession, d: String): Int =
+    math.min(4096L, math.max(32L,
+      Curation.textBytes(s, d) / (4L << 20) + 1L)).toInt
+
   def writeGramIndexCounted(s: SparkSession, d: String, tablePrefix: String,
-      buckets: Int = 32, docFilter: Column = lit(true)): Unit = {
+      buckets: Int = 0, docFilter: Column = lit(true)): Unit = {
+    val b = if (buckets > 0) buckets else gramBuckets(s, d)
     graft.Engine.reclaimManagedTable(s, s"${tablePrefix}_gramdf")
     gramDfDeltas(table(s, d, "documents").filter(docFilter)
-        .select(col("doc_id"), col("text")), sign = 1L)
-      .repartition(buckets, col("h"))
+        .select(col("doc_id"), col("text")), sign = 1L, b)
       .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "h").sortBy("h")
+      .bucketBy(b, "h").sortBy("h")
       .saveAsTable(s"${tablePrefix}_gramdf")
   }
 
   /** One increment's per-gram doc-frequency deltas: ±1 per (gram,
     * distinct doc), pre-summed per gram so an increment appends at most
-    * one row per distinct hash it touches. */
-  private def gramDfDeltas(docs: DataFrame, sign: Long): DataFrame =
-    gramStream(docs).select("h", "doc_id").distinct()
+    * one row per distinct hash it touches.
+    *
+    * The per-doc dedup is IN-ROW (`array_distinct` over the doc's gram
+    * hashes), not a corpus-wide `distinct()` on (h, doc_id): the
+    * relational distinct's map-side partial aggregate holds every
+    * exploded (gram, doc) pair of its scan split — the 8-gram fan-out
+    * hands one task ~100× its input bytes and the hash state falls to
+    * the sort-based path (measured: 4.8 GB of build spill at 256× on
+    * the first gram_index_build sweep). In-row, each doc dedups its own
+    * ≤words-per-doc grams in O(grams) heap, the explode emits already-
+    * unique pairs, and the count aggregates AFTER the bucket-aligned
+    * exchange — a map-side partial aggregate over the raw explode would
+    * hold near-all-unique keys (the fan-out hands one task ~100× its
+    * input bytes) and fall back to externally sorting its whole input;
+    * shuffled first, each task aggregates exactly one bucket's ~400k
+    * hashes in a ~15 MB map, and the very same partitioning feeds the
+    * bucketed write (one file per bucket, no second exchange). Same
+    * values by construction: df = number of docs containing the gram. */
+  private def gramDfDeltas(docs: DataFrame, sign: Long, buckets: Int): DataFrame = {
+    graft.functions.Md5Long60.register(docs.sparkSession)
+    docs.select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= GramK)
+      .select(explode(expr(
+        s"""array_distinct(transform(sequence(1, size(ws) - ${GramK - 1}),
+           |  i -> md5long60(concat_ws(' ', slice(ws, i, $GramK)))))""".stripMargin)).as("h"))
+      .repartition(buckets, col("h"))
       .groupBy("h").agg((count(lit(1)) * lit(sign)).as("df"))
+  }
 
   /** The live membership relation (h with sum(df) > 0) — what probes
     * consume; the groupBy rides the table's h-bucketing, no exchange. */
@@ -1480,9 +1520,10 @@ object Dedup {
     * increment's docs are new, so their +1s are unconditional). */
   def appendGramIndexCounted(docs: DataFrame, tablePrefix: String): Unit = {
     val s = docs.sparkSession
-    gramDfDeltas(docs, sign = 1L)
+    val buckets = bucketsOf(s, s"${tablePrefix}_gramdf")
+    gramDfDeltas(docs, sign = 1L, buckets)
       .write.mode("append").format("parquet")
-      .bucketBy(bucketsOf(s, s"${tablePrefix}_gramdf"), "h").sortBy("h")
+      .bucketBy(buckets, "h").sortBy("h")
       .saveAsTable(s"${tablePrefix}_gramdf")
   }
 
@@ -1511,10 +1552,11 @@ object Dedup {
     val s = docs.sparkSession
     graft.Engine.withWriteIntent(s, tablePrefix, "gramdf-decrement", holdOnFailure = true) {
       val ledger = graft.Takedown.ids(s, tablePrefix, docs, "doc_id")
+      val buckets = bucketsOf(s, s"${tablePrefix}_gramdf")
       gramDfDeltas(docs.join(broadcast(ledger),
-          docs("doc_id") === ledger("id"), "left_semi"), sign = -1L)
+          docs("doc_id") === ledger("id"), "left_semi"), sign = -1L, buckets)
         .write.mode("append").format("parquet")
-        .bucketBy(bucketsOf(s, s"${tablePrefix}_gramdf"), "h").sortBy("h")
+        .bucketBy(buckets, "h").sortBy("h")
         .saveAsTable(s"${tablePrefix}_gramdf")
       graft.Takedown.clear(s, tablePrefix)
     }

@@ -148,8 +148,22 @@ object Events {
     //    input was widened by the `us` projection).
     "x_events_sessions" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      // data-sized explicit spread for the window sort (the
+      // Unigram.segment repartition idiom): AQE's 16 MB advisory
+      // coalesces this narrow (3-long-column) exchange to ~36
+      // partitions at the 256× octave, and 32 concurrent ~700k-row
+      // sort buffers against one shared pool rotate the sorter
+      // (measured: 1.5 GB memoryBytesSpilled per run, 65 MB disk —
+      // EventsProbe). ~250k rows per partition keeps each sort
+      // in-grant at any corpus size; the count probe is parquet-
+      // metadata-cheap, and the repartition SATISFIES the window's
+      // required distribution, so the plan still carries exactly one
+      // user-keyed exchange.
+      val n = math.max(s.sessionState.conf.numShufflePartitions,
+        (graft.Engine.rowCountFast(table(s, d, "events")) / 250000L).toInt)
       ev(s, d)
         .select("user_id", "event_id", "us")
+        .repartition(n, col("user_id"))
         .withColumn("gap", when(
           col("us") - lag("us", 1).over(byUser) > 1800L * 1000000, 1L).otherwise(0L))
         .withColumn("session_id", sum("gap").over(

@@ -227,7 +227,8 @@ object ProductQuant {
     val cb = codebook(s, d)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
-    ivfPqCore(q, coarseProbes(q, cents, nprobe), cb, postingsFor(e, cents, cb), shortlist)
+    ivfPqCore(q, coarseProbes(q, cents, nprobe), cb,
+      postingsFor(e, cents, cb, wide = Similarity.wideArgmax(s, d)), shortlist)
   }
 
   /** The fully-compressed corpus representation the serving index stores:
@@ -235,8 +236,9 @@ object ProductQuant {
     * (M bytes at scale) next to the raw vector the exact re-rank reads.
     * One corpus scan; assignment and code argmin are broadcast partial
     * aggregates; the codes join is key-equi on vec_id. */
-  private def postingsFor(e: DataFrame, cents: DataFrame, cb: DataFrame): DataFrame = {
-    val assigned = Similarity.assignCells(e, cents)
+  private def postingsFor(e: DataFrame, cents: DataFrame, cb: DataFrame,
+      wide: Boolean = false): DataFrame = {
+    val assigned = Similarity.assignCells(e, cents, wide)
     val codes = assignSub(subVecs(e), cb)
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), p -> p.code)").as("cd"))
@@ -309,10 +311,12 @@ object ProductQuant {
       nprobeC: Int, nprobeF: Int, shortlist: Int): DataFrame = {
     val e = Similarity.withNorm(s, d)
     val cb = codebook(s, d)
+    val wide = Similarity.wideArgmax(s, d)
     val asgF = Similarity.assignFine(
-      Similarity.assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+      Similarity.assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")),
+        wide)
         .withColumnRenamed("cid", "ccid"),
-      fine)
+      fine, wide)
     val codes = assignSub(subVecs(e), cb)
       .groupBy("vec_id")
       .agg(expr("transform(array_sort(collect_list(struct(m, code))), p -> p.code)").as("cd"))
@@ -347,7 +351,7 @@ object ProductQuant {
       graft.Engine.reclaimManagedTable(s, tablePrefix + t)
     cb.write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_codebook")
     cents.write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_cents")
-    postingsFor(Similarity.withNorm(s, d), cents, cb)
+    postingsFor(Similarity.withNorm(s, d), cents, cb, wide = Similarity.wideArgmax(s, d))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(s"${tablePrefix}_postings")
@@ -470,8 +474,10 @@ object ProductQuant {
       s.table(s"${tablePrefix}_postings"), tablePrefix, "vec_id")
       .select("vec_id", "embedding", "nrm")
     val n = e.count()
+    // the refit's live-corpus count doubles as the argmax-shape gate
+    val wide = n <= Similarity.wideArgmaxRows
     val cents = Similarity.kmeansCentroidsPortable(
-        e.filter(col("vec_id") % 5 === 0), LshTuning.ivfCells(n), iters = 2)
+        e.filter(col("vec_id") % 5 === 0), LshTuning.ivfCells(n), iters = 2, wide = wide)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cb = fitCodebookOf(e, LshTuning.pqCentroids(n))
@@ -485,7 +491,7 @@ object ProductQuant {
           .saveAsTable(s"${tablePrefix}_codebook__refit")
         cents.write.mode("overwrite").format("parquet")
           .saveAsTable(s"${tablePrefix}_cents__refit")
-        postingsFor(e, cents, cb)
+        postingsFor(e, cents, cb, wide)
           .write.mode("overwrite").format("parquet")
           .bucketBy(buckets, "cid").sortBy("cid")
           .saveAsTable(s"${tablePrefix}_postings__refit")

@@ -99,7 +99,8 @@ object Similarity {
     "x_sim_recall_eval" -> ((s, d) => {
       val e = withNorm(s, d)
       val truth = bruteTopk(e, 5).select(col("qid"), col("vec_id"))
-      val approx = ivfSearch(e, ivfCentroidsPortable(s, d, k = ivfK(s, d)), nprobe = 4)
+      val approx = ivfSearch(e, ivfCentroidsPortable(s, d, k = ivfK(s, d)), nprobe = 4,
+        wide = wideArgmax(s, d))
         .select(col("qid"), col("vec_id")).withColumn("hit", lit(1L))
       truth.join(approx, Seq("qid", "vec_id"), "left")
         .groupBy("qid")
@@ -123,7 +124,8 @@ object Similarity {
           .groupBy("qid")
           .agg(expr("aggregate(transform(array_sort(collect_list(struct(rank, g))), p -> p.g), " +
             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as(out))
-      val ivf = ivfSearch(e, ivfCentroidsPortable(s, d, k = ivfK(s, d)), nprobe = 4)
+      val ivf = ivfSearch(e, ivfCentroidsPortable(s, d, k = ivfK(s, d)), nprobe = 4,
+        wide = wideArgmax(s, d))
       dcgOf(bruteTopk(e, 5), "idcg").join(dcgOf(ivf, "dcg"), Seq("qid"))
         .select(col("qid"), col("dcg"), col("idcg"),
           (col("dcg") / col("idcg")).as("ndcg"))
@@ -243,14 +245,16 @@ object Similarity {
     //    probe re-rank cost stays flat as the corpus grows; the gate
     //    corpus of 500 derives the oracle's 16).
     "x_sim_ivf" -> ((s, d) =>
-      ivfSearch(withNorm(s, d), ivfCentroids(s, d, k = ivfK(s, d)), nprobe = 4)),
+      ivfSearch(withNorm(s, d), ivfCentroids(s, d, k = ivfK(s, d)), nprobe = 4,
+        wide = wideArgmax(s, d))),
 
     // -- engine-portable IVF twin: md5 seed draw, deterministic modulo
     //    sample, and exact scaled-integer centroid means make the whole
     //    2-iteration Lloyd fit + probe reproducible in DuckDB (see the
     //    unrolled-CTE oracle) — the IVF pipeline's hash gate.
     "x_sim_ivf_md5" -> ((s, d) =>
-      ivfSearch(withNorm(s, d), ivfCentroidsPortable(s, d, k = ivfK(s, d)), nprobe = 4)),
+      ivfSearch(withNorm(s, d), ivfCentroidsPortable(s, d, k = ivfK(s, d)), nprobe = 4,
+        wide = wideArgmax(s, d))),
 
     // -- IVF with int8 ASYMMETRIC candidate scoring (ADC) + exact
     //    re-rank, md5-portable end-to-end: candidates inside the probed
@@ -280,7 +284,8 @@ object Similarity {
     //    flat gate; probes 2 coarse × 4 fine.
     "x_sim_ivf2_md5" -> ((s, d) => {
       val (coarse, fine) = ivf2CentroidsPortable(s, d)
-      ivf2Search(withNorm(s, d), coarse, fine, nprobeC = 2, nprobeF = 4)
+      ivf2Search(withNorm(s, d), coarse, fine, nprobeC = 2, nprobeF = 4,
+        wide = wideArgmax(s, d))
     }),
 
     // -- THE COMPOSED SERVING STACK, md5-portable end-to-end: two-level
@@ -374,8 +379,9 @@ object Similarity {
     * full corpus is cell-assigned once, candidates join key-equi on cell
     * id, and top-5 re-ranks exactly. Query side is tiny → broadcast both
     * the centroid table and the probe fan-out. */
-  private def ivfSearch(e: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
-    val assigned = assignCells(e, cents)
+  private def ivfSearch(e: DataFrame, cents: DataFrame, nprobe: Int,
+      wide: Boolean = false): DataFrame = {
+    val assigned = assignCells(e, cents, wide)
     val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -392,31 +398,68 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Size gate for the per-vector argmax shape, env/prop-overridable
+    * (`graft.wideArgmaxRows` sys-prop for specs,
+    * `SPARK_GRAFT_WIDE_ARGMAX_ROWS` for a submit). At or below the
+    * bound the argmax CARRIES the vectors through the aggregate (one
+    * corpus pass, no re-fetch join — the object hash aggregate holds
+    * every group in memory by construction: groups-per-task stays far
+    * under the 65,536 fallback threshold, Engine.scala); above it the
+    * aggregate goes SKINNY and the winner re-fetches its vector
+    * key-equi (the r16 shape that zeroed the 21.5 GB 256×-build
+    * spill — at 10¹⁰ vectors the wide form's sort fallback would
+    * external-sort ~600 B rows again). The r16 skinny-everywhere form
+    * cost the GATE queries 1.5-3×: the re-fetch join re-evaluates its
+    * input subtree, and the assignCells→assignFine chain compounds
+    * that doubling (measured: 16 embeddings scans, 140 exchanges, zero
+    * ReusedExchange in the x_sim_ivf2_md5 plan). Both branches compute
+    * the identical argmax (max cosine, ties to the smallest cell id) —
+    * SimilaritySpec pins branch equality row-for-row. */
+  private[graft] def wideArgmaxRows: Long =
+    sys.props.get("graft.wideArgmaxRows")
+      .orElse(sys.env.get("SPARK_GRAFT_WIDE_ARGMAX_ROWS"))
+      .map(_.toLong).getOrElse(65536L)
+
+  /** The gate decision for a corpus dir — one metadata-cheap count. */
+  private[graft] def wideArgmax(s: SparkSession, d: String): Boolean =
+    graft.Engine.rowCountFast(table(s, d, "embeddings")) <= wideArgmaxRows
+
   /** Nearest-centroid cell assignment: argmax via max(struct(cos, -cid))
     * — deterministic tie-break, map-side-combinable (unlike a row_number
     * window, which would shuffle the whole corpus × centroid product).
-    * `cents`: (cid, ce: array<float>, cn). */
-  private[queries] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    * `cents`: (cid, ce: array<float>, cn). Two plan shapes behind one
+    * semantics — see [[wideArgmaxRows]]:
+    *  - `wide = true` (small corpus): vectors ride the aggregate via
+    *    first(embedding) — exact, the embedding is constant per vec_id
+    *    — so the assignment is ONE pass over `e` with no join;
+    *  - `wide = false` (corpus-scale): scoring projects to (vec_id,
+    *    score-struct) before the aggregate — the object aggregate's
+    *    sort fallback then sorts ~40 B rows that fit task memory at
+    *    any scale (vs the measured 21.5 GB of wide-row spill,
+    *    SCALE_r15) — and the winner re-fetches its vector by key-equi
+    *    join on vec_id. */
+  private[queries] def assignCells(e: DataFrame, cents: DataFrame,
+      wide: Boolean = false): DataFrame = {
     val ccos = (expr("float_dot(embedding, ce)") / (col("nrm") * col("cn"))).as("ccos")
-    // Argmax over SKINNY rows only. The corpus × k scored relation used
-    // to carry each vector's full embedding through the groupBy so a
-    // first() could hand it back — but first(array) forces
-    // ObjectHashAggregate, whose sort-based fallback then externally
-    // sorts corpus × k WIDE (~600 B) rows: 21.5 GB of measured spill in
-    // the 256× ivf2 build (SCALE_r15). Scoring now projects to
-    // (vec_id, score-struct) before the aggregate — the fallback sorts
-    // ~40 B rows that fit task memory at any scale — and the winner
-    // re-fetches its vector by key-equi join on vec_id. The second
-    // consumer of `e` costs nothing extra beyond that one narrow-keyed
-    // shuffle: argmax semantics (max cosine, ties to the smallest cid)
-    // are unchanged, so the md5-portable oracles still replay exactly.
-    val win = e.select(col("vec_id"), col("embedding"), col("nrm"))
-      .join(broadcast(cents), lit(true))
-      .select(col("vec_id"), struct(ccos, (lit(0L) - col("cid")).as("negcid")).as("sc"))
-      .groupBy("vec_id").agg(max("sc").as("m"))
-      .select(col("vec_id"), (lit(0L) - col("m.negcid")).as("cid"))
-    e.join(win, Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    if (wide) {
+      e.select(col("vec_id"), col("embedding"), col("nrm"))
+        .join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          struct(ccos, (lit(0L) - col("cid")).as("negcid")).as("sc"))
+        .groupBy("vec_id")
+        .agg(max("sc").as("m"),
+          first("embedding").as("embedding"), first("nrm").as("nrm"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          (lit(0L) - col("m.negcid")).as("cid"))
+    } else {
+      val win = e.select(col("vec_id"), col("embedding"), col("nrm"))
+        .join(broadcast(cents), lit(true))
+        .select(col("vec_id"), struct(ccos, (lit(0L) - col("cid")).as("negcid")).as("sc"))
+        .groupBy("vec_id").agg(max("sc").as("m"))
+        .select(col("vec_id"), (lit(0L) - col("m.negcid")).as("cid"))
+      e.join(win, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+    }
   }
 
   /** Fitted IVF index registry: a real ANN index is BUILT ONCE (offline)
@@ -512,14 +555,16 @@ object Similarity {
       // the fit runs on a bounded deterministic sample — the classic IVF
       // training recipe (a few-percent sample bounds fit cost regardless
       // of corpus size); assignment + probing still cover the full corpus
-      kmeansCentroids(e.sample(withReplacement = false, 0.2, seed = 42), k, iters = 2)
+      kmeansCentroids(e.sample(withReplacement = false, 0.2, seed = 42), k, iters = 2,
+        wide = wideArgmax(s, d))
     }
 
   private[queries] def ivfCentroidsPortable(s: SparkSession, d: String, k: Int): DataFrame =
     memoizedCentroids(s, d, s"md5$k") {
       // modulo sample instead of Bernoulli: same 20% bound, reproducible
       // in any engine
-      kmeansCentroidsPortable(withNorm(s, d).filter(col("vec_id") % 5 === 0), k, iters = 2)
+      kmeansCentroidsPortable(withNorm(s, d).filter(col("vec_id") % 5 === 0), k, iters = 2,
+        wide = wideArgmax(s, d))
     }
 
   /** Two-level IVF index, md5-portable (see x_sim_ivf2_md5): coarse =
@@ -544,9 +589,10 @@ object Similarity {
       else {
         val sampA = assignCells(
           withNorm(s, d).filter(col("vec_id") % 5 === 0),
-          coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+          coarse.select(col("ccid").as("cid"), col("ce"), col("cn")),
+          wide = wideArgmax(s, d))
           .withColumnRenamed("cid", "ccid")
-        val built = fineFitPortable(sampA, kf, iters = 2)
+        val built = fineFitPortable(sampA, kf, iters = 2, wide = wideArgmax(s, d))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val prev = perSession.putIfAbsent(mapKey, built)
         if (prev != null) { built.unpersist(); prev } else built
@@ -577,23 +623,36 @@ object Similarity {
     * a probed coarse cell has no fine rows, so recall is preserved. The
     * fit itself is untouched by the left join: every ccid present in the
     * fit's sample has ≥ 1 seed by construction, where left ≡ inner. */
-  private[queries] def assignFine(v: DataFrame, fine: DataFrame): DataFrame = {
+  private[queries] def assignFine(v: DataFrame, fine: DataFrame,
+      wide: Boolean = false): DataFrame = {
     val fcos = coalesce(
       expr("float_dot(embedding, fe)") / (col("nrm") * col("fn")), lit(2.0)).as("fcos")
     val fcid = coalesce(col("fcid"), lit(-1L) - col("ccid"))
-    // Same skinny-argmax shape as [[assignCells]] (and for the same
-    // measured reason): the wide v × fine join output is projected down
-    // to (vec_id, score-struct) BEFORE the per-vector aggregate, and the
-    // winning fcid joins back to v for the embedding. v appears twice in
-    // the plan, but its exchanges (the coarse argmax shuffle, the
-    // vec_id-keyed fetch) dedupe under ReuseExchange, so the coarse
-    // scoring work still runs once.
-    val win = v.join(fine, Seq("ccid"), "left")
-      .select(col("vec_id"), struct(fcos, (lit(0L) - fcid).as("negf")).as("sc"))
-      .groupBy("vec_id").agg(max("sc").as("m"))
-      .select(col("vec_id"), (lit(0L) - col("m.negf")).as("fcid"))
-    v.join(win, Seq("vec_id"))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("ccid"), col("fcid"))
+    if (wide) {
+      // small-corpus branch ([[wideArgmaxRows]]): the vectors (and the
+      // per-vec_id-constant ccid) ride the aggregate — ONE pass over v,
+      // no re-fetch, so a chained assignCells→assignFine never
+      // re-evaluates the coarse assignment subtree
+      v.join(fine, Seq("ccid"), "left")
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("ccid"),
+          struct(fcos, (lit(0L) - fcid).as("negf")).as("sc"))
+        .groupBy("vec_id")
+        .agg(max("sc").as("m"), first("embedding").as("embedding"),
+          first("nrm").as("nrm"), first("ccid").as("ccid"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("ccid"),
+          (lit(0L) - col("m.negf")).as("fcid"))
+    } else {
+      // Same skinny-argmax shape as [[assignCells]] (and for the same
+      // measured reason): the wide v × fine join output is projected
+      // down to (vec_id, score-struct) BEFORE the per-vector aggregate,
+      // and the winning fcid joins back to v for the embedding.
+      val win = v.join(fine, Seq("ccid"), "left")
+        .select(col("vec_id"), struct(fcos, (lit(0L) - fcid).as("negf")).as("sc"))
+        .groupBy("vec_id").agg(max("sc").as("m"))
+        .select(col("vec_id"), (lit(0L) - col("m.negf")).as("fcid"))
+      v.join(win, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("ccid"), col("fcid"))
+    }
   }
 
   /** Fine-probe rows for a set of coarse probes: real fine cells via an
@@ -632,7 +691,8 @@ object Similarity {
     * [[kmeansCentroidsPortable]], grouped per fine cell. Every
     * iteration's join is key-equi on ccid. `sampA`: the coarse-assigned
     * sample (vec_id, embedding, nrm, ccid). */
-  private def fineFitPortable(sampA: DataFrame, kf: Int, iters: Int): DataFrame = {
+  private def fineFitPortable(sampA: DataFrame, kf: Int, iters: Int,
+      wide: Boolean = false): DataFrame = {
     val wSeed = Window.partitionBy("ccid")
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
     var fine = sampA.withColumn("rn", row_number().over(wSeed))
@@ -640,7 +700,7 @@ object Similarity {
       .select(col("ccid"), col("vec_id").as("fcid"),
         col("embedding").as("fe"), col("nrm").as("fn"))
     for (_ <- 0 until iters) {
-      fine = assignFine(sampA, fine)
+      fine = assignFine(sampA, fine, wide)
         .select(col("ccid"), col("fcid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .withColumn("q", floor(col("x").cast("double") * lit(1e9)).cast("decimal(38,0)"))
         .groupBy("ccid", "fcid", "pos")
@@ -660,11 +720,11 @@ object Similarity {
     * the same last mile as [[ivfSearch]]. The corpus is assigned
     * coarse-then-fine once; only skinny probe rows broadcast. */
   private[queries] def ivf2Search(e: DataFrame, coarse: DataFrame, fine: DataFrame,
-      nprobeC: Int, nprobeF: Int): DataFrame = {
+      nprobeC: Int, nprobeF: Int, wide: Boolean = false): DataFrame = {
     val assigned = assignFine(
-      assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+      assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")), wide)
         .withColumnRenamed("cid", "ccid"),
-      fine)
+      fine, wide)
     val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("ccid").asc)
     val probesC = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qn"))
@@ -703,7 +763,7 @@ object Similarity {
     val e = withNorm(s, d)
     val cents = ivfCentroidsPortable(s, d, k = ivfK(s, d))
     val qz = quantized(e)
-    val assigned = assignCells(e, cents)
+    val assigned = assignCells(e, cents, wide = wideArgmax(s, d))
       .select(col("vec_id"), col("cid"))
       .join(qz, Seq("vec_id"))
     val wp = Window.partitionBy("qid").orderBy(col("ccos").desc, col("cid").asc)
@@ -756,10 +816,11 @@ object Similarity {
       nprobeC: Int, nprobeF: Int, shortlist: Int): DataFrame = {
     val e = withNorm(s, d)
     val qz = quantized(e)
+    val wide = wideArgmax(s, d)
     val assigned = assignFine(
-      assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+      assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")), wide)
         .withColumnRenamed("cid", "ccid"),
-      fine)
+      fine, wide)
       .select(col("vec_id"), col("fcid"))
       .join(qz, Seq("vec_id"))
     val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("ccid").asc)
@@ -821,9 +882,10 @@ object Similarity {
       .bucketBy(buckets, "ccid")
       .saveAsTable(s"${tablePrefix}_fine")
     assignFine(
-      assignCells(withNorm(s, d), coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+      assignCells(withNorm(s, d), coarse.select(col("ccid").as("cid"), col("ce"), col("cn")),
+        wideArgmax(s, d))
         .withColumnRenamed("cid", "ccid"),
-      fine)
+      fine, wideArgmax(s, d))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("fcid"))
       .repartition(buckets, col("fcid"))
       .write.mode("overwrite").format("parquet")
@@ -1014,15 +1076,21 @@ object Similarity {
     val e = graft.Takedown.excluding(
       s.table(s"${tablePrefix}_postings"), tablePrefix, "vec_id")
       .select("vec_id", "embedding", "nrm")
-    val (kc, kf) = LshTuning.ivfTwoLevel(e.count())
-    val coarse = kmeansCentroidsPortable(e.filter(col("vec_id") % 5 === 0), kc, iters = 2)
+    val rows = e.count()
+    val (kc, kf) = LshTuning.ivfTwoLevel(rows)
+    // the refit counts the live corpus anyway — that count IS the
+    // argmax-shape gate here (the table-based wideArgmax probe would
+    // miscount a heavily tombstoned family)
+    val wide = rows <= wideArgmaxRows
+    val coarse = kmeansCentroidsPortable(e.filter(col("vec_id") % 5 === 0), kc, iters = 2,
+        wide = wide)
       .select(col("cid").as("ccid"), col("ce"), col("cn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val sampA = assignCells(e.filter(col("vec_id") % 5 === 0),
-          coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+          coarse.select(col("ccid").as("cid"), col("ce"), col("cn")), wide)
         .withColumnRenamed("cid", "ccid")
-      val fine = fineFitPortable(sampA, kf, iters = 2)
+      val fine = fineFitPortable(sampA, kf, iters = 2, wide = wide)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         fine.count() // materialize both fits BEFORE any table swap
@@ -1038,9 +1106,9 @@ object Similarity {
           .bucketBy(buckets, "ccid")
           .saveAsTable(s"${tablePrefix}_fine__refit")
         assignFine(
-            assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")))
+            assignCells(e, coarse.select(col("ccid").as("cid"), col("ce"), col("cn")), wide)
               .withColumnRenamed("cid", "ccid"),
-            fine)
+            fine, wide)
           .select(col("vec_id"), col("embedding"), col("nrm"), col("fcid"))
           .repartition(buckets, col("fcid"))
           .write.mode("overwrite").format("parquet")
@@ -1129,11 +1197,12 @@ object Similarity {
     * O(corpus × dims) skinny (cid, pos, x) rows per iteration with
     * map-side combine, and the result is k rows. Empty cells simply
     * drop (k shrinks), keeping the query side total-recall-safe. */
-  private[queries] def kmeansCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[queries] def kmeansCentroids(e: DataFrame, k: Int, iters: Int,
+      wide: Boolean = false): DataFrame = {
     var cents = e.orderBy(xxhash64(col("vec_id"))).limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     for (_ <- 0 until iters) {
-      cents = assignCells(e, cents)
+      cents = assignCells(e, cents, wide)
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(avg("x").as("m"))
         .groupBy("cid")
@@ -1152,11 +1221,12 @@ object Similarity {
     * aggregatable, order-independent, overflow-free), divided as double,
     * rounded once to float. The ~1e-9 quantization keeps the fit a valid
     * k-means variant while making it bit-reproducible in DuckDB. */
-  private[queries] def kmeansCentroidsPortable(samp: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[queries] def kmeansCentroidsPortable(samp: DataFrame, k: Int, iters: Int,
+      wide: Boolean = false): DataFrame = {
     var cents = samp.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"), col("nrm").as("cn"))
     for (_ <- 0 until iters) {
-      cents = assignCells(samp, cents)
+      cents = assignCells(samp, cents, wide)
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .withColumn("q", floor(col("x").cast("double") * lit(1e9)).cast("decimal(38,0)"))
         .groupBy("cid", "pos")

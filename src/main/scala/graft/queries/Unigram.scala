@@ -162,22 +162,38 @@ object Unigram {
       // cluster submit's shuffle.partitions raises the spread with it.
       .repartition(math.max(1,
         words.sparkSession.sessionState.conf.numShufflePartitions), col("w"))
-      .withColumn("lps", expr(
-        s"""transform(sequence(1, $MaxLen), l ->
-           |  transform(sequence(1, length(w)), p ->
-           |    try_element_at(filter(es, e -> e.p = p AND e.l = l), 1).lp))""".stripMargin))
-      .withColumn("dps", expr(
-        s"""aggregate(sequence(1, length(w)), array(CAST(0.0 AS DOUBLE)),
-           |  (acc, p) -> array_append(acc, ${bestScoreSql("acc")}))""".stripMargin))
-      .withColumn("bls", expr(
-        s"transform(sequence(1, length(w)), p -> $bestLenSql)"))
+      // lps / dps / bls are LET-BOUND as lambda variables inside ONE
+      // expression (the single-element-transform pattern the Gopher
+      // battery documents), NOT separate columns: as column aliases,
+      // predicate pushdown SUBSTITUTES them into any downstream filter
+      // (InferFiltersFromGenerate plants `size(ts) > 0` under the
+      // M-step explode and pushes it through this projection AND the
+      // repartition), and interpreted higher-order functions re-
+      // evaluate every reference — the inlined chain multiplies to
+      // ~10⁸ interpreted ops PER WORD at derived-corpus word lengths
+      // (measured on the first unigram_serve octave sweep: the x64 fit
+      // pinned one task for 20+ min inside exactly that inferred
+      // filter). A lambda variable binds its array ONCE per row at
+      // eval time and is opaque to alias substitution, so the DP is
+      // O(MaxLen·len·|es|) per word no matter where the optimizer
+      // copies the expression.
       .withColumn("ts", expr(
-        s"""aggregate(sequence(1, length(w)), CAST(array() AS array<string>),
-           |  (a, x) -> CASE WHEN length(w) - length(concat_ws('', a)) <= 0 THEN a
-           |    ELSE array_prepend(a, substring(w,
-           |      length(w) - length(concat_ws('', a))
-           |        - element_at(bls, length(w) - length(concat_ws('', a))) + 1,
-           |      element_at(bls, length(w) - length(concat_ws('', a))))) END)""".stripMargin))
+        s"""element_at(transform(array(
+           |  transform(sequence(1, $MaxLen), l ->
+           |    transform(sequence(1, length(w)), p ->
+           |      try_element_at(filter(es, e -> e.p = p AND e.l = l), 1).lp))), lps ->
+           |element_at(transform(array(
+           |  aggregate(sequence(1, length(w)), array(CAST(0.0 AS DOUBLE)),
+           |    (acc, p) -> array_append(acc, ${bestScoreSql("acc")}))), dps ->
+           |element_at(transform(array(
+           |  transform(sequence(1, length(w)), p -> $bestLenSql)), bls ->
+           |  aggregate(sequence(1, length(w)), CAST(array() AS array<string>),
+           |    (a, x) -> CASE WHEN length(w) - length(concat_ws('', a)) <= 0 THEN a
+           |      ELSE array_prepend(a, substring(w,
+           |        length(w) - length(concat_ws('', a))
+           |          - element_at(bls, length(w) - length(concat_ws('', a))) + 1,
+           |        element_at(bls, length(w) - length(concat_ws('', a))))) END)
+           |), 1)), 1)), 1)""".stripMargin))
       .select(col("w"), col("n"), col("ts"))
   }
 
@@ -191,12 +207,32 @@ object Unigram {
       .select(col("piece"), coalesce(col("c"), lit(0L)).as("c"))
 
   /** The trained model after [[Iters]] EM rounds: (piece, c, lp) with c
-    * the final Viterbi counts and lp the final quantized log-probs. */
+    * the final Viterbi counts and lp the final quantized log-probs.
+    *
+    * Each iteration's VOCABULARY-SIZED relations (seed vocab, per-
+    * iteration counts — ≤ chars + [[TopK]] rows) materialize to driver-
+    * local relations between iterations (the bpeFit persist pattern,
+    * driver-side because the rows are model-sized): as one lazy chain,
+    * iteration k's plan EMBEDS iteration k−1's entire segmentation —
+    * the nesting compounds across iterations and Catalyst inlines the
+    * per-word DP columns into downstream predicates, re-evaluating the
+    * interpreted lambda chain per consumer (measured on the first
+    * unigram_serve octave sweep: the x64 fit sat 20+ min in ONE task
+    * inside a Filter evaluating the full ts chain; localized, the
+    * whole fit is seconds — each corpus-shaped segmentation pass now
+    * runs EXACTLY ONCE, which is the family's design claim). The
+    * trainer stays one corpus-shaped pass per iteration; only
+    * model-sized rows ever reach the driver. */
   private[graft] def emFit(s: SparkSession, d: String): DataFrame = {
     val words = wordCounts(s, d)
-    val vocab = seedVocab(words)
+    def localized(df: DataFrame): DataFrame = {
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      df.collect().foreach(rows.add)
+      s.createDataFrame(rows, df.schema)
+    }
+    val vocab = localized(seedVocab(words))
     (1 to Iters).foldLeft(probsOf(vocab)) { case (probs, _) =>
-      probsOf(eStepCounts(vocab, segment(words, probs)))
+      probsOf(localized(eStepCounts(vocab, segment(words, probs))))
     }
   }
 

@@ -652,9 +652,10 @@ object Streams {
     * micro-batch of (doc_id, text) rows tokenizes against a FROZEN
     * trained model relation (piece, c, lp, id — Unigram.unigramFit's
     * shape, or the table written by Unigram.writeUnigramModel). The
-    * per-word Viterbi segmentation is a pure function of (word, model)
-    * and ids broadcast per batch, so stream == one-shot batch —
-    * StreamsSpec pins it across a split, including the -1 unk path. */
+    * per-word Viterbi segmentation + id lookup run inside the native
+    * UnigramTokenize expression (round 17) — a pure per-doc function of
+    * (doc, model), so stream == one-shot batch — StreamsSpec pins it
+    * across a split, including the -1 unk path. */
   def unigramTokenize(docs: DataFrame, model: DataFrame)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -240,18 +240,29 @@ class PlanQualitySpec extends SparkSpecBase {
     val partials = p.linesIterator.count(_.contains("partial_max(sc"))
     assert(partials == 1, s"assignment partial pass appears $partials times:\n$p")
     assert(p.contains("ReusedExchange"), s"assignment exchange not reused:\n$p")
-    // the argmax aggregate must stay SKINNY: carrying the vectors
-    // through it as first(embedding) is what forced the object
-    // aggregate's sort fallback over ~600 B rows (21.5 GB of spill in
-    // the 256× ivf2 build, SCALE_r15) — the winner re-fetches its
-    // vector by key-equi join instead, which costs one extra (cheap,
-    // column-pruned) parquet scan: ≤ 2 scans, not ≤ 1, is the
-    // deliberate trade
-    assert(!p.contains("partial_first(embedding"),
-      s"vectors ride the argmax aggregate again:\n$p")
+    // gate-scale corpora take the WIDE argmax branch (round 17,
+    // Similarity.wideArgmaxRows): the vectors ride the hash aggregate —
+    // safe under the 65,536-group fallback threshold — so the whole
+    // assignment is ONE corpus scan, no re-fetch join
+    assert(p.contains("partial_first(embedding"),
+      s"gate-scale assignment should take the wide argmax branch:\n$p")
     val scans = p.linesIterator.count(l =>
       l.contains("FileScan parquet") || l.contains("BatchScan"))
-    assert(scans <= 2, s"embeddings scanned $scans times:\n$p")
+    assert(scans <= 1, s"embeddings scanned $scans times:\n$p")
+    // above the bound the aggregate must go SKINNY: carrying vectors
+    // through it is what forced the object aggregate's sort fallback
+    // over ~600 B rows (21.5 GB of spill in the 256× ivf2 build,
+    // SCALE_r15) — the winner re-fetches key-equi instead, one extra
+    // column-pruned scan being the deliberate trade
+    sys.props("graft.wideArgmaxRows") = "0"
+    try {
+      val q = finalPlanStr("x_dedup_semantic").split("== Initial Plan ==").head
+      assert(!q.contains("partial_first(embedding"),
+        s"vectors ride the argmax aggregate at scale:\n$q")
+      val qScans = q.linesIterator.count(l =>
+        l.contains("FileScan parquet") || l.contains("BatchScan"))
+      assert(qScans <= 2, s"embeddings scanned $qScans times:\n$q")
+    } finally sys.props.remove("graft.wideArgmaxRows")
   }
 
   test("curation: sampler is shuffle-free; contamination broadcasts the benchmark") {

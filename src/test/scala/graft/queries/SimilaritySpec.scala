@@ -486,6 +486,32 @@ class SimilaritySpec extends SparkSpecBase {
       spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("argmax branches: wide and skinny assignment produce identical search results") {
+    // round 17's size-gated argmax (Similarity.wideArgmaxRows): at or
+    // below the bound the vectors ride the aggregate (one pass, no
+    // re-fetch join — the gate-scale fast path); above it the r16
+    // skinny + key-equi re-fetch shape holds (the 256×-build spill
+    // fix). Same argmax semantics by construction — this pins the two
+    // END-TO-END search outputs (through a forced re-fit each, so the
+    // Lloyd iterations exercise the branch too) row-identical.
+    def run(): Seq[String] = {
+      Similarity.invalidateIvfIndex(spark, sf)
+      Similarity.queries("x_sim_ivf2_md5")(spark, sf).collect()
+        .map(_.toString).toSeq
+    }
+    assert(Similarity.wideArgmax(spark, sf), "gate corpus must sit under the wide bound")
+    val wide = run()
+    sys.props("graft.wideArgmaxRows") = "0"
+    try {
+      assert(!Similarity.wideArgmax(spark, sf))
+      val skinny = run()
+      assert(wide == skinny, "wide and skinny argmax branches diverged")
+    } finally {
+      sys.props.remove("graft.wideArgmaxRows")
+      Similarity.invalidateIvfIndex(spark, sf)
+    }
+  }
+
   test("two-level sizing: gate derives (4,4); coarse stays broadcastable out to 10^10 vectors") {
     assert(LshTuning.ivfTwoLevel(500) == ((4, 4))) // gate — static oracle values
     assert(LshTuning.ivfTwoLevel(2000) == ((8, 8))) // sf0.1: 63 cells factor as 8x8
