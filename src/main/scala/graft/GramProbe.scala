@@ -30,6 +30,9 @@ object GramProbe {
       println(f"PROBE $name%-12s ${(System.nanoTime() - t) / 1e9}%8.2f s  " +
         f"sw ${(m.sw - sw0) / 1e6}%9.1f MB  spill ${(m.spill - sp0) / 1e6}%9.1f MB")
     }
+    phase("build_member")(graft.queries.Dedup.writeGramIndex(spark, d, "gram_probe_m"))
+    println("member rows=" + spark.table("gram_probe_m_grams").count())
+    spark.sql("DROP TABLE IF EXISTS gram_probe_m_grams")
     phase("build")(graft.queries.Dedup.writeGramIndexCounted(spark, d, "gram_probe"))
     println("rows=" + spark.table("gram_probe_gramdf").count() +
       " files=" + spark.table("gram_probe_gramdf").inputFiles.length)

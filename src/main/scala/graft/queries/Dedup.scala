@@ -1363,13 +1363,23 @@ object Dedup {
     * are key-equi on `h` and the index side rides its bucketing — never
     * an exchange, however large history grows. */
   def writeGramIndex(s: SparkSession, d: String, tablePrefix: String,
-      buckets: Int = 32, docFilter: Column = lit(true)): Unit = {
+      buckets: Int = 0, docFilter: Column = lit(true)): Unit = {
+    // same build shape as the counted sibling (see gramDfDeltas): the
+    // per-doc dedup runs in-row, the global distinct aggregates AFTER
+    // the bucket-aligned exchange (a map-side partial distinct over the
+    // 8-gram fan-out holds near-all-unique keys and falls back to
+    // sorting its whole input), and the bucket count derives from the
+    // corpus's byte mass — one file per bucket, sorts in-grant at any
+    // scale. Identical hash set: per-doc-distinct then global-distinct
+    // is global-distinct.
+    val b = if (buckets > 0) buckets else gramBuckets(s, d)
     graft.Engine.reclaimManagedTable(s, s"${tablePrefix}_grams")
-    gramStream(table(s, d, "documents").filter(docFilter)
+    perDocDistinctGrams(table(s, d, "documents").filter(docFilter)
         .select(col("doc_id"), col("text")))
-      .select("h").distinct()
+      .repartition(b, col("h"))
+      .distinct()
       .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "h").sortBy("h")
+      .bucketBy(b, "h").sortBy("h")
       .saveAsTable(s"${tablePrefix}_grams")
   }
 
@@ -1497,15 +1507,21 @@ object Dedup {
     * hashes in a ~15 MB map, and the very same partitioning feeds the
     * bucketed write (one file per bucket, no second exchange). Same
     * values by construction: df = number of docs containing the gram. */
-  private def gramDfDeltas(docs: DataFrame, sign: Long, buckets: Int): DataFrame = {
+  private def gramDfDeltas(docs: DataFrame, sign: Long, buckets: Int): DataFrame =
+    perDocDistinctGrams(docs)
+      .repartition(buckets, col("h"))
+      .groupBy("h").agg((count(lit(1)) * lit(sign)).as("df"))
+
+  /** Each doc's DISTINCT gram hashes, deduped in-row and exploded —
+    * one (h) row per (gram, doc); the shared head of both index
+    * builders. Same hashes as [[gramStream]] by construction. */
+  private def perDocDistinctGrams(docs: DataFrame): DataFrame = {
     graft.functions.Md5Long60.register(docs.sparkSession)
     docs.select(split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= GramK)
       .select(explode(expr(
         s"""array_distinct(transform(sequence(1, size(ws) - ${GramK - 1}),
            |  i -> md5long60(concat_ws(' ', slice(ws, i, $GramK)))))""".stripMargin)).as("h"))
-      .repartition(buckets, col("h"))
-      .groupBy("h").agg((count(lit(1)) * lit(sign)).as("df"))
   }
 
   /** The live membership relation (h with sum(df) > 0) — what probes
