@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Production-depth measurement for the BATCHED BPE trainer — the
+  * round-17 verdict's last unmeasured tokenizer-lifecycle axis: serving
+  * is depth-safe (rank-heap, BPE_SERVE_DEPTH_r17) and the batched
+  * trainer is spec-equal to the sequential algorithm, but its
+  * accepted-prefix rate — the thing that divides driver rounds and
+  * therefore wall time at a 32k-merge production vocab — had never been
+  * recorded past 256 merges. This bench trains `steps` (default 1,024)
+  * merges on a copies-derived vocabulary and records:
+  *
+  *  - per-round observability: accepted merges and wall per driver
+  *    round (the roundHook seam), hence driver_rounds vs merges_trained
+  *    and the mean accepted-prefix rate — the claimed ~merges/rounds
+  *    division made a number;
+  *  - wall-per-merge by 256-merge window: whether step cost grows with
+  *    depth (the replace-chain depth is bounded by checkpointEvery, so
+  *    the expected trajectory is flat-ish with checkpoint sawtooth);
+  *  - train → serve closed at depth: the full-depth merge list serves
+  *    through the rank-heap expression — heap == replay equality
+  *    asserted over every distinct corpus word at FULL depth (extending
+  *    the serve bench's pin to the deepest trained model), driver-side
+  *    heap words/sec, and one corpus-serve wall through the actual
+  *    [[graft.functions.BpeTokenize]] expression over the base corpus.
+  *
+  * Usage: sbt "runMain graft.BpeTrainDepthBench [sfDir] [steps]
+  * [outJson] [copies]" — defaults sf0.01, 1024, BPE_TRAIN_DEPTH_r18.json,
+  * 64 copies.
+  */
+object BpeTrainDepthBench {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val steps = if (args.length > 1) args(1).toInt else 1024
+    val out = if (args.length > 2) args(2) else "BPE_TRAIN_DEPTH_r18.json"
+    val copies = if (args.length > 3) args(3).toInt else 64
+    val spark = Engine.session()
+    val words = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val tagged = (0 until copies).map { k =>
+      if (k == 0) words
+      else words.select(concat(col("w"), lit(s"_$k")).as("w"), col("n"))
+    }.reduce(_ unionByName _)
+    val v0 = tagged
+      .select(expr("concat_ws('', transform(split(w, ''), c -> concat('<', c, '>')))").as("v"),
+        col("n"))
+      .groupBy("v").agg(sum("n").as("n")).persist()
+
+    // per-round (accepted, wall): the hook fires once per driver round,
+    // so nanoTime deltas between firings attribute that round's full
+    // cost (pair count + argmax fetch + replace chain + any checkpoint)
+    val rounds = Seq.newBuilder[(Int, Double)]
+    var lastT = System.nanoTime()
+    val t0 = lastT
+    val (trained, _, ckpt) = graft.queries.TextAnalysis.bpeMergesBatched(
+      v0, steps, fetchK = 512, checkpointEvery = 256,
+      roundHook = acc => {
+        val now = System.nanoTime()
+        rounds += ((acc, (now - lastT) / 1e9))
+        lastT = now
+      })
+    val trainWall = (System.nanoTime() - t0) / 1e9
+    ckpt.foreach(_.unpersist(blocking = false))
+    v0.unpersist(blocking = false)
+    val merges = trained.map { case (_, a, b, _) => (a, b) }
+    val roundLog = rounds.result()
+
+    def d1(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
+    def d3(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
+    // wall-per-merge by 256-merge window: assign each round's wall to
+    // the window its LAST accepted merge lands in (rounds never span
+    // more than one window boundary materially at accepted ≪ 256)
+    val windowWall = scala.collection.mutable.LinkedHashMap[Int, (Int, Double)]()
+    var cum = 0
+    roundLog.foreach { case (acc, secs) =>
+      cum += acc
+      val w = (cum - 1) / 256
+      val (m0, s0) = windowWall.getOrElse(w, (0, 0.0))
+      windowWall(w) = (m0 + acc, s0 + secs)
+    }
+    val windows = windowWall.toSeq.map { case (w, (m, s)) =>
+      s"""{"window":$w,"merges":$m,"wall_sec":${d1(s)},""" +
+        s""""sec_per_merge":${d3(s / math.max(m, 1))}}"""
+    }
+
+    // ---- serve the deep model: equality pin + throughput at FULL depth
+    val wordList = tagged.select("w").distinct().collect().map(_.getString(0))
+      .map(w => w.codePoints().toArray)
+    val ranks = graft.functions.BpeTokenize.rankMapOf(merges)
+    wordList.foreach { cps =>
+      val h = graft.functions.BpeTokenize.heapWord(cps, 0, cps.length, ranks)
+      val r = graft.functions.BpeTokenize.replayWord(cps, 0, cps.length, merges)
+      require(h == r,
+        s"heap != replay at depth ${merges.length} on ${new String(cps, 0, cps.length)}")
+    }
+    def timeHeap(): Double = {
+      val t = System.nanoTime()
+      wordList.foreach(cps =>
+        graft.functions.BpeTokenize.heapWord(cps, 0, cps.length, ranks))
+      (System.nanoTime() - t) / 1e9
+    }
+    timeHeap() // JIT warm
+    val heapWps = wordList.length / math.min(timeHeap(), timeHeap())
+
+    // corpus serve through the ACTUAL expression (ids: frequency order
+    // is irrelevant to serving cost — a stable token → index map)
+    val ids = wordList.flatMap(cps =>
+      graft.functions.BpeTokenize.heapWord(cps, 0, cps.length, ranks))
+      .distinct.sorted.zipWithIndex.map { case (t, i) => t -> i.toLong }.toMap
+    val docs = spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+    def serveOnce(): Double = {
+      val t = System.nanoTime()
+      docs.select(col("doc_id"),
+        graft.functions.BpeTokenize.of(col("text"), merges, ids).as("ids"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    serveOnce() // warm
+    val serveWall = math.min(serveOnce(), serveOnce())
+
+    val accepted = roundLog.map(_._1)
+    val json = s"""{"metric":"bpe_train_depth","corpus":"$d","copies":$copies,""" +
+      s""""distinct_words":${wordList.length},"steps_requested":$steps,""" +
+      s""""merges_trained":${merges.length},"train_wall_sec":${d1(trainWall)},""" +
+      s""""sec_per_merge":${d3(trainWall / math.max(merges.length, 1))},""" +
+      s""""driver_rounds":${roundLog.length},""" +
+      s""""accepted_prefix_mean":${d1(merges.length.toDouble / math.max(roundLog.length, 1))},""" +
+      s""""accepted_per_round_min":${if (accepted.isEmpty) 0 else accepted.min},""" +
+      s""""accepted_per_round_max":${if (accepted.isEmpty) 0 else accepted.max},""" +
+      s""""wall_by_256merge_window":[${windows.mkString(",")}],""" +
+      s""""serve_full_depth":{"heap_equals_replay":true,""" +
+      s""""heap_words_per_sec":${d1(heapWps)},""" +
+      s""""corpus_serve_wall_sec":${d3(serveWall)}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    spark.stop()
+  }
+}

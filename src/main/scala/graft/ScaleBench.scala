@@ -368,6 +368,18 @@ object ScaleBench {
         noop(graft.queries.Unigram.tokenizeOf(
           s.read.parquet(s"$d/documents.parquet").select("doc_id", "text"),
           graft.queries.Unigram.unigramFit(s, d)))),
+      // the EM FIT itself through the octaves (round 18 — the r17
+      // verdict's missing row): the projection-substitution regression
+      // class the r17 fix closed (DP columns re-evaluated per reference,
+      // ~10⁸ ops/word, one task 20+ min at x64) would silently return in
+      // a refactor of Unigram.emFit without a standing measurement.
+      // emFit is unmemoized, so both timed runs pay the full 3-iteration
+      // fit; above Unigram.localFitBytes (every octave ≥ 4) the
+      // per-iteration driver localization branch — the shape that fixed
+      // x64 — is what's measured; x1 (sf0.1, under the bound) measures
+      // the lazy chain the gate queries run.
+      ("unigram_fit", scales, (s, d, _) =>
+        noop(graft.queries.Unigram.emFit(s, d))),
       // the counted gram index's lifecycle (round 17): build is
       // corpus-linear by design; takedown appends -1 deltas for a
       // FIXED ~200-doc tombstone set — the O(tombstoned docs) claim
@@ -458,6 +470,8 @@ object ScaleBench {
         noop(graft.queries.Unigram.tokenizeOf(
           spark.read.parquet(s"$warm/documents.parquet").select("doc_id", "text"),
           graft.queries.Unigram.unigramFit(spark, warm)))
+      if (active("unigram_fit"))
+        noop(graft.queries.Unigram.emFit(spark, warm))
       if (active("gram_index_build") || active("gram_takedown") ||
           active("gram_compaction")) {
         graft.queries.Dedup.writeGramIndexCounted(spark, warm, "scale_gm_warm")

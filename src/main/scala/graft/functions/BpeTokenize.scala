@@ -50,6 +50,19 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
     ids: Map[String, Long]) extends UnaryExpression with CodegenFallback {
 
+  // A duplicate trained pair would be silently dropped by rankMapOf
+  // (first rank wins) while the replace-chain replay — the oracle
+  // semantics — applies it at its OWN position: on a pathological vocab
+  // where a later merge re-forms an earlier pair's occurrence
+  // (('a','ab') and ('aa','b') both yielding "aab"), the two engines
+  // could diverge. No trainer in this engine emits duplicates (a fused
+  // pair's count drops to zero), so fail LOUD at construction — the
+  // '<'/'>' delimiter-alphabet posture — instead of serving a silently
+  // re-ranked model.
+  require(merges.distinct.size == merges.size,
+    s"BPE merge list contains duplicate pairs: " +
+      merges.diff(merges.distinct).distinct.take(3).mkString(", "))
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "bpe_tokenize"
   override protected def withNewChildInternal(newChild: Expression): BpeTokenize =
@@ -88,9 +101,10 @@ object BpeTokenize {
     org.apache.spark.sql.GraftColumn.of(
       BpeTokenize(org.apache.spark.sql.GraftColumn.exprOf(text), merges, ids))
 
-  /** rank lookup: lhs symbol → (rhs symbol → 0-based training rank);
-    * a duplicate pair keeps its FIRST (lowest) rank — later duplicates
-    * can never apply (a fused pair cannot re-form). */
+  /** rank lookup: lhs symbol → (rhs symbol → 0-based training rank).
+    * Duplicate pairs are rejected at expression construction (the
+    * case-class require), so putIfAbsent never actually drops a rank —
+    * it stays as defense in depth for direct callers of this helper. */
   private[graft] def rankMapOf(merges: Seq[(String, String)])
       : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
     val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()

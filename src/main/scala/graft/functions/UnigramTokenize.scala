@@ -45,6 +45,12 @@ case class UnigramTokenize(child: Expression,
     model: Map[String, (Double, Long)], maxPieceLen: Int)
     extends UnaryExpression with CodegenFallback {
 
+  // maxPieceLen < 1 would leave every bls(p) at 0 and the walk-back
+  // (pos -= bls(pos)) spinning forever on an executor — fail loud at
+  // plan construction instead (Unigram.MaxLen is always ≥ 1; this
+  // guards direct callers of UnigramTokenize.of).
+  require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "unigram_tokenize"
   override protected def withNewChildInternal(newChild: Expression): UnigramTokenize =

@@ -51,16 +51,9 @@ case class WordpieceTokenize(child: Expression, vocab: Map[String, Long],
   override protected def withNewChildInternal(newChild: Expression): WordpieceTokenize =
     copy(child = newChild)
 
-  @transient private lazy val initial: java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long]()
-    vocab.foreach { case (t, id) => if (!t.startsWith("##")) m.put(t, id) }
-    m
-  }
-  @transient private lazy val continuation: java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long]()
-    vocab.foreach { case (t, id) => if (t.startsWith("##")) m.put(t.substring(2), id) }
-    m
-  }
+  @transient private lazy val bifurcated = WordpieceTokenize.bifurcate(vocab)
+  private def initial = bifurcated._1
+  private def continuation = bifurcated._2
 
   override protected def nullSafeEval(input: Any): Any = {
     val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
@@ -78,9 +71,39 @@ case class WordpieceTokenize(child: Expression, vocab: Map[String, Long],
     ArrayData.toArrayData(out.toArray)
   }
 
-  /** Greedy longest-match over cps[s, e); appends ids, or a single -1
-    * for the whole word when some cursor position has no match. */
   private def tokenizeWord(cps: Array[Int], s: Int, e: Int,
+      out: scala.collection.mutable.ArrayBuffer[Long]): Unit =
+    WordpieceTokenize.greedyWord(cps, s, e, initial, continuation, maxPieceLen, out)
+}
+
+object WordpieceTokenize {
+  def of(text: Column, vocab: Map[String, Long], maxPieceLen: Int): Column =
+    org.apache.spark.sql.GraftColumn.of(
+      WordpieceTokenize(org.apache.spark.sql.GraftColumn.exprOf(text), vocab, maxPieceLen))
+
+  /** The vocabulary pre-bifurcated into word-initial and continuation
+    * (`##`-stripped) probe tables — shared by the expression's lazy
+    * state and the depth bench's driver-side timing. */
+  private[graft] def bifurcate(vocab: Map[String, Long])
+      : (java.util.HashMap[String, java.lang.Long],
+         java.util.HashMap[String, java.lang.Long]) = {
+    val ini = new java.util.HashMap[String, java.lang.Long]()
+    val cont = new java.util.HashMap[String, java.lang.Long]()
+    vocab.foreach { case (t, id) =>
+      if (t.startsWith("##")) cont.put(t.substring(2), id) else ini.put(t, id)
+    }
+    (ini, cont)
+  }
+
+  /** Greedy longest-match over cps[s, e); appends ids, or a single -1
+    * for the whole word when some cursor position has no match.
+    * Static (the BpeTokenize.heapWord pattern) so WpServeDepthBench can
+    * micro-time the serving walk against by-depth vocabularies without
+    * Spark scheduling noise. */
+  private[graft] def greedyWord(cps: Array[Int], s: Int, e: Int,
+      initial: java.util.HashMap[String, java.lang.Long],
+      continuation: java.util.HashMap[String, java.lang.Long],
+      maxPieceLen: Int,
       out: scala.collection.mutable.ArrayBuffer[Long]): Unit = {
     if (s >= e) return
     val mark = out.length
@@ -102,10 +125,4 @@ case class WordpieceTokenize(child: Expression, vocab: Map[String, Long],
       pos += l
     }
   }
-}
-
-object WordpieceTokenize {
-  def of(text: Column, vocab: Map[String, Long], maxPieceLen: Int): Column =
-    org.apache.spark.sql.GraftColumn.of(
-      WordpieceTokenize(org.apache.spark.sql.GraftColumn.exprOf(text), vocab, maxPieceLen))
 }

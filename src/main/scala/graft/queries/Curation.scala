@@ -334,20 +334,8 @@ object Curation {
     //    every double reproduces in DuckDB.
     "x_cur_pagerank" -> ((s, d) => {
       val e = Similarity.withNorm(s, d).filter(col("vec_id") < 200)
-      val edges = knnEdges(e)
-      val nD = e.count().toDouble
-      var pr = e.select(col("vec_id").as("v")).withColumn("pr", lit(1.0) / lit(nD))
-      for (_ <- 1 to 3) {
-        val in = edges.join(pr, col("src") === col("v"))
-          .select(col("dst"), col("src"), (col("pr") / lit(3.0)).as("c"))
-          .groupBy("dst")
-          .agg(expr("aggregate(transform(array_sort(collect_list(struct(src, c))), p -> p.c), " +
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("m"))
-        pr = e.select(col("vec_id").as("v"))
-          .join(in, col("v") === col("dst"), "left")
-          .select(col("v"),
-            (lit(0.15) / lit(nD) + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
-      }
+      val pr = pagerankOf(e.select(col("vec_id").as("v")), knnEdges(e),
+        e.count().toDouble)
       pr.orderBy(col("pr").desc, col("v")).limit(20)
         .select(col("v").as("doc_id"), col("pr"))
     }),
@@ -361,24 +349,13 @@ object Curation {
     //    shared kNN edges; src-ordered folds keep the doubles portable.
     "x_cur_ppr" -> ((s, d) => {
       val e = Similarity.withNorm(s, d).filter(col("vec_id") < 200)
-      val edges = knnEdges(e)
       val langs = table(s, d, "documents")
         .filter(col("doc_id") < 200).select(col("doc_id").as("v"), col("lang"))
       val nSeed = langs.filter(col("lang") === "en").count().toDouble
       val tele = langs.select(col("v"), col("lang"),
         when(col("lang") === "en", lit(1.0) / lit(nSeed)).otherwise(lit(0.0)).as("tele"))
-      var pr = tele.select(col("v"), col("tele").as("pr"))
-      for (_ <- 1 to 3) {
-        val in = edges.join(pr, col("src") === col("v"))
-          .select(col("dst"), col("src"), (col("pr") / lit(3.0)).as("c"))
-          .groupBy("dst")
-          .agg(expr("aggregate(transform(array_sort(collect_list(struct(src, c))), p -> p.c), " +
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("m"))
-        pr = tele.join(in, col("v") === col("dst"), "left")
-          .select(col("v"),
-            (lit(0.15) * col("tele") + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
-      }
-      pr.join(broadcast(tele.select("v", "lang")), Seq("v"))
+      pprOf(tele.select("v", "tele"), knnEdges(e))
+        .join(broadcast(tele.select("v", "lang")), Seq("v"))
         .orderBy(col("pr").desc, col("v")).limit(20)
         .select(col("v").as("doc_id"), col("lang"), col("pr"))
     }),
@@ -394,23 +371,12 @@ object Curation {
     //    labels hash-gate exactly.
     "x_cur_label_prop" -> ((s, d) => {
       val e = Similarity.withNorm(s, d).filter(col("vec_id") < 200)
-      val edges = knnEdges(e)
       val seeds = table(s, d, "embeddings").filter(col("vec_id") < 200)
         .select(col("vec_id").as("v"),
           when(substring(md5(col("vec_id").cast("string")), 1, 1) < "8",
             col("label").cast("long")).as("seed"))
-      var lab = seeds.select(col("v"), col("seed").as("lab"))
-      for (_ <- 1 to 2) {
-        val votes = edges.join(lab, col("dst") === col("v"))
-          .filter(col("lab").isNotNull)
-          .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
-          .groupBy("src")
-          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
-          .select(col("src").as("v"), (-col("m.nl")).as("vlab"))
-        lab = seeds.join(votes, Seq("v"), "left")
-          .select(col("v"), coalesce(col("seed"), col("vlab")).as("lab"))
-      }
-      lab.select(col("v").as("vec_id"), col("lab").as("label_prop")).orderBy("vec_id")
+      labelPropOf(seeds, knnEdges(e))
+        .select(col("v").as("vec_id"), col("lab").as("label_prop")).orderBy("vec_id")
     }),
 
     // -- per-language embedding centroids: documents ⨝ embeddings, then
@@ -765,14 +731,103 @@ object Curation {
 
   /** Top-3 cosine kNN edges over a normed embedding relation — the
     * shared graph the PageRank and label-propagation operators iterate
-    * on (gate graphs bound the corpus side; at 100 TB the edge relation
-    * comes from the persisted ANN index, iterations unchanged). */
-  private def knnEdges(e: DataFrame): DataFrame = {
+    * on. Gate graphs bound the corpus side (a broadcast all-pairs join
+    * is exact and cheap under ~10⁵ nodes); at 100 TB the edge relation
+    * comes from [[knnEdgesFromIndex]] instead — same (src, dst) shape,
+    * iterations unchanged. */
+  private[queries] def knnEdges(e: DataFrame): DataFrame = {
     val q = e.select(col("vec_id").as("src"), col("embedding").as("qe"), col("nrm").as("qn"))
     val scored = broadcast(q).join(e, col("src") =!= col("vec_id"))
       .select(col("src"), col("vec_id").as("dst"),
         (expr("float_dot(qe, embedding)") / (col("qn") * col("nrm"))).as("cos"))
     graft.functions.TopKAgg.topkOf(scored, "src", "dst", "cos", 3).select("src", "dst")
+  }
+
+  /** The corpus-scale edge-discovery path [[knnEdges]]' scaladoc
+    * promises (round 18): top-k cosine edges from the PERSISTED
+    * two-level IVF index ([[Similarity.writeIvf2Index]]) instead of the
+    * broadcast all-pairs join — candidate generation is the serving
+    * probe stack (coarse argmax against a broadcast centroid table,
+    * fine refinement, bucket-pruned postings scans), so edge discovery
+    * is O(nodes × probed-cell mass) with NO cartesian anywhere and the
+    * index side never reshuffled. Under exhaustive probing (nprobe ≥
+    * the fit's cell counts) the candidate set per query is the full
+    * index minus self — edge-set equality to [[knnEdges]] brute force
+    * is exact, not approximate (CurationSpec pins it on the gate
+    * corpus); a production run sets nprobe for the recall its graph
+    * tolerates, trading edges for probe mass the way every ANN serve
+    * does. The returned (src, dst) relation drops into [[pagerankOf]] /
+    * [[pprOf]] / [[labelPropOf]] unchanged. */
+  def knnEdgesFromIndex(nodes: DataFrame, tablePrefix: String,
+      nprobeC: Int, nprobeF: Int, k: Int = 3): DataFrame =
+    Similarity.ivf2SearchRows(nodes, tablePrefix, nprobeC, nprobeF, k = k)
+      .filter(col("rank") <= k)
+      .select(col("qid").as("src"), col("vec_id").as("dst"))
+
+  /** Damped (0.85) PageRank power iterations over an arbitrary
+    * bounded-out-degree edge relation (src, dst) — the Pregel shape in
+    * plain DataFrames: each iteration is a key-equi join of edges
+    * against the current ranks plus a partial-aggregatable sum, so a
+    * 10¹⁰-edge relation iterates as hash joins/aggregates with no
+    * driver round-trips. Contributions sum in src order (bounded fold)
+    * so every double reproduces bit-for-bit in DuckDB — the oracle
+    * contract of the three gate queries that share these loops.
+    * `nodes`: (v); `nD` the node count; `outDeg` the fixed out-degree
+    * the edge builder guarantees (top-k kNN ⇒ k). */
+  def pagerankOf(nodes: DataFrame, edges: DataFrame, nD: Double,
+      iters: Int = 3, outDeg: Double = 3.0): DataFrame = {
+    var pr = nodes.withColumn("pr", lit(1.0) / lit(nD))
+    for (_ <- 1 to iters) {
+      pr = nodes.join(inMass(edges, pr, outDeg), col("v") === col("dst"), "left")
+        .select(col("v"),
+          (lit(0.15) / lit(nD) + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+
+  /** PERSONALIZED PageRank iterations — [[pagerankOf]] with teleport
+    * mass concentrated on a seed set. `tele`: (v, tele) with tele the
+    * per-node teleport weight (0 off-seed, 1/|seeds| on-seed). */
+  def pprOf(tele: DataFrame, edges: DataFrame,
+      iters: Int = 3, outDeg: Double = 3.0): DataFrame = {
+    var pr = tele.select(col("v"), col("tele").as("pr"))
+    for (_ <- 1 to iters) {
+      pr = tele.join(inMass(edges, pr, outDeg), col("v") === col("dst"), "left")
+        .select(col("v"),
+          (lit(0.15) * col("tele") + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+
+  /** One iteration's incoming rank mass per dst — the shared join +
+    * src-ordered-fold aggregate of [[pagerankOf]]/[[pprOf]]. */
+  private def inMass(edges: DataFrame, pr: DataFrame, outDeg: Double): DataFrame =
+    edges.join(pr, col("src") === col("v"))
+      .select(col("dst"), col("src"), (col("pr") / lit(outDeg)).as("c"))
+      .groupBy("dst")
+      .agg(expr("aggregate(transform(array_sort(collect_list(struct(src, c))), p -> p.c), " +
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("m"))
+
+  /** Label-propagation rounds over an arbitrary edge relation: seeds
+    * (v, seed — NULL for unlabeled) hold FIXED; each round every node
+    * takes the majority label of its out-neighbors (ties toward the
+    * smallest label — the knnClassify total order). Integer votes ⇒
+    * exact hash-gating; each round is one key-equi join + two partial
+    * aggregates over the edges, the same cluster shape as the rank
+    * loops. */
+  def labelPropOf(seeds: DataFrame, edges: DataFrame, rounds: Int = 2): DataFrame = {
+    var lab = seeds.select(col("v"), col("seed").as("lab"))
+    for (_ <- 1 to rounds) {
+      val votes = edges.join(lab, col("dst") === col("v"))
+        .filter(col("lab").isNotNull)
+        .groupBy(col("src"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy("src")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("src").as("v"), (-col("m.nl")).as("vlab"))
+      lab = seeds.join(votes, Seq("v"), "left")
+        .select(col("v"), coalesce(col("seed"), col("vlab")).as("lab"))
+    }
+    lab
   }
 
   /** The same edges as DuckDB CTE text (`ev`/`scored`/`edges`), shared
@@ -894,6 +949,7 @@ object Curation {
   def invalidateSizingProbes(d: String): Unit = {
     textBytesMemo.remove(d)
     docIdBoundsMemo.remove(d)
+    footerRowsMemo.keySet.removeIf(_.startsWith(d + "/"))
     ()
   }
 
@@ -924,6 +980,14 @@ object Curation {
   private def sweepFooters[T](s: SparkSession, path: String)(
       f: Iterator[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData] => T): Seq[T] = {
     import scala.jdk.CollectionConverters._
+    sweepFooterMeta(s, path)(md =>
+      f(md.getBlocks.asScala.iterator.flatMap(_.getColumns.asScala)))
+  }
+
+  /** The sweep primitive behind [[sweepFooters]]/[[footerRows]]: applies
+    * `f` to each file's full footer metadata under `path`. */
+  private def sweepFooterMeta[T](s: SparkSession, path: String)(
+      f: org.apache.parquet.hadoop.metadata.ParquetMetadata => T): Seq[T] = {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -933,10 +997,26 @@ object Curation {
     leaves(fs.getFileStatus(root)).map { st =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try f(r.getFooter.getBlocks.asScala.iterator.flatMap(_.getColumns.asScala))
+      try f(r.getFooter)
       finally r.close()
     }
   }
+
+  /** METADATA-ONLY row-count probe: block row counts summed over every
+    * row-group footer of `path` — zero Spark jobs, zero column IO (the
+    * [[textBytes]] treatment for row counts; rowCountFast's count()
+    * fallback is a real job per plan build on a parquet scan, the
+    * x_events_sessions cost ADVICE r17 named). Memoized per path;
+    * SIZING probes only (partition spread), never correctness. */
+  private val footerRowsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def footerRows(s: SparkSession, path: String): Long =
+    footerRowsMemo.computeIfAbsent(path, _ =>
+      sweepFooterMeta(s, path) { md =>
+        import scala.jdk.CollectionConverters._
+        md.getBlocks.asScala.map(_.getRowCount).sum
+      }.sum)
 
   /** C4-rule blocklist, calibrated to the synthetic corpus vocabulary
     * (real deployments load the published bad-words list). */
@@ -1729,9 +1809,16 @@ object Curation {
     // is a prepended 0). Each char encodes as base·1000+value so the
     // fold's element and accumulator share one scalar type: digits
     // (10, d), letters (100, ascii−55); acc = (acc·base + value) % 97.
-    // The redaction exploits the ≤1-planted-IBAN-per-doc gate shape via
-    // min(c) FILTER (ok), the ccn oracle's pattern; the ENGINE replaces
-    // every valid candidate generically.
+    // The redaction folds over EVERY valid candidate — list(c) FILTER
+    // (ok), then list_reduce replace — matching the engine's aggregate-
+    // replace semantics generically instead of leaning on the ≤1-plant-
+    // per-doc gate shape (ADVICE r17: an organic mod-97-passing
+    // candidate alongside a plant would have diverged the min(c) form).
+    // Fold ORDER is immaterial: candidates are fixed-length (14 chars,
+    // \b-delimited) so distinct candidates never substring/overlap-
+    // interact, replace() is global per candidate (duplicate folds
+    // idempotent), and the mask can't re-form a candidate — the engine's
+    // position-ordered fold and this value-ordered one agree.
     "x_cur_iban_redact" -> {
       def mod97(sExpr: String): String =
         s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1758,12 +1845,14 @@ object Curation {
         |  FROM cand),
         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) n_iban,
         |    CAST(count(*) FILTER (WHERE ok) AS BIGINT) n_iban_valid,
-        |    min(c) FILTER (WHERE ok) AS vc
+        |    list(c ORDER BY c) FILTER (WHERE ok) AS vcs
         |  FROM lv GROUP BY doc_id)
         |SELECT t.doc_id, coalesce(a.n_iban, 0) AS n_iban,
         |  coalesce(a.n_iban_valid, 0) AS n_iban_valid,
-        |  CASE WHEN a.vc IS NOT NULL THEN replace(t.t0, a.vc, '$IbanMask')
-        |       ELSE t.t0 END AS redacted
+        |  CASE WHEN a.vcs IS NOT NULL THEN
+        |    list_reduce(list_prepend(t.t0, a.vcs),
+        |      (acc, c) -> replace(acc, c, '$IbanMask'))
+        |  ELSE t.t0 END AS redacted
         |FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin
     },

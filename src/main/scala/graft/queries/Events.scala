@@ -59,6 +59,17 @@ object Events {
     t.withColumn("us", usFor(t))
   }
 
+  /** Rows-per-partition target for the sessionization window sort's
+    * size-gated spread, prop/env-overridable (`graft.sessionSpreadRows`
+    * sys-prop for specs — forcing it tiny pins the spread branch on the
+    * gate corpus; `SPARK_GRAFT_SESSION_SPREAD_ROWS` for a submit).
+    * ~250k narrow rows per sort keeps each buffer inside a fair share
+    * of the unified region at any measured octave (EventsProbe). */
+  private[graft] def sessionSpreadRows: Long =
+    sys.props.get("graft.sessionSpreadRows")
+      .orElse(sys.env.get("SPARK_GRAFT_SESSION_SPREAD_ROWS"))
+      .map(_.toLong).getOrElse(250000L)
+
   /** Window-start bucket: floor `us` to a multiple of `width`. pmod gives
     * FLOOR semantics for pre-1970 (negative) epochs — the same window
     * assignment Spark's own window() makes; the oracles spell the same
@@ -148,22 +159,28 @@ object Events {
     //    input was widened by the `us` projection).
     "x_events_sessions" -> ((s, d) => {
       val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
-      // data-sized explicit spread for the window sort (the
-      // Unigram.segment repartition idiom): AQE's 16 MB advisory
-      // coalesces this narrow (3-long-column) exchange to ~36
-      // partitions at the 256× octave, and 32 concurrent ~700k-row
-      // sort buffers against one shared pool rotate the sorter
-      // (measured: 1.5 GB memoryBytesSpilled per run, 65 MB disk —
-      // EventsProbe). ~250k rows per partition keeps each sort
-      // in-grant at any corpus size; the count probe is parquet-
-      // metadata-cheap, and the repartition SATISFIES the window's
-      // required distribution, so the plan still carries exactly one
-      // user-keyed exchange.
-      val n = math.max(s.sessionState.conf.numShufflePartitions,
-        (graft.Engine.rowCountFast(table(s, d, "events")) / 250000L).toInt)
-      ev(s, d)
-        .select("user_id", "event_id", "us")
-        .repartition(n, col("user_id"))
+      // SIZE-GATED data-sized spread for the window sort (the
+      // wideArgmaxRows pattern): AQE's 16 MB advisory coalesces this
+      // narrow (3-long-column) exchange to ~36 partitions at the 256×
+      // octave, and 32 concurrent ~700k-row sort buffers against one
+      // shared pool rotate the sorter (measured: 1.5 GB
+      // memoryBytesSpilled per run, 65 MB disk — EventsProbe). Above
+      // the gate, an explicit ~[[sessionSpreadRows]]-rows-per-partition
+      // repartition keeps each sort in-grant at any corpus size and
+      // SATISFIES the window's required distribution, so the plan still
+      // carries exactly one user-keyed exchange. At or below it (the
+      // derived width would not exceed the session default anyway) the
+      // window's own AQE-coalesced exchange is strictly better — the
+      // explicit form only pinned the gate corpus at full width. The
+      // row count comes from parquet FOOTER metadata, memoized per
+      // corpus dir (zero jobs — rowCountFast's count() fallback was a
+      // real Spark job per plan build, the r17 ADVICE cost).
+      val n = (Curation.footerRows(s, s"$d/events.parquet") /
+        sessionSpreadRows).toInt
+      val base = ev(s, d).select("user_id", "event_id", "us")
+      val spread = if (n > s.sessionState.conf.numShufflePartitions)
+        base.repartition(n, col("user_id")) else base
+      spread
         .withColumn("gap", when(
           col("us") - lag("us", 1).over(byUser) > 1800L * 1000000, 1L).otherwise(0L))
         .withColumn("session_id", sum("gap").over(

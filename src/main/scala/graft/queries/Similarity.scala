@@ -1005,7 +1005,20 @@ object Similarity {
     * query's verdicts are a pure function of (query vector, frozen
     * index), so any batching of the query set emits identical rows. */
   def ivf2SearchOf(queries: DataFrame, tablePrefix: String,
-      nprobeC: Int, nprobeF: Int, literalProbeCap: Int = 1000): DataFrame = {
+      nprobeC: Int, nprobeF: Int, literalProbeCap: Int = 1000): DataFrame =
+    ivf2SearchRows(queries, tablePrefix, nprobeC, nprobeF, literalProbeCap)
+      .orderBy("qid", "rank")
+
+  /** [[ivf2SearchOf]] WITHOUT the presentation sort, with the top-k
+    * width a parameter — the form bulk edge discovery consumes
+    * (Curation.knnEdgesFromIndex): a downstream graph iteration
+    * aggregates the edges immediately, and collect_list is
+    * order-dependent enough that Catalyst's EliminateSorts cannot drop
+    * a useless global sort below it — at a 10¹⁰-edge relation that
+    * would be a full range-exchange paid for nothing. */
+  private[graft] def ivf2SearchRows(queries: DataFrame, tablePrefix: String,
+      nprobeC: Int, nprobeF: Int, literalProbeCap: Int = 1000,
+      k: Int = 5): DataFrame = {
     val s = queries.sparkSession
     graft.functions.CosineSimilarity.register(s)
     val coarse = s.table(s"${tablePrefix}_coarse")
@@ -1038,8 +1051,7 @@ object Similarity {
     broadcast(probesF)
       .join(postings, probesF("fcid") === postings("fcid") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
-      .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", 5))
-      .orderBy("qid", "rank")
+      .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", k))
   }
 
   /** RE-FIT a persisted two-level index FROM ITS OWN POSTINGS — the

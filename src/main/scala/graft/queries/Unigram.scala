@@ -209,9 +209,10 @@ object Unigram {
   /** The trained model after [[Iters]] EM rounds: (piece, c, lp) with c
     * the final Viterbi counts and lp the final quantized log-probs.
     *
-    * Each iteration's VOCABULARY-SIZED relations (seed vocab, per-
-    * iteration counts — ≤ chars + [[TopK]] rows) materialize to driver-
-    * local relations between iterations (the bpeFit persist pattern,
+    * Above [[localFitBytes]], each iteration's VOCABULARY-SIZED relations
+    * (seed vocab, per-iteration counts — ≤ chars + [[TopK]] rows)
+    * materialize to driver-local relations between iterations (the bpeFit
+    * persist pattern,
     * driver-side because the rows are model-sized): as one lazy chain,
     * iteration k's plan EMBEDS iteration k−1's entire segmentation —
     * the nesting compounds across iterations and Catalyst inlines the
@@ -223,13 +224,40 @@ object Unigram {
     * runs EXACTLY ONCE, which is the family's design claim). The
     * trainer stays one corpus-shaped pass per iteration; only
     * model-sized rows ever reach the driver. */
+  /** Corpus-byte bound for [[emFit]]'s per-iteration driver
+    * materialization, prop/env-overridable (`graft.unigramLocalFitBytes`
+    * sys-prop for specs, `SPARK_GRAFT_UNIGRAM_LOCAL_FIT_BYTES` for a
+    * submit) — the wideArgmaxRows pattern a third time. ABOVE the bound
+    * each iteration's vocabulary-sized counts localize driver-side so
+    * iteration k's plan never embeds k−1's segmentation (as one lazy
+    * chain, Catalyst's alias substitution re-evaluates the interpreted
+    * DP per consumer — measured 20+ min in one task at the x64 octave).
+    * AT OR BELOW it the whole fit stays one lazy chain: the gate corpus'
+    * re-evaluation is milliseconds while the localization's extra eager
+    * job rounds cost ~0.7 s of scheduling (x_text_unigram_train 0.74 →
+    * 1.47 s quiet, the r17 named trade this gate unwinds). Default 4 MiB:
+    * sf0.1 (~1.5 MB — the bench corpus, lazy-proven at 0.74 s through
+    * r12-r16) stays lazy; the first ScaleBench octave above it (x4,
+    * ~6 MB) localizes — the unigram_fit sweep row measures that branch
+    * through 256×. */
+  private[graft] def localFitBytes: Long =
+    sys.props.get("graft.unigramLocalFitBytes")
+      .orElse(sys.env.get("SPARK_GRAFT_UNIGRAM_LOCAL_FIT_BYTES"))
+      .map(_.toLong).getOrElse(4L << 20)
+
   private[graft] def emFit(s: SparkSession, d: String): DataFrame = {
     val words = wordCounts(s, d)
-    def localized(df: DataFrame): DataFrame = {
-      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-      df.collect().foreach(rows.add)
-      s.createDataFrame(rows, df.schema)
-    }
+    // both branches run IDENTICAL arithmetic — localization is purely an
+    // execution strategy (where the model-sized intermediates live);
+    // UnigramSpec pins branch equality on the gate corpus
+    val localize = Curation.textBytes(s, d) > localFitBytes
+    def localized(df: DataFrame): DataFrame =
+      if (!localize) df
+      else {
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        df.collect().foreach(rows.add)
+        s.createDataFrame(rows, df.schema)
+      }
     val vocab = localized(seedVocab(words))
     (1 to Iters).foldLeft(probsOf(vocab)) { case (probs, _) =>
       probsOf(localized(eStepCounts(vocab, segment(words, probs))))

@@ -103,4 +103,20 @@ class TokenizeExprSpec extends SparkSpecBase {
     assert(out == Seq(0L, -1L))
   }
 
+  test("construction guards fail loud: duplicate BPE merge pairs, non-positive maxPieceLen") {
+    // a duplicate trained pair would be silently re-ranked by the heap
+    // while the replay oracle applies it in place (ADVICE r17) — reject
+    // at plan construction, like the '<'/'>' delimiter assert
+    val dup = intercept[IllegalArgumentException] {
+      BpeTokenize.of(col("text"), Seq("a" -> "b", "c" -> "d", "a" -> "b"), Map.empty)
+    }
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
+    // maxPieceLen < 1 would spin the unigram walk-back forever on an
+    // executor (bls stays 0) — fail at construction instead
+    val bad = intercept[IllegalArgumentException] {
+      UnigramTokenize.of(col("text"), Map("a" -> (-1.0, 0L)), 0)
+    }
+    assert(bad.getMessage.contains("maxPieceLen"), bad.getMessage)
+  }
+
 }

@@ -650,6 +650,50 @@ class CurationSpec extends SparkSpecBase {
     assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse, "descending pr")
   }
 
+  test("knnEdgesFromIndex: exhaustive probes equal brute force; iterations unchanged; plan cartesian-free, probe-pruned") {
+    // the 100 TB edge-discovery path (round 18): build a persisted IVF2
+    // index over EXACTLY the gate graph's node set, probe it
+    // exhaustively (nprobe ≥ the fit's cell counts → candidate set =
+    // index minus self, recall 1.0 by construction), and pin edge-set
+    // equality to the broadcast all-pairs brute force
+    val tmp = java.nio.file.Files.createTempDirectory("graft_knn_idx").toFile.getPath
+    spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 200)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    Similarity.writeIvf2Index(spark, tmp, "knn_edges_idx")
+    try {
+      val e = Similarity.withNorm(spark, tmp)
+      val brute = Curation.knnEdges(e)
+      val q = spark.read.parquet(s"$tmp/embeddings.parquet").select("vec_id", "embedding")
+      val idx = Curation.knnEdgesFromIndex(q, "knn_edges_idx", nprobeC = 64, nprobeF = 64)
+      def edgeSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (bs, is) = (edgeSet(brute), edgeSet(idx))
+      assert(is == bs, s"index edges diverge from brute force: " +
+        s"only-index=${(is -- bs).take(5)} only-brute=${(bs -- is).take(5)}")
+      // the graph iterations consume either relation UNCHANGED —
+      // pagerank over index edges equals pagerank over brute edges
+      def ranks(edges: org.apache.spark.sql.DataFrame) =
+        Curation.pagerankOf(e.select(col("vec_id").as("v")), edges, 200.0)
+          .orderBy("v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(ranks(idx) == ranks(brute), "pagerank over index edges diverged")
+      // plan shape: the index path must never plan a cartesian — the
+      // probe stack is broadcast joins over pruned scans
+      val p = idx.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"index edge path planned a cartesian:\n$p")
+      // and a NON-exhaustive probe set bucket-prunes the index scans at
+      // planning time (the sub-linear serving claim carried over)
+      val pp = Curation.knnEdgesFromIndex(q.filter(col("vec_id") < 3),
+        "knn_edges_idx", nprobeC = 1, nprobeF = 1)
+        .queryExecution.executedPlan.toString
+      val sel = """SelectedBucketsCount: (\d+) out of (\d+)""".r
+      assert(sel.findAllMatchIn(pp).exists(m => m.group(1).toInt < m.group(2).toInt),
+        s"probed index scans not bucket-pruned:\n$pp")
+    } finally {
+      for (t <- Seq("_coarse", "_fine", "_postings"))
+        spark.sql(s"DROP TABLE IF EXISTS knn_edges_idx$t")
+    }
+  }
+
   test("contrastive pairs: positive excluded from negatives, sources consistent, composed from gated chains") {
     import org.apache.spark.sql.functions._
     val rows = Curation.queries("x_cur_contrastive")(spark, sf).collect()

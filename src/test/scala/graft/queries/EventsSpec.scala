@@ -94,6 +94,28 @@ class EventsSpec extends SparkSpecBase {
     assert(rows.exists(_._2.isEmpty), "some view should have no later purchase")
   }
 
+  test("sessionization spread gate: branches agree; footer row probe is exact") {
+    // gate corpus sits under the bound → the window's own AQE-coalesced
+    // exchange, no explicit repartition in the plan
+    val q = Events.queries("x_events_sessions")
+    def planStr = q(spark, sf).queryExecution.optimizedPlan.toString
+    assert(!planStr.contains("RepartitionByExpression"),
+      s"gate corpus should skip the explicit spread:\n$planStr")
+    val plain = q(spark, sf).collect().toSeq
+    // force the spread branch (the wideArgmaxRows sys-prop idiom) and
+    // pin row-for-row equality — the spread is execution strategy only
+    sys.props("graft.sessionSpreadRows") = "10"
+    try {
+      assert(planStr.contains("RepartitionByExpression"),
+        s"tiny spread target should engage the explicit spread:\n$planStr")
+      assert(q(spark, sf).collect().toSeq == plain,
+        "spread and plain sessionization branches diverged")
+    } finally sys.props.remove("graft.sessionSpreadRows")
+    // the sizing probe reads parquet footers only — exact vs a real count
+    assert(Curation.footerRows(spark, s"$sf/events.parquet") ==
+      spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
   test("rate anomaly: integer z² verdicts match a driver recompute; both verdicts occur") {
     val rows = Events.queries("x_events_anomaly")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))

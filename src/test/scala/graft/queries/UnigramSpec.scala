@@ -32,6 +32,21 @@ class UnigramSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("emFit localization gate: lazy-chain and localized branches train the identical model") {
+    // the per-iteration driver materialization (the x64-octave fix) is
+    // execution strategy only — above/below graft.unigramLocalFitBytes
+    // the arithmetic is identical. Gate corpus sits under the bound.
+    assert(Curation.textBytes(spark, sf) <= Unigram.localFitBytes,
+      "gate corpus should take the lazy-chain branch")
+    def modelRows = Unigram.emFit(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val lazyChain = modelRows
+    sys.props("graft.unigramLocalFitBytes") = "0"
+    try assert(modelRows == lazyChain,
+      "localized and lazy-chain EM fits diverged")
+    finally sys.props.remove("graft.unigramLocalFitBytes")
+  }
+
   test("viterbi: every segmentation matches a driver-side DP recompute") {
     // independent reimplementation of the stated algorithm (plain Scala,
     // no shared SQL): max score over ≤4-char pieces, ties to the
