@@ -25,9 +25,29 @@ import org.apache.spark.sql.functions._
   *    heap words/sec, and one corpus-serve wall through the actual
   *    [[graft.functions.BpeTokenize]] expression over the base corpus.
   *
+  * The copy derivation has two modes, because the accepted-prefix rate
+  * is a CORPUS property, not a trainer property:
+  *  - `tag` (the serve-bench derivation): copy k suffixes every word
+  *    with `_k`. Copies share their base characters, so the global
+  *    top pairs are the SAME ~31-base-word chains at 64× the count —
+  *    pair mass chains and count-ties everywhere, the worst case for
+  *    prefix acceptance (rule 1 stops on chained symbols, rule 2's
+  *    strict-count trim stops on ties). This measures the DEGENERATE
+  *    regime: accepted → 1, i.e. exactly the sequential algorithm.
+  *  - `rotate`: copy k additionally rotates the a-z alphabet by k
+  *    (translate), so each copy carries its OWN character population —
+  *    pair distributions disjoint across copies, the way a fresh
+  *    crawl's vocabulary actually grows. Counts stay exactly TIED
+  *    across copies (rotation preserves them), so rule 2's strict-count
+  *    trim still closes most prefixes — measured 1.4 accepted/round.
+  *  - `rotatew`: rotate + copy k's counts scaled by (k+1), breaking the
+  *    cross-copy count ties — disjoint pairs AND distinct counts, the
+  *    Zipf-like top a real crawl presents. This is the regime the
+  *    prefix acceptance actually batches.
+  *
   * Usage: sbt "runMain graft.BpeTrainDepthBench [sfDir] [steps]
-  * [outJson] [copies]" — defaults sf0.01, 1024, BPE_TRAIN_DEPTH_r18.json,
-  * 64 copies.
+  * [outJson] [copies] [mode]" — defaults sf0.01, 1024,
+  * BPE_TRAIN_DEPTH_r18.json, 64 copies, tag.
   */
 object BpeTrainDepthBench {
   def main(args: Array[String]): Unit = {
@@ -35,13 +55,26 @@ object BpeTrainDepthBench {
     val steps = if (args.length > 1) args(1).toInt else 1024
     val out = if (args.length > 2) args(2) else "BPE_TRAIN_DEPTH_r18.json"
     val copies = if (args.length > 3) args(3).toInt else 64
+    val mode = if (args.length > 4) args(4) else "tag"
     val spark = Engine.session()
     val words = spark.read.parquet(s"$d/documents.parquet")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
+    val az = "abcdefghijklmnopqrstuvwxyz"
     val tagged = (0 until copies).map { k =>
       if (k == 0) words
-      else words.select(concat(col("w"), lit(s"_$k")).as("w"), col("n"))
+      else {
+        val base =
+          if (mode == "rotate" || mode == "rotatew") {
+            val rot = az.substring(k % 26) + az.substring(0, k % 26)
+            words.select(translate(col("w"), az, rot).as("w"), col("n"))
+          } else words
+        val weighted =
+          if (mode == "rotatew")
+            base.select(col("w"), (col("n") * lit(k + 1L)).as("n"))
+          else base
+        weighted.select(concat(col("w"), lit(s"_$k")).as("w"), col("n"))
+      }
     }.reduce(_ unionByName _)
     val v0 = tagged
       .select(expr("concat_ws('', transform(split(w, ''), c -> concat('<', c, '>')))").as("v"),
@@ -124,7 +157,7 @@ object BpeTrainDepthBench {
     val serveWall = math.min(serveOnce(), serveOnce())
 
     val accepted = roundLog.map(_._1)
-    val json = s"""{"metric":"bpe_train_depth","corpus":"$d","copies":$copies,""" +
+    val json = s"""{"metric":"bpe_train_depth","corpus":"$d","copies":$copies,"mode":"$mode",""" +
       s""""distinct_words":${wordList.length},"steps_requested":$steps,""" +
       s""""merges_trained":${merges.length},"train_wall_sec":${d1(trainWall)},""" +
       s""""sec_per_merge":${d3(trainWall / math.max(merges.length, 1))},""" +

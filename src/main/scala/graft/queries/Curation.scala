@@ -207,6 +207,36 @@ object Curation {
         .orderBy("doc_id")
     }),
 
+    // -- SPLIT STABILITY under incremental maintenance (round 18): the
+    //    leakage-safe split's guarantee must survive the daily-crawl
+    //    path — a doc folded in later via Dedup.appendClusterLabels can
+    //    never land its near-dup across the split boundary. The gate
+    //    runs the COMPOSED lifecycle: labels built over the base slice
+    //    only (docs outside the simulated late batch, pairs with both
+    //    ends old), the late batch folded in with its discovered pairs
+    //    (any end new — exactly the new↔index ∪ new↔new set the
+    //    incremental candidate machinery yields), split assigned from
+    //    the MERGED labels. The ORACLE is the plain full-batch
+    //    clustering + split (the x_cur_split oracle verbatim): hash
+    //    equality IS the stability proof — incremental ≡ rebuild, so
+    //    the cluster-keyed split cannot separate near-dups regardless
+    //    of arrival order.
+    "x_cur_split_stability" -> ((s, d) => {
+      val docs = table(s, d, "documents").select("doc_id")
+      def late(c: org.apache.spark.sql.Column) = c % 7 === 3
+      val pairs = Dedup.md5MinhashPairs(s, d).select("da", "db")
+      val oldLabels = Dedup.starClusters(
+        docs.filter(!late(col("doc_id"))),
+        pairs.filter(!late(col("da")) && !late(col("db"))))._1
+      val merged = Dedup.appendClusterLabels(oldLabels,
+        docs.filter(late(col("doc_id"))),
+        pairs.filter(late(col("da")) || late(col("db"))))
+      merged.withColumn("split",
+        when(substring(md5(col("cluster").cast("string")), 1, 1) < "2", lit("val"))
+          .otherwise(lit("train")))
+        .orderBy("doc_id")
+    }),
+
     // -- hard-negative mining for retrieval training: for each query
     //    doc, the nearest embedding-cosine neighbors that are NOT
     //    near-duplicates of it (different dedup cluster) — the standard
@@ -1506,6 +1536,23 @@ object Curation {
         |FROM sp WHERE seq < $PackSpansGateSeqCap ORDER BY seq, doc_id""".stripMargin,
 
     "x_cur_split" ->
+      s"""WITH RECURSIVE ${Dedup.md5MinhashCte},
+        |p AS (SELECT da, db FROM est WHERE est_j >= 0.5),
+        |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),
+        |reach(src, dst) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+        |cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src)
+        |SELECT doc_id, cluster,
+        |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < '2'
+        |       THEN 'val' ELSE 'train' END AS split
+        |FROM cl ORDER BY doc_id""".stripMargin,
+
+    // the full-batch oracle VERBATIM against the engine's composed
+    // incremental path (base labels → appendClusterLabels fold → split):
+    // hash equality is the incremental-≡-rebuild stability proof
+    "x_cur_split_stability" ->
       s"""WITH RECURSIVE ${Dedup.md5MinhashCte},
         |p AS (SELECT da, db FROM est WHERE est_j >= 0.5),
         |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),

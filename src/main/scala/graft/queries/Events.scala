@@ -168,17 +168,23 @@ object Events {
       // the gate, an explicit ~[[sessionSpreadRows]]-rows-per-partition
       // repartition keeps each sort in-grant at any corpus size and
       // SATISFIES the window's required distribution, so the plan still
-      // carries exactly one user-keyed exchange. At or below it (the
-      // derived width would not exceed the session default anyway) the
-      // window's own AQE-coalesced exchange is strictly better — the
-      // explicit form only pinned the gate corpus at full width. The
-      // row count comes from parquet FOOTER metadata, memoized per
-      // corpus dir (zero jobs — rowCountFast's count() fallback was a
-      // real Spark job per plan build, the r17 ADVICE cost).
+      // carries exactly one user-keyed exchange. The gate compares the
+      // derived width against the FLEET width (defaultParallelism —
+      // NOT conf.numShufflePartitions, which under AQE reports the
+      // inflated initialPartitionNum and would never trip): at or
+      // below one target-sized sort per core, the window's own
+      // AQE-coalesced exchange runs few enough concurrent sorters
+      // that each holds an ample pool share (x64 measured clean);
+      // above it, full-width concurrency meets >target-sized buffers —
+      // the measured rotation regime (x256: 1.5 GB memfreed + 65 MB
+      // disk per run without the spread, zero with it). The row count
+      // comes from parquet FOOTER metadata, memoized per corpus dir
+      // (zero jobs — rowCountFast's count() fallback was a real Spark
+      // job per plan build, the r17 ADVICE cost).
       val n = (Curation.footerRows(s, s"$d/events.parquet") /
         sessionSpreadRows).toInt
       val base = ev(s, d).select("user_id", "event_id", "us")
-      val spread = if (n > s.sessionState.conf.numShufflePartitions)
+      val spread = if (n > s.sparkContext.defaultParallelism)
         base.repartition(n, col("user_id")) else base
       spread
         .withColumn("gap", when(

@@ -238,8 +238,10 @@ object Unigram {
     * 1.47 s quiet, the r17 named trade this gate unwinds). Default 4 MiB:
     * sf0.1 (~1.5 MB — the bench corpus, lazy-proven at 0.74 s through
     * r12-r16) stays lazy; the first ScaleBench octave above it (x4,
-    * ~6 MB) localizes — the unigram_fit sweep row measures that branch
-    * through 256×. */
+    * ~6 MB) localizes. The fit is a STANDING sweep row — SCALE_r18
+    * `unigram_fit`: tail exponent 0.535, zero shuffle-spill through
+    * 256×, so the projection-substitution regression class the r17 fix
+    * closed stays permanently fenced. */
   private[graft] def localFitBytes: Long =
     sys.props.get("graft.unigramLocalFitBytes")
       .orElse(sys.env.get("SPARK_GRAFT_UNIGRAM_LOCAL_FIT_BYTES"))

@@ -650,6 +650,27 @@ class CurationSpec extends SparkSpecBase {
     assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse, "descending pr")
   }
 
+  test("split stability: late-folded docs never land near-dups across the split; composed == batch") {
+    val composed = Curation.queries("x_cur_split_stability")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val batch = Curation.queries("x_cur_split")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // the composed lifecycle (base labels → appendClusterLabels fold →
+    // split) must reproduce the full-batch split EXACTLY — same
+    // clusters, same assignments, regardless of arrival order
+    assert(composed.toSeq == batch.toSeq,
+      "incremental split diverged from the batch rebuild")
+    // and the leakage property itself, asserted directly: no discovered
+    // near-dup pair straddles the boundary
+    val split = composed.map(t => t._1 -> t._3).toMap
+    val pairs = Dedup.md5MinhashPairs(spark, sf).select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "gate corpus must discover near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a, $b) straddles the split")
+    }
+  }
+
   test("knnEdgesFromIndex: exhaustive probes equal brute force; iterations unchanged; plan cartesian-free, probe-pruned") {
     // the 100 TB edge-discovery path (round 18): build a persisted IVF2
     // index over EXACTLY the gate graph's node set, probe it
