@@ -271,6 +271,18 @@ object ScaleBench {
           .collect()
         ()
       }),
+      // index-backed kNN edge discovery (round 18): top-3 cosine edges
+      // for a FIXED 200-node set against the m×-grown ivf2 index — the
+      // phashIncrement pattern, so the exponent measures how the graph
+      // family's edge-discovery cost tracks index size (near-flat is
+      // the design claim: bucket-pruned postings scans, probe mass
+      // independent of corpus)
+      ("knn_edges_index", scales, (s, d, m) => {
+        noop(graft.queries.Curation.knnEdgesFromIndex(
+          s.read.parquet(s"$base/embeddings.parquet")
+            .filter(col("vec_id") < 200).select("vec_id", "embedding"),
+          s"scale_ivf2_x$m", nprobeC = 2, nprobeF = 4))
+      }),
       // the round-12 serving family: the lexical index build scales
       // with the document corpus (a posting explode into three bucketed
       // writes); the hybrid probe runs a FIXED 50-query set against the
@@ -358,6 +370,14 @@ object ScaleBench {
         noop(graft.queries.Wordpiece.tokenizeOf(
           s.read.parquet(s"$d/documents.parquet").select("doc_id", "text"),
           graft.queries.Wordpiece.wordpieceFit(s, d)))),
+      // the BPE family's serve row (round 18 — completing the
+      // three-family symmetry): same memo split as tokenize_serve /
+      // unigram_serve — run A pays the (now memoized) fit, run B is
+      // pure rank-heap expression serving
+      ("bpe_serve", deepScales, (s, d, _) =>
+        noop(graft.queries.TextAnalysis.tokenizeOf(
+          s.read.parquet(s"$d/documents.parquet").select("doc_id", "text"),
+          graft.queries.TextAnalysis.bpeFit(s, d, 3)))),
       // the unigram family's serve row (round 17): the LAST tokenizer
       // moved off the join-gather shape onto the native expression —
       // this row is the measurement the r16 verdict asked for (the
@@ -429,11 +449,17 @@ object ScaleBench {
         noop(graft.queries.Dedup.queries("x_dedup_rewrite")(spark, warm))
       if (active("bm25"))
         noop(graft.queries.TextAnalysis.queries("x_text_bm25")(spark, warm))
-      if (active("ivf2_build") || active("ivf2_search") || active("hybrid_search")) {
+      if (active("ivf2_build") || active("ivf2_search") || active("hybrid_search") ||
+          active("knn_edges_index")) {
         graft.queries.Similarity.writeIvf2Index(spark, warm, "scale_warm")
         graft.queries.Similarity
           .ivf2SearchAgainstIndex(spark, warm, "scale_warm", nprobeC = 2, nprobeF = 4)
           .collect()
+        if (active("knn_edges_index"))
+          noop(graft.queries.Curation.knnEdgesFromIndex(
+            spark.read.parquet(s"$warm/embeddings.parquet")
+              .filter(col("vec_id") < 200).select("vec_id", "embedding"),
+            "scale_warm", nprobeC = 2, nprobeF = 4))
       }
       if (active("bm25_index_build") || active("hybrid_search"))
         graft.queries.TextAnalysis.writeBm25Index(spark, warm, "scale_bm_warm")
@@ -472,6 +498,10 @@ object ScaleBench {
           graft.queries.Unigram.unigramFit(spark, warm)))
       if (active("unigram_fit"))
         noop(graft.queries.Unigram.emFit(spark, warm))
+      if (active("bpe_serve"))
+        noop(graft.queries.TextAnalysis.tokenizeOf(
+          spark.read.parquet(s"$warm/documents.parquet").select("doc_id", "text"),
+          graft.queries.TextAnalysis.bpeFit(spark, warm, 3)))
       if (active("gram_index_build") || active("gram_takedown") ||
           active("gram_compaction")) {
         graft.queries.Dedup.writeGramIndexCounted(spark, warm, "scale_gm_warm")

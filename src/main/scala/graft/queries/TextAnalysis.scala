@@ -1045,7 +1045,42 @@ object TextAnalysis {
     * table (vocabulary-sized, broadcast at apply time). */
   case class BpeModel(merges: Seq[(Long, String, String, Long)], ids: DataFrame)
 
+  /** Trained-model memo per (session, corpus dir, steps) — the
+    * Wordpiece/Unigram fittedModel contract applied to the third
+    * family (round 18): a tokenizer trains once (offline) and serves
+    * many times, so serving entries must not re-run the merge loop per
+    * query; the memoized ids relation is LOCALIZED driver-side
+    * (vocabulary-sized — as a lazy plan every consumer would replay the
+    * whole fit). Stopped sessions are purged on access. */
+  private val fittedBpe = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[(String, Int), BpeModel]]()
+
+  /** Drop the memoized BPE model(s) for (session, corpus dir) — call
+    * after the corpus at `d` is rewritten in place. */
+  def invalidateBpeModel(s: SparkSession, d: String): Unit = {
+    val inner = fittedBpe.get(s)
+    if (inner != null) { inner.keySet.removeIf(_._1 == d); () }
+  }
+
   private[graft] def bpeFit(s: SparkSession, d: String, steps: Int): BpeModel = {
+    fittedBpe.keySet.removeIf(sess => sess.sparkContext.isStopped)
+    val perSession = fittedBpe.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[(String, Int), BpeModel]())
+    // fit OUTSIDE the mapping function (the memoizedCentroids contract
+    // note): racing fitters may duplicate work, winner served
+    val cached = perSession.get((d, steps))
+    if (cached != null) cached
+    else {
+      val m = bpeFitUncached(s, d, steps)
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      m.ids.collect().foreach(rows.add)
+      val built = BpeModel(m.merges, s.createDataFrame(rows, m.ids.schema))
+      val prev = perSession.putIfAbsent((d, steps), built)
+      if (prev != null) prev else built
+    }
+  }
+
+  private def bpeFitUncached(s: SparkSession, d: String, steps: Int): BpeModel = {
     import org.apache.spark.sql.expressions.Window
     val v0 = bpeVocab(s, d).persist()
     val merges = try bpeMergesOnly(v0, steps) finally v0.unpersist(blocking = false)
