@@ -35,15 +35,19 @@ import org.apache.spark.sql.functions._
   *    strict-count trim stops on ties). This measures the DEGENERATE
   *    regime: accepted → 1, i.e. exactly the sequential algorithm.
   *  - `rotate`: copy k additionally rotates the a-z alphabet by k
-  *    (translate), so each copy carries its OWN character population —
-  *    pair distributions disjoint across copies, the way a fresh
-  *    crawl's vocabulary actually grows. Counts stay exactly TIED
-  *    across copies (rotation preserves them), so rule 2's strict-count
-  *    trim still closes most prefixes — measured 1.4 accepted/round.
+  *    (translate; ≤ 26 copies — one per distinct rotation, enforced),
+  *    so each copy carries its OWN character population — pair
+  *    distributions disjoint across copies, the way a fresh crawl's
+  *    vocabulary actually grows. Measured 1.3 accepted/round (max 38).
   *  - `rotatew`: rotate + copy k's counts scaled by (k+1), breaking the
   *    cross-copy count ties — disjoint pairs AND distinct counts, the
-  *    Zipf-like top a real crawl presents. This is the regime the
-  *    prefix acceptance actually batches.
+  *    Zipf-like top a real crawl presents. Measured 1.4 accepted/round.
+  *
+  * The regime split's conclusion (BPE_TRAIN_DEPTH_r18.json): on this
+  * 31-base-word testdata the DOMINANT acceptance bound is Zipf-top
+  * pair CHAINING within each word family (rule 1 — inherent, correct),
+  * not the count ties; a broad-vocabulary crawl spreads its top-512
+  * across disjoint words far more than 31 base words can.
   *
   * Usage: sbt "runMain graft.BpeTrainDepthBench [sfDir] [steps]
   * [outJson] [copies] [mode]" — defaults sf0.01, 1024,
@@ -56,6 +60,11 @@ object BpeTrainDepthBench {
     val out = if (args.length > 2) args(2) else "BPE_TRAIN_DEPTH_r18.json"
     val copies = if (args.length > 3) args(3).toInt else 64
     val mode = if (args.length > 4) args(4) else "tag"
+    // the rotate regimes' whole premise is per-copy-DISJOINT character
+    // populations; a 27th copy would wrap (k % 26) onto an existing
+    // alphabet and silently dilute the regime back toward `tag`
+    require(mode == "tag" || copies <= 26,
+      s"rotate modes support at most 26 copies (26 distinct a-z rotations), got $copies")
     val spark = Engine.session()
     val words = spark.read.parquet(s"$d/documents.parquet")
       .select(explode(split(col("text"), " ")).as("w"))

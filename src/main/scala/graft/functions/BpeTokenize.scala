@@ -50,18 +50,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
     ids: Map[String, Long]) extends UnaryExpression with CodegenFallback {
 
-  // A duplicate trained pair would be silently dropped by rankMapOf
-  // (first rank wins) while the replace-chain replay — the oracle
-  // semantics — applies it at its OWN position: on a pathological vocab
-  // where a later merge re-forms an earlier pair's occurrence
-  // (('a','ab') and ('aa','b') both yielding "aab"), the two engines
-  // could diverge. No trainer in this engine emits duplicates (a fused
-  // pair's count drops to zero), so fail LOUD at construction — the
-  // '<'/'>' delimiter-alphabet posture — instead of serving a silently
-  // re-ranked model.
-  require(merges.distinct.size == merges.size,
-    s"BPE merge list contains duplicate pairs: " +
-      merges.diff(merges.distinct).distinct.take(3).mkString(", "))
+  // Duplicate merge pairs are rejected in [[BpeTokenize.of]] — the only
+  // public construction path — not here: a case-class-body require would
+  // re-hash the full (up to 32k-entry) merge list on EVERY Catalyst
+  // copy/withNewChildInternal during plan rewriting, paying the
+  // validation dozens of times per plan build for a list validated once.
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "bpe_tokenize"
@@ -97,9 +90,24 @@ case class BpeTokenize(child: Expression, merges: Seq[(String, String)],
 }
 
 object BpeTokenize {
-  def of(text: Column, merges: Seq[(String, String)], ids: Map[String, Long]): Column =
+  def of(text: Column, merges: Seq[(String, String)], ids: Map[String, Long]): Column = {
+    // A duplicate trained pair would be silently dropped by rankMapOf
+    // (first rank wins) while the replace-chain replay — the oracle
+    // semantics — applies it at its OWN position: on a pathological
+    // vocab where a later merge re-forms an earlier pair's occurrence
+    // (('a','ab') and ('aa','b') both yielding "aab"), the two engines
+    // could diverge. No trainer in this engine emits duplicates (a
+    // fused pair's count drops to zero), so fail LOUD at construction —
+    // the '<'/'>' delimiter-alphabet posture — instead of serving a
+    // silently re-ranked model. Validated HERE (once, the public
+    // construction path) rather than in the case-class body, which
+    // Catalyst re-runs on every tree copy.
+    require(merges.distinct.size == merges.size,
+      s"BPE merge list contains duplicate pairs: " +
+        merges.diff(merges.distinct).distinct.take(3).mkString(", "))
     org.apache.spark.sql.GraftColumn.of(
       BpeTokenize(org.apache.spark.sql.GraftColumn.exprOf(text), merges, ids))
+  }
 
   /** rank lookup: lhs symbol → (rhs symbol → 0-based training rank).
     * Duplicate pairs are rejected at expression construction (the

@@ -787,10 +787,22 @@ object Curation {
     * corpus); a production run sets nprobe for the recall its graph
     * tolerates, trading edges for probe mass the way every ANN serve
     * does. The returned (src, dst) relation drops into [[pagerankOf]] /
-    * [[pprOf]] / [[labelPropOf]] unchanged. */
+    * [[pprOf]] / [[labelPropOf]] unchanged.
+    *
+    * `broadcastNodes`: true (default) is the BOUNDED-node regime — the
+    * probe relation broadcasts against the index, the interactive
+    * serving shape. A corpus-sized node set (every doc gets edges — the
+    * actual 100 TB deployment) passes FALSE: the probe-side broadcast
+    * hints come off, the fine join broadcasts the (always-tiny) pruned
+    * fine table instead, and the candidate join shuffles on fcid where
+    * the postings bucketing holds its side exchange-free — no >8 GB
+    * probe broadcast, no driver OOM. Both regimes emit identical edges
+    * (CurationSpec pins it); only join strategy differs. */
   def knnEdgesFromIndex(nodes: DataFrame, tablePrefix: String,
-      nprobeC: Int, nprobeF: Int, k: Int = 3): DataFrame =
-    Similarity.ivf2SearchRows(nodes, tablePrefix, nprobeC, nprobeF, k = k)
+      nprobeC: Int, nprobeF: Int, k: Int = 3,
+      broadcastNodes: Boolean = true): DataFrame =
+    Similarity.ivf2SearchRows(nodes, tablePrefix, nprobeC, nprobeF, k = k,
+      broadcastProbes = broadcastNodes)
       .filter(col("rank") <= k)
       .select(col("qid").as("src"), col("vec_id").as("dst"))
 
@@ -859,6 +871,25 @@ object Curation {
     }
     lab
   }
+
+  /** The full-batch clustering + split oracle, shared by `x_cur_split`
+    * AND `x_cur_split_stability` — the stability gate's entire claim is
+    * hash equality of the composed incremental path against EXACTLY
+    * this chain, so the two entries share one string value (the
+    * knnEdgesSql pattern) instead of a hand-maintained copy. */
+  private def splitOracleSql: String =
+    s"""WITH RECURSIVE ${Dedup.md5MinhashCte},
+      |p AS (SELECT da, db FROM est WHERE est_j >= 0.5),
+      |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
+      |cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src)
+      |SELECT doc_id, cluster,
+      |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < '2'
+      |       THEN 'val' ELSE 'train' END AS split
+      |FROM cl ORDER BY doc_id""".stripMargin
 
   /** The same edges as DuckDB CTE text (`ev`/`scored`/`edges`), shared
     * by the pagerank and label-propagation oracles. */
@@ -1535,36 +1566,14 @@ object Curation {
         |       CAST(least(o + n, (seq + 1) * $PackSeqLen) - greatest(o, seq * $PackSeqLen) AS BIGINT) AS len
         |FROM sp WHERE seq < $PackSpansGateSeqCap ORDER BY seq, doc_id""".stripMargin,
 
-    "x_cur_split" ->
-      s"""WITH RECURSIVE ${Dedup.md5MinhashCte},
-        |p AS (SELECT da, db FROM est WHERE est_j >= 0.5),
-        |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),
-        |reach(src, dst) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
-        |cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src)
-        |SELECT doc_id, cluster,
-        |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < '2'
-        |       THEN 'val' ELSE 'train' END AS split
-        |FROM cl ORDER BY doc_id""".stripMargin,
+    "x_cur_split" -> splitOracleSql,
 
     // the full-batch oracle VERBATIM against the engine's composed
     // incremental path (base labels → appendClusterLabels fold → split):
-    // hash equality is the incremental-≡-rebuild stability proof
-    "x_cur_split_stability" ->
-      s"""WITH RECURSIVE ${Dedup.md5MinhashCte},
-        |p AS (SELECT da, db FROM est WHERE est_j >= 0.5),
-        |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),
-        |reach(src, dst) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea),
-        |cl AS (SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src)
-        |SELECT doc_id, cluster,
-        |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < '2'
-        |       THEN 'val' ELSE 'train' END AS split
-        |FROM cl ORDER BY doc_id""".stripMargin,
+    // hash equality is the incremental-≡-rebuild stability proof. The
+    // SAME string value as x_cur_split by construction — the verbatim
+    // promise is structural, not hand-maintained.
+    "x_cur_split_stability" -> splitOracleSql,
 
     // composition of the brute-force cosine oracle and the recursive
     // cluster chain — both already gated standalone

@@ -670,9 +670,14 @@ object Similarity {
     * exist (inner leg) or exactly one fallback row (anti leg).
     * `carry`: the probe columns to thread through (qid first). */
   private[queries] def probeFine(probesC: DataFrame, fine: DataFrame, carry: Seq[String],
-      nprobeF: Int): DataFrame = {
+      nprobeF: Int, broadcastProbes: Boolean = true): DataFrame = {
     val keep = carry.map(col)
-    val real = broadcast(probesC).join(fine, Seq("ccid"))
+    // broadcastProbes = false is the corpus-sized-probe regime
+    // (knnEdgesFromIndex over the full corpus): the hint comes OFF the
+    // query side and Catalyst broadcasts the pruned fine table instead
+    // (it is ≤ kc·kf rows — always the smaller side there)
+    val real = (if (broadcastProbes) broadcast(probesC) else probesC)
+      .join(fine, Seq("ccid"))
       .select(keep :+ col("fcid") :+
         (expr("float_dot(qe, fe)") / (col("qn") * col("fn"))).as("fcos"): _*)
     val fallback = probesC
@@ -1018,7 +1023,7 @@ object Similarity {
     * would be a full range-exchange paid for nothing. */
   private[graft] def ivf2SearchRows(queries: DataFrame, tablePrefix: String,
       nprobeC: Int, nprobeF: Int, literalProbeCap: Int = 1000,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, broadcastProbes: Boolean = true): DataFrame = {
     val s = queries.sparkSession
     graft.functions.CosineSimilarity.register(s)
     val coarse = s.table(s"${tablePrefix}_coarse")
@@ -1039,7 +1044,7 @@ object Similarity {
     val probesF = probeFine(probesC,
       pruneToProbed(s.table(s"${tablePrefix}_fine"), "ccid",
         probesC.select("ccid").distinct(), literalProbeCap),
-      Seq("qid", "qe", "qn"), nprobeF)
+      Seq("qid", "qe", "qn"), nprobeF, broadcastProbes)
     // logical takedown: tombstoned vectors must never rank — the
     // anti-join rides ABOVE the cell-pruned scan (bucket pruning
     // intact), the ledger broadcasts, and with no ledger the plan is
@@ -1048,7 +1053,11 @@ object Similarity {
       pruneToProbed(s.table(s"${tablePrefix}_postings"), "fcid",
         probesF.select("fcid").distinct(), literalProbeCap),
       tablePrefix, "vec_id")
-    broadcast(probesF)
+    // broadcastProbes = false (corpus-sized probe sets): no hint — the
+    // candidate join shuffles on fcid, where the postings table's
+    // bucketing already holds its side exchange-free, instead of
+    // attempting a >8 GB probe broadcast that would fail outright
+    (if (broadcastProbes) broadcast(probesF) else probesF)
       .join(postings, probesF("fcid") === postings("fcid") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"), (dot / (col("qn") * col("nrm"))).as("cos"))
       .transform(graft.functions.TopKAgg.topkOf(_, "qid", "vec_id", "cos", k))

@@ -206,24 +206,6 @@ object Unigram {
         Seq("piece"), "left")
       .select(col("piece"), coalesce(col("c"), lit(0L)).as("c"))
 
-  /** The trained model after [[Iters]] EM rounds: (piece, c, lp) with c
-    * the final Viterbi counts and lp the final quantized log-probs.
-    *
-    * Above [[localFitBytes]], each iteration's VOCABULARY-SIZED relations
-    * (seed vocab, per-iteration counts — ≤ chars + [[TopK]] rows)
-    * materialize to driver-local relations between iterations (the bpeFit
-    * persist pattern,
-    * driver-side because the rows are model-sized): as one lazy chain,
-    * iteration k's plan EMBEDS iteration k−1's entire segmentation —
-    * the nesting compounds across iterations and Catalyst inlines the
-    * per-word DP columns into downstream predicates, re-evaluating the
-    * interpreted lambda chain per consumer (measured on the first
-    * unigram_serve octave sweep: the x64 fit sat 20+ min in ONE task
-    * inside a Filter evaluating the full ts chain; localized, the
-    * whole fit is seconds — each corpus-shaped segmentation pass now
-    * runs EXACTLY ONCE, which is the family's design claim). The
-    * trainer stays one corpus-shaped pass per iteration; only
-    * model-sized rows ever reach the driver. */
   /** Corpus-byte bound for [[emFit]]'s per-iteration driver
     * materialization, prop/env-overridable (`graft.unigramLocalFitBytes`
     * sys-prop for specs, `SPARK_GRAFT_UNIGRAM_LOCAL_FIT_BYTES` for a
@@ -247,6 +229,23 @@ object Unigram {
       .orElse(sys.env.get("SPARK_GRAFT_UNIGRAM_LOCAL_FIT_BYTES"))
       .map(_.toLong).getOrElse(4L << 20)
 
+  /** The trained model after [[Iters]] EM rounds: (piece, c, lp) with c
+    * the final Viterbi counts and lp the final quantized log-probs.
+    *
+    * Above [[localFitBytes]], each iteration's VOCABULARY-SIZED
+    * relations (seed vocab, per-iteration counts — ≤ chars + [[TopK]]
+    * rows) materialize to driver-local relations between iterations
+    * (the bpeFit persist pattern, driver-side because the rows are
+    * model-sized): as one lazy chain, iteration k's plan EMBEDS
+    * iteration k−1's entire segmentation — the nesting compounds across
+    * iterations and Catalyst inlines the per-word DP columns into
+    * downstream predicates, re-evaluating the interpreted lambda chain
+    * per consumer (measured on the first unigram_serve octave sweep:
+    * the x64 fit sat 20+ min in ONE task inside a Filter evaluating the
+    * full ts chain; localized, the whole fit is seconds — each
+    * corpus-shaped segmentation pass now runs EXACTLY ONCE, which is
+    * the family's design claim). The trainer stays one corpus-shaped
+    * pass per iteration; only model-sized rows ever reach the driver. */
   private[graft] def emFit(s: SparkSession, d: String): DataFrame = {
     val words = wordCounts(s, d)
     // both branches run IDENTICAL arithmetic — localization is purely an

@@ -691,6 +691,12 @@ class CurationSpec extends SparkSpecBase {
       val (bs, is) = (edgeSet(brute), edgeSet(idx))
       assert(is == bs, s"index edges diverge from brute force: " +
         s"only-index=${(is -- bs).take(5)} only-brute=${(bs -- is).take(5)}")
+      // the corpus-sized-node regime (broadcastNodes = false — probe
+      // hints off, candidate join shuffles on fcid) emits the identical
+      // edge set: join strategy only, never semantics
+      val noBcast = Curation.knnEdgesFromIndex(q, "knn_edges_idx",
+        nprobeC = 64, nprobeF = 64, broadcastNodes = false)
+      assert(edgeSet(noBcast) == bs, "non-broadcast probe regime diverged")
       // the graph iterations consume either relation UNCHANGED —
       // pagerank over index edges equals pagerank over brute edges
       def ranks(edges: org.apache.spark.sql.DataFrame) =
