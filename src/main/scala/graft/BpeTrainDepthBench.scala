@@ -49,6 +49,12 @@ import org.apache.spark.sql.functions._
   * not the count ties; a broad-vocabulary crawl spreads its top-512
   * across disjoint words far more than 31 base words can.
   *
+  * Round 19 adds the regime the r18 conclusion called for:
+  *  - `wide`: vocabulary sampled from the REAL corpus at realistic
+  *    breadth — all word 1-/2-/3-grams of the token stream as
+  *    vocabulary words with their true counts (10⁴⁺ distinct words,
+  *    shared character substructure, Zipf counts). `copies` ignored.
+  *
   * Usage: sbt "runMain graft.BpeTrainDepthBench [sfDir] [steps]
   * [outJson] [copies] [mode]" — defaults sf0.01, 1024,
   * BPE_TRAIN_DEPTH_r18.json, 64 copies, tag.
@@ -63,28 +69,50 @@ object BpeTrainDepthBench {
     // the rotate regimes' whole premise is per-copy-DISJOINT character
     // populations; a 27th copy would wrap (k % 26) onto an existing
     // alphabet and silently dilute the regime back toward `tag`
-    require(mode == "tag" || copies <= 26,
+    require(mode == "tag" || mode == "wide" || copies <= 26,
       s"rotate modes support at most 26 copies (26 distinct a-z rotations), got $copies")
     val spark = Engine.session()
     val words = spark.read.parquet(s"$d/documents.parquet")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
     val az = "abcdefghijklmnopqrstuvwxyz"
-    val tagged = (0 until copies).map { k =>
-      if (k == 0) words
-      else {
-        val base =
-          if (mode == "rotate" || mode == "rotatew") {
-            val rot = az.substring(k % 26) + az.substring(0, k % 26)
-            words.select(translate(col("w"), az, rot).as("w"), col("n"))
-          } else words
-        val weighted =
-          if (mode == "rotatew")
-            base.select(col("w"), (col("n") * lit(k + 1L)).as("n"))
-          else base
-        weighted.select(concat(col("w"), lit(s"_$k")).as("w"), col("n"))
-      }
-    }.reduce(_ unionByName _)
+    val tagged =
+      if (mode == "wide") {
+        // `wide` (round 19): realistic vocabulary BREADTH sampled from
+        // the REAL corpus, not synthesized by rotation — every word
+        // 1-, 2- and 3-gram of the token stream, concatenated without a
+        // separator, becomes a vocabulary word carrying its true corpus
+        // occurrence count. The n-gram compounds are exactly how a
+        // broad crawl vocabulary looks to a byte-pair trainer (shared
+        // character substructure, Zipf counts, 10⁴⁺ distinct words) —
+        // the regime BPE_TRAIN_DEPTH_r18 showed the 31-base-word
+        // testdata cannot reach by copying: acceptance is a corpus
+        // property, and this corpus has the breadth the batching
+        // exists for. `copies` is ignored.
+        spark.read.parquet(s"$d/documents.parquet")
+          .select(split(col("text"), " ").as("ws"))
+          .select(explode(expr(
+            """flatten(transform(array(1, 2, 3), n ->
+              |  IF(size(ws) >= n,
+              |     transform(sequence(1, size(ws) - n + 1),
+              |       i -> concat_ws('', slice(ws, i, n))),
+              |     array())))""".stripMargin)).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n"))
+      } else (0 until copies).map { k =>
+        if (k == 0) words
+        else {
+          val base =
+            if (mode == "rotate" || mode == "rotatew") {
+              val rot = az.substring(k % 26) + az.substring(0, k % 26)
+              words.select(translate(col("w"), az, rot).as("w"), col("n"))
+            } else words
+          val weighted =
+            if (mode == "rotatew")
+              base.select(col("w"), (col("n") * lit(k + 1L)).as("n"))
+            else base
+          weighted.select(concat(col("w"), lit(s"_$k")).as("w"), col("n"))
+        }
+      }.reduce(_ unionByName _)
     val v0 = tagged
       .select(expr("concat_ws('', transform(split(w, ''), c -> concat('<', c, '>')))").as("v"),
         col("n"))

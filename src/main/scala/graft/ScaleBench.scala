@@ -188,11 +188,13 @@ object ScaleBench {
     // every family is measured through 256× (1.28M docs / 512k vectors
     // / 25.6M events) — the extra octave the 100× claim rests on
     val scales = Seq(1, 4, 16, 64, 256)
-    // the two builds whose 256× tails read near-linear (phash decode CPU,
-    // rewrite gram pass) get ONE more octave pair — a 1024× point that
-    // either confirms the linear asymptote or exposes a bend the smaller
-    // points hid. Documents-only: both pipelines read just the text
-    // corpus, so the 1024× dir skips the embeddings/events derivations.
+    // the deep ladder adds ONE more octave pair — a 1024× point that
+    // either confirms the asymptote the 4×–256× points suggest or
+    // exposes a bend they hid. Round 19 widened it from the two
+    // near-linear text builds to every persisted-index BUILD family
+    // (minhash/bm25/gram/ivf2) and the events family — the 1024× dir
+    // now derives all three tables (5.1M docs / 2M vectors / 102M
+    // events).
     val deepScales = scales :+ 1024
     // the sweep measures octave-grown corpora — the situation where a
     // real deployment passes a wider initial shuffle partitioning per
@@ -210,9 +212,9 @@ object ScaleBench {
       val dir = if (m == 1) base else s"$workDir/x$m"
       if (m > 1 && !new java.io.File(s"$dir/documents.parquet").exists())
         deriveDocuments(spark, base, dir, m)
-      if (m > 1 && m <= 256 && !new java.io.File(s"$dir/embeddings.parquet").exists())
+      if (m > 1 && !new java.io.File(s"$dir/embeddings.parquet").exists())
         deriveEmbeddings(spark, base, dir, m)
-      if (m > 1 && m <= 256 && !new java.io.File(s"$dir/events.parquet").exists())
+      if (m > 1 && !new java.io.File(s"$dir/events.parquet").exists())
         deriveEvents(spark, base, dir, m)
       m -> dir
     }.toMap
@@ -261,7 +263,7 @@ object ScaleBench {
         noop(graft.queries.TextAnalysis.queries("x_text_bm25")(s, d))),
       // invalidate the fit memo so BOTH timed runs pay the Lloyd fit,
       // not just the first (same reasoning as the cluster memo)
-      ("ivf2_build", scales, (s, d, m) => {
+      ("ivf2_build", deepScales, (s, d, m) => {
         graft.queries.Similarity.invalidateIvfIndex(s, d)
         graft.queries.Similarity.writeIvf2Index(s, d, s"scale_ivf2_x$m")
       }),
@@ -290,7 +292,7 @@ object ScaleBench {
       // measures how serving cost tracks index size (near-flat is the
       // design claim: term-bucket pruning ⊕ centroid-pruned postings,
       // fusion O(queries × 2k) regardless of corpus)
-      ("bm25_index_build", scales, (s, d, m) =>
+      ("bm25_index_build", deepScales, (s, d, m) =>
         graft.queries.TextAnalysis.writeBm25Index(s, d, s"scale_bm_x$m")),
       // the text-dedup serving index: build scales with the corpus (one
       // shingle+minhash pass into three bucketed writes); the append
@@ -300,7 +302,7 @@ object ScaleBench {
       // append exponent shows exactly that term's growth. Each timed
       // run re-keys its increment so min-of-two never appends the same
       // ids twice; the index gains 200 rows per run — noise at any m.
-      ("minhash_index_build", scales, (s, d, m) =>
+      ("minhash_index_build", deepScales, (s, d, m) =>
         graft.queries.Dedup.writeMinhashIndexBucketed(s, d, s"scale_mh_x$m")),
       ("minhash_append", scales, (s, d, m) => {
         mhAppendRun += 1
@@ -347,13 +349,13 @@ object ScaleBench {
       // sessions) and the bucketed non-equi range join — growth is
       // fresh users over the same time range, so these measure how the
       // user-partitioned shapes scale across keys
-      ("events_asof", scales, (s, d, _) =>
+      ("events_asof", deepScales, (s, d, _) =>
         noop(graft.queries.Events.queries("x_events_asof")(s, d))),
-      ("events_conversion", scales, (s, d, _) =>
+      ("events_conversion", deepScales, (s, d, _) =>
         noop(graft.queries.Events.queries("x_events_conversion")(s, d))),
-      ("events_sessions", scales, (s, d, _) =>
+      ("events_sessions", deepScales, (s, d, _) =>
         noop(graft.queries.Events.queries("x_events_sessions")(s, d))),
-      ("events_range_join", scales, (s, d, _) =>
+      ("events_range_join", deepScales, (s, d, _) =>
         noop(graft.queries.Events.queries("x_events_range_join")(s, d))),
       // tokenizer SERVE throughput (the third family's scale claim):
       // greedy WordPiece serving of the m×-corpus against the dir's
@@ -408,7 +410,7 @@ object ScaleBench {
       // streams); compaction is the amortized O(index) rewrite, linear
       // by design (pinning linear-not-worse). Each timed run tombstones
       // a DIFFERENT slice so min-of-two never double-decrements a doc.
-      ("gram_index_build", scales, (s, d, m) =>
+      ("gram_index_build", deepScales, (s, d, m) =>
         graft.queries.Dedup.writeGramIndexCounted(s, d, s"scale_gm_x$m")),
       ("gram_takedown", scales, (s, d, m) => {
         gmTakedownRun += 1
@@ -520,7 +522,41 @@ object ScaleBench {
         spark.sql(s"DROP TABLE IF EXISTS scale_bm_warm$t")
       for (t <- Seq("_sig", "_keys", "_counts"))
         spark.sql(s"DROP TABLE IF EXISTS scale_mh_warm$t")
+      for (t <- Seq("_merges", "_ids"))
+        spark.sql("DROP TABLE IF EXISTS " +
+          graft.queries.TextAnalysis.bpeModelTablePrefix(warm, 3) + t)
       println("SCALE warmup complete (sf0.01)")
+    }
+
+    // Untimed dependency prep (round-19 ADVICE): a TARGETED run
+    // (pipelineFilter) can activate a probe/append/compaction pipeline
+    // without its build sibling — the per-octave index tables it reads
+    // then don't exist and the first timed point fails. Each entry
+    // builds the tables its pipeline consumes IFF missing; when the
+    // build sibling IS active it has already (re)written them this
+    // octave and the prep is a no-op. Runs OUTSIDE the timed section,
+    // so probe timings never absorb a build.
+    def ensure(probe: String)(build: => Unit): Unit =
+      if (!spark.catalog.tableExists(probe)) build
+    def prepFor(name: String, d: String, m: Int): Unit = name match {
+      case "ivf2_search" | "knn_edges_index" =>
+        ensure(s"scale_ivf2_x${m}_coarse") {
+          graft.queries.Similarity.writeIvf2Index(spark, d, s"scale_ivf2_x$m") }
+      case "hybrid_search" =>
+        ensure(s"scale_ivf2_x${m}_coarse") {
+          graft.queries.Similarity.writeIvf2Index(spark, d, s"scale_ivf2_x$m") }
+        ensure(s"scale_bm_x${m}_tf") {
+          graft.queries.TextAnalysis.writeBm25Index(spark, d, s"scale_bm_x$m") }
+      case "minhash_append" =>
+        ensure(s"scale_mh_x${m}_sig") {
+          graft.queries.Dedup.writeMinhashIndexBucketed(spark, d, s"scale_mh_x$m") }
+      case "phash_ingest_probe" | "phash_bucketed_probe" | "phash_compaction" =>
+        ensure(s"scale_ph_x${m}_sig") {
+          graft.queries.Multimodal.writePhashIndex(spark, d, s"scale_ph_x$m") }
+      case "gram_takedown" | "gram_compaction" =>
+        ensure(s"scale_gm_x${m}_gramdf") {
+          graft.queries.Dedup.writeGramIndexCounted(spark, d, s"scale_gm_x$m") }
+      case _ => ()
     }
 
     val metrics = new MetricsListener
@@ -529,6 +565,7 @@ object ScaleBench {
     for (m <- allScales) {
       val d = dirs(m)
       for ((name, pScales, run) <- pipelines if pScales.contains(m) && active(name)) {
+        prepFor(name, d, m)
         // min-of-two (the Bench.scala lesson): a single pass is hostage
         // to GC pauses and ambient load — at 64× one poisoned point
         // moved a tail exponent from ~0.9 to ~1.2 in an early run.
@@ -560,6 +597,10 @@ object ScaleBench {
         spark.sql(s"DROP TABLE IF EXISTS scale_mh_x$m$t")
       for (t <- Seq("_gramdf", "_tomb"))
         spark.sql(s"DROP TABLE IF EXISTS scale_gm_x$m$t")
+      // the write-through BPE model tables the bpe_serve fit persists
+      for (t <- Seq("_merges", "_ids"))
+        spark.sql("DROP TABLE IF EXISTS " +
+          graft.queries.TextAnalysis.bpeModelTablePrefix(dirs(m), 3) + t)
     }
 
     def tailExp(pts: Seq[(Int, Double)]): Double = {

@@ -801,9 +801,10 @@ object Curation {
   def knnEdgesFromIndex(nodes: DataFrame, tablePrefix: String,
       nprobeC: Int, nprobeF: Int, k: Int = 3,
       broadcastNodes: Boolean = true): DataFrame =
+    // no rank filter: ivf2SearchRows bounds output to k per query by
+    // contract (TopKAgg.topkOf) — re-filtering would restate it
     Similarity.ivf2SearchRows(nodes, tablePrefix, nprobeC, nprobeF, k = k,
       broadcastProbes = broadcastNodes)
-      .filter(col("rank") <= k)
       .select(col("qid").as("src"), col("vec_id").as("dst"))
 
   /** Damped (0.85) PageRank power iterations over an arbitrary
@@ -1100,13 +1101,31 @@ object Curation {
   private[graft] val PiiPhoneRe =
     "\\b\\d{3}-\\d{3}-\\d{4}\\b|\\(\\d{3}\\) \\d{3}-\\d{4}\\b|\\+\\d{7,15}\\b"
   private[graft] val PiiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  // IPv6: 5..8 colon-separated hex groups — the full form and most
-  // partial forms; deliberately ≥ 4 colons so clock-like strings
-  // (12:30:45) never match, and the `::`-compressed shorthand is out of
-  // scope (stated bound — RE2 has no backtracking-free way to bound the
-  // compressed grammar in one alternation-light pattern).
-  private[graft] val PiiIp6Re =
-    "\\b(?:[0-9A-Fa-f]{1,4}:){4,7}[0-9A-Fa-f]{1,4}\\b"
+  // IPv6, both wire forms. Uncompressed: 5..8 colon-separated hex
+  // groups — deliberately ≥ 4 colons so clock-like strings (12:30:45)
+  // never match. `::`-compressed (round 19): the common shorthand
+  // (fe80::1, 2001:db8:0:1::7, 2001:9::) as an EXACT finite
+  // alternation — one alternative per leading-group count i, each
+  // bounding its trailing groups to i + j ≤ 7 explicit groups (the
+  // `::` elides ≥ 1, so 8 total is never exceeded; a single
+  // `(?:H:){1,7}:(?:H:){0,6}H` would accept 13-group non-addresses).
+  // Compressed alternatives require a literal `::`, so clocks still
+  // never match. Ordering is load-bearing under leftmost-first
+  // semantics (Java and RE2 agree): compressed-with-tail first (else
+  // the uncompressed alternative half-masks `1:2:3:4:5::7` as
+  // `1:2:3:4:5`), then trailing-`::` (no trailing \b — ':' borders no
+  // word character), then uncompressed. Remaining stated bound:
+  // leading-`::` forms (::1, ::ffff:0:1) — \b cannot anchor before
+  // ':' without lookbehind, which RE2 lacks; loopback/any-address
+  // shorthands are config-file forms, not crawl-prose ones.
+  private[graft] val PiiIp6Re = {
+    val H = "[0-9A-Fa-f]{1,4}"
+    val withTail = (1 to 6).map(i =>
+      s"(?:$H:){$i}:" + (if (i < 6) s"(?:$H:){0,${6 - i}}" else "") + s"$H\\b")
+    val trailing = s"(?:$H:){1,7}:"
+    val uncompressed = s"(?:$H:){4,7}$H\\b"
+    "\\b(?:" + (withTail :+ trailing :+ uncompressed).mkString("|") + ")"
+  }
   private[graft] val PiiEmailMask = "[EMAIL]"
   private[graft] val PiiPhoneMask = "[PHONE]"
   private[graft] val PiiIpMask = "[IP]"
@@ -1135,7 +1154,17 @@ object Curation {
       when(id % 19 === 0, concat(lit(" tel +49"),
         lpad((id % 10000000).cast("string"), 7, "0"), lit(" ok"))).otherwise(lit("")),
       when(id % 23 === 0, concat(lit(" node 2001:db8:85a3:1:2:8a2e:370:"),
-        (id % 9999).cast("string"), lit(" logged"))).otherwise(lit("")))
+        (id % 9999).cast("string"), lit(" logged"))).otherwise(lit("")),
+      // the round-19 `::`-compressed IPv6 classes (decimal digits only
+      // in the varying group — valid hex on both engines): link-local
+      // with a tail group, mid-compression with a tail group, and the
+      // trailing-`::` form
+      when(id % 29 === 0, concat(lit(" peer fe80::"),
+        (id % 9999).cast("string"), lit(" up"))).otherwise(lit("")),
+      when(id % 31 === 0, concat(lit(" gw 2001:db8:0:1::"),
+        (id % 255).cast("string"), lit(" ok"))).otherwise(lit("")),
+      when(id % 37 === 0, concat(lit(" net 2001:"),
+        (id % 9999).cast("string"), lit(":: down"))).otherwise(lit("")))
 
   /** Checksum-PII patterns (x_cur_ccn_redact): grouped-16-digit card
     * candidates (space or dash separators, mixed allowed) and SSNs —
@@ -1797,7 +1826,13 @@ object Curation {
         |  || CASE WHEN doc_id % 19 = 0 THEN ' tel +49'
         |            || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0') || ' ok' ELSE '' END
         |  || CASE WHEN doc_id % 23 = 0 THEN ' node 2001:db8:85a3:1:2:8a2e:370:'
-        |            || CAST(doc_id % 9999 AS VARCHAR) || ' logged' ELSE '' END AS t0
+        |            || CAST(doc_id % 9999 AS VARCHAR) || ' logged' ELSE '' END
+        |  || CASE WHEN doc_id % 29 = 0 THEN ' peer fe80::'
+        |            || CAST(doc_id % 9999 AS VARCHAR) || ' up' ELSE '' END
+        |  || CASE WHEN doc_id % 31 = 0 THEN ' gw 2001:db8:0:1::'
+        |            || CAST(doc_id % 255 AS VARCHAR) || ' ok' ELSE '' END
+        |  || CASE WHEN doc_id % 37 = 0 THEN ' net 2001:'
+        |            || CAST(doc_id % 9999 AS VARCHAR) || ':: down' ELSE '' END AS t0
         |  FROM documents),
         |s1 AS (SELECT doc_id, t0,
         |         regexp_replace(t0, '$PiiEmailRe', '$PiiEmailMask', 'g') AS t1 FROM t),

@@ -427,6 +427,20 @@ object Dedup {
     //    full-scale twin of the bounded x_dedup_clusters.
     "x_dedup_clusters_full" -> ((s, d) => clusterLabels(s, d)),
 
+    // -- the cluster-label BUILD as its own named row (round 19): every
+    //    other consumer of [[clusterLabels]] (x_cur_split, downstream
+    //    keeps, hard negatives) reads the memo WARM, so this row —
+    //    which invalidates then rebuilds, the ScaleBench
+    //    fit-invalidation discipline — is where the multi-round
+    //    build cost lands in the benchmark. Adding or removing a memo
+    //    consumer no longer moves any consumer's per-query ratio: they
+    //    all time the probe, this row times the build. Same labels,
+    //    same oracle as x_dedup_clusters_full.
+    "x_dedup_cluster_build" -> ((s, d) => {
+      invalidateClusters(s, d)
+      clusterLabels(s, d)
+    }),
+
     // -- SimHash: 64-bit signature via the native simhash64 expression (a
     //    pure map over the scan — no explode, no signature shuffle); exact
     //    all-pairs verification among a bounded subset. The unbounded scale
@@ -1619,6 +1633,21 @@ object Dedup {
     }
   }
 
+  /** The full-corpus discovery → star-clustering oracle, shared by
+    * `x_dedup_clusters_full` AND the named build row
+    * `x_dedup_cluster_build` — both emit the memoized labels, so the
+    * two gates share one string value. */
+  private def clusterFullSql: String =
+    s"""WITH RECURSIVE $md5MinhashCte,
+      |p AS (SELECT da, db FROM est WHERE est_j >= 0.5),
+      |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea)
+      |SELECT src AS doc_id, min(dst) AS cluster
+      |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_dedup_exact" ->
       """WITH corpus AS (
@@ -1753,16 +1782,11 @@ object Dedup {
         |  AND db >= 400 AND db < 1200
         |GROUP BY db ORDER BY doc_id""".stripMargin,
 
-    "x_dedup_clusters_full" ->
-      s"""WITH RECURSIVE $md5MinhashCte,
-        |p AS (SELECT da, db FROM est WHERE est_j >= 0.5),
-        |edges AS (SELECT da ea, db eb FROM p UNION ALL SELECT db, da FROM p),
-        |reach(src, dst) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT r.src, e.eb FROM reach r JOIN edges e ON r.dst = e.ea)
-        |SELECT src AS doc_id, min(dst) AS cluster
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "x_dedup_clusters_full" -> clusterFullSql,
+
+    // the build row emits the same labels — one shared oracle string
+    // (the splitOracleSql pattern), so the two gates can never drift
+    "x_dedup_cluster_build" -> clusterFullSql,
 
     "x_dedup_simhash_md5" ->
       s"""WITH ${md5SimhashSigCtes("WHERE doc_id < 200")}

@@ -106,11 +106,16 @@ object Relational {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // n_part (round 19) is the DuckDB-verified exact anchor for
+    // b_agg_approx's sketch: same column, same grouping, hash-gated —
+    // RelationalSpec bounds the HLL estimate against it in integer
+    // arithmetic, so the one rows-only row has a hard external anchor
     "b_agg_distinct_having" -> ((s, d) =>
       table(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
           count(lit(1)).as("n_rows"))
         .filter(col("n_rows") > 10)
         .orderBy("l_returnflag")),
@@ -390,7 +395,7 @@ object Relational {
     "b_agg_q1" ->
       "SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_base_price, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))) AS DOUBLE) AS sum_disc_price, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "b_agg_distinct_having" ->
-      "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag HAVING count(*) > 10 ORDER BY l_returnflag",
+      "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows FROM lineitem GROUP BY l_returnflag HAVING count(*) > 10 ORDER BY l_returnflag",
     "b_agg_rollup" ->
       "SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST",
     "b_agg_grouping_sets" ->

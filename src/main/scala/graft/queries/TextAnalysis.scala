@@ -179,6 +179,14 @@ object TextAnalysis {
     "x_text_gopher_rep" -> ((s, d) =>
       gopherRepetition(table(s, d, "documents")).orderBy("doc_id")),
 
+    // -- the STRUCTURAL half of the repetition battery (round 19):
+    //    duplicate-line / duplicate-paragraph fractions with the
+    //    published thresholds, over deterministically synthesized line
+    //    structure (the corpus itself has none — the r18 stated bound).
+    //    See [[gopherRepetitionLines]].
+    "x_text_gopher_rep_lines" -> ((s, d) =>
+      gopherRepetitionLines(table(s, d, "documents")).orderBy("doc_id")),
+
     // -- token counting: whitespace tokens + a BPE-ish regex token count
     "x_text_tokens" -> ((s, d) =>
       table(s, d, "documents")
@@ -1045,21 +1053,73 @@ object TextAnalysis {
     * table (vocabulary-sized, broadcast at apply time). */
   case class BpeModel(merges: Seq[(Long, String, String, Long)], ids: DataFrame)
 
-  /** Trained-model memo per (session, corpus dir, steps) — the
+  /** Persist a freshly trained BPE model as two plain parquet tables —
+    * the frozen tokenizer artifact a serving fleet loads by name (the
+    * Wordpiece/Unigram writeModel pattern, completing the tokenizer
+    * lifecycle matrix's one asymmetric cell, round 19):
+    * `${tablePrefix}_merges` (step, lhs, rhs, pair_count — the
+    * rank-ordered training control decisions) and `${tablePrefix}_ids`
+    * (token, id — the frequency-ordered id table). Both are
+    * vocabulary/steps-sized, no bucketing — they localize wherever the
+    * model is applied. */
+  def writeBpeModel(s: SparkSession, d: String, steps: Int, tablePrefix: String): Unit = {
+    import s.implicits._
+    val m = bpeFitUncached(s, d, steps)
+    graft.Engine.reclaimManagedTable(s, s"${tablePrefix}_merges")
+    m.merges.toDF("step", "lhs", "rhs", "pair_count")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_merges")
+    graft.Engine.reclaimManagedTable(s, s"${tablePrefix}_ids")
+    m.ids.write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_ids")
+  }
+
+  /** Reconstruct a [[BpeModel]] from the tables [[writeBpeModel]] wrote
+    * — merges reload in training order (steps-sized, a driver list by
+    * contract); ids stay a relation ([[tokenizeOf]] localizes them into
+    * the serving expression). */
+  def bpeModelOf(s: SparkSession, tablePrefix: String): BpeModel = {
+    val merges = s.table(s"${tablePrefix}_merges")
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    BpeModel(merges, s.table(s"${tablePrefix}_ids").select("token", "id"))
+  }
+
+  /** Canonical managed-table prefix for the write-through fit cache —
+    * one model per (corpus dir, steps), path canonicalized so spelling
+    * variants of one dir share a model. */
+  private[graft] def bpeModelTablePrefix(d: String, steps: Int): String = {
+    val tag = new java.io.File(d).getCanonicalPath
+      .toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]", "_")
+    s"bpe_model_${tag}_s$steps"
+  }
+
+  /** Serving memo per (session, corpus dir, steps) — the
     * Wordpiece/Unigram fittedModel contract applied to the third
-    * family (round 18): a tokenizer trains once (offline) and serves
-    * many times, so serving entries must not re-run the merge loop per
-    * query; the memoized ids relation is LOCALIZED driver-side
-    * (vocabulary-sized — as a lazy plan every consumer would replay the
-    * whole fit). Stopped sessions are purged on access. */
+    * family: a tokenizer trains once (offline) and serves many times,
+    * so serving entries must not re-run the merge loop per query; the
+    * memoized ids relation is LOCALIZED driver-side (vocabulary-sized —
+    * as a lazy plan every consumer would replay the whole fit). Stopped
+    * sessions are purged on access. Since round 19 the memo is a
+    * WRITE-THROUGH cache over the persisted model tables
+    * ([[bpeModelTablePrefix]]): a miss loads the tables if they exist
+    * and trains-then-writes them if not, and every served id comes from
+    * the RELOADED tables — so a fresh session (a serving fleet member)
+    * finds the frozen model on disk instead of re-training, closing the
+    * r18 "new session re-trains" bound. */
   private val fittedBpe = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.concurrent.ConcurrentHashMap[(String, Int), BpeModel]]()
 
-  /** Drop the memoized BPE model(s) for (session, corpus dir) — call
-    * after the corpus at `d` is rewritten in place. */
+  /** Drop the memoized BPE model(s) for (session, corpus dir) AND the
+    * write-through model tables — call after the corpus at `d` is
+    * rewritten in place (the Dedup.invalidateClusters contract; like it,
+    * advisory for in-flight fits — version the corpus dir for strict
+    * semantics). */
   def invalidateBpeModel(s: SparkSession, d: String): Unit = {
     val inner = fittedBpe.get(s)
     if (inner != null) { inner.keySet.removeIf(_._1 == d); () }
+    val stem = bpeModelTablePrefix(d, 0).stripSuffix("s0")
+    s.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith(stem))
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   private[graft] def bpeFit(s: SparkSession, d: String, steps: Int): BpeModel = {
@@ -1071,7 +1131,11 @@ object TextAnalysis {
     val cached = perSession.get((d, steps))
     if (cached != null) cached
     else {
-      val m = bpeFitUncached(s, d, steps)
+      val prefix = bpeModelTablePrefix(d, steps)
+      if (!s.catalog.tableExists(s"${prefix}_merges") ||
+          !s.catalog.tableExists(s"${prefix}_ids"))
+        writeBpeModel(s, d, steps, prefix)
+      val m = bpeModelOf(s, prefix)
       val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
       m.ids.collect().foreach(rows.add)
       val built = BpeModel(m.merges, s.createDataFrame(rows, m.ids.schema))
@@ -1080,7 +1144,7 @@ object TextAnalysis {
     }
   }
 
-  private def bpeFitUncached(s: SparkSession, d: String, steps: Int): BpeModel = {
+  private[graft] def bpeFitUncached(s: SparkSession, d: String, steps: Int): BpeModel = {
     import org.apache.spark.sql.expressions.Window
     val v0 = bpeVocab(s, d).persist()
     val merges = try bpeMergesOnly(v0, steps) finally v0.unpersist(blocking = false)
@@ -1590,6 +1654,88 @@ object TextAnalysis {
       .withColumn("pass", rules.reduce(_ && _))
   }
 
+  /** Gopher duplicate-line / duplicate-paragraph fractions (round 19 —
+    * the structural half of the published repetition battery; the
+    * word-n-gram half is [[gopherRepetition]]). Rules and thresholds
+    * from Rae et al. Table A1 in the Dolma formulation: a line
+    * (paragraph) is "duplicate" when its exact text occurs ≥ 2 times in
+    * the document, EVERY occurrence counts — duplicate-line fraction ≤
+    * 0.30, duplicate-paragraph fraction ≤ 0.30, and the character-mass
+    * twins ≤ 0.20 each.
+    *
+    * The synthetic corpus has no line structure (the stated r18 bound),
+    * so the gate SYNTHESIZES it deterministically on both engines (the
+    * piiPlanted pattern): lines are 5-word chunks of the text;
+    * paragraphs are 3-line chunks of the final line array joined with
+    * chr(10). Duplicates are PLANTED — docs id%4 repeat their first
+    * line; docs id%9 (with ≥ 3 base lines) repeat their whole first
+    * paragraph, first padding the line array to a 3-boundary with
+    * copies of line 1 so the planted paragraph tiles exactly — both
+    * verdict classes at every scale, and the planted paragraph is a
+    * REAL paragraph duplicate, not an alignment accident. Verdicts
+    * compare in integer arithmetic (cnt*100 <= n*30, chars*100 <=
+    * total*20) so the booleans are engine-portable; the reported
+    * fractions are single fixed-order divisions.
+    *
+    * Scale shape: like the n-gram half, a pure zero-shuffle narrow
+    * projection — line synthesis, the sorted-run duplicate fold and
+    * both char masses are in-row array work, so the battery rides one
+    * corpus scan at any size. */
+  def gopherRepetitionLines(docs: DataFrame): DataFrame = {
+    // final line array: base 5-word chunks + the planted duplicates —
+    // let-bound via single-element transform()s (the gopherRepetition
+    // note: a plain withColumn would inline and re-evaluate per use)
+    val linesSql =
+      """element_at(transform(array(transform(sequence(1, (size(ws) + 4) div 5),
+        |    k -> array_join(slice(ws, (k - 1) * 5 + 1, 5), ' '))), base ->
+        |  element_at(transform(array(
+        |      IF(doc_id % 4 = 0, array_append(base, element_at(base, 1)), base)), wl ->
+        |    IF(doc_id % 9 = 0 AND size(base) >= 3,
+        |       concat(wl,
+        |         array_repeat(element_at(base, 1), (3 - size(wl) % 3) % 3),
+        |         slice(base, 1, 3)),
+        |       wl)), 1)), 1)""".stripMargin
+    val parasSql =
+      """transform(sequence(1, (size(lines) + 2) div 3),
+        |  j -> array_join(slice(lines, (j - 1) * 3 + 1, 3), chr(10)))""".stripMargin
+    // (duplicate occurrences, duplicate char mass) in ONE sorted-run
+    // fold: when a run reaches 2 both occurrences turn duplicate (+2),
+    // each further repeat adds 1 — Σ_{cnt≥2} cnt, the Dolma count
+    def dupFold(over: String) =
+      s"""aggregate(array_sort($over),
+         |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'cnt', 0L, 'chars', 0L),
+         |  (acc, x) -> named_struct(
+         |    'prev', x,
+         |    'run',  IF(acc.prev <=> x, acc.run + 1L, 1L),
+         |    'cnt',  acc.cnt + IF(acc.prev <=> x, IF(acc.run = 1L, 2L, 1L), 0L),
+         |    'chars', acc.chars + IF(acc.prev <=> x, IF(acc.run = 1L, 2L, 1L) * length(x), 0L)),
+         |  acc -> named_struct('cnt', acc.cnt, 'chars', acc.chars))""".stripMargin
+    def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0L, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("lines", expr(linesSql))
+      .withColumn("paras", expr(parasSql))
+      .withColumn("lchars", expr("aggregate(lines, 0L, (a, x) -> a + length(x))"))
+      .withColumn("pchars", expr("aggregate(paras, 0L, (a, x) -> a + length(x))"))
+      .withColumn("ld", expr(dupFold("lines")))
+      .withColumn("pd", expr(dupFold("paras")))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        col("ld.cnt").as("dup_line_cnt"),
+        frac(col("ld.cnt"), size(col("lines")).cast("long")).as("dup_line_frac"),
+        (col("ld.cnt") * 100 <= size(col("lines")).cast("long") * 30).as("r_dup_line"),
+        frac(col("ld.chars"), col("lchars")).as("dup_line_char_frac"),
+        (col("ld.chars") * 100 <= col("lchars") * 20).as("r_dup_line_chars"),
+        size(col("paras")).cast("long").as("n_paras"),
+        col("pd.cnt").as("dup_para_cnt"),
+        frac(col("pd.cnt"), size(col("paras")).cast("long")).as("dup_para_frac"),
+        (col("pd.cnt") * 100 <= size(col("paras")).cast("long") * 30).as("r_dup_para"),
+        frac(col("pd.chars"), col("pchars")).as("dup_para_char_frac"),
+        (col("pd.chars") * 100 <= col("pchars") * 20).as("r_dup_para_chars"))
+      .withColumn("pass", col("r_dup_line") && col("r_dup_line_chars") &&
+        col("r_dup_para") && col("r_dup_para_chars"))
+  }
+
   // ---- shared oracle CTE fragments -------------------------------------
   // The composed attributes oracle recomposes EXACTLY the fragments the
   // standalone oracles select from, so the two gates can never drift.
@@ -1787,6 +1933,59 @@ object TextAnalysis {
        |FROM gr_tot tot
        |  $joins
        |ORDER BY tot.doc_id""".stripMargin
+  }
+
+  /** Gopher duplicate-line/paragraph oracle (x_text_gopher_rep_lines)
+    * — the same deterministic line synthesis + plants restated, but the
+    * duplicate masses computed RELATIONALLY (per-doc line/paragraph
+    * group-by with FILTER sums) against the engine's in-row sorted-run
+    * fold — two independent formulations of the Dolma counts. */
+  private def gopherRepLinesSql: String = {
+    def statsCte(src: String, out: String) =
+      s"""${out}_c AS (SELECT doc_id, x, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, unnest($src) AS x FROM gl_p) GROUP BY 1, 2),
+         |$out AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+         |    CAST(coalesce(sum(cnt) FILTER (WHERE cnt >= 2), 0) AS BIGINT) AS dcnt,
+         |    CAST(sum(cnt * length(x)) AS BIGINT) AS tchars,
+         |    CAST(coalesce(sum(cnt * length(x)) FILTER (WHERE cnt >= 2), 0) AS BIGINT) AS dchars
+         |  FROM ${out}_c GROUP BY 1)""".stripMargin
+    def frac(num: String, den: String) =
+      s"CASE WHEN $den = 0 THEN 0.0 ELSE CAST($num AS DOUBLE) / CAST($den AS DOUBLE) END"
+    s"""WITH gl_t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |gl_b AS (SELECT doc_id, list_transform(generate_series(1, (len(ws) + 4) // 5),
+       |           k -> array_to_string(ws[(k - 1) * 5 + 1 : (k - 1) * 5 + 5], ' ')) AS base
+       |         FROM gl_t),
+       |gl_w AS (SELECT doc_id, base,
+       |           CASE WHEN doc_id % 4 = 0 THEN list_append(base, base[1]) ELSE base END AS wl
+       |         FROM gl_b),
+       |gl_l AS (SELECT doc_id,
+       |           CASE WHEN doc_id % 9 = 0 AND len(base) >= 3
+       |                THEN list_concat(wl, list_concat(
+       |                       list_transform(generate_series(1, (3 - len(wl) % 3) % 3),
+       |                         x -> base[1]),
+       |                       base[1:3]))
+       |                ELSE wl END AS lines
+       |         FROM gl_w),
+       |gl_p AS (SELECT doc_id, lines,
+       |           list_transform(generate_series(1, (len(lines) + 2) // 3),
+       |             j -> array_to_string(lines[(j - 1) * 3 + 1 : (j - 1) * 3 + 3], chr(10)))
+       |             AS paras
+       |         FROM gl_l),
+       |${statsCte("lines", "gl_ls")},
+       |${statsCte("paras", "gl_ps")}
+       |SELECT l.doc_id, l.n AS n_lines, l.dcnt AS dup_line_cnt,
+       |  ${frac("l.dcnt", "l.n")} AS dup_line_frac,
+       |  l.dcnt * 100 <= l.n * 30 AS r_dup_line,
+       |  ${frac("l.dchars", "l.tchars")} AS dup_line_char_frac,
+       |  l.dchars * 100 <= l.tchars * 20 AS r_dup_line_chars,
+       |  p.n AS n_paras, p.dcnt AS dup_para_cnt,
+       |  ${frac("p.dcnt", "p.n")} AS dup_para_frac,
+       |  p.dcnt * 100 <= p.n * 30 AS r_dup_para,
+       |  ${frac("p.dchars", "p.tchars")} AS dup_para_char_frac,
+       |  p.dchars * 100 <= p.tchars * 20 AS r_dup_para_chars,
+       |  (l.dcnt * 100 <= l.n * 30 AND l.dchars * 100 <= l.tchars * 20
+       |   AND p.dcnt * 100 <= p.n * 30 AND p.dchars * 100 <= p.tchars * 20) AS pass
+       |FROM gl_ls l JOIN gl_ps p USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
   /** CCNet LM chain → `cc_out(doc_id, lang, n_tri, h, bucket)`. */
@@ -2093,6 +2292,8 @@ object TextAnalysis {
          |SELECT * FROM go_out ORDER BY doc_id""".stripMargin,
 
     "x_text_gopher_rep" -> gopherRepSql,
+
+    "x_text_gopher_rep_lines" -> gopherRepLinesSql,
 
     "x_text_tokens" ->
       """SELECT lang,

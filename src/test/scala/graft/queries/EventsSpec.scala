@@ -103,8 +103,13 @@ class EventsSpec extends SparkSpecBase {
       s"gate corpus should skip the explicit spread:\n$planStr")
     val plain = q(spark, sf).collect().toSeq
     // force the spread branch (the wideArgmaxRows sys-prop idiom) and
-    // pin row-for-row equality — the spread is execution strategy only
-    sys.props("graft.sessionSpreadRows") = "10"
+    // pin row-for-row equality — the spread is execution strategy only.
+    // The forced target derives from the corpus so the branch trips at
+    // ~4× fleet width (a few hundred partitions), not footerRows/10
+    // tasks (tens of thousands of ~10-row tasks at gate scale)
+    val rows = Curation.footerRows(spark, s"$sf/events.parquet")
+    val forced = math.max(1L, rows / (4L * spark.sparkContext.defaultParallelism))
+    sys.props("graft.sessionSpreadRows") = forced.toString
     try {
       assert(planStr.contains("RepartitionByExpression"),
         s"tiny spread target should engage the explicit spread:\n$planStr")

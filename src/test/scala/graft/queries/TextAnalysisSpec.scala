@@ -325,6 +325,44 @@ class TextAnalysisSpec extends SparkSpecBase {
       "no merged token ever appears in the tokenized docs")
   }
 
+  test("persisted BPE model: reload == in-memory fit; write-through cache serves from tables") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    def ids(m: TextAnalysis.BpeModel): Set[(Long, Long, String)] =
+      TextAnalysis.tokenizeOf(docs, m).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // in-memory fit — no tables touched
+    val fresh = TextAnalysis.bpeFitUncached(spark, sf, 3)
+    // explicit model-registry write + reload (the Wordpiece/Unigram pattern)
+    TextAnalysis.writeBpeModel(spark, sf, 3, "bpe_model_spec")
+    try {
+      val loaded = TextAnalysis.bpeModelOf(spark, "bpe_model_spec")
+      assert(loaded.merges == fresh.merges, "reloaded merge list diverges from the fit")
+      val a = ids(fresh)
+      assert(a.nonEmpty && ids(loaded) == a,
+        "the reloaded model must tokenize row-identically to the in-memory fit")
+      // the write-through fit cache serves the same ids from ITS tables
+      assert(ids(TextAnalysis.bpeFit(spark, sf, 3)) == a,
+        "the write-through cached model diverges from the fit")
+      val prefix = TextAnalysis.bpeModelTablePrefix(sf, 3)
+      assert(spark.catalog.tableExists(s"${prefix}_merges") &&
+        spark.catalog.tableExists(s"${prefix}_ids"),
+        "the fit cache must leave the frozen model on disk for fresh sessions")
+      // invalidation drops the memo AND the write-through tables — the
+      // corpus-rewrite path (the Dedup.invalidateClusters contract)
+      TextAnalysis.invalidateBpeModel(spark, sf)
+      assert(!spark.catalog.tableExists(s"${prefix}_merges") &&
+        !spark.catalog.tableExists(s"${prefix}_ids"),
+        "invalidation must drop the write-through model tables")
+      // a post-invalidation fit retrains and still matches
+      assert(ids(TextAnalysis.bpeFit(spark, sf, 3)) == a)
+    } finally {
+      graft.Engine.reclaimManagedTable(spark, "bpe_model_spec_merges")
+      graft.Engine.reclaimManagedTable(spark, "bpe_model_spec_ids")
+    }
+  }
+
   test("BPE training: 3 merges match a first-principles driver implementation") {
     val rows = TextAnalysis.queries("x_text_bpe_train")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
