@@ -53,6 +53,20 @@ object Engine {
       // the measured scales and costs only more (cheap) tasks.
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "16m"))
+      // AQE coalescing keeps Spark's parallelism-first DEFAULT (true),
+      // measured, not assumed: the r19 position-matched A/B (two full
+      // bench pairs in both orders, min per config) read false as a ~5%
+      // whole-bench LOSS (147.1 s vs 139.1 s). Spark's docs recommend
+      // false "in production" to respect the byte advisory, but this
+      // engine's exchanges are frequently CPU-DENSE at tiny byte sizes
+      // (per-word segmentation DP, Levenshtein verify, per-merge
+      // vocabulary rewrites) — byte-based coalescing collapses those to
+      // one task (x_text_wordpiece_fertility 2.77 s vs 1.50 s in the
+      // A/B) while the byte-heavy exchanges the advisory exists for are
+      // already data-sized at scale. Env knob kept so a 100 TB submit
+      // whose exchanges ARE byte-bound can flip it per-job.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "true"))
       // scan-split budget, same arithmetic as the advisory size but for
       // the MAP side: documents-style text compresses 3-5× (the derived
       // scale corpora far more), and a generator fan-out (8-gram

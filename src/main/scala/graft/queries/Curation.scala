@@ -224,7 +224,14 @@ object Curation {
     "x_cur_split_stability" -> ((s, d) => {
       val docs = table(s, d, "documents").select("doc_id")
       def late(c: org.apache.spark.sql.Column) = c % 7 === 3
-      val pairs = Dedup.md5MinhashPairs(s, d).select("da", "db")
+      // materialize pair discovery ONCE (eager localCheckpoint): the two
+      // starClusters builds below (base labels, merged labels) otherwise
+      // each re-run the full shingle→signature→banding→estimate chain —
+      // the round-19 measurement attributed ~2 of this gate's 6.6 s to
+      // exactly that duplicated pass (guide §2.4: share one computation,
+      // not one exchange). Same rows either way; the checkpoint is
+      // pair-relation-sized, never corpus-sized.
+      val pairs = Dedup.md5MinhashPairs(s, d).select("da", "db").localCheckpoint()
       val oldLabels = Dedup.starClusters(
         docs.filter(!late(col("doc_id"))),
         pairs.filter(!late(col("da")) && !late(col("db"))))._1

@@ -807,12 +807,28 @@ object Dedup {
     * other path refuses. */
   def writeMinhashIndex(s: SparkSession, d: String, path: String,
       docFilter: Column = lit(true), cap: Long = hotBucketCap): Unit = {
-    val (sig, keysBn) = md5SigKeysCounted(toks(s, d).filter(docFilter))
-    val kept = keysBn.filter(col("bn") <= cap)
-    sig.write.mode("overwrite").parquet(s"$path/minhash_sig.parquet")
-    kept.drop("bn").write.mode("overwrite").parquet(s"$path/minhash_keys.parquet")
-    kept.select(col("band"), col("bh"), col("bn").as("n")).distinct()
-      .write.mode("overwrite").parquet(s"$path/minhash_keycounts.parquet")
+    val (sig0, keysBn0) = md5SigKeysCounted(toks(s, d).filter(docFilter))
+    // persist the shared build relations across the three table writes
+    // (the writeBandedIndex discipline): without it each write re-runs
+    // the whole shingle→signature corpus pass — the keys and counts
+    // writes would pay it again just to re-derive what the sig write
+    // already computed (guide §2.4; measured as the bulk of the
+    // takedown-family build cost at r19). Both relations are
+    // signature-sized (docs × nPerm / docs × bands), never corpus-text-
+    // sized.
+    val sig = sig0.persist()
+    val keysBn = keysBn0.persist()
+    try {
+      val kept = keysBn.filter(col("bn") <= cap)
+      sig.write.mode("overwrite").parquet(s"$path/minhash_sig.parquet")
+      kept.drop("bn").write.mode("overwrite").parquet(s"$path/minhash_keys.parquet")
+      kept.select(col("band"), col("bh"), col("bn").as("n")).distinct()
+        .write.mode("overwrite").parquet(s"$path/minhash_keycounts.parquet")
+    } finally {
+      sig.unpersist(blocking = false)
+      keysBn.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** [[writeMinhashIndex]] as BUCKETED managed tables
@@ -828,28 +844,49 @@ object Dedup {
     * 100 TB history wants O(10⁴)). */
   def writeMinhashIndexBucketed(s: SparkSession, d: String, tablePrefix: String,
       buckets: Int = 32, docFilter: Column = lit(true), cap: Long = hotBucketCap): Unit = {
-    val (sig, keysBn) = md5SigKeysCounted(toks(s, d).filter(docFilter))
-    val kept = keysBn.filter(col("bn") <= cap)
-    for (t <- Seq("_sig", "_keys", "_counts"))
-      graft.Engine.reclaimManagedTable(s, tablePrefix + t)
-    sig.write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .saveAsTable(s"${tablePrefix}_sig")
-    kept.drop("bn").write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "band", "bh")
-      .saveAsTable(s"${tablePrefix}_keys")
-    // per-bucket counts, bucketed like the keys so the probe-side joint
-    // bound joins exchange-free on the index side. TRUE totals for ALL
-    // buckets — including over-cap ones whose keys were dropped: the
-    // probe's `bn + n <= cap` filter drops those identically whether
-    // the row is absent or carries n > cap (verdict-neutral), and
-    // [[appendMinhashIndexBucketed]] NEEDS the true total to decide
-    // whether a bucket's union membership still admits new keys — a
-    // missing row would be indistinguishable from a never-seen bucket.
-    keysBn.select(col("band"), col("bh"), col("bn").as("n")).distinct()
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "band", "bh")
-      .saveAsTable(s"${tablePrefix}_counts")
+    val (sig0, keysBn0) = md5SigKeysCounted(toks(s, d).filter(docFilter))
+    // persist the shared build relations across the three table writes
+    // (the writeBandedIndex discipline, see writeMinhashIndex above):
+    // without it the keys and counts writes each re-run the full
+    // shingle→signature corpus pass. Each bucketed write additionally
+    // REPARTITIONS onto its bucket columns first (the writeIvf2Index /
+    // compactBucketedTable trick): a bucketed write otherwise emits one
+    // file per (upstream task × bucket), so probe-side scans pay a file
+    // stack that silently tracks the build's task layout; one exchange
+    // of signature-sized rows buys exactly one file per bucket at every
+    // corpus scale.
+    val sig = sig0.persist()
+    val keysBn = keysBn0.persist()
+    try {
+      val kept = keysBn.filter(col("bn") <= cap)
+      for (t <- Seq("_sig", "_keys", "_counts"))
+        graft.Engine.reclaimManagedTable(s, tablePrefix + t)
+      sig.repartition(buckets, col("doc_id"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .saveAsTable(s"${tablePrefix}_sig")
+      kept.drop("bn").repartition(buckets, col("band"), col("bh"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "band", "bh")
+        .saveAsTable(s"${tablePrefix}_keys")
+      // per-bucket counts, bucketed like the keys so the probe-side joint
+      // bound joins exchange-free on the index side. TRUE totals for ALL
+      // buckets — including over-cap ones whose keys were dropped: the
+      // probe's `bn + n <= cap` filter drops those identically whether
+      // the row is absent or carries n > cap (verdict-neutral), and
+      // [[appendMinhashIndexBucketed]] NEEDS the true total to decide
+      // whether a bucket's union membership still admits new keys — a
+      // missing row would be indistinguishable from a never-seen bucket.
+      keysBn.select(col("band"), col("bh"), col("bn").as("n")).distinct()
+        .repartition(buckets, col("band"), col("bh"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "band", "bh")
+        .saveAsTable(s"${tablePrefix}_counts")
+    } finally {
+      sig.unpersist(blocking = false)
+      keysBn.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Fold a NEW crawl into the persisted bucketed minhash index — the

@@ -351,7 +351,13 @@ object ProductQuant {
       graft.Engine.reclaimManagedTable(s, tablePrefix + t)
     cb.write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_codebook")
     cents.write.mode("overwrite").format("parquet").saveAsTable(s"${tablePrefix}_cents")
+    // repartition onto the bucket column first (the writeIvf2Index /
+    // compactBucketedTable trick): without it the bucketed write emits
+    // one file per (assignment task × bucket) and probe-time bucket
+    // pruning pays a file stack that tracks the build's task layout;
+    // one exchange of fixed-width coded rows lands one file per bucket.
     postingsFor(Similarity.withNorm(s, d), cents, cb, wide = Similarity.wideArgmax(s, d))
+      .repartition(buckets, col("cid"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, "cid").sortBy("cid")
       .saveAsTable(s"${tablePrefix}_postings")

@@ -473,7 +473,20 @@ object TextAnalysis {
     val q = t.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), explode(expr("slice(ws, 1, 3)")).as("w"))
       .distinct()
-    bm25Core(q, bm25Tf(t), bm25Dl(t), bm25Stats(bm25Dl(t)), k = 10)
+    // push the query-term restriction BELOW the tf aggregation (guide
+    // §2.3 "aggregate before you shuffle" / "project before the
+    // exchange"): unrestricted bm25Tf exchanges the full corpus-sized
+    // (doc_id, w) relation only for bm25Core to immediately drop every
+    // non-query term via its broadcast join — Catalyst cannot push a
+    // join through an aggregation, so the filter must live here. The
+    // broadcast semi-filter before the groupBy keeps ALL docs for the
+    // query terms, so per-term tf AND df are unchanged — identical rows
+    // out (the x_text_bm25 oracle hash pins it), the exchange now
+    // carries only query-term occurrences at any corpus size.
+    val tfq = t.select(col("doc_id"), explode(col("ws")).as("w"))
+      .join(broadcast(q.select("w").distinct()), Seq("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    bm25Core(q, tfq, bm25Dl(t), bm25Stats(bm25Dl(t)), k = 10)
   }
 
   /** The composed attributes pass — see the x_text_attributes entry. */
@@ -885,12 +898,30 @@ object TextAnalysis {
     val t = table(s, d, "documents").select(col("doc_id"), split(col("text"), " ").as("ws"))
     for (tbl <- Seq("_tf", "_dl", "_stats"))
       graft.Engine.reclaimManagedTable(s, tablePrefix + tbl)
-    bm25Tf(t).write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "w").sortBy("w").saveAsTable(s"${tablePrefix}_tf")
-    bm25Dl(t).write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, "doc_id").saveAsTable(s"${tablePrefix}_dl")
-    bm25Stats(bm25Dl(t)).write.mode("overwrite").format("parquet")
-      .saveAsTable(s"${tablePrefix}_stats")
+    // one tokenize pass for the whole build (the writeBandedIndex
+    // discipline): the tokenized corpus persists across the `_tf` and
+    // `_dl` writes and the lengths persist into the `_stats` aggregate —
+    // previously each of the three writes re-scanned and re-split the
+    // corpus (guide §2.4). The bucketed writes repartition onto their
+    // bucket columns first (the writeIvf2Index trick) so each lands one
+    // file per bucket instead of one per (task × bucket).
+    val tc = t.persist()
+    try {
+      bm25Tf(tc).repartition(buckets, col("w"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, "w").sortBy("w").saveAsTable(s"${tablePrefix}_tf")
+      val dl = bm25Dl(tc).persist()
+      try {
+        dl.repartition(buckets, col("doc_id"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(buckets, "doc_id").saveAsTable(s"${tablePrefix}_dl")
+        bm25Stats(dl).write.mode("overwrite").format("parquet")
+          .saveAsTable(s"${tablePrefix}_stats")
+      } finally dl.unpersist(blocking = false)
+    } finally {
+      tc.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Append new documents into a persisted BM25 index: postings and
