@@ -110,6 +110,44 @@ object Engine {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Materialize a bounded multi-consumer relation ONCE, eagerly, so N
+    * downstream consumers (including driver-side id collects) never
+    * re-run its subtree — the shared compute-once primitive behind the
+    * split-stability pair discovery, the pHash signature relation, the
+    * star-fixpoint rounds and the ANN/BM25 probe relations.
+    *
+    * Default: `localCheckpoint()` — fastest, but NOT fault-tolerant:
+    * lineage is truncated and the blocks live unreplicated on executor
+    * local storage, so on a real cluster one lost executor mid-query
+    * kills the job unrecoverably. That is the right trade in a
+    * single-process deployment (local[n], the bench posture) and the
+    * wrong one on a preemptible fleet, so `SPARK_GRAFT_RELIABLE_PERSIST=1`
+    * (a per-submit --conf stand-in) switches every site to
+    * `persist(MEMORY_AND_DISK)` forced eager by a count: blocks are
+    * recomputable from lineage on executor loss. Reliable-mode callers
+    * in loops must [[release]] the previous round's relation (persisted
+    * blocks are CacheManager-held until unpersist); localCheckpoint
+    * blocks are GC'd by the ContextCleaner once unreferenced, so
+    * [[release]] is a no-op there. A materialized relation returned to
+    * consumers stays resident until those consumers finish — in
+    * reliable mode, until session end unless the caller releases it. */
+  def materialize(df: DataFrame): DataFrame =
+    if (reliablePersist) {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    } else df.localCheckpoint()
+
+  /** Release a relation obtained from [[materialize]] once every
+    * consumer is done with it. Only meaningful in reliable-persist mode
+    * (see [[materialize]]); the localCheckpoint default relies on the
+    * ContextCleaner instead. */
+  def release(df: DataFrame): Unit =
+    if (reliablePersist) { df.unpersist(blocking = false); () }
+
+  private def reliablePersist: Boolean =
+    sys.env.get("SPARK_GRAFT_RELIABLE_PERSIST").contains("1")
+
   /** Crash-safe managed-table overwrite: a JVM that died between
     * materializing a managed table's files and registering it leaves an
     * orphaned warehouse location, and the NEXT overwrite then fails with

@@ -207,7 +207,13 @@ object ScaleBench {
       sys.props("graft.initPartitions") = "512"
     val spark = Engine.session()
 
-    val allScales = deepScales
+    // targeted re-measurements can cap the ladder (deriving the 1024×
+    // corpus costs more than a focused 64×/256× comparison needs);
+    // unset = the full published ladder
+    val allScales = sys.env.get("SPARK_GRAFT_SCALE_MAX").map(_.toInt) match {
+      case Some(mx) => deepScales.filter(_ <= mx)
+      case None => deepScales
+    }
     val dirs: Map[Int, String] = allScales.map { m =>
       val dir = if (m == 1) base else s"$workDir/x$m"
       if (m > 1 && !new java.io.File(s"$dir/documents.parquet").exists())

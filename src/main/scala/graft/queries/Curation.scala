@@ -229,9 +229,11 @@ object Curation {
       // each re-run the full shingle→signature→banding→estimate chain —
       // the round-19 measurement attributed ~2 of this gate's 6.6 s to
       // exactly that duplicated pass (guide §2.4: share one computation,
-      // not one exchange). Same rows either way; the checkpoint is
-      // pair-relation-sized, never corpus-sized.
-      val pairs = Dedup.md5MinhashPairs(s, d).select("da", "db").localCheckpoint()
+      // not one exchange). Same rows either way; the materialized
+      // relation is pair-sized, never corpus-sized (Engine.materialize:
+      // localCheckpoint locally, reliable persist under the env knob).
+      val pairs = graft.Engine.materialize(
+        Dedup.md5MinhashPairs(s, d).select("da", "db"))
       val oldLabels = Dedup.starClusters(
         docs.filter(!late(col("doc_id"))),
         pairs.filter(!late(col("da")) && !late(col("db"))))._1

@@ -691,7 +691,7 @@ object Dedup {
     * bucket's member count (`bn`, a window over the banding's own
     * partition keys — same shape as [[capBuckets]]). The persisted-index
     * paths need the raw counts to reconstruct the JOINT bound. */
-  private def md5SigKeysCounted(tokenized: DataFrame): (DataFrame, DataFrame) = {
+  private[queries] def md5SigKeysCounted(tokenized: DataFrame): (DataFrame, DataFrame) = {
     val s = tokenized.sparkSession
     val nBands = 4
     val rows = md5NPerm / nBands
@@ -702,12 +702,21 @@ object Dedup {
     val mins = (0 until md5NPerm).map(p =>
       min((col("h") * (2 * p + 1) + (p * p + 7)) % P).as(s"m$p"))
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // band key shuffled as 16-byte BINARY, not the 32-char hex string
+    // (guide §2.3 "narrower types"): bh is purely internal — a grouping/
+    // join/bucket key for the banding window, the candidate self-join
+    // and the persisted _keys/_counts tables — and unhex(md5) is a
+    // bijection of md5, so every group, join verdict and bucket
+    // assignment is unchanged while the band-key exchange and the
+    // persisted key tables carry ~16 fewer bytes per row. (The DuckDB
+    // oracles band on the hex string; only (da, db, est_j) is compared,
+    // and a bijective re-keying cannot change it.)
     val w = Window.partitionBy("band", "bh")
     val keysBn = sig.select(col("doc_id"),
         explode(expr((0 until nBands)
-          .map(b => s"struct($b AS band, md5(${
+          .map(b => s"struct($b AS band, unhex(md5(${
             (0 until rows).map(r => s"m${b * rows + r}").mkString("concat_ws('|', ", ", ", ")")
-          }) AS bh)")
+          })) AS bh)")
           .mkString("array(", ", ", ")"))).as("k"))
       .select(col("doc_id"), col("k.band"), col("k.bh"))
       .withColumn("bn", count(lit(1)).over(w))
@@ -1199,26 +1208,28 @@ object Dedup {
     * reference algorithm for the round-count comparison in DedupSpec.
     * Returns (labels, rounds). */
   private[queries] def propagateClusters(docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
-    val edges = pairs.select(col("da").as("ea"), col("db").as("eb"))
-      .unionAll(pairs.select(col("db").as("ea"), col("da").as("eb")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
+    val edges = graft.Engine.materialize(
+      pairs.select(col("da").as("ea"), col("db").as("eb"))
+        .unionAll(pairs.select(col("db").as("ea"), col("da").as("eb"))))
+    var labels = graft.Engine.materialize(
+      docs.select(col("doc_id"), col("doc_id").as("cluster")))
     var rounds = 0
     var converged = false
     while (!converged) {
       rounds += 1
       val nbrMin = edges.join(labels, edges("eb") === labels("doc_id"))
         .groupBy(col("ea")).agg(min("cluster").as("nmin"))
-      val next = labels.as("l")
+      val next = graft.Engine.materialize(labels.as("l")
         .join(nbrMin, col("l.doc_id") === nbrMin("ea"), "left")
         .select(col("l.doc_id").as("doc_id"),
-          least(col("l.cluster"), coalesce(col("nmin"), col("l.cluster"))).as("cluster"))
-        .localCheckpoint()
+          least(col("l.cluster"), coalesce(col("nmin"), col("l.cluster"))).as("cluster")))
       val changed = next.as("x").join(labels.as("y"), Seq("doc_id"))
         .filter(col("x.cluster") =!= col("y.cluster")).count()
+      graft.Engine.release(labels)
       labels = next
       converged = changed == 0
     }
+    graft.Engine.release(edges)
     (labels.orderBy("doc_id"), rounds)
   }
 
@@ -1232,8 +1243,8 @@ object Dedup {
     * edges, singletons labeling themselves. Returns (labels, rounds). */
   private[queries] def starClusters(docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
     // edges kept oriented hi > lo (pairs arrive as da < db)
-    var edges = pairs.select(col("db").as("hi"), col("da").as("lo"))
-      .distinct().localCheckpoint()
+    var edges = graft.Engine.materialize(
+      pairs.select(col("db").as("hi"), col("da").as("lo")).distinct())
     // fixpoint detection: both sides are DISTINCT edge sets, so equal
     // (count, xor-of-per-edge-hash) fingerprints mean set equality up to
     // a 2^-64-scale hash collision — ONE cheap aggregate per round
@@ -1249,21 +1260,44 @@ object Dedup {
     var converged = fp._1 == 0L
     while (!converged) {
       rounds += 1
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = graft.Engine.materialize(smallStar(largeStar(edges)))
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp
+      graft.Engine.release(edges)
       edges = next
     }
-    val lbl = docs.join(edges.withColumnRenamed("hi", "doc_id"), Seq("doc_id"), "left")
+    // Label-join strategy picked from EXACT driver-side stats (guide
+    // §3.1): the materialized edge relation carries no plan statistics
+    // (ExistingRDD), so Catalyst would always sort-merge here — a
+    // needless sort-exchange when the converged star set is small (the
+    // image/asset graphs, the gate corpora). The fixpoint fingerprint
+    // already counted the converged edges for free: under the row bound
+    // (~64 MB of 16-byte pair rows) broadcast them; a corpus-scale dup
+    // graph (billions of members) keeps the shuffle path.
+    val stars = edges.withColumnRenamed("hi", "doc_id")
+    val starsHinted = if (fp._1 <= 4000000L) broadcast(stars) else stars
+    val lbl = docs.join(starsHinted, Seq("doc_id"), "left")
       .groupBy("doc_id").agg(min("lo").as("mn"))
       .select(col("doc_id"), coalesce(col("mn"), col("doc_id")).as("cluster"))
     (lbl.orderBy("doc_id"), rounds)
   }
 
   /** Large-star: every node u connects its LARGER neighbors to the
-    * minimum of its neighborhood (incl. itself) — long chains halve. */
-  private def largeStar(e: DataFrame): DataFrame = {
+    * minimum of its neighborhood (incl. itself) — long chains halve.
+    * NO trailing distinct (removed, round 20): [[smallStar]] consumes
+    * this relation through duplicate-insensitive operators only — its
+    * min-aggregate ignores multiplicity and its own trailing distinct
+    * restores set semantics — so the round function on distinct edge
+    * sets is unchanged while each fixpoint round drops one full
+    * edge-relation Exchange + aggregate. Duplicate volume is bounded,
+    * skew-independently: the pre-distinct output is exactly one row per
+    * input edge (each (hi,lo) survives the v > u filter once), so
+    * smallStar's intermediates see at most |E| + |distinct hi| rows —
+    * a ≤ 2× row inflation over the deduplicated form, never quadratic,
+    * regardless of hub degree (measured on planted hub/chain graphs in
+    * StarSkewBench). */
+  private[queries] def largeStar(e: DataFrame): DataFrame = {
     val nbrs = e.select(col("hi").as("u"), col("lo").as("v"))
       .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
     val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
@@ -1271,12 +1305,11 @@ object Dedup {
     nbrs.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("hi"), col("m").as("lo"))
-      .distinct()
   }
 
   /** Small-star: every node connects its SMALLER neighbors (and itself)
     * to the minimum among them — stars flatten onto their root. */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private[queries] def smallStar(e: DataFrame): DataFrame = {
     val mins = e.groupBy("hi").agg(min("lo").as("m"))
     e.join(mins, "hi")
       .select(col("lo").as("u"), col("m"))

@@ -950,14 +950,15 @@ object Multimodal {
     "x_mm_phash_clusters" -> ((s, d) => {
       val base = assets(s, d, maxId = 120, onlyMime = Some("image/png"))
       val all = base.unionByName(perturbedPngTwins(s, d, maxId = 120))
-      // materialize the decode→pHash chain ONCE (eager localCheckpoint):
-      // `sig` feeds three consumers — both sides of the banded candidate
-      // join, the node list, and the final label join — and each would
-      // otherwise re-decode every PNG (the expensive codec pass; the
-      // round-19 before-measurement read 2.3 s here, mostly repeated
-      // decode). Signature-relation-sized, never media-sized.
-      val sig = phash(all).select(col("asset_id").as("doc_id"), col("ph").as("sh"))
-        .localCheckpoint()
+      // materialize the decode→pHash chain ONCE (Engine.materialize —
+      // eager localCheckpoint locally, reliable persist under the env
+      // knob): `sig` feeds three consumers — both sides of the banded
+      // candidate join, the node list, and the final label join — and
+      // each would otherwise re-decode every PNG (the expensive codec
+      // pass; the round-19 before-measurement read 2.3 s here, mostly
+      // repeated decode). Signature-relation-sized, never media-sized.
+      val sig = graft.Engine.materialize(
+        phash(all).select(col("asset_id").as("doc_id"), col("ph").as("sh")))
       val pairs = Dedup.simhashCandidatesOf(sig, pairBlocks = true)
         .filter(expr("bit_count(sa ^ sb)") <= 6)
         .select("da", "db")

@@ -536,8 +536,13 @@ object ProductQuant {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
       sqrt(expr("float_dot(embedding, embedding)")).as("qn"))
     // the probed-cell set restricts the postings scan BEFORE the
-    // candidate join (bucket pruning in the literal regime)
-    val probes = coarseProbes(q, cents, nprobe)
+    // candidate join (bucket pruning in the literal regime). Materialized
+    // once (guide §2.4): pruneToProbed's probed-cell collect and the
+    // final ADC join otherwise each evaluate the coarse-argmax subtree —
+    // a full query × broadcast-centroid pass per evaluation. (qid, cid)
+    // ids only, queries × nprobe rows — bounded by the serving contract
+    // that already broadcasts this relation in ivfPqCore.
+    val probes = graft.Engine.materialize(coarseProbes(q, cents, nprobe))
     // logical takedown: tombstoned vectors must never rank — anti-join
     // above the cell-pruned scan (bucket pruning intact, ledger
     // broadcasts, pass-through with a byte-identical plan when none)

@@ -1028,7 +1028,7 @@ object Similarity {
     graft.functions.CosineSimilarity.register(s)
     val coarse = s.table(s"${tablePrefix}_coarse")
     val wc = Window.partitionBy("qid").orderBy(col("ccos").desc, col("ccid").asc)
-    val probesC = queries
+    val probesC0 = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         sqrt(expr("float_dot(embedding, embedding)")).as("qn"))
       .join(broadcast(coarse), lit(true))
@@ -1037,14 +1037,28 @@ object Similarity {
       .withColumn("rn", row_number().over(wc))
       .filter(col("rn") <= nprobeC)
       .select(col("qid"), col("qe"), col("qn"), col("ccid"))
+    // SERVING regime: materialize the probe relations ONCE (guide §2.4).
+    // The coarse probe subtree is otherwise evaluated THREE times per
+    // search — pruneToProbed's probed-ccid collect, the probed-fcid
+    // collect (whose fine-probe plan contains it), and the final
+    // candidate join — and the fine probe twice; each evaluation is a
+    // full query-relation × broadcast-centroid argmax pass. Both
+    // relations are bounded by the serving contract (queries × nprobe
+    // rows — the same bound that makes broadcast(probesF) legal below),
+    // so materializing them is probe-sized, never corpus-sized. The
+    // BULK regime (broadcastProbes = false, corpus-sized probe sets)
+    // keeps the lazy chain: there the probe relation carries corpus-many
+    // embeddings and block storage would cost more than the recompute.
+    val probesC = if (broadcastProbes) graft.Engine.materialize(probesC0) else probesC0
     // fallback-aware fine probe (see probeFine): the postings table holds
     // fallback fcids for fine-less coarse cells' vectors, so the fallback
     // probe keeps them reachable; the probed-ccid restriction still
     // bucket-prunes the fine scan in the literal regime
-    val probesF = probeFine(probesC,
+    val probesF0 = probeFine(probesC,
       pruneToProbed(s.table(s"${tablePrefix}_fine"), "ccid",
         probesC.select("ccid").distinct(), literalProbeCap),
       Seq("qid", "qe", "qn"), nprobeF, broadcastProbes)
+    val probesF = if (broadcastProbes) graft.Engine.materialize(probesF0) else probesF0
     // logical takedown: tombstoned vectors must never rank — the
     // anti-join rides ABOVE the cell-pruned scan (bucket pruning
     // intact), the ledger broadcasts, and with no ledger the plan is

@@ -483,9 +483,9 @@ object TextAnalysis {
     // query terms, so per-term tf AND df are unchanged — identical rows
     // out (the x_text_bm25 oracle hash pins it), the exchange now
     // carries only query-term occurrences at any corpus size.
-    val tfq = t.select(col("doc_id"), explode(col("ws")).as("w"))
-      .join(broadcast(q.select("w").distinct()), Seq("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val tfq = bm25TfOf(
+      t.select(col("doc_id"), explode(col("ws")).as("w"))
+        .join(broadcast(q.select("w").distinct()), Seq("w")))
     bm25Core(q, tfq, bm25Dl(t), bm25Stats(bm25Dl(t)), k = 10)
   }
 
@@ -784,10 +784,16 @@ object TextAnalysis {
           .when(col("h") <= col("t2"), "middle").otherwise("tail"))
       .drop("t1", "t2")
 
+  /** tf over an already-exploded (doc_id, w) occurrence relation — the
+    * shared tail of [[bm25Tf]] and the query-term-restricted path in
+    * [[bm25]], so tf semantics can never silently diverge between the
+    * persisted-index build and the in-memory query. */
+  private[graft] def bm25TfOf(occ: DataFrame): DataFrame =
+    occ.groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+
   /** (doc_id, w, tf) — the postings relation, one partial-agg pass. */
   private[graft] def bm25Tf(t: DataFrame): DataFrame =
-    t.select(col("doc_id"), explode(col("ws")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("tf"))
+    bm25TfOf(t.select(col("doc_id"), explode(col("ws")).as("w")))
 
   private[graft] def bm25Dl(t: DataFrame): DataFrame =
     t.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
@@ -984,7 +990,12 @@ object TextAnalysis {
   def bm25SearchOf(queries: DataFrame, tablePrefix: String, k: Int = 10,
       literalProbeCap: Int = 1000): DataFrame = {
     val s = queries.sparkSession
-    val q = queries.select(col("qid"), explode(col("terms")).as("w")).distinct()
+    // materialized once (guide §2.4): the query-term relation is consumed
+    // by pruneToProbed's probed-term collect AND (twice) inside bm25Core,
+    // and each consumption re-evaluated the query-relation scan+explode.
+    // (qid, w) ids only — query-sized at any batch size.
+    val q = graft.Engine.materialize(
+      queries.select(col("qid"), explode(col("terms")).as("w")).distinct())
     // logical takedown: tombstoned docs leave the score EXACTLY as a
     // rebuild-without-them would — postings and lengths anti-join the
     // broadcast ledger (df derives from the pruned postings at query

@@ -76,8 +76,12 @@ class TakedownSpec extends SparkSpecBase {
     assert(probe("tdm") == want, "post-reclaim verdicts must still equal the rebuild")
     // counts adjustment is EXACT on an under-cap corpus: the reclaimed
     // index's per-bucket totals equal the rebuild's
+    // bh is BINARY (round 20): compare by value, not Array reference
     def counts(prefix: String) = spark.table(s"${prefix}_counts")
-      .collect().map(_.toSeq).toSet
+      .collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.toSeq
+        case x => x
+      }).toSet
     assert(counts("tdm") == counts("tdmr"),
       "reclaimed counts must equal the rebuild-without-the-doc counts")
     dropFamily("tdm", "_sig", "_keys", "_counts")

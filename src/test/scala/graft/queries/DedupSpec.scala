@@ -341,8 +341,13 @@ class DedupSpec extends SparkSpecBase {
     try {
       val victim = spark.table("mhi_keys").select("doc_id").head().getLong(0)
       graft.Takedown.add(spark, "mhi", Seq(victim).toDF("id"))
+      // bh is BINARY (round 20): compare by value, not Array reference
       def countsSnap(prefix: String) =
-        spark.table(s"${prefix}_counts").collect().map(_.toSeq).toSet
+        spark.table(s"${prefix}_counts").collect()
+          .map(_.toSeq.map {
+            case b: Array[Byte] => b.toSeq
+            case x => x
+          }).toSet
       // attempt 1 dies right after its counts swap
       Dedup.swapCountsTable(spark, "mhi", Dedup.reclaimedCounts(spark, "mhi"))
       val once = countsSnap("mhi")
